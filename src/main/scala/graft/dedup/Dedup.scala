@@ -1,0 +1,135 @@
+package graft.dedup
+
+import graft.functions.exprs
+import graft.text.Text
+import graft.vec.Vec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` table.
+  *
+  * Shapes and their 100 TB behavior:
+  *  - exact: one shuffle on a 128-bit content hash; map-side partial agg.
+  *  - minhash LSH: signatures map-side; one explode(bands) shuffle keyed
+  *    by (band index, band hash); candidate pairs only within buckets —
+  *    never O(n^2). Band frames carry only (doc_id, band key) through the
+  *    shuffle; signatures re-join on the (small) candidate set.
+  *  - simhash: 64-bit sketch map-side; 4x16-bit band buckets guarantee
+  *    recall for hamming distance <= 3; same join shape as minhash.
+  *  - ngram jaccard: exact verify pass on LSH candidates only.
+  *  - embedding cosine: sign-LSH buckets, pairwise only within buckets.
+  */
+object Dedup {
+
+  /** Exact dedup: survivor = min doc_id per canonical-content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(Text.fingerprintMd5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies", "content_key")
+
+  /** (doc_id, minhash signature) frame. Map-side only. */
+  def signatures(docs: DataFrame, k: Int = 128, shingleK: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      exprs.minhash_sig(Text.hashedArray(Text.shingles(col("text"), shingleK)), k).as("sig"))
+
+  /** LSH candidate pairs (doc_a < doc_b) with signature-estimated
+    * jaccard. `bands` x `rows` must equal k.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      k: Int = 128,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val rows = k / bands
+    val sigs = signatures(docs, k).where(col("sig").isNotNull)
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(0), lit(bands - 1)),
+            j => struct(j.as("band"), xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))).as("bh"))))
+          .as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val pairs = banded
+      .as("l")
+      .join(banded.as("r"), Seq("band", "bh"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+    val est = pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / k)
+    est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
+    * guaranteed found by 4x16-bit banding).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sims = docs
+      .select(col("doc_id"), exprs.simhash64(Text.hashedArray(Text.words(col("text")))).as("sh"))
+      .where(col("sh").isNotNull)
+    // shiftrightunsigned takes a literal shift, so build the 4 bands explicitly.
+    val bandCols = (0 until 4).map(j =>
+      struct(lit(j).as("band"), shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("bh")))
+    val banded = sims
+      .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
+    banded
+      .as("l")
+      .join(banded.as("r"), Seq("band", "bh"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"),
+        col("r.doc_id").as("doc_b"),
+        call_function("bit_count", col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard verification over candidate pairs. */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      shingleK: Int = 3,
+      minJaccard: Double = 0.7): DataFrame = {
+    val sh = docs.select(col("doc_id"), array_distinct(Text.shingles(col("text"), shingleK)).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Embedding near-dup: sign-LSH buckets, exact cosine within buckets.
+    * Quantized cosine for deterministic output.
+    */
+  def embedCosinePairs(embeddings: DataFrame, p: Int = 8, minCosine: Double = 0.95): DataFrame = {
+    val b = embeddings.select(
+      col("vec_id"),
+      Vec.quantize(col("embedding")).as("q"),
+      Vec.lshBucket(col("embedding"), p).as("bucket"))
+    b.as("l")
+      .join(b.as("r"), Seq("bucket"))
+      .where(col("l.vec_id") < col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_a"),
+        col("r.vec_id").as("vec_b"),
+        Vec.cosineQ(col("l.q"), col("r.q")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .distinct()
+  }
+}

@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Deterministic 64-bit mixer (public SplitMix64 construction) used to
+  * derive per-permutation coefficients from a seed. No RNG state — pure
+  * function of the seed, so plans are reproducible across executors.
+  */
+object Mix64 {
+  def apply(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+}
+
+/** MinHash signature over a column of pre-hashed shingles.
+  *
+  * Input: `array<long>` (xxhash64 of each shingle). Output: `array<long>`
+  * of length `k` where slot i is the minimum of the i-th affine
+  * permutation `h*a_i + b_i` (natural Long wraparound — only order
+  * stability matters for LSH, not modular exactness).
+  *
+  * A single imperative O(n*k) pass per row; replaces k=128 chained
+  * `transform`/`array_min` calls which would allocate 128 intermediate
+  * arrays per row. Spark-side equivalent of the shingle→minhash step of
+  * classic MinHashLSH dedup; runs entirely map-side (no shuffle).
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val coefA: Array[Long] =
+    Array.tabulate(k)(i => Mix64(seed + 2L * i) | 1L) // odd => bijective mod 2^64
+  @transient private lazy val coefB: Array[Long] =
+    Array.tabulate(k)(i => Mix64(seed + 2L * i + 1L))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = h * coefA(i) + coefB(i)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash over a column of pre-hashed tokens (`array<long>`).
+  *
+  * Classic Charikar construction: per bit, +1 if set in the token hash,
+  * -1 otherwise; the output bit is 1 iff the sum is positive. One
+  * imperative pass; map-side only.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val w = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) w(b) += 1 else w(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (w(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Column-level API for the custom expressions. */
+object exprs {
+  def minhash_sig(shingleHashes: Column, k: Int = 128, seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingleHashes), k, seed))
+
+  def simhash64(tokenHashes: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+}

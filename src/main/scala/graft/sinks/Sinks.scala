@@ -1,0 +1,34 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** CSV sink — the write side of the reference's wire format
+  * (reference: pandas_to_postgres/utilities.py:78-93 `create_file_object`,
+  * pandas `to_csv(index=False)` semantics: header, empty field = NULL).
+  * Distributed: one part file per partition; pair with `Chunk.byRows`
+  * to bound part sizes the way csv_chunksize bounds StringIO.
+  */
+object CsvSink {
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("emptyValue", "\"\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .csv(path)
+}
+
+/** Parquet sink with full-refresh semantics — the reference's
+  * TRUNCATE-then-reload (`_base_copy.py:102-113`) maps to Spark's
+  * atomic `Overwrite` mode; partitioned refresh uses dynamic partition
+  * overwrite so only touched partitions are replaced at 100 TB.
+  */
+object Refresh {
+  def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.sparkSession.conf
+    w.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val base = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base).parquet(path)
+  }
+}

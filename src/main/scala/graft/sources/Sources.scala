@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Parquet source (reference: pandas_to_postgres/copy_parquet.py).
+  *
+  * The reference reads row-group batches of 10^7 rows on one machine;
+  * Spark's parquet scan already splits by row group across executors, so
+  * "chunked read" is the default execution model. `maxPartitionBytes`
+  * plays the role of `parquet_chunksize`.
+  */
+object Parquet {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def read(spark: SparkSession, path: String, maxPartitionBytes: Option[Long] = None): DataFrame = {
+    maxPartitionBytes.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
+    spark.read.parquet(path)
+  }
+}
+
+/** CSV source with explicit schema — the read side of the reference's CSV
+  * wire format (header row, empty string = NULL), kept pandas-compatible
+  * so a graft CSV sink round-trips losslessly.
+  */
+object Csv {
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("nullValue", "")
+      .option("emptyValue", "\"\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema)
+      .csv(path)
+}
+
+/** JDBC source for completeness of the load/extract surface. Partitioned
+  * reads (`partitionColumn/lowerBound/upperBound/numPartitions`) are the
+  * scale path — one connection per partition.
+  */
+object Jdbc {
+  def read(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      partitionColumn: Option[String] = None,
+      bounds: Option[(Long, Long)] = None,
+      numPartitions: Int = 8,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    val withPart = (partitionColumn, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        base
+          .option("partitionColumn", c)
+          .option("lowerBound", lo.toString)
+          .option("upperBound", hi.toString)
+          .option("numPartitions", numPartitions.toString)
+      case _ => base
+    }
+    props.foldLeft(withPart) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+}
+
+/** Table-group source: the reference's HDF many-tables→one-SQL-table
+  * mapping with per-key constant metadata columns (reference:
+  * pandas_to_postgres/utilities.py:17-75 `hdf_metadata`,
+  * copy_hdf.py HDFTableCopy). Spark-first: a union of scans, each with
+  * `lit()` constants — the union parallelizes across all member scans at
+  * once instead of looping table-by-table.
+  */
+object TableGroup {
+
+  /** `members` = (sourceName, constantColumns). All member frames must
+    * share a schema after adding constants; `byName` union keeps this
+    * robust to column order drift.
+    */
+  def load(
+      spark: SparkSession,
+      dir: String,
+      members: Seq[(String, Map[String, String])],
+      select: Seq[String]): DataFrame =
+    members
+      .map { case (name, consts) =>
+        val base = consts.foldLeft(Parquet.table(spark, dir, name)) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+        base.selectExpr(select: _*)
+      }
+      .reduce(_.unionByName(_))
+}

@@ -1,0 +1,115 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the training-data pipeline.
+  *
+  * All ops are composed from `org.apache.spark.sql.functions` (codegen'd,
+  * no UDFs) so they stay inside whole-stage codegen and distribute
+  * trivially: every function here is map-side only.
+  *
+  * Cross-engine parity: functions used by oracle-checked queries are
+  * restricted to semantics that DuckDB reproduces exactly (lower/replace/
+  * regexp over ASCII classes, integer length arithmetic, md5).
+  */
+object Text {
+
+  /** Lowercase, strip to [a-z0-9], collapse runs of other chars to single
+    * spaces, trim. The canonical form used for hashing and word counts.
+    */
+  def canon(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
+  /** Canonical word array; empty array for blank/empty canon. */
+  def words(text: Column): Column = {
+    val c = canon(text)
+    when(length(c) === 0, array().cast("array<string>")).otherwise(split(c, " "))
+  }
+
+  /** Word count via length arithmetic (exactly reproducible in SQL:
+    * no split-semantics edge cases).
+    */
+  def wordCount(text: Column): Column = {
+    val c = canon(text)
+    when(length(c) === 0, lit(0L))
+      .otherwise((length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long"))
+  }
+
+  /** Occurrence count of `word` as a whole word in the canonical text.
+    * Non-overlapping left-to-right (same in Spark and DuckDB `replace`).
+    */
+  def wordOcc(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), canon(text), lit(" "))
+    val needle = " " + word + " "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / lit(needle.length))
+      .cast("long")
+  }
+
+  /** Word k-shingles of the canonical text, joined by single spaces.
+    * Shorter-than-k documents yield one shingle = the whole text.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) === 0, array().cast("array<string>"))
+      .when(size(w) <= k, array(array_join(w, " ")))
+      .otherwise(
+        transform(sequence(lit(0), size(w) - k), i => array_join(slice(w, i + 1, lit(k)), " ")))
+  }
+
+  /** xxhash64 of each element of a string array (map-side, codegen'd). */
+  def hashedArray(arr: Column): Column = transform(arr, s => xxhash64(s))
+
+  /** Stopword sets per language for the n-gram/stopword language-ID
+    * heuristic. Chosen to be SQL-countable (whole-word occurrences).
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "was", "that", "with"),
+    "de" -> Seq("der", "und", "die", "nicht", "das"),
+    "es" -> Seq("el", "que", "los", "una", "para"),
+    "fr" -> Seq("le", "les", "des", "est", "dans")
+  )
+
+  /** Per-language stopword score columns, aliased `score_<lang>`. */
+  def langScores(text: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, ws) =>
+      lang -> ws.map(w => wordOcc(text, w)).reduce(_ + _)
+    }
+
+  /** Predicted language: deterministic cascade — each language wins if its
+    * score is positive and >= every *later* language's score; declaration
+    * order (en, de, es, fr) breaks ties. Mirrored 1:1 by the oracle SQL's
+    * CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    scores.indices.foldRight(lit("und")) { case (i, els) =>
+      val (lang, s) = scores(i)
+      val later = scores.drop(i + 1).map(_._2)
+      val cond =
+        if (later.isEmpty) s > lit(0)
+        else s > lit(0) && s >= later.reduce((a, b) => greatest(a, b))
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Punctuation character count (chars outside [a-zA-Z0-9 ]). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("long")
+
+  /** BPE-ish token count: letter runs, single digits, single symbols.
+    * The regex dialect subset (alternation + ASCII classes) behaves
+    * identically in Java regex and DuckDB's RE2.
+    */
+  val bpeTokenPattern = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
+
+  /** Exact content fingerprint of the canonical text (cross-engine md5). */
+  def fingerprintMd5(text: Column): Column = md5(canon(text).cast("binary"))
+
+  /** 64-bit sketch fingerprint: min xxhash64 over word 3-shingles —
+    * a 1-permutation minhash, usable as a cheap near-dup prefilter.
+    */
+  def sketch64(text: Column): Column = array_min(hashedArray(shingles(text, 3)))
+}

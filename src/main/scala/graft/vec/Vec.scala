@@ -1,0 +1,67 @@
+package graft.vec
+
+import graft.functions.Mix64
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector ops over `array<float>` embedding columns.
+  *
+  * Built on higher-order functions (`zip_with`/`aggregate`/`transform`) —
+  * no UDFs, map-side only, so they compose with scans and pushdown.
+  *
+  * For oracle-checked cosine, vectors are first quantized to integer
+  * milli-units: all dot products and norms are then exact 64-bit integer
+  * arithmetic, so Spark and DuckDB agree bit-for-bit regardless of
+  * float-summation order; the single final `int / sqrt(int)` division is
+  * deterministic on both engines.
+  */
+object Vec {
+
+  /** Quantize a float vector to `round(x * scale)` longs. */
+  def quantize(v: Column, scale: Int = 1000): Column =
+    transform(v, x => round(x.cast("double") * scale).cast("long"))
+
+  /** Integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact cosine over quantized vectors (deterministic double). */
+  def cosineQ(a: Column, b: Column): Column = {
+    val dot = dotQ(a, b)
+    val n2 = dotQ(a, a) * dotQ(b, b)
+    when(n2 === 0L, lit(0.0)).otherwise(dot.cast("double") / sqrt(n2.cast("double")))
+  }
+
+  /** Float-native dot (for in-engine paths with no oracle). */
+  def dotF(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineF(a: Column, b: Column): Column = {
+    val n2 = dotF(a, a) * dotF(b, b)
+    when(n2 === 0.0, lit(0.0)).otherwise(dotF(a, b) / sqrt(n2))
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes(p, d)`
+    * gives p rows of d components in [-1, 1), derived from Mix64(seed).
+    */
+  def hyperplanes(p: Int, d: Int, seed: Long = 7L): Seq[Seq[Double]] =
+    Seq.tabulate(p)(j =>
+      Seq.tabulate(d)(i => Mix64(seed + j.toLong * d + i).toDouble / Long.MaxValue.toDouble))
+
+  /** Sign-LSH bucket id: bit j set iff dot(v, plane_j) > 0.
+    * One pass per plane; p small (8-16). The scale path for ANN: bucket
+    * the corpus once (amortizable at write time), probe per bucket.
+    */
+  def lshBucket(v: Column, p: Int = 8, d: Int = 64, seed: Long = 7L): Column = {
+    val planes = hyperplanes(p, d, seed)
+    planes.zipWithIndex
+      .map { case (plane, j) =>
+        val planeCol = typedLit(plane)
+        val dot = aggregate(zip_with(v, planeCol, (x, r) => x.cast("double") * r),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+}
