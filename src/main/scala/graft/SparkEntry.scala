@@ -1,13 +1,767 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Oracle-parity rules (§6): every double aggregate goes through exact
+  * integer cents (`round(x*100)::bigint`), averages are single divisions
+  * of two bigints, outputs are strings/bigints/deterministic doubles,
+  * and every query ends with a total-order ORDER BY mirrored in the SQL.
+  */
 object SparkEntry {
+
+  // ---- shared helpers (Spark side) ----
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  // ---- shared helpers (oracle SQL side) ----
+  private def centsSql(e: String): String = s"CAST(round(($e)*100) AS BIGINT)"
+  private val canonSql = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val paddedSql = s"(' ' || $canonSql || ' ')"
+  private def occSql(w: String): String =
+    s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1Agg(spark, "/root/testdata/sf0.001")
+
+  // =================== §2.2 analytics core ===================
+
+  private def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+          .as("sum_disc_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")) * 100, 0)
+          .cast("long")).as("sum_charge_cents"),
+        (sum(col("l_quantity").cast("long")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val q1AggSql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount)*(1+l_tax))*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
+      |  SUM(CAST(l_quantity AS BIGINT)) / COUNT(*) AS avg_qty,
+      |  CAST(COUNT(*) AS BIGINT) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def qFilterPushdown(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .where(col("p_size").between(10, 20))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+      .orderBy("p_partkey")
+
+  private val qFilterPushdownSql =
+    """SELECT p_partkey, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size
+      |FROM part WHERE p_size BETWEEN 10 AND 20 ORDER BY p_partkey""".stripMargin
+
+  private def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val sup = broadcast(Tables.supplier(s, dir))
+    val nat = broadcast(Tables.nation(s, dir))
+    val reg = broadcast(Tables.region(s, dir))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long"))
+          .as("rev_cents"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private val qJoinBroadcastSql =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin
+
+  private def qJoinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .where(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  private val qJoinShuffleSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE year(o_orderdate) = 1997
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir).select(col("o_custkey"))
+    val withO = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("with_orders"))
+    val without = cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      .withColumn("grp", lit("without_orders"))
+    withO.unionByName(without)
+      .select("c_mktsegment", "grp", "n")
+      .orderBy("grp", "c_mktsegment")
+  }
+
+  private val qSemiAntiSql =
+    """SELECT c_mktsegment, 'with_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |UNION ALL
+      |SELECT c_mktsegment, 'without_orders' AS grp, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY grp, c_mktsegment""".stripMargin
+
+  private def qWindowTopn(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  private val qWindowTopnSql =
+    """SELECT o_orderpriority, o_orderkey, total_cents, rn FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round((o_totalprice)*100) AS BIGINT) AS total_cents,
+      |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round((o_totalprice)*100) AS BIGINT) DESC, o_orderkey ASC) AS BIGINT) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
+
+  private def qDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  private val qDistinctSql =
+    """SELECT o_orderstatus, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(cents(col("c_acctbal"))).as("acctbal_cents"))
+      .select(
+        coalesce(col("r_name"), lit("(all)")).as("r_name"),
+        coalesce(col("n_name"), lit("(all)")).as("n_name"),
+        col("n_cust"), col("acctbal_cents"))
+      .orderBy("r_name", "n_name")
+
+  private val qRollupSql =
+    """SELECT COALESCE(r_name, '(all)') AS r_name, COALESCE(n_name, '(all)') AS n_name,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(CAST(round((c_acctbal)*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name""".stripMargin
+
+  private def qTopkOrders(s: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+      .limit(20)
+    top.join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("total_cents"))
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+  }
+
+  private val qTopkOrdersSql =
+    """SELECT o_orderkey, c_name, total_cents FROM (
+      |  SELECT o_orderkey, o_custkey, CAST(round((o_totalprice)*100) AS BIGINT) AS total_cents
+      |  FROM orders ORDER BY total_cents DESC, o_orderkey ASC LIMIT 20) t
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_cents DESC, o_orderkey ASC""".stripMargin
+
+  private def qCasePivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_p"))
+      .orderBy("yr")
+
+  private val qCasePivotSql =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+      |FROM orders GROUP BY yr ORDER BY yr""".stripMargin
+
+  private def qScalarSub(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+    val stats = ord.agg(
+      sum(cents(col("o_totalprice"))).as("sum_cents"),
+      count(lit(1)).as("cnt"))
+    ord.crossJoin(broadcast(stats))
+      .where(cents(col("o_totalprice")) * col("cnt") > col("sum_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above_avg"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qScalarSubSql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above_avg
+      |FROM orders
+      |WHERE CAST(round((o_totalprice)*100) AS BIGINT) * (SELECT COUNT(*) FROM orders)
+      |    > (SELECT SUM(CAST(round((o_totalprice)*100) AS BIGINT)) FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private def qUnionTables(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).select(lit("cust").as("kt"), col("c_custkey").as("k"))
+    val su = Tables.supplier(s, dir).select(lit("supp").as("kt"), col("s_suppkey").as("k"))
+    c.union(su).distinct()
+      .groupBy(col("kt")).agg(count(lit(1)).as("n"))
+      .orderBy("kt")
+  }
+
+  private val qUnionTablesSql =
+    """SELECT kt, CAST(COUNT(*) AS BIGINT) AS n FROM (
+      |  SELECT 'cust' AS kt, c_custkey AS k FROM customer
+      |  UNION
+      |  SELECT 'supp' AS kt, s_suppkey AS k FROM supplier) t
+      |GROUP BY kt ORDER BY kt""".stripMargin
+
+  private def qEventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+      .orderBy("hour_start", "event_type")
+
+  private val qEventsWindowSql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round((value)*100) AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY hour_start, event_type ORDER BY hour_start, event_type""".stripMargin
+
+  private val sessionGapNs = 1800L * 1000 * 1000 * 1000
+
+  private def qEventsSession(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_ns").isNull, 1L)
+          .when(col("ts_ns") - col("prev_ns") > sessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsSessionSql =
+    s"""WITH x AS (
+       |  SELECT user_id, epoch_ns(ts) AS tsn,
+       |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id, tsn,
+       |    CASE WHEN prev IS NULL THEN 1 WHEN tsn - prev > $sessionGapNs THEN 1 ELSE 0 END AS is_new
+       |  FROM x),
+       |z AS (
+       |  SELECT user_id,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM y)
+       |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_events
+       |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsAsofSql =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // =================== §2.1 reference surface ===================
+
+  private def srcParquetScan(s: SparkSession, dir: String): DataFrame =
+    sources.Parquet.read(s, s"$dir/lineitem.parquet")
+      .where(col("l_shipdate") >= lit("1997-06-01").cast("timestamp") && col("l_quantity") < 5)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val srcParquetScanSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  CAST(round((l_extendedprice)*100) AS BIGINT) AS price_cents,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00' AND l_quantity < 5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  private def srcDfIdentity(s: SparkSession, dir: String): DataFrame = {
+    val (normed, _) = ops.Normalize.toSchema(
+      Tables.nation(s, dir),
+      StructType(Seq(
+        StructField("n_nationkey", LongType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", LongType))))
+    normed.orderBy("n_nationkey")
+  }
+
+  private val srcDfIdentitySql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  private def srcTableGroup(s: SparkSession, dir: String): DataFrame =
+    sources.TableGroup.load(
+      s, dir,
+      Seq(
+        ("customer", Map("kind" -> "customer"),
+          Seq("kind", "c_custkey AS party_key", "c_name AS name", "CAST(c_nationkey AS BIGINT) AS nationkey")),
+        ("supplier", Map("kind" -> "supplier"),
+          Seq("kind", "s_suppkey AS party_key", "s_name AS name", "CAST(s_nationkey AS BIGINT) AS nationkey"))))
+      .orderBy("kind", "party_key")
+
+  private val srcTableGroupSql =
+    """SELECT 'customer' AS kind, c_custkey AS party_key, c_name AS name,
+      |  CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |UNION ALL
+      |SELECT 'supplier' AS kind, s_suppkey AS party_key, s_name AS name,
+      |  CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier
+      |ORDER BY kind, party_key""".stripMargin
+
+  private def opChunkRows(s: SparkSession, dir: String): DataFrame =
+    ops.Chunk.byRows(Tables.lineitem(s, dir), 5000)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val opChunkRowsSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private def opNormalizeCast(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(
+        col("c_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_cents"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private val opNormalizeCastSql =
+    """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |  CAST(round((c_acctbal)*100) AS BIGINT) AS acctbal_cents, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  private def opHooksPipeline(s: SparkSession, dir: String): DataFrame = {
+    val hooks: Seq[ops.Hooks.Hook] = Seq(
+      df => df.withColumn("rev_cents",
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long")),
+      df => df.where(col("l_quantity") > 10),
+      df => df.select(col("l_returnflag"), col("rev_cents")))
+    ops.Hooks.pipeline(hooks)(Tables.lineitem(s, dir))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("rev_cents")).as("rev_cents"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val opHooksPipelineSql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem WHERE l_quantity > 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  private def snkCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    sinks.CsvSink.write(part, s"$tmp/part")
+    sources.Csv.read(s, s"$tmp/part", part.schema)
+      .select(
+        col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"),
+        cents(col("p_retailprice")).as("retail_cents"))
+      .orderBy("p_partkey")
+  }
+
+  private val snkCsvRoundtripSql =
+    """SELECT p_partkey, p_name, p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(round((p_retailprice)*100) AS BIGINT) AS retail_cents
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  private def snkOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ovw").toString
+    val nat = srcDfIdentity(s, dir)
+    sinks.Refresh.overwrite(nat, s"$tmp/nation")
+    sinks.Refresh.overwrite(nat, s"$tmp/nation") // idempotent full refresh
+    s.read.parquet(s"$tmp/nation")
+      .groupBy(col("n_regionkey")).agg(count(lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
+  private val snkOverwriteSql =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  private def pipeParallelLoad(s: SparkSession, dir: String): DataFrame = {
+    val loads = Seq("region", "nation", "supplier").map { t =>
+      t -> (() => Tables.load(s, dir, t).count())
+    }
+    val results = pipeline.ParallelLoad.run(s, loads)
+    import s.implicits._
+    results.toDF("table_name", "n_rows").orderBy("table_name")
+  }
+
+  private val pipeParallelLoadSql =
+    """SELECT 'nation' AS table_name, CAST((SELECT COUNT(*) FROM nation) AS BIGINT) AS n_rows
+      |UNION ALL
+      |SELECT 'region', CAST((SELECT COUNT(*) FROM region) AS BIGINT)
+      |UNION ALL
+      |SELECT 'supplier', CAST((SELECT COUNT(*) FROM supplier) AS BIGINT)
+      |ORDER BY table_name""".stripMargin
+
+  private def pipeLoadReport(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(cents(col("l_extendedprice"))).as("total_cents"))
+
+  private val pipeLoadReportSql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM lineitem""".stripMargin
+
+  // =================== §2.3 LLM-data ops ===================
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.exact(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupExactSql =
+    s"""SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       |  md5($canonSql) AS content_key
+       |FROM documents GROUP BY content_key ORDER BY doc_id""".stripMargin
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.minhashCandidates(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** Blocked exact n-gram Jaccard: block on the canonical 3-word prefix
+    * (a classic prefix-blocking key; near-dup edits cluster at document
+    * tails), then exact 3-gram Jaccard within blocks. SQL-mirrorable
+    * (DuckDB list lambdas), unlike LSH candidates.
+    */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = text.Text.words(col("text"))
+    val blocked = docs.select(
+      col("doc_id"),
+      array_join(slice(w, 1, 3), " ").as("prefix3"),
+      array_distinct(text.Text.shingles(col("text"), 3)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = blocked.as("l")
+      .join(blocked.as("r"), Seq("prefix3"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(
+        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= 0.5)
+    pairs.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupNgramJaccardSql = {
+    // 3-gram shingle list of canon words; <=3 words -> single whole-text shingle
+    val wordsSql = s"string_split($canonSql, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
+       |    CASE WHEN length($canonSql) = 0 THEN []
+       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+       |         ELSE list_distinct(list_transform(
+       |            generate_series(1, len($wordsSql) - 2),
+       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |    END AS sh
+       |  FROM documents),
+       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |p AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE) /
+       |    CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
+       |      AS jaccard
+       |  FROM d2 l JOIN d2 r
+       |    ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.embedCosinePairs(Tables.embeddings(s, dir), minCosine = 0.25)
+      .orderBy("vec_a", "vec_b")
+
+  private val annQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
+
+  private def annBruteforce(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private val annBruteforceSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+      |  FROM e),
+      |s AS (
+      |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+      |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+      |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+      |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id
+      |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+      |r AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  private def annLsh(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private def textLangid(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), text.Text.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  private val textLangidSql = {
+    val scoreSql = text.Text.stopwords.map { case (lang, ws) =>
+      lang -> ws.map(occSql).mkString("(", " + ", ")")
+    }
+    val cases = scoreSql.zipWithIndex.map { case ((lang, sc), i) =>
+      val later = scoreSql.drop(i + 1).map(_._2)
+      if (later.isEmpty) s"WHEN $sc > 0 THEN '$lang'"
+      else s"WHEN $sc > 0 AND $sc >= greatest(${later.mkString(", ")}) THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH c AS (SELECT doc_id, $paddedSql AS p FROM documents)
+       |SELECT doc_id, CASE
+       |    $cases
+       |    ELSE 'und' END AS lang_pred
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame = {
+    import text.Text._
+    val docs = Tables.documents(s, dir)
+    val wc = wordCount(col("text"))
+    val uniq = when(size(words(col("text"))) === 0, lit(0L))
+      .otherwise(size(array_distinct(words(col("text")))).cast("long"))
+    val punct = punctCount(col("text"))
+    val nchars = length(col("text")).cast("long")
+    val score =
+      (least(wc, lit(200L)) / lit(200L)) * lit(0.5) +
+        when(wc === 0L, lit(0.0)).otherwise(uniq / wc) * lit(0.3) +
+        when(nchars === 0L, lit(0.0)).otherwise(lit(1.0) - punct / nchars) * lit(0.2)
+    docs.select(
+      col("doc_id"), wc.as("wc"), uniq.as("uniq_words"),
+      punct.as("punct_cnt"), nchars.as("n_chars_m"), score.as("quality"))
+      .orderBy("doc_id")
+  }
+
+  private val textQualitySql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
+    val punctSql = s"length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST($wcSql AS BIGINT) AS wc,
+       |    CAST($uniqSql AS BIGINT) AS uniq_words,
+       |    CAST($punctSql AS BIGINT) AS punct_cnt,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m
+       |  FROM documents)
+       |SELECT doc_id, wc, uniq_words, punct_cnt, n_chars_m,
+       |  (least(wc, 200) / 200) * 0.5 +
+       |  (CASE WHEN wc = 0 THEN 0.0 ELSE uniq_words / wc END) * 0.3 +
+       |  (CASE WHEN n_chars_m = 0 THEN 0.0 ELSE 1.0 - punct_cnt / n_chars_m END) * 0.2 AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame = {
+    import text.Text._
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        wordCount(col("text")).as("ws_tokens"),
+        bpeTokenCount(col("text")).as("bpe_tokens"),
+        ceil(length(col("text")) / lit(4)).cast("long").as("approx_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val textTokensSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""SELECT doc_id,
+       |  CAST($wcSql AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${text.Text.bpeTokenPattern}')) AS BIGINT) AS bpe_tokens,
+       |  CAST(ceil(length(text) / 4) AS BIGINT) AS approx_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        text.Text.fingerprintMd5(col("text")).as("fp"),
+        length(col("text")).cast("long").as("n_chars_m"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    s"""SELECT doc_id, md5($canonSql) AS fp, CAST(length(text) AS BIGINT) AS n_chars_m
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.mediaFrame(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("byte_len"),
+        md5(col("media")).as("checksum"),
+        col("format"))
+      .orderBy("doc_id")
+
+  private val mmBinaryMetaSql =
+    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  md5(text) AS checksum, 'text/plain' AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // =================== contract maps ===================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 analytics core
+    "q1_agg" -> (q1Agg _),
+    "q_filter_pushdown" -> (qFilterPushdown _),
+    "q_join_broadcast" -> (qJoinBroadcast _),
+    "q_join_shuffle" -> (qJoinShuffle _),
+    "q_semi_anti" -> (qSemiAnti _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_distinct" -> (qDistinct _),
+    "q_rollup" -> (qRollup _),
+    "q_topk_orders" -> (qTopkOrders _),
+    "q_case_pivot" -> (qCasePivot _),
+    "q_scalar_sub" -> (qScalarSub _),
+    "q_union_tables" -> (qUnionTables _),
+    "q_events_window" -> (qEventsWindow _),
+    "q_events_session" -> (qEventsSession _),
+    "q_events_asof" -> (qEventsAsof _),
+    // §2.1 reference surface
+    "src_parquet_scan" -> (srcParquetScan _),
+    "src_df_identity" -> (srcDfIdentity _),
+    "src_table_group" -> (srcTableGroup _),
+    "op_chunk_rows" -> (opChunkRows _),
+    "op_normalize_cast" -> (opNormalizeCast _),
+    "op_hooks_pipeline" -> (opHooksPipeline _),
+    "snk_csv_roundtrip" -> (snkCsvRoundtrip _),
+    "snk_overwrite" -> (snkOverwrite _),
+    "pipe_parallel_load" -> (pipeParallelLoad _),
+    "pipe_load_report" -> (pipeLoadReport _),
+    // §2.3 LLM-data ops
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash" -> (dedupMinhash _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "ann_bruteforce_topk" -> (annBruteforce _),
+    "ann_lsh_topk" -> (annLsh _),
+    "text_langid" -> (textLangid _),
+    "text_quality" -> (textQuality _),
+    "text_tokens" -> (textTokens _),
+    "text_fingerprint" -> (textFingerprint _),
+    "mm_binary_meta" -> (mmBinaryMeta _)
+  )
+
+  /** DuckDB-equivalent SQL per query; keys absent here get the driver's
+    * weaker rows-only check (LSH-derived candidate sets are not
+    * SQL-expressible: dedup_minhash, dedup_simhash, dedup_embed_cosine,
+    * ann_lsh_topk).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q_filter_pushdown" -> qFilterPushdownSql,
+    "q_join_broadcast" -> qJoinBroadcastSql,
+    "q_join_shuffle" -> qJoinShuffleSql,
+    "q_semi_anti" -> qSemiAntiSql,
+    "q_window_topn" -> qWindowTopnSql,
+    "q_distinct" -> qDistinctSql,
+    "q_rollup" -> qRollupSql,
+    "q_topk_orders" -> qTopkOrdersSql,
+    "q_case_pivot" -> qCasePivotSql,
+    "q_scalar_sub" -> qScalarSubSql,
+    "q_union_tables" -> qUnionTablesSql,
+    "q_events_window" -> qEventsWindowSql,
+    "q_events_session" -> qEventsSessionSql,
+    "q_events_asof" -> qEventsAsofSql,
+    "src_parquet_scan" -> srcParquetScanSql,
+    "src_df_identity" -> srcDfIdentitySql,
+    "src_table_group" -> srcTableGroupSql,
+    "op_chunk_rows" -> opChunkRowsSql,
+    "op_normalize_cast" -> opNormalizeCastSql,
+    "op_hooks_pipeline" -> opHooksPipelineSql,
+    "snk_csv_roundtrip" -> snkCsvRoundtripSql,
+    "snk_overwrite" -> snkOverwriteSql,
+    "pipe_parallel_load" -> pipeParallelLoadSql,
+    "pipe_load_report" -> pipeLoadReportSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "ann_bruteforce_topk" -> annBruteforceSql,
+    "text_langid" -> textLangidSql,
+    "text_quality" -> textQualitySql,
+    "text_tokens" -> textTokensSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_binary_meta" -> mmBinaryMetaSql
+  )
 }

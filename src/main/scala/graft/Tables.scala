@@ -29,7 +29,7 @@ object Tables {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros((col("ts_ns") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))) // integer div: double division loses precision at 1e18 ns
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

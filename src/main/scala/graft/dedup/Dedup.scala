@@ -5,6 +5,7 @@ import graft.text.Text
 import graft.vec.Vec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication family over the `documents` table.
   *
@@ -28,11 +29,13 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies", "content_key")
 
-  /** (doc_id, minhash signature) frame. Map-side only. */
+  /** (doc_id, minhash signature) frame. Map-side only; one fused pass
+    * over the text (see TextShingleMinHash).
+    */
   def signatures(docs: DataFrame, k: Int = 128, shingleK: Int = 3): DataFrame =
     docs.select(
       col("doc_id"),
-      exprs.minhash_sig(Text.hashedArray(Text.shingles(col("text"), shingleK)), k).as("sig"))
+      exprs.text_minhash_sig(col("text"), k, shingleK).as("sig"))
 
   /** LSH candidate pairs (doc_a < doc_b) with signature-estimated
     * jaccard. `bands` x `rows` must equal k.
@@ -43,7 +46,11 @@ object Dedup {
       bands: Int = 16,
       minEstJaccard: Double = 0.5): DataFrame = {
     val rows = k / bands
+    // The signature subtree is the expensive part and feeds BOTH sides of
+    // the self-join plus the verify re-join; persist it once (at 100 TB:
+    // MEMORY_AND_DISK, or checkpoint to the signature store).
     val sigs = signatures(docs, k).where(col("sig").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(
         col("doc_id"),
@@ -78,6 +85,7 @@ object Dedup {
     val sims = docs
       .select(col("doc_id"), exprs.simhash64(Text.hashedArray(Text.words(col("text")))).as("sh"))
       .where(col("sh").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // shiftrightunsigned takes a literal shift, so build the 4 bands explicitly.
     val bandCols = (0 until 4).map(j =>
       struct(lit(j).as("band"), shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("bh")))
@@ -103,6 +111,7 @@ object Dedup {
       shingleK: Int = 3,
       minJaccard: Double = 0.7): DataFrame = {
     val sh = docs.select(col("doc_id"), array_distinct(Text.shingles(col("text"), shingleK)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -122,6 +131,7 @@ object Dedup {
       col("vec_id"),
       Vec.quantize(col("embedding")).as("q"),
       Vec.lshBucket(col("embedding"), p).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     b.as("l")
       .join(b.as("r"), Seq("bucket"))
       .where(col("l.vec_id") < col("r.vec_id"))

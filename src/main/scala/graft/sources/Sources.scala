@@ -73,21 +73,22 @@ object Jdbc {
   */
 object TableGroup {
 
-  /** `members` = (sourceName, constantColumns). All member frames must
-    * share a schema after adding constants; `byName` union keeps this
-    * robust to column order drift.
+  /** `members` = (sourceName, constantColumns, selectExprs). Each member
+    * maps its own columns onto the shared destination schema (the
+    * reference's hdf_table -> sql_table mapping); constants are injected
+    * as `lit()` columns; `unionByName` keeps the union robust to column
+    * order drift.
     */
   def load(
       spark: SparkSession,
       dir: String,
-      members: Seq[(String, Map[String, String])],
-      select: Seq[String]): DataFrame =
+      members: Seq[(String, Map[String, String], Seq[String])]): DataFrame =
     members
-      .map { case (name, consts) =>
+      .map { case (name, consts, select) =>
         val base = consts.foldLeft(Parquet.table(spark, dir, name)) {
           case (df, (k, v)) => df.withColumn(k, lit(v))
         }
-        base.selectExpr(select: _*)
+        if (select.nonEmpty) base.selectExpr(select: _*) else base
       }
       .reduce(_.unionByName(_))
 }

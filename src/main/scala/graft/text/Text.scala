@@ -48,14 +48,22 @@ object Text {
 
   /** Word k-shingles of the canonical text, joined by single spaces.
     * Shorter-than-k documents yield one shingle = the whole text.
+    *
+    * The words array is bound ONCE via a single-element-array transform
+    * (a let-binding): referencing the raw `words(text)` subtree inside
+    * the shingle lambda would re-evaluate the regex+split per shingle —
+    * a ~300x slowdown measured on 500-char documents.
     */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = words(text)
+  def shingles(text: Column, k: Int = 3): Column =
+    element_at(
+      transform(array(words(text)), w => shinglesOfWords(w, k)), 1)
+
+  /** Shingles from an already-materialized words array column. */
+  def shinglesOfWords(w: Column, k: Int): Column =
     when(size(w) === 0, array().cast("array<string>"))
       .when(size(w) <= k, array(array_join(w, " ")))
       .otherwise(
         transform(sequence(lit(0), size(w) - k), i => array_join(slice(w, i + 1, lit(k)), " ")))
-  }
 
   /** xxhash64 of each element of a string array (map-side, codegen'd). */
   def hashedArray(arr: Column): Column = transform(arr, s => xxhash64(s))

@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session for all suites (one JVM per `sbt test` fork). */
+object TestSpark {
+  lazy val spark: SparkSession = GraftSession.local(4, 4)
+  val dir = "/root/testdata/sf0.001"
+}
+
+class TextSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.text.Text
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c).collect()(0).get(0)
+
+  test("wordCount counts canonical words") {
+    assert(one("Hello,  World! 42", Text.wordCount(col("text"))) === 3L)
+    assert(one("", Text.wordCount(col("text"))) === 0L)
+    assert(one("...", Text.wordCount(col("text"))) === 0L)
+  }
+
+  test("wordOcc counts whole words only") {
+    assert(one("the theater the", Text.wordOcc(col("text"), "the")) === 2L)
+  }
+
+  test("langId cascade prefers earlier language on ties") {
+    assert(one("the und", Text.langId(col("text"))) === "en")
+    assert(one("der und die das", Text.langId(col("text"))) === "de")
+    assert(one("xyzzy", Text.langId(col("text"))) === "und")
+  }
+
+  test("shingles: short docs collapse to whole text") {
+    assert(one("one two", Text.shingles(col("text"), 3)) ===
+      Seq("one two"))
+    assert(one("a b c d", Text.shingles(col("text"), 3)) ===
+      Seq("a b c", "b c d"))
+  }
+
+  test("fingerprint is canonicalization-invariant") {
+    assert(one("Hello  World!", Text.fingerprintMd5(col("text"))) ===
+      one("hello world", Text.fingerprintMd5(col("text"))))
+  }
+}
+
+class HashExprsSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.functions.exprs
+  import graft.text.Text
+  import spark.implicits._
+
+  test("minhash signature: k slots, deterministic, permutation-invariant input order") {
+    val df = Seq("a b c d e f g", "g f e d c b a").toDF("text")
+      .select(exprs.minhash_sig(Text.hashedArray(Text.words(col("text"))), 16).as("sig"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    assert(rows(0).length === 16)
+    assert(rows(0) === rows(1)) // same word set => same signature
+  }
+
+  test("simhash: identical token sets collide, null on empty") {
+    val df = Seq("x y z", "x y z", "").toDF("text")
+      .select(exprs.simhash64(Text.hashedArray(Text.words(col("text")))).as("sh"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) === rows(1).getLong(0))
+    assert(rows(2).isNullAt(0))
+  }
+}
+
+class VecSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.vec.Vec
+  import spark.implicits._
+
+  test("cosineQ: self-similarity 1.0, orthogonal 0.0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(1f, 0f, 2f), Seq(0f, 5f, 0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Vec.cosineQ(Vec.quantize(col("a")), Vec.quantize(col("b"))),
+      Vec.cosineQ(Vec.quantize(col("a")), Vec.quantize(col("c")))).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) === 0.0)
+  }
+
+  test("hyperplanes deterministic across calls") {
+    assert(Vec.hyperplanes(4, 8) === Vec.hyperplanes(4, 8))
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup
+    (3L, "the quick brown fox jumps over the lazy dog again and again extra"), // near dup
+    (4L, "completely different content about spark catalyst optimizer rules")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per content") {
+    val r = dedup.Dedup.exact(corpus).orderBy("doc_id").collect()
+    assert(r.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+    assert(r(0).getLong(1) === 2L) // doc 1+2 collapse
+  }
+
+  test("minhash LSH finds exact and near dup, not the unrelated doc") {
+    val pairs = dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs at hamming 0") {
+    val pairs = dedup.Dedup.simhashPairs(corpus)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("ngram jaccard verification on candidates") {
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val r = dedup.Dedup.ngramJaccard(corpus, cands, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(r === Set((1L, 2L))) // unrelated pair filtered out
+  }
+}
+
+class AnnSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bruteForceTopK: planted neighbor ranks first, self excluded") {
+    val base = Seq.tabulate(64)(i => i.toFloat / 64f)
+    val nearly = base.updated(0, 0.016f)
+    val far = Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)
+    val emb = Seq(
+      (0L, base), (1L, nearly), (2L, far), (3L, base.map(_ * 2f))
+    ).toDF("vec_id", "embedding")
+    val r = ann.Ann.bruteForceTopK(emb, Seq(0L), 3).orderBy("rnk").collect()
+    assert(!r.map(_.getLong(1)).contains(0L))
+    assert(r(0).getLong(1) === 3L || r(0).getLong(1) === 1L) // scaled copy cos=1 ranks top
+    assert(r(0).getDouble(2) > 0.999)
+  }
+}
+
+class OpsSinksSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  test("Normalize.toSchema reports missing columns, casts present ones") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val (out, missing) = ops.Normalize.toSchema(df,
+      StructType(Seq(StructField("a", LongType), StructField("zz", StringType))))
+    assert(missing === Seq("zz"))
+    assert(out.schema.fields.map(f => (f.name, f.dataType)).toSeq === Seq(("a", LongType)))
+  }
+
+  test("Chunk.byRows preserves content, bounds partitions") {
+    val df = spark.range(1000).toDF("id")
+    val chunked = ops.Chunk.byRows(df, 100)
+    assert(chunked.count() === 1000)
+    assert(chunked.rdd.getNumPartitions === 10)
+  }
+
+  test("Hooks pipeline applies in order") {
+    val hooks: Seq[ops.Hooks.Hook] = Seq(
+      d => d.withColumn("x", col("id") * 2),
+      d => d.where(col("x") > 10))
+    assert(ops.Hooks.pipeline(hooks)(spark.range(10).toDF("id")).count() === 4)
+  }
+
+  test("SqlLifecycle emits the reference's lifecycle order") {
+    val tc = sinks.TableConstraints("t", Some(("t_pk", Seq("id"))), Seq(("t_fk", "(a) REFERENCES u (b)")))
+    val pre = sinks.SqlLifecycle.preLoad(tc, Some("1GB"))
+    assert(pre.head.startsWith("SET maintenance_work_mem"))
+    assert(pre.indexWhere(_.contains("DROP CONSTRAINT IF EXISTS t_fk")) <
+      pre.indexWhere(_.contains("DROP CONSTRAINT IF EXISTS t_pk")))
+    assert(pre.last.startsWith("TRUNCATE"))
+    val post = sinks.SqlLifecycle.postLoad(tc)
+    assert(post.head.contains("PRIMARY KEY"))
+    assert(post.last === "ANALYZE t")
+  }
+
+  test("ParallelLoad returns per-table counts in input order") {
+    val loads = Seq("a" -> (() => 1L), "b" -> (() => 2L))
+    assert(pipeline.ParallelLoad.run(spark, loads) === Seq("a" -> 1L, "b" -> 2L))
+  }
+}
+
+class EntrySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs non-empty on sf0.001") {
+    val empties = SparkEntry.queries.flatMap { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"empty queries: $empties")
+  }
+
+  test("every oracle key has a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming hourly counts match batch aggregation") {
+    val streamed = streaming.EventsStream.runToMemory(
+      spark, streaming.EventsStream.hourlyCounts(spark, dir), "ev_hourly")
+    val batch = SparkEntry.queries("q_events_window")(spark, dir)
+    val s = streamed.select("hour_start", "event_type", "n", "value_cents")
+      .collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s === b)
+  }
+}
