@@ -4,33 +4,46 @@ import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"TIME $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+  }
+
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8, 8)
-    import spark.implicits._
+    val spark = GraftSession.local(32, 32)
+    val dir = "/root/testdata/sf0.1"
 
-    // Degenerate inputs through the fused TextShingleMinHash
-    val weird = Seq(
-      (1L, ""), (2L, "   "), (3L, "!!!"), (4L, "word"),
-      (5L, "two words"), (6L, "a b c d e"), (7L, null.asInstanceOf[String]),
-      (8L, "A B C D E"), // case-folding: must equal doc 6's sig
-      (9L, "a-b-c-d-e")  // separators: must equal doc 6's sig
-    ).toDF("doc_id", "text")
-    val sigs = weird.select(col("doc_id"),
-      graft.functions.exprs.text_minhash_sig(col("text"), 8).as("sig")).collect()
-    sigs.foreach(r => println(s"doc ${r.getLong(0)}: " +
-      (if (r.isNullAt(1)) "NULL" else r.getSeq[Long](1).take(2).mkString(","))))
-    val bySig = sigs.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    println("6==8 (case): " + (bySig(6L) == bySig(8L)))
-    println("6==9 (seps): " + (bySig(6L) == bySig(9L)))
+    // 1. SQL surface via GraftExtensions (session built withExtensions)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
+    spark.sql(
+      """SELECT doc_id, text_minhash_sig(text, 8) AS sig,
+        |       simhash64(array(xxhash64(text))) AS sh
+        |FROM documents LIMIT 3""".stripMargin).show(3, 50)
 
-    // dedup pipeline on tiny corpus still behaves
-    println("minhash cands on weird: " + graft.dedup.Dedup.minhashCandidates(weird).count())
-    val corpus = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog again and again"),
-      (2L, "the quick brown fox jumps over the lazy dog again and again"),
-      (3L, "something else entirely different here")
-    ).toDF("doc_id", "text")
-    graft.dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3).show()
+    // 2. TopK physical plan: expect TopKPerKeyExec + ONE exchange, no sort
+    val projected = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+    val topk = plans.TopK.perKey(projected, Seq("o_orderpriority"),
+      Seq("total_cents" -> true, "o_orderkey" -> false), 3)
+    topk.explain()
+    println("topk rows: " + topk.count())
+
+    // 3. Codegen check: fused minhash inside a WholeStageCodegen span?
+    val sigPlan = dedup.Dedup.signatures(Tables.documents(spark, dir))
+    sigPlan.explain()
+
+    // 4. Perf: TopK operator vs window row_number at sf0.1 (warm both)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority").orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    val viaWindow = projected.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    viaWindow.count(); topk.count() // warm
+    time("window_topn")(viaWindow.count())
+    time("topk_operator")(topk.count())
+
+    // 5. Probe: k larger than group size
+    println("k>group rows: " + plans.TopK.perKey(
+      Tables.region(spark, dir), Seq("r_regionkey"), Seq("r_name" -> false), 100).count())
     spark.stop()
   }
 }

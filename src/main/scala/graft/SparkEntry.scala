@@ -151,6 +151,30 @@ object SparkEntry {
       |  FROM orders) t
       |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin
 
+  /** Same result as q_window_topn's rank<=3 but through the custom
+    * TopKPerKey operator (bounded per-key heaps, no sort) — see
+    * graft.plans.TopKPerKey.
+    */
+  private def qTopkPerKey(s: SparkSession, dir: String): DataFrame = {
+    val projected = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+    plans.TopK.perKey(
+      projected,
+      Seq("o_orderpriority"),
+      Seq("total_cents" -> true, "o_orderkey" -> false),
+      3)
+      .orderBy(col("o_orderpriority"), col("total_cents").desc, col("o_orderkey"))
+  }
+
+  private val qTopkPerKeySql =
+    """SELECT o_orderpriority, o_orderkey, total_cents FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round((o_totalprice)*100) AS BIGINT) AS total_cents,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round((o_totalprice)*100) AS BIGINT) DESC, o_orderkey ASC) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, total_cents DESC, o_orderkey""".stripMargin
+
   private def qDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
@@ -470,6 +494,29 @@ object SparkEntry {
       |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM lineitem""".stripMargin
 
+  /** Semi-structured extraction: parse the events props JSON column. */
+  private def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  private val qEventsJsonSql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  private def snkJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val nat = srcDfIdentity(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    sinks.JsonSink.write(nat, s"$tmp/nation")
+    sources.Json.read(s, s"$tmp/nation", nat.schema).orderBy("n_nationkey")
+  }
+
+  private val snkJsonRoundtripSql = srcDfIdentitySql
+
   // =================== §2.3 LLM-data ops ===================
 
   private def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -689,6 +736,7 @@ object SparkEntry {
     "q_join_shuffle" -> (qJoinShuffle _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_window_topn" -> (qWindowTopn _),
+    "q_topk_per_key" -> (qTopkPerKey _),
     "q_distinct" -> (qDistinct _),
     "q_rollup" -> (qRollup _),
     "q_topk_orders" -> (qTopkOrders _),
@@ -698,6 +746,8 @@ object SparkEntry {
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
+    "q_events_json" -> (qEventsJson _),
+    "snk_json_roundtrip" -> (snkJsonRoundtrip _),
     // §2.1 reference surface
     "src_parquet_scan" -> (srcParquetScan _),
     "src_df_identity" -> (srcDfIdentity _),
@@ -736,6 +786,7 @@ object SparkEntry {
     "q_join_shuffle" -> qJoinShuffleSql,
     "q_semi_anti" -> qSemiAntiSql,
     "q_window_topn" -> qWindowTopnSql,
+    "q_topk_per_key" -> qTopkPerKeySql,
     "q_distinct" -> qDistinctSql,
     "q_rollup" -> qRollupSql,
     "q_topk_orders" -> qTopkOrdersSql,
@@ -745,6 +796,8 @@ object SparkEntry {
     "q_events_window" -> qEventsWindowSql,
     "q_events_session" -> qEventsSessionSql,
     "q_events_asof" -> qEventsAsofSql,
+    "q_events_json" -> qEventsJsonSql,
+    "snk_json_roundtrip" -> snkJsonRoundtripSql,
     "src_parquet_scan" -> srcParquetScanSql,
     "src_df_identity" -> srcDfIdentitySql,
     "src_table_group" -> srcTableGroupSql,

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -33,8 +33,7 @@ object Mix64 {
   * classic MinHashLSH dedup; runs entirely map-side (no shuffle).
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -61,6 +60,15 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      val tmp = ctx.freshName("res")
+      s"""Object $tmp = $ref.nullSafeEval($input);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
   override def prettyName: String = "minhash_sig"
 }
@@ -72,8 +80,7 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   * imperative pass; map-side only.
   */
 case class SimHash64(child: Expression)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -100,6 +107,15 @@ case class SimHash64(child: Expression)
     }
     java.lang.Long.valueOf(out)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      val tmp = ctx.freshName("res")
+      s"""Object $tmp = $ref.nullSafeEval($input);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Long) $tmp).longValue(); }""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
   override def prettyName: String = "simhash64"
 }
@@ -117,8 +133,7 @@ case class SimHash64(child: Expression)
   * re-walking UTF8 data; this walks the text once.
   */
 case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Long)
-    extends UnaryExpression
-    with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -180,6 +195,15 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
     }
     new GenericArrayData(mins)
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      val tmp = ctx.freshName("res")
+      s"""Object $tmp = $ref.nullSafeEval($input);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }""".stripMargin
+    })
   override protected def withNewChildInternal(c: Expression): TextShingleMinHash = copy(child = c)
   override def prettyName: String = "text_shingle_minhash"
 }

@@ -42,6 +42,52 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — deterministic fake standing in for an image resize
+    * (e.g. libvips). Real contract: bytes -> bytes with target dims in
+    * the metadata; the fake emits a dims header + truncated payload so
+    * round-trip tests can assert on structure.
+    */
+  def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val header = s"RSZ:${w}x$h:".getBytes("UTF-8")
+    val body = java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h))
+    header ++ body
+  }
+
+  /** STUB frame sampling — deterministic fake standing in for video
+    * frame extraction: n evenly-spaced "frames" (byte slices).
+    */
+  def fakeFrameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    if (bytes.isEmpty || n <= 0) Seq.empty
+    else {
+      val stride = math.max(1, bytes.length / n)
+      (0 until math.min(n, bytes.length)).map { i =>
+        val start = i * stride
+        java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + stride))
+      }
+    }
+  }
+
+  case class ResizedMedia(doc_id: Long, media: Array[Byte], width: Int, height: Int)
+  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** Batched resize over partitions — same batch shape as decode. */
+  def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => ResizedMedia(id, fakeResize(bytes, w, h), w, h) })
+  }
+
+  /** Frame sampling: one input row fans out to n frame rows (the video ->
+    * frames exploding shape; partition-local, no shuffle).
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        fakeFrameSample(bytes, n).zipWithIndex.map { case (f, i) => Frame(id, i, f) }
+      })
+  }
+
   /** Batched feature extraction: one decoder instance per partition
     * (mapPartitions), amortizing codec setup exactly like a Pandas UDF
     * batch would; returns typed rows.

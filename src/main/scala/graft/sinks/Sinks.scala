@@ -19,6 +19,14 @@ object CsvSink {
       .csv(path)
 }
 
+/** JSON-lines sink, pairing sources.Json. */
+object JsonSink {
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .json(path)
+}
+
 /** Parquet sink with full-refresh semantics — the reference's
   * TRUNCATE-then-reload (`_base_copy.py:102-113`) maps to Spark's
   * atomic `Overwrite` mode; partitioned refresh uses dynamic partition

@@ -37,6 +37,15 @@ object Csv {
       .csv(path)
 }
 
+/** JSON-lines source/side of the wire-format family (schema-explicit,
+  * like the CSV pair: loaders in the reference's world frequently pass
+  * through line-delimited exports).
+  */
+object Json {
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+}
+
 /** JDBC source for completeness of the load/extract surface. Partitioned
   * reads (`partitionColumn/lowerBound/upperBound/numPartitions`) are the
   * scale path — one connection per partition.

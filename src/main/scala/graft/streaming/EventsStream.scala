@@ -49,9 +49,10 @@ object EventsStream {
     * via the memory sink; returns the collected result table. Used by
     * specs to prove stream/batch equivalence.
     */
-  def runToMemory(spark: SparkSession, df: DataFrame, name: String): DataFrame = {
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()

@@ -226,3 +226,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(s === b)
   }
 }
+
+class TopKSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("TopKPerKey matches the window-function formulation") {
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+    val viaTopK = plans.TopK.perKey(
+      orders, Seq("o_orderpriority"), Seq("total_cents" -> true, "o_orderkey" -> false), 3)
+      .select("o_orderpriority", "o_orderkey", "total_cents")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderpriority")
+      .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+    val viaWindow = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).select("o_orderpriority", "o_orderkey", "total_cents")
+    assert(viaTopK.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaTopK).isEmpty)
+  }
+
+  test("TopKPerKey rejects unknown columns at construction") {
+    val orders = Tables.orders(spark, dir)
+    val e = intercept[IllegalArgumentException] {
+      plans.TopK.perKey(orders, Seq("nope"), Seq("o_orderkey" -> false), 1)
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
+
+class ExtensionsSpec extends AnyFunSuite {
+  import TestSpark._ // TestSpark.spark is built withExtensions(new GraftExtensions)
+
+  test("GraftExtensions registers SQL functions") {
+    val r = spark.sql(
+      "SELECT text_minhash_sig('hello world hello world', 8) AS sig, " +
+        "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS sh")
+      .collect()(0)
+    assert(r.getSeq[Long](0).length === 8)
+    assert(!r.isNullAt(1))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("resize and frame-sample plumbing: shapes and determinism") {
+    val media = mm.Multimodal.mediaFrame(Tables.documents(spark, dir).limit(10))
+    val resized = mm.Multimodal.resizeAll(spark, media, 8, 8).collect()
+    assert(resized.length === 10)
+    assert(resized.forall(r => new String(r.media.take(8), "UTF-8") == "RSZ:8x8:"))
+    val frames = mm.Multimodal.sampleFrames(spark, media, 4)
+    val perDoc = frames.toDF().groupBy("doc_id").count().collect()
+    assert(perDoc.length === 10 && perDoc.forall(_.getLong(1) === 4L))
+  }
+}
+
+class SessionStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stateful streaming sessionization matches batch window-lag result") {
+    val streamed = streaming.SessionStream.runToResult(spark, dir)
+    val batch = SparkEntry.queries("q_events_session")(spark, dir)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s === b)
+  }
+}
