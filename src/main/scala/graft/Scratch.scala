@@ -4,46 +4,45 @@ import org.apache.spark.sql.functions._
 
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
-  def time[T](name: String)(f: => T): T = {
-    val t0 = System.nanoTime(); val r = f
-    println(f"TIME $name%-24s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-  }
-
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(32, 32)
-    val dir = "/root/testdata/sf0.1"
+    val spark = GraftSession.local(8, 8)
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.01"
 
-    // 1. SQL surface via GraftExtensions (session built withExtensions)
-    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("documents")
-    spark.sql(
-      """SELECT doc_id, text_minhash_sig(text, 8) AS sig,
-        |       simhash64(array(xxhash64(text))) AS sh
-        |FROM documents LIMIT 3""".stripMargin).show(3, 50)
+    // IVF vs brute-force recall on the same queries
+    val emb = Tables.embeddings(spark, dir)
+    val bf = ann.Ann.bruteForceTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = ann.Ann.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    println(s"IVF recall vs brute force: ${(bf & ivf).size}/${bf.size}")
 
-    // 2. TopK physical plan: expect TopKPerKeyExec + ONE exchange, no sort
-    val projected = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
-    val topk = plans.TopK.perKey(projected, Seq("o_orderpriority"),
-      Seq("total_cents" -> true, "o_orderkey" -> false), 3)
-    topk.explain()
-    println("topk rows: " + topk.count())
+    // as-of join invariant: matched purchase must precede (or equal) the error ts
+    val ev = Tables.events(spark, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+    val joined = ops.AsOf.joinLastPrior(errors, purchases, "user_id", "ts_ns", Seq("event_id", "ts_ns"))
+    val bad = joined.where(col("asof_ts_ns") > col("ts_ns")).count()
+    val matched = joined.where(col("asof_event_id").isNotNull).count()
+    val total = joined.count()
+    println(s"asof: $total errors, $matched matched, $bad VIOLATIONS (must be 0)")
 
-    // 3. Codegen check: fused minhash inside a WholeStageCodegen span?
-    val sigPlan = dedup.Dedup.signatures(Tables.documents(spark, dir))
-    sigPlan.explain()
+    // probe: empty right side -> all-null asof columns, row count preserved
+    val emptyRight = purchases.where(lit(false))
+    val j2 = ops.AsOf.joinLastPrior(errors, emptyRight, "user_id", "ts_ns", Seq("event_id"))
+    println(s"asof empty-right: rows ${j2.count()} (want ${errors.count()}), " +
+      s"nonnull ${j2.where(col("asof_event_id").isNotNull).count()} (want 0)")
 
-    // 4. Perf: TopK operator vs window row_number at sf0.1 (warm both)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_orderpriority").orderBy(col("total_cents").desc, col("o_orderkey").asc)
-    val viaWindow = projected.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
-    viaWindow.count(); topk.count() // warm
-    time("window_topn")(viaWindow.count())
-    time("topk_operator")(topk.count())
-
-    // 5. Probe: k larger than group size
-    println("k>group rows: " + plans.TopK.perKey(
-      Tables.region(spark, dir), Seq("r_regionkey"), Seq("r_name" -> false), 100).count())
+    // probe: Salt with 1 bucket == plain groupBy
+    val s1 = ops.Salt.sumsSkewed(Tables.lineitem(spark, dir), Seq("l_returnflag"),
+      col("l_orderkey"), Seq("sq" -> col("l_quantity").cast("long")), buckets = 1)
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    val s16 = ops.Salt.sumsSkewed(Tables.lineitem(spark, dir), Seq("l_returnflag"),
+      col("l_orderkey"), Seq("sq" -> col("l_quantity").cast("long")), buckets = 16)
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    println("salt bucket-1 == bucket-16: " + (s1.toSeq == s16.toSeq))
     spark.stop()
   }
 }

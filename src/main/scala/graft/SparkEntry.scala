@@ -494,6 +494,134 @@ object SparkEntry {
       |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM lineitem""".stripMargin
 
+  /** As-of join: each error event picks up the latest prior purchase by
+    * the same user (union+window shape — see ops.AsOf).
+    */
+  private def qEventsAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+    ops.AsOf.joinLastPrior(errors, purchases, "user_id", "ts_ns", Seq("event_id", "value"))
+      .select(col("event_id"), col("user_id"), col("asof_event_id"), col("asof_value"))
+      .orderBy("event_id")
+  }
+
+  private val qEventsAsofJoinSql =
+    """WITH u AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) AS tsn, value, 1 AS side
+      |  FROM events WHERE event_type = 'error'
+      |  UNION ALL
+      |  SELECT user_id, event_id, epoch_ns(ts), value, 0
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id, side,
+      |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, side
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id,
+      |    last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, side
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+      |  FROM u)
+      |SELECT event_id, user_id, asof_event_id, asof_value
+      |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin
+
+  /** Window-function breadth: row_number, lag, running sum, ntile in one
+    * pass over one window partitioning.
+    */
+  private def qWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"),
+        lag(col("total_cents"), 1).over(w).as("prev_cents"),
+        sum(col("total_cents")).over(wRun).as("run_cents"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  private val qWindowSuiteSql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  lag(total_cents, 1) OVER w AS prev_cents,
+      |  CAST(SUM(total_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |        CAST(round((o_totalprice)*100) AS BIGINT) AS total_cents FROM orders) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Skew-resistant two-phase (salted) aggregation; exact equality with
+    * plain GROUP BY proven by the oracle. l_returnflag has only 3 values
+    * — the classic hot-key shape.
+    */
+  private def qSaltedAgg(s: SparkSession, dir: String): DataFrame =
+    ops.Salt.sumsSkewed(
+      Tables.lineitem(s, dir),
+      Seq("l_returnflag"),
+      col("l_orderkey") * 10 + col("l_linenumber"),
+      Seq(
+        "sum_qty" -> col("l_quantity").cast("long"),
+        "rev_cents" -> round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0).cast("long")),
+      buckets = 16)
+      .select(col("l_returnflag"), col("n_rows"), col("sum_qty"), col("rev_cents"))
+      .orderBy("l_returnflag")
+
+  private val qSaltedAggSql =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  CAST(SUM(CAST(round((l_extendedprice*(1-l_discount))*100) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles on integer cents (R-7 interpolation
+    * in both engines).
+    */
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), cents(col("o_totalprice")).as("total_cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        percentile(col("total_cents"), lit(0.5)).as("p50"),
+        percentile(col("total_cents"), lit(0.95)).as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  private val qPercentilesSql =
+    """SELECT o_orderpriority,
+      |  quantile_cont(CAST(round((o_totalprice)*100) AS BIGINT), 0.5) AS p50,
+      |  quantile_cont(CAST(round((o_totalprice)*100) AS BIGINT), 0.95) AS p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    * event lands in exactly 2 windows (explode via Spark's window()).
+    */
+  private def qEventsHopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
+  private val qEventsHoppingSql =
+    """WITH secs AS (
+      |  SELECT event_type, (epoch_ns(ts) // 1000000000) AS sec FROM events),
+      |w AS (
+      |  SELECT event_type, (sec // 1800) * 1800 AS win FROM secs
+      |  UNION ALL
+      |  SELECT event_type, (sec // 1800) * 1800 - 1800 AS win FROM secs)
+      |SELECT strftime(to_timestamp(win), '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM w GROUP BY win, event_type ORDER BY win_start, event_type""".stripMargin
+
   /** Semi-structured extraction: parse the events props JSON column. */
   private def qEventsJson(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -619,6 +747,10 @@ object SparkEntry {
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private def annIvf(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
 
   private def textLangid(s: SparkSession, dir: String): DataFrame =
@@ -747,7 +879,13 @@ object SparkEntry {
     "q_events_session" -> (qEventsSession _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_json" -> (qEventsJson _),
+    "q_events_hopping" -> (qEventsHopping _),
+    "q_events_asof_join" -> (qEventsAsofJoin _),
+    "q_window_suite" -> (qWindowSuite _),
+    "q_salted_agg" -> (qSaltedAgg _),
+    "q_percentiles" -> (qPercentiles _),
     "snk_json_roundtrip" -> (snkJsonRoundtrip _),
+    "ann_ivf_topk" -> (annIvf _),
     // §2.1 reference surface
     "src_parquet_scan" -> (srcParquetScan _),
     "src_df_identity" -> (srcDfIdentity _),
@@ -797,6 +935,11 @@ object SparkEntry {
     "q_events_session" -> qEventsSessionSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_events_json" -> qEventsJsonSql,
+    "q_events_hopping" -> qEventsHoppingSql,
+    "q_events_asof_join" -> qEventsAsofJoinSql,
+    "q_window_suite" -> qWindowSuiteSql,
+    "q_salted_agg" -> qSaltedAggSql,
+    "q_percentiles" -> qPercentilesSql,
     "snk_json_roundtrip" -> snkJsonRoundtripSql,
     "src_parquet_scan" -> srcParquetScanSql,
     "src_df_identity" -> srcDfIdentitySql,

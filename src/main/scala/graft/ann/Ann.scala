@@ -1,7 +1,7 @@
 package graft.ann
 
 import graft.vec.Vec
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -43,6 +43,72 @@ object Ann {
       .select(
         col("query_id"),
         col("vec_id"),
+        round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
+  /** IVF (inverted-file) top-k: corpus is partitioned into cells around
+    * centroid vectors; queries probe only the `nProbe` nearest cells.
+    *
+    * Centroids here are a deterministic sample (lowest `nCentroids`
+    * vec_ids) — at production scale they'd come from a k-means pass and
+    * be persisted with the index; the assignment/probe dataflow is the
+    * same either way. Centroids are driver-collected (they are index
+    * metadata, O(C*d) small) and broadcast as literals so assignment is
+    * a map-side expression — the corpus never shuffles.
+    */
+  def ivfTopK(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      nCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val centroids: Array[(Long, Seq[Double])] = embeddings
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+      .sortBy(_._1)
+
+    // cosine of v against each centroid, as literal-plane dot products
+    def cellScores(v: Column): Seq[Column] = centroids.toSeq.map { case (_, c) =>
+      val dot = aggregate(zip_with(v, typedLit(c), (x, r) => x.cast("double") * r),
+        lit(0.0), (acc, x) => acc + x)
+      val nv = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val nc = c.map(x => x * x).sum
+      when(nv === 0.0, lit(-2.0)).otherwise(dot / (sqrt(nv) * math.sqrt(nc)))
+    }
+
+    /** index (0-based) of the best-scoring cell, ties to lower index */
+    def bestCell(v: Column): Column = {
+      val scores = array(cellScores(v): _*)
+      array_position(scores, array_max(scores)) - 1
+    }
+
+    val corpus = embeddings.select(
+      col("vec_id"), Vec.quantize(col("embedding")).as("cv"),
+      bestCell(col("embedding")).as("cell"))
+
+    // queries probe their nProbe best cells
+    val qBase = embeddings.where(col("vec_id").isInCollection(queryIds))
+    val qScored = qBase.select(
+      col("vec_id").as("query_id"), Vec.quantize(col("embedding")).as("qv"),
+      array(cellScores(col("embedding")): _*).as("scores"))
+    val qProbes = qScored.select(
+      col("query_id"), col("qv"),
+      explode(slice(
+        transform(
+          array_sort(
+            zip_with(col("scores"), sequence(lit(0), lit(nCentroids - 1)),
+              (s, i) => struct((-s).as("neg"), i.as("idx")))),
+          e => e.getField("idx")),
+        1, nProbe)).as("cell"))
+
+    val scored = corpus
+      .join(broadcast(qProbes), Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
         round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
     rank(scored, k)
   }
