@@ -9,40 +9,39 @@ object Scratch {
     import spark.implicits._
     val dir = "/root/testdata/sf0.01"
 
-    // IVF vs brute-force recall on the same queries
-    val emb = Tables.embeddings(spark, dir)
-    val bf = ann.Ann.bruteForceTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    val ivf = ann.Ann.ivfTopK(emb, Seq(0L, 1L, 2L, 3L, 4L), 10)
-      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    println(s"IVF recall vs brute force: ${(bf & ivf).size}/${bf.size}")
+    // bucketed co-located join: plan must be exchange-free
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    sinks.Bucketed.write(Tables.lineitem(spark, dir), "li_b", Seq("l_orderkey"), 4)
+    sinks.Bucketed.write(Tables.orders(spark, dir), "ord_b", Seq("o_orderkey"), 4)
+    val joined = spark.table("li_b")
+      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    println("bucketed join shuffle-free: " + !plan.contains("Exchange hashpartitioning"))
+    println("bucketed join rows: " + joined.count())
+    // contrast: same join over raw parquet DOES shuffle
+    val raw = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+    println("raw join shuffles: " +
+      raw.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
-    // as-of join invariant: matched purchase must precede (or equal) the error ts
+    // profiling over a frame with real nulls (asof output has nulls)
     val ev = Tables.events(spark, dir)
     val errors = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
     val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts_ns"), col("value"))
-    val joined = ops.AsOf.joinLastPrior(errors, purchases, "user_id", "ts_ns", Seq("event_id", "ts_ns"))
-    val bad = joined.where(col("asof_ts_ns") > col("ts_ns")).count()
-    val matched = joined.where(col("asof_event_id").isNotNull).count()
-    val total = joined.count()
-    println(s"asof: $total errors, $matched matched, $bad VIOLATIONS (must be 0)")
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
+    val withNulls = ops.AsOf.joinLastPrior(errors, purchases, "user_id", "ts_ns", Seq("event_id"))
+    ops.Profile.profile(withNulls, Seq("event_id", "asof_event_id")).show(5, false)
 
-    // probe: empty right side -> all-null asof columns, row count preserved
-    val emptyRight = purchases.where(lit(false))
-    val j2 = ops.AsOf.joinLastPrior(errors, emptyRight, "user_id", "ts_ns", Seq("event_id"))
-    println(s"asof empty-right: rows ${j2.count()} (want ${errors.count()}), " +
-      s"nonnull ${j2.where(col("asof_event_id").isNotNull).count()} (want 0)")
+    // approx distinct sketch output
+    SparkEntry.queries("q_approx_distinct")(spark, dir).show(5)
 
-    // probe: Salt with 1 bucket == plain groupBy
-    val s1 = ops.Salt.sumsSkewed(Tables.lineitem(spark, dir), Seq("l_returnflag"),
-      col("l_orderkey"), Seq("sq" -> col("l_quantity").cast("long")), buckets = 1)
-      .orderBy("l_returnflag").collect().map(_.toSeq)
-    val s16 = ops.Salt.sumsSkewed(Tables.lineitem(spark, dir), Seq("l_returnflag"),
-      col("l_orderkey"), Seq("sq" -> col("l_quantity").cast("long")), buckets = 16)
-      .orderBy("l_returnflag").collect().map(_.toSeq)
-    println("salt bucket-1 == bucket-16: " + (s1.toSeq == s16.toSeq))
+    // minhash bucket cap at library surface: tiny cap must not drop real dup
+    val corpus = ((1L to 25L).map(i => (i, "same boilerplate text repeated verbatim here")) ++
+      Seq((100L, "a genuinely unique duplicate pair about query engines"),
+          (101L, "a genuinely unique duplicate pair about query engines"))).toDF("doc_id", "text")
+    dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3, maxBucketSize = 10).show(5)
     spark.stop()
   }
 }

@@ -494,6 +494,36 @@ object SparkEntry {
       |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM lineitem""".stripMargin
 
+  /** Column profiling (ANALYZE-statistics analog, ops.Profile). */
+  private def qProfileOrders(s: SparkSession, dir: String): DataFrame =
+    ops.Profile.profile(
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_orderpriority")),
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+      .orderBy("col_name")
+
+  private val qProfileOrdersSql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val, CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  /** HLL-sketch approximate distincts next to exact (rows-only check:
+    * DuckDB's HLL implementation differs by construction).
+    */
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   /** As-of join: each error event picks up the latest prior purchase by
     * the same user (union+window shape — see ops.AsOf).
     */
@@ -886,6 +916,8 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "snk_json_roundtrip" -> (snkJsonRoundtrip _),
     "ann_ivf_topk" -> (annIvf _),
+    "q_profile_orders" -> (qProfileOrders _),
+    "q_approx_distinct" -> (qApproxDistinct _),
     // §2.1 reference surface
     "src_parquet_scan" -> (srcParquetScan _),
     "src_df_identity" -> (srcDfIdentity _),
@@ -941,6 +973,7 @@ object SparkEntry {
     "q_salted_agg" -> qSaltedAggSql,
     "q_percentiles" -> qPercentilesSql,
     "snk_json_roundtrip" -> snkJsonRoundtripSql,
+    "q_profile_orders" -> qProfileOrdersSql,
     "src_parquet_scan" -> srcParquetScanSql,
     "src_df_identity" -> srcDfIdentitySql,
     "src_table_group" -> srcTableGroupSql,

@@ -44,7 +44,8 @@ object Dedup {
       docs: DataFrame,
       k: Int = 128,
       bands: Int = 16,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
     val rows = k / bands
     // The signature subtree is the expensive part and feeds BOTH sides of
     // the self-join plus the verify re-join; persist it once (at 100 TB:
@@ -60,9 +61,18 @@ object Dedup {
             j => struct(j.as("band"), xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))).as("bh"))))
           .as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-    val pairs = banded
+    // Skew guard: a band bucket holding >maxBucketSize docs is boilerplate
+    // collision (shared headers/templates), not near-duplication — and it
+    // would quadratically dominate the self-join. Drop those buckets; the
+    // doc pairs they contain still meet in their other (discriminative)
+    // bands if genuinely similar.
+    val bounded = banded.join(
+      banded.groupBy("band", "bh").count().where(col("count") <= maxBucketSize)
+        .select("band", "bh"),
+      Seq("band", "bh"))
+    val pairs = bounded
       .as("l")
-      .join(banded.as("r"), Seq("band", "bh"))
+      .join(bounded.as("r"), Seq("band", "bh"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()

@@ -292,3 +292,59 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(s === b)
   }
 }
+
+class BucketedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sinks.Bucketed.write(Tables.lineitem(spark, dir), "li_b", Seq("l_orderkey"), 4)
+      sinks.Bucketed.write(Tables.orders(spark, dir), "ord_b", Seq("o_orderkey"), 4)
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+class ProfileSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("profile reports nulls, distincts, min/max per column") {
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("c"))).toDF("id", "s")
+    val p = ops.Profile.profile(df, Seq("id", "s")).orderBy("col_name").collect()
+    assert(p(0).getString(0) === "id" && p(0).getLong(1) === 0L && p(0).getLong(2) === 3L)
+    assert(p(1).getString(0) === "s" && p(1).getLong(1) === 1L && p(1).getLong(2) === 2L)
+    assert(p(1).getString(3) === "a" && p(1).getString(4) === "c")
+  }
+
+  test("approx distinct within 5% of exact on events") {
+    val r = SparkEntry.queries("q_approx_distinct")(spark, dir).collect()
+    r.foreach { row =>
+      val (approx, exact) = (row.getLong(1), row.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05, s"$approx vs $exact")
+    }
+  }
+}
+
+class SaltCapSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash bucket cap drops degenerate buckets but keeps real dups") {
+    val template = "exact same boilerplate content shared by every doc"
+    val many = (1L to 30L).map(i => (i, template))
+    val dups = Seq((100L, "unique real duplicate pair content here today"),
+      (101L, "unique real duplicate pair content here today"))
+    val corpus = (many ++ dups).toDF("doc_id", "text")
+    val capped = dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3, maxBucketSize = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped.contains((100L, 101L)))
+    assert(!capped.exists(p => p._1 <= 30L)) // boilerplate bucket dropped
+  }
+}
