@@ -5,43 +5,29 @@ import org.apache.spark.sql.functions._
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8, 8)
+    val spark = GraftSession.local(4, 4)
     import spark.implicits._
-    val dir = "/root/testdata/sf0.01"
 
-    // bucketed co-located join: plan must be exchange-free
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    sinks.Bucketed.write(Tables.lineitem(spark, dir), "li_b", Seq("l_orderkey"), 4)
-    sinks.Bucketed.write(Tables.orders(spark, dir), "ord_b", Seq("o_orderkey"), 4)
-    val joined = spark.table("li_b")
-      .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
-    val plan = joined.queryExecution.executedPlan.toString
-    println("bucketed join shuffle-free: " + !plan.contains("Exchange hashpartitioning"))
-    println("bucketed join rows: " + joined.count())
-    // contrast: same join over raw parquet DOES shuffle
-    val raw = Tables.lineitem(spark, dir)
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-    println("raw join shuffles: " +
-      raw.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
 
-    // profiling over a frame with real nulls (asof output has nulls)
-    val ev = Tables.events(spark, dir)
-    val errors = ev.where(col("event_type") === "error")
-      .select(col("user_id"), col("event_id"), col("ts_ns"))
-    val purchases = ev.where(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id"), col("ts_ns"))
-    val withNulls = ops.AsOf.joinLastPrior(errors, purchases, "user_id", "ts_ns", Seq("event_id"))
-    ops.Profile.profile(withNulls, Seq("event_id", "asof_event_id")).show(5, false)
+    // probe 1: duplicate keys in updates
+    val dupUpdates = Seq((2L, "B1"), (2L, "B2")).toDF("k", "v")
+    println("dup-key merge:")
+    ops.Merge.upsert(target, dupUpdates, "k").orderBy("k", "v").show()
 
-    // approx distinct sketch output
-    SparkEntry.queries("q_approx_distinct")(spark, dir).show(5)
+    // probe 2: explicit null in an update column
+    val nullUpdates = Seq((2L, null.asInstanceOf[String])).toDF("k", "v")
+    println("null-update merge:")
+    ops.Merge.upsert(target, nullUpdates, "k").orderBy("k").show()
 
-    // minhash bucket cap at library surface: tiny cap must not drop real dup
-    val corpus = ((1L to 25L).map(i => (i, "same boilerplate text repeated verbatim here")) ++
-      Seq((100L, "a genuinely unique duplicate pair about query engines"),
-          (101L, "a genuinely unique duplicate pair about query engines"))).toDF("doc_id", "text")
-    dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3, maxBucketSize = 10).show(5)
+    // partitioned refresh twice in a row (dynamic overwrite idempotence)
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("p2").toString
+    val orders = Tables.orders(spark, dir).withColumn("yr", year(col("o_orderdate")))
+    sinks.Refresh.overwrite(orders, s"$tmp/o", partitionBy = Seq("yr"))
+    sinks.Refresh.overwrite(orders.where(col("yr") === 1997), s"$tmp/o", partitionBy = Seq("yr"))
+    val total = spark.read.parquet(s"$tmp/o").count()
+    println(s"dynamic overwrite: ${orders.count()} original, after partial refresh $total (must equal — only 1997 replaced)")
     spark.stop()
   }
 }

@@ -494,6 +494,108 @@ object SparkEntry {
       |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
       |FROM lineitem""".stripMargin
 
+  /** MERGE-style upsert (ops.Merge): update 5 nations, insert one new. */
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val target = srcDfIdentity(s, dir)
+    import s.implicits._
+    val updates = target
+      .where(col("n_nationkey") < 5)
+      .withColumn("n_name", concat(col("n_name"), lit("_v2")))
+      .unionByName(Seq((99L, "NEWLAND", 0L)).toDF("n_nationkey", "n_name", "n_regionkey"))
+    ops.Merge.upsert(target, updates, "n_nationkey").orderBy("n_nationkey")
+  }
+
+  private val qMergeUpsertSql =
+    """SELECT * FROM (
+      |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |    CASE WHEN n_nationkey < 5 THEN n_name || '_v2' ELSE n_name END AS n_name,
+      |    CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 99, 'NEWLAND', 0) t
+      |ORDER BY n_nationkey""".stripMargin
+
+  /** Partitioned refresh + partition-pruned re-read. */
+  private def snkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val orders = Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+    sinks.Refresh.overwrite(orders, s"$tmp/orders", partitionBy = Seq("yr"))
+    s.read.parquet(s"$tmp/orders")
+      .where(col("yr") === 1997)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val snkPartitionedSql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders WHERE year(o_orderdate) = 1997
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** String-function coverage (cross-engine-identical subset). */
+  private def qStringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 8).as("name8"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        replace(col("p_type"), lit(" "), lit("_")).as("type_us"),
+        reverse(col("p_brand")).as("brand_rev"),
+        length(col("p_name")).cast("long").as("name_len"))
+      .orderBy("p_partkey")
+
+  private val qStringFuncsSql =
+    """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 8) AS name8,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  replace(p_type, ' ', '_') AS type_us, reverse(p_brand) AS brand_rev,
+      |  CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Date-function coverage (UTC, midnight-aligned timestamps). */
+  private def qDateFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("long").as("dy"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"))
+      .orderBy("o_orderkey")
+
+  private val qDateFuncsSql =
+    """SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dy,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+      |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Array-function coverage over word arrays. */
+  private def qArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = split(col("p_name"), " ")
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        size(w).cast("long").as("n_words"),
+        element_at(w, 1).as("first_word"),
+        element_at(w, -1).as("last_word"),
+        array_join(sort_array(w), "|").as("sorted_words"),
+        array_contains(w, "spark").cast("string").as("has_spark"))
+      .orderBy("p_partkey")
+  }
+
+  private val qArrayFuncsSql =
+    """SELECT p_partkey,
+      |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
+      |  string_split(p_name, ' ')[1] AS first_word,
+      |  string_split(p_name, ' ')[-1] AS last_word,
+      |  array_to_string(list_sort(string_split(p_name, ' ')), '|') AS sorted_words,
+      |  CAST(list_contains(string_split(p_name, ' '), 'spark') AS VARCHAR) AS has_spark
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Column profiling (ANALYZE-statistics analog, ops.Profile). */
   private def qProfileOrders(s: SparkSession, dir: String): DataFrame =
     ops.Profile.profile(
@@ -918,6 +1020,11 @@ object SparkEntry {
     "ann_ivf_topk" -> (annIvf _),
     "q_profile_orders" -> (qProfileOrders _),
     "q_approx_distinct" -> (qApproxDistinct _),
+    "q_merge_upsert" -> (qMergeUpsert _),
+    "snk_partitioned" -> (snkPartitioned _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
     // §2.1 reference surface
     "src_parquet_scan" -> (srcParquetScan _),
     "src_df_identity" -> (srcDfIdentity _),
@@ -974,6 +1081,11 @@ object SparkEntry {
     "q_percentiles" -> qPercentilesSql,
     "snk_json_roundtrip" -> snkJsonRoundtripSql,
     "q_profile_orders" -> qProfileOrdersSql,
+    "q_merge_upsert" -> qMergeUpsertSql,
+    "snk_partitioned" -> snkPartitionedSql,
+    "q_string_funcs" -> qStringFuncsSql,
+    "q_date_funcs" -> qDateFuncsSql,
+    "q_array_funcs" -> qArrayFuncsSql,
     "src_parquet_scan" -> srcParquetScanSql,
     "src_df_identity" -> srcDfIdentitySql,
     "src_table_group" -> srcTableGroupSql,

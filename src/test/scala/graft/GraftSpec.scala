@@ -348,3 +348,30 @@ class SaltCapSpec extends AnyFunSuite {
     assert(!capped.exists(p => p._1 <= 30L)) // boilerplate bucket dropped
   }
 }
+
+class MergeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("upsert: updates replace, inserts append, untouched pass through") {
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "v", "w")
+    val updates = Seq((2L, "B2", 21L), (3L, "c", 30L)).toDF("k", "v", "w")
+    val m = ops.Merge.upsert(target, updates, "k").orderBy("k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(m === Seq((1L, "a", 10L), (2L, "B2", 21L), (3L, "c", 30L)))
+  }
+}
+
+class PartitionPruneSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("partitioned write + filtered read shows partition pruning at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    val orders = Tables.orders(spark, dir).withColumn("yr", year(col("o_orderdate")))
+    sinks.Refresh.overwrite(orders, s"$tmp/orders", partitionBy = Seq("yr"))
+    val filtered = spark.read.parquet(s"$tmp/orders").where(col("yr") === 1997)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("yr"), scan.take(500))
+    assert(filtered.count() > 0)
+  }
+}
