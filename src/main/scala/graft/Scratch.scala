@@ -5,29 +5,34 @@ import org.apache.spark.sql.functions._
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4, 4)
-    import spark.implicits._
+    val spark = GraftSession.local(8, 8)
+    val dir = "/root/testdata/sf0.01"
 
-    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    // Two-phase topk plan: expect partial TopKPerKey BELOW the exchange
+    // and final ABOVE it
+    val projected = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
+    val topk = plans.TopK.perKey(projected, Seq("o_orderpriority"),
+      Seq("total_cents" -> true, "o_orderkey" -> false), 3)
+    println(topk.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("TopKPerKey") || l.contains("Exchange"))
+      .mkString("\n"))
+    println("topk rows: " + topk.count())
 
-    // probe 1: duplicate keys in updates
-    val dupUpdates = Seq((2L, "B1"), (2L, "B2")).toDF("k", "v")
-    println("dup-key merge:")
-    ops.Merge.upsert(target, dupUpdates, "k").orderBy("k", "v").show()
+    // ANN rank path now flows through TopKPerKey: same oracle-checked output
+    val emb = Tables.embeddings(spark, dir)
+    val bf = ann.Ann.bruteForceTopK(emb, Seq(0L), 10)
+    println(bf.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("TopKPerKey")).mkString("\n"))
+    bf.show(3)
 
-    // probe 2: explicit null in an update column
-    val nullUpdates = Seq((2L, null.asInstanceOf[String])).toDF("k", "v")
-    println("null-update merge:")
-    ops.Merge.upsert(target, nullUpdates, "k").orderBy("k").show()
-
-    // partitioned refresh twice in a row (dynamic overwrite idempotence)
-    val dir = "/root/testdata/sf0.001"
-    val tmp = java.nio.file.Files.createTempDirectory("p2").toString
-    val orders = Tables.orders(spark, dir).withColumn("yr", year(col("o_orderdate")))
-    sinks.Refresh.overwrite(orders, s"$tmp/o", partitionBy = Seq("yr"))
-    sinks.Refresh.overwrite(orders.where(col("yr") === 1997), s"$tmp/o", partitionBy = Seq("yr"))
-    val total = spark.read.parquet(s"$tmp/o").count()
-    println(s"dynamic overwrite: ${orders.count()} original, after partial refresh $total (must equal — only 1997 replaced)")
+    // session_window vs lag-based session count consistency
+    val sw = SparkEntry.queries("q_events_session_window")(spark, dir)
+    val lag = SparkEntry.queries("q_events_session")(spark, dir)
+    val swSessions = sw.count()
+    val lagSessions = lag.agg(sum("n_sessions")).collect()(0).getLong(0)
+    println(s"sessions: native=$swSessions lag-based=$lagSessions (must be equal)")
     spark.stop()
   }
 }

@@ -323,6 +323,37 @@ object SparkEntry {
        |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_events
        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Native session windows (Spark session_window) — per-session rows;
+    * oracle rebuilds sessions with the lag/gap construction in SQL.
+    */
+  private def qEventsSessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"),
+        col("n"))
+      .orderBy("user_id", "start_us")
+
+  private val qEventsSessionWindowSql =
+    """WITH x AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      |y AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+      |         WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000 THEN 1
+      |         ELSE 0 END AS is_new
+      |  FROM x),
+      |z AS (
+      |  SELECT user_id, us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM y)
+      |SELECT user_id, CAST(MIN(us) AS BIGINT) AS start_us,
+      |  CAST(MAX(us) + 1800000000 AS BIGINT) AS end_us, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM z GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
   private def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns").desc, col("event_id").desc)
     Tables.events(s, dir)
@@ -1009,6 +1040,7 @@ object SparkEntry {
     "q_union_tables" -> (qUnionTables _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
+    "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_json" -> (qEventsJson _),
     "q_events_hopping" -> (qEventsHopping _),
@@ -1072,6 +1104,7 @@ object SparkEntry {
     "q_union_tables" -> qUnionTablesSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_session" -> qEventsSessionSql,
+    "q_events_session_window" -> qEventsSessionWindowSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_events_json" -> qEventsJsonSql,
     "q_events_hopping" -> qEventsHoppingSql,

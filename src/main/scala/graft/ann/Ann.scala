@@ -22,14 +22,23 @@ import org.apache.spark.sql.expressions.Window
   */
 object Ann {
 
+  /** Reduce scored candidates to top-k per query via the two-phase
+    * TopKPerKey operator (map-side partial heaps bound the shuffle at
+    * queries x k x partitions rows — NOT the full scored corpus), then
+    * rank the tiny survivor set with a window.
+    */
   private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val top = graft.plans.TopK.perKey(
+      scored.select(col("query_id"), col("vec_id"), col("cosine")),
+      Seq("query_id"),
+      Seq("cosine" -> true, "vec_id" -> false),
+      k)
     val w = Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk").cast("long").as("rnk"))
+    top
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
   }
 
   /** Exact top-k by cosine for each query id, via broadcast + one scan. */

@@ -38,9 +38,15 @@ case class TopKPerKey(
 }
 
 object TopKStrategy extends SparkStrategy {
+  // Two-phase like partial aggregation: a map-side partial top-k bounds
+  // what crosses the exchange at (#keys-in-partition x k) rows instead of
+  // the full input — the difference between shuffling every scored row
+  // and shuffling candidates only. Top-k is a semilattice, so
+  // partial-then-final is exact.
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopKPerKey(k, keys, order, child) =>
-      TopKPerKeyExec(k, keys, order, planLater(child)) :: Nil
+      TopKPerKeyExec(k, keys, order,
+        TopKPerKeyExec(k, keys, order, planLater(child), partial = true)) :: Nil
     case _ => Nil
   }
 }
@@ -49,16 +55,19 @@ case class TopKPerKeyExec(
     k: Int,
     keys: Seq[Expression],
     order: Seq[SortOrder],
-    child: SparkPlan)
+    child: SparkPlan,
+    partial: Boolean = false)
     extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
 
-  /** Ask the planner to cluster input by key — Spark inserts the (single)
-    * hash exchange; within each partition every key group is complete.
+  /** Final phase asks the planner to cluster by key (Spark inserts the
+    * single hash exchange); the partial phase runs on whatever
+    * partitioning the child already has.
     */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    if (partial) super.requiredChildDistribution
+    else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kLocal = k

@@ -375,3 +375,48 @@ class PartitionPruneSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 }
+
+/** Randomized (seeded) property-style checks: Spark implementations vs
+  * plain-Scala reference implementations over generated inputs.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def randText(): String = {
+    val alphabet = "abc XYZ 012 .,!?é\t\n"
+    (0 until rnd.nextInt(80)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+  }
+
+  test("wordCount matches a plain-Scala reference on 200 random strings") {
+    val texts = Seq.fill(200)(randText())
+    def refWordCount(s: String): Long =
+      s.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+        .split(" ").count(_.nonEmpty).toLong
+    val got = texts.toDF("text")
+      .select(graft.text.Text.wordCount(col("text"))).as[Long].collect()
+    texts.zip(got).foreach { case (t, g) =>
+      assert(g === refWordCount(t), s"text=${t.take(40)}")
+    }
+  }
+
+  test("TopKPerKey equals sort-take on 500 random rows") {
+    val rows = Seq.fill(500)((rnd.nextInt(7).toLong, rnd.nextLong(), rnd.nextInt(1000).toLong))
+    val df = rows.toDF("k", "uid", "score")
+    val got = plans.TopK.perKey(df, Seq("k"), Seq("score" -> true, "uid" -> false), 5)
+      .select("k", "uid", "score").as[(Long, Long, Long)].collect().toSet
+    val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+      g.sortBy(r => (-r._3, r._2)).take(5)
+    }.toSet
+    assert(got === want)
+  }
+
+  test("merge.upsert with disjoint keys equals union") {
+    val a = Seq.fill(50)((rnd.nextInt(1000).toLong * 2, rnd.nextInt(100).toLong)).distinctBy(_._1)
+    val b = Seq.fill(50)((rnd.nextInt(1000).toLong * 2 + 1, rnd.nextInt(100).toLong)).distinctBy(_._1)
+    val m = ops.Merge.upsert(a.toDF("k", "v"), b.toDF("k", "v"), "k")
+      .as[(Long, Long)].collect().toSet
+    assert(m === (a ++ b).toSet)
+  }
+}
