@@ -259,6 +259,31 @@ object SparkEntry {
       |    > (SELECT SUM(CAST(round((o_totalprice)*100) AS BIGINT)) FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Correlated-subquery shape (TPC-H Q17-like): lineitems below half the
+    * per-part average quantity. Expressed as a join against per-part
+    * aggregates (the scalable plan Catalyst decorrelates to anyway);
+    * exact via integer arithmetic: 2*qty*count < sum_qty.
+    */
+  private def qCorrSub(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("c"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .where(col("l_quantity").cast("long") * 2 * col("c") < col("sq"))
+      .agg(
+        sum(cents(col("l_extendedprice"))).as("rev_cents"),
+        count(lit(1)).as("n"))
+  }
+
+  private val qCorrSubSql =
+    """SELECT
+      |  CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem l1
+      |WHERE CAST(l_quantity AS BIGINT) * 2 *
+      |    (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |  < (SELECT SUM(CAST(l_quantity AS BIGINT)) FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey)""".stripMargin
+
   private def qUnionTables(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir).select(lit("cust").as("kt"), col("c_custkey").as("k"))
     val su = Tables.supplier(s, dir).select(lit("supp").as("kt"), col("s_suppkey").as("k"))
@@ -1037,6 +1062,7 @@ object SparkEntry {
     "q_topk_orders" -> (qTopkOrders _),
     "q_case_pivot" -> (qCasePivot _),
     "q_scalar_sub" -> (qScalarSub _),
+    "q_corr_sub" -> (qCorrSub _),
     "q_union_tables" -> (qUnionTables _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
@@ -1101,6 +1127,7 @@ object SparkEntry {
     "q_topk_orders" -> qTopkOrdersSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_scalar_sub" -> qScalarSubSql,
+    "q_corr_sub" -> qCorrSubSql,
     "q_union_tables" -> qUnionTablesSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_session" -> qEventsSessionSql,

@@ -420,3 +420,15 @@ class PropertySpec extends AnyFunSuite {
     assert(m === (a ++ b).toSet)
   }
 }
+
+class DedupStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming dedup collapses a doubled stream back to original counts") {
+    val deduped = streaming.EventsStream.runToMemory(
+      spark, streaming.DedupStream.dedupEvents(spark, dir), "dedup_out", "append")
+    val original = Tables.events(spark, dir).count()
+    assert(deduped.count() === original)
+    assert(deduped.select("event_id").distinct().count() === original)
+  }
+}
