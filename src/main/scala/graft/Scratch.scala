@@ -6,33 +6,26 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, 8)
-    val dir = "/root/testdata/sf0.01"
+    import spark.implicits._
 
-    // Two-phase topk plan: expect partial TopKPerKey BELOW the exchange
-    // and final ABOVE it
-    val projected = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_orderkey"),
-        round(col("o_totalprice") * 100, 0).cast("long").as("total_cents"))
-    val topk = plans.TopK.perKey(projected, Seq("o_orderpriority"),
-      Seq("total_cents" -> true, "o_orderkey" -> false), 3)
-    println(topk.queryExecution.executedPlan.toString.linesIterator
-      .filter(l => l.contains("TopKPerKey") || l.contains("Exchange"))
-      .mkString("\n"))
-    println("topk rows: " + topk.count())
+    // entry() as the driver will call it
+    val e = SparkEntry.entry(spark)
+    println(s"entry rows: ${e.count()}")
+    e.show(5, 40)
 
-    // ANN rank path now flows through TopKPerKey: same oracle-checked output
-    val emb = Tables.embeddings(spark, dir)
-    val bf = ann.Ann.bruteForceTopK(emb, Seq(0L), 10)
-    println(bf.queryExecution.executedPlan.toString.linesIterator
-      .filter(_.contains("TopKPerKey")).mkString("\n"))
-    bf.show(3)
-
-    // session_window vs lag-based session count consistency
-    val sw = SparkEntry.queries("q_events_session_window")(spark, dir)
-    val lag = SparkEntry.queries("q_events_session")(spark, dir)
-    val swSessions = sw.count()
-    val lagSessions = lag.agg(sum("n_sessions")).collect()(0).getLong(0)
-    println(s"sessions: native=$swSessions lag-based=$lagSessions (must be equal)")
+    // degenerate corpus through CorpusPrep: dups, empties, nulls, low-quality
+    val weird = Seq(
+      (1L, "good unique document with enough distinct words here", "en", "s", 50L),
+      (2L, "good unique document with enough distinct words here", "en", "s", 50L), // exact dup
+      (3L, "good unique document with enough distinct words here plus tail dup", "en", "s", 60L), // near dup
+      (4L, "", "en", "s", 0L),
+      (5L, null.asInstanceOf[String], "en", "s", 0L),
+      (6L, "word word word word word word word word word word", "en", "s", 40L), // low uniq ratio
+      (7L, "tiny", "en", "s", 4L) // below min words
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cleaned = pipeline.CorpusPrep.clean(weird, minWords = 5, minEstJaccard = 0.5)
+    println("cleaned degenerate corpus:")
+    cleaned.orderBy("doc_id").show(10, 40)
     spark.stop()
   }
 }

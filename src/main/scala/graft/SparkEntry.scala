@@ -23,9 +23,15 @@ object SparkEntry {
   private def occSql(w: String): String =
     s"CAST((length(p) - length(replace(p, ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full training-data prep pipeline — exact dedup, MinHash near-dup
+    * removal, quality gate, language/token/fingerprint annotation.
+    */
   def entry(spark: SparkSession): DataFrame =
-    q1Agg(spark, "/root/testdata/sf0.001")
+    pipeCorpusPrep(spark, "/root/testdata/sf0.001")
+
+  private def pipeCorpusPrep(s: SparkSession, dir: String): DataFrame =
+    pipeline.CorpusPrep.clean(Tables.documents(s, dir)).orderBy("doc_id")
 
   // =================== §2.2 analytics core ===================
 
@@ -1094,6 +1100,7 @@ object SparkEntry {
     "snk_overwrite" -> (snkOverwrite _),
     "pipe_parallel_load" -> (pipeParallelLoad _),
     "pipe_load_report" -> (pipeLoadReport _),
+    "pipe_corpus_prep" -> (pipeCorpusPrep _),
     // §2.3 LLM-data ops
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The flagship composition: a training-data preparation pipeline over a
+  * raw document corpus — what the whole engine exists to do at 100 TB.
+  *
+  * 1. exact dedup (content-hash survivors)
+  * 2. near-dup removal (MinHash LSH candidates verified by estimated
+  *    jaccard; the lower doc_id of each pair survives)
+  * 3. quality gate (word count + uniqueness ratio)
+  * 4. annotation (language id, token counts, fingerprint)
+  *
+  * Every stage is shuffle-on-key or map-side; nothing is pairwise over
+  * the corpus and nothing collects to the driver.
+  */
+object CorpusPrep {
+
+  def clean(
+      docs: DataFrame,
+      minWords: Long = 5,
+      minEstJaccard: Double = 0.8): DataFrame = {
+    // 1. exact dedup: survivors only
+    val survivors = docs.join(
+      Dedup.exact(docs).select(col("doc_id")),
+      Seq("doc_id"),
+      "left_semi")
+    // 2. near-dup removal: drop the higher id of each candidate pair
+    val nearDupLosers = Dedup
+      .minhashCandidates(survivors, minEstJaccard = minEstJaccard)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val unique = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
+    // 3 + 4. quality gate and annotations
+    val wc = Text.wordCount(col("text"))
+    val uniq = when(size(Text.words(col("text"))) === 0, lit(0L))
+      .otherwise(size(array_distinct(Text.words(col("text")))).cast("long"))
+    unique
+      .withColumn("wc", wc)
+      .withColumn("uniq_ratio", when(col("wc") === 0, lit(0.0)).otherwise(uniq / col("wc")))
+      .where(col("wc") >= minWords && col("uniq_ratio") > 0.1)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        Text.langId(col("text")).as("lang_pred"),
+        col("wc").as("n_words"),
+        Text.bpeTokenCount(col("text")).as("n_tokens"),
+        Text.fingerprintMd5(col("text")).as("fingerprint"))
+  }
+}
