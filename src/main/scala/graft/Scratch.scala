@@ -5,27 +5,17 @@ import org.apache.spark.sql.functions._
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(8, 8)
-    import spark.implicits._
-
-    // entry() as the driver will call it
-    val e = SparkEntry.entry(spark)
-    println(s"entry rows: ${e.count()}")
-    e.show(5, 40)
-
-    // degenerate corpus through CorpusPrep: dups, empties, nulls, low-quality
-    val weird = Seq(
-      (1L, "good unique document with enough distinct words here", "en", "s", 50L),
-      (2L, "good unique document with enough distinct words here", "en", "s", 50L), // exact dup
-      (3L, "good unique document with enough distinct words here plus tail dup", "en", "s", 60L), // near dup
-      (4L, "", "en", "s", 0L),
-      (5L, null.asInstanceOf[String], "en", "s", 0L),
-      (6L, "word word word word word word word word word word", "en", "s", 40L), // low uniq ratio
-      (7L, "tiny", "en", "s", 4L) // below min words
-    ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val cleaned = pipeline.CorpusPrep.clean(weird, minWords = 5, minEstJaccard = 0.5)
-    println("cleaned degenerate corpus:")
-    cleaned.orderBy("doc_id").show(10, 40)
+    val spark = GraftSession.local(4, 4)
+    val dir = "/root/testdata/sf0.01"
+    // Force unmatched customers: only orders from custkeys < 100 join
+    val restricted = Tables.orders(spark, dir).where(col("o_custkey") < 100)
+    val hist = Tables.customer(spark, dir)
+      .join(restricted, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+    hist.show(3)
     spark.stop()
   }
 }

@@ -213,6 +213,41 @@ object SparkEntry {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY ROLLUP(r_name, n_name) ORDER BY r_name, n_name""".stripMargin
 
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("o_orderpriority"),
+        col("n"), col("total_cents"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  private val qCubeSql =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(round((o_totalprice)*100) AS BIGINT)) AS BIGINT) AS total_cents
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Outer-join null semantics: customers with zero orders count as 0. */
+  private def qOuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("n_orders")
+
+  private val qOuterJoinSql =
+    """SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers FROM (
+      |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) t
+      |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
   private def qTopkOrders(s: SparkSession, dir: String): DataFrame = {
     val top = Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("total_cents"))
@@ -1065,6 +1100,8 @@ object SparkEntry {
     "q_topk_per_key" -> (qTopkPerKey _),
     "q_distinct" -> (qDistinct _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_outer_join" -> (qOuterJoin _),
     "q_topk_orders" -> (qTopkOrders _),
     "q_case_pivot" -> (qCasePivot _),
     "q_scalar_sub" -> (qScalarSub _),
@@ -1131,6 +1168,8 @@ object SparkEntry {
     "q_topk_per_key" -> qTopkPerKeySql,
     "q_distinct" -> qDistinctSql,
     "q_rollup" -> qRollupSql,
+    "q_cube" -> qCubeSql,
+    "q_outer_join" -> qOuterJoinSql,
     "q_topk_orders" -> qTopkOrdersSql,
     "q_case_pivot" -> qCasePivotSql,
     "q_scalar_sub" -> qScalarSubSql,
