@@ -231,6 +231,28 @@ object SparkEntry {
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS through the spark.sql surface (the SQL face
+    * of the engine; rollup/cube cover the DataFrame face).
+    */
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+        |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+  }
+
+  private val qGroupingSetsSql =
+    """SELECT COALESCE(o_orderstatus, '(all)') AS o_orderstatus,
+      |  COALESCE(o_orderpriority, '(all)') AS o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   /** Outer-join null semantics: customers with zero orders count as 0. */
   private def qOuterJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
@@ -1101,6 +1123,7 @@ object SparkEntry {
     "q_distinct" -> (qDistinct _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_outer_join" -> (qOuterJoin _),
     "q_topk_orders" -> (qTopkOrders _),
     "q_case_pivot" -> (qCasePivot _),
@@ -1169,6 +1192,7 @@ object SparkEntry {
     "q_distinct" -> qDistinctSql,
     "q_rollup" -> qRollupSql,
     "q_cube" -> qCubeSql,
+    "q_grouping_sets" -> qGroupingSetsSql,
     "q_outer_join" -> qOuterJoinSql,
     "q_topk_orders" -> qTopkOrdersSql,
     "q_case_pivot" -> qCasePivotSql,
