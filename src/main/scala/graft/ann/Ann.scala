@@ -79,20 +79,28 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
       .sortBy(_._1)
 
-    // cosine of v against each centroid, as literal-plane dot products
-    def cellScores(v: Column): Seq[Column] = centroids.toSeq.map { case (_, c) =>
-      val dot = aggregate(zip_with(v, typedLit(c), (x, r) => x.cast("double") * r),
+    // cosine of v against every centroid: all dots in ONE imperative pass
+    // (PlaneDots), then a cheap per-element normalize over the p-array.
+    // The vector norm is bound once via the single-element-array transform
+    // (referencing it raw inside the zip_with lambda would recompute it
+    // per centroid).
+    val centroidNorms = typedLit(centroids.toSeq.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) })
+    def cellScoresArr(v: Column): Column = {
+      val dots = graft.functions.exprs.plane_dots(v, centroids.toSeq.map(_._2))
+      val nvExpr = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)
-      val nv = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val nc = c.map(x => x * x).sum
-      when(nv === 0.0, lit(-2.0)).otherwise(dot / (sqrt(nv) * math.sqrt(nc)))
+      element_at(
+        transform(array(nvExpr), nv =>
+          zip_with(dots, centroidNorms, (dt, cn) =>
+            when(nv === 0.0, lit(-2.0)).otherwise(dt / (sqrt(nv) * cn)))),
+        1)
     }
 
     /** index (0-based) of the best-scoring cell, ties to lower index */
     def bestCell(v: Column): Column = {
-      val scores = array(cellScores(v): _*)
-      array_position(scores, array_max(scores)) - 1
+      val scores = cellScoresArr(v)
+      element_at(
+        transform(array(scores), s => array_position(s, array_max(s)) - 1), 1)
     }
 
     val corpus = embeddings.select(
@@ -103,7 +111,7 @@ object Ann {
     val qBase = embeddings.where(col("vec_id").isInCollection(queryIds))
     val qScored = qBase.select(
       col("vec_id").as("query_id"), Vec.quantize(col("embedding")).as("qv"),
-      array(cellScores(col("embedding")): _*).as("scores"))
+      cellScoresArr(col("embedding")).as("scores"))
     val qProbes = qScored.select(
       col("query_id"), col("qv"),
       explode(slice(

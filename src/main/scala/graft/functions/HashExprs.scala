@@ -208,8 +208,58 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
   override def prettyName: String = "text_shingle_minhash"
 }
 
+/** Dot products of a float vector against a fixed set of planes
+  * (hyperplanes for sign-LSH, centroid vectors for IVF) in one imperative
+  * pass. Replaces p separate `aggregate(zip_with(...))` higher-order
+  * calls — which each re-walk the array with interpreted lambdas — with a
+  * single O(p*d) loop. Summation is left-to-right like `aggregate`, so
+  * results are bit-identical to the compositional form.
+  */
+case class PlaneDots(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+
+  @transient private lazy val planeArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val p = planeArr.length
+    val out = new Array[Double](p)
+    var j = 0
+    while (j < p) {
+      val plane = planeArr(j)
+      val n = math.min(d, plane.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += arr.getFloat(i).toDouble * plane(i)
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      val tmp = ctx.freshName("res")
+      s"""Object $tmp = $ref.nullSafeEval($input);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): PlaneDots = copy(child = c)
+  override def prettyName: String = "plane_dots"
+}
+
 /** Column-level API for the custom expressions. */
 object exprs {
+  def plane_dots(vec: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(PlaneDots(ColumnBridge.expression(vec), planes))
+
   def text_minhash_sig(text: Column, k: Int = 128, shingleK: Int = 3, seed: Long = 42L): Column =
     ColumnBridge.column(TextShingleMinHash(ColumnBridge.expression(text), k, shingleK, seed))
 

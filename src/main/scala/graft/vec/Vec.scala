@@ -50,18 +50,16 @@ object Vec {
       Seq.tabulate(d)(i => Mix64(seed + j.toLong * d + i).toDouble / Long.MaxValue.toDouble))
 
   /** Sign-LSH bucket id: bit j set iff dot(v, plane_j) > 0.
-    * One pass per plane; p small (8-16). The scale path for ANN: bucket
-    * the corpus once (amortizable at write time), probe per bucket.
+    * All p dots in one imperative pass (PlaneDots expression); the bit
+    * assembly over the tiny dots array is a cheap zip with power-of-two
+    * literals. The scale path for ANN: bucket the corpus once
+    * (amortizable at write time), probe per bucket.
     */
   def lshBucket(v: Column, p: Int = 8, d: Int = 64, seed: Long = 7L): Column = {
-    val planes = hyperplanes(p, d, seed)
-    planes.zipWithIndex
-      .map { case (plane, j) =>
-        val planeCol = typedLit(plane)
-        val dot = aggregate(zip_with(v, planeCol, (x, r) => x.cast("double") * r),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0.0, lit(1L << j)).otherwise(lit(0L))
-      }
-      .reduce(_ + _)
+    val dots = graft.functions.exprs.plane_dots(v, hyperplanes(p, d, seed))
+    val powers = typedLit(Seq.tabulate(p)(j => 1L << j))
+    aggregate(
+      zip_with(dots, powers, (dt, pw) => when(dt > 0.0, pw).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
   }
 }
