@@ -45,6 +45,6 @@ object AsOf {
     }
     carried
       .where(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(p => col(s"asof_$p")): _*)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"asof_$p"))).toIndexedSeq: _*)
   }
 }

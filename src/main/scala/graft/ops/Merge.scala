@@ -26,6 +26,6 @@ object Merge {
     target
       .join(renamed, Seq(key), "full_outer")
       .select(
-        col(key) +: others.map(c => coalesce(col(s"__u_$c"), col(c)).as(c)): _*)
+        (col(key) +: others.map(c => coalesce(col(s"__u_$c"), col(c)).as(c))).toIndexedSeq: _*)
   }
 }
