@@ -919,25 +919,28 @@ object SparkEntry {
     */
   private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val w = text.Text.words(col("text"))
-    val blocked = docs.select(
-      col("doc_id"),
-      array_join(slice(w, 1, 3), " ").as("prefix3"),
-      array_distinct(text.Text.shingles(col("text"), 3)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = blocked.as("l")
-      .join(blocked.as("r"), Seq("prefix3"))
+    // Fused kernel: one pass over each text yields (block key, sorted
+    // distinct shingle-hash set) — no regex, no string shingle arrays.
+    // Jaccard over the hash sets equals string-set Jaccard (64-bit
+    // collisions within a pair ~1e-15); the oracle mirrors the string
+    // formulation with DuckDB list lambdas.
+    val blocked = docs
+      .select(col("doc_id"), functions.exprs.shingle_block(col("text"), 3, 3).as("b"))
+      .where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    blocked.as("l")
+      .join(blocked.as("r"), Seq("pfx"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(
         col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
       .withColumn(
         "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
       .where(col("jaccard") >= 0.5)
-    pairs.select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
   }
 
   private val dedupNgramJaccardSql = {
@@ -1177,9 +1180,12 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check (LSH-derived candidate sets are not
-    * SQL-expressible: dedup_minhash, dedup_simhash, dedup_embed_cosine,
-    * ann_lsh_topk).
+    * weaker rows-only check. All seven rows-only queries, and why:
+    * LSH/sketch-derived candidate sets built on engine-internal hash
+    * families are not SQL-expressible — dedup_minhash, dedup_simhash,
+    * dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk, q_approx_distinct
+    * (HLL sketch; its spec bounds error <5% vs exact), and
+    * pipe_corpus_prep (composes the minhash candidate stage).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,

@@ -24,6 +24,14 @@ object Tables {
     * TimestampType (µs) cannot represent; read nanos as long
     * (legacy.parquet.nanosAsLong) and expose both the raw `ts_ns` and a
     * µs-truncated `ts` TimestampType column.
+    *
+    * NOTE deliberate session-level setting: Spark has no per-read option
+    * for nanosAsLong (ParquetOptions exposes only compression/rebase/
+    * mergeSchema), so this cannot be scoped to one scan. GraftSession sets
+    * it at build time; setting it here too keeps driver-built sessions
+    * (Verify/Bench contract) working. Effect on other reads: parquet
+    * TIMESTAMP(NANOS) columns — which µs-based Spark would otherwise
+    * reject outright — surface as LongType everywhere in the session.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -22,6 +22,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Cache lifecycle for the LSH-family functions: the expensive per-doc
+    * intermediate (signatures / sketches / shingle sets) feeds several
+    * branches of the plan, so it is persisted — but only while this helper
+    * materializes the (orders-of-magnitude smaller) candidate result.
+    * Intermediates are unpersisted before returning; the caller receives
+    * the persisted *result* and owns its lifecycle (`.unpersist()` when
+    * done). Nothing else is left in the session cache.
+    */
+  private def materializeThenRelease(result: DataFrame, intermediates: DataFrame*): DataFrame = {
+    val out = result.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the intermediates are still cached
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup: survivor = min doc_id per canonical-content hash. */
   def exact(docs: DataFrame): DataFrame =
     docs
@@ -85,7 +100,9 @@ object Dedup {
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0),
           (acc, v) => acc + v).cast("double") / k)
-    est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard")
+    materializeThenRelease(
+      est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard"),
+      sigs)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
@@ -102,35 +119,53 @@ object Dedup {
     val banded = sims
       .select(col("doc_id"), col("sh"), explode(array(bandCols: _*)).as("b"))
       .select(col("doc_id"), col("sh"), col("b.band").as("band"), col("b.bh").as("bh"))
-    banded
-      .as("l")
-      .join(banded.as("r"), Seq("band", "bh"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(
-        col("l.doc_id").as("doc_a"),
-        col("r.doc_id").as("doc_b"),
-        call_function("bit_count", col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .distinct()
+    materializeThenRelease(
+      banded
+        .as("l")
+        .join(banded.as("r"), Seq("band", "bh"))
+        .where(col("l.doc_id") < col("r.doc_id"))
+        .select(
+          col("l.doc_id").as("doc_a"),
+          col("r.doc_id").as("doc_b"),
+          call_function("bit_count", col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+        .where(col("hamming") <= maxHamming)
+        .distinct(),
+      sims)
   }
 
-  /** Exact n-gram Jaccard verification over candidate pairs. */
+  /** Exact n-gram Jaccard verification over candidate pairs.
+    *
+    * Shingle sets are computed ONLY for docs appearing in `pairs` (semi-
+    * join prefilter): at corpus scale the candidate set is orders of
+    * magnitude smaller than the corpus, so the expensive per-doc kernel
+    * never touches non-candidates. Jaccard runs on sorted distinct
+    * 64-bit shingle hashes (see ShingleBlock) — identical to string-set
+    * Jaccard up to ~1e-15 collision odds per pair.
+    */
   def ngramJaccard(
       docs: DataFrame,
       pairs: DataFrame,
       shingleK: Int = 3,
       minJaccard: Double = 0.7): DataFrame = {
-    val sh = docs.select(col("doc_id"), array_distinct(Text.shingles(col("text"), shingleK)).as("sh"))
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK).as("b"))
+      .where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.sh").as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn(
-        "jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))))
-      .where(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "jaccard")
+    materializeThenRelease(
+      pairs
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+        .withColumn(
+          "jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) -
+              size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b", "jaccard"),
+      sh)
   }
 
   /** Embedding near-dup: sign-LSH buckets, exact cosine within buckets.
@@ -142,14 +177,16 @@ object Dedup {
       Vec.quantize(col("embedding")).as("q"),
       Vec.lshBucket(col("embedding"), p).as("bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    b.as("l")
-      .join(b.as("r"), Seq("bucket"))
-      .where(col("l.vec_id") < col("r.vec_id"))
-      .select(
-        col("l.vec_id").as("vec_a"),
-        col("r.vec_id").as("vec_b"),
-        Vec.cosineQ(col("l.q"), col("r.q")).as("cosine"))
-      .where(col("cosine") >= minCosine)
-      .distinct()
+    materializeThenRelease(
+      b.as("l")
+        .join(b.as("r"), Seq("bucket"))
+        .where(col("l.vec_id") < col("r.vec_id"))
+        .select(
+          col("l.vec_id").as("vec_a"),
+          col("r.vec_id").as("vec_b"),
+          Vec.cosineQ(col("l.q"), col("r.q")).as("cosine"))
+        .where(col("cosine") >= minCosine)
+        .distinct(),
+      b)
   }
 }

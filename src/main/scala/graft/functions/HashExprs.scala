@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -11,6 +12,31 @@ import org.apache.spark.sql.types._
   * derive per-permutation coefficients from a seed. No RNG state — pure
   * function of the seed, so plans are reproducible across executors.
   */
+/** Analysis-time input type guards for the custom expressions. The
+  * evaluators read raw `ArrayData` slots (`getLong`/`getFloat`), so a
+  * mistyped input must fail analysis — not silently read garbage bytes.
+  * (`ExpectsInputTypes` is private[sql]-typed, hence manual checks.)
+  */
+private[functions] object TypeGuard {
+  def requireType(fn: String, actual: DataType, ok: DataType => Boolean, expected: String): TypeCheckResult =
+    if (ok(actual)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn requires $expected input, got ${actual.catalogString}")
+
+  val isLongArray: DataType => Boolean = {
+    case ArrayType(LongType, _) => true
+    case _                      => false
+  }
+  val isFloatArray: DataType => Boolean = {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  val isString: DataType => Boolean = {
+    case StringType => true
+    case _          => false
+  }
+}
+
 object Mix64 {
   def apply(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
@@ -34,6 +60,8 @@ object Mix64 {
   */
 case class MinHashSig(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isLongArray, "array<bigint>")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -81,6 +109,8 @@ case class MinHashSig(child: Expression, k: Int, seed: Long)
   */
 case class SimHash64(child: Expression)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isLongArray, "array<bigint>")
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
@@ -134,6 +164,8 @@ case class SimHash64(child: Expression)
   */
 case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Long)
     extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isString, "string")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -208,6 +240,107 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
   override def prettyName: String = "text_shingle_minhash"
 }
 
+/** Fused text -> (prefix-block key, distinct shingle-hash set): the
+  * blocked exact n-gram-Jaccard kernel in ONE pass over the text.
+  *
+  * Canonicalization matches Text.canon exactly on ASCII input (lowercase,
+  * [^a-z0-9]+ as separators). Output struct:
+  *   pfx: long    — hash of the first `prefixN` canonical words (block key;
+  *                  equal-prefix <=> equal-hash up to 2^-64 collisions)
+  *   sh:  array<long> — sorted DISTINCT hashes of word `shingleK`-shingles
+  *                  (docs with fewer than `shingleK` words collapse to one
+  *                  whole-text shingle, mirroring Text.shinglesOfWords)
+  * Null when the canonical text has no words.
+  *
+  * Replaces regex canon + split + higher-order shingle transform +
+  * array_distinct over *string* arrays: no string allocation at all, and
+  * downstream Jaccard runs on sorted long arrays instead of string sets.
+  * |A∩B| / |A∪B| over hashes equals the string-set Jaccard as long as no
+  * 64-bit collision occurs within a compared pair (~1e-15 for 50-shingle
+  * docs).
+  */
+case class ShingleBlock(child: Expression, shingleK: Int, prefixN: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isString, "string")
+  override def dataType: DataType = StructType(Seq(
+    StructField("pfx", LongType, nullable = false),
+    StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString
+    val n = s.length
+    // pass 1: word hashes (canon: [a-z0-9] in-word after lowering, all else separator)
+    var wordHashes = new Array[Long](math.max(8, n / 5))
+    var nWords = 0
+    var wh = 0L
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val lc: Int =
+        if (c >= 'A' && c <= 'Z') c + 32
+        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toInt
+        else -1
+      if (lc >= 0) {
+        wh = wh * 31L + lc
+        inWord = true
+      } else if (inWord) {
+        if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords * 2)
+        wordHashes(nWords) = Mix64(wh); nWords += 1
+        wh = 0L; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) {
+      if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords + 1)
+      wordHashes(nWords) = Mix64(wh); nWords += 1
+    }
+    if (nWords == 0) return null
+    // prefix block key: combine the first prefixN word hashes
+    val pn = math.min(prefixN, nWords)
+    var pfx = 0xcbf29ce484222325L
+    var p = 0
+    while (p < pn) { pfx = (pfx ^ wordHashes(p)) * 0x100000001b3L; p += 1 }
+    pfx = Mix64(pfx)
+    // shingle hashes, then sort + dedupe in place
+    val width = math.min(shingleK, nWords)
+    val nShingles = if (nWords <= shingleK) 1 else nWords - shingleK + 1
+    val hs = new Array[Long](nShingles)
+    var sIdx = 0
+    while (sIdx < nShingles) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < width) { h = (h ^ wordHashes(sIdx + j)) * 0x100000001b3L; j += 1 }
+      hs(sIdx) = Mix64(h)
+      sIdx += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = hs
+    var m = 0
+    var r = 0
+    while (r < nShingles) {
+      if (m == 0 || hs(r) != out(m - 1)) { out(m) = hs(r); m += 1 }
+      r += 1
+    }
+    if (m < nShingles) out = java.util.Arrays.copyOf(out, m)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](pfx, new GenericArrayData(out)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      val tmp = ctx.freshName("res")
+      s"""Object $tmp = $ref.nullSafeEval($input);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $tmp; }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): ShingleBlock = copy(child = c)
+  override def prettyName: String = "shingle_block"
+}
+
 /** Dot products of a float vector against a fixed set of planes
   * (hyperplanes for sign-LSH, centroid vectors for IVF) in one imperative
   * pass. Replaces p separate `aggregate(zip_with(...))` higher-order
@@ -217,6 +350,10 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
   */
 case class PlaneDots(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
+  // nullSafeEval reads elements with arr.getFloat: anything but
+  // array<float> must be rejected at analysis time, not read as garbage.
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isFloatArray, "array<float>")
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
@@ -268,4 +405,7 @@ object exprs {
 
   def simhash64(tokenHashes: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenHashes)))
+
+  def shingle_block(text: Column, shingleK: Int = 3, prefixN: Int = 3): Column =
+    ColumnBridge.column(ShingleBlock(ColumnBridge.expression(text), shingleK, prefixN))
 }

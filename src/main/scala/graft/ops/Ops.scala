@@ -65,11 +65,22 @@ object Chunk {
   }
 
   /** Declarative variant for file sources: bound each chunk at the scan
-    * by bytes instead of rows — zero extra passes. Returns per-file-split
-    * partitioning, the 100 TB-friendly version of chunking.
+    * by bytes instead of rows — zero extra passes; per-file-split
+    * partitioning is the 100 TB-friendly version of chunking.
+    *
+    * Split sizing is a session conf consulted at *action* planning time,
+    * so it is scoped as a bracket: the conf is set for the duration of
+    * `body` (run your reads AND actions inside) and restored after, never
+    * leaking into unrelated scans on the same session.
     */
-  def maxSplitBytes(df: DataFrame, bytes: Long): DataFrame = {
-    df.sparkSession.conf.set("spark.sql.files.maxPartitionBytes", bytes.toString)
-    df
+  def withMaxSplitBytes[T](spark: org.apache.spark.sql.SparkSession, bytes: Long)(body: => T): T = {
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, bytes.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 }

@@ -79,11 +79,12 @@ object JdbcBulkSink {
       numPartitions: Int = 8,
       batchSize: Int = 10000,
       truncate: Boolean = true,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
     val writer = df
       .repartition(numPartitions)
       .write
-      .mode(SaveMode.Overwrite)
+      .mode(mode)
       .format("jdbc")
       .option("url", url)
       .option("dbtable", table)
@@ -107,7 +108,12 @@ object JdbcBulkSink {
     val conn = connFactory()
     try {
       SqlLifecycle.execute(conn, SqlLifecycle.preLoad(constraints, workMem))
-      write(df, url, constraints.table, numPartitions, truncate = false)
+      // preLoad already issued TRUNCATE into the existing table, so the bulk
+      // write must APPEND: Overwrite would DROP and recreate the table,
+      // destroying the DB-side DDL (types, indexes, defaults, grants) this
+      // lifecycle exists to preserve (reference TRUNCATEs then COPYs into
+      // the existing table, _base_copy.py:102-144).
+      write(df, url, constraints.table, numPartitions, mode = SaveMode.Append)
       SqlLifecycle.execute(conn, SqlLifecycle.postLoad(constraints))
     } finally conn.close()
   }

@@ -34,9 +34,12 @@ object JsonSink {
   */
 object Refresh {
   def overwrite(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
-    val w = df.sparkSession.conf
-    w.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val base = df.write.mode(SaveMode.Overwrite)
+    // partitionOverwriteMode is honored as a per-write DataFrameWriter
+    // option (Spark 3.0+), so dynamic overwrite is scoped to THIS write
+    // and never leaks into the session's other writers.
+    val base = df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
     (if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base).parquet(path)
   }
 }

@@ -15,11 +15,22 @@ object Parquet {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def read(spark: SparkSession, path: String, maxPartitionBytes: Option[Long] = None): DataFrame = {
-    maxPartitionBytes.foreach(b =>
-      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
+  /** Plain path read. Split sizing (the chunk-size analog) is a session
+    * conf consulted at action time — scope it with
+    * `ops.Chunk.withMaxSplitBytes(spark, bytes) { ... }` around the read
+    * AND its actions rather than mutating session state here.
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
-  }
+}
+
+/** ORC source/side — same columnar contract as parquet, for pipelines
+  * whose upstream emits ORC (Spark's built-in `orc` datasource: splits,
+  * pushdown, and column pruning work exactly as for parquet).
+  */
+object Orc {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }
 
 /** CSV source with explicit schema — the read side of the reference's CSV

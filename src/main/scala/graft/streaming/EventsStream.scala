@@ -22,7 +22,13 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet in `dir`. */
+  /** Streaming source over the events parquet in `dir`.
+    *
+    * nanosAsLong is a deliberate session-level setting (no per-read
+    * option exists); see Tables.events for the full rationale. It is a
+    * GraftSession default — set here too only so driver-built sessions
+    * work.
+    */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.readStream

@@ -68,6 +68,23 @@ class HashExprsSpec extends AnyFunSuite {
     assert(rows(0).getLong(0) === rows(1).getLong(0))
     assert(rows(2).isNullAt(0))
   }
+
+  test("wrong input types fail at analysis, not at read time") {
+    val doubles = Seq(Seq(1.0, 2.0)).toDF("v") // array<double>
+    val eDots = intercept[Exception] {
+      doubles.select(exprs.plane_dots(col("v"), Seq(Seq(1.0, 0.0)))).collect()
+    }
+    assert(eDots.getMessage.contains("array<float>"), eDots.getMessage)
+    val ints = Seq(Seq(1, 2)).toDF("v") // array<int>
+    val eSim = intercept[Exception] {
+      ints.select(exprs.simhash64(col("v"))).collect()
+    }
+    assert(eSim.getMessage.contains("array<bigint>"), eSim.getMessage)
+    val eMin = intercept[Exception] {
+      Seq(1L).toDF("v").select(exprs.text_minhash_sig(col("v"))).collect()
+    }
+    assert(eMin.getMessage.contains("string"), eMin.getMessage)
+  }
 }
 
 class VecSpec extends AnyFunSuite {
@@ -127,6 +144,16 @@ class DedupSpec extends AnyFunSuite {
     val r = dedup.Dedup.ngramJaccard(corpus, cands, minJaccard = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(r === Set((1L, 2L))) // unrelated pair filtered out
+  }
+
+  test("candidate functions release intermediates; caller owns only the result") {
+    spark.catalog.clearCache()
+    val result = dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3)
+    // exactly one persisted RDD left: the materialized candidate result
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter === 1, s"expected 1 persisted RDD, got $cachedAfter")
+    result.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 }
 
