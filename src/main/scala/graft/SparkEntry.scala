@@ -1112,6 +1112,212 @@ object SparkEntry {
       |  md5(text) AS checksum, 'text/plain' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // =================== §2.4 training-data pipeline, round 2 ===================
+
+  /** DuckDB canonical-words list (empty list for wordless docs). */
+  private val wordsListSql =
+    s"CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($canonSql, ' ') END"
+
+  private def textChunkWindows(s: SparkSession, dir: String): DataFrame =
+    text.Chunking.chunkByWords(Tables.documents(s, dir), 40)
+      .orderBy("doc_id", "chunk_idx")
+
+  private val textChunkWindowsSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(0, GREATEST(CAST(ceil(len(w) / 40.0) AS BIGINT) - 1, 0)),
+       |    i -> {'ci': i,
+       |          'txt': array_to_string(w[i*40+1 : i*40+40], ' '),
+       |          'nw': LEAST(len(w) - i*40, 40)}) AS chunks
+       |  FROM d),
+       |u AS (SELECT doc_id, UNNEST(chunks) AS u FROM c)
+       |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.txt AS chunk_text,
+       |  CAST(u.nw AS BIGINT) AS n_words
+       |FROM u WHERE u.nw > 0 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private def pipePackBudget(s: SparkSession, dir: String): DataFrame =
+    text.Chunking.packByBudget(
+      Tables.documents(s, dir), text.Text.bpeTokenCount(col("text")), 2048)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("source", "pack_id")
+
+  private val pipePackBudgetSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '${text.Text.bpeTokenPattern}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT source, CAST((GREATEST(cum, 1) - 1) // 2048 AS BIGINT) AS pack_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
+  private def textGopherQuality(s: SparkSession, dir: String): DataFrame =
+    text.Gopher.metrics(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textGopherQualitySql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST($wcSql AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
+       |    CAST(length(replace($c, ' ', '')) AS BIGINT) AS n_word_chars,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    $wordsListSql AS w
+       |  FROM documents),
+       |tw AS (
+       |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM m, UNNEST(m.w) AS t(g) GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |j AS (
+       |  SELECT m.doc_id, n_words, n_distinct, COALESCE(top_word_n, 0) AS top_word_n,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END AS dup_frac,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_words END AS top_word_frac,
+       |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / n_words END AS mean_word_len,
+       |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio
+       |  FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id)
+       |SELECT doc_id, n_words, n_distinct, top_word_n, dup_frac, top_word_frac,
+       |  mean_word_len, symbol_ratio,
+       |  (n_words >= 5 AND n_words <= 1000 AND dup_frac < 0.6
+       |   AND top_word_frac < 0.2 AND symbol_ratio < 0.3) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: docs sharing any 5-gram with the held-out
+    * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
+    */
+  private def dedupContaminated(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    dedup.Contamination.sharedGrams(
+      docs.where(col("doc_id") % 50 =!= 0),
+      docs.where(col("doc_id") % 50 === 0),
+      gramK = 5)
+      .orderBy("doc_id")
+  }
+
+  private val dedupContaminatedSql = {
+    val shSql =
+      s"""CASE WHEN length($canonSql) = 0 THEN CAST(NULL AS VARCHAR[])
+         |  WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+         |  ELSE list_distinct(list_transform(
+         |    generate_series(1, len(w) - 4),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+         |END""".stripMargin
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM documents),
+       |d AS (SELECT doc_id, $shSql AS sh FROM d0),
+       |ev AS (SELECT DISTINCT g FROM d, UNNEST(d.sh) AS t(g) WHERE doc_id % 50 = 0),
+       |c AS (SELECT d.doc_id, g FROM d, UNNEST(d.sh) AS t(g) WHERE doc_id % 50 <> 0)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |FROM c JOIN ev USING (g) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private def sampStratified(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.stratified(
+      Tables.documents(s, dir), col("doc_id"), col("lang"),
+      rates = Map("en" -> 0.375, "de" -> 0.1875, "es" -> 0.1875, "fr" -> 0.1875),
+      defaultRate = 0.0625)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  private val sampStratifiedSql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+      |  CASE lang WHEN 'en' THEN '60' WHEN 'de' THEN '30' WHEN 'es' THEN '30'
+      |            WHEN 'fr' THEN '30' ELSE '10' END
+      |ORDER BY doc_id""".stripMargin
+
+  private def vecInt8Quant(s: SparkSession, dir: String): DataFrame = {
+    val q = vec.Vec.quantize(col("embedding"))
+    Tables.embeddings(s, dir)
+      .select(
+        col("vec_id"),
+        vec.Vec.dotQ(q, q).as("norm_q"),
+        array_join(
+          transform(vec.Vec.int8Normalize(col("embedding")), x => x.cast("string")),
+          ",").as("q8"))
+      .orderBy("vec_id")
+  }
+
+  private val vecInt8QuantSql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS norm_q
+      |  FROM q)
+      |SELECT vec_id, norm_q,
+      |  array_to_string(list_transform(q, x ->
+      |    CAST(CASE WHEN norm_q = 0 THEN 0
+      |         ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(norm_q AS DOUBLE))) AS BIGINT)
+      |    END AS VARCHAR)), ',') AS q8
+      |FROM n ORDER BY vec_id""".stripMargin
+
+  private def textNormalizeScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        text.Text.normalizeWs(col("text")).as("norm_text"),
+        text.Text.scrubPii(col("text")).as("scrubbed"),
+        length(col("text")).cast("long").as("n_raw"),
+        length(text.Text.normalizeWs(col("text"))).cast("long").as("n_norm"))
+      .orderBy("doc_id")
+
+  private val textNormalizeScrubSql =
+    s"""SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g')) AS norm_text,
+       |  regexp_replace(regexp_replace(text,
+       |    '${text.Text.emailPattern}', '<EMAIL>', 'g'),
+       |    '${text.Text.longDigitsPattern}', '<NUM>', 'g') AS scrubbed,
+       |  CAST(length(text) AS BIGINT) AS n_raw,
+       |  CAST(length(trim(regexp_replace(lower(text), '[ \\t\\n\\r]+', ' ', 'g'))) AS BIGINT) AS n_norm
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  private def qNgramTopk(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(text.Text.shingles(col("text"), 3)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("gram"))
+      .limit(20)
+
+  private val qNgramTopkSql = {
+    val shSql =
+      s"""CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[])
+         |  WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+         |  ELSE list_transform(generate_series(1, len(w) - 2),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |END""".stripMargin
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM documents),
+       |d AS (SELECT doc_id, $shSql AS sh FROM d0),
+       |u AS (SELECT g FROM d, UNNEST(d.sh) AS t(g))
+       |SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM u GROUP BY g ORDER BY n DESC, gram LIMIT 20""".stripMargin
+  }
+
+  private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
+    sources.Orc.read(s, s"$tmp/nation")
+      .select(
+        col("n_nationkey").cast("long").as("n_nationkey"),
+        col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("n_nationkey")
+  }
+
+  private val snkOrcRoundtripSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1176,7 +1382,16 @@ object SparkEntry {
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
-    "mm_binary_meta" -> (mmBinaryMeta _)
+    "mm_binary_meta" -> (mmBinaryMeta _),
+    "text_chunk_windows" -> (textChunkWindows _),
+    "pipe_pack_budget" -> (pipePackBudget _),
+    "text_gopher_quality" -> (textGopherQuality _),
+    "dedup_contaminated" -> (dedupContaminated _),
+    "samp_stratified" -> (sampStratified _),
+    "vec_int8_quant" -> (vecInt8Quant _),
+    "text_normalize_scrub" -> (textNormalizeScrub _),
+    "q_ngram_topk" -> (qNgramTopk _),
+    "snk_orc_roundtrip" -> (snkOrcRoundtrip _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1239,6 +1454,15 @@ object SparkEntry {
     "text_quality" -> textQualitySql,
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
-    "mm_binary_meta" -> mmBinaryMetaSql
+    "mm_binary_meta" -> mmBinaryMetaSql,
+    "text_chunk_windows" -> textChunkWindowsSql,
+    "pipe_pack_budget" -> pipePackBudgetSql,
+    "text_gopher_quality" -> textGopherQualitySql,
+    "dedup_contaminated" -> dedupContaminatedSql,
+    "samp_stratified" -> sampStratifiedSql,
+    "vec_int8_quant" -> vecInt8QuantSql,
+    "text_normalize_scrub" -> textNormalizeScrubSql,
+    "q_ngram_topk" -> qNgramTopkSql,
+    "snk_orc_roundtrip" -> snkOrcRoundtripSql
   )
 }

@@ -27,6 +27,17 @@ object JsonSink {
       .json(path)
 }
 
+/** ORC sink, pairing sources.Orc — the second columnar wire format of
+  * the load surface (Spark-native: splits, predicate pushdown, and
+  * column pruning behave as for parquet).
+  */
+object OrcSink {
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit =
+    df.write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .orc(path)
+}
+
 /** Parquet sink with full-refresh semantics — the reference's
   * TRUNCATE-then-reload (`_base_copy.py:102-113`) maps to Spark's
   * atomic `Overwrite` mode; partitioned refresh uses dynamic partition

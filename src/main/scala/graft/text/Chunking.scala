@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Context-window preparation for training pipelines: split documents
+  * into fixed word windows, and pack documents into token-budget groups.
+  *
+  * Both ops are map-side / single-shuffle and declarative:
+  *  - chunking is a per-row array transform + explode (no shuffle; at
+  *    100 TB it streams through the scan),
+  *  - packing is one window aggregation per stream key (one shuffle on
+  *    the stream key, reusing Spark's running-sum window machinery).
+  */
+object Chunking {
+
+  /** Explode each document into `windowWords`-word chunks (stride =
+    * window, no overlap). Output: input columns in `keep` + (chunk_idx,
+    * chunk_text, n_words). Documents with no canonical words produce no
+    * chunks.
+    *
+    * The words array and chunk count are bound ONCE per row via the
+    * single-element-array let-binding (see Text.shingles) — naively
+    * referencing `words(text)` inside the chunk lambda would re-split
+    * the text once per chunk.
+    */
+  def chunkByWords(
+      docs: DataFrame,
+      windowWords: Int,
+      textCol: String = "text",
+      keep: Seq[String] = Seq("doc_id")): DataFrame = {
+    require(windowWords > 0, "windowWords must be positive")
+    val chunksCol: Column = element_at(
+      transform(
+        array(Text.words(col(textCol))),
+        w => {
+          val nChunks = floor((size(w) + (windowWords - 1)) / lit(windowWords.toDouble)).cast("int")
+          transform(
+            sequence(lit(0), greatest(nChunks - 1, lit(0))),
+            i => struct(
+              i.cast("long").as("chunk_idx"),
+              array_join(slice(w, i * windowWords + 1, lit(windowWords)), " ").as("chunk_text"),
+              least(size(w) - i * windowWords, lit(windowWords)).cast("long").as("n_words")))
+        }),
+      1)
+    docs
+      .select(keep.map(col) :+ explode(chunksCol).as("c"): _*)
+      .select(keep.map(col) :+ col("c.chunk_idx") :+ col("c.chunk_text") :+ col("c.n_words"): _*)
+      .where(col("n_words") > 0)
+  }
+
+  /** Greedy sequential packing: within each `streamCol` group, documents
+    * (in `orderCol` order) are assigned to packs of ~`budget` tokens by
+    * running token total — pack p holds the docs whose cumulative count
+    * falls in (p*budget, (p+1)*budget]. The classic distributed
+    * formulation of context-window packing: a running-sum window, no
+    * driver loop, one shuffle on the stream key.
+    */
+  def packByBudget(
+      docs: DataFrame,
+      tokensCol: Column,
+      budget: Long,
+      streamCol: String = "source",
+      orderCol: String = "doc_id"): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(streamCol)
+      .orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", tokensCol)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      // greatest() guards cum=0 (a leading zero-token doc): Spark `div`
+      // truncates toward zero while SQL `//` floors, so keep the
+      // numerator non-negative for cross-engine parity.
+      .withColumn("pack_id", expr(s"(greatest(cum_tokens, 1) - 1) div $budget"))
+  }
+}

@@ -113,6 +113,27 @@ object Text {
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(bpeTokenPattern), lit(0))).cast("long")
 
+  /** Whitespace/case normalization for ingest: lowercase, collapse all
+    * whitespace runs (space, tab, newline, CR) to single spaces, trim.
+    * Unlike `canon` it PRESERVES punctuation — this is the lossless-ish
+    * cleanup pass a corpus gets before quality scoring, where `canon` is
+    * the lossy canonical form used for hashing.
+    */
+  def normalizeWs(text: Column): Column =
+    trim(regexp_replace(lower(text), "[ \\t\\n\\r]+", " "))
+
+  /** PII scrubbing: replace email addresses and long digit runs with
+    * typed placeholder tokens. Patterns restricted to constructs that
+    * behave identically in Java regex and DuckDB RE2 (character classes,
+    * bounded repetition, no backrefs/lookarounds).
+    */
+  val emailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+  val longDigitsPattern = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      longDigitsPattern, "<NUM>")
+
   /** Exact content fingerprint of the canonical text (cross-engine md5). */
   def fingerprintMd5(text: Column): Column = md5(canon(text).cast("binary"))
 

@@ -42,6 +42,33 @@ object Vec {
     when(n2 === 0.0, lit(0.0)).otherwise(dotF(a, b) / sqrt(n2))
   }
 
+  /** Int8 quantization of the L2-normalized vector: each component maps
+    * to round(127 * q_i / ||q||) over the exact milli-unit quantized
+    * vector, so both the norm (integer dot) and the single per-component
+    * double division are deterministic cross-engine. The standard storage
+    * shrink for ANN at scale: 4 bytes/dim float -> 1 byte/dim.
+    *
+    * The quantized array and its norm are bound ONCE per row via the
+    * single-element-struct let-binding — referencing them directly inside
+    * the per-component lambda would recompute the quantization (and the
+    * O(d) norm!) for every component.
+    */
+  def int8Normalize(v: Column): Column = {
+    val q = quantize(v)
+    element_at(
+      transform(
+        array(struct(q.as("q"), dotQ(q, q).as("n"))),
+        s =>
+          transform(
+            s.getField("q"),
+            x =>
+              when(s.getField("n") === 0L, lit(0L))
+                .otherwise(
+                  round(x.cast("double") * 127.0 / sqrt(s.getField("n").cast("double")))
+                    .cast("long")))),
+      1)
+  }
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH: `planes(p, d)`
     * gives p rows of d components in [-1, 1), derived from Mix64(seed).
     */

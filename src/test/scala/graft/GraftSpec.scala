@@ -448,6 +448,125 @@ class PropertySpec extends AnyFunSuite {
   }
 }
 
+class ChunkingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("chunkByWords: exact multiple, remainder, short and empty docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // 6 words, window 2 -> 3 chunks
+      (2L, "x y z"),       // remainder chunk of 1
+      (3L, "solo"),        // single short chunk
+      (4L, "")             // no chunks
+    ).toDF("doc_id", "text")
+    val r = text.Chunking.chunkByWords(docs, 2).orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(r === Seq(
+      (1L, 0L, "a b", 2L), (1L, 1L, "c d", 2L), (1L, 2L, "e f", 2L),
+      (2L, 0L, "x y", 2L), (2L, 1L, "z", 1L),
+      (3L, 0L, "solo", 1L)))
+  }
+
+  test("packByBudget: running total splits packs at the budget boundary") {
+    val docs = Seq(
+      (1L, "s", 1000L), (2L, "s", 1000L), (3L, "s", 1000L), // cum 1000,2000,3000
+      (4L, "t", 5000L)                                      // oversized doc -> own pack
+    ).toDF("doc_id", "source", "nt")
+    val r = text.Chunking.packByBudget(docs, col("nt"), 2048)
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L))
+  }
+}
+
+class GopherSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("repetitive doc flagged, varied doc kept") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),
+      (2L, "a genuinely varied sentence with many different interesting words here")
+    ).toDF("doc_id", "text")
+    val r = text.Gopher.metrics(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep") === false) // top_word_frac = 1.0
+    assert(r(0).getAs[Long]("top_word_n") === 8L)
+    assert(r(0).getAs[Double]("dup_frac") > 0.8)
+    assert(r(1).getAs[Boolean]("keep") === true)
+    assert(r(1).getAs[Double]("dup_frac") === 0.0)
+  }
+}
+
+class ContaminationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("doc sharing a 5-gram with the eval set is flagged; unrelated doc is not") {
+    val evalSet = Seq((100L, "the secret benchmark question about spark internals")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then the secret benchmark question about spark internals and more"),
+      (2L, "completely unrelated text with no overlap whatsoever in any gram")
+    ).toDF("doc_id", "text")
+    val r = dedup.Contamination.sharedGrams(corpus, evalSet, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(r.contains(1L) && r(1L) >= 1L)
+    assert(!r.contains(2L))
+  }
+}
+
+class SampleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+
+  test("deterministic: identical sample on every run, disjoint strata rates") {
+    val take = () => ops.Sample.stratified(df, col("id"), col("s"), Map("a" -> 0.5), 0.1)
+      .as[(Long, String)].collect().toSet
+    val s1 = take()
+    assert(s1 === take())
+    val aRate = s1.count(_._2 == "a") / 500.0
+    val bRate = s1.count(_._2 == "b") / 500.0
+    assert(aRate > 0.4 && aRate < 0.6, s"a rate $aRate")
+    assert(bRate > 0.04 && bRate < 0.17, s"b rate $bRate")
+  }
+
+  test("rate 1.0 keeps everything, 0.0 keeps nothing") {
+    assert(ops.Sample.stratified(df, col("id"), col("s"), Map("a" -> 1.0, "b" -> 1.0)).count() === 1000L)
+    assert(ops.Sample.stratified(df, col("id"), col("s"), Map.empty, 0.0).count() === 0L)
+  }
+}
+
+class VecInt8Spec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("int8Normalize: unit-norm output scale, zero vector maps to zeros") {
+    val df = Seq(
+      (1L, Seq(3f, 4f)),       // classic 3-4-5
+      (2L, Seq(0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val r = df.select(col("vec_id"), vec.Vec.int8Normalize(col("embedding")).as("q8"))
+      .orderBy("vec_id").collect()
+    val v1 = r(0).getSeq[Long](1)
+    assert(v1 === Seq(76L, 102L)) // 127*(3,4)/5 rounded
+    assert(r(1).getSeq[Long](1) === Seq(0L, 0L))
+  }
+}
+
+class ScrubSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("normalizeWs collapses whitespace; scrubPii redacts emails and long digit runs") {
+    val df = Seq("Mail  me\tat bob.smith+x@example.co.uk\n or call 123456789  now").toDF("text")
+    val r = df.select(
+      text.Text.normalizeWs(col("text")),
+      text.Text.scrubPii(col("text"))).collect()(0)
+    assert(r.getString(0) === "mail me at bob.smith+x@example.co.uk or call 123456789 now")
+    assert(r.getString(1) === "Mail  me\tat <EMAIL>\n or call <NUM>  now")
+  }
+}
+
 class DedupStreamSpec extends AnyFunSuite {
   import TestSpark._
 
