@@ -5,39 +5,31 @@ import org.apache.spark.sql.functions._
 /** Dev scratchpad (not part of the library surface). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = GraftSession.local(4, 4)
-    import spark.implicits._
-    val dir = "/root/testdata/sf0.001"
+    val spark = GraftSession.local(8, 8)
+    val dir = "/root/testdata/sf0.01"
 
-    // ShingleBlock on degenerate + unicode inputs: empty, punctuation-only,
-    // null, short (<k words), exact-dup pair, unicode separators.
-    val probe = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog"),
-      (3L, ""),
-      (4L, "?!., --"),
-      (5L, null.asInstanceOf[String]),
-      (6L, "two words"),
-      (7L, "héllo wörld héllo wörld naïve café")
-    ).toDF("doc_id", "text")
-    val blocked = probe
-      .select(col("doc_id"), functions.exprs.shingle_block(col("text"), 3, 3).as("b"))
-    blocked.show(10, truncate = false)
-    // Parity probe: identical docs => identical (pfx, sh); empty/punct/null => null
-    val rows = blocked.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
-    assert(rows(1L) != null && rows(1L).toString == rows(2L).toString, "exact dups must match")
-    assert(rows(3L) == null && rows(4L) == null && rows(5L) == null, "no-word docs must be null")
-    assert(rows(6L) != null && rows(6L).getSeq[Long](1).length == 1, "short doc = one whole-text shingle")
-    // Unicode: separators split on non-ASCII letters exactly like Text.canon
-    val sparkWords = probe.where(col("doc_id") === 7L)
-      .select(text.Text.words(col("text"))).collect()(0).getSeq[String](0)
-    println(s"canon words of unicode doc: $sparkWords")
-    assert(rows(7L).getSeq[Long](1).nonEmpty)
+    def scanAudit(name: String): Unit = {
+      val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      val reads = "ReadSchema: ([^\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+      println(s"== $name scans ==")
+      reads.foreach(r => println(s"  $r"))
+    }
+    Seq("text_gopher_quality", "dedup_contaminated", "text_chunk_windows",
+      "pipe_pack_budget", "samp_stratified", "vec_int8_quant").foreach(scanAudit)
 
-    // Plan of the rewritten ngram-jaccard query: expect a single parquet
-    // scan of (doc_id, text), shingle_block inside project, one exchange
-    // on pfx for the self-join.
-    SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).explain("formatted")
+    // timing probe for pipe_corpus_prep stages at sf0.1
+    val sf = "/root/testdata/sf0.1"
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    val docs = Tables.documents(spark, sf)
+    time("warm docs")(docs.count())
+    time("exact dedup")(dedup.Dedup.exact(docs).count())
+    val surv = docs.join(dedup.Dedup.exact(docs).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val cand = time("minhashCandidates")(dedup.Dedup.minhashCandidates(surv, minEstJaccard = 0.8))
+    time("corpus_prep full")(pipeline.CorpusPrep.clean(docs).count())
+    cand.unpersist()
     spark.stop()
   }
 }

@@ -1302,6 +1302,58 @@ object SparkEntry {
        |FROM u GROUP BY g ORDER BY n DESC, gram LIMIT 20""".stripMargin
   }
 
+  /** IVF with k-means-fitted centroids persisted as index metadata: the
+    * production ANN path — build index once (IvfIndex.build), load, probe.
+    * Rows-only check (centroid fit is engine-internal float math).
+    */
+  private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    ann.IvfIndex.build(emb, s"$tmp/index", k = 16, iters = 1)
+    val cents = ann.IvfIndex.load(s, s"$tmp/index")
+    ann.Ann.ivfTopK(emb, annQueryIds, 10, centroids = Some(cents.toSeq.map(_.toSeq)))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Bounded interval join via ops.RangeJoin (bucketized equi-join, not
+    * BroadcastNestedLoop): purchases within the hour after each signup.
+    */
+  private def qEventsRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    // µs resolution on both sides (oracle-parity rule: never compare or
+    // output raw ns — DuckDB builds differ on TIMESTAMP(NANOS) precision)
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_id"),
+        expr("ts_ns div 1000").as("s_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ns div 1000").as("p_us"))
+    val hourUs = 3600L * 1000L * 1000L
+    val matched = ops.RangeJoin
+      .within(signups, purchases, Seq("user_id"), "s_us", "p_us", 1L, hourUs)
+      .groupBy("s_id").agg(count(lit(1)).as("n_purchases"))
+    signups
+      .join(matched, Seq("s_id"), "left_outer")
+      .select(
+        col("user_id"),
+        col("s_id").as("event_id"),
+        col("s_us").as("signup_us"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qEventsRangeJoinSql =
+    """WITH s AS (
+      |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS sn
+      |  FROM events WHERE event_type = 'signup'),
+      |p AS (
+      |  SELECT user_id, epoch_ns(ts) // 1000 AS pn
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT s.user_id AS user_id, s.event_id AS event_id, s.sn AS signup_us,
+      |  CAST(COUNT(p.pn) AS BIGINT) AS n_purchases
+      |FROM s LEFT JOIN p
+      |  ON p.user_id = s.user_id AND p.pn >= s.sn + 1 AND p.pn <= s.sn + 3600000000
+      |GROUP BY 1, 2, 3 ORDER BY s.user_id, s.event_id""".stripMargin
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -1391,16 +1443,19 @@ object SparkEntry {
     "vec_int8_quant" -> (vecInt8Quant _),
     "text_normalize_scrub" -> (textNormalizeScrub _),
     "q_ngram_topk" -> (qNgramTopk _),
-    "snk_orc_roundtrip" -> (snkOrcRoundtrip _)
+    "snk_orc_roundtrip" -> (snkOrcRoundtrip _),
+    "ann_ivf_kmeans" -> (annIvfKmeans _),
+    "q_events_range_join" -> (qEventsRangeJoin _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. All seven rows-only queries, and why:
+    * weaker rows-only check. All eight rows-only queries, and why:
     * LSH/sketch-derived candidate sets built on engine-internal hash
     * families are not SQL-expressible — dedup_minhash, dedup_simhash,
-    * dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk, q_approx_distinct
-    * (HLL sketch; its spec bounds error <5% vs exact), and
-    * pipe_corpus_prep (composes the minhash candidate stage).
+    * dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk, ann_ivf_kmeans
+    * (k-means centroid fit), q_approx_distinct (HLL sketch; its spec
+    * bounds error <5% vs exact), and pipe_corpus_prep (composes the
+    * minhash candidate stage).
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1463,6 +1518,7 @@ object SparkEntry {
     "vec_int8_quant" -> vecInt8QuantSql,
     "text_normalize_scrub" -> textNormalizeScrubSql,
     "q_ngram_topk" -> qNgramTopkSql,
-    "snk_orc_roundtrip" -> snkOrcRoundtripSql
+    "snk_orc_roundtrip" -> snkOrcRoundtripSql,
+    "q_events_range_join" -> qEventsRangeJoinSql
   )
 }

@@ -20,6 +20,35 @@ import org.apache.spark.sql.expressions.Window
   * and rounded to 6 decimals *before* ranking so ranking is deterministic
   * and oracle-reproducible; vec_id breaks ties.
   */
+/** Cell scoring against a fixed centroid set — shared by IVF assignment,
+  * probing, and k-means fitting. All `p` centroid dots run in ONE
+  * imperative pass (PlaneDots); the vector norm is bound once via the
+  * single-element-array transform (referencing it raw inside the
+  * zip_with lambda would recompute it per centroid).
+  */
+private[ann] object Cells {
+
+  /** cosine of v against every centroid, as an array<double> column. */
+  def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val centroidNorms = typedLit(centroids.map(c => math.sqrt(c.map(x => x * x).sum)))
+    val dots = graft.functions.exprs.plane_dots(v, centroids)
+    val nvExpr = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    element_at(
+      transform(array(nvExpr), nv =>
+        zip_with(dots, centroidNorms, (dt, cn) =>
+          when(nv === 0.0, lit(-2.0)).otherwise(dt / (sqrt(nv) * cn)))),
+      1)
+  }
+
+  /** index (0-based) of the best-scoring cell, ties to lower index */
+  def bestCell(v: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scores = cellScores(v, centroids)
+    element_at(
+      transform(array(scores), s => array_position(s, array_max(s)) - 1), 1)
+  }
+}
+
 object Ann {
 
   /** Reduce scored candidates to top-k per query via the two-phase
@@ -59,65 +88,47 @@ object Ann {
   /** IVF (inverted-file) top-k: corpus is partitioned into cells around
     * centroid vectors; queries probe only the `nProbe` nearest cells.
     *
-    * Centroids here are a deterministic sample (lowest `nCentroids`
-    * vec_ids) — at production scale they'd come from a k-means pass and
-    * be persisted with the index; the assignment/probe dataflow is the
-    * same either way. Centroids are driver-collected (they are index
-    * metadata, O(C*d) small) and broadcast as literals so assignment is
-    * a map-side expression — the corpus never shuffles.
+    * `centroids`: pass a fitted set (KMeans.fit / IvfIndex.load) — the
+    * production path, where the index is built once and persisted as
+    * metadata; `None` falls back to a deterministic sample (lowest
+    * `nCentroids` vec_ids). Either way centroids are driver-collected
+    * index metadata (O(C*d) small) broadcast as literals, so assignment
+    * is a map-side expression — the corpus never shuffles.
     */
   def ivfTopK(
       embeddings: DataFrame,
       queryIds: Seq[Long],
       k: Int = 10,
       nCentroids: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val centroids: Array[(Long, Seq[Double])] = embeddings
-      .where(col("vec_id") < nCentroids)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-      .sortBy(_._1)
-
-    // cosine of v against every centroid: all dots in ONE imperative pass
-    // (PlaneDots), then a cheap per-element normalize over the p-array.
-    // The vector norm is bound once via the single-element-array transform
-    // (referencing it raw inside the zip_with lambda would recompute it
-    // per centroid).
-    val centroidNorms = typedLit(centroids.toSeq.map { case (_, c) => math.sqrt(c.map(x => x * x).sum) })
-    def cellScoresArr(v: Column): Column = {
-      val dots = graft.functions.exprs.plane_dots(v, centroids.toSeq.map(_._2))
-      val nvExpr = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      element_at(
-        transform(array(nvExpr), nv =>
-          zip_with(dots, centroidNorms, (dt, cn) =>
-            when(nv === 0.0, lit(-2.0)).otherwise(dt / (sqrt(nv) * cn)))),
-        1)
+      nProbe: Int = 4,
+      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cents: Seq[Seq[Double]] = centroids.getOrElse {
+      embeddings
+        .where(col("vec_id") < nCentroids)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+        .sortBy(_._1)
+        .toSeq
+        .map(_._2)
     }
-
-    /** index (0-based) of the best-scoring cell, ties to lower index */
-    def bestCell(v: Column): Column = {
-      val scores = cellScoresArr(v)
-      element_at(
-        transform(array(scores), s => array_position(s, array_max(s)) - 1), 1)
-    }
+    val nCells = cents.length
 
     val corpus = embeddings.select(
       col("vec_id"), Vec.quantize(col("embedding")).as("cv"),
-      bestCell(col("embedding")).as("cell"))
+      Cells.bestCell(col("embedding"), cents).as("cell"))
 
     // queries probe their nProbe best cells
     val qBase = embeddings.where(col("vec_id").isInCollection(queryIds))
     val qScored = qBase.select(
       col("vec_id").as("query_id"), Vec.quantize(col("embedding")).as("qv"),
-      cellScoresArr(col("embedding")).as("scores"))
+      Cells.cellScores(col("embedding"), cents).as("scores"))
     val qProbes = qScored.select(
       col("query_id"), col("qv"),
       explode(slice(
         transform(
           array_sort(
-            zip_with(col("scores"), sequence(lit(0), lit(nCentroids - 1)),
+            zip_with(col("scores"), sequence(lit(0), lit(nCells - 1)),
               (s, i) => struct((-s).as("neg"), i.as("idx")))),
           e => e.getField("idx")),
         1, nProbe)).as("cell"))

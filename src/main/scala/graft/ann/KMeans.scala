@@ -1,0 +1,101 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an `array<float>` embedding column,
+  * cosine-assignment flavor (spherical k-means), used to fit IVF index
+  * centroids.
+  *
+  * Scale shape per iteration:
+  *  - assignment is a MAP-SIDE expression: centroids are index metadata
+  *    (O(k*d), collected once per iteration) broadcast as literals into a
+  *    fused PlaneDots pass — the corpus never shuffles;
+  *  - the update step shuffles only (cell, dim) partial sums with
+  *    map-side combine: k*d rows total, independent of corpus size.
+  * Initialization is deterministic (lowest `k` ids), so fits are
+  * reproducible run-to-run — index builds must be.
+  */
+object KMeans {
+
+  def fit(
+      embeddings: DataFrame,
+      k: Int,
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    var centroids: Array[Array[Double]] = embeddings
+      .where(col(idCol) < k)
+      .orderBy(idCol)
+      .select(vecCol)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(centroids.nonEmpty, s"need at least one of the $k lowest ids present")
+
+    for (_ <- 0 until iters) {
+      val cell = Cells.bestCell(col(vecCol), centroids.toSeq.map(_.toSeq))
+      val partials = embeddings
+        .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      val counts = new Array[Long](centroids.length)
+      partials.foreach { r =>
+        val c = r.getAs[Number]("cell").intValue()
+        counts(c) = r.getLong(3)
+      }
+      partials.foreach { r =>
+        val c = r.getAs[Number]("cell").intValue()
+        val p = r.getInt(1)
+        if (counts(c) > 0) next(c)(p) = r.getDouble(2) / counts(c)
+      }
+      centroids = next // empty cells keep their previous centroid
+    }
+    centroids
+  }
+
+  /** Within-cluster cosine objective (sum of best-cell cosines — HIGHER
+    * is better for spherical k-means). Used by specs to assert
+    * iterations do not degrade the fit.
+    */
+  def objective(embeddings: DataFrame, centroids: Array[Array[Double]], vecCol: String = "embedding"): Double = {
+    val scores = Cells.cellScores(col(vecCol), centroids.toSeq.map(_.toSeq))
+    embeddings
+      .select(array_max(scores).as("best"))
+      .agg(sum("best"))
+      .collect()(0)
+      .getDouble(0)
+  }
+}
+
+/** Persisted IVF index metadata: centroids as (cell, centroid) parquet.
+  * At 100 TB the index is built once (k-means over a sample or the full
+  * corpus) and reused by every probe job — exactly like the reference's
+  * ANALYZE-once-then-query lifecycle, but for vector search.
+  */
+object IvfIndex {
+
+  def build(
+      embeddings: DataFrame,
+      path: String,
+      k: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
+    val spark = embeddings.sparkSession
+    val centroids = KMeans.fit(embeddings, k, iters)
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    centroids
+  }
+
+  def load(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy("cell")
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+}

@@ -65,8 +65,11 @@ object Dedup {
     // The signature subtree is the expensive part and feeds BOTH sides of
     // the self-join plus the verify re-join; persist it once (at 100 TB:
     // MEMORY_AND_DISK, or checkpoint to the signature store).
-    val sigs = signatures(docs, k).where(col("sig").isNotNull)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Persist BELOW the null filter: filtering the un-cached projection
+    // would let Catalyst push `isnotnull(minhash(text))` under the
+    // project and evaluate the k-permutation kernel TWICE per row.
+    val sigsAll = signatures(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where(col("sig").isNotNull)
     val banded = sigs
       .select(
         col("doc_id"),
@@ -80,11 +83,13 @@ object Dedup {
     // collision (shared headers/templates), not near-duplication — and it
     // would quadratically dominate the self-join. Drop those buckets; the
     // doc pairs they contain still meet in their other (discriminative)
-    // bands if genuinely similar.
-    val bounded = banded.join(
-      banded.groupBy("band", "bh").count().where(col("count") <= maxBucketSize)
-        .select("band", "bh"),
-      Seq("band", "bh"))
+    // bands if genuinely similar. A count-window over (band, bh) needs ONE
+    // shuffle of the banded frame, where groupBy-count + re-join needs two.
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    val bounded = banded
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val pairs = bounded
       .as("l")
       .join(bounded.as("r"), Seq("band", "bh"))
@@ -102,17 +107,19 @@ object Dedup {
           (acc, v) => acc + v).cast("double") / k)
     materializeThenRelease(
       est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard"),
-      sigs)
+      sigsAll)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
     * guaranteed found by 4x16-bit banding).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sims = docs
+    // persist below the null filter (see minhashCandidates: a filter on
+    // the un-cached projection would double-evaluate the sketch kernel)
+    val simsAll = docs
       .select(col("doc_id"), exprs.simhash64(Text.hashedArray(Text.words(col("text")))).as("sh"))
-      .where(col("sh").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val sims = simsAll.where(col("sh").isNotNull)
     // shiftrightunsigned takes a literal shift, so build the 4 bands explicitly.
     val bandCols = (0 until 4).map(j =>
       struct(lit(j).as("band"), shiftrightunsigned(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("bh")))
@@ -130,7 +137,7 @@ object Dedup {
           call_function("bit_count", col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
         .where(col("hamming") <= maxHamming)
         .distinct(),
-      sims)
+      simsAll)
   }
 
   /** Exact n-gram Jaccard verification over candidate pairs.

@@ -19,18 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object CorpusPrep {
 
+  /** Returns the cleaned, annotated corpus — PERSISTED and materialized
+    * (same lifecycle contract as the Dedup candidate functions): the
+    * exact-dedup survivor-id set feeds both the near-dup stage and the
+    * final anti-join, so it is cached while this runs and released
+    * before returning. The caller owns `.unpersist()` of the result.
+    */
   def clean(
       docs: DataFrame,
       minWords: Long = 5,
       minEstJaccard: Double = 0.8): DataFrame = {
-    // 1. exact dedup: survivors only
-    val survivors = docs.join(
-      Dedup.exact(docs).select(col("doc_id")),
-      Seq("doc_id"),
-      "left_semi")
+    // 1. exact dedup: survivor ids — tiny (one long per unique doc), and
+    //    reused by stages 2 AND the final anti-join; without the cache the
+    //    content-hash aggregation over the full corpus runs three times.
+    val survivorIds = Dedup.exact(docs).select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
     // 2. near-dup removal: drop the higher id of each candidate pair
-    val nearDupLosers = Dedup
-      .minhashCandidates(survivors, minEstJaccard = minEstJaccard)
+    //    (minhashCandidates materializes eagerly while survivorIds is hot)
+    val nearDupCandidates = Dedup.minhashCandidates(survivors, minEstJaccard = minEstJaccard)
+    val nearDupLosers = nearDupCandidates
       .select(col("doc_b").as("doc_id"))
       .distinct()
     val unique = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
@@ -38,7 +46,7 @@ object CorpusPrep {
     val wc = Text.wordCount(col("text"))
     val uniq = when(size(Text.words(col("text"))) === 0, lit(0L))
       .otherwise(size(array_distinct(Text.words(col("text")))).cast("long"))
-    unique
+    val annotated = unique
       .withColumn("wc", wc)
       .withColumn("uniq_ratio", when(col("wc") === 0, lit(0.0)).otherwise(uniq / col("wc")))
       .where(col("wc") >= minWords && col("uniq_ratio") > 0.1)
@@ -49,5 +57,10 @@ object CorpusPrep {
         col("wc").as("n_words"),
         Text.bpeTokenCount(col("text")).as("n_tokens"),
         Text.fingerprintMd5(col("text")).as("fingerprint"))
+    val out = annotated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while survivorIds and the candidate set are cached
+    survivorIds.unpersist(blocking = false)
+    nearDupCandidates.unpersist(blocking = false)
+    out
   }
 }

@@ -448,6 +448,102 @@ class PropertySpec extends AnyFunSuite {
   }
 }
 
+class RangeJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bucketized interval join equals the naive BETWEEN join") {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) }
+    val r = Seq.fill(400)((rnd.nextInt(5).toLong, rnd.nextInt(10000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, i.toLong + 1000L, t) }
+    val lDf = l.toDF("k", "lid", "lt")
+    val rDf = r.toDF("k", "rid", "rt")
+    val got = ops.RangeJoin.within(lDf, rDf, Seq("k"), "lt", "rt", 1L, 500L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (lk, lid, lt) <- l
+      (rk, rid, rt) <- r
+      if lk == rk && rt >= lt + 1 && rt <= lt + 500
+    } yield (lid, rid)).toSet
+    assert(got === want)
+  }
+
+  test("plans as a hash equi-join, not a nested-loop join") {
+    val lDf = spark.range(100).toDF("lt").withColumn("k", col("lt") % 3)
+    val rDf = spark.range(100).toDF("rt").withColumn("k", col("rt") % 3)
+    val plan = ops.RangeJoin.within(lDf, rDf, Seq("k"), "lt", "rt", 0L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+  }
+}
+
+class JdbcLifecycleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.SaveMode
+
+  test("lifecycle-style load into live Derby: TRUNCATE + parallel Append preserves DDL and PK") {
+    val url = s"jdbc:derby:memory:graft${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE loads (id BIGINT NOT NULL, name VARCHAR(32), " +
+        "CONSTRAINT loads_pk PRIMARY KEY (id))")
+      st.execute("INSERT INTO loads VALUES (999, 'stale')")
+      // the lifecycle's pre-load TRUNCATE, then the COPY-analog parallel append
+      sinks.SqlLifecycle.execute(conn, Seq("TRUNCATE TABLE loads"))
+      val df = spark.range(100).toDF("id")
+        .withColumn("name", concat(lit("row"), col("id")))
+      sinks.JdbcBulkSink.write(df, url, "loads", numPartitions = 4,
+        mode = SaveMode.Append)
+      val rs = st.executeQuery("SELECT COUNT(*), MIN(id), MAX(id) FROM loads")
+      rs.next()
+      assert((rs.getLong(1), rs.getLong(2), rs.getLong(3)) === ((100L, 0L, 99L)))
+      // table was appended into, not dropped/recreated: PK constraint intact
+      val pk = st.executeQuery(
+        "SELECT c.CONSTRAINTNAME FROM SYS.SYSCONSTRAINTS c " +
+          "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID " +
+          "WHERE t.TABLENAME = 'LOADS' AND c.TYPE = 'P'")
+      assert(pk.next() && pk.getString(1) === "LOADS_PK")
+    } finally conn.close()
+  }
+}
+
+class KMeansSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("spherical k-means: objective non-decreasing over iterations, deterministic") {
+    val emb = Tables.embeddings(spark, dir)
+    val objs = (0 to 2).map { it =>
+      KMeansObj.objective(emb, graft.ann.KMeans.fit(emb, 8, it))
+    }
+    assert(objs(1) >= objs(0) - 1e-9, s"iter1 ${objs(1)} < init ${objs(0)}")
+    assert(objs(2) >= objs(1) - 1e-9, s"iter2 ${objs(2)} < iter1 ${objs(1)}")
+    val a = graft.ann.KMeans.fit(emb, 8, 2).map(_.toSeq).toSeq
+    val b = graft.ann.KMeans.fit(emb, 8, 2).map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("IvfIndex round-trips centroids; fitted probe returns k rows per query") {
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    val built = graft.ann.IvfIndex.build(emb, s"$tmp/ix", k = 8, iters = 1)
+    val loaded = graft.ann.IvfIndex.load(spark, s"$tmp/ix")
+    assert(built.map(_.toSeq).toSeq === loaded.map(_.toSeq).toSeq)
+    val r = graft.ann.Ann.ivfTopK(emb, Seq(0L, 1L), 5,
+      centroids = Some(loaded.toSeq.map(_.toSeq)))
+    val perQuery = r.groupBy("query_id").count().collect()
+    assert(perQuery.length === 2 && perQuery.forall(_.getLong(1) === 5L))
+  }
+
+  private object KMeansObj {
+    def objective(emb: org.apache.spark.sql.DataFrame, c: Array[Array[Double]]): Double =
+      graft.ann.KMeans.objective(emb, c)
+  }
+}
+
 class ChunkingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
