@@ -1354,6 +1354,81 @@ object SparkEntry {
       |  ON p.user_id = s.user_id AND p.pn >= s.sn + 1 AND p.pn <= s.sn + 3600000000
       |GROUP BY 1, 2, 3 ORDER BY s.user_id, s.event_id""".stripMargin
 
+  /** TF-IDF-style distinctive terms: tf per (doc, word) and document
+    * frequency per word — two shuffles with map-side combine — scored by
+    * the deterministic single division tf/df, top-3 per doc.
+    */
+  private def textTfidfTopterms(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(text.Text.words(col("text"))).as("w"))
+    val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id").orderBy(desc("score"), col("w"))
+    tf.join(dfreq, "w")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rnk", row_number().over(win).cast("long"))
+      .where(col("rnk") <= 3)
+      .select("doc_id", "w", "tf", "df", "score", "rnk")
+      .orderBy("doc_id", "rnk")
+  }
+
+  private val textTfidfToptermsSql =
+    s"""WITH wx AS (
+       |  SELECT doc_id, g
+       |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) d, UNNEST(d.ws) AS t(g)),
+       |tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM wx GROUP BY 1, 2),
+       |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.g, tf.tf, dfq.df,
+       |    CAST(tf.tf AS DOUBLE) / dfq.df AS score
+       |  FROM tf JOIN dfq USING (g)),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, g) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT doc_id, g AS w, tf, df, score, rnk FROM r WHERE rnk <= 3
+       |ORDER BY doc_id, rnk""".stripMargin
+
+  /** Value histogram per event type (fixed-width buckets). */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), floor(col("value") / 10).cast("long").as("bucket"))
+      .groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "bucket")
+
+  private val qHistogramSql =
+    """SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
+  /** RANGE-frame rolling aggregation: 30-day rolling revenue and order
+    * count per customer — the value-range window frame (peers included),
+    * complementing q_window_suite's ROWS frames.
+    */
+  private def qRollingRange(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      datediff(to_date(col("o_orderdate")), lit("1990-01-01")).cast("long").as("day"),
+      cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-29, 0)
+    o.withColumn("rolling_cents", sum("price_cents").over(w))
+      .withColumn("rolling_n", count(lit(1)).over(w).cast("long"))
+      .select("o_custkey", "o_orderkey", "day", "price_cents", "rolling_cents", "rolling_n")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val qRollingRangeSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderkey,
+       |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+       |    ${centsSql("o_totalprice")} AS price_cents
+       |  FROM orders)
+       |SELECT o_custkey, o_orderkey, day, price_cents,
+       |  CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY day
+       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_cents,
+       |  CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_n
+       |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -1445,7 +1520,10 @@ object SparkEntry {
     "q_ngram_topk" -> (qNgramTopk _),
     "snk_orc_roundtrip" -> (snkOrcRoundtrip _),
     "ann_ivf_kmeans" -> (annIvfKmeans _),
-    "q_events_range_join" -> (qEventsRangeJoin _)
+    "q_events_range_join" -> (qEventsRangeJoin _),
+    "text_tfidf_topterms" -> (textTfidfTopterms _),
+    "q_histogram" -> (qHistogram _),
+    "q_rolling_range" -> (qRollingRange _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1519,6 +1597,9 @@ object SparkEntry {
     "text_normalize_scrub" -> textNormalizeScrubSql,
     "q_ngram_topk" -> qNgramTopkSql,
     "snk_orc_roundtrip" -> snkOrcRoundtripSql,
-    "q_events_range_join" -> qEventsRangeJoinSql
+    "q_events_range_join" -> qEventsRangeJoinSql,
+    "text_tfidf_topterms" -> textTfidfToptermsSql,
+    "q_histogram" -> qHistogramSql,
+    "q_rolling_range" -> qRollingRangeSql
   )
 }

@@ -663,6 +663,21 @@ class ScrubSpec extends AnyFunSuite {
   }
 }
 
+class CorpusPrepStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming corpus prep (foreachBatch) equals the batch pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("prep_out").toString
+    val streamed = streaming.CorpusPrepStream.runToParquet(spark, dir, s"$out/corpus")
+    val batch = pipeline.CorpusPrep.clean(Tables.documents(spark, dir))
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    batch.unpersist()
+    assert(s === b)
+    assert(s.nonEmpty)
+  }
+}
+
 class DedupStreamSpec extends AnyFunSuite {
   import TestSpark._
 
