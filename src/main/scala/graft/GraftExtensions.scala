@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSig, SimHash64, TextShingleMinHash}
+import graft.functions.{MinHashSig, ShingleBlock, SimHash64, TextShingleMinHash}
 import graft.plans.TopKStrategy
 
 /** Session extensions: the graft custom operator strategy plus SQL
@@ -45,5 +45,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+
+    e.injectFunction((
+      FunctionIdentifier("shingle_block"),
+      new ExpressionInfo(classOf[ShingleBlock].getName, "shingle_block"),
+      (args: Seq[Expression]) =>
+        ShingleBlock(
+          args.head,
+          if (args.length > 1) intArg(args(1), 3) else 3,
+          if (args.length > 2) intArg(args(2), 3) else 3)))
   }
 }

@@ -1429,6 +1429,51 @@ object SparkEntry {
        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_n
        |FROM o ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Near-dup clustering: connected components (iterative min-label
+    * propagation) over the blocked n-gram-Jaccard candidate graph; every
+    * clustered doc maps to its component's min doc_id. Oracle: DuckDB
+    * recursive CTE computing the same transitive closure.
+    */
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
+    val labels = dedup.Components.minLabel(edges)
+    val out = labels.orderBy("doc_id")
+    out
+  }
+
+  private val dedupClustersSql = {
+    // same candidate pairs as dedupNgramJaccardSql, then transitive
+    // closure via recursive CTE; min reachable id = cluster id
+    val wordsSql = s"string_split($canonSql, ' ')"
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
+       |    CASE WHEN length($canonSql) = 0 THEN []
+       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+       |         ELSE list_distinct(list_transform(
+       |            generate_series(1, len($wordsSql) - 2),
+       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |    END AS sh
+       |  FROM documents),
+       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |p AS (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE) /
+       |    CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
+       |      AS jaccard
+       |  FROM d2 l JOIN d2 r
+       |    ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id),
+       |pq AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pq
+       |  UNION SELECT doc_b, doc_a FROM pq),
+       |reach AS (
+       |  SELECT src AS node, dst AS lab FROM sym
+       |  UNION SELECT src, src FROM sym
+       |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src)
+       |SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+  }
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -1523,7 +1568,8 @@ object SparkEntry {
     "q_events_range_join" -> (qEventsRangeJoin _),
     "text_tfidf_topterms" -> (textTfidfTopterms _),
     "q_histogram" -> (qHistogram _),
-    "q_rolling_range" -> (qRollingRange _)
+    "q_rolling_range" -> (qRollingRange _),
+    "dedup_clusters" -> (dedupClusters _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1600,6 +1646,7 @@ object SparkEntry {
     "q_events_range_join" -> qEventsRangeJoinSql,
     "text_tfidf_topterms" -> textTfidfToptermsSql,
     "q_histogram" -> qHistogramSql,
-    "q_rolling_range" -> qRollingRangeSql
+    "q_rolling_range" -> qRollingRangeSql,
+    "dedup_clusters" -> dedupClustersSql
   )
 }

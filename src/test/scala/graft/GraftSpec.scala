@@ -287,10 +287,12 @@ class ExtensionsSpec extends AnyFunSuite {
   test("GraftExtensions registers SQL functions") {
     val r = spark.sql(
       "SELECT text_minhash_sig('hello world hello world', 8) AS sig, " +
-        "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS sh")
+        "simhash64(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT))) AS sh, " +
+        "shingle_block('one two three four', 2) AS sb")
       .collect()(0)
     assert(r.getSeq[Long](0).length === 8)
     assert(!r.isNullAt(1))
+    assert(r.getStruct(2).getSeq[Long](1).length === 3) // 3 distinct 2-shingles
   }
 }
 
@@ -660,6 +662,27 @@ class ScrubSpec extends AnyFunSuite {
       text.Text.scrubPii(col("text"))).collect()(0)
     assert(r.getString(0) === "mail me at bob.smith+x@example.co.uk or call 123456789 now")
     assert(r.getString(1) === "Mail  me\tat <EMAIL>\n or call <NUM>  now")
+  }
+}
+
+class ComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("min-label propagation finds components across a chain, triangle, and pair") {
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("doc_a", "doc_b")
+    val labels = dedup.Components.minLabel(edges)
+    val got = labels.as[(Long, Long)].collect().toMap
+    labels.unpersist()
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
   }
 }
 
