@@ -971,6 +971,65 @@ object SparkEntry {
     dedup.Dedup.embedCosinePairs(Tables.embeddings(s, dir), minCosine = 0.25)
       .orderBy("vec_a", "vec_b")
 
+  /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
+    * hyperplanes are deterministic doubles, inlined as literals; each dot
+    * is an exact left fold (list_reduce with 0.0 prepended) matching
+    * PlaneDots' left-to-right summation bit-for-bit, so bucket ids agree
+    * across engines exactly.
+    */
+  private def lshBucketSql(vecExpr: String, p: Int = 8, d: Int = 64, seed: Long = 7L): String =
+    vec.Vec.hyperplanes(p, d, seed).zipWithIndex.map { case (plane, j) =>
+      val lits = plane.map(_.toString).mkString("CAST([", ", ", "] AS DOUBLE[])")
+      s"""(CASE WHEN list_reduce(
+         |   list_prepend(CAST(0.0 AS DOUBLE),
+         |     list_transform(list_zip($vecExpr, $lits),
+         |       pr -> CAST(pr[1] AS DOUBLE) * pr[2])),
+         |   (a, b) -> a + b) > 0 THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("(", " + ", ")")
+
+  private val dedupEmbedCosineSql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q, bucket,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |p AS (
+       |  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+       |    CASE WHEN l.nrm * r.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(l.q, r.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |              / sqrt(CAST(l.nrm * r.nrm AS DOUBLE)) END AS cosine
+       |  FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+       |SELECT DISTINCT vec_a, vec_b, cosine FROM p WHERE cosine >= 0.25
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  private val annLshSql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q, bucket,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |s AS (
+       |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+       |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM n qs JOIN n cs ON cs.bucket = qs.bucket AND cs.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   private val annQueryIds = Seq(0L, 1L, 2L, 3L, 4L)
 
   private def annBruteforce(s: SparkSession, dir: String): DataFrame =
@@ -1573,13 +1632,15 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. All eight rows-only queries, and why:
-    * LSH/sketch-derived candidate sets built on engine-internal hash
-    * families are not SQL-expressible — dedup_minhash, dedup_simhash,
-    * dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk, ann_ivf_kmeans
-    * (k-means centroid fit), q_approx_distinct (HLL sketch; its spec
-    * bounds error <5% vs exact), and pipe_corpus_prep (composes the
-    * minhash candidate stage).
+    * weaker rows-only check. All six rows-only queries, and why:
+    * candidate sets built on engine-internal 64-bit wraparound hash
+    * families are not SQL-expressible (DuckDB integer arithmetic is
+    * overflow-checked) — dedup_minhash, dedup_simhash, ann_ivf_topk and
+    * ann_ivf_kmeans (float centroid fit), q_approx_distinct (HLL
+    * sketch; its spec bounds error <5% vs exact), and pipe_corpus_prep
+    * (composes the minhash candidate stage). The sign-LSH queries
+    * (dedup_embed_cosine, ann_lsh_topk) ARE oracle-exact: their seeded
+    * hyperplanes inline as SQL literals with a bit-exact left-fold dot.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1647,6 +1708,8 @@ object SparkEntry {
     "text_tfidf_topterms" -> textTfidfToptermsSql,
     "q_histogram" -> qHistogramSql,
     "q_rolling_range" -> qRollingRangeSql,
-    "dedup_clusters" -> dedupClustersSql
+    "dedup_clusters" -> dedupClustersSql,
+    "dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "ann_lsh_topk" -> annLshSql
   )
 }
