@@ -1062,6 +1062,66 @@ object SparkEntry {
     ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
 
+  /** Bit-exact SQL folds mirroring the Cells scoring path: left-fold
+    * double sums reproduce PlaneDots / aggregate() summation order, so
+    * cell assignment, probe selection, and cosine ranks all agree with
+    * the Spark plan exactly (same trick as lshBucketSql).
+    */
+  private val annIvfSql = {
+    def foldDot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    def foldNorm2(a: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH cen AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
+       |    embedding AS cvec,
+       |    sqrt(${foldNorm2("embedding")}) AS cnorm
+       |  FROM embeddings WHERE vec_id < 16),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${foldNorm2("embedding")} AS nv
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, embedding, q, nv,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |sc AS (
+       |  SELECT en.vec_id, cen.cell,
+       |    CASE WHEN en.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("en.embedding", "cen.cvec")} / (sqrt(en.nv) * cen.cnorm) END AS score
+       |  FROM en, cen),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+       |corpus AS (SELECT en.vec_id, en.q, en.nrm, a.cell FROM en JOIN assigned a USING (vec_id)),
+       |qs AS (SELECT en.vec_id AS query_id, en.q, en.nrm, p.cell
+       |       FROM en JOIN probes p ON p.query_id = en.vec_id),
+       |s AS (
+       |  SELECT qs.query_id, co.vec_id,
+       |    round(CASE WHEN qs.nrm * co.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, co.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * co.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM qs JOIN corpus co ON co.cell = qs.cell AND co.vec_id <> qs.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
@@ -1632,15 +1692,16 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. All six rows-only queries, and why:
+    * weaker rows-only check. All five rows-only queries, and why:
     * candidate sets built on engine-internal 64-bit wraparound hash
     * families are not SQL-expressible (DuckDB integer arithmetic is
-    * overflow-checked) — dedup_minhash, dedup_simhash, ann_ivf_topk and
-    * ann_ivf_kmeans (float centroid fit), q_approx_distinct (HLL
-    * sketch; its spec bounds error <5% vs exact), and pipe_corpus_prep
-    * (composes the minhash candidate stage). The sign-LSH queries
-    * (dedup_embed_cosine, ann_lsh_topk) ARE oracle-exact: their seeded
-    * hyperplanes inline as SQL literals with a bit-exact left-fold dot.
+    * overflow-checked) — dedup_minhash, dedup_simhash, ann_ivf_kmeans
+    * (iterative float centroid fit), q_approx_distinct (HLL sketch; its
+    * spec bounds error <5% vs exact), and pipe_corpus_prep (composes
+    * the minhash candidate stage). The sign-LSH and sampled-IVF queries
+    * (dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk) ARE oracle-exact:
+    * hyperplanes/centroids are deterministic, and left-fold SQL sums
+    * reproduce the Spark expressions' float math bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -1710,6 +1771,7 @@ object SparkEntry {
     "q_rolling_range" -> qRollingRangeSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
-    "ann_lsh_topk" -> annLshSql
+    "ann_lsh_topk" -> annLshSql,
+    "ann_ivf_topk" -> annIvfSql
   )
 }
