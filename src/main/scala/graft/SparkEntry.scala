@@ -1560,11 +1560,12 @@ object SparkEntry {
     out
   }
 
-  private val dedupClustersSql = {
-    // same candidate pairs as dedupNgramJaccardSql, then transitive
-    // closure via recursive CTE; min reachable id = cluster id
+  /** Shared CTE chain producing `pq` = the prefix-blocked exact-Jaccard
+    * candidate pairs (same semantics as dedupNgramJaccardSql).
+    */
+  private val ngramPairsCtesSql = {
     val wordsSql = s"string_split($canonSql, ' ')"
-    s"""WITH RECURSIVE d AS (
+    s"""d AS (
        |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
        |    CASE WHEN length($canonSql) = 0 THEN []
        |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
@@ -1581,7 +1582,13 @@ object SparkEntry {
        |      AS jaccard
        |  FROM d2 l JOIN d2 r
        |    ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id),
-       |pq AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5),
+       |pq AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5)""".stripMargin
+  }
+
+  private val dedupClustersSql =
+    // candidate pairs, then transitive closure via recursive CTE; min
+    // reachable id = cluster id
+    s"""WITH RECURSIVE $ngramPairsCtesSql,
        |sym AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pq
        |  UNION SELECT doc_b, doc_a FROM pq),
@@ -1591,6 +1598,69 @@ object SparkEntry {
        |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src)
        |SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Oracle-verified twin of the flagship pipeline: identical stages to
+    * pipe_corpus_prep (exact dedup → near-dup removal → quality gate →
+    * annotations) but the near-dup stage uses the SQL-expressible
+    * prefix-blocked exact Jaccard instead of MinHash LSH, so the ENTIRE
+    * composition hash-checks end-to-end against DuckDB.
+    */
+  private def pipeCorpusVerified(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val survivors = docs.join(
+      dedup.Dedup.exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
+    val losers = dedupNgramJaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val unique = survivors.join(losers, Seq("doc_id"), "left_anti")
+    val wc = text.Text.wordCount(col("text"))
+    val uniq = when(size(text.Text.words(col("text"))) === 0, lit(0L))
+      .otherwise(size(array_distinct(text.Text.words(col("text")))).cast("long"))
+    unique
+      .withColumn("wc", wc)
+      .withColumn("uniq_ratio", when(col("wc") === 0, lit(0.0)).otherwise(uniq / col("wc")))
+      .where(col("wc") >= 5 && col("uniq_ratio") > 0.1)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        text.Text.langId(col("text")).as("lang_pred"),
+        col("wc").as("n_words"),
+        text.Text.bpeTokenCount(col("text")).as("n_tokens"),
+        text.Text.fingerprintMd5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  private val pipeCorpusVerifiedSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
+    val scoreSql = text.Text.stopwords.map { case (lang, ws) =>
+      lang -> ws.map(occSql).mkString("(", " + ", ")")
+    }
+    val langCases = scoreSql.zipWithIndex.map { case ((lang, sc), i) =>
+      val later = scoreSql.drop(i + 1).map(_._2)
+      if (later.isEmpty) s"WHEN $sc > 0 THEN '$lang'"
+      else s"WHEN $sc > 0 AND $sc >= greatest(${later.mkString(", ")}) THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH $ngramPairsCtesSql,
+       |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($c)),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pq),
+       |u AS (
+       |  SELECT dd.doc_id, dd.lang, dd.text FROM documents dd
+       |  JOIN exact USING (doc_id)
+       |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |m AS (
+       |  SELECT doc_id, lang, text, $paddedSql AS p,
+       |    CAST($wcSql AS BIGINT) AS wc, CAST($uniqSql AS BIGINT) AS uniq
+       |  FROM u),
+       |f AS (SELECT * FROM m
+       |  WHERE wc >= 5 AND (CASE WHEN wc = 0 THEN 0.0 ELSE uniq / wc END) > 0.1)
+       |SELECT doc_id, lang,
+       |  CASE
+       |    $langCases
+       |    ELSE 'und' END AS lang_pred,
+       |  wc AS n_words,
+       |  CAST(len(regexp_extract_all(text, '${text.Text.bpeTokenPattern}')) AS BIGINT) AS n_tokens,
+       |  md5($c) AS fingerprint
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
@@ -1688,7 +1758,8 @@ object SparkEntry {
     "text_tfidf_topterms" -> (textTfidfTopterms _),
     "q_histogram" -> (qHistogram _),
     "q_rolling_range" -> (qRollingRange _),
-    "dedup_clusters" -> (dedupClusters _)
+    "dedup_clusters" -> (dedupClusters _),
+    "pipe_corpus_verified" -> (pipeCorpusVerified _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1772,6 +1843,7 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "ann_lsh_topk" -> annLshSql,
-    "ann_ivf_topk" -> annIvfSql
+    "ann_ivf_topk" -> annIvfSql,
+    "pipe_corpus_verified" -> pipeCorpusVerifiedSql
   )
 }
