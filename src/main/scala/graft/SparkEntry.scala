@@ -1663,6 +1663,58 @@ object SparkEntry {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** SCD Type-2 effective-dated dimension merge over the customer dim:
+    * updates derived deterministically from the table itself — keys %10==0
+    * change balance (close + reopen), %10==5 arrive unchanged (idempotent,
+    * no churn), %10==7 insert as brand-new keys.
+    */
+  private def qScd2Merge(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey").as("key"),
+      col("c_nationkey").cast("long").as("nation"),
+      cents(col("c_acctbal")).as("acct_cents"))
+    val dim = base
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("long"))
+    val modified = base.where(col("key") % 10 === 0)
+      .select(col("key"), col("nation"), (col("acct_cents") + 10000L).as("acct_cents"),
+        lit(100L).as("effective"))
+    val unchanged = base.where(col("key") % 10 === 5)
+      .select(col("key"), col("nation"), col("acct_cents"), lit(100L).as("effective"))
+    val inserts = base.where(col("key") % 10 === 7)
+      .select((col("key") + 10000000L).as("key"), col("nation"), col("acct_cents"),
+        lit(100L).as("effective"))
+    ops.Merge.scd2(
+      dim, modified.unionByName(unchanged).unionByName(inserts),
+      "key", Seq("nation", "acct_cents"))
+      .orderBy("key", "valid_from")
+  }
+
+  private val qScd2MergeSql =
+    s"""WITH dim AS (
+       |  SELECT c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nation,
+       |    ${centsSql("c_acctbal")} AS acct_cents
+       |  FROM customer),
+       |upd AS (
+       |  SELECT key, nation, acct_cents + 10000 AS acct_cents FROM dim WHERE key % 10 = 0
+       |  UNION ALL SELECT key, nation, acct_cents FROM dim WHERE key % 10 = 5
+       |  UNION ALL SELECT key + 10000000 AS key, nation, acct_cents FROM dim WHERE key % 10 = 7),
+       |changed AS (
+       |  SELECT d.key FROM dim d JOIN upd u ON d.key = u.key
+       |  WHERE NOT (d.nation = u.nation AND d.acct_cents = u.acct_cents))
+       |SELECT key, nation, acct_cents,
+       |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+       |FROM dim WHERE key NOT IN (SELECT key FROM changed)
+       |UNION ALL
+       |SELECT key, nation, acct_cents, CAST(0 AS BIGINT), CAST(100 AS BIGINT)
+       |FROM dim WHERE key IN (SELECT key FROM changed)
+       |UNION ALL
+       |SELECT u.key, u.nation, u.acct_cents, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+       |FROM upd u
+       |WHERE u.key IN (SELECT key FROM changed)
+       |   OR u.key NOT IN (SELECT key FROM dim)
+       |ORDER BY key, valid_from""".stripMargin
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -1759,7 +1811,8 @@ object SparkEntry {
     "q_histogram" -> (qHistogram _),
     "q_rolling_range" -> (qRollingRange _),
     "dedup_clusters" -> (dedupClusters _),
-    "pipe_corpus_verified" -> (pipeCorpusVerified _)
+    "pipe_corpus_verified" -> (pipeCorpusVerified _),
+    "q_scd2_merge" -> (qScd2Merge _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1844,6 +1897,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
-    "pipe_corpus_verified" -> pipeCorpusVerifiedSql
+    "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
+    "q_scd2_merge" -> qScd2MergeSql
   )
 }

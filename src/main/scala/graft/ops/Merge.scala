@@ -28,4 +28,51 @@ object Merge {
       .select(
         (col(key) +: others.map(c => coalesce(col(s"__u_$c"), col(c)).as(c))).toIndexedSeq: _*)
   }
+
+  /** SCD Type-2 merge: effective-dated dimension history.
+    *
+    * `target` columns: `key`, `attrs...`, `valid_from` (long),
+    * `valid_to` (long, NULL = open row). `updates` columns: `key`,
+    * `attrs...`, `effectiveCol` (long), unique per key. Output is the
+    * new dimension state:
+    *  - closed history passes through untouched,
+    *  - open rows whose update carries identical attrs pass through
+    *    (idempotent loads don't churn versions),
+    *  - open rows with a changed update are CLOSED at the effective date,
+    *  - changed and brand-new keys get a fresh open row dated at the
+    *    effective date.
+    *
+    * Scale shape: ONE full-outer shuffle join of open rows vs updates on
+    * the key; closed history is a pass-through union (no shuffle).
+    * Attr comparison is null-safe (`<=>`).
+    */
+  def scd2(
+      target: DataFrame,
+      updates: DataFrame,
+      key: String,
+      attrs: Seq[String],
+      effectiveCol: String = "effective"): DataFrame = {
+    val closedHist = target.where(col("valid_to").isNotNull)
+    val open = target.where(col("valid_to").isNull)
+    val renamed = updates.columns.filterNot(_ == key).foldLeft(updates) {
+      (df, c) => df.withColumnRenamed(c, s"__u_$c")
+    }
+    val j = open.join(renamed, Seq(key), "full_outer")
+    val hasT = col("valid_from").isNotNull
+    val hasU = col(s"__u_$effectiveCol").isNotNull
+    val same = attrs.map(a => col(a) <=> col(s"__u_$a")).reduce(_ && _)
+    val tCols = (col(key) +: attrs.map(col)) :+ col("valid_from")
+    val uCols = (col(key) +: attrs.map(a => col(s"__u_$a").as(a))) :+
+      col(s"__u_$effectiveCol").as("valid_from")
+    val untouchedOpen = j.where(hasT && (!hasU || same))
+      .select(tCols :+ lit(null).cast("long").as("valid_to"): _*)
+    val closedNow = j.where(hasT && hasU && !same)
+      .select(tCols :+ col(s"__u_$effectiveCol").as("valid_to"): _*)
+    val freshOpen = j.where(hasU && (!hasT || !same))
+      .select(uCols :+ lit(null).cast("long").as("valid_to"): _*)
+    closedHist.select(untouchedOpen.columns.map(col).toIndexedSeq: _*)
+      .unionByName(untouchedOpen)
+      .unionByName(closedNow)
+      .unionByName(freshOpen)
+  }
 }

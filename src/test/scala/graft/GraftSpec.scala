@@ -430,6 +430,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleBlock agrees with the compositional string-shingle pipeline on 200 random strings") {
+    val texts = Seq.fill(200)(randText())
+    val df = texts.toDF("text").select(
+      graft.functions.exprs.shingle_block(col("text"), 3, 3).as("b"),
+      array_distinct(graft.text.Text.shingles(col("text"), 3)).as("ss"),
+      graft.text.Text.words(col("text")).as("w"))
+    df.collect().foreach { r =>
+      val nWords = r.getSeq[String](2).length
+      if (nWords == 0) {
+        assert(r.isNullAt(0)) // no words -> null block
+      } else {
+        // same DISTINCT shingle count (hash set vs string set)
+        assert(r.getStruct(0).getSeq[Long](1).length === r.getSeq[String](1).length)
+      }
+    }
+  }
+
   test("TopKPerKey equals sort-take on 500 random rows") {
     val rows = Seq.fill(500)((rnd.nextInt(7).toLong, rnd.nextLong(), rnd.nextInt(1000).toLong))
     val df = rows.toDF("k", "uid", "score")
@@ -439,6 +456,28 @@ class PropertySpec extends AnyFunSuite {
       g.sortBy(r => (-r._3, r._2)).take(5)
     }.toSet
     assert(got === want)
+  }
+
+  test("scd2: closes changed, keeps unchanged, inserts new, preserves history") {
+    val target = Seq(
+      (1L, "a", 0L, Some(50L)),  // closed history row
+      (1L, "b", 50L, None),      // open, will change
+      (2L, "x", 0L, None),       // open, unchanged update arrives
+      (3L, "y", 0L, None)        // open, no update
+    ).toDF("k", "v", "valid_from", "valid_to")
+    val updates = Seq(
+      (1L, "B2", 100L), (2L, "x", 100L), (9L, "new", 100L)
+    ).toDF("k", "v", "effective")
+    val out = ops.Merge.scd2(target, updates, "k", Seq("v"))
+      .orderBy("k", "valid_from")
+      .as[(Long, String, Long, Option[Long])].collect().toSeq
+    assert(out === Seq(
+      (1L, "a", 0L, Some(50L)),   // history untouched
+      (1L, "b", 50L, Some(100L)), // closed at effective date
+      (1L, "B2", 100L, None),     // new open version
+      (2L, "x", 0L, None),        // idempotent: no churn
+      (3L, "y", 0L, None),        // untouched
+      (9L, "new", 100L, None)))   // insert
   }
 
   test("merge.upsert with disjoint keys equals union") {
