@@ -917,31 +917,15 @@ object SparkEntry {
     * tails), then exact 3-gram Jaccard within blocks. SQL-mirrorable
     * (DuckDB list lambdas), unlike LSH candidates.
     */
-  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    // Fused kernel: one pass over each text yields (block key, sorted
-    // distinct shingle-hash set) — no regex, no string shingle arrays.
-    // Jaccard over the hash sets equals string-set Jaccard (64-bit
-    // collisions within a pair ~1e-15); the oracle mirrors the string
-    // formulation with DuckDB list lambdas.
-    val blocked = docs
-      .select(col("doc_id"), functions.exprs.shingle_block(col("text"), 3, 3).as("b"))
-      .where(col("b").isNotNull)
-      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    blocked.as("l")
-      .join(blocked.as("r"), Seq("pfx"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(
-        col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
-      .withColumn(
-        "jaccard",
-        inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
-      .where(col("jaccard") >= 0.5)
-      .select("doc_a", "doc_b", "jaccard").orderBy("doc_a", "doc_b")
-  }
+  /** Fused kernel: one pass over each text yields (block key, sorted
+    * distinct shingle-hash set) — no regex, no string shingle arrays.
+    * Jaccard over the hash sets equals string-set Jaccard (64-bit
+    * collisions within a pair ~1e-15); the oracle mirrors the string
+    * formulation with DuckDB list lambdas.
+    */
+  private def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.blockedNgramJaccard(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
 
   private val dedupNgramJaccardSql = {
     // 3-gram shingle list of canon words; <=3 words -> single whole-text shingle
@@ -1353,14 +1337,27 @@ object SparkEntry {
       |ORDER BY doc_id""".stripMargin
 
   private def vecInt8Quant(s: SparkSession, dir: String): DataFrame = {
+    // bind (quantized vector, integer norm) ONCE per row and derive both
+    // outputs from the binding — naming norm_q and q8 separately off raw
+    // expressions would re-run the quantization transform per use
     val q = vec.Vec.quantize(col("embedding"))
+    val bound = element_at(
+      transform(
+        array(struct(q.as("q"), vec.Vec.dotQ(q, q).as("n"))),
+        sb => struct(
+          sb.getField("n").as("norm_q"),
+          array_join(
+            transform(
+              sb.getField("q"),
+              x => when(sb.getField("n") === 0L, lit(0L))
+                .otherwise(round(x.cast("double") * 127.0 /
+                  sqrt(sb.getField("n").cast("double"))).cast("long"))
+                .cast("string")),
+            ",").as("q8"))),
+      1)
     Tables.embeddings(s, dir)
-      .select(
-        col("vec_id"),
-        vec.Vec.dotQ(q, q).as("norm_q"),
-        array_join(
-          transform(vec.Vec.int8Normalize(col("embedding")), x => x.cast("string")),
-          ",").as("q8"))
+      .select(col("vec_id"), bound.as("b"))
+      .select(col("vec_id"), col("b.norm_q").as("norm_q"), col("b.q8").as("q8"))
       .orderBy("vec_id")
   }
 
@@ -1554,10 +1551,10 @@ object SparkEntry {
     * recursive CTE computing the same transitive closure.
     */
   private def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = dedupNgramJaccard(s, dir).select("doc_a", "doc_b")
-    val labels = dedup.Components.minLabel(edges)
-    val out = labels.orderBy("doc_id")
-    out
+    val edges = dedup.Dedup.blockedNgramJaccard(Tables.documents(s, dir))
+    val labels = dedup.Components.minLabel(edges.select("doc_a", "doc_b"))
+    edges.unpersist(blocking = false)
+    labels.orderBy("doc_id")
   }
 
   /** Shared CTE chain producing `pq` = the prefix-blocked exact-Jaccard
@@ -1609,23 +1606,13 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val survivors = docs.join(
       dedup.Dedup.exact(docs).select("doc_id"), Seq("doc_id"), "left_semi")
-    val losers = dedupNgramJaccard(s, dir).select(col("doc_b").as("doc_id")).distinct()
+    val pairs = dedup.Dedup.blockedNgramJaccard(docs)
+    val losers = pairs.select(col("doc_b").as("doc_id")).distinct()
     val unique = survivors.join(losers, Seq("doc_id"), "left_anti")
-    val wc = text.Text.wordCount(col("text"))
-    val uniq = when(size(text.Text.words(col("text"))) === 0, lit(0L))
-      .otherwise(size(array_distinct(text.Text.words(col("text")))).cast("long"))
-    unique
-      .withColumn("wc", wc)
-      .withColumn("uniq_ratio", when(col("wc") === 0, lit(0.0)).otherwise(uniq / col("wc")))
-      .where(col("wc") >= 5 && col("uniq_ratio") > 0.1)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        text.Text.langId(col("text")).as("lang_pred"),
-        col("wc").as("n_words"),
-        text.Text.bpeTokenCount(col("text")).as("n_tokens"),
-        text.Text.fingerprintMd5(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
+    // stages 3+4 are the REAL pipeline's code (CorpusPrep.gateAndAnnotate),
+    // so this oracle checks the same gate/annotation logic end-to-end
+    val out = pipeline.CorpusPrep.gateAndAnnotate(unique).orderBy("doc_id")
+    out
   }
 
   private val pipeCorpusVerifiedSql = {

@@ -34,10 +34,17 @@ object KMeans {
 
     for (_ <- 0 until iters) {
       val cell = Cells.bestCell(col(vecCol), centroids.toSeq.map(_.toSeq))
+      // partial sums as EXACT micro-unit integers: double summation order
+      // across partition merges is nondeterministic, so summing doubles
+      // would make centroids (and thus rebuilt indexes) drift in the low
+      // bits between runs; integer sums + one final division are
+      // bit-reproducible under any shuffle order.
       val partials = embeddings
         .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .agg(
+          sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())
       val counts = new Array[Long](centroids.length)
@@ -48,7 +55,7 @@ object KMeans {
       partials.foreach { r =>
         val c = r.getAs[Number]("cell").intValue()
         val p = r.getInt(1)
-        if (counts(c) > 0) next(c)(p) = r.getDouble(2) / counts(c)
+        if (counts(c) > 0) next(c)(p) = r.getLong(2).toDouble / (1e6 * counts(c))
       }
       centroids = next // empty cells keep their previous centroid
     }

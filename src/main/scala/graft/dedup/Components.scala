@@ -52,6 +52,13 @@ object Components {
       it += 1
     }
     sym.unpersist(blocking = false)
+    if (!converged) {
+      labels.unpersist(blocking = false)
+      // silently-wrong cluster ids would over-retain near-dups; fail loudly
+      throw new IllegalStateException(
+        s"Components.minLabel did not converge within $maxIters rounds — " +
+          "a component's diameter exceeds the bound; raise maxIters")
+    }
     labels // persisted; caller owns lifecycle (same contract as Dedup.*)
   }
 }

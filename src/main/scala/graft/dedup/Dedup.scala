@@ -140,6 +140,42 @@ object Dedup {
       simsAll)
   }
 
+  /** Prefix-blocked exact n-gram Jaccard over the whole corpus: block on
+    * the first `prefixN` canonical words (near-dup edits cluster at
+    * document tails), exact Jaccard over distinct shingle-hash sets
+    * within blocks. One fused ShingleBlock pass per doc — persisted
+    * BELOW the null filter so pushdown cannot double-evaluate the
+    * kernel, and the (doc_id, pfx, sh) frame feeds both self-join sides
+    * from cache. Result is materialized then intermediates released
+    * (caller owns the returned frame's lifecycle).
+    */
+  def blockedNgramJaccard(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      prefixN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val blockedAll = docs
+      .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK, prefixN).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocked = blockedAll.where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    materializeThenRelease(
+      blocked.as("l")
+        .join(blocked.as("r"), Seq("pfx"))
+        .where(col("l.doc_id") < col("r.doc_id"))
+        .select(
+          col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+        .withColumn(
+          "jaccard",
+          inter.cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - inter).cast("double"))
+        .where(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b", "jaccard"),
+      blockedAll)
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs.
     *
     * Shingle sets are computed ONLY for docs appearing in `pairs` (semi-

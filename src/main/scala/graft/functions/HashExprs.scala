@@ -37,6 +37,61 @@ private[functions] object TypeGuard {
   }
 }
 
+/** Shared one-pass word canonicalization + hashing for the fused text
+  * kernels, matching `Text.canon` (lowercase then [^a-z0-9]+ as
+  * separators):
+  *  - ASCII fast path: A-Z fold by +32, a-z0-9 kept;
+  *  - non-ASCII chars fold via Character.toLowerCase and are kept only
+  *    if they land in [a-z0-9] (covers U+212A KELVIN SIGN → 'k',
+  *    U+0130 'İ' → 'i' — the cases where a full-string lower() would
+  *    also keep a word character);
+  *  - per-word hash is FNV-1a over the char codes, finalized by Mix64.
+  *    (A plain 31-polynomial collides on short words — e.g. "c0a" vs
+  *    "ana" — because Mix64 of equal accumulators is equal; FNV-1a's
+  *    per-char 64-bit multiply keeps distinct short words distinct.)
+  */
+private[functions] object WordWalk {
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** Returns the array of word hashes (length in `_1`, buffer in `_2`);
+    * buffer may be longer than the count.
+    */
+  def wordHashes(s: String): (Int, Array[Long]) = {
+    val n = s.length
+    var buf = new Array[Long](math.max(8, n / 5))
+    var nWords = 0
+    var wh = FnvOffset
+    var inWord = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val lc: Int =
+        if (c >= 'A' && c <= 'Z') c + 32
+        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toInt
+        else if (c < 128) -1
+        else {
+          val l = Character.toLowerCase(c.toInt)
+          if ((l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')) l else -1
+        }
+      if (lc >= 0) {
+        wh = (wh ^ lc) * FnvPrime
+        inWord = true
+      } else if (inWord) {
+        if (nWords == buf.length) buf = java.util.Arrays.copyOf(buf, nWords * 2)
+        buf(nWords) = Mix64(wh); nWords += 1
+        wh = FnvOffset; inWord = false
+      }
+      i += 1
+    }
+    if (inWord) {
+      if (nWords == buf.length) buf = java.util.Arrays.copyOf(buf, nWords + 1)
+      buf(nWords) = Mix64(wh); nWords += 1
+    }
+    (nWords, buf)
+  }
+}
+
 object Mix64 {
   def apply(x0: Long): Long = {
     var z = x0 + 0x9e3779b97f4a7c15L
@@ -175,34 +230,8 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
     Array.tabulate(k)(i => Mix64(seed + 2L * i + 1L))
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
-    // pass 1: word hashes (canon: [A-Za-z0-9] in-word, all else separator)
-    var wordHashes = new Array[Long](math.max(8, n / 5))
-    var nWords = 0
-    var wh = 0L
-    var inWord = false
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      val lc: Int =
-        if (c >= 'A' && c <= 'Z') c + 32
-        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toInt
-        else -1
-      if (lc >= 0) {
-        wh = wh * 31L + lc
-        inWord = true
-      } else if (inWord) {
-        if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords * 2)
-        wordHashes(nWords) = Mix64(wh); nWords += 1
-        wh = 0L; inWord = false
-      }
-      i += 1
-    }
-    if (inWord) {
-      if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords + 1)
-      wordHashes(nWords) = Mix64(wh); nWords += 1
-    }
+    // pass 1: canonical word hashes (shared WordWalk kernel)
+    val (nWords, wordHashes) = WordWalk.wordHashes(input.toString)
     if (nWords == 0) return null
     // pass 2: shingle hashes (combine shingleK consecutive word hashes)
     val nShingles = if (nWords <= shingleK) 1 else nWords - shingleK + 1
@@ -210,10 +239,10 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
     val mins = Array.fill(k)(Long.MaxValue)
     var sIdx = 0
     while (sIdx < nShingles) {
-      var h = 0xcbf29ce484222325L
+      var h = WordWalk.FnvOffset
       var j = 0
       while (j < width) {
-        h = (h ^ wordHashes(sIdx + j)) * 0x100000001b3L
+        h = (h ^ wordHashes(sIdx + j)) * WordWalk.FnvPrime
         j += 1
       }
       h = Mix64(h)
@@ -243,8 +272,10 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
 /** Fused text -> (prefix-block key, distinct shingle-hash set): the
   * blocked exact n-gram-Jaccard kernel in ONE pass over the text.
   *
-  * Canonicalization matches Text.canon exactly on ASCII input (lowercase,
-  * [^a-z0-9]+ as separators). Output struct:
+  * Canonicalization matches Text.canon (lowercase, [^a-z0-9]+ as
+  * separators) — exact on ASCII, and folding non-ASCII chars whose
+  * lowercase lands in [a-z0-9] the way a full-string lower() does (see
+  * WordWalk). Output struct:
   *   pfx: long    — hash of the first `prefixN` canonical words (block key;
   *                  equal-prefix <=> equal-hash up to 2^-64 collisions)
   *   sh:  array<long> — sorted DISTINCT hashes of word `shingleK`-shingles
@@ -269,40 +300,14 @@ case class ShingleBlock(child: Expression, shingleK: Int, prefixN: Int)
   override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    val n = s.length
-    // pass 1: word hashes (canon: [a-z0-9] in-word after lowering, all else separator)
-    var wordHashes = new Array[Long](math.max(8, n / 5))
-    var nWords = 0
-    var wh = 0L
-    var inWord = false
-    var i = 0
-    while (i < n) {
-      val c = s.charAt(i)
-      val lc: Int =
-        if (c >= 'A' && c <= 'Z') c + 32
-        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toInt
-        else -1
-      if (lc >= 0) {
-        wh = wh * 31L + lc
-        inWord = true
-      } else if (inWord) {
-        if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords * 2)
-        wordHashes(nWords) = Mix64(wh); nWords += 1
-        wh = 0L; inWord = false
-      }
-      i += 1
-    }
-    if (inWord) {
-      if (nWords == wordHashes.length) wordHashes = java.util.Arrays.copyOf(wordHashes, nWords + 1)
-      wordHashes(nWords) = Mix64(wh); nWords += 1
-    }
+    // pass 1: canonical word hashes (shared WordWalk kernel)
+    val (nWords, wordHashes) = WordWalk.wordHashes(input.toString)
     if (nWords == 0) return null
     // prefix block key: combine the first prefixN word hashes
     val pn = math.min(prefixN, nWords)
-    var pfx = 0xcbf29ce484222325L
+    var pfx = WordWalk.FnvOffset
     var p = 0
-    while (p < pn) { pfx = (pfx ^ wordHashes(p)) * 0x100000001b3L; p += 1 }
+    while (p < pn) { pfx = (pfx ^ wordHashes(p)) * WordWalk.FnvPrime; p += 1 }
     pfx = Mix64(pfx)
     // shingle hashes, then sort + dedupe in place
     val width = math.min(shingleK, nWords)
@@ -310,9 +315,9 @@ case class ShingleBlock(child: Expression, shingleK: Int, prefixN: Int)
     val hs = new Array[Long](nShingles)
     var sIdx = 0
     while (sIdx < nShingles) {
-      var h = 0xcbf29ce484222325L
+      var h = WordWalk.FnvOffset
       var j = 0
-      while (j < width) { h = (h ^ wordHashes(sIdx + j)) * 0x100000001b3L; j += 1 }
+      while (j < width) { h = (h ^ wordHashes(sIdx + j)) * WordWalk.FnvPrime; j += 1 }
       hs(sIdx) = Mix64(h)
       sIdx += 1
     }

@@ -52,6 +52,7 @@ object Merge {
       key: String,
       attrs: Seq[String],
       effectiveCol: String = "effective"): DataFrame = {
+    require(attrs.nonEmpty, "scd2 needs at least one tracked attribute column")
     val closedHist = target.where(col("valid_to").isNotNull)
     val open = target.where(col("valid_to").isNull)
     val renamed = updates.columns.filterNot(_ == key).foldLeft(updates) {

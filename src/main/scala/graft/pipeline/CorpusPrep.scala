@@ -43,10 +43,24 @@ object CorpusPrep {
       .distinct()
     val unique = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
     // 3 + 4. quality gate and annotations
+    val annotated = gateAndAnnotate(unique, minWords)
+    val out = annotated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while survivorIds and the candidate set are cached
+    survivorIds.unpersist(blocking = false)
+    nearDupCandidates.unpersist(blocking = false)
+    out
+  }
+
+  /** Stages 3+4 of the pipeline — the ONE place the quality thresholds
+    * and annotation columns are defined (the oracle-verified twin in
+    * SparkEntry reuses this, so its verification covers the real
+    * pipeline's gate and annotations).
+    */
+  def gateAndAnnotate(docs: DataFrame, minWords: Long = 5): DataFrame = {
     val wc = Text.wordCount(col("text"))
     val uniq = when(size(Text.words(col("text"))) === 0, lit(0L))
       .otherwise(size(array_distinct(Text.words(col("text")))).cast("long"))
-    val annotated = unique
+    docs
       .withColumn("wc", wc)
       .withColumn("uniq_ratio", when(col("wc") === 0, lit(0.0)).otherwise(uniq / col("wc")))
       .where(col("wc") >= minWords && col("uniq_ratio") > 0.1)
@@ -57,10 +71,5 @@ object CorpusPrep {
         col("wc").as("n_words"),
         Text.bpeTokenCount(col("text")).as("n_tokens"),
         Text.fingerprintMd5(col("text")).as("fingerprint"))
-    val out = annotated.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize while survivorIds and the candidate set are cached
-    survivorIds.unpersist(blocking = false)
-    nearDupCandidates.unpersist(blocking = false)
-    out
   }
 }

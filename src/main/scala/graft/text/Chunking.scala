@@ -30,6 +30,11 @@ object Chunking {
       textCol: String = "text",
       keep: Seq[String] = Seq("doc_id")): DataFrame = {
     require(windowWords > 0, "windowWords must be positive")
+    // NULL text must yield no chunks — without this filter the null
+    // propagates through size()/greatest()/least() (which SKIP nulls,
+    // so greatest(null - 1, 0) = 0) and fabricates one phantom chunk
+    // with chunk_text = NULL and n_words = windowWords.
+    val nonNull = docs.where(col(textCol).isNotNull)
     val chunksCol: Column = element_at(
       transform(
         array(Text.words(col(textCol))),
@@ -43,7 +48,7 @@ object Chunking {
               least(size(w) - i * windowWords, lit(windowWords)).cast("long").as("n_words")))
         }),
       1)
-    docs
+    nonNull
       .select(keep.map(col) :+ explode(chunksCol).as("c"): _*)
       .select(keep.map(col) :+ col("c.chunk_idx") :+ col("c.chunk_text") :+ col("c.n_words"): _*)
       .where(col("n_words") > 0)

@@ -589,12 +589,13 @@ class ChunkingSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
-  test("chunkByWords: exact multiple, remainder, short and empty docs") {
+  test("chunkByWords: exact multiple, remainder, short, empty and NULL docs") {
     val docs = Seq(
       (1L, "a b c d e f"), // 6 words, window 2 -> 3 chunks
       (2L, "x y z"),       // remainder chunk of 1
       (3L, "solo"),        // single short chunk
-      (4L, "")             // no chunks
+      (4L, ""),            // no chunks
+      (5L, null.asInstanceOf[String]) // no chunks (no phantom null chunk)
     ).toDF("doc_id", "text")
     val r = text.Chunking.chunkByWords(docs, 2).orderBy("doc_id", "chunk_idx")
       .as[(Long, Long, String, Long)].collect().toSeq
