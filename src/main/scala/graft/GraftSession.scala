@@ -21,6 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // let AQE coalesce partitions UNDER persisted frames too: iterative
+      // operators (Components.minLabel) cache per-round label frames, and
+      // without this every tiny cached round re-plans full-width shuffles
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // TIMESTAMP(NANOS) parquet (events table) as LongType: no per-read
       // option exists, so it is an explicit engine-level default here

@@ -1504,6 +1504,37 @@ object SparkEntry {
        |SELECT doc_id, g AS w, tf, df, score, rnk FROM r WHERE rnk <= 3
        |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Relational pivot() API surface: order counts per priority pivoted
+    * into one column per order-year (explicit value list keeps the
+    * schema static — the scalable form: no driver-side distinct pass).
+    */
+  private def qPivotApi(s: SparkSession, dir: String): DataFrame = {
+    val years = Seq(1995, 1996, 1997, 1998)
+    Tables.orders(s, dir)
+      .select(col("o_orderpriority"), year(to_date(col("o_orderdate"))).as("yr"))
+      .where(col("yr").isin(years.map(_.asInstanceOf[Any]): _*))
+      .groupBy("o_orderpriority")
+      .pivot("yr", years)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(
+        col("o_orderpriority") +:
+          years.map(y => col(y.toString).cast("long").as(s"n_$y")): _*)
+      .orderBy("o_orderpriority")
+  }
+
+  private val qPivotApiSql = {
+    val cols = Seq(1995, 1996, 1997, 1998).map(y =>
+      s"CAST(COUNT(*) FILTER (WHERE yr = $y) AS BIGINT) AS n_$y").mkString(",\n  ")
+    s"""WITH o AS (
+       |  SELECT o_orderpriority, EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS yr
+       |  FROM orders)
+       |SELECT o_orderpriority,
+       |  $cols
+       |FROM o WHERE yr IN (1995, 1996, 1997, 1998)
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  }
+
   /** Value histogram per event type (fixed-width buckets). */
   private def qHistogram(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1799,7 +1830,8 @@ object SparkEntry {
     "q_rolling_range" -> (qRollingRange _),
     "dedup_clusters" -> (dedupClusters _),
     "pipe_corpus_verified" -> (pipeCorpusVerified _),
-    "q_scd2_merge" -> (qScd2Merge _)
+    "q_scd2_merge" -> (qScd2Merge _),
+    "q_pivot_api" -> (qPivotApi _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1885,6 +1917,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
-    "q_scd2_merge" -> qScd2MergeSql
+    "q_scd2_merge" -> qScd2MergeSql,
+    "q_pivot_api" -> qPivotApiSql
   )
 }

@@ -43,7 +43,9 @@ object KMeans {
         .select(cell.as("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(
-          sum(expr("CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)")).as("s"),
+          // truncating cast, not round(): equally deterministic, and
+          // round() on doubles goes through BigDecimal per element
+          sum(expr("CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)")).as("s"),
           count(lit(1)).as("n"))
         .collect()
       val next = centroids.map(_.clone())

@@ -726,6 +726,20 @@ class ComponentsSpec extends AnyFunSuite {
   }
 }
 
+class EnrichStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream-static broadcast enrichment equals the batch join") {
+    val streamed = streaming.EventsStream.runToMemory(
+      spark, streaming.EnrichStream.enrichedCounts(spark, dir), "enrich_out")
+    val batch = streaming.EnrichStream.enrichedCountsBatch(spark, dir)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s === b)
+    assert(s.nonEmpty)
+  }
+}
+
 class CorpusPrepStreamSpec extends AnyFunSuite {
   import TestSpark._
 
