@@ -21,10 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // let AQE coalesce partitions UNDER persisted frames too: iterative
-      // operators (Components.minLabel) cache per-round label frames, and
-      // without this every tiny cached round re-plans full-width shuffles
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // NOTE deliberately NOT setting canChangeCachedPlanOutputPartitioning:
+      // letting AQE re-partition under persisted frames coalesces small-
+      // bytes/compute-heavy caches (minhash signatures) to one partition
+      // and collapses downstream parallelism — measured 2x bench slowdown.
       .config("spark.sql.session.timeZone", "UTC")
       // TIMESTAMP(NANOS) parquet (events table) as LongType: no per-read
       // option exists, so it is an explicit engine-level default here
