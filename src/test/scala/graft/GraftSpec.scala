@@ -726,6 +726,47 @@ class ComponentsSpec extends AnyFunSuite {
   }
 }
 
+/** Plan-shape regression guard: the §5 scale claims, enforced. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  test("no query plans a nested-loop or cartesian join, except the two tiny-broadcast baselines") {
+    // BNLJ is acceptable ONLY where the broadcast side is provably tiny
+    // by construction: the scalar-subquery enrichment (1 row) and the
+    // brute-force ANN baseline (|queryIds| rows against one corpus scan).
+    val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk")
+    val offenders = SparkEntry.queries.keys.flatMap { name =>
+      val p = planOf(name)
+      val bad =
+        (p.contains("BroadcastNestedLoopJoin") && !allowedBnlj(name)) ||
+          p.contains("CartesianProduct")
+      if (bad) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"non-equi join plans in: $offenders")
+  }
+
+  test("text operators prune the documents scan to (doc_id, text)") {
+    Seq("text_gopher_quality", "dedup_contaminated", "text_chunk_windows").foreach { q =>
+      val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(planOf(q)).map(_.group(1)).toSeq
+      assert(reads.nonEmpty && reads.forall(_ == "struct<doc_id:bigint,text:string>"),
+        s"$q scans: $reads")
+    }
+  }
+
+  test("sampling reads only its three columns; contamination joins via broadcast") {
+    val samp = planOf("samp_stratified")
+    assert(samp.contains("struct<doc_id:bigint,lang:string,source:string>"), samp.take(400))
+    val cont = planOf("dedup_contaminated")
+    assert(cont.contains("BroadcastHashJoin"), cont.take(400))
+  }
+}
+
 class EnrichStreamSpec extends AnyFunSuite {
   import TestSpark._
 
