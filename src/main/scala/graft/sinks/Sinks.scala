@@ -38,6 +38,42 @@ object OrcSink {
       .orc(path)
 }
 
+/** Target-file-size parquet writes — the small-files guard. At corpus
+  * scale a shuffle-heavy job can end with thousands of tiny output
+  * partitions; writing them 1:1 produces a file-per-partition swamp that
+  * slows every later scan (listing, footer reads, row-group overhead).
+  * `write` estimates the data's serialized size from a bounded sample of
+  * output partitions and coalesces to ceil(bytes / targetBytes) files.
+  */
+object SizedSink {
+
+  /** Estimate serialized bytes cheaply: average parquet-ish row width
+    * from a sample write is overkill — the logical-plan stats give a
+    * Catalyst estimate (sizeInBytes) that is already maintained for join
+    * planning; it over-estimates raw row width vs parquet encoding, so
+    * divide by `compressionFactor` (parquet+snappy on tabular data
+    * typically 3-10x smaller than in-memory).
+    */
+  def estimateBytes(df: DataFrame, compressionFactor: Double = 4.0): Long = {
+    val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (BigDecimal(planBytes) / compressionFactor).toLong
+  }
+
+  def write(
+      df: DataFrame,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      overwrite: Boolean = true): Int = {
+    require(targetBytes > 0)
+    val nFiles = math.max(1, math.ceil(estimateBytes(df).toDouble / targetBytes).toInt)
+    df.coalesce(nFiles)
+      .write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path)
+    nFiles
+  }
+}
+
 /** Parquet sink with full-refresh semantics — the reference's
   * TRUNCATE-then-reload (`_base_copy.py:102-113`) maps to Spark's
   * atomic `Overwrite` mode; partitioned refresh uses dynamic partition

@@ -391,6 +391,25 @@ class MergeSpec extends AnyFunSuite {
   }
 }
 
+class SizedSinkSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("sized writes collapse many shuffle partitions into few target-size files") {
+    val tmp = java.nio.file.Files.createTempDirectory("sized").toString
+    // a groupBy leaves shuffle.partitions output partitions; the sized
+    // sink must not write one file per partition for tiny data
+    val tiny = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").count()
+    val nFiles = sinks.SizedSink.write(tiny, s"$tmp/out", targetBytes = 8L * 1024 * 1024)
+    val written = new java.io.File(s"$tmp/out").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(written === nFiles)
+    assert(written <= 4, s"expected few files for tiny data, got $written")
+    assert(spark.read.parquet(s"$tmp/out").count() === tiny.count())
+  }
+}
+
 class PartitionPruneSpec extends AnyFunSuite {
   import TestSpark._
 
