@@ -1733,6 +1733,31 @@ object SparkEntry {
        |   OR u.key NOT IN (SELECT key FROM dim)
        |ORDER BY key, valid_from""".stripMargin
 
+  /** Clustered-layout write + range-filtered read-back: files carry
+    * disjoint sorted l_shipdate ranges, so the filtered aggregate scans
+    * only matching row groups (min/max skipping at the reader).
+    */
+  private def snkClustered(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_shipdate"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    sinks.Clustered.write(li, s"$tmp/li", Seq("l_shipdate"), numFiles = 8)
+    s.read.parquet(s"$tmp/li")
+      .where(year(col("l_shipdate")) === 1997)
+      .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("mo")
+  }
+
+  private val snkClusteredSql =
+    s"""SELECT CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents
+       |FROM lineitem
+       |WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1997
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -1831,7 +1856,8 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "pipe_corpus_verified" -> (pipeCorpusVerified _),
     "q_scd2_merge" -> (qScd2Merge _),
-    "q_pivot_api" -> (qPivotApi _)
+    "q_pivot_api" -> (qPivotApi _),
+    "snk_clustered" -> (snkClustered _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1918,6 +1944,7 @@ object SparkEntry {
     "ann_ivf_topk" -> annIvfSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
     "q_scd2_merge" -> qScd2MergeSql,
-    "q_pivot_api" -> qPivotApiSql
+    "q_pivot_api" -> qPivotApiSql,
+    "snk_clustered" -> snkClusteredSql
   )
 }

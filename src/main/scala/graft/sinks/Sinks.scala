@@ -74,6 +74,31 @@ object SizedSink {
   }
 }
 
+/** Clustered layout writes: range-partition by the cluster key and sort
+  * within partitions before writing parquet. Files then hold disjoint,
+  * internally-sorted key ranges, so parquet row-group min/max statistics
+  * prune reads on the cluster key — the write-time complement to
+  * predicate pushdown (classic data-layout optimization; same idea
+  * single-dimension as Z-ordering). Pair with `Bucketed` (hash
+  * co-location for joins) — clustering serves range scans.
+  */
+object Clustered {
+  def write(
+      df: DataFrame,
+      path: String,
+      clusterBy: Seq[String],
+      numFiles: Int,
+      overwrite: Boolean = true): Unit = {
+    require(clusterBy.nonEmpty && numFiles > 0)
+    val keys = clusterBy.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(numFiles, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path)
+  }
+}
+
 /** Parquet sink with full-refresh semantics — the reference's
   * TRUNCATE-then-reload (`_base_copy.py:102-113`) maps to Spark's
   * atomic `Overwrite` mode; partitioned refresh uses dynamic partition

@@ -410,6 +410,29 @@ class SizedSinkSpec extends AnyFunSuite {
   }
 }
 
+class ClusteredSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+
+  test("clustered write produces files with disjoint sorted key ranges") {
+    val tmp = java.nio.file.Files.createTempDirectory("clu").toString
+    sinks.Clustered.write(
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
+      s"$tmp/li", Seq("l_orderkey"), numFiles = 4)
+    val ranges = spark.read.parquet(s"$tmp/li")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.length === 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, s"overlapping file ranges: $ranges")
+      case _ =>
+    }
+  }
+}
+
 class PartitionPruneSpec extends AnyFunSuite {
   import TestSpark._
 
