@@ -361,6 +361,24 @@ class ProfileSpec extends AnyFunSuite {
   }
 }
 
+class FreqSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions.col
+
+  test("count-min estimates never under-count and stay within the eps*N bound") {
+    val ev = Tables.events(spark, dir)
+    val exact = ev.groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val est = ops.Freq.estimates(ev, col("event_type"), exact.keys.toSeq, eps = 0.01)
+    exact.foreach { case (k, c) =>
+      val e = est(k)
+      assert(e >= c, s"$k under-counted: $e < $c")
+      assert(e <= c + (0.01 * n).toLong + 1, s"$k over bound: $e vs $c (N=$n)")
+    }
+  }
+}
+
 class SaltCapSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
