@@ -175,6 +175,24 @@ class AnnSpec extends AnyFunSuite {
   }
 }
 
+class AnnRecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("IVF recall@10 clears the probed-fraction floor vs brute force") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(ann.Ann.bruteForceTopK(emb, qs, 10))
+    val ivf = topSet(ann.Ann.ivfTopK(emb, qs, 10)) // nProbe=4 of 16 cells
+    val recall = (exact & ivf).size.toDouble / exact.size
+    // embeddings are near-random (max pairwise cosine ~0.44), so cell
+    // assignment is weakly informative: probing 4/16 cells must still
+    // beat a conservative floor below the 25% blind-probe baseline
+    assert(recall >= 0.15, s"IVF recall@10 = $recall")
+  }
+}
+
 class OpsSinksSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
@@ -538,6 +556,32 @@ class PropertySpec extends AnyFunSuite {
       (2L, "x", 0L, None),        // idempotent: no churn
       (3L, "y", 0L, None),        // untouched
       (9L, "new", 100L, None)))   // insert
+  }
+
+  test("scd2 equals a plain-Scala reference model on 300 random rows") {
+    val eff = 100L
+    val openRows = (0L until 40L).map(k => (k, "v" + rnd.nextInt(4), 10L, None: Option[Long]))
+    val closedRows = (0L until 10L).map(k => (k, "old", 0L, Some(10L): Option[Long]))
+    val updates = (20L until 60L).map(k => (k, "v" + rnd.nextInt(4), eff))
+    val target = (openRows ++ closedRows).toDF("k", "v", "valid_from", "valid_to")
+    val got = ops.Merge.scd2(target, updates.toDF("k", "v", "effective"), "k", Seq("v"))
+      .as[(Long, String, Long, Option[Long])].collect().toSet
+    // reference model
+    val openMap = openRows.map(r => r._1 -> r).toMap
+    val expect = scala.collection.mutable.Set[(Long, String, Long, Option[Long])]()
+    expect ++= closedRows // history passes through
+    val updated = updates.map(_._1).toSet
+    openRows.foreach { case (k, v, from, _) =>
+      updates.find(_._1 == k) match {
+        case Some((_, uv, e)) if uv != v =>
+          expect += ((k, v, from, Some(e))); expect += ((k, uv, e, None))
+        case _ => expect += ((k, v, from, None))
+      }
+    }
+    updates.foreach { case (k, uv, e) =>
+      if (!openMap.contains(k)) expect += ((k, uv, e, None))
+    }
+    assert(got === expect.toSet)
   }
 
   test("merge.upsert with disjoint keys equals union") {
