@@ -1336,6 +1336,23 @@ object SparkEntry {
       |            WHEN 'fr' THEN '30' ELSE '10' END
       |ORDER BY doc_id""".stripMargin
 
+  /** Exact-quota stratified sample: 10 docs per language, deterministic
+    * md5-of-key order (rate sampling hits quotas only in expectation).
+    */
+  private def sampQuota(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.quotaPerStratum(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      col("doc_id"), col("lang"), 10)
+      .orderBy("lang", "doc_id")
+
+  private val sampQuotaSql =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rn <= 10 ORDER BY lang, doc_id""".stripMargin
+
   private def vecInt8Quant(s: SparkSession, dir: String): DataFrame = {
     // bind (quantized vector, integer norm) ONCE per row and derive both
     // outputs from the binding — naming norm_q and q8 separately off raw
@@ -1857,7 +1874,8 @@ object SparkEntry {
     "pipe_corpus_verified" -> (pipeCorpusVerified _),
     "q_scd2_merge" -> (qScd2Merge _),
     "q_pivot_api" -> (qPivotApi _),
-    "snk_clustered" -> (snkClustered _)
+    "snk_clustered" -> (snkClustered _),
+    "samp_quota" -> (sampQuota _)
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
@@ -1945,6 +1963,7 @@ object SparkEntry {
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_pivot_api" -> qPivotApiSql,
-    "snk_clustered" -> snkClusteredSql
+    "snk_clustered" -> snkClusteredSql,
+    "samp_quota" -> sampQuotaSql
   )
 }

@@ -39,4 +39,23 @@ object Sample {
     }
     df.where(substring(md5(keyCol.cast("string")), 1, 2) < threshold)
   }
+
+  /** Exact-quota sampling: the first `n` rows per stratum in md5-of-key
+    * order — deterministic, repartition-stable, and exactly sized (where
+    * rate-based sampling only hits the quota in expectation). One
+    * shuffle on the stratum (window), bounded output.
+    */
+  def quotaPerStratum(
+      df: DataFrame,
+      keyCol: Column,
+      stratumCol: Column,
+      n: Int): DataFrame = {
+    require(n > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(keyCol.cast("string")), keyCol) // key tiebreak for md5 ties
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
 }

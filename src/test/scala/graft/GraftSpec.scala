@@ -776,6 +776,15 @@ class SampleSpec extends AnyFunSuite {
     assert(ops.Sample.stratified(df, col("id"), col("s"), Map("a" -> 1.0, "b" -> 1.0)).count() === 1000L)
     assert(ops.Sample.stratified(df, col("id"), col("s"), Map.empty, 0.0).count() === 0L)
   }
+
+  test("quotaPerStratum: exact n per stratum, deterministic membership") {
+    val q = ops.Sample.quotaPerStratum(df, col("id"), col("s"), 25)
+    val byStratum = q.groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byStratum === Map("a" -> 25L, "b" -> 25L))
+    val again = ops.Sample.quotaPerStratum(df, col("id"), col("s"), 25)
+      .as[(Long, String)].collect().toSet
+    assert(again === q.as[(Long, String)].collect().toSet)
+  }
 }
 
 class VecInt8Spec extends AnyFunSuite {
