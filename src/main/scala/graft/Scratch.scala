@@ -4,17 +4,9 @@ package graft
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, 8)
-    val dir = "/root/testdata/sf0.001"
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, dir).queryExecution.executedPlan.toString
-        val bnlj = plan.contains("BroadcastNestedLoopJoin")
-        val cartesian = plan.contains("CartesianProduct")
-        if (bnlj || cartesian) println(s"NONEQUI $name bnlj=$bnlj cartesian=$cartesian")
-      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage.take(80)}") }
-      spark.catalog.clearCache()
-    }
-    println("sweep done")
+    val plan = SparkEntry.queries("snk_clustered")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    "PushedFilters: ([^\n]*)".r.findAllMatchIn(plan).map(_.group(1)).foreach(p => println(s"PUSHED $p"))
     spark.stop()
   }
 }

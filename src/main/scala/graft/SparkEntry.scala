@@ -1760,8 +1760,11 @@ object SparkEntry {
       col("l_orderkey"), col("l_shipdate"),
       cents(col("l_extendedprice")).as("price_cents"))
     sinks.Clustered.write(li, s"$tmp/li", Seq("l_shipdate"), numFiles = 8)
+    // range predicate DIRECTLY on the cluster column: a function-wrapped
+    // filter (year(col) = 1997) would NOT reach the parquet reader, and
+    // no row-group min/max skipping would happen at all
     s.read.parquet(s"$tmp/li")
-      .where(year(col("l_shipdate")) === 1997)
+      .where(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01"))
       .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
       .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
       .orderBy("mo")
@@ -1772,7 +1775,7 @@ object SparkEntry {
        |  CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents
        |FROM lineitem
-       |WHERE EXTRACT(year FROM CAST(l_shipdate AS DATE)) = 1997
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        |GROUP BY 1 ORDER BY mo""".stripMargin
 
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {

@@ -54,8 +54,12 @@ object Sample {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
       .orderBy(md5(keyCol.cast("string")), keyCol) // key tiebreak for md5 ties
-    df.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= n)
-      .drop("__rn")
+    // collision-checked temp column: a plain "__rn" would silently
+    // replace (and then drop) a caller column of the same name
+    val rn = "__graft_quota_rn"
+    require(!df.columns.contains(rn), s"input already has a $rn column")
+    df.withColumn(rn, row_number().over(w))
+      .where(col(rn) <= n)
+      .drop(rn)
   }
 }

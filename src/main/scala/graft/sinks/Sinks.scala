@@ -42,21 +42,33 @@ object OrcSink {
   * scale a shuffle-heavy job can end with thousands of tiny output
   * partitions; writing them 1:1 produces a file-per-partition swamp that
   * slows every later scan (listing, footer reads, row-group overhead).
-  * `write` estimates the data's serialized size from a bounded sample of
-  * output partitions and coalesces to ceil(bytes / targetBytes) files.
+  * `write` sizes the output to ceil(estimatedBytes / targetBytes) files
+  * via a REPARTITION (an extra narrow shuffle of only the final rows):
+  * coalesce would be shuffle-free but collapses the parallelism of the
+  * whole upstream stage — the same one-partition compute trap the bench
+  * measured with AQE-under-cache coalescing.
   */
 object SizedSink {
 
-  /** Estimate serialized bytes cheaply: average parquet-ish row width
-    * from a sample write is overkill — the logical-plan stats give a
-    * Catalyst estimate (sizeInBytes) that is already maintained for join
-    * planning; it over-estimates raw row width vs parquet encoding, so
-    * divide by `compressionFactor` (parquet+snappy on tabular data
-    * typically 3-10x smaller than in-memory).
+  /** Catalyst's maintained logical-plan size estimate (sizeInBytes),
+    * scaled by a parquet compression factor. Honest limitation: the
+    * size visitor does NOT model aggregation/join cardinality reduction,
+    * so a heavily-reducing plan over-estimates — erring toward more,
+    * smaller files (never a few huge ones). Callers that know their
+    * output cardinality can size explicitly via `writeFiles`.
     */
   def estimateBytes(df: DataFrame, compressionFactor: Double = 4.0): Long = {
     val planBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     (BigDecimal(planBytes) / compressionFactor).toLong
+  }
+
+  /** Write exactly `nFiles` files. */
+  def writeFiles(df: DataFrame, path: String, nFiles: Int, overwrite: Boolean = true): Unit = {
+    require(nFiles > 0)
+    df.repartition(nFiles)
+      .write
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
+      .parquet(path)
   }
 
   def write(
@@ -66,10 +78,7 @@ object SizedSink {
       overwrite: Boolean = true): Int = {
     require(targetBytes > 0)
     val nFiles = math.max(1, math.ceil(estimateBytes(df).toDouble / targetBytes).toInt)
-    df.coalesce(nFiles)
-      .write
-      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.ErrorIfExists)
-      .parquet(path)
+    writeFiles(df, path, nFiles, overwrite)
     nFiles
   }
 }

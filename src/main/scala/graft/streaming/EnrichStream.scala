@@ -19,21 +19,23 @@ object EnrichStream {
       .groupBy("user_id")
       .agg(min("c_nationkey").cast("long").as("nation"))
 
-  /** Streaming aggregate of event counts/value by (event_type, nation). */
-  def enrichedCounts(spark: SparkSession, dir: String): DataFrame =
-    EventsStream.source(spark, dir)
-      .join(broadcast(userDim(spark, dir)), Seq("user_id"), "left_outer")
+  /** ONE implementation of the enrichment aggregate, applied to either a
+    * streaming or a batch events frame — the equivalence spec therefore
+    * tests the shared code path, not two copies that could drift apart.
+    */
+  def enrich(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
       .groupBy("event_type", "nation")
       .agg(
         count(lit(1)).as("n"),
         sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
 
+  /** Streaming aggregate of event counts/value by (event_type, nation). */
+  def enrichedCounts(spark: SparkSession, dir: String): DataFrame =
+    enrich(EventsStream.source(spark, dir), userDim(spark, dir))
+
   /** Batch twin over the same tables, for spec equivalence. */
   def enrichedCountsBatch(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .join(broadcast(userDim(spark, dir)), Seq("user_id"), "left_outer")
-      .groupBy("event_type", "nation")
-      .agg(
-        count(lit(1)).as("n"),
-        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+    enrich(Tables.events(spark, dir), userDim(spark, dir))
 }
