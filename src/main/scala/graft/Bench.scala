@@ -7,6 +7,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Reclaim scratch dirs from earlier/crashed runs BEFORE timing anything:
+    // hundreds of stale graft_* dirs were measured to slow whole runs 2-7x.
+    TmpDirs.sweepStale()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,6 +28,7 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()
+      TmpDirs.sweepRecorded()
     }
 
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -35,6 +39,9 @@ object Bench {
       // results; drop them so no query's timing is distorted by the
       // accumulated caches (and heap pressure) of the queries before it
       spark.catalog.clearCache()
+      // scratch-dir deletion happens outside the timed window of the NEXT
+      // query too (dt is already captured), keeping timings write-only
+      TmpDirs.sweepRecorded()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -554,7 +554,7 @@ object SparkEntry {
 
   private def snkCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val tmp = TmpDirs.create("csv")
     sinks.CsvSink.write(part, s"$tmp/part")
     sources.Csv.read(s, s"$tmp/part", part.schema)
       .select(
@@ -570,7 +570,7 @@ object SparkEntry {
       |FROM part ORDER BY p_partkey""".stripMargin
 
   private def snkOverwrite(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ovw").toString
+    val tmp = TmpDirs.create("ovw")
     val nat = srcDfIdentity(s, dir)
     sinks.Refresh.overwrite(nat, s"$tmp/nation")
     sinks.Refresh.overwrite(nat, s"$tmp/nation") // idempotent full refresh
@@ -636,7 +636,7 @@ object SparkEntry {
 
   /** Partitioned refresh + partition-pruned re-read. */
   private def snkPartitioned(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val tmp = TmpDirs.create("part")
     val orders = Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
     sinks.Refresh.overwrite(orders, s"$tmp/orders", partitionBy = Seq("yr"))
     s.read.parquet(s"$tmp/orders")
@@ -889,7 +889,7 @@ object SparkEntry {
 
   private def snkJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val nat = srcDfIdentity(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val tmp = TmpDirs.create("json")
     sinks.JsonSink.write(nat, s"$tmp/nation")
     sources.Json.read(s, s"$tmp/nation", nat.schema).orderBy("n_nationkey")
   }
@@ -1441,7 +1441,7 @@ object SparkEntry {
     */
   private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val tmp = TmpDirs.create("ivf")
     ann.IvfIndex.build(emb, s"$tmp/index", k = 16, iters = 1)
     val cents = ann.IvfIndex.load(s, s"$tmp/index")
     ann.Ann.ivfTopK(emb, annQueryIds, 10, centroids = Some(cents.toSeq.map(_.toSeq)))
@@ -1755,7 +1755,7 @@ object SparkEntry {
     * only matching row groups (min/max skipping at the reader).
     */
   private def snkClustered(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_clu").toString
+    val tmp = TmpDirs.create("clu")
     val li = Tables.lineitem(s, dir).select(
       col("l_orderkey"), col("l_shipdate"),
       cents(col("l_extendedprice")).as("price_cents"))
@@ -1779,7 +1779,7 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY mo""".stripMargin
 
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val tmp = TmpDirs.create("orc")
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
     sources.Orc.read(s, s"$tmp/nation")
       .select(

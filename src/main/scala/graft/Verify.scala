@@ -15,6 +15,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    TmpDirs.sweepStale() // reclaim scratch dirs from earlier/crashed runs
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -24,6 +25,7 @@ object Verify {
       // several library functions hand back caller-owned persisted
       // results; release them so 70+ queries don't accumulate caches
       spark.catalog.clearCache()
+      TmpDirs.sweepRecorded()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

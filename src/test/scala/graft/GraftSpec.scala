@@ -6,7 +6,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites (one JVM per `sbt test` fork). */
 object TestSpark {
-  lazy val spark: SparkSession = GraftSession.local(4, 4)
+  lazy val spark: SparkSession = {
+    TmpDirs.sweepStale() // reclaim scratch dirs from earlier/crashed runs
+    // delete this fork's scratch dirs once every suite has finished
+    Runtime.getRuntime.addShutdownHook(new Thread(() => TmpDirs.sweepRecorded()))
+    GraftSession.local(4, 4)
+  }
   val dir = "/root/testdata/sf0.001"
 }
 
@@ -432,7 +437,7 @@ class SizedSinkSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions.col
 
   test("sized writes collapse many shuffle partitions into few target-size files") {
-    val tmp = java.nio.file.Files.createTempDirectory("sized").toString
+    val tmp = graft.TmpDirs.create("sized")
     // a groupBy leaves shuffle.partitions output partitions; the sized
     // sink must not write one file per partition for tiny data
     val tiny = Tables.lineitem(spark, dir)
@@ -451,7 +456,7 @@ class ClusteredSpec extends AnyFunSuite {
   import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
   test("clustered write produces files with disjoint sorted key ranges") {
-    val tmp = java.nio.file.Files.createTempDirectory("clu").toString
+    val tmp = graft.TmpDirs.create("clu")
     sinks.Clustered.write(
       Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity"),
       s"$tmp/li", Seq("l_orderkey"), numFiles = 4)
@@ -473,7 +478,7 @@ class PartitionPruneSpec extends AnyFunSuite {
   import TestSpark._
 
   test("partitioned write + filtered read shows partition pruning at the scan") {
-    val tmp = java.nio.file.Files.createTempDirectory("prune").toString
+    val tmp = graft.TmpDirs.create("prune")
     val orders = Tables.orders(spark, dir).withColumn("yr", year(col("o_orderdate")))
     sinks.Refresh.overwrite(orders, s"$tmp/orders", partitionBy = Seq("yr"))
     val filtered = spark.read.parquet(s"$tmp/orders").where(col("yr") === 1997)
@@ -673,7 +678,7 @@ class KMeansSpec extends AnyFunSuite {
 
   test("IvfIndex round-trips centroids; fitted probe returns k rows per query") {
     val emb = Tables.embeddings(spark, dir)
-    val tmp = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    val tmp = graft.TmpDirs.create("ivf_spec")
     val built = graft.ann.IvfIndex.build(emb, s"$tmp/ix", k = 8, iters = 1)
     val loaded = graft.ann.IvfIndex.load(spark, s"$tmp/ix")
     assert(built.map(_.toSeq).toSeq === loaded.map(_.toSeq).toSeq)
@@ -898,7 +903,7 @@ class CorpusPrepStreamSpec extends AnyFunSuite {
   import TestSpark._
 
   test("streaming corpus prep (foreachBatch) equals the batch pipeline") {
-    val out = java.nio.file.Files.createTempDirectory("prep_out").toString
+    val out = graft.TmpDirs.create("prep_out")
     val streamed = streaming.CorpusPrepStream.runToParquet(spark, dir, s"$out/corpus")
     val batch = pipeline.CorpusPrep.clean(Tables.documents(spark, dir))
     val s = streamed.collect().map(_.toSeq).toSet
