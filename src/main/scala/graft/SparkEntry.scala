@@ -1215,6 +1215,54 @@ object SparkEntry {
       |  md5(text) AS checksum, 'text/plain' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Resize fan-through: the batched mapPartitions resize shape over the
+    * media frame. The stub's output structure (8-byte "RSZ:WxH:" header +
+    * payload truncated to w*h bytes) is fully length-determined, so the
+    * oracle checks the real batch plumbing hash-exact; byte fidelity of
+    * the stub itself is MultimodalSpec's job.
+    */
+  private def mmResize(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.resizeAll(
+        s, mm.Multimodal.mediaFrame(Tables.documents(s, dir)).where(col("media").isNotNull), 8, 8)
+      .select(
+        col("doc_id"),
+        length(col("media")).cast("long").as("byte_len"),
+        col("width"),
+        col("height"))
+      .orderBy("doc_id")
+
+  private val mmResizeSql =
+    """SELECT doc_id,
+      |  CAST(8 + least(octet_length(encode(text)), 64) AS BIGINT) AS byte_len,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+
+  /** Video-style frame sampling: one media row fans out to n frame rows
+    * partition-locally (no shuffle). Frame boundaries are pure integer
+    * arithmetic on the byte length, so the explode shape and per-frame
+    * sizes are oracle-exact.
+    */
+  private def mmFrames(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.sampleFrames(
+        s, mm.Multimodal.mediaFrame(Tables.documents(s, dir)).where(col("media").isNotNull), 8)
+      .select(
+        col("doc_id"),
+        col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy("doc_id", "frame_idx")
+
+  private val mmFramesSql =
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+      |s AS (
+      |  SELECT doc_id, len, greatest(1, len // 8) AS stride, least(8, len) AS k FROM m),
+      |f AS (
+      |  SELECT doc_id, UNNEST(generate_series(0, k - 1)) AS fi, stride, len FROM s)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+      |  CAST(least(len, (fi + 1) * stride) - fi * stride AS BIGINT) AS frame_len
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // =================== §2.4 training-data pipeline, round 2 ===================
 
   /** DuckDB canonical-words list (empty list for wordless docs). */
@@ -1238,6 +1286,38 @@ object SparkEntry {
        |SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.txt AS chunk_text,
        |  CAST(u.nw AS BIGINT) AS n_words
        |FROM u WHERE u.nw > 0 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** C4-style corpus-wide segment dedup: first occurrence of each 40-word
+    * window survives, documents reassemble from surviving segments
+    * (emptied documents drop). Skew-safe min-struct winner selection —
+    * see [[text.LineDedup]].
+    */
+  private def textLineDedup(s: SparkSession, dir: String): DataFrame =
+    text.LineDedup.dedupSegments(Tables.documents(s, dir), 40)
+      .orderBy("doc_id")
+
+  private val textLineDedupSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(0, GREATEST(CAST(ceil(len(w) / 40.0) AS BIGINT) - 1, 0)),
+       |    i -> {'ci': i,
+       |          'txt': array_to_string(w[i*40+1 : i*40+40], ' '),
+       |          'nw': LEAST(len(w) - i*40, 40)}) AS chunks
+       |  FROM d),
+       |u AS (SELECT doc_id, UNNEST(chunks) AS u FROM c),
+       |ch AS (
+       |  SELECT doc_id, CAST(u.ci AS BIGINT) AS chunk_idx, u.txt AS chunk_text
+       |  FROM u WHERE u.nw > 0),
+       |f AS (
+       |  SELECT doc_id, chunk_idx, chunk_text,
+       |    row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ch)
+       |SELECT doc_id,
+       |  string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS kept_text,
+       |  CAST(count(*) AS BIGINT) AS n_kept
+       |FROM f WHERE rn = 1
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def pipePackBudget(s: SparkSession, dir: String): DataFrame =
     text.Chunking.packByBudget(
@@ -1859,7 +1939,10 @@ object SparkEntry {
     "text_tokens" -> (textTokens _),
     "text_fingerprint" -> (textFingerprint _),
     "mm_binary_meta" -> (mmBinaryMeta _),
+    "mm_resize" -> (mmResize _),
+    "mm_frames" -> (mmFrames _),
     "text_chunk_windows" -> (textChunkWindows _),
+    "text_line_dedup" -> (textLineDedup _),
     "pipe_pack_budget" -> (pipePackBudget _),
     "text_gopher_quality" -> (textGopherQuality _),
     "dedup_contaminated" -> (dedupContaminated _),
@@ -1946,7 +2029,10 @@ object SparkEntry {
     "text_tokens" -> textTokensSql,
     "text_fingerprint" -> textFingerprintSql,
     "mm_binary_meta" -> mmBinaryMetaSql,
+    "mm_resize" -> mmResizeSql,
+    "mm_frames" -> mmFramesSql,
     "text_chunk_windows" -> textChunkWindowsSql,
+    "text_line_dedup" -> textLineDedupSql,
     "pipe_pack_budget" -> pipePackBudgetSql,
     "text_gopher_quality" -> textGopherQualitySql,
     "dedup_contaminated" -> dedupContaminatedSql,

@@ -1,7 +1,6 @@
 package graft.text
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-wide duplicate-segment removal — the C4/RefinedWeb "line
@@ -16,13 +15,22 @@ import org.apache.spark.sql.functions._
   * surviving segments. Documents left with no segments drop out (C4
   * drops emptied lines/docs the same way).
   *
-  * Scale shape: one map-side explode (no shuffle), one shuffle on the
-  * segment text for the first-occurrence window, one shuffle on doc_id
-  * for reassembly. Nothing pairwise, nothing on the driver. The window
-  * partitions by full segment text rather than a 64-bit hash so a hash
-  * collision can never silently delete a unique segment; the shuffled
-  * bytes are the same either way (the segment rides along regardless
-  * for reassembly).
+  * Scale shape: one map-side explode (no shuffle), one groupBy on the
+  * segment text for the first-occurrence winner, one shuffle on doc_id
+  * for reassembly. Nothing pairwise, nothing on the driver.
+  *
+  * Skew safety: first-occurrence selection is a `min(struct(doc_id,
+  * chunk_idx))` aggregation, NOT a row_number window. A window
+  * partitioned by segment text must co-locate every occurrence of a
+  * segment in one task — and viral boilerplate (headers, license
+  * blocks: exactly what segment dedup exists to remove) makes that a
+  * hot key at 100 TB. min-struct is partially aggregatable, so each map
+  * task collapses its local copies of a hot segment to ONE partial row
+  * before the shuffle: per-reducer work is bounded by distinct segments,
+  * not occurrences, and shuffled bytes shrink by the local duplication
+  * factor. Keying by the full segment text (not a 64-bit hash) costs
+  * nothing extra — the winning text must cross the shuffle anyway for
+  * reassembly — and makes hash-collision segment loss impossible.
   */
 object LineDedup {
 
@@ -32,11 +40,10 @@ object LineDedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val chunks = Chunking.chunkByWords(docs, windowWords, textCol, Seq(idCol))
-    val firstOcc = Window.partitionBy(col("chunk_text"))
-      .orderBy(col(idCol), col("chunk_idx"))
     chunks
-      .withColumn("__rn", row_number().over(firstOcc))
-      .where(col("__rn") === 1)
+      .groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("w"))
+      .select(col(s"w.$idCol").as(idCol), col("w.chunk_idx").as("chunk_idx"), col("chunk_text"))
       .groupBy(col(idCol))
       .agg(
         array_join(
