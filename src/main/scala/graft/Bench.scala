@@ -31,23 +31,46 @@ object Bench {
       TmpDirs.sweepRecorded()
     }
 
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // several library functions hand back caller-owned persisted
-      // results; drop them so no query's timing is distorted by the
-      // accumulated caches (and heap pressure) of the queries before it
-      spark.catalog.clearCache()
-      // scratch-dir deletion happens outside the timed window of the NEXT
-      // query too (dt is already captured), keeping timings write-only
-      TmpDirs.sweepRecorded()
-      name -> dt
+    // Median-of-N timed passes: single-pass totals were measured to lie
+    // by 2-7x under environmental noise (stale scratch dirs, GC timing),
+    // so the reported per-query number is the median across passes and
+    // the per-pass totals are published alongside as the spread record.
+    val queries = SparkEntry.queries
+    val names = queries.keys.toSeq
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val perPass: Seq[Map[String, Double]] = (1 to nPasses).map { _ =>
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // several library functions hand back caller-owned persisted
+        // results; drop them so no query's timing is distorted by the
+        // accumulated caches (and heap pressure) of the queries before it
+        spark.catalog.clearCache()
+        // scratch-dir deletion happens outside the timed window of the NEXT
+        // query too (dt is already captured), keeping timings write-only
+        TmpDirs.sweepRecorded()
+        name -> dt
+      }.toMap
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val m = s.length / 2
+      if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2
+    }
+    val medians = names.map(n => n -> median(perPass.map(_(n))))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = names
+      .map { n =>
+        val xs = perPass.map(_(n))
+        "\"" + n + "\":" + (xs.max - xs.min)
+      }
+      .mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val passTotals = perPass.map(_.values.sum).mkString("[", ",", "]")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"query_spread":$spread}""")
     spark.stop()
   }
 }

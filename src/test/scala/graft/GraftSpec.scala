@@ -1000,3 +1000,39 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(r(20002L) === ("planning strategies", 1L)) // only its novel tail survives
   }
 }
+
+/** The fully-inlined TextShingleMinHash codegen (no per-row virtual call
+  * back into the expression object) must be bit-identical to the
+  * interpreted nullSafeEval path, and the kernel loop must actually
+  * appear in the generated class.
+  */
+class MinHashCodegenSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sigFrame = Tables.documents(spark, dir)
+    .select(col("doc_id"), graft.functions.exprs.text_minhash_sig(col("text")).as("sig"))
+
+  test("generated code contains the inlined kernel loop, not an eval callback") {
+    val gen = org.apache.spark.sql.execution.debug
+      .codegenString(sigFrame.queryExecution.executedPlan)
+    assert(gen.contains("graftTextShingleMinHash"), "kernel function missing from generated code")
+    assert(gen.contains("if (v < mins[p]) mins[p] = v;"), "minhash inner loop body not inlined")
+    assert(!gen.contains("nullSafeEval"), "codegen still calls back into the expression object")
+  }
+
+  test("codegen and interpreted signatures are bit-identical") {
+    def collectSigs() = sigFrame.where(col("sig").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCodegen = collectSigs()
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interpreted = collectSigs()
+      assert(viaCodegen.nonEmpty)
+      assert(viaCodegen === interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+}
