@@ -1965,16 +1965,20 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. All five rows-only queries, and why:
-    * candidate sets built on engine-internal 64-bit wraparound hash
-    * families are not SQL-expressible (DuckDB integer arithmetic is
-    * overflow-checked) — dedup_minhash, dedup_simhash, ann_ivf_kmeans
-    * (iterative float centroid fit), q_approx_distinct (HLL sketch; its
-    * spec bounds error <5% vs exact), and pipe_corpus_prep (composes
-    * the minhash candidate stage). The sign-LSH and sampled-IVF queries
-    * (dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk) ARE oracle-exact:
-    * hyperplanes/centroids are deterministic, and left-fold SQL sums
-    * reproduce the Spark expressions' float math bit-for-bit.
+    * weaker rows-only check. The three rows-only queries, and why:
+    * ann_ivf_kmeans (iterative float centroid fit — per-iteration
+    * reassignment state is not expressible as one SQL query; its spec
+    * asserts monotone objective + determinism), q_approx_distinct (HLL
+    * sketch internals; spec bounds error <5% vs exact), and
+    * pipe_corpus_prep (multi-stage pipeline whose hash-exact twin
+    * pipe_corpus_verified shares gateAndAnnotate end-to-end).
+    * dedup_minhash and dedup_simhash are oracle-exact as of round 4:
+    * [[graft.oracle.DuckHash]] re-expresses the FNV/Mix64/XXH64 kernels
+    * in DuckDB with wrapping HUGEINT arithmetic and inlined seeded
+    * constants. The sign-LSH and sampled-IVF queries (dedup_embed_cosine,
+    * ann_lsh_topk, ann_ivf_topk) are likewise oracle-exact: hyperplanes/
+    * centroids are deterministic, and left-fold SQL sums reproduce the
+    * Spark expressions' float math bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2022,6 +2026,8 @@ object SparkEntry {
     "pipe_parallel_load" -> pipeParallelLoadSql,
     "pipe_load_report" -> pipeLoadReportSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_minhash" -> oracle.DuckHash.minhashSql,
+    "dedup_simhash" -> oracle.DuckHash.simhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "ann_bruteforce_topk" -> annBruteforceSql,
     "text_langid" -> textLangidSql,

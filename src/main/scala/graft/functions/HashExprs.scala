@@ -50,7 +50,7 @@ private[functions] object TypeGuard {
   *    "ana" — because Mix64 of equal accumulators is equal; FNV-1a's
   *    per-char 64-bit multiply keeps distinct short words distinct.)
   */
-private[functions] object WordWalk {
+private[graft] object WordWalk {
   final val FnvOffset = 0xcbf29ce484222325L
   final val FnvPrime = 0x100000001b3L
 

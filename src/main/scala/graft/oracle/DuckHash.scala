@@ -1,0 +1,243 @@
+package graft.oracle
+
+import graft.functions.{Mix64, WordWalk}
+
+/** DuckDB SQL generators that reproduce graft's hash kernels BIT-EXACTLY,
+  * upgrading the dedup_minhash / dedup_simhash correctness checks from
+  * rows-only to full hash-exact oracles.
+  *
+  * The obstacle these builders remove: DuckDB has no xxhash64, no wrapping
+  * 64-bit arithmetic (BIGINT ops overflow-check), and its `<<` rejects
+  * UBIGINT results >= 2^63. The kernels are therefore re-expressed with:
+  *  - wrapping multiply split into 32-bit halves over HUGEINT:
+  *    a*b mod 2^64 = (a_lo*b + ((a_hi*b_lo) mod 2^32)*2^32) mod 2^64
+  *  - left shift as UBIGINT multiply (full 2^64-1 range)
+  *  - let-bindings via single-element `list_transform([e], v -> body)[1]`
+  *    so each sub-value is evaluated once (without them the xor(x, x>>n)
+  *    chains double the expression tree per step)
+  *  - per-permutation / per-band constants (SplitMix64 coefficients, XXH64
+  *    band seeds) precomputed here in Scala and inlined as literals —
+  *    the same seeded-constant-inlining precedent as the sign-LSH oracle.
+  *
+  * Scope note: the simhash word hash implements Spark XXH64's sub-32-byte
+  * path (8-byte chunks + 4-byte + byte tail + fmix). Canonical words in
+  * the corpus are <= 8 bytes (verified at sf0.001/0.01/0.1); a >= 32-byte
+  * word would make the oracle mismatch loudly, which is the gate's job.
+  */
+object DuckHash {
+
+  // ---- constants shared with the Spark kernels ----
+  private val Two64 = BigInt(1) << 64
+  private def u64(x: BigInt): BigInt = x & (Two64 - 1)
+
+  private val FnvOffset = BigInt(WordWalk.FnvOffset) & (Two64 - 1)
+  private val FnvPrime = BigInt(WordWalk.FnvPrime)
+
+  // XXH64 primes (decimal, as in Spark's XXH64 bytecode)
+  private val P1 = BigInt("11400714785074694791")
+  private val P2 = BigInt("14029467366897019727")
+  private val P3 = BigInt("1609587929392839161")
+  private val P4 = BigInt("9650029242287828579")
+  private val P5 = BigInt("2870177450012600261")
+
+  private val Seed = 42L
+  private val K = 128
+
+  private def coefA(i: Int): BigInt = u64(BigInt(Mix64(Seed + 2L * i) | 1L))
+  private def coefB(i: Int): BigInt = u64(BigInt(Mix64(Seed + 2L * i + 1L)))
+
+  private def rotlPy(x: BigInt, n: Int): BigInt = u64((x << n) | (x >> (64 - n)))
+  private def fmixPy(h0: BigInt): BigInt = {
+    var h = h0
+    h ^= h >> 33; h = u64(h * P2); h ^= h >> 29; h = u64(h * P3); h ^= h >> 32
+    h
+  }
+  /** Spark XXH64.hashInt — used to precompute the 16 band seeds. */
+  private def xxhInt(i: Int, seed: Long): BigInt = {
+    var h = u64(BigInt(seed) + P5 + 4)
+    h = u64(h ^ u64(BigInt(i & 0xFFFFFFFFL.toInt) * P1))
+    h = u64(rotlPy(h, 23) * P2 + P3)
+    fmixPy(h)
+  }
+  private val bandSeeds: Seq[BigInt] = (0 until 16).map(xxhInt(_, Seed))
+
+  // ---- SQL builders ----
+  private var fresh = 0
+  private def let(expr: String)(body: String => String): String = {
+    fresh += 1
+    val v = s"g$fresh"
+    s"list_transform([$expr], $v -> ${body(v)})[1]"
+  }
+
+  /** (x * c) mod 2^64 for a UBIGINT expr and a constant. */
+  private def wrapmul(x: String, c: BigInt): String = {
+    val clo = c & 0xFFFFFFFFL
+    let(x)(v =>
+      s"CAST(((CAST($v & 4294967295 AS HUGEINT) * $c) + " +
+        s"((CAST($v >> 32 AS HUGEINT) * $clo) % 4294967296) * 4294967296) " +
+        s"% 18446744073709551616 AS UBIGINT)")
+  }
+
+  private def addmod(x: String, c: BigInt): String =
+    s"CAST((CAST($x AS HUGEINT) + $c) % 18446744073709551616 AS UBIGINT)"
+
+  private def xorShr(x: String, n: Int): String =
+    let(x)(v => s"xor($v, $v >> $n)")
+
+  /** Left rotation; the left shift is a UBIGINT multiply because DuckDB's
+    * `<<` overflow check rejects in-range UBIGINT results >= 2^63.
+    */
+  private def rotl(x: String, n: Int): String =
+    let(x)(v =>
+      s"((($v % CAST(${Two64 >> n} AS UBIGINT)) * CAST(${BigInt(1) << n} AS UBIGINT)) | ($v >> ${64 - n}))")
+
+  private def mix64Sql(x: String): String = {
+    val z0 = addmod(x, BigInt("11400714819323198485")) // 0x9e3779b97f4a7c15
+    val z1 = wrapmul(xorShr(z0, 30), BigInt("13787848793156543929")) // 0xbf58476d1ce4e5b9
+    val z2 = wrapmul(xorShr(z1, 27), BigInt("10723151780598845931")) // 0x94d049bb133111eb
+    xorShr(z2, 31)
+  }
+
+  /** FNV-1a fold over a UBIGINT list (offset prepended: DuckDB 1.0's
+    * list_reduce has no initial-value form).
+    */
+  private def fnvFold(listExpr: String): String =
+    s"list_reduce([CAST($FnvOffset AS UBIGINT)] || ($listExpr), " +
+      s"(a, c) -> CAST((CAST(xor(a, c) AS HUGEINT) * $FnvPrime) " +
+      s"% 18446744073709551616 AS UBIGINT))"
+
+  private def signed(x: String): String =
+    s"CAST(CAST($x AS HUGEINT) - CASE WHEN $x >= 9223372036854775808 " +
+      s"THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+
+  private def unsigned(x: String): String =
+    s"CAST(CAST($x AS HUGEINT) + CASE WHEN $x < 0 " +
+      s"THEN 18446744073709551616 ELSE 0 END AS UBIGINT)"
+
+  /** Spark XXH64.hashLong(x, acc) — the per-element step of the band fold. */
+  private def hashLong(xSigned: String, acc: String): String = {
+    val t = wrapmul(rotl(wrapmul(unsigned(xSigned), P2), 31), P1)
+    val h0 = addmod(acc, P5 + 8)
+    val h1 = s"xor($h0, $t)"
+    val h2 = addmod(wrapmul(rotl(h1, 27), P1), P4)
+    val f1 = wrapmul(xorShr(h2, 33), P2)
+    val f2 = wrapmul(xorShr(f1, 29), P3)
+    xorShr(f2, 32)
+  }
+
+  private val canon = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+  private val words =
+    s"CASE WHEN length($canon) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($canon, ' ') END"
+
+  /** FNV+Mix64 word hash over ASCII char codes (mirrors WordWalk on the
+    * canonical words — identical by construction of Text.canon).
+    */
+  private val wordHashSql = mix64Sql(fnvFold(
+    "list_transform(range(1, length(wd) + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))"))
+
+  /** Full dedup_minhash oracle: TextShingleMinHash signatures ->
+    * 16-band xxhash64 keys -> capped buckets -> candidate pairs ->
+    * 16-bit-sketch estimated jaccard >= 0.5. Bit-exact vs Spark.
+    */
+  lazy val minhashSql: String = {
+    val coefs = (0 until K).map { i =>
+      val a = coefA(i)
+      s"{'a': CAST($a AS HUGEINT), 'al': CAST(${a & 0xFFFFFFFFL} AS HUGEINT), 'b': CAST(${coefB(i)} AS HUGEINT)}"
+    }.mkString(", ")
+    val seeds = bandSeeds.map(s => s"CAST($s AS UBIGINT)").mkString(", ")
+    val bh = signed(
+      s"list_reduce([([$seeds])[band+1]] || sig[band*8+1 : band*8+8], (a, c) -> ${hashLong("c", "a")})")
+    val perm = "list_min(list_transform(shsp, s -> " + signed(
+      "CAST((s.lo * c.a + ((s.hi * c.al) % 4294967296) * 4294967296 + c.b) " +
+        "% 18446744073709551616 AS UBIGINT)") + "))"
+    val sig = let(
+      "list_transform(shs, h -> {'lo': CAST(h % 4294967296 AS HUGEINT), 'hi': CAST(h // 4294967296 AS HUGEINT)})")(
+      shsp => s"list_transform([$coefs], c -> ${perm.replace("shsp", shsp)})")
+    s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
+       |dw AS (
+       |  SELECT doc_id, list_transform(w, wd -> $wordHashSql) AS wh
+       |  FROM d0 WHERE len(w) > 0),
+       |sh AS (
+       |  SELECT doc_id, list_transform(
+       |    range(0, CASE WHEN len(wh) <= 3 THEN 1 ELSE len(wh) - 2 END),
+       |    si -> ${let("LEAST(3, len(wh))")(wd2 => mix64Sql(fnvFold(s"wh[si+1 : si+$wd2]")))}) AS shs
+       |  FROM dw),
+       |sg AS (SELECT doc_id, $sig AS sig FROM sh),
+       |banded AS (
+       |  SELECT doc_id, band, $bh AS bh
+       |  FROM sg, (SELECT unnest(range(16)) AS band)),
+       |capped AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n FROM banded)
+       |  WHERE n <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM capped l JOIN capped r USING (band, bh)
+       |  WHERE l.doc_id < r.doc_id),
+       |sk AS (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum(list_transform(range(1, 129),
+       |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
+       |  FROM pairs
+       |  JOIN sk a ON a.doc_id = doc_a
+       |  JOIN sk b ON b.doc_id = doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Spark xxhash64(word, 42) for ASCII words < 32 bytes (UBIGINT result).
+    * Bound vars: cs = char-code list, L = word length.
+    */
+  private def wordXxh64Sql: String = {
+    val h0 = s"CAST(${BigInt(42) + P5} + L AS UBIGINT)"
+    val pow256 = (0 until 8).map(i => BigInt(256).pow(i))
+    val le8 = "CAST(list_sum(list_transform(range(8), i -> cs[j*8+i+1] * CAST(" +
+      s"[${pow256.mkString(",")}][i+1] AS UBIGINT))) AS UBIGINT)"
+    val chunks = s"list_transform(range(L // 8), j -> $le8)"
+    def step8(a: String, k: String) =
+      addmod(wrapmul(rotl(s"xor($a, ${wrapmul(rotl(wrapmul(k, P2), 31), P1)})", 27), P1), P4)
+    val h1 = s"list_reduce([$h0] || ($chunks), (a8, k8) -> ${step8("a8", "k8")})"
+    val le4 = "CAST(list_sum(list_transform(range(4), i -> cs[(L // 8)*8+i+1] * CAST(" +
+      s"[${pow256.take(4).mkString(",")}][i+1] AS UBIGINT))) AS UBIGINT)"
+    def step4(a: String) =
+      addmod(wrapmul(rotl(s"xor($a, ${wrapmul(le4, P1)})", 23), P2), P3)
+    val h2 = let(h1)(a => s"CASE WHEN L % 8 >= 4 THEN ${step4(a)} ELSE $a END")
+    val tail = "cs[(L // 8)*8 + (CASE WHEN L % 8 >= 4 THEN 4 ELSE 0 END) + 1 : L]"
+    def stepB(a: String, c: String) =
+      wrapmul(rotl(s"xor($a, ${wrapmul(c, P5)})", 11), P1)
+    val h3 = s"list_reduce([$h2] || ($tail), (ab, cb) -> ${stepB("ab", "cb")})"
+    val f1 = wrapmul(xorShr(h3, 33), P2)
+    val f2 = wrapmul(xorShr(f1, 29), P3)
+    xorShr(f2, 32)
+  }
+
+  /** Full dedup_simhash oracle: xxhash64 word tokens -> 64-bit Charikar
+    * sketch -> 4x16-bit bands -> pairs with hamming <= 3. Bit-exact.
+    */
+  lazy val simhashSql: String = {
+    val wh = "list_transform([length(wd)], L -> " +
+      "list_transform([list_transform(range(1, L + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))], cs -> " +
+      wordXxh64Sql + ")[1])[1]"
+    val powers = (0 until 64).map(b => BigInt(1) << b).mkString(",")
+    val bits = "CAST(CAST(list_sum(list_transform(range(64), b -> " +
+      "CASE WHEN 2 * list_sum(list_transform(whs, h -> CAST((h >> b) & 1 AS BIGINT))) > len(whs) " +
+      s"THEN CAST([$powers][b+1] AS HUGEINT) ELSE 0 END)) AS HUGEINT) " +
+      "% 18446744073709551616 AS UBIGINT)"
+    s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
+       |dw AS (
+       |  SELECT doc_id, list_transform(w, wd -> $wh) AS whs
+       |  FROM d0 WHERE len(w) > 0),
+       |sm AS (SELECT doc_id, $bits AS shu FROM dw),
+       |banded AS (
+       |  SELECT doc_id, shu, band, CAST((shu >> (16 * band)) & 65535 AS BIGINT) AS bh
+       |  FROM sm, (SELECT unnest(range(4)) AS band)),
+       |prs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(bit_count(xor(l.shu, r.shu)) AS INT) AS hamming
+       |  FROM banded l JOIN banded r USING (band, bh)
+       |  WHERE l.doc_id < r.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM prs
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+}
