@@ -1743,7 +1743,12 @@ object SparkEntry {
     out
   }
 
-  private val pipeCorpusVerifiedSql = {
+  /** Gate + annotation SQL stages (CorpusPrep.gateAndAnnotate mirror)
+    * over a relation `from`(doc_id, lang, text): emits the m/f CTEs and
+    * the final annotated SELECT. Shared by pipe_corpus_verified and the
+    * pipe_corpus_prep oracle so both pipelines verify the same logic.
+    */
+  private def gateAnnotateSqlTail(from: String): String = {
     val c = canonSql
     val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
     val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
@@ -1755,17 +1760,10 @@ object SparkEntry {
       if (later.isEmpty) s"WHEN $sc > 0 THEN '$lang'"
       else s"WHEN $sc > 0 AND $sc >= greatest(${later.mkString(", ")}) THEN '$lang'"
     }.mkString("\n    ")
-    s"""WITH $ngramPairsCtesSql,
-       |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($c)),
-       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pq),
-       |u AS (
-       |  SELECT dd.doc_id, dd.lang, dd.text FROM documents dd
-       |  JOIN exact USING (doc_id)
-       |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM losers)),
-       |m AS (
+    s"""m AS (
        |  SELECT doc_id, lang, text, $paddedSql AS p,
        |    CAST($wcSql AS BIGINT) AS wc, CAST($uniqSql AS BIGINT) AS uniq
-       |  FROM u),
+       |  FROM $from),
        |f AS (SELECT * FROM m
        |  WHERE wc >= 5 AND (CASE WHEN wc = 0 THEN 0.0 ELSE uniq / wc END) > 0.1)
        |SELECT doc_id, lang,
@@ -1777,6 +1775,32 @@ object SparkEntry {
        |  md5($c) AS fingerprint
        |FROM f ORDER BY doc_id""".stripMargin
   }
+
+  private val pipeCorpusVerifiedSql =
+    s"""WITH $ngramPairsCtesSql,
+       |exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($canonSql)),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pq),
+       |u AS (
+       |  SELECT dd.doc_id, dd.lang, dd.text FROM documents dd
+       |  JOIN exact USING (doc_id)
+       |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM losers)),
+       |${gateAnnotateSqlTail("u")}""".stripMargin
+
+  /** pipe_corpus_prep oracle — SQL-expressible as of round 4: the
+    * flagship's MinHash LSH near-dup stage is mirrored bit-exactly by
+    * [[graft.oracle.DuckHash.minhashCtes]] over the exact-dedup
+    * survivors (threshold 0.8, as in CorpusPrep.clean), and the gate/
+    * annotation tail is the same SQL the verified twin hash-checks.
+    */
+  private val pipeCorpusPrepSql =
+    s"""WITH exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($canonSql)),
+       |srcdocs AS (SELECT dd.* FROM documents dd JOIN exact USING (doc_id)),
+       |${oracle.DuckHash.minhashCtes("srcdocs", 0.8)},
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+       |u AS (
+       |  SELECT doc_id, lang, text FROM srcdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |${gateAnnotateSqlTail("u")}""".stripMargin
 
   /** SCD Type-2 effective-dated dimension merge over the customer dim:
     * updates derived deterministically from the table itself — keys %10==0
@@ -1965,20 +1989,19 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. The three rows-only queries, and why:
-    * ann_ivf_kmeans (iterative float centroid fit — per-iteration
+    * weaker rows-only check. The two remaining rows-only queries, and
+    * why: ann_ivf_kmeans (iterative float centroid fit — per-iteration
     * reassignment state is not expressible as one SQL query; its spec
-    * asserts monotone objective + determinism), q_approx_distinct (HLL
-    * sketch internals; spec bounds error <5% vs exact), and
-    * pipe_corpus_prep (multi-stage pipeline whose hash-exact twin
-    * pipe_corpus_verified shares gateAndAnnotate end-to-end).
-    * dedup_minhash and dedup_simhash are oracle-exact as of round 4:
-    * [[graft.oracle.DuckHash]] re-expresses the FNV/Mix64/XXH64 kernels
-    * in DuckDB with wrapping HUGEINT arithmetic and inlined seeded
-    * constants. The sign-LSH and sampled-IVF queries (dedup_embed_cosine,
-    * ann_lsh_topk, ann_ivf_topk) are likewise oracle-exact: hyperplanes/
-    * centroids are deterministic, and left-fold SQL sums reproduce the
-    * Spark expressions' float math bit-for-bit.
+    * asserts monotone objective + determinism) and q_approx_distinct
+    * (HLL sketch internals; spec bounds error <5% vs exact).
+    * dedup_minhash, dedup_simhash, and pipe_corpus_prep are oracle-exact
+    * as of round 4: [[graft.oracle.DuckHash]] re-expresses the
+    * FNV/Mix64/XXH64 kernels in DuckDB with wrapping HUGEINT arithmetic
+    * and inlined seeded constants. The sign-LSH and sampled-IVF queries
+    * (dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk) are likewise
+    * oracle-exact: hyperplanes/centroids are deterministic, and
+    * left-fold SQL sums reproduce the Spark expressions' float math
+    * bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2056,6 +2079,7 @@ object SparkEntry {
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
+    "pipe_corpus_prep" -> pipeCorpusPrepSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,

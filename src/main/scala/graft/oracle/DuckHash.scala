@@ -135,11 +135,14 @@ object DuckHash {
   private val wordHashSql = mix64Sql(fnvFold(
     "list_transform(range(1, length(wd) + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))"))
 
-  /** Full dedup_minhash oracle: TextShingleMinHash signatures ->
-    * 16-band xxhash64 keys -> capped buckets -> candidate pairs ->
-    * 16-bit-sketch estimated jaccard >= 0.5. Bit-exact vs Spark.
+  /** CTE chain computing the minhash LSH candidate pipeline over `src`
+    * (any relation with doc_id + text), ending in relation
+    * `mh`(doc_a, doc_b, est_jaccard) filtered at `minEst`. Mirrors
+    * Dedup.minhashCandidates: TextShingleMinHash signatures -> 16-band
+    * xxhash64 keys -> capped buckets -> candidate pairs ->
+    * 16-bit-sketch estimated jaccard. Bit-exact vs Spark.
     */
-  lazy val minhashSql: String = {
+  def minhashCtes(src: String, minEst: Double): String = {
     val coefs = (0 until K).map { i =>
       val a = coefA(i)
       s"{'a': CAST($a AS HUGEINT), 'al': CAST(${a & 0xFFFFFFFFL} AS HUGEINT), 'b': CAST(${coefB(i)} AS HUGEINT)}"
@@ -153,7 +156,7 @@ object DuckHash {
     val sig = let(
       "list_transform(shs, h -> {'lo': CAST(h % 4294967296 AS HUGEINT), 'hi': CAST(h // 4294967296 AS HUGEINT)})")(
       shsp => s"list_transform([$coefs], c -> ${perm.replace("shsp", shsp)})")
-    s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
+    s"""d0 AS (SELECT doc_id, $words AS w FROM $src),
        |dw AS (
        |  SELECT doc_id, list_transform(w, wd -> $wordHashSql) AS wh
        |  FROM d0 WHERE len(w) > 0),
@@ -181,10 +184,14 @@ object DuckHash {
        |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
        |  FROM pairs
        |  JOIN sk a ON a.doc_id = doc_a
-       |  JOIN sk b ON b.doc_id = doc_b)
-       |SELECT doc_a, doc_b, est_jaccard FROM est
-       |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+       |  JOIN sk b ON b.doc_id = doc_b),
+       |mh AS (SELECT * FROM est WHERE est_jaccard >= $minEst)""".stripMargin
   }
+
+  /** Full dedup_minhash oracle (whole-corpus candidates at est >= 0.5). */
+  lazy val minhashSql: String =
+    s"""WITH ${minhashCtes("documents", 0.5)}
+       |SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b""".stripMargin
 
   /** Spark xxhash64(word, 42) for ASCII words < 32 bytes (UBIGINT result).
     * Bound vars: cs = char-code list, L = word length.
