@@ -1106,6 +1106,95 @@ object SparkEntry {
        |ORDER BY query_id, rnk""".stripMargin
   }
 
+  /** ann_ivf_kmeans oracle — SQL-expressible as of round 4 by unrolling
+    * the k-means fit into chained CTEs: deterministic lowest-16 init,
+    * then ONE Lloyd iteration (the query's iters=1) computing cell
+    * assignment with the same left-fold cosine math as the ann_ivf_topk
+    * oracle and centroid updates with KMeans.fit's integer-micro-unit
+    * arithmetic (trunc() mirrors Spark's truncating CAST — DuckDB's
+    * CAST(double AS BIGINT) rounds). Empty cells keep their previous
+    * centroid via the per-position LEFT JOIN coalesce. The probe tail is
+    * the validated ann_ivf_topk oracle with the fitted centroids.
+    */
+  private val annIvfKmeansSql = {
+    def foldDot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    def foldNorm2(a: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH cen0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM embeddings WHERE vec_id < 16),
+       |cn0 AS (SELECT cell, cvec, sqrt(${foldNorm2("cvec")}) AS cnorm FROM cen0),
+       |e AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${foldNorm2("embedding")} AS nv
+       |  FROM embeddings),
+       |en AS (
+       |  SELECT vec_id, embedding, q, nv,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |sc0 AS (
+       |  SELECT en.vec_id, cn0.cell,
+       |    CASE WHEN en.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("en.embedding", "cn0.cvec")} / (sqrt(en.nv) * cn0.cnorm) END AS score
+       |  FROM en, cn0),
+       |a0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc0) WHERE rn = 1),
+       |ex AS (
+       |  SELECT a0.cell, unnest(range(len(em.embedding))) AS pos,
+       |    unnest(list_transform(em.embedding,
+       |      x -> CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS xq
+       |  FROM embeddings em JOIN a0 USING (vec_id)),
+       |upd AS (SELECT cell, pos, SUM(xq) AS s, COUNT(*) AS n FROM ex GROUP BY cell, pos),
+       |cpos AS (SELECT cell, unnest(range(len(cvec))) AS pos, unnest(cvec) AS cv FROM cen0),
+       |cen1 AS (
+       |  SELECT cp.cell,
+       |    list(CASE WHEN u.s IS NULL THEN cp.cv
+       |              ELSE CAST(u.s AS DOUBLE) / (1000000.0 * u.n) END ORDER BY cp.pos) AS cvec
+       |  FROM cpos cp LEFT JOIN upd u ON u.cell = cp.cell AND u.pos = cp.pos
+       |  GROUP BY cp.cell),
+       |cen AS (SELECT cell, cvec, sqrt(${foldNorm2("cvec")}) AS cnorm FROM cen1),
+       |sc AS (
+       |  SELECT en.vec_id, cen.cell,
+       |    CASE WHEN en.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("en.embedding", "cen.cvec")} / (sqrt(en.nv) * cen.cnorm) END AS score
+       |  FROM en, cen),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc) WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+       |corpus AS (SELECT en.vec_id, en.q, en.nrm, a.cell FROM en JOIN assigned a USING (vec_id)),
+       |qs AS (SELECT en.vec_id AS query_id, en.q, en.nrm, p.cell
+       |       FROM en JOIN probes p ON p.query_id = en.vec_id),
+       |s AS (
+       |  SELECT qs.query_id, co.vec_id,
+       |    round(CASE WHEN qs.nrm * co.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, co.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * co.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM qs JOIN corpus co ON co.cell = qs.cell AND co.vec_id <> qs.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
@@ -1989,19 +2078,20 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. The two remaining rows-only queries, and
-    * why: ann_ivf_kmeans (iterative float centroid fit — per-iteration
-    * reassignment state is not expressible as one SQL query; its spec
-    * asserts monotone objective + determinism) and q_approx_distinct
-    * (HLL sketch internals; spec bounds error <5% vs exact).
-    * dedup_minhash, dedup_simhash, and pipe_corpus_prep are oracle-exact
-    * as of round 4: [[graft.oracle.DuckHash]] re-expresses the
-    * FNV/Mix64/XXH64 kernels in DuckDB with wrapping HUGEINT arithmetic
-    * and inlined seeded constants. The sign-LSH and sampled-IVF queries
-    * (dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk) are likewise
-    * oracle-exact: hyperplanes/centroids are deterministic, and
-    * left-fold SQL sums reproduce the Spark expressions' float math
-    * bit-for-bit.
+    * weaker rows-only check. ONE query remains rows-only:
+    * q_approx_distinct — Spark's HyperLogLog++ sketch internals (register
+    * packing + bias-correction interpolation tables) are not reasonably
+    * SQL-expressible; its spec bounds the estimate error <5% vs exact.
+    * Round 4 upgraded the other four former rows-only queries to
+    * hash-exact: dedup_minhash / dedup_simhash / pipe_corpus_prep via
+    * [[graft.oracle.DuckHash]] (FNV/Mix64/XXH64 kernels re-expressed with
+    * wrapping HUGEINT arithmetic and inlined seeded constants), and
+    * ann_ivf_kmeans by unrolling the deterministic one-iteration k-means
+    * fit into chained CTEs with integer-micro-unit update sums. The
+    * sign-LSH and sampled-IVF queries (dedup_embed_cosine, ann_lsh_topk,
+    * ann_ivf_topk) are likewise oracle-exact: hyperplanes/centroids are
+    * deterministic, and left-fold SQL sums reproduce the Spark
+    * expressions' float math bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2078,6 +2168,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
+    "ann_ivf_kmeans" -> annIvfKmeansSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
     "pipe_corpus_prep" -> pipeCorpusPrepSql,
     "q_scd2_merge" -> qScd2MergeSql,
