@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner reaps shuffle files only when driver GC collects
+      // the RDD references; with a large heap that almost never happens
+      // inside a bench run, so shuffle files from hundreds of timed
+      // queries accumulate and later passes degrade (measured pass
+      // totals 47s -> 50s -> 74s). The default periodic-GC interval is
+      // 30min — far longer than a pass; 30s keeps cleanup continuous.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -39,6 +46,10 @@ object Bench {
     val names = queries.keys.toSeq
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val perPass: Seq[Map[String, Double]] = (1 to nPasses).map { _ =>
+      // between passes, outside any timed window: drive ContextCleaner so
+      // dead shuffle files from the previous pass are gone before timing
+      System.gc()
+      Thread.sleep(2000)
       names.map { name =>
         val t0 = System.nanoTime()
         try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -91,18 +91,17 @@ object Dedup {
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
       .where(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
-    // The pair set is consumed four times downstream (the candidate-id
-    // prefilter, both sketch joins, and the estimate join itself):
-    // persist it so the banding + self-join pipeline executes once, not
-    // once per consumer. It is orders of magnitude smaller than the
-    // corpus (candidates only), so caching it is cheap at any scale.
+    // NOTE: pairs has exactly ONE consumer (the estimate join below —
+    // the sketches derive from the cached signature frame, not from
+    // pairs), so it is deliberately NOT persisted: a persist+materialize
+    // here was measured as pure overhead once the candidate-id semi-join
+    // prefilter was dropped.
     val pairs = bounded
       .as("l")
       .join(bounded.as("r"), Seq("band", "bh"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // est-jaccard via b-bit minwise sketches (public b-bit minwise hashing
     // construction): the estimate join carries the low 16 bits of each
     // signature slot as array<smallint> — 4x fewer bytes than the 64-bit
@@ -131,7 +130,7 @@ object Dedup {
           (acc, v) => acc + v).cast("double") / k)
     materializeThenRelease(
       est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard"),
-      sigsAll, pairs)
+      sigsAll)
   }
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3

@@ -870,7 +870,7 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("text operators prune the documents scan to (doc_id, text)") {
-    Seq("text_gopher_quality", "dedup_contaminated", "text_chunk_windows").foreach { q =>
+    Seq("text_gopher_quality", "dedup_contaminated", "text_chunk_windows", "text_line_dedup").foreach { q =>
       val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(planOf(q)).map(_.group(1)).toSeq
       assert(reads.nonEmpty && reads.forall(_ == "struct<doc_id:bigint,text:string>"),
         s"$q scans: $reads")
@@ -1034,5 +1034,19 @@ class MinHashCodegenSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", "true")
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
+  }
+}
+
+class JoinStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stream-stream interval join equals the batch range join") {
+    val streamed = streaming.EventsStream.runToMemory(
+      spark, streaming.JoinStream.attributionStream(spark, dir), "ss_join_out", mode = "append")
+    val batch = streaming.JoinStream.attributionBatch(spark, dir)
+    val s = streamed.collect().map(_.toSeq).toSet
+    val b = batch.collect().map(_.toSeq).toSet
+    assert(s === b)
+    assert(s.nonEmpty)
   }
 }
