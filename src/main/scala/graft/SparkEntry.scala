@@ -2077,21 +2077,22 @@ object SparkEntry {
     "samp_quota" -> (sampQuota _)
   )
 
-  /** DuckDB-equivalent SQL per query; keys absent here get the driver's
-    * weaker rows-only check. ONE query remains rows-only:
-    * q_approx_distinct — Spark's HyperLogLog++ sketch internals (register
-    * packing + bias-correction interpolation tables) are not reasonably
-    * SQL-expressible; its spec bounds the estimate error <5% vs exact.
-    * Round 4 upgraded the other four former rows-only queries to
-    * hash-exact: dedup_minhash / dedup_simhash / pipe_corpus_prep via
-    * [[graft.oracle.DuckHash]] (FNV/Mix64/XXH64 kernels re-expressed with
-    * wrapping HUGEINT arithmetic and inlined seeded constants), and
+  /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
+    * oracle entry; nothing falls back to the driver's weaker rows-only
+    * check. The five formerly-rows-only queries and how they verified:
+    * dedup_minhash / dedup_simhash / pipe_corpus_prep via
+    * [[graft.oracle.DuckHash]] (FNV/Mix64/XXH64 kernels re-expressed
+    * with wrapping HUGEINT arithmetic and inlined seeded constants);
     * ann_ivf_kmeans by unrolling the deterministic one-iteration k-means
-    * fit into chained CTEs with integer-micro-unit update sums. The
-    * sign-LSH and sampled-IVF queries (dedup_embed_cosine, ann_lsh_topk,
-    * ann_ivf_topk) are likewise oracle-exact: hyperplanes/centroids are
-    * deterministic, and left-fold SQL sums reproduce the Spark
-    * expressions' float math bit-for-bit.
+    * fit into chained CTEs with integer-micro-unit update sums;
+    * q_approx_distinct by reproducing Spark's HyperLogLog++ estimator in
+    * SQL (register maxes from the hashLong kernel, exact dyadic zInverse
+    * sums, the 6-NN bias window with tables read from Spark's own
+    * HyperLogLogPlusPlusHelper). The sign-LSH and sampled-IVF queries
+    * (dedup_embed_cosine, ann_lsh_topk, ann_ivf_topk) are likewise
+    * oracle-exact: hyperplanes/centroids are deterministic, and
+    * left-fold SQL sums reproduce the Spark expressions' float math
+    * bit-for-bit.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
@@ -2121,6 +2122,7 @@ object SparkEntry {
     "q_window_suite" -> qWindowSuiteSql,
     "q_salted_agg" -> qSaltedAggSql,
     "q_percentiles" -> qPercentilesSql,
+    "q_approx_distinct" -> oracle.DuckHash.approxDistinctSql,
     "snk_json_roundtrip" -> snkJsonRoundtripSql,
     "q_profile_orders" -> qProfileOrdersSql,
     "q_merge_upsert" -> qMergeUpsertSql,

@@ -247,4 +247,69 @@ object DuckHash {
        |SELECT doc_a, doc_b, hamming FROM prs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
+  /** q_approx_distinct oracle: Spark's HyperLogLogPlusPlus estimator
+    * reproduced in SQL. Registers come from the hashLong kernel (seed
+    * 42); zInverse is a sum of dyadic rationals 2^-rho, which is EXACT
+    * in double arithmetic for realistic register values, so the SQL
+    * aggregation is order-independent; the bias correction mirrors
+    * estimateBias's 6-nearest-neighbor sliding window, with the
+    * estimator tables (public HLL++ paper constants) read from Spark's
+    * own HyperLogLogPlusPlusHelper so they can never drift from the
+    * engine. p = 9 follows from the default relativeSD 0.05 via the
+    * same ceil(2*log2(1.106/rsd)) formula as the Spark constructor.
+    */
+  lazy val approxDistinctSql: String = {
+    val rsd = 0.05
+    val p = math.ceil(2.0d * math.log(1.106d / rsd) / math.log(2.0d)).toInt
+    val m = 1 << p
+    val kNN = org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper.K
+    val raw = org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper.RAW_ESTIMATE_DATA(p - 4)
+    val bias = org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper.BIAS_DATA(p - 4)
+    val thresh = org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper.THRESHOLDS(p - 4)
+    val nRaw = raw.length
+    // same associativity as the Spark constructor: ((a/(1+b/m))*m)*m
+    val alphaM2 = 0.7213d / (1.0d + 1.079d / m) * m * m
+    val rawList = raw.mkString("[", ",", "]")
+    val biasList = bias.mkString("[", ",", "]")
+    val hx = hashLong("user_id", "CAST(42 AS UBIGINT)")
+    s"""WITH hx AS (
+       |  SELECT event_type, $hx AS x
+       |  FROM (SELECT DISTINCT event_type, user_id FROM events WHERE user_id IS NOT NULL)),
+       |rr AS (
+       |  SELECT event_type, CAST(x >> ${64 - p} AS INT) AS reg,
+       |    65 - length(bin(((x % ${BigInt(1) << (64 - p)}) * ${1 << p}) | ${1 << (p - 1)})) AS rho
+       |  FROM hx),
+       |regs AS (SELECT event_type, reg, MAX(rho) AS mr FROM rr GROUP BY event_type, reg),
+       |ag AS (
+       |  SELECT event_type,
+       |    SUM(1.0 / power(2.0, mr)) + ($m - COUNT(*)) * 1.0 AS zi,
+       |    CAST($m - COUNT(*) AS DOUBLE) AS V
+       |  FROM regs GROUP BY event_type),
+       |eb AS (SELECT event_type, V, $alphaM2 / zi AS E FROM ag),
+       |bs AS (
+       |  SELECT event_type, V, E,
+       |    list_transform([GREATEST(len(list_filter($rawList, rx -> rx < E)) - $kNN + 1, 0)], lw0 ->
+       |      list_transform([LEAST(lw0 + $kNN, $nRaw)], hg0 ->
+       |        list_transform([COALESCE(list_filter(range($nRaw),
+       |            t -> hg0 + t >= $nRaw
+       |              OR (E - ($rawList)[hg0+t+1]) * (E - ($rawList)[hg0+t+1])
+       |                 >= (E - ($rawList)[lw0+t+1]) * (E - ($rawList)[lw0+t+1]))[1], 0)], sft ->
+       |          list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ($biasList)[lw0+sft+1 : hg0+sft]), (a, b) -> a + b)
+       |            / (hg0 - lw0))[1])[1])[1] AS bias
+       |  FROM eb),
+       |fin AS (
+       |  SELECT event_type, V, E, CASE WHEN E < 5.0 * $m THEN E - bias ELSE E END AS est FROM bs),
+       |hh AS (
+       |  SELECT event_type, est,
+       |    CASE WHEN V > 0 THEN $m.0 * ln($m.0 / V) ELSE est END AS H FROM fin),
+       |res AS (
+       |  SELECT event_type,
+       |    CAST(floor((CASE WHEN H <= $thresh THEN H ELSE est END) + 0.5) AS BIGINT) AS approx_users
+       |  FROM hh)
+       |SELECT r.event_type, r.approx_users, e.exact_users
+       |FROM res r JOIN (
+       |  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+       |  FROM events GROUP BY event_type) e USING (event_type)
+       |ORDER BY event_type""".stripMargin
+  }
 }
