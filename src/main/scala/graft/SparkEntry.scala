@@ -1971,6 +1971,35 @@ object SparkEntry {
        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
        |GROUP BY 1 ORDER BY mo""".stripMargin
 
+  /** Z-order write + read-back with predicates on BOTH clustered
+    * dimensions: either predicate alone prunes row groups via the
+    * Morton-tiled layout (ZOrderSpec proves the per-file tiling); the
+    * read-back aggregate is oracle-checked against the base table.
+    */
+  private def snkZorder(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("zor")
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_shipdate"),
+      cents(col("l_extendedprice")).as("price_cents"))
+    sinks.Clustered.zorderWrite(li, s"$tmp/li", "l_shipdate", "l_partkey", numFiles = 8)
+    s.read.parquet(s"$tmp/li")
+      .where(
+        col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1998-01-01") &&
+          col("l_partkey") < 1000L)
+      .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), sum(col("price_cents")).as("sum_cents"))
+      .orderBy("mo")
+  }
+
+  private val snkZorderSql =
+    s"""SELECT CAST(EXTRACT(month FROM CAST(l_shipdate AS DATE)) AS BIGINT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+       |  AND l_partkey < 1000
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+
   private def snkOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = TmpDirs.create("orc")
     sinks.OrcSink.write(Tables.nation(s, dir), s"$tmp/nation")
@@ -2074,6 +2103,7 @@ object SparkEntry {
     "q_scd2_merge" -> (qScd2Merge _),
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
+    "snk_zorder" -> (snkZorder _),
     "samp_quota" -> (sampQuota _)
   )
 
@@ -2176,6 +2206,7 @@ object SparkEntry {
     "q_scd2_merge" -> qScd2MergeSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,
+    "snk_zorder" -> snkZorderSql,
     "samp_quota" -> sampQuotaSql
   )
 }

@@ -459,6 +459,57 @@ case class PlaneDots(child: Expression, planes: Seq[Seq[Double]])
   override def prettyName: String = "plane_dots"
 }
 
+/** Morton/Z-order interleave of the low 32 bits of two longs: the first
+  * input's bits occupy even positions, the second's odd positions. Used
+  * by `sinks.Clustered.zorderWrite` as a write-time layout key: sorting
+  * by the interleaved key gives parquet row-group min/max skipping on
+  * BOTH dimensions (the classic Z-order curve; the magic-mask bit
+  * spread is the standard public construction).
+  */
+case class InterleaveBits32(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint) inputs, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def spread(x0: Long): Long = {
+    var v = x0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(
+      spread(a.asInstanceOf[Long]) | (spread(b.asInstanceOf[Long]) << 1))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val va = ctx.freshName("za")
+      val vb = ctx.freshName("zb")
+      def spreadCode(in: String, v: String) =
+        s"""long $v = $in & 0xFFFFFFFFL;
+           |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+           |$v = ($v | ($v << 8)) & 0x00FF00FF00FF00FFL;
+           |$v = ($v | ($v << 4)) & 0x0F0F0F0F0F0F0F0FL;
+           |$v = ($v | ($v << 2)) & 0x3333333333333333L;
+           |$v = ($v | ($v << 1)) & 0x5555555555555555L;""".stripMargin
+      s"""${spreadCode(a, va)}
+         |${spreadCode(b, vb)}
+         |${ev.value} = $va | ($vb << 1);""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): InterleaveBits32 =
+    copy(left = l, right = r)
+  override def prettyName: String = "interleave_bits32"
+}
+
 /** Column-level API for the custom expressions. */
 object exprs {
   def plane_dots(vec: Column, planes: Seq[Seq[Double]]): Column =
@@ -475,4 +526,7 @@ object exprs {
 
   def shingle_block(text: Column, shingleK: Int = 3, prefixN: Int = 3): Column =
     ColumnBridge.column(ShingleBlock(ColumnBridge.expression(text), shingleK, prefixN))
+
+  def zorder_key(a: Column, b: Column): Column =
+    ColumnBridge.column(InterleaveBits32(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

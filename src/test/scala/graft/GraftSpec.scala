@@ -1050,3 +1050,57 @@ class JoinStreamSpec extends AnyFunSuite {
     assert(s.nonEmpty)
   }
 }
+
+/** Z-order layout: the Morton key must interleave correctly, and the
+  * written files must tile BOTH dimensions (each file's per-dimension
+  * range much narrower than the global range) — the property that makes
+  * row-group min/max skipping work for either predicate, which 1-D
+  * range clustering only provides for its leading column.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("interleave_bits32 places a's bits even, b's bits odd") {
+    val r = Seq((3L, 0L), (0L, 3L), (5L, 6L), (0xFFFFFFFFL, 0L))
+      .toDF("a", "b")
+      .select(graft.functions.exprs.zorder_key(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(r(0) === 0x5L)                  // a=0b11 -> even bits 0,2
+    assert(r(1) === 0xAL)                  // b=0b11 -> odd bits 1,3
+    assert(r(2) === 0x39L) // a=5 (bits 0,2 -> even pos 0,4 = 0x11); b=6 (bits 1,2 -> odd pos 3,5 = 0x28)
+    assert(r(3) === 0x5555555555555555L)   // all 32 a-bits -> every even bit
+  }
+
+  test("z-ordered files tile both dimensions; 1-D clustering only one") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+    val zdir = TmpDirs.create("zspec")
+    sinks.Clustered.zorderWrite(li, s"$zdir/z", "l_partkey", "l_suppkey", numFiles = 8)
+    sinks.Clustered.write(li, s"$zdir/one", Seq("l_partkey"), numFiles = 8)
+
+    def fileWidths(path: String, c: String): Seq[Double] = {
+      val d = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).cast("double").as("w"))
+        .collect().map(_.getDouble(1)).toSeq
+      assert(d.size >= 4, s"expected several files, got ${d.size}")
+      d
+    }
+    val global = li.agg(
+      (max("l_partkey") - min("l_partkey")).cast("double"),
+      (max("l_suppkey") - min("l_suppkey")).cast("double")).collect()(0)
+    val (gp, gs) = (global.getDouble(0), global.getDouble(1))
+
+    // z-order: BOTH dims tiled — average per-file width well under global
+    val zp = fileWidths(s"$zdir/z", "l_partkey")
+    val zs = fileWidths(s"$zdir/z", "l_suppkey")
+    assert(zp.sum / zp.size < 0.7 * gp, s"partkey not tiled: ${zp.sum / zp.size} vs $gp")
+    assert(zs.sum / zs.size < 0.7 * gs, s"suppkey not tiled: ${zs.sum / zs.size} vs $gs")
+
+    // 1-D clustering: leading dim tiled tightly, second dim NOT
+    val op = fileWidths(s"$zdir/one", "l_partkey")
+    val os = fileWidths(s"$zdir/one", "l_suppkey")
+    assert(op.sum / op.size < 0.3 * gp)
+    assert(os.sum / os.size > 0.9 * gs, "1-D layout unexpectedly tiled the non-cluster column")
+  }
+}
