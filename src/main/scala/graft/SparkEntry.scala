@@ -1408,6 +1408,52 @@ object SparkEntry {
        |FROM f WHERE rn = 1
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** WITHIN-document repeated-segment removal — entirely map-side (one
+    * higher-order expression per row, zero shuffles before the display
+    * orderBy; IntradocDedupSpec asserts the exchange-free plan).
+    */
+  private def textIntradocDedup(s: SparkSession, dir: String): DataFrame =
+    text.LineDedup.dedupWithinDoc(Tables.documents(s, dir), 40)
+      .orderBy("doc_id")
+
+  private val textIntradocDedupSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |c AS (
+       |  SELECT doc_id, list_transform(
+       |    generate_series(0, GREATEST(CAST(ceil(len(w) / 40.0) AS BIGINT) - 1, 0)),
+       |    i -> array_to_string(w[i*40+1 : i*40+40], ' ')) AS chunks
+       |  FROM d WHERE len(w) > 0),
+       |k AS (
+       |  SELECT doc_id, list_filter(
+       |    list_transform(range(len(chunks)),
+       |      i -> CASE WHEN NOT list_contains(chunks[1:i], chunks[i+1])
+       |                THEN chunks[i+1] END),
+       |    x -> x IS NOT NULL) AS kept
+       |  FROM c)
+       |SELECT doc_id, array_to_string(kept, ' ') AS kept_text,
+       |  CAST(len(kept) AS BIGINT) AS n_kept
+       |FROM k WHERE len(kept) > 0 ORDER BY doc_id""".stripMargin
+
+  /** Anti-spam per-domain cap: top-5 docs per source by word count via
+    * the bounded-heap TopKPerKey operator (skew-safe vs a window).
+    */
+  private def pipeDomainCap(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.domainCap(Tables.documents(s, dir), 5)
+      .orderBy("source", "doc_id")
+
+  private val pipeDomainCapSql = {
+    val c = canonSql
+    val wc = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH s AS (
+       |  SELECT doc_id, source, CAST($wc AS BIGINT) AS wc
+       |  FROM documents WHERE text IS NOT NULL),
+       |r AS (
+       |  SELECT doc_id, source, wc,
+       |    row_number() OVER (PARTITION BY source ORDER BY wc DESC, doc_id ASC) AS rn
+       |  FROM s)
+       |SELECT doc_id, source, wc FROM r WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+  }
+
   private def pipePackBudget(s: SparkSession, dir: String): DataFrame =
     text.Chunking.packByBudget(
       Tables.documents(s, dir), text.Text.bpeTokenCount(col("text")), 2048)
@@ -2085,6 +2131,8 @@ object SparkEntry {
     "mm_frames" -> (mmFrames _),
     "text_chunk_windows" -> (textChunkWindows _),
     "text_line_dedup" -> (textLineDedup _),
+    "text_intradoc_dedup" -> (textIntradocDedup _),
+    "pipe_domain_cap" -> (pipeDomainCap _),
     "pipe_pack_budget" -> (pipePackBudget _),
     "text_gopher_quality" -> (textGopherQuality _),
     "dedup_contaminated" -> (dedupContaminated _),
@@ -2184,6 +2232,8 @@ object SparkEntry {
     "mm_frames" -> mmFramesSql,
     "text_chunk_windows" -> textChunkWindowsSql,
     "text_line_dedup" -> textLineDedupSql,
+    "text_intradoc_dedup" -> textIntradocDedupSql,
+    "pipe_domain_cap" -> pipeDomainCapSql,
     "pipe_pack_budget" -> pipePackBudgetSql,
     "text_gopher_quality" -> textGopherQualitySql,
     "dedup_contaminated" -> dedupContaminatedSql,

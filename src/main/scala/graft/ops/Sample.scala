@@ -62,4 +62,24 @@ object Sample {
       .where(col(rn) <= n)
       .drop(rn)
   }
+  /** Per-domain document cap: keep the top `n` documents of each source
+    * domain ranked by canonical word count (quality proxy; doc_id
+    * tiebreak) — the anti-spam stage that stops one viral domain from
+    * dominating a training corpus. Routed through the bounded-heap
+    * TopKPerKey operator rather than a row_number window: a viral
+    * domain would make the window's partition-by a hot key (every one
+    * of its documents in one task), where the two-phase heaps cap
+    * per-task state at domains x n and bound the shuffle the same way.
+    */
+  def domainCap(docs: DataFrame, n: Int): DataFrame = {
+    require(n > 0)
+    val scored = docs
+      .where(col("text").isNotNull)
+      .select(
+        col("doc_id"),
+        col("source"),
+        graft.text.Text.wordCount(col("text")).as("wc"))
+    graft.plans.TopK.perKey(scored, Seq("source"), Seq("wc" -> true, "doc_id" -> false), n)
+  }
+
 }

@@ -34,6 +34,46 @@ import org.apache.spark.sql.functions._
   */
 object LineDedup {
 
+  /** WITHIN-document segment dedup: each document independently drops
+    * repeats of its own `windowWords`-word segments (the "repeated
+    * paragraph" cleanup that precedes corpus-wide dedup in C4-style
+    * pipelines). Entirely MAP-SIDE — no shuffle, no state: the whole
+    * operator is one higher-order-function expression per row, so it
+    * scales linearly with the corpus and composes for free with any
+    * downstream stage. Documents with no canonical words drop out.
+    *
+    * The chunks array is let-bound via the single-element-array
+    * transform so the keep-filter's `array_contains(slice(...))` probe
+    * does not recompute the chunking per element.
+    */
+  def dedupWithinDoc(
+      docs: DataFrame,
+      windowWords: Int = 40,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = graft.text.Text.words(col(textCol))
+    val kept = element_at(
+      transform(array(w), wb => {
+        val nch = ceil(size(wb).cast("double") / windowWords).cast("int")
+        val chunks = transform(
+          sequence(lit(0), greatest(nch - 1, lit(0))),
+          i => array_join(slice(wb, i * windowWords + 1, lit(windowWords)), " "))
+        when(size(wb) === 0, array().cast("array<string>"))
+          .otherwise(element_at(
+            transform(array(chunks), ch =>
+              filter(ch, (c, i) => !array_contains(slice(ch, lit(1), i), c))),
+            1))
+      }),
+      1)
+    docs
+      .select(col(idCol), kept.as("k"))
+      .where(size(col("k")) > 0)
+      .select(
+        col(idCol),
+        array_join(col("k"), " ").as("kept_text"),
+        size(col("k")).cast("long").as("n_kept"))
+  }
+
   def dedupSegments(
       docs: DataFrame,
       windowWords: Int = 40,

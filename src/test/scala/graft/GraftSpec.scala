@@ -1104,3 +1104,48 @@ class ZOrderSpec extends AnyFunSuite {
     assert(os.sum / os.size > 0.9 * gs, "1-D layout unexpectedly tiled the non-cluster column")
   }
 }
+
+class IntradocDedupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("repeated in-document segments collapse; other docs untouched") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),  // window 3: chunk "a b c" x3 -> once
+      (2L, "a b c d e f"),        // two distinct chunks survive
+      (3L, null)
+    ).toDF("doc_id", "text")
+    val r = text.LineDedup.dedupWithinDoc(docs, 3).orderBy("doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    assert(r.toSeq === Seq((1L, "a b c", 1L), (2L, "a b c d e f", 2L)))
+  }
+
+  test("the operator is map-side only: no exchange in the plan") {
+    val plan = text.LineDedup.dedupWithinDoc(Tables.documents(spark, dir), 40)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+}
+
+class DomainCapSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("keeps the n highest-wordcount docs per domain, doc_id tiebreak") {
+    val docs = Seq(
+      (1L, "a", "one two three"), (2L, "a", "one two"), (3L, "a", "one"),
+      (4L, "a", "x y"), // ties with doc 2 on wc=2 -> doc 2 wins tiebreak
+      (5L, "b", "solo")
+    ).toDF("doc_id", "source", "text")
+    val r = ops.Sample.domainCap(docs, 2).orderBy("source", "doc_id")
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(r === Seq((1L, "a"), (2L, "a"), (5L, "b")))
+  }
+
+  test("plans through TopKPerKey, not a Window") {
+    val plan = ops.Sample.domainCap(Tables.documents(spark, dir), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(400))
+    assert(!plan.contains("Window"), plan.take(400))
+  }
+}
