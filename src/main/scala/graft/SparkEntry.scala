@@ -955,6 +955,20 @@ object SparkEntry {
     dedup.Dedup.embedCosinePairs(Tables.embeddings(s, dir), minCosine = 0.25)
       .orderBy("vec_a", "vec_b")
 
+  /** Incremental dedup: an incoming batch (doc_id % 4 = 3) classified
+    * against a parquet index built from the history (doc_id % 4 <> 3) —
+    * exact / near / novel per new doc, history text never reprocessed.
+    */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = TmpDirs.create("inc")
+    dedup.Incremental.buildIndex(docs.where(col("doc_id") % 4 =!= 3), tmp)
+    val ix = dedup.Incremental.loadIndex(s, tmp)
+    dedup.Incremental.classify(docs.where(col("doc_id") % 4 === 3), ix)
+      .select(col("doc_id"), col("verdict"), col("match_id").cast("long").as("match_id"))
+      .orderBy("doc_id")
+  }
+
   /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
     * hyperplanes are deterministic doubles, inlined as literals; each dot
     * is an exact left fold (list_reduce with 0.0 prepended) matching
@@ -2120,6 +2134,7 @@ object SparkEntry {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
+    "dedup_incremental" -> (dedupIncremental _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "text_langid" -> (textLangid _),
@@ -2248,6 +2263,7 @@ object SparkEntry {
     "q_rolling_range" -> qRollingRangeSql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
+    "dedup_incremental" -> oracle.DuckHash.incrementalSql(0.5),
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

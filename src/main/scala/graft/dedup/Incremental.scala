@@ -1,0 +1,211 @@
+package graft.dedup
+
+import graft.functions.exprs
+import graft.text.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Incremental (delta) deduplication: classify an incoming batch of
+  * documents against a previously indexed corpus WITHOUT reprocessing
+  * the historical text.
+  *
+  * The index is three per-doc-small parquet frames built once from the
+  * history (and appendable batch-over-batch):
+  *   - `keys`     (content_key, doc_id): md5 of canonical text, min
+  *     history doc_id per key — the exact tier.
+  *   - `bands`    (band, bh, doc_id): 16-band minhash LSH bucket keys —
+  *     the candidate tier. Buckets larger than `maxBucketSize` inside
+  *     the history are dropped at BUILD time (boilerplate collisions,
+  *     same guard as [[Dedup.minhashCandidates]]), so a pathological
+  *     bucket can never dominate any future incremental join.
+  *   - `sketches` (doc_id, sk): 16-bit b-bit minwise sketches — the
+  *     verify tier (est-jaccard without the 64-bit signatures).
+  *
+  * 100 TB shape: an incoming batch is orders of magnitude smaller than
+  * the corpus, so every join here broadcasts the batch side and streams
+  * the index — history text is never re-read, no index-side shuffle at
+  * all (the three index frames are scanned once each, map-side). The
+  * only kernel work is one fused minhash pass over the new batch.
+  * Reference analog: the incremental-refresh half of hdf_to_postgres.py
+  * (load only what changed) applied to the dedup surface.
+  */
+object Incremental {
+
+  final case class Index(keys: DataFrame, bands: DataFrame, sketches: DataFrame)
+
+  private val K = 128
+  private val Bands = 16
+  private val Rows = K / Bands
+
+  /** (doc_id, sig) -> (doc_id, band, bh) LSH bucket keys — identical
+    * construction to [[Dedup.minhashCandidates]] (same xxhash64 band
+    * hash, so index and batch keys agree across sessions).
+    */
+  private def bandKeys(sigs: DataFrame): DataFrame = sigs
+    .select(
+      col("doc_id"),
+      explode(
+        transform(
+          sequence(lit(0), lit(Bands - 1)),
+          j => struct(j.as("band"), xxhash64(j, slice(col("sig"), j * Rows + 1, lit(Rows))).as("bh"))))
+        .as("b"))
+    .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+
+  private def sketch(sigs: DataFrame): DataFrame = sigs.select(
+    col("doc_id"),
+    transform(col("sig"), x => (x.bitwiseAND(lit(0xffffL)) - lit(32768L)).cast("short")).as("sk"))
+
+  /** Build the dedup index from `history` and persist it under `dir`
+    * (parquet; at scale: a table the next batch's classify pass reads).
+    */
+  def buildIndex(history: DataFrame, dir: String, maxBucketSize: Int = 1000): Unit = {
+    history
+      .groupBy(Text.fingerprintMd5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/keys")
+    // one kernel pass over the history text; sig feeds bands AND sketches,
+    // so persist (below the null filter — see Dedup.minhashCandidates)
+    val sigsAll = Dedup.signatures(history, K).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where(col("sig").isNotNull)
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    bandKeys(sigs)
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    sketch(sigs).write.mode("overwrite").parquet(s"$dir/sketches")
+    sigsAll.unpersist(blocking = false)
+  }
+
+  /** Append `batch` to an existing index at `dir` (parquet append — at
+    * scale an atomic table append). Keys are pre-aggregated within the
+    * batch; the exact tier's `min(hist_id)` keeps cross-segment
+    * duplicates of a key harmless. The bucket cap applies within the
+    * appended segment; [[compact]] re-applies it globally (the same
+    * periodic-OPTIMIZE contract as any LSM-shaped index).
+    */
+  def appendBatch(batch: DataFrame, dir: String, maxBucketSize: Int = 1000): Unit = {
+    batch
+      .groupBy(Text.fingerprintMd5(col("text")).as("content_key"))
+      .agg(min("doc_id").as("doc_id"))
+      .write.mode("append").parquet(s"$dir/keys")
+    val sigsAll = Dedup.signatures(batch, K).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where(col("sig").isNotNull)
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    bandKeys(sigs)
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      .write.mode("append").parquet(s"$dir/bands")
+    sketch(sigs).write.mode("append").parquet(s"$dir/sketches")
+    sigsAll.unpersist(blocking = false)
+  }
+
+  /** Re-apply the global bucket cap across all appended segments and
+    * rewrite the bands store (write-to-scratch + swap: Spark refuses to
+    * overwrite a path its own plan reads). Run periodically after a
+    * series of appends — viral segments that crossed the cap only in
+    * aggregate are evicted here.
+    */
+  def compact(spark: SparkSession, dir: String, maxBucketSize: Int = 1000): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bands = new org.apache.hadoop.fs.Path(s"$dir/bands")
+    val scratch = new org.apache.hadoop.fs.Path(s"$dir/bands_compacting")
+    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
+    spark.read.parquet(bands.toString)
+      .withColumn("bucket_n", count(lit(1)).over(bucketW))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+      .write.mode("overwrite").parquet(scratch.toString)
+    val fs = bands.getFileSystem(conf)
+    fs.delete(bands, true)
+    if (!fs.rename(scratch, bands))
+      throw new IllegalStateException(s"compact: rename $scratch -> $bands failed")
+  }
+
+  def loadIndex(spark: SparkSession, dir: String): Index = Index(
+    keys = spark.read.parquet(s"$dir/keys"),
+    bands = spark.read.parquet(s"$dir/bands"),
+    sketches = spark.read.parquet(s"$dir/sketches"))
+
+  /** Classify every doc in `batch` against the index:
+    *   - `exact`: canonical content hash already present in the history
+    *     (match_id = the index's min doc_id for that key);
+    *   - `near` : some history doc shares an LSH band bucket AND the
+    *     sketch-estimated jaccard >= `minEstJaccard` (match_id = min
+    *     such history doc_id);
+    *   - `novel`: neither.
+    * Returns (doc_id, verdict, match_id) for the whole batch; the result
+    * is persisted and caller-owned (same contract as the Dedup family).
+    */
+  def classify(batch: DataFrame, ix: Index, minEstJaccard: Double = 0.5): DataFrame = {
+    // one kernel pass over the incoming batch; cache below the null filter
+    val sigsAll = batch
+      .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("content_key"),
+        exprs.text_minhash_sig(col("text"), K, 3).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where(col("sig").isNotNull).select("doc_id", "sig")
+
+    val exact = broadcast(sigsAll.select("doc_id", "content_key"))
+      .join(ix.keys.withColumnRenamed("doc_id", "hist_id"), Seq("content_key"))
+      .groupBy("doc_id").agg(min("hist_id").as("exact_id"))
+
+    // candidate tier: tiny batch bands broadcast against the streamed
+    // index bands — the index side never shuffles
+    val cand = broadcast(bandKeys(sigs))
+      .join(ix.bands.withColumnRenamed("doc_id", "hist_id"), Seq("band", "bh"))
+      .select("doc_id", "hist_id").distinct()
+    // verify tier: candidates are bounded by |batch| x Bands x
+    // maxBucketSize (batch-scale, not corpus-scale), so the candidate
+    // frame with its batch sketches broadcasts and the corpus-sized
+    // sketch store streams through map-side — again no index shuffle
+    val near = ix.sketches.select(col("doc_id").as("hist_id"), col("sk").as("sk_h"))
+      .join(broadcast(cand.join(sketch(sigs), Seq("doc_id"))), Seq("hist_id"))
+      .withColumn(
+        "est",
+        aggregate(
+          zip_with(col("sk"), col("sk_h"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / K)
+      .where(col("est") >= minEstJaccard)
+      .groupBy("doc_id").agg(min("hist_id").as("near_id"))
+
+    val out = sigsAll.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("novel")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sigsAll.unpersist(blocking = false)
+    out
+  }
+
+  /** One ingest step: classify `batch` against the index at `dir`, then
+    * absorb its `novel` docs into the index so the NEXT step sees them.
+    * This is the per-micro-batch body of streaming ingest dedup
+    * ([[graft.streaming.IncrementalStream]]) and equally the per-delta
+    * body of a batch backfill loop — one implementation for both.
+    * Returns the classification (persisted, caller-owned).
+    */
+  def classifyAndAbsorb(batch: DataFrame, dir: String,
+      minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    val scored = classify(batch, loadIndex(batch.sparkSession, dir), minEstJaccard)
+    // Snapshot BEFORE mutating the index: appendBatch's parquet write
+    // refreshes every cached plan that scans the index path, so a merely
+    // persisted verdict frame would lazily RECOMPUTE against the index it
+    // just mutated (novel docs would re-classify as exact self-matches).
+    // localCheckpoint cuts the lineage; the frame is batch-sized.
+    val verdicts = scored.localCheckpoint(true)
+    scored.unpersist(blocking = false)
+    val novel = batch.join(
+      verdicts.where(col("verdict") === "novel").select("doc_id"), Seq("doc_id"), "left_semi")
+    appendBatch(novel, dir, maxBucketSize)
+    verdicts
+  }
+}

@@ -143,6 +143,32 @@ object DuckHash {
     * 16-bit-sketch estimated jaccard. Bit-exact vs Spark.
     */
   def minhashCtes(src: String, minEst: Double): String = {
+    s"""${sigCtes(src)},
+       |capped AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n FROM banded)
+       |  WHERE n <= 1000),
+       |pairs AS (
+       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM capped l JOIN capped r USING (band, bh)
+       |  WHERE l.doc_id < r.doc_id),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(list_sum(list_transform(range(1, 129),
+       |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
+       |  FROM pairs
+       |  JOIN sk a ON a.doc_id = doc_a
+       |  JOIN sk b ON b.doc_id = doc_b),
+       |mh AS (SELECT * FROM est WHERE est_jaccard >= $minEst)""".stripMargin
+  }
+
+  /** Shared signature chain over `src` (doc_id + text): canonical words
+    * -> FNV+Mix64 word hashes -> 3-shingle hashes -> 128-slot minhash
+    * signatures (`sg`), 16-band xxhash64 bucket keys (`banded`), and
+    * 16-bit b-bit sketches (`sk`). Bit-exact vs TextShingleMinHash /
+    * Dedup.signatures; composed by the minhash and incremental oracles.
+    */
+  private def sigCtes(src: String): String = {
     val coefs = (0 until K).map { i =>
       val a = coefA(i)
       s"{'a': CAST($a AS HUGEINT), 'al': CAST(${a & 0xFFFFFFFFL} AS HUGEINT), 'b': CAST(${coefB(i)} AS HUGEINT)}"
@@ -169,24 +195,53 @@ object DuckHash {
        |banded AS (
        |  SELECT doc_id, band, $bh AS bh
        |  FROM sg, (SELECT unnest(range(16)) AS band)),
-       |capped AS (
-       |  SELECT doc_id, band, bh FROM (
-       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n FROM banded)
-       |  WHERE n <= 1000),
-       |pairs AS (
-       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-       |  FROM capped l JOIN capped r USING (band, bh)
-       |  WHERE l.doc_id < r.doc_id),
-       |sk AS (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg),
-       |est AS (
-       |  SELECT doc_a, doc_b,
-       |    CAST(list_sum(list_transform(range(1, 129),
-       |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
-       |  FROM pairs
-       |  JOIN sk a ON a.doc_id = doc_a
-       |  JOIN sk b ON b.doc_id = doc_b),
-       |mh AS (SELECT * FROM est WHERE est_jaccard >= $minEst)""".stripMargin
+       |sk AS (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg)""".stripMargin
   }
+
+  /** dedup_incremental oracle: batch docs (doc_id % 4 = 3) classified
+    * against the history (doc_id % 4 <> 3) — `exact` on md5(canonical
+    * text) match, else `near` on an LSH band-bucket collision (bucket
+    * cap applied INSIDE the history, mirroring Incremental.buildIndex)
+    * verified at sketch-estimated jaccard >= `minEst`, else `novel`.
+    */
+  def incrementalSql(minEst: Double): String =
+    s"""WITH ${sigCtes("documents")},
+       |bdocs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+       |hkeys AS (
+       |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
+       |  FROM documents WHERE doc_id % 4 <> 3 GROUP BY 1),
+       |bkeys AS (
+       |  SELECT doc_id, md5($canon) AS content_key
+       |  FROM documents WHERE doc_id % 4 = 3),
+       |exact AS (
+       |  SELECT k.doc_id, h.hist_id FROM bkeys k JOIN hkeys h USING (content_key)),
+       |hcap AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
+       |    FROM banded WHERE doc_id % 4 <> 3)
+       |  WHERE n <= 1000),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
+       |  FROM (SELECT * FROM banded WHERE doc_id % 4 = 3) b
+       |  JOIN hcap h USING (band, bh)),
+       |near AS (
+       |  SELECT doc_id, MIN(hist_id) AS near_id FROM (
+       |    SELECT c.doc_id, c.hist_id,
+       |      CAST(list_sum(list_transform(range(1, 129),
+       |        i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est
+       |    FROM cand c
+       |    JOIN sk a ON a.doc_id = c.doc_id
+       |    JOIN sk b ON b.doc_id = c.hist_id)
+       |  WHERE est >= $minEst GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN e.hist_id IS NOT NULL THEN 'exact'
+       |       WHEN n.near_id IS NOT NULL THEN 'near'
+       |       ELSE 'novel' END AS verdict,
+       |  CAST(COALESCE(e.hist_id, n.near_id) AS BIGINT) AS match_id
+       |FROM bdocs d
+       |LEFT JOIN exact e USING (doc_id)
+       |LEFT JOIN near n ON n.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   /** Full dedup_minhash oracle (whole-corpus candidates at est >= 0.5). */
   lazy val minhashSql: String =

@@ -1149,3 +1149,131 @@ class DomainCapSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(400))
   }
 }
+
+/** Incremental dedup: a batch classified against a persisted history
+  * index — exact/near/novel tiers, no history reprocessing, and the
+  * build-time bucket cap bounding any future incremental join.
+  */
+class IncrementalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def classify(history: Seq[(Long, String)], batch: Seq[(Long, String)]) = {
+    val tmp = TmpDirs.create("inctest")
+    dedup.Incremental.buildIndex(history.toDF("doc_id", "text"), tmp)
+    val ix = dedup.Incremental.loadIndex(spark, tmp)
+    val out = dedup.Incremental.classify(batch.toDF("doc_id", "text"), ix)
+    val r = out.collect().map(x =>
+      x.getLong(0) -> (x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    out.unpersist(blocking = true)
+    r
+  }
+
+  test("exact / near / novel tiers with min-history match ids") {
+    val history = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank today"), // same key
+      (12L, "completely different historical material about spark catalyst planning " +
+        "with adaptive query execution whole stage codegen and predicate pushdown " +
+        "explained across many detailed paragraphs of optimizer internals"))
+    val batch = Seq(
+      (101L, "The quick brown fox jumps over the lazy dog near the river bank today!"), // canon-equal
+      (102L, "completely different historical material about spark catalyst planning " +
+        "with adaptive query execution whole stage codegen and predicate pushdown " +
+        "explained across many detailed paragraphs of optimizer internals appended"), // near
+      (103L, "nothing like anything indexed before in this corpus at all whatsoever"))
+    val r = classify(history, batch)
+    assert(r(101L) === ("exact", 10L)) // min of the two identical history docs
+    assert(r(102L)._1 === "near")
+    assert(r(102L)._2 === 12L)
+    assert(r(103L) === ("novel", -1L))
+  }
+
+  test("near-dups of a capped viral bucket come back novel; exact copies still match") {
+    val viral = "license header boilerplate repeated verbatim in every single document of this corpus"
+    val history = (1L to 1500L).map(i => (i, viral))
+    val batch = Seq(
+      (9001L, viral),                    // exact tier is cap-independent
+      (9002L, viral + " with a tweak")) // near tier: buckets dropped at build
+    val r = classify(history, batch)
+    assert(r(9001L) === ("exact", 1L))
+    assert(r(9002L)._1 === "novel")
+  }
+
+  test("classifyAndAbsorb: novel docs from one delta are matched by the next") {
+    val tmp = TmpDirs.create("incabs")
+    val base = "historical base document about distributed query planning on large clusters of machines"
+    val fresh = "a brand new subject entirely devoted to tokenizer vocabularies and byte pair encodings today"
+    dedup.Incremental.buildIndex(Seq((10L, base)).toDF("doc_id", "text"), tmp)
+    val d1 = dedup.Incremental.classifyAndAbsorb(
+      Seq((201L, base), (202L, fresh)).toDF("doc_id", "text"), tmp)
+    val r1 = d1.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    d1.unpersist(blocking = true)
+    assert(r1 === Map(201L -> "exact", 202L -> "novel"))
+    // 202 was absorbed: the next delta's near-dup and exact copy both hit it
+    val d2 = dedup.Incremental.classifyAndAbsorb(
+      Seq((301L, fresh), (302L, fresh + " appended")).toDF("doc_id", "text"), tmp)
+    val r2 = d2.collect().map(x =>
+      x.getLong(0) -> (x.getString(1), if (x.isNullAt(2)) -1L else x.getLong(2))).toMap
+    d2.unpersist(blocking = true)
+    assert(r2(301L) === ("exact", 202L))
+    assert(r2(302L) === ("near", 202L))
+  }
+
+  test("compact re-applies the bucket cap across appended segments") {
+    val tmp = TmpDirs.create("inccomp")
+    val viral = "terms of service boilerplate block attached verbatim to every scraped page in the crawl"
+    dedup.Incremental.buildIndex(
+      (1L to 600L).map(i => (i, viral)).toDF("doc_id", "text"), tmp)
+    dedup.Incremental.appendBatch(
+      (601L to 1200L).map(i => (i, viral)).toDF("doc_id", "text"), tmp)
+    val probe = Seq((9002L, viral + " with a tweak")).toDF("doc_id", "text")
+    // each segment is under the cap, so the near tier still fires...
+    val ix1 = dedup.Incremental.loadIndex(spark, tmp)
+    val before = dedup.Incremental.classify(probe, ix1)
+    assert(before.collect().head.getString(1) === "near")
+    before.unpersist(blocking = true)
+    // ...until compact sees the bucket's GLOBAL size of 1200 and evicts it
+    dedup.Incremental.compact(spark, tmp)
+    val ix2 = dedup.Incremental.loadIndex(spark, tmp)
+    val after = dedup.Incremental.classify(probe, ix2)
+    assert(after.collect().head.getString(1) === "novel")
+    after.unpersist(blocking = true)
+  }
+}
+
+/** Streaming ingest dedup: micro-batches classified against the
+  * persisted index, novel docs absorbed so later batches (and later
+  * runs) dedup against them — state lives in the index table, not the
+  * stream state store.
+  */
+class IncrementalStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streamed classify-then-absorb grows the persisted index") {
+    val ixDir = TmpDirs.create("incstix")
+    val base = "historical base document about distributed query planning on large clusters of machines"
+    val fresh = "a brand new subject entirely devoted to tokenizer vocabularies and byte pair encodings today"
+    dedup.Incremental.buildIndex(Seq((10L, base)).toDF("doc_id", "text"), ixDir)
+
+    val srcDir = TmpDirs.create("incstsrc")
+    Seq((201L, base), (202L, fresh)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val src = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(srcDir)
+    val out = streaming.IncrementalStream.runToParquet(
+      spark, src, ixDir, TmpDirs.create("incstout"))
+    val r = out.collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r === Map(201L -> "exact", 202L -> "novel"))
+
+    // the stream's novel doc is now in the index: a batch probe sees it
+    val probe = dedup.Incremental.classify(
+      Seq((301L, fresh + " appended")).toDF("doc_id", "text"),
+      dedup.Incremental.loadIndex(spark, ixDir))
+    val p = probe.collect().head
+    assert((p.getString(1), p.getLong(2)) === ("near", 202L))
+    probe.unpersist(blocking = true)
+  }
+}
