@@ -969,6 +969,204 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The absorb loop end-to-end: history (doc_id % 4 < 2) builds the
+    * index, delta 1 (% 4 = 2) is classified AND absorbed (novel docs
+    * appended), delta 2 (% 4 = 3) is classified against the grown index
+    * — delta-2 matches against delta-1 novels prove the absorption.
+    */
+  private def dedupIncrementalDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tmp = TmpDirs.create("incd")
+    dedup.Incremental.buildIndex(docs.where(col("doc_id") % 4 < 2), tmp)
+    val d1 = dedup.Incremental.classifyAndAbsorb(docs.where(col("doc_id") % 4 === 2), tmp)
+    val d2 = dedup.Incremental.classify(
+      docs.where(col("doc_id") % 4 === 3), dedup.Incremental.loadIndex(s, tmp))
+    d1.withColumn("delta", lit(1)).unionByName(d2.withColumn("delta", lit(2)))
+      .select(col("delta"), col("doc_id"), col("verdict"),
+        col("match_id").cast("long").as("match_id"))
+      .orderBy("delta", "doc_id")
+  }
+
+  /** Ordered 3-stage funnel (signup → view → purchase) per user: each
+    * stage's timestamp must strictly follow the previous stage's FIRST
+    * occurrence. Three aggregates all keyed on user_id — Spark reuses
+    * the user_id exchange across the chain, so the whole funnel costs
+    * one logical repartition of the filtered events.
+    */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    ops.Funnel.ordered(
+        Tables.events(s, dir), "user_id", col("event_type"),
+        expr("ts_ns div 1000"), Seq("signup", "view", "purchase"))
+      .select(
+        col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        col("t3").as("t3_us"), col("stage"))
+      .orderBy("user_id")
+
+  private val qEventsFunnelSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+       |s1 AS (
+       |  SELECT user_id, MIN(us) AS t1_us FROM e
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (
+       |  SELECT user_id, MIN(us) AS t2_us FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'view' AND us > t1_us GROUP BY 1),
+       |s3 AS (
+       |  SELECT user_id, MIN(us) AS t3_us FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > t2_us GROUP BY 1)
+       |SELECT s1.user_id, t1_us, t2_us, t3_us,
+       |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+       |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** Salted (skew-resistant) fact-dim join: lineitem × supplier through
+    * ops.Salt.joinSkewed — the dim side replicated over 8 salt buckets
+    * so a pathological hot supplier key would spread over 8 reducers.
+    * Row-identical to the plain join, which is exactly what the oracle
+    * checks.
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_quantity"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_name"))
+    ops.Salt.joinSkewed(
+        li, sup, Seq("l_suppkey"),
+        struct(col("l_orderkey"), col("l_linenumber")), buckets = 8)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"), col("s_name"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val qSaltedJoinSql =
+    s"""SELECT l_orderkey, l_linenumber, l_suppkey,
+       |  CAST(trunc(l_quantity) AS BIGINT) AS qty, s_name
+       |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+       |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Survivorship: one canonical doc per near-dup cluster — clusters
+    * from connected components over the blocked-Jaccard graph
+    * (singletons = their own cluster), survivor = argmax quality with
+    * doc_id as tiebreak, picked by a partially-aggregatable
+    * min(struct(-quality, doc_id)) groupBy (skew-safe: no Window, a
+    * viral cluster never hot-keys a single task).
+    */
+  private def dedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = dedup.Dedup.blockedNgramJaccard(docs)
+    val labels = dedup.Components.minLabel(edges.select("doc_a", "doc_b"))
+    edges.unpersist(blocking = false)
+    docs.select(col("doc_id"), text.Text.qualityScore(col("text")).as("quality"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("id"))).as("w"))
+      .select(
+        col("cluster_id"), col("n_docs"),
+        col("w.id").as("survivor_id"), (-col("w.nq")).as("survivor_quality"))
+      .orderBy("cluster_id")
+  }
+
+  private def dedupSurvivorsSql: String = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
+    val punctSql = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
+    s"""WITH RECURSIVE $ngramPairsCtesSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pq
+       |  UNION SELECT doc_b, doc_a FROM pq),
+       |reach AS (
+       |  SELECT src AS node, dst AS lab FROM sym
+       |  UNION SELECT src, src FROM sym
+       |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src),
+       |lab AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node),
+       |qm AS (
+       |  SELECT doc_id,
+       |    CAST($wcSql AS BIGINT) AS wc,
+       |    CAST($uniqSql AS BIGINT) AS uniq_words,
+       |    CAST($punctSql AS BIGINT) AS punct_cnt,
+       |    CAST(length(text) AS BIGINT) AS n_chars_m
+       |  FROM documents),
+       |qq AS (
+       |  SELECT doc_id,
+       |    (least(wc, 200) / 200) * 0.5 +
+       |    (CASE WHEN wc = 0 THEN 0.0 ELSE uniq_words / wc END) * 0.3 +
+       |    (CASE WHEN n_chars_m = 0 THEN 0.0 ELSE 1.0 - punct_cnt / n_chars_m END) * 0.2
+       |      AS quality
+       |  FROM qm),
+       |allq AS (
+       |  SELECT q.doc_id, COALESCE(l.cluster_id, q.doc_id) AS cluster_id, q.quality
+       |  FROM qq q LEFT JOIN lab l ON l.doc_id = q.doc_id),
+       |r AS (
+       |  SELECT cluster_id, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_docs
+       |  FROM allq)
+       |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+       |  doc_id AS survivor_id, quality AS survivor_quality
+       |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
+  /** CDC changelog apply over events-as-changelog: key = user_id,
+    * sequence = event_id, op = D for 'error' else U — final state per
+    * key via the windowless max-seq winner in ops.Merge.cdcApply.
+    */
+  private def qCdcApply(s: SparkSession, dir: String): DataFrame = {
+    val log = Tables.events(s, dir).select(
+      col("user_id"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      col("event_type"), round(col("value") * 100, 0).cast("long").as("value_cents"))
+    ops.Merge.cdcApply(log, "user_id", "event_id", "op", Seq("event_type", "value_cents"))
+      .orderBy("user_id")
+  }
+
+  private val qCdcApplySql =
+    s"""WITH log AS (
+       |  SELECT user_id, event_id,
+       |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+       |    event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+       |  FROM events),
+       |w AS (SELECT user_id, MAX(event_id) AS event_id FROM log GROUP BY 1)
+       |SELECT l.user_id, l.event_id, l.event_type, l.value_cents
+       |FROM log l JOIN w USING (user_id, event_id)
+       |WHERE l.op <> 'D'
+       |ORDER BY l.user_id""".stripMargin
+
+  /** Weekly cohort retention matrix: cohort = a user's first-event week,
+    * users counted distinct per (cohort_week, week_offset). Two
+    * aggregates on user_id (exchange reuse), then one small aggregate on
+    * the matrix cells.
+    */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val W = 7L * 86400L * 1000000L // µs per week
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+    val first = e.groupBy("user_id").agg(min("us").as("first_us"))
+    e.join(first, "user_id")
+      .groupBy(
+        expr(s"first_us div $W").as("cohort_week"),
+        (expr(s"us div $W") - expr(s"first_us div $W")).as("week_offset"))
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val qEventsRetentionSql = {
+    val w = 7L * 86400L * 1000000L
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+       |f AS (SELECT user_id, MIN(us) AS first_us FROM e GROUP BY 1)
+       |SELECT first_us // $w AS cohort_week,
+       |  us // $w - first_us // $w AS week_offset,
+       |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS users
+       |FROM e JOIN f USING (user_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
     * hyperplanes are deterministic doubles, inlined as literals; each dot
     * is an exact left fold (list_reduce with 0.0 prepended) matching
@@ -1242,10 +1440,7 @@ object SparkEntry {
       .otherwise(size(array_distinct(words(col("text")))).cast("long"))
     val punct = punctCount(col("text"))
     val nchars = length(col("text")).cast("long")
-    val score =
-      (least(wc, lit(200L)) / lit(200L)) * lit(0.5) +
-        when(wc === 0L, lit(0.0)).otherwise(uniq / wc) * lit(0.3) +
-        when(nchars === 0L, lit(0.0)).otherwise(lit(1.0) - punct / nchars) * lit(0.2)
+    val score = qualityScore(col("text"))
     docs.select(
       col("doc_id"), wc.as("wc"), uniq.as("uniq_words"),
       punct.as("punct_cnt"), nchars.as("n_chars_m"), score.as("quality"))
@@ -2135,6 +2330,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_incremental_delta" -> (dedupIncrementalDelta _),
+    "dedup_survivors" -> (dedupSurvivors _),
+    "q_events_funnel" -> (qEventsFunnel _),
+    "q_events_retention" -> (qEventsRetention _),
+    "q_cdc_apply" -> (qCdcApply _),
+    "q_salted_join" -> (qSaltedJoin _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "text_langid" -> (textLangid _),
@@ -2264,6 +2465,12 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "dedup_incremental" -> oracle.DuckHash.incrementalSql(0.5),
+    "dedup_incremental_delta" -> oracle.DuckHash.incrementalDeltaSql(0.5),
+    "dedup_survivors" -> dedupSurvivorsSql,
+    "q_events_funnel" -> qEventsFunnelSql,
+    "q_events_retention" -> qEventsRetentionSql,
+    "q_cdc_apply" -> qCdcApplySql,
+    "q_salted_join" -> qSaltedJoinSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

@@ -29,6 +29,32 @@ object Merge {
         (col(key) +: others.map(c => coalesce(col(s"__u_$c"), col(c)).as(c))).toIndexedSeq: _*)
   }
 
+  /** CDC changelog apply: collapse an op-sequenced changelog to final
+    * table state. Per key the row with the HIGHEST `seqCol` wins; if the
+    * winning op is `deleteOp`, the key is gone from the output.
+    *
+    * `seqCol` must be unique per key (a changelog LSN / commit sequence
+    * is). Windowless winner selection: min(struct(-seq, op, payload))
+    * partial-aggregates map-side, so a key updated millions of times —
+    * the classic CDC hot row — never concentrates on one reducer the
+    * way a row_number window would.
+    */
+  def cdcApply(
+      changelog: DataFrame,
+      key: String,
+      seqCol: String,
+      opCol: String,
+      payload: Seq[String],
+      deleteOp: String = "D"): DataFrame = {
+    val fields = (-col(seqCol)).as("ns") +: col(opCol).as("op") +: payload.map(col)
+    changelog
+      .groupBy(key)
+      .agg(min(struct(fields: _*)).as("w"))
+      .where(col("w.op") =!= deleteOp)
+      .select(
+        (col(key) +: (-col("w.ns")).as(seqCol) +: payload.map(c => col(s"w.$c").as(c))): _*)
+  }
+
   /** SCD Type-2 merge: effective-dated dimension history.
     *
     * `target` columns: `key`, `attrs...`, `valid_from` (long),

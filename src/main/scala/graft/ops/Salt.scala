@@ -25,6 +25,29 @@ object Salt {
   def saltCol(uniqueCol: Column, buckets: Int): Column =
     pmod(xxhash64(uniqueCol), lit(buckets.toLong))
 
+  /** Skew-resistant inner equi-join. A plain shuffle join sends every
+    * row of a hot key to ONE reducer; here the fact side keeps its rows
+    * where they land under a deterministic per-row salt, and the dim
+    * side is replicated `buckets` times (explode over the salt range),
+    * so the join key (keys :+ salt) spreads a hot key over `buckets`
+    * reducers. Cost: dim shuffle bytes × buckets — use when the dim is
+    * far smaller than the fact but too big (or too skew-prone) to
+    * broadcast outright. Row-identical to the plain join (oracle-checked
+    * by q_salted_join); AQE's skew-join handles moderate skew at runtime,
+    * this handles the pathological key that exceeds a single executor.
+    */
+  def joinSkewed(
+      fact: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      uniqueCol: Column,
+      buckets: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", saltCol(uniqueCol, buckets))
+    val repDim = dim.withColumn(
+      "__salt", explode(sequence(lit(0L), lit(buckets.toLong - 1L))))
+    saltedFact.join(repDim, keys :+ "__salt").drop("__salt")
+  }
+
   /** Two-phase SUM/COUNT aggregate: `sums` maps output name -> column to
     * sum. Returns one row per key with exact sums and row count.
     */

@@ -243,6 +243,78 @@ object DuckHash {
        |LEFT JOIN near n ON n.doc_id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** One classify pass as CTEs: docs matching `deltaPred` scored
+    * exact / near / novel against index CTEs `keysCte` (content_key,
+    * hist_id) and `bandsCte` (doc_id, band, bh). Emits `<p>k/<p>e/<p>c/
+    * <p>n/<p>v` prefixed CTEs; `<p>v` is the verdict frame.
+    */
+  private def classifyCtes(p: String, deltaPred: String, keysCte: String,
+      bandsCte: String, minEst: Double): String =
+    s"""${p}k AS (
+       |  SELECT doc_id, md5($canon) AS content_key
+       |  FROM documents WHERE $deltaPred),
+       |${p}e AS (
+       |  SELECT k.doc_id, MIN(h.hist_id) AS exact_id
+       |  FROM ${p}k k JOIN $keysCte h USING (content_key) GROUP BY 1),
+       |${p}c AS (
+       |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
+       |  FROM (SELECT * FROM banded WHERE $deltaPred) b
+       |  JOIN $bandsCte h USING (band, bh)),
+       |${p}n AS (
+       |  SELECT doc_id, MIN(hist_id) AS near_id FROM (
+       |    SELECT c.doc_id, c.hist_id,
+       |      CAST(list_sum(list_transform(range(1, 129),
+       |        i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est
+       |    FROM ${p}c c
+       |    JOIN sk a ON a.doc_id = c.doc_id
+       |    JOIN sk b ON b.doc_id = c.hist_id)
+       |  WHERE est >= $minEst GROUP BY doc_id),
+       |${p}v AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+       |         WHEN n.near_id IS NOT NULL THEN 'near'
+       |         ELSE 'novel' END AS verdict,
+       |    COALESCE(e.exact_id, n.near_id) AS match_id
+       |  FROM (SELECT doc_id FROM documents WHERE $deltaPred) d
+       |  LEFT JOIN ${p}e e USING (doc_id)
+       |  LEFT JOIN ${p}n n ON n.doc_id = d.doc_id)""".stripMargin
+
+  /** dedup_incremental_delta oracle: the absorb loop unrolled. History
+    * (doc_id % 4 < 2) builds the index; delta 1 (% 4 = 2) classifies
+    * against it and its novel docs are absorbed — keys merged, band keys
+    * capped WITHIN the appended segment exactly as
+    * Incremental.appendBatch does; delta 2 (% 4 = 3) classifies against
+    * the grown index. Output = both deltas' verdicts.
+    */
+  def incrementalDeltaSql(minEst: Double): String =
+    s"""WITH ${sigCtes("documents")},
+       |hkeys AS (
+       |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
+       |  FROM documents WHERE doc_id % 4 < 2 GROUP BY 1),
+       |hcap AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
+       |    FROM banded WHERE doc_id % 4 < 2)
+       |  WHERE n <= 1000),
+       |${classifyCtes("d1", "doc_id % 4 = 2", "hkeys", "hcap", minEst)},
+       |nov1 AS (SELECT doc_id FROM d1v WHERE verdict = 'novel'),
+       |novkeys AS (
+       |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
+       |  FROM documents JOIN nov1 USING (doc_id) GROUP BY 1),
+       |keys2 AS (SELECT * FROM hkeys UNION ALL SELECT * FROM novkeys),
+       |novbands AS (
+       |  SELECT doc_id, band, bh FROM (
+       |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
+       |    FROM banded JOIN nov1 USING (doc_id))
+       |  WHERE n <= 1000),
+       |bands2 AS (SELECT * FROM hcap UNION ALL SELECT * FROM novbands),
+       |${classifyCtes("d2", "doc_id % 4 = 3", "keys2", "bands2", minEst)}
+       |SELECT * FROM (
+       |  SELECT 1 AS delta, doc_id, verdict, CAST(match_id AS BIGINT) AS match_id FROM d1v
+       |  UNION ALL
+       |  SELECT 2 AS delta, doc_id, verdict, CAST(match_id AS BIGINT) AS match_id FROM d2v)
+       |ORDER BY delta, doc_id""".stripMargin
+
   /** Full dedup_minhash oracle (whole-corpus candidates at est >= 0.5). */
   lazy val minhashSql: String =
     s"""WITH ${minhashCtes("documents", 0.5)}

@@ -105,6 +105,22 @@ object Text {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("long")
 
+  /** Composite quality score in [0, 1]: length (capped at 200 words,
+    * weight .5) + lexical diversity (unique/total words, .3) + inverse
+    * punctuation density (.2). The exact arithmetic shape is mirrored by
+    * the text_quality / dedup_survivors oracles — keep them in lockstep.
+    */
+  def qualityScore(text: Column): Column = {
+    val wc = wordCount(text)
+    val uniq = when(size(words(text)) === 0, lit(0L))
+      .otherwise(size(array_distinct(words(text))).cast("long"))
+    val punct = punctCount(text)
+    val nchars = length(text).cast("long")
+    (least(wc, lit(200L)) / lit(200L)) * lit(0.5) +
+      when(wc === 0L, lit(0.0)).otherwise(uniq / wc) * lit(0.3) +
+      when(nchars === 0L, lit(0.0)).otherwise(lit(1.0) - punct / nchars) * lit(0.2)
+  }
+
   /** BPE-ish token count: letter runs, single digits, single symbols.
     * The regex dialect subset (alternation + ASCII classes) behaves
     * identically in Java regex and DuckDB's RE2.

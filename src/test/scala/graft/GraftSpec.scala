@@ -1242,6 +1242,98 @@ class IncrementalSpec extends AnyFunSuite {
   }
 }
 
+/** Ordered funnel: stage timestamps must strictly follow the previous
+  * stage; the plan is windowless aggregates chained on one key.
+  */
+class FunnelSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("stage order is enforced per key") {
+    val events = Seq(
+      // A: completes all three in order
+      (1L, "signup", 10L), (1L, "view", 20L), (1L, "purchase", 30L),
+      // B: view BEFORE signup only -> stuck at stage 1
+      (2L, "view", 5L), (2L, "signup", 10L),
+      // C: purchase precedes view -> purchase must not count (stage 2)
+      (3L, "signup", 10L), (3L, "purchase", 15L), (3L, "view", 20L),
+      // D: never signs up -> absent
+      (4L, "view", 10L), (4L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts")
+    val out = ops.Funnel.ordered(
+      events, "user_id", $"event_type", $"ts", Seq("signup", "view", "purchase"))
+    val r = out.collect().map(x => x.getLong(0) -> (
+      x.getLong(x.length - 1),
+      Seq(1, 2, 3).map(i => if (x.isNullAt(i)) -1L else x.getLong(i)))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L))
+    assert(r(1L) === (3L, Seq(10L, 20L, 30L)))
+    assert(r(2L) === (1L, Seq(10L, -1L, -1L)))
+    assert(r(3L) === (2L, Seq(10L, 20L, -1L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}
+
+/** Salted join: row-identical to the plain join while the physical join
+  * key carries the salt (hot fact keys spread across reducers).
+  */
+class SaltedJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("equals the plain join; join keys include the salt") {
+    val fact = (1L to 2000L).map(i => (i, if (i % 10 == 0) 2L else 1L))
+      .toDF("row_id", "k") // hot key 1 holds 90% of rows
+    val dim = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched")).toDF("k", "name")
+    val salted = ops.Salt.joinSkewed(fact, dim, Seq("k"), $"row_id", buckets = 8)
+    val plain = fact.join(dim, Seq("k"))
+    assert(salted.count() === 2000L)
+    assert(
+      salted.select("k", "row_id", "name").except(plain.select("k", "row_id", "name")).count() === 0L)
+    assert(plain.select("k", "row_id", "name").except(salted.select("k", "row_id", "name")).count() === 0L)
+    assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
+  }
+}
+
+/** Survivorship: canonical doc per near-dup cluster by (quality desc,
+  * doc_id asc), via a partially-aggregatable min(struct) — no Window.
+  */
+class SurvivorsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("flagship query picks windowless argmax per cluster") {
+    val out = SparkEntry.queries("dedup_survivors")(spark, "/root/testdata/sf0.001")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // every survivor belongs to its own cluster's doc set and cluster
+    // sizes sum to the doc count with a non-null quality basis
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    val agg = out.queryExecution.executedPlan.toString
+    assert(!agg.contains("Window"), agg.take(300))
+    spark.catalog.clearCache()
+  }
+}
+
+/** CDC changelog apply: highest sequence wins per key, a winning delete
+  * removes the key, winner selection is windowless.
+  */
+class CdcApplySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("latest op wins; winning delete removes the key") {
+    val log = Seq(
+      (1L, 10L, "U", "a"), (1L, 20L, "U", "b"),            // updates: latest payload wins
+      (2L, 10L, "U", "x"), (2L, 30L, "D", "-"),            // delete last -> gone
+      (3L, 40L, "D", "-"), (3L, 50L, "U", "y"),            // re-insert after delete -> alive
+      (4L, 5L, "U", "z"))                                  // single insert
+      .toDF("k", "seq", "op", "v")
+    val out = ops.Merge.cdcApply(log, "k", "seq", "op", Seq("v"))
+    val r = out.collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r === Map(1L -> (20L, "b"), 3L -> (50L, "y"), 4L -> (5L, "z")))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+}
+
 /** Streaming ingest dedup: micro-batches classified against the
   * persisted index, novel docs absorbed so later batches (and later
   * runs) dedup against them — state lives in the index table, not the
