@@ -1167,6 +1167,75 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** BM25-shaped lexical top-k retrieval for a fixed 3-term query.
+    * tf saturation (k1 = 1.2) and length normalization (b = 0.75) are
+    * standard BM25; idf is the BM25 rational odds (N - df + .5)/(df + .5)
+    * WITHOUT the log so both engines produce bit-identical doubles
+    * (swap ln() in for production ranking — it's a per-term monotone
+    * transform). Scale shape: ONE corpus pass aggregates df/N/avgdl to
+    * a single row collected at the driver (index metadata, like k-means
+    * centroids) and inlined as literals, so scoring is a pure map over
+    * the corpus — fixed-order column sums, no explode, no join, no
+    * shuffle at all — and top-k runs as TakeOrdered.
+    */
+  private def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "spark", "window")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val st = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +: terms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("ws"), t).cast("long")).as(s"df$i")
+      }: _*).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      val df = st.getLong(2 + i)
+      val idf = (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5)
+      val tfd = size(filter(col("ws"), w => w === t)).cast("long").cast("double")
+      (lit(idf) * (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+        .as(s"p$i")
+    }
+    docs
+      .select(col("doc_id") +: col("dl") +: terms.indices.map(i => parts(i)): _*)
+      .withColumn("score", terms.indices.map(i => col(s"p$i")).reduceLeft(_ + _))
+      .where(col("score") > 0.0)
+      .select("doc_id", "dl", "score")
+      .orderBy(desc("score"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val textBm25TopkSql = {
+    val terms = Seq("vector", "spark", "window")
+    val ws = s"string_split($canonSql, ' ')"
+    val dfs = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
+    }.mkString(", ")
+    val parts = terms.zipWithIndex.map { case (t, i) =>
+      s"""((CAST(n_docs AS DOUBLE) - df$i + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+         | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2) /
+         | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) +
+         |   1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))""".stripMargin.replaceAll("\n", "")
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, $ws AS ws,
+       |    CAST(CASE WHEN length($canonSql) = 0 THEN 0
+       |              ELSE len($ws) END AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, $dfs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM d),
+       |sc AS (
+       |  SELECT doc_id, dl,
+       |    ((${parts(0)}) + (${parts(1)})) + (${parts(2)}) AS score
+       |  FROM d, st)
+       |SELECT doc_id, dl, score FROM sc WHERE score > 0.0
+       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
     * hyperplanes are deterministic doubles, inlined as literals; each dot
     * is an exact left fold (list_reduce with 0.0 prepended) matching
@@ -2336,6 +2405,7 @@ object SparkEntry {
     "q_events_retention" -> (qEventsRetention _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_salted_join" -> (qSaltedJoin _),
+    "text_bm25_topk" -> (textBm25Topk _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "text_langid" -> (textLangid _),
@@ -2471,6 +2541,7 @@ object SparkEntry {
     "q_events_retention" -> qEventsRetentionSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_salted_join" -> qSaltedJoinSql,
+    "text_bm25_topk" -> textBm25TopkSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

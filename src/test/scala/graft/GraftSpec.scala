@@ -1313,6 +1313,26 @@ class SurvivorsSpec extends AnyFunSuite {
   }
 }
 
+/** BM25-shaped lexical top-k: corpus stats collapse to driver-side
+  * literals (index metadata), so the scoring plan is a pure map over
+  * the corpus with top-k as TakeOrdered — no join, no window, no
+  * exchange of any kind.
+  */
+class Bm25Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("scoring plan is map-only + TakeOrdered") {
+    val out = SparkEntry.queries("text_bm25_topk")(spark, "/root/testdata/sf0.001")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(300))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Join"), plan.take(600))
+    assert(!plan.contains("Exchange"), plan.take(600))
+    assert(out.count() > 0)
+    spark.catalog.clearCache()
+  }
+}
+
 /** CDC changelog apply: highest sequence wins per key, a winning delete
   * removes the key, winner selection is windowless.
   */
