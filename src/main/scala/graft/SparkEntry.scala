@@ -1236,6 +1236,42 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Token-budget corpus mixing: even-numbered sources get mixture
+    * weight 1/40, odd 3/40 (half the corpus total overall); docs admit
+    * in doc_id order until each source's token budget is spent. Budgets
+    * are driver-side literals from one metadata aggregate; selection
+    * runs through the two-level skew-safe prefix sum in Sample.tokenMix.
+    */
+  private def pipeTokenMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val toks = text.Text.wordCount(col("text"))
+    val srcs = docs.select("source").distinct().collect().map(_.getString(0))
+    val total = docs.agg(sum(toks)).head.getLong(0)
+    val budgets = srcs.map { src =>
+      val i = src.stripPrefix("src").toInt
+      src -> total.toDouble * (if (i % 2 == 0) 1.0 / 40 else 3.0 / 40)
+    }.toMap
+    ops.Sample.tokenMix(docs, "source", "doc_id", toks, budgets)
+      .orderBy("source", "doc_id")
+  }
+
+  private val pipeTokenMixSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST($wcSql AS BIGINT) AS toks FROM documents),
+       |cum AS (
+       |  SELECT source, doc_id, toks,
+       |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT source, doc_id, toks, cum_before FROM cum
+       |WHERE cum_before < (SELECT CAST(SUM(toks) AS DOUBLE) FROM t) *
+       |  (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |        THEN CAST(1 AS DOUBLE) / 40 ELSE CAST(3 AS DOUBLE) / 40 END)
+       |ORDER BY source, doc_id""".stripMargin
+  }
+
   /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
     * hyperplanes are deterministic doubles, inlined as literals; each dot
     * is an exact left fold (list_reduce with 0.0 prepended) matching
@@ -2406,6 +2442,7 @@ object SparkEntry {
     "q_cdc_apply" -> (qCdcApply _),
     "q_salted_join" -> (qSaltedJoin _),
     "text_bm25_topk" -> (textBm25Topk _),
+    "pipe_token_mix" -> (pipeTokenMix _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "text_langid" -> (textLangid _),
@@ -2542,6 +2579,7 @@ object SparkEntry {
     "q_cdc_apply" -> qCdcApplySql,
     "q_salted_join" -> qSaltedJoinSql,
     "text_bm25_topk" -> textBm25TopkSql,
+    "pipe_token_mix" -> pipeTokenMixSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,

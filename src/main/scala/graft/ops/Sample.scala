@@ -82,4 +82,50 @@ object Sample {
     graft.plans.TopK.perKey(scored, Seq("source"), Seq("wc" -> true, "doc_id" -> false), n)
   }
 
+  /** Token-budget corpus mixing: per mixture key (source), admit docs in
+    * deterministic doc_id order while the running token total BEFORE the
+    * doc stays under that key's budget — the greedy weighted-mix step of
+    * training-data assembly (each source's budget = its mixture weight ×
+    * the token target).
+    *
+    * Skew-safe two-level prefix sum: a naive
+    * `sum over (partition by source order by doc_id)` serializes each
+    * source onto one task. Instead: (1) docs bucket by
+    * `doc_id div bucketSize` (unique ids → ≤ bucketSize rows per
+    * (source, bucket)); (2) bucket subtotals via skew-free groupBy;
+    * (3) the prefix scan runs over the TINY (source × bucket) subtotal
+    * frame, broadcast back; (4) within-bucket prefix windows are bounded
+    * at bucketSize rows. No window ever sees more than bucketSize rows
+    * or the subtotal frame.
+    */
+  def tokenMix(
+      docs: DataFrame,
+      key: String,
+      idCol: String,
+      tokens: Column,
+      budgets: Map[String, Double],
+      bucketSize: Long = 4096L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val b = docs
+      .select(col(key), col(idCol), tokens.as("toks"))
+      .withColumn("__bucket", expr(s"$idCol div $bucketSize"))
+    val sub = b.groupBy(key, "__bucket").agg(sum("toks").as("__btoks"))
+    val boff = sub.withColumn(
+      "__boff",
+      coalesce(
+        sum("__btoks").over(
+          w.partitionBy(key).orderBy("__bucket").rowsBetween(Long.MinValue, -1)),
+        lit(0L)))
+    val inBucket = w.partitionBy(key, "__bucket").orderBy(idCol)
+      .rowsBetween(Long.MinValue, -1)
+    val budget = budgets.foldLeft(lit(Double.NegativeInfinity)) {
+      case (acc, (s, bud)) => when(col(key) === s, lit(bud)).otherwise(acc)
+    }
+    b.join(broadcast(boff.select(col(key), col("__bucket"), col("__boff"))),
+        Seq(key, "__bucket"))
+      .withColumn(
+        "cum_before", col("__boff") + coalesce(sum("toks").over(inBucket), lit(0L)))
+      .where(col("cum_before") < budget)
+      .select(col(key), col(idCol), col("toks"), col("cum_before"))
+  }
 }

@@ -23,10 +23,18 @@ object IncrementalStream {
   /** Drain `src` (AvailableNow) through classify-then-absorb against
     * the index at `indexDir`, appending verdicts to `outPath` parquet.
     * Returns the accumulated verdicts.
+    *
+    * Pass a stable `checkpointDir` to make the ingest RESTARTABLE:
+    * a rerun resumes from the file-source offsets in the checkpoint and
+    * processes only files it has not seen, so docs are classified and
+    * absorbed exactly once across restarts (the spec proves a second
+    * drain re-reads nothing and a third sees only the new file).
     */
   def runToParquet(spark: SparkSession, src: DataFrame, indexDir: String,
-      outPath: String, minEstJaccard: Double = 0.5): DataFrame = {
-    val checkpoint = java.nio.file.Files.createTempDirectory("inc_ck").toString
+      outPath: String, minEstJaccard: Double = 0.5,
+      checkpointDir: String = null): DataFrame = {
+    val checkpoint = Option(checkpointDir)
+      .getOrElse(java.nio.file.Files.createTempDirectory("inc_ck").toString)
     val q = src.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
         val verdicts = graft.dedup.Incremental.classifyAndAbsorb(

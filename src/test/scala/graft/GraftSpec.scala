@@ -1333,6 +1333,30 @@ class Bm25Spec extends AnyFunSuite {
   }
 }
 
+/** Token-budget mixing: greedy doc_id-ordered admission per source
+  * until the source's budget is spent, computed through the two-level
+  * (bucketed) prefix sum so no window partition exceeds the bucket.
+  */
+class TokenMixSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("admission equals the naive single-window prefix sum") {
+    // tokens chosen so budgets cut mid-bucket and across buckets
+    val docs = Seq(
+      ("a", 1L, 4L), ("a", 3L, 4L), ("a", 5L, 4L), ("a", 7L, 4L),
+      ("b", 2L, 10L), ("b", 4L, 10L), ("b", 6L, 10L))
+      .toDF("source", "doc_id", "toks")
+    // budgets: a = 10 (admits 4+4, third doc starts at 8 < 10 -> 3 docs),
+    // b = 10 (first starts at 0, second at 10 -> 1 doc)
+    val out = ops.Sample.tokenMix(
+      docs, "source", "doc_id", $"toks", Map("a" -> 10.0, "b" -> 10.0),
+      bucketSize = 2L) // force multi-bucket paths
+    val r = out.collect().map(x => (x.getString(0), x.getLong(1), x.getLong(3))).toSet
+    assert(r === Set(("a", 1L, 0L), ("a", 3L, 4L), ("a", 5L, 8L), ("b", 2L, 0L)))
+  }
+}
+
 /** CDC changelog apply: highest sequence wins per key, a winning delete
   * removes the key, winner selection is windowless.
   */
@@ -1387,5 +1411,33 @@ class IncrementalStreamSpec extends AnyFunSuite {
     val p = probe.collect().head
     assert((p.getString(1), p.getLong(2)) === ("near", 202L))
     probe.unpersist(blocking = true)
+  }
+
+  test("checkpointed restart classifies each file exactly once") {
+    val ixDir = TmpDirs.create("incrsix")
+    val srcDir = TmpDirs.create("incrssrc")
+    val outDir = TmpDirs.create("incrsout")
+    val ck = TmpDirs.create("incrsck")
+    val base = "historical base document about distributed query planning on large clusters of machines"
+    val fresh = "a brand new subject entirely devoted to tokenizer vocabularies and byte pair encodings today"
+    dedup.Incremental.buildIndex(Seq((10L, base)).toDF("doc_id", "text"), ixDir)
+    def drain(): Map[Long, String] = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING").parquet(srcDir)
+      streaming.IncrementalStream.runToParquet(spark, src, ixDir, outDir, checkpointDir = ck)
+        .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    }
+    Seq((201L, fresh)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    assert(drain() === Map(201L -> "novel"))
+    // restart with nothing new: offsets in the checkpoint — no re-read,
+    // so 201 is NOT re-classified (a rerun without the checkpoint would
+    // now call it exact against its own absorbed copy)
+    assert(drain() === Map(201L -> "novel"))
+    // a new file arrives: only IT is processed; near-match proves the
+    // first run's absorb survived the restart
+    Seq((301L, fresh + " appended")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val r3 = drain()
+    assert(r3 === Map(201L -> "novel", 301L -> "near"))
   }
 }
