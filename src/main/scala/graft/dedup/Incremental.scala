@@ -56,25 +56,40 @@ object Incremental {
     col("doc_id"),
     transform(col("sig"), x => (x.bitwiseAND(lit(0xffffL)) - lit(32768L)).cast("short")).as("sk"))
 
-  /** Build the dedup index from `history` and persist it under `dir`
-    * (parquet; at scale: a table the next batch's classify pass reads).
+  /** ONE kernel pass over the text: (doc_id, content_key, sig). Every
+    * index/classify path derives from this frame so no caller ever
+    * walks a document twice (md5 and the 128-perm minhash share the
+    * canonicalization subtree inside one whole-stage-codegen span).
     */
-  def buildIndex(history: DataFrame, dir: String, maxBucketSize: Int = 1000): Unit = {
-    history
-      .groupBy(Text.fingerprintMd5(col("text")).as("content_key"))
-      .agg(min("doc_id").as("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/keys")
-    // one kernel pass over the history text; sig feeds bands AND sketches,
-    // so persist (below the null filter — see Dedup.minhashCandidates)
-    val sigsAll = Dedup.signatures(history, K).persist(StorageLevel.MEMORY_AND_DISK)
+  private def withSigs(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"), Text.fingerprintMd5(col("text")).as("content_key"),
+    exprs.text_minhash_sig(col("text"), K, 3).as("sig"))
+
+  /** Write one index segment (keys + capped bands + sketches) from a
+    * persisted `withSigs` frame. The bucket cap applies within the
+    * segment being written.
+    */
+  private def writeSegment(sigsAll: DataFrame, dir: String,
+      maxBucketSize: Int, mode: String): Unit = {
+    sigsAll
+      .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+      .write.mode(mode).parquet(s"$dir/keys")
     val sigs = sigsAll.where(col("sig").isNotNull)
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
     bandKeys(sigs)
       .withColumn("bucket_n", count(lit(1)).over(bucketW))
       .where(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    sketch(sigs).write.mode("overwrite").parquet(s"$dir/sketches")
+      .write.mode(mode).parquet(s"$dir/bands")
+    sketch(sigs).write.mode(mode).parquet(s"$dir/sketches")
+  }
+
+  /** Build the dedup index from `history` and persist it under `dir`
+    * (parquet; at scale: a table the next batch's classify pass reads).
+    */
+  def buildIndex(history: DataFrame, dir: String, maxBucketSize: Int = 1000): Unit = {
+    val sigsAll = withSigs(history).persist(StorageLevel.MEMORY_AND_DISK)
+    writeSegment(sigsAll, dir, maxBucketSize, "overwrite")
     sigsAll.unpersist(blocking = false)
   }
 
@@ -86,19 +101,8 @@ object Incremental {
     * periodic-OPTIMIZE contract as any LSM-shaped index).
     */
   def appendBatch(batch: DataFrame, dir: String, maxBucketSize: Int = 1000): Unit = {
-    batch
-      .groupBy(Text.fingerprintMd5(col("text")).as("content_key"))
-      .agg(min("doc_id").as("doc_id"))
-      .write.mode("append").parquet(s"$dir/keys")
-    val sigsAll = Dedup.signatures(batch, K).persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = sigsAll.where(col("sig").isNotNull)
-    val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    bandKeys(sigs)
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .write.mode("append").parquet(s"$dir/bands")
-    sketch(sigs).write.mode("append").parquet(s"$dir/sketches")
+    val sigsAll = withSigs(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    writeSegment(sigsAll, dir, maxBucketSize, "append")
     sigsAll.unpersist(blocking = false)
   }
 
@@ -140,11 +144,17 @@ object Incremental {
     * is persisted and caller-owned (same contract as the Dedup family).
     */
   def classify(batch: DataFrame, ix: Index, minEstJaccard: Double = 0.5): DataFrame = {
-    // one kernel pass over the incoming batch; cache below the null filter
-    val sigsAll = batch
-      .select(col("doc_id"), Text.fingerprintMd5(col("text")).as("content_key"),
-        exprs.text_minhash_sig(col("text"), K, 3).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsAll = withSigs(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val out = classifySigs(sigsAll, ix, minEstJaccard)
+    sigsAll.unpersist(blocking = false)
+    out
+  }
+
+  /** [[classify]] body over a pre-computed, persisted [[withSigs]]
+    * frame — lets [[classifyAndAbsorb]] reuse the SAME kernel output
+    * for both the verdicts and the absorbed index segment.
+    */
+  private def classifySigs(sigsAll: DataFrame, ix: Index, minEstJaccard: Double): DataFrame = {
     val sigs = sigsAll.where(col("sig").isNotNull).select("doc_id", "sig")
 
     val exact = broadcast(sigsAll.select("doc_id", "content_key"))
@@ -182,7 +192,6 @@ object Incremental {
         coalesce(col("exact_id"), col("near_id")).as("match_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
-    sigsAll.unpersist(blocking = false)
     out
   }
 
@@ -195,17 +204,20 @@ object Incremental {
     */
   def classifyAndAbsorb(batch: DataFrame, dir: String,
       minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val scored = classify(batch, loadIndex(batch.sparkSession, dir), minEstJaccard)
-    // Snapshot BEFORE mutating the index: appendBatch's parquet write
-    // refreshes every cached plan that scans the index path, so a merely
-    // persisted verdict frame would lazily RECOMPUTE against the index it
-    // just mutated (novel docs would re-classify as exact self-matches).
+    val sigsAll = withSigs(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    val scored = classifySigs(sigsAll, loadIndex(batch.sparkSession, dir), minEstJaccard)
+    // Snapshot BEFORE mutating the index: the segment write refreshes
+    // every cached plan that scans the index path, so a merely persisted
+    // verdict frame would lazily RECOMPUTE against the index it just
+    // mutated (novel docs would re-classify as exact self-matches).
     // localCheckpoint cuts the lineage; the frame is batch-sized.
     val verdicts = scored.localCheckpoint(true)
     scored.unpersist(blocking = false)
-    val novel = batch.join(
+    // absorb from the SAME kernel output — no second signature pass
+    val novelSigs = sigsAll.join(
       verdicts.where(col("verdict") === "novel").select("doc_id"), Seq("doc_id"), "left_semi")
-    appendBatch(novel, dir, maxBucketSize)
+    writeSegment(novelSigs, dir, maxBucketSize, "append")
+    sigsAll.unpersist(blocking = false)
     verdicts
   }
 }
