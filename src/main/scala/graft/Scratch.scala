@@ -10,12 +10,19 @@ object Scratch {
     val keys = if (args.length > 2) args(2).split(",").toSeq else Seq("dedup_incremental")
     val spark = GraftSession.local(8, 8)
     new java.io.File(out).mkdirs()
+    val explainOnly = sys.env.get("SCRATCH_EXPLAIN").contains("1")
     keys.foreach { k =>
-      SparkEntry.queries(k)(spark, dir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$out/$k")
+      val df = SparkEntry.queries(k)(spark, dir)
+      if (explainOnly) {
+        println(s"==== $k ====")
+        df.explain("formatted")
+      } else {
+        df.coalesce(1).write.mode("overwrite").parquet(s"$out/$k")
+      }
       spark.catalog.clearCache()
       TmpDirs.sweepRecorded()
     }
+    if (explainOnly) { spark.stop(); return }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
