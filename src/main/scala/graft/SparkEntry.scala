@@ -2256,7 +2256,10 @@ object SparkEntry {
     * change balance (close + reopen), %10==5 arrive unchanged (idempotent,
     * no churn), %10==7 insert as brand-new keys.
     */
-  private def qScd2Merge(s: SparkSession, dir: String): DataFrame = {
+  /** SCD2 dimension state shared by q_scd2_merge (writes it) and
+    * q_scd2_lookup (point-in-time reads against it).
+    */
+  private def scd2State(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.customer(s, dir).select(
       col("c_custkey").as("key"),
       col("c_nationkey").cast("long").as("nation"),
@@ -2275,11 +2278,16 @@ object SparkEntry {
     ops.Merge.scd2(
       dim, modified.unionByName(unchanged).unionByName(inserts),
       "key", Seq("nation", "acct_cents"))
-      .orderBy("key", "valid_from")
   }
 
-  private val qScd2MergeSql =
-    s"""WITH dim AS (
+  private def qScd2Merge(s: SparkSession, dir: String): DataFrame =
+    scd2State(s, dir).orderBy("key", "valid_from")
+
+  /** Oracle CTE chain ending in `scd` = the merged SCD2 dimension;
+    * shared by the merge and lookup oracles.
+    */
+  private val scd2StateCte =
+    s"""dim AS (
        |  SELECT c_custkey AS key, CAST(c_nationkey AS BIGINT) AS nation,
        |    ${centsSql("c_acctbal")} AS acct_cents
        |  FROM customer),
@@ -2289,19 +2297,165 @@ object SparkEntry {
        |  UNION ALL SELECT key + 10000000 AS key, nation, acct_cents FROM dim WHERE key % 10 = 7),
        |changed AS (
        |  SELECT d.key FROM dim d JOIN upd u ON d.key = u.key
-       |  WHERE NOT (d.nation = u.nation AND d.acct_cents = u.acct_cents))
-       |SELECT key, nation, acct_cents,
-       |  CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
-       |FROM dim WHERE key NOT IN (SELECT key FROM changed)
-       |UNION ALL
-       |SELECT key, nation, acct_cents, CAST(0 AS BIGINT), CAST(100 AS BIGINT)
-       |FROM dim WHERE key IN (SELECT key FROM changed)
-       |UNION ALL
-       |SELECT u.key, u.nation, u.acct_cents, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
-       |FROM upd u
-       |WHERE u.key IN (SELECT key FROM changed)
-       |   OR u.key NOT IN (SELECT key FROM dim)
-       |ORDER BY key, valid_from""".stripMargin
+       |  WHERE NOT (d.nation = u.nation AND d.acct_cents = u.acct_cents)),
+       |scd AS (
+       |  SELECT key, nation, acct_cents,
+       |    CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+       |  FROM dim WHERE key NOT IN (SELECT key FROM changed)
+       |  UNION ALL
+       |  SELECT key, nation, acct_cents, CAST(0 AS BIGINT), CAST(100 AS BIGINT)
+       |  FROM dim WHERE key IN (SELECT key FROM changed)
+       |  UNION ALL
+       |  SELECT u.key, u.nation, u.acct_cents, CAST(100 AS BIGINT), CAST(NULL AS BIGINT)
+       |  FROM upd u
+       |  WHERE u.key IN (SELECT key FROM changed)
+       |     OR u.key NOT IN (SELECT key FROM dim))""".stripMargin
+
+  private val qScd2MergeSql =
+    s"""WITH $scd2StateCte
+       |SELECT key, nation, acct_cents, valid_from, valid_to
+       |FROM scd ORDER BY key, valid_from""".stripMargin
+
+  /** Point-in-time SCD2 lookup: every order joins the dimension version
+    * valid at its (synthetic, deterministic) as-of instant — one
+    * equi-join shuffle on the customer key with the validity interval
+    * as a residual predicate (ops.Merge.pointInTime).
+    */
+  private def qScd2Lookup(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderkey") % 200).cast("long").as("as_of"))
+    ops.Merge.pointInTime(fact, scd2State(s, dir), "o_custkey", "key", "as_of")
+      .select(col("o_orderkey"), col("o_custkey"), col("as_of"),
+        col("nation"), col("acct_cents"), col("valid_from"))
+      .orderBy("o_orderkey")
+  }
+
+  private val qScd2LookupSql =
+    s"""WITH $scd2StateCte,
+       |fact AS (
+       |  SELECT o_orderkey, o_custkey, CAST(o_orderkey % 200 AS BIGINT) AS as_of
+       |  FROM orders)
+       |SELECT f.o_orderkey, f.o_custkey, f.as_of, d.nation, d.acct_cents, d.valid_from
+       |FROM fact f LEFT JOIN scd d
+       |  ON f.o_custkey = d.key AND f.as_of >= d.valid_from
+       |  AND (d.valid_to IS NULL OR f.as_of < d.valid_to)
+       |ORDER BY f.o_orderkey""".stripMargin
+
+  /** Data-quality expectation suite (ops.Expect): all row-level and
+    * uniqueness checks per table run in ONE aggregate pass; the
+    * referential check is one pruned left join. Six checks, two scans,
+    * one key join — the cheapest possible audit shape.
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame = {
+    import ops.Expect
+    val ord = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    Expect.suite(
+      Expect.table(ord,
+        Seq(
+          Expect.RowRule("orders_totalprice_nonneg", col("o_totalprice") < 0),
+          Expect.RowRule("orders_orderdate_set", col("o_orderdate").isNull)),
+        Seq(Expect.UniqueRule("orders_pk_unique", Seq("o_orderkey")))),
+      Expect.table(li,
+        Seq(
+          Expect.RowRule("lineitem_discount_range", col("l_discount") < 0 || col("l_discount") > 1),
+          Expect.RowRule("lineitem_qty_positive", col("l_quantity") <= 0))),
+      Expect.references("lineitem_fk_orders", li, "l_orderkey", ord, "o_orderkey"))
+  }
+
+  private val qExpectationsSql =
+    """WITH o AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_neg,
+      |    CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+      |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uni
+      |  FROM orders),
+      |l AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+      |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+      |  FROM lineitem),
+      |ri AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS total,
+      |    CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND oo.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS viol
+      |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) oo
+      |    ON l_orderkey = oo.o_orderkey)
+      |SELECT 'orders_totalprice_nonneg' AS check_name, total, v_neg AS violations, v_neg = 0 AS passed FROM o
+      |UNION ALL SELECT 'orders_orderdate_set', total, v_null, v_null = 0 FROM o
+      |UNION ALL SELECT 'orders_pk_unique', total, v_uni, v_uni = 0 FROM o
+      |UNION ALL SELECT 'lineitem_discount_range', total, v_disc, v_disc = 0 FROM l
+      |UNION ALL SELECT 'lineitem_qty_positive', total, v_qty, v_qty = 0 FROM l
+      |UNION ALL SELECT 'lineitem_fk_orders', total, viol, viol = 0 FROM ri
+      |ORDER BY check_name""".stripMargin
+
+  /** Hashed linear quality-classifier scoring (text.QualityModel):
+    * fastText-style scoring head — tokens hash into a 64-slot weight
+    * table riding inside codegen as an array literal; strictly
+    * map-side, integer micro-unit exact.
+    */
+  private def textQualityModel(s: SparkSession, dir: String): DataFrame =
+    text.QualityModel.scored(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      text.QualityModel.weightsMicro())
+      .orderBy("doc_id")
+
+  private val textQualityModelSql =
+    oracle.DuckHash.qualityModelSql(text.QualityModel.weightsMicro())
+
+  /** Bloom-prefiltered shuffle join (ops.BloomJoin): one distributed
+    * bloom build over the selective dim's keys, then a map-side
+    * might_contain prefilter on the fact BEFORE the join shuffle.
+    * Row-identical to the plain join — the oracle is the plain join.
+    */
+  private def qBloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    ops.BloomJoin.prefilterInner(
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_extendedprice")),
+      urgent, "l_orderkey", "o_orderkey", expectedKeys = 1 << 16)
+      .groupBy(month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("sum_cents"))
+      .orderBy("mo")
+  }
+
+  private val qBloomJoinSql =
+    s"""SELECT CAST(EXTRACT(month FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS mo,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+       |GROUP BY 1 ORDER BY mo""".stripMargin
+
+  /** Incremental aggregate maintenance (ops.IncrAgg): per-(user, event
+    * type) count/sum/min/max state built from "history" events, then a
+    * "delta" batch folded in WITHOUT rescanning history. The oracle is
+    * the full recompute over all events — incremental ≡ batch is the
+    * whole point of the operator.
+    */
+  private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(
+      col("user_id"), col("event_type"), cents(col("value")).as("v_cents"), col("ts_ns"))
+    val keys = Seq("user_id", "event_type")
+    val state = ops.IncrAgg.snapshot(ev.where(col("ts_ns") % 4 =!= 0), keys, "v_cents")
+    ops.IncrAgg.merge(state, ev.where(col("ts_ns") % 4 === 0), keys, "v_cents")
+      .select(col("user_id"), col("event_type"), col("cnt"),
+        col("sum_v"), col("min_v"), col("max_v"),
+        (col("sum_v") / col("cnt")).as("avg_v"))
+      .orderBy("user_id", "event_type")
+  }
+
+  private val qIncrAggSql =
+    s"""SELECT user_id, event_type,
+       |  CAST(count(*) AS BIGINT) AS cnt,
+       |  CAST(sum(${centsSql("value")}) AS BIGINT) AS sum_v,
+       |  CAST(min(${centsSql("value")}) AS BIGINT) AS min_v,
+       |  CAST(max(${centsSql("value")}) AS BIGINT) AS max_v,
+       |  CAST(sum(${centsSql("value")}) AS BIGINT) / CAST(count(*) AS BIGINT) AS avg_v
+       |FROM events
+       |GROUP BY user_id, event_type
+       |ORDER BY user_id, event_type""".stripMargin
 
   /** Clustered-layout write + range-filtered read-back: files carry
     * disjoint sorted l_shipdate ranges, so the filtered aggregate scans
@@ -2472,6 +2626,11 @@ object SparkEntry {
     "dedup_clusters" -> (dedupClusters _),
     "pipe_corpus_verified" -> (pipeCorpusVerified _),
     "q_scd2_merge" -> (qScd2Merge _),
+    "q_scd2_lookup" -> (qScd2Lookup _),
+    "q_expectations" -> (qExpectations _),
+    "q_incr_agg" -> (qIncrAgg _),
+    "q_bloom_join" -> (qBloomJoin _),
+    "text_quality_model" -> (textQualityModel _),
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
     "snk_zorder" -> (snkZorder _),
@@ -2586,6 +2745,11 @@ object SparkEntry {
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
     "pipe_corpus_prep" -> pipeCorpusPrepSql,
     "q_scd2_merge" -> qScd2MergeSql,
+    "q_scd2_lookup" -> qScd2LookupSql,
+    "q_expectations" -> qExpectationsSql,
+    "q_incr_agg" -> qIncrAggSql,
+    "q_bloom_join" -> qBloomJoinSql,
+    "text_quality_model" -> textQualityModelSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,
     "snk_zorder" -> snkZorderSql,

@@ -55,6 +55,31 @@ object Merge {
         (col(key) +: (-col("w.ns")).as(seqCol) +: payload.map(c => col(s"w.$c").as(c))): _*)
   }
 
+  /** Point-in-time lookup against an SCD2 dimension (the read half of
+    * [[scd2]]): each fact row joins the dimension version whose
+    * `[valid_from, valid_to)` interval contains the fact's `asOfCol`
+    * (`valid_to IS NULL` = open row). Facts with no covering version
+    * pass through with NULL dimension columns (left join).
+    *
+    * Scale shape: ONE equi-join shuffle on the key — the validity
+    * interval is a residual predicate on the equi-join, NOT a range-join
+    * problem, because key equality already carries the match; versions
+    * per key are few, so the residual filters a handful of rows per
+    * probe. Never plans a nested-loop join.
+    */
+  def pointInTime(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      asOfCol: String): DataFrame =
+    fact.join(
+      dim,
+      col(factKey) === col(dimKey) &&
+        col(asOfCol) >= col("valid_from") &&
+        (col("valid_to").isNull || col(asOfCol) < col("valid_to")),
+      "left")
+
   /** SCD Type-2 merge: effective-dated dimension history.
     *
     * `target` columns: `key`, `attrs...`, `valid_from` (long),

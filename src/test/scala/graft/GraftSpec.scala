@@ -1441,3 +1441,141 @@ class IncrementalStreamSpec extends AnyFunSuite {
     assert(r3 === Map(201L -> "novel", 301L -> "near"))
   }
 }
+
+/** Data-quality expectations: planted violations are counted exactly,
+  * and all row+unique checks over one table share a single scan.
+  */
+class ExpectSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("row, uniqueness, and referential rules count planted violations") {
+    val t = Seq(
+      (1L, 10.0), (2L, -5.0), (2L, 3.0), (3L, -1.0))               // dup key 2; two negatives
+      .toDF("k", "v")
+    val dim = Seq(1L, 2L).toDF("pk")                               // k=3 is an orphan
+    val rep = ops.Expect.suite(
+      ops.Expect.table(t,
+        Seq(ops.Expect.RowRule("v_nonneg", $"v" < 0)),
+        Seq(ops.Expect.UniqueRule("k_unique", Seq("k")))),
+      ops.Expect.references("k_in_dim", t, "k", dim, "pk"))
+    val r = rep.collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r === Map(
+      "v_nonneg" -> ((4L, 2L, false)),
+      "k_unique" -> ((4L, 1L, false)),
+      "k_in_dim" -> ((4L, 1L, false))))
+  }
+
+  test("a NULL key component counts as a uniqueness violation") {
+    val t = Seq(Some(1L), None, Some(2L)).toDF("k")
+    val r = ops.Expect.table(t, Nil, Seq(ops.Expect.UniqueRule("k_unique", Seq("k"))))
+      .collect().head
+    assert((r.getLong(2), r.getBoolean(3)) === (1L, false))
+  }
+
+  test("all checks over one table plan exactly one scan of it") {
+    val plan = ops.Expect.table(
+      Tables.orders(spark, dir),
+      Seq(
+        ops.Expect.RowRule("a", col("o_totalprice") < 0),
+        ops.Expect.RowRule("b", col("o_orderdate").isNull)),
+      Seq(ops.Expect.UniqueRule("c", Seq("o_orderkey"))))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(800))
+  }
+}
+
+/** Incremental aggregate maintenance: folding deltas into state in any
+  * batching equals the one-shot snapshot over all rows.
+  */
+class IncrAggSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("merge of chained deltas equals full snapshot, including delta-only keys") {
+    val all = Seq(
+      ("a", 1L), ("a", 5L), ("a", 3L),   // split across state + deltas
+      ("b", 7L),                          // arrives only in the last delta
+      ("c", 2L), ("c", 9L))               // split across the two deltas
+      .toDF("k", "v")
+    val keys = Seq("k")
+    val state0 = ops.IncrAgg.snapshot(all.where($"v" <= 1), keys, "v")
+    val state1 = ops.IncrAgg.merge(state0, all.where($"v" > 1 && $"v" <= 5), keys, "v")
+    val state2 = ops.IncrAgg.merge(state1, all.where($"v" > 5), keys, "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(rows(state2) === rows(ops.IncrAgg.snapshot(all, keys, "v")))
+    assert(rows(state2)("c") === ((2L, 11L, 2L, 9L)))
+  }
+}
+
+/** Bloom-prefiltered join: row-identical to the plain join, the
+  * prefilter actually removes non-matching fact rows map-side, and the
+  * false-positive rate honors the requested fpp.
+  */
+class BloomJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private def li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+  private def dim = Tables.orders(spark, dir)
+    .where(col("o_orderpriority") === "1-URGENT")
+    .select(col("o_orderkey"))
+
+  test("bloom join is row-identical to the plain join; might_contain filters before the join") {
+    val bloomed = ops.BloomJoin.prefilterInner(li, dim, "l_orderkey", "o_orderkey", 1 << 14)
+    val plain = li.join(dim, col("l_orderkey") === col("o_orderkey"))
+    val b = bloomed.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val p = plain.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(b === p)
+    assert(b.nonEmpty)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"))
+  }
+
+  test("prefilter keeps all matches and few false positives") {
+    val bloom = ops.BloomJoin.keyBloom(dim, "o_orderkey", 1 << 14, 0.01).get
+    val kept = li.where(ops.BloomJoin.mightContain(bloom, col("l_orderkey"))).count()
+    val matching = li.join(dim, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val total = li.count()
+    assert(kept >= matching, "a bloom filter can never drop a true match")
+    assert(kept <= matching + (0.05 * total).toLong, s"fpp blown: kept=$kept matching=$matching total=$total")
+  }
+
+  test("empty build side yields an empty inner join") {
+    assert(ops.BloomJoin.prefilterInner(li, dim.where(lit(false)), "l_orderkey", "o_orderkey").count() === 0L)
+  }
+}
+
+/** Hashed linear quality classifier: deterministic weights, map-side
+  * (exchange-free) scoring, robust degenerate-input behavior. Bit-level
+  * cross-engine parity is the DuckHash oracle's job.
+  */
+class QualityModelSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("scoring plans no exchange and handles empty/punct/unicode text") {
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, ""),                      // empty -> 0 tokens, score 0, drop
+      (3L, "!!! ??? ..."),           // punctuation-only canon -> empty
+      (4L, "naïve café über"))       // non-ascii strips to ascii word runs
+      .toDF("doc_id", "text")
+    val out = text.QualityModel.scored(docs, text.QualityModel.weightsMicro())
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val r = out.collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(2L) === ((0L, 0L, false)))
+    assert(r(3L) === ((0L, 0L, false)))
+    assert(r(1L)._1 === 4L)
+    assert(r(4L)._1 > 0L) // "na ve caf ber" style word runs survive
+  }
+
+  test("weights are deterministic and bounded") {
+    val w = text.QualityModel.weightsMicro()
+    assert(w.toSeq === text.QualityModel.weightsMicro().toSeq)
+    assert(w.forall(x => x >= -1000L && x <= 1000L))
+    assert(w.distinct.length > 16) // not degenerate
+  }
+}
