@@ -2389,6 +2389,68 @@ object SparkEntry {
       |UNION ALL SELECT 'lineitem_fk_orders', total, viol, viol = 0 FROM ri
       |ORDER BY check_name""".stripMargin
 
+  /** Join-key skew diagnostic (ops.Skew): three lineitem join keys
+    * audited in ONE scan + ONE shuffle (explode to (key_col, value)
+    * pairs, two-phase count, windowless hottest-key argmin).
+    */
+  private def qSkewReport(s: SparkSession, dir: String): DataFrame =
+    ops.Skew.keySkew(
+      Tables.lineitem(s, dir), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .orderBy("key_col")
+
+  private val qSkewReportSql =
+    """WITH p AS (
+      |  SELECT 'l_orderkey' AS key_col, CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+      |c AS (SELECT key_col, k, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY key_col, k),
+      |r AS (
+      |  SELECT key_col, CAST(sum(c) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(max(c) AS BIGINT) AS max_cnt
+      |  FROM c GROUP BY key_col),
+      |h AS (
+      |  SELECT key_col, k, row_number() OVER (PARTITION BY key_col ORDER BY c DESC, k) AS rn
+      |  FROM c)
+      |SELECT r.key_col, r.n_rows, r.n_keys, r.max_cnt, h.k AS hot_key,
+      |  r.max_cnt * r.n_keys * 1000 // r.n_rows AS skew_x1000
+      |FROM r JOIN h ON r.key_col = h.key_col AND h.rn = 1
+      |ORDER BY r.key_col""".stripMargin
+
+  /** Link-graph PageRank (graph.PageRank): nation-level trade graph
+    * derived from lineitem⋈orders⋈customer⋈supplier (broadcast dims),
+    * 3 damped iterations in integer fixed-point — bit-reproducible and
+    * fully SQL-expressible (oracle unrolls the same iterations).
+    */
+  private def qGraphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"), col("s_nationkey").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    graph.PageRank.run(edges, iters = 3)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("rank"))
+      .orderBy("node")
+  }
+
+  private val qGraphPagerankSql = {
+    val edgesCte =
+      """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE CAST(c_nationkey AS BIGINT) <> CAST(s_nationkey AS BIGINT)""".stripMargin
+    s"""WITH ${graph.PageRank.oracleSql(edgesCte, iters = 3)}
+       |SELECT r3.node, n.n_name, r3.rank
+       |FROM r3 JOIN nation n ON r3.node = n.n_nationkey
+       |ORDER BY r3.node""".stripMargin
+  }
+
   /** Hashed linear quality-classifier scoring (text.QualityModel):
     * fastText-style scoring head — tokens hash into a 64-slot weight
     * table riding inside codegen as an array literal; strictly
@@ -2631,6 +2693,8 @@ object SparkEntry {
     "q_incr_agg" -> (qIncrAgg _),
     "q_bloom_join" -> (qBloomJoin _),
     "text_quality_model" -> (textQualityModel _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_graph_pagerank" -> (qGraphPagerank _),
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
     "snk_zorder" -> (snkZorder _),
@@ -2750,6 +2814,8 @@ object SparkEntry {
     "q_incr_agg" -> qIncrAggSql,
     "q_bloom_join" -> qBloomJoinSql,
     "text_quality_model" -> textQualityModelSql,
+    "q_skew_report" -> qSkewReportSql,
+    "q_graph_pagerank" -> qGraphPagerankSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,
     "snk_zorder" -> snkZorderSql,

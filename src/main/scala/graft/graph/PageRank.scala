@@ -1,0 +1,78 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank over an edge frame — link-graph centrality
+  * is a standard corpus-quality signal (CommonCrawl-style pipelines
+  * rank domains by it) and the canonical iterative-join workload.
+  *
+  * Integer fixed-point arithmetic throughout: ranks live in parts of
+  * `scale` (default 1e12), contributions are truncating integer
+  * divisions, and the damping step is `(85 * s) div 100`. Integer sums
+  * are order-independent, so results are bit-reproducible across
+  * cluster sizes AND SQL-expressible — the oracle unrolls the same
+  * iterations in DuckDB with `//` arithmetic.
+  *
+  * Scale shape per iteration: one equi-join of edges with the rank
+  * frame (shuffle bounded by |edges|) and one map-side-combined groupBy
+  * on dst — identical to dedup.Components' per-round cost, with a FIXED
+  * iteration count instead of convergence detection. Dangling nodes
+  * (out-degree 0) absorb their rank (the classic no-redistribution
+  * variant); nodes with no in-edges settle at the damping base.
+  */
+object PageRank {
+
+  /** `edges(src: long, dst: long)` must be distinct pairs. Returns
+    * `(node, rank)` after `iters` damped iterations at `scale`.
+    */
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct()
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val n = nodes.count() // graph metadata (node count), not a data collect
+    require(n > 0, "empty graph")
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85L * coalesce(s, 0L)) div 100L")).as("rank"))
+    }
+    ranks
+  }
+
+  /** DuckDB oracle for [[run]]: the same iterations unrolled as chained
+    * CTEs over an `edges` CTE the caller supplies (must produce
+    * identical distinct (src, dst) BIGINT pairs).
+    */
+  def oracleSql(edgesCte: String, iters: Int, scale: Long = 1000000000000L): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node, CAST(p.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN params p LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS ($edgesCte),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |params AS (
+       |  SELECT CAST($scale // count(*) AS BIGINT) AS r0v,
+       |    CAST((15 * ($scale // count(*))) // 100 AS BIGINT) AS base
+       |  FROM nodes),
+       |r0 AS (SELECT node, r0v AS rank FROM nodes CROSS JOIN params),
+       |$iterCtes""".stripMargin
+  }
+}

@@ -1579,3 +1579,61 @@ class QualityModelSpec extends AnyFunSuite {
     assert(w.distinct.length > 16) // not degenerate
   }
 }
+
+/** Key-skew diagnostic: exact counts on a planted hot key, one scan,
+  * no Window operator (hottest key via partially-aggregatable argmin).
+  */
+class SkewReportSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("hot key, counts, and permille ratio are exact; no Window; one scan per frame") {
+    val rows = (1L to 10L).map(i => (i, s"u$i")) ++ Seq.fill(90)((99L, "hot"))
+    val df = rows.toDF("k", "tag")
+    val out = ops.Skew.keySkew(df, Seq("k"))
+    val r = out.collect().head
+    // 100 rows, 11 distinct keys, hottest 90 -> 90 * 11 * 1000 / 100 = 9900
+    assert((r.getAs[Long]("n_rows"), r.getAs[Long]("n_keys"), r.getAs[Long]("max_cnt")) === ((100L, 11L, 90L)))
+    assert(r.getAs[String]("hot_key") === "99")
+    assert(r.getAs[Long]("skew_x1000") === 9900L)
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
+  test("count ties break to the lexicographically smallest key") {
+    val df = Seq((1L, 0), (1L, 0), (2L, 0), (2L, 0)).toDF("k", "x")
+    assert(ops.Skew.keySkew(df, Seq("k")).collect().head.getAs[String]("hot_key") === "1")
+  }
+}
+
+/** Integer fixed-point PageRank: hand-computed small graph, dangling
+  * and source-only node behavior, determinism.
+  */
+class PageRankSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("one iteration on a 3-node path matches hand-computed fixed-point values") {
+    // 1 -> 2, 1 -> 3, 2 -> 3 ; node 3 dangling (absorbs), node 1 no in-edges
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val scale = 1000000000000L
+    val r0 = scale / 3            // 333333333333
+    val base = 15L * r0 / 100L    // 49999999999
+    val out = graph.PageRank.run(edges, iters = 1, scale).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c2 = r0 / 2               // node 1 contributes rank/outdeg=2 to node 2
+    val c3 = r0 / 2 + r0          // from node 1 (deg 2) and node 2 (deg 1)
+    assert(out === Map(
+      1L -> base,
+      2L -> (base + 85L * c2 / 100L),
+      3L -> (base + 85L * c3 / 100L)))
+  }
+
+  test("three iterations are deterministic and keep total mass bounded by scale") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L)).toDF("src", "dst")
+    val a = graph.PageRank.run(edges, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = graph.PageRank.run(edges, iters = 3).collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq)
+    val total = a.map(_._2).sum
+    assert(total > 0L && total <= 1000000000000L, s"mass $total")
+  }
+}
