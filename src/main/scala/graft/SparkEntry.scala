@@ -1363,6 +1363,17 @@ object SparkEntry {
     ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
 
+  /** PQ/ADC top-k (ann.Pq): vectors compressed to m=8 subspace codes,
+    * queries score via integer lookup tables — map-only + TopKPerKey,
+    * the corpus never shuffles; codes/luts/scores mirrored bit-exactly
+    * in the oracle.
+    */
+  private def annPq(s: SparkSession, dir: String): DataFrame =
+    ann.Pq.adcTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private val annPqSql = ann.Pq.oracleSql(annQueryIds, 10)
+
   /** Bit-exact SQL folds mirroring the Cells scoring path: left-fold
     * double sums reproduce PlaneDots / aggregate() summation order, so
     * cell assignment, probe selection, and cosine ranks all agree with
@@ -2661,6 +2672,7 @@ object SparkEntry {
     "pipe_token_mix" -> (pipeTokenMix _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
+    "ann_pq_topk" -> (annPq _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -2804,6 +2816,7 @@ object SparkEntry {
     "text_bm25_topk" -> textBm25TopkSql,
     "pipe_token_mix" -> pipeTokenMixSql,
     "ann_lsh_topk" -> annLshSql,
+    "ann_pq_topk" -> annPqSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,

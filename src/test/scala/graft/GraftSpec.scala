@@ -1637,3 +1637,37 @@ class PageRankSpec extends AnyFunSuite {
     assert(total > 0L && total <= 1000000000000L, s"mass $total")
   }
 }
+
+/** PQ/ADC ANN: code structure, determinism, and the bounded-heap plan.
+  * End-to-end score correctness is the DuckDB oracle's job.
+  */
+class PqSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("codes are m ints in [0, kCent); encoding is deterministic") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = ann.Pq.sampledCodebook(emb)
+    assert(cb.length === ann.Pq.m && cb.forall(_.length === ann.Pq.kCent))
+    val coded = emb.select(org.apache.spark.sql.functions.col("vec_id"),
+      ann.Pq.codes(org.apache.spark.sql.functions.col("embedding"), cb).as("codes"))
+    val rows = coded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2.length === ann.Pq.m))
+    assert(rows.forall(_._2.forall(c => c >= 0 && c < ann.Pq.kCent)))
+    val again = coded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(rows.toMap === again.toMap)
+    // a codebook sample vector's own subspace distance to itself is 0 -> codes itself
+    val self = rows.toMap.apply(0L)
+    val expectedSelf = (0 until ann.Pq.m).map(_ => 0)
+    assert(self === expectedSelf)
+  }
+
+  test("adcTopK excludes self, returns k per query, reduces via TopKPerKey") {
+    val out = ann.Pq.adcTopK(Tables.embeddings(spark, dir), Seq(0L, 1L), 5)
+    assert(out.queryExecution.executedPlan.toString.contains("TopKPerKey"))
+    val r = out.collect()
+    assert(r.length === 10)
+    assert(r.forall(x => x.getLong(0) != x.getLong(1)))
+    assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
+  }
+}
