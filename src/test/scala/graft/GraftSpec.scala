@@ -1671,3 +1671,29 @@ class PqSpec extends AnyFunSuite {
     assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
   }
 }
+
+/** Streaming materialized view: micro-batched state folding equals the
+  * one-shot batch aggregate regardless of batch boundaries.
+  */
+class IncrAggStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streamed per-key state equals the batch snapshot over all rows") {
+    val srcDir = TmpDirs.create("incagsrc")
+    val stateDir = TmpDirs.create("incagstate") + "/state"
+    // two files -> two micro-batches (maxFilesPerTrigger=1)
+    Seq(("a", 1L), ("b", 7L), ("a", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(("a", 3L), ("c", 2L), ("c", 9L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val src = spark.readStream.schema("k STRING, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val state = streaming.IncrAggStream.runToState(spark, src, Seq("k"), "v", stateDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val batch = ops.IncrAgg.snapshot(spark.read.parquet(srcDir), Seq("k"), "v")
+    assert(rows(state) === rows(batch))
+    assert(rows(state)("a") === ((3L, 9L, 1L, 5L)))
+  }
+}
