@@ -2400,6 +2400,70 @@ object SparkEntry {
       |UNION ALL SELECT 'lineitem_fk_orders', total, viol, viol = 0 FROM ri
       |ORDER BY check_name""".stripMargin
 
+  /** Linear multi-touch attribution (ops.Attribution): conversion value
+    * splits across in-lookback touches via TWO range-frame windows over
+    * ONE (user, time) sort — single shuffle, no events self-join.
+    */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame =
+    ops.Attribution.linear(
+      Tables.events(s, dir), Seq("click", "view"), "purchase",
+      lookbackNs = 3600L * 1000000000L, valueCents = cents(col("value")))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("credit_cents")).as("credited_cents"))
+      .orderBy("touch_type")
+
+  private val qEventsAttributionSql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_type,
+      |    CASE WHEN event_type IN ('click', 'view') THEN 1 END AS touch_flag,
+      |    CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) END AS conv_cents
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |n AS (
+      |  SELECT *, count(touch_flag) OVER (PARTITION BY user_id ORDER BY tsn
+      |    RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW) AS n_touch
+      |  FROM ev),
+      |u AS (
+      |  SELECT *, CASE WHEN conv_cents IS NOT NULL AND n_touch > 0
+      |    THEN conv_cents // n_touch END AS unit
+      |  FROM n),
+      |c AS (
+      |  SELECT *, sum(unit) OVER (PARTITION BY user_id ORDER BY tsn
+      |    RANGE BETWEEN CURRENT ROW AND 3600000000000 FOLLOWING) AS credit
+      |  FROM u)
+      |SELECT event_type AS touch_type, CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(COALESCE(credit, 0)) AS BIGINT) AS credited_cents
+      |FROM c WHERE touch_flag IS NOT NULL
+      |GROUP BY event_type ORDER BY touch_type""".stripMargin
+
+  /** Blocked fuzzy matching (ops.Fuzzy): mangled customer names match
+    * their originals through a digit-substring block equi-join +
+    * Levenshtein residual — never a cartesian product; oversized
+    * blocks capped like LSH buckets.
+    */
+  private def qFuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val probe = cust.where(col("c_custkey") % 7 === 0)
+      .select((col("c_custkey") + 5000000L).as("probe_id"),
+        concat(expr("substring(c_name, 1, length(c_name) - 1)"), lit("X")).as("probe_name"))
+    ops.Fuzzy.blockedMatch(probe, "probe_id", "probe_name",
+      cust.select(col("c_custkey"), col("c_name")), "c_custkey", "c_name",
+      blockStart = 10, blockLen = 8, maxDist = 1)
+      .orderBy("probe_id", "c_custkey")
+  }
+
+  private val qFuzzyMatchSql =
+    """WITH probe AS (
+      |  SELECT c_custkey + 5000000 AS probe_id,
+      |    substring(c_name, 1, length(c_name) - 1) || 'X' AS probe_name
+      |  FROM customer WHERE c_custkey % 7 = 0),
+      |p AS (SELECT probe_id, probe_name, substring(probe_name, 10, 8) AS block FROM probe),
+      |r AS (SELECT c_custkey, c_name, substring(c_name, 10, 8) AS block FROM customer)
+      |SELECT p.probe_id, r.c_custkey,
+      |  CAST(levenshtein(p.probe_name, r.c_name) AS BIGINT) AS dist
+      |FROM p JOIN r USING (block)
+      |WHERE levenshtein(p.probe_name, r.c_name) <= 1
+      |ORDER BY p.probe_id, r.c_custkey""".stripMargin
+
   /** Join-key skew diagnostic (ops.Skew): three lineitem join keys
     * audited in ONE scan + ONE shuffle (explode to (key_col, value)
     * pairs, two-phase count, windowless hottest-key argmin).
@@ -2706,6 +2770,8 @@ object SparkEntry {
     "q_bloom_join" -> (qBloomJoin _),
     "text_quality_model" -> (textQualityModel _),
     "q_skew_report" -> (qSkewReport _),
+    "q_events_attribution" -> (qEventsAttribution _),
+    "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
@@ -2828,6 +2894,8 @@ object SparkEntry {
     "q_bloom_join" -> qBloomJoinSql,
     "text_quality_model" -> textQualityModelSql,
     "q_skew_report" -> qSkewReportSql,
+    "q_events_attribution" -> qEventsAttributionSql,
+    "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_graph_pagerank" -> qGraphPagerankSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Fixed-iteration PageRank over an edge frame — link-graph centrality
   * is a standard corpus-quality signal (CommonCrawl-style pipelines
@@ -28,27 +29,40 @@ object PageRank {
     */
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val nodes = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    // materialize the (possibly expensive) edge derivation ONCE — the
+    // iteration re-references it every round, and so do nodes/outDeg
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
       .distinct()
-    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count() // graph metadata (node count), not a data collect
     require(n > 0, "empty graph")
     val r0 = scale / n
     val base = (15L * r0) / 100L
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to iters) {
-      val contrib = edges
+      val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst"), expr("rank div deg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      val next = nodes
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85L * coalesce(s, 0L)) div 100L")).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
     }
-    ranks
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    ranks // persisted; caller owns lifecycle (same contract as Dedup.*)
   }
 
   /** DuckDB oracle for [[run]]: the same iterations unrolled as chained

@@ -1697,3 +1697,67 @@ class IncrAggStreamSpec extends AnyFunSuite {
     assert(rows(state)("a") === ((3L, 9L, 1L, 5L)))
   }
 }
+
+/** Linear attribution: hand-computed shares, lookback exclusion, and
+  * the single-shuffle two-window plan.
+  */
+class AttributionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("conversion value splits across in-window touches; stale touches get zero") {
+    val L = 100L
+    // user 1: touches at 10, 50; purchase(90) value 1000 -> 500 each;
+    //         touch at 500 is outside every conversion window -> 0
+    // user 2: purchase(80) with no touches -> unattributed (no touch rows)
+    val ev = Seq(
+      (1L, 10L, "click", 0.0), (1L, 50L, "view", 0.0), (1L, 90L, "purchase", 10.0),
+      (1L, 500L, "click", 0.0),
+      (2L, 80L, "purchase", 7.0))
+      .toDF("user_id", "ts_ns", "event_type", "value")
+    val out = ops.Attribution.linear(ev, Seq("click", "view"), "purchase", L,
+      round(col("value") * 100, 0).cast("long"))
+    val r = out.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(3)).toMap
+    assert(r === Map((1L, 10L) -> 500L, (1L, 50L) -> 500L, (1L, 500L) -> 0L))
+  }
+
+  test("odd cents truncate per share; two range windows share one exchange") {
+    val out = ops.Attribution.linear(
+      Seq((1L, 1L, "click", 0.0), (1L, 2L, "click", 0.0), (1L, 3L, "purchase", 0.05))
+        .toDF("user_id", "ts_ns", "event_type", "value"),
+      Seq("click"), "purchase", 100L, round(col("value") * 100, 0).cast("long"))
+    // plan string BEFORE execution: a finalized AQE plan prints both
+    // Final and Initial trees, double-counting every node
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(out.queryExecution.executedPlan.toString).size
+    assert(exchanges === 1, s"expected one shuffle, got $exchanges")
+    assert(out.collect().map(_.getLong(3)).toSeq === Seq(2L, 2L)) // 5 div 2
+  }
+}
+
+/** Blocked fuzzy match: finds mangled names inside the block, never
+  * pairs across blocks, and drops degenerate (viral) blocks.
+  */
+class FuzzySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("mangled name matches its original within the block at dist 1") {
+    val ref = Seq((1L, "Customer#000000014"), (2L, "Customer#000000914")).toDF("id", "name")
+    val probe = Seq((10L, "Customer#00000001X")).toDF("pid", "pname")
+    val out = ops.Fuzzy.blockedMatch(probe, "pid", "pname", ref, "id", "name", 10, 8, 1)
+    val r = out.collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // id 2 is in a different block (digit prefix 00000091) -> never compared
+    assert(r.toSeq === Seq((10L, 1L, 1L)))
+  }
+
+  test("a block larger than the cap is dropped entirely") {
+    val ref = (1L to 50L).map(i => (i, "AAAAAAAAAAAA")).toDF("id", "name")
+    val probe = Seq((1L, "AAAAAAAAAAAB")).toDF("pid", "pname")
+    val kept = ops.Fuzzy.blockedMatch(probe, "pid", "pname", ref, "id", "name", 1, 8, 2, blockCap = 10)
+    assert(kept.count() === 0L)
+    val uncapped = ops.Fuzzy.blockedMatch(probe, "pid", "pname", ref, "id", "name", 1, 8, 2, blockCap = 100)
+    assert(uncapped.count() === 50L)
+  }
+}
