@@ -2400,6 +2400,40 @@ object SparkEntry {
       |UNION ALL SELECT 'lineitem_fk_orders', total, viol, viol = 0 FROM ri
       |ORDER BY check_name""".stripMargin
 
+  /** Time-bounded exact event dedup, batch twin of DedupStream's
+    * dropDuplicatesWithinWatermark: first (user, type) event per
+    * tumbling window survives, repeats inside the window are counted.
+    * Windowless winner = partially-aggregatable min(struct) — a key
+    * repeating millions of times in one window combines map-side.
+    */
+  private def qEventsDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    val winNs = 600L * 1000000000L // 10-minute tumbling windows
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts_ns div $winNs * $winNs").as("win_start"),
+        col("ts_ns"), col("event_id"))
+      .groupBy(col("user_id"), col("event_type"), col("win_start"))
+      .agg(
+        min(struct(col("ts_ns"), col("event_id"))).as("w"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("win_start"),
+        col("w.event_id").as("first_event_id"), col("n_events"))
+      .orderBy("user_id", "event_type", "win_start")
+  }
+
+  private val qEventsDedupWindowSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+      |    epoch_ns(ts) // 600000000000 * 600000000000 AS win_start
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_type, win_start, event_id,
+      |    row_number() OVER (PARTITION BY user_id, event_type, win_start ORDER BY tsn, event_id) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY user_id, event_type, win_start) AS BIGINT) AS n_events
+      |  FROM ev)
+      |SELECT user_id, event_type, win_start, event_id AS first_event_id, n_events
+      |FROM r WHERE rn = 1 ORDER BY user_id, event_type, win_start""".stripMargin
+
   /** Linear multi-touch attribution (ops.Attribution): conversion value
     * splits across in-lookback touches via TWO range-frame windows over
     * ONE (user, time) sort — single shuffle, no events self-join.
@@ -2771,6 +2805,7 @@ object SparkEntry {
     "text_quality_model" -> (textQualityModel _),
     "q_skew_report" -> (qSkewReport _),
     "q_events_attribution" -> (qEventsAttribution _),
+    "q_events_dedup_window" -> (qEventsDedupWindow _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_pivot_api" -> (qPivotApi _),
@@ -2895,6 +2930,7 @@ object SparkEntry {
     "text_quality_model" -> textQualityModelSql,
     "q_skew_report" -> qSkewReportSql,
     "q_events_attribution" -> qEventsAttributionSql,
+    "q_events_dedup_window" -> qEventsDedupWindowSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_graph_pagerank" -> qGraphPagerankSql,
     "q_pivot_api" -> qPivotApiSql,
