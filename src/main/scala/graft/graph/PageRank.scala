@@ -79,9 +79,9 @@ object PageRank {
          |  SELECT n.node, CAST(p.base + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
          |  FROM nodes n CROSS JOIN params p LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
     }.mkString(",\n")
-    s"""edges AS ($edgesCte),
-       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    s"""edges AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
        |params AS (
        |  SELECT CAST($scale // count(*) AS BIGINT) AS r0v,
        |    CAST((15 * ($scale // count(*))) // 100 AS BIGINT) AS base

@@ -39,8 +39,8 @@ object Fuzzy {
       .where(col("__bn") <= blockCap)
       .drop("__bn")
     p.join(r, Seq("block"))
-      .where(levenshtein(col(probeCol), col(refCol)) <= maxDist)
       .select(col(probeKey), col(refKey),
         levenshtein(col(probeCol), col(refCol)).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 }
