@@ -12,6 +12,7 @@ object Scratch {
     new java.io.File(out).mkdirs()
     val explainOnly = sys.env.get("SCRATCH_EXPLAIN").contains("1")
     keys.foreach { k =>
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(k)(spark, dir)
       if (explainOnly) {
         println(s"==== $k ====")
@@ -19,6 +20,7 @@ object Scratch {
       } else {
         df.coalesce(1).write.mode("overwrite").parquet(s"$out/$k")
       }
+      println(f"[scratch] $k: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       spark.catalog.clearCache()
       TmpDirs.sweepRecorded()
     }

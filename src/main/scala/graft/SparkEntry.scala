@@ -2701,6 +2701,62 @@ object SparkEntry {
       |  CAST(n_regionkey AS BIGINT) AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Prefix-filter set-similarity self-join (dedup.SetSim): exact-
+    * threshold token Jaccard without O(n²) — candidates only where two
+    * docs share a rarest-first prefix token. Integer permille output.
+    */
+  private def dedupSetsimPrefix(s: SparkSession, dir: String): DataFrame =
+    // Set elements are word 3-shingles, not unigrams: the synthetic
+    // corpus draws from a ~200-word template vocabulary, so every WORD
+    // is frequent (17 distinct prefix tokens at sf0.1 — no blocking
+    // power), while shingle frequency falls geometrically and restores
+    // the rare-prefix property. Real Zipfian corpora block on unigrams
+    // too (the word overload). Sets come from the fused ShingleBlock
+    // kernel — one text walk per doc, no string-shingle allocation.
+    dedup.SetSim.prefixJoinSets(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
+      tX1000 = 700, maxTokenDf = 1000)
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupSetsimPrefixSql =
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM documents),
+       |d AS (SELECT doc_id,
+       |  CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[])
+       |    WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  END AS sh FROM d0),
+       |tok AS (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
+       |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+       |el AS (
+       |  SELECT tok.doc_id, tok.token, df
+       |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, token,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
+       |  FROM el),
+       |p AS (
+       |  SELECT r.doc_id, r.token FROM r JOIN n USING (doc_id)
+       |  WHERE rn <= n - (700 * n + 999) // 1000 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM p a JOIN p b USING (token) WHERE a.doc_id < b.doc_id),
+       |i AS (
+       |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand
+       |  JOIN el ta ON ta.doc_id = cand.doc_a
+       |  JOIN el tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
+       |  GROUP BY doc_a, doc_b)
+       |SELECT i.doc_a, i.doc_b, i.inter,
+       |  na.n + nb.n - i.inter AS uni,
+       |  i.inter * 1000 // (na.n + nb.n - i.inter) AS jacc_x1000
+       |FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 1000 >= 700 * (na.n + nb.n - i.inter)
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2761,6 +2817,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_delta" -> (dedupIncrementalDelta _),
+    "dedup_setsim_prefix" -> (dedupSetsimPrefix _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
@@ -2909,6 +2966,7 @@ object SparkEntry {
     "dedup_embed_cosine" -> dedupEmbedCosineSql,
     "dedup_incremental" -> oracle.DuckHash.incrementalSql(0.5),
     "dedup_incremental_delta" -> oracle.DuckHash.incrementalDeltaSql(0.5),
+    "dedup_setsim_prefix" -> dedupSetsimPrefixSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,

@@ -1761,3 +1761,46 @@ class FuzzySpec extends AnyFunSuite {
     assert(uncapped.count() === 50L)
   }
 }
+
+/** Prefix-filter set-similarity join: exact-threshold Jaccard pairs via
+  * rarest-first prefix blocking — finds dups/near-dups, never crosses
+  * unrelated docs, and caps degenerate prefix-token buckets.
+  */
+class SetSimSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta"),
+    (2L, "alpha beta gamma delta epsilon zeta"), // exact dup: jaccard 1
+    (3L, "alpha beta gamma delta epsilon eta"), // 5/7 = 714 permille
+    (4L, "totally unrelated words about spark plans")
+  ).toDF("doc_id", "text")
+
+  test("exact and near dup found with exact permille; unrelated isolated") {
+    val r = dedup.SetSim.prefixJoin(corpus, tX1000 = 600)
+      .select("doc_a", "doc_b", "jacc_x1000").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(r.contains((1L, 2L, 1000L)))
+    assert(r.contains((1L, 3L, 714L)))
+    assert(r.contains((2L, 3L, 714L)))
+    assert(!r.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("pairs below the threshold are excluded by integer cross-multiply") {
+    // jaccard 5/7 = 0.714...: kept at t=0.714, dropped at t=0.715
+    val at = dedup.SetSim.prefixJoin(corpus, tX1000 = 714)
+      .where(col("doc_a") === 1L && col("doc_b") === 3L).count()
+    val above = dedup.SetSim.prefixJoin(corpus, tX1000 = 715)
+      .where(col("doc_a") === 1L && col("doc_b") === 3L).count()
+    assert(at === 1L && above === 0L)
+  }
+
+  test("viral tokens (df over the cap) leave the similarity universe") {
+    val viral = (1L to 40L).map(i => (i, "boilerplate header")).toDF("doc_id", "text")
+    val capped = dedup.SetSim.prefixJoin(viral, tX1000 = 600, maxTokenDf = 10)
+    assert(capped.count() === 0L)
+    val uncapped = dedup.SetSim.prefixJoin(viral, tX1000 = 600, maxTokenDf = 100)
+    assert(uncapped.count() === (40L * 39L) / 2L)
+  }
+}
