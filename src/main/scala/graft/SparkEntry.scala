@@ -2757,6 +2757,216 @@ object SparkEntry {
        |WHERE i.inter * 1000 >= 700 * (na.n + nb.n - i.inter)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Degree-ordered triangle counting (graph.Triangles) on the strong-
+    * trade-link nation graph: the PageRank derivation, made undirected
+    * and sparsified to pairs with strictly above-mean lineitem count —
+    * an exact integer rule (c·n_pairs > total), so the edge set is
+    * engine-reproducible. The two scalars are graph metadata (PageRank
+    * `nodes.count()` precedent), not a data collect.
+    */
+  private def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
+    val pairCounts = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("c_nationkey") =!= col("s_nationkey"))
+      .select(
+        least(col("c_nationkey").cast("long"), col("s_nationkey").cast("long")).as("a"),
+        greatest(col("c_nationkey").cast("long"), col("s_nationkey").cast("long")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("c"))
+      // nations² rows — persisted so the expensive 4-join derivation runs
+      // once for the stats pass, the edge filter, and the triangle join
+      .persist()
+    val Array(total, np) = pairCounts.agg(sum("c"), count(lit(1))).head().toSeq
+      .map(_.asInstanceOf[Long]).toArray
+    val edges = pairCounts.where(col("c") * lit(np) > lit(total)).select("a", "b")
+    val out = graph.Triangles.perNode(edges)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("n_tri"))
+      .orderBy("node")
+    pairCounts.unpersist(blocking = false)
+    out
+  }
+
+  private val qGraphTrianglesSql =
+    """WITH p AS MATERIALIZED (
+      |  SELECT least(CAST(c_nationkey AS BIGINT), CAST(s_nationkey AS BIGINT)) AS a,
+      |    greatest(CAST(c_nationkey AS BIGINT), CAST(s_nationkey AS BIGINT)) AS b,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE c_nationkey <> s_nationkey
+      |  GROUP BY a, b),
+      |st AS (SELECT CAST(sum(c) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS np FROM p),
+      |edges AS MATERIALIZED (SELECT a, b FROM p, st WHERE c * np > total),
+      |deg AS (
+      |  SELECT node, count(*) AS deg
+      |  FROM (SELECT a AS node FROM edges UNION ALL SELECT b FROM edges)
+      |  GROUP BY node),
+      |o AS (
+      |  SELECT
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+      |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) THEN e.b ELSE e.a END AS dst
+      |  FROM edges e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node),
+      |wdg AS (
+      |  SELECT x.src AS u, x.dst AS v, y.dst AS w
+      |  FROM o x JOIN o y ON x.src = y.src AND x.dst < y.dst),
+      |t AS (SELECT u, v, w FROM wdg JOIN edges ON wdg.v = edges.a AND wdg.w = edges.b),
+      |n AS (
+      |  SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+      |  FROM (SELECT u AS node FROM t UNION ALL SELECT v FROM t UNION ALL SELECT w FROM t)
+      |  GROUP BY node)
+      |SELECT n.node, nn.n_name, n.n_tri
+      |FROM n JOIN nation nn ON n.node = nn.n_nationkey
+      |ORDER BY n.node""".stripMargin
+
+  /** Event-sequence Markov transitions: per-user lag over ONE
+    * (user, time) sort — single shuffle, partitions bounded by per-user
+    * event counts — then a types×types aggregate; transition
+    * probability in exact permille of each prev-state total.
+    */
+  private def qEventsTransitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+    val t = ev.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("prev_type").agg(sum("n").as("tot"))
+    t.join(tot, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("n * 1000 div tot").as("p_x1000"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  private val qEventsTransitionsSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_type
+      |  FROM events),
+      |t AS (
+      |  SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM ev WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+      |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot FROM t GROUP BY prev_type)
+      |SELECT t.prev_type, t.next_type, t.n, t.n * 1000 // tot.tot AS p_x1000
+      |FROM t JOIN tot USING (prev_type)
+      |ORDER BY prev_type, next_type""".stripMargin
+
+  /** Quality-classifier evaluation (text.ModelEval): confusion matrix +
+    * precision/recall at three score thresholds against the Gopher keep
+    * label — every threshold is a conditional sum in ONE aggregate pass.
+    */
+  private def textModelEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scored = text.QualityModel.scored(docs, text.QualityModel.weightsMicro())
+      .select(col("doc_id"), col("score_micro"))
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label"))
+    text.ModelEval.confusion(
+      scored.join(labels, "doc_id"), "score_micro", "label",
+      Seq(-5000L, 0L, 5000L))
+      .orderBy("threshold")
+  }
+
+  private val textModelEvalSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    def thrRow(t: Long) =
+      s"""SELECT CAST($t AS BIGINT) AS threshold,
+         |  CAST(sum(CASE WHEN score_micro > $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score_micro > $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score_micro <= $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score_micro <= $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM j""".stripMargin
+    s"""WITH ${oracle.DuckHash.qualityModelScoreCtes(text.QualityModel.weightsMicro())},
+       |gm AS (
+       |  SELECT doc_id, CAST($wcSql AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    $wordsListSql AS w
+       |  FROM documents),
+       |gtw AS (
+       |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM gm, UNNEST(gm.w) AS t(g) GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |lab AS (
+       |  SELECT gm.doc_id,
+       |    (n_words >= 5 AND n_words <= 1000
+       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END) < 0.6
+       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_words END) < 0.2
+       |     AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_chars END) < 0.3) AS label
+       |  FROM gm LEFT JOIN gtw ON gm.doc_id = gtw.doc_id),
+       |j AS (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+       |u AS (${thrRow(-5000)} UNION ALL ${thrRow(0)} UNION ALL ${thrRow(5000)})
+       |SELECT threshold, tp, fp, fn, tn,
+       |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS precision_x1000,
+       |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS recall_x1000
+       |FROM u ORDER BY threshold""".stripMargin
+  }
+
+  /** Inverted-index posting heads: per token, document frequency and the
+    * first 10 postings (doc_id ascending) — the index-build shape behind
+    * the BM25/retrieval family. Smallest-k per token goes through the
+    * bounded-heap TopKPerKey operator (a row_number window would sort
+    * every posting list and hot-key on viral tokens); the deterministic
+    * rank is then a window over the ALREADY-bounded ≤10-row groups.
+    */
+  private def textPostings(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(text.Text.words(col("text")))).as("token"))
+    val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val heads = plans.TopK.perKey(toks, Seq("token"), Seq(("doc_id", false)), 10)
+    val byToken = Window.partitionBy("token").orderBy("doc_id")
+    heads
+      .withColumn("rnk", row_number().over(byToken))
+      .join(dfq, "token")
+      .select(col("token"), col("df"), col("doc_id"), col("rnk"))
+      .orderBy("token", "rnk")
+  }
+
+  private val textPostingsSql =
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, t AS token FROM d0, UNNEST(w) AS u(t)),
+       |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY token),
+       |r AS (
+       |  SELECT token, doc_id,
+       |    row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rnk
+       |  FROM tok)
+       |SELECT r.token, dfq.df, r.doc_id, CAST(r.rnk AS INT) AS rnk
+       |FROM r JOIN dfq USING (token) WHERE rnk <= 10
+       |ORDER BY token, rnk""".stripMargin
+
+  /** Market-basket co-purchase pairs: distinct parts per order self-join
+    * on the order key — fanout bounded by order size (never corpus-
+    * quadratic), pair aggregation is skew-free on (part, part) keys,
+    * final top-20 is a TakeOrdered with a full deterministic tie-break.
+    */
+  private def qCopurchasePairs(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val qCopurchasePairsSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey
+      |  GROUP BY part_a, part_b)
+      |SELECT part_a, part_b, n_orders FROM p
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2818,6 +3028,11 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_delta" -> (dedupIncrementalDelta _),
     "dedup_setsim_prefix" -> (dedupSetsimPrefix _),
+    "q_graph_triangles" -> (qGraphTriangles _),
+    "q_events_transitions" -> (qEventsTransitions _),
+    "text_model_eval" -> (textModelEval _),
+    "text_postings" -> (textPostings _),
+    "q_copurchase_pairs" -> (qCopurchasePairs _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
@@ -2967,6 +3182,11 @@ object SparkEntry {
     "dedup_incremental" -> oracle.DuckHash.incrementalSql(0.5),
     "dedup_incremental_delta" -> oracle.DuckHash.incrementalDeltaSql(0.5),
     "dedup_setsim_prefix" -> dedupSetsimPrefixSql,
+    "q_graph_triangles" -> qGraphTrianglesSql,
+    "q_events_transitions" -> qEventsTransitionsSql,
+    "text_model_eval" -> textModelEvalSql,
+    "text_postings" -> textPostingsSql,
+    "q_copurchase_pairs" -> qCopurchasePairsSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,

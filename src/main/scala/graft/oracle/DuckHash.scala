@@ -379,20 +379,27 @@ object DuckHash {
     * text.QualityModel.scored bit-for-bit; weights inlined as literals,
     * the same seeded-constant precedent as the LSH oracles).
     */
-  def qualityModelSql(weights: Array[Long]): String = {
+  def qualityModelSql(weights: Array[Long]): String =
+    s"""WITH ${qualityModelScoreCtes(weights)}
+       |SELECT doc_id, n_toks, score_micro, score_micro > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** The score derivation alone, as composable CTEs `d0, sc` where
+    * `sc(doc_id, n_toks, score_micro)` — lets other oracles (e.g. the
+    * model-eval confusion matrix) reuse the exact scoring kernel.
+    */
+  def qualityModelScoreCtes(weights: Array[Long]): String = {
     require(weights.length == 64, s"expected 64 weights, got ${weights.length}")
     val wh = "list_transform([length(wd)], L -> " +
       "list_transform([list_transform(range(1, L + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))], cs -> " +
       wordXxh64Sql + ")[1])[1]"
     val wlist = weights.mkString("[", ",", "]")
-    s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
+    s"""d0 AS (SELECT doc_id, $words AS w FROM documents),
        |sc AS (
        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
        |    CAST(COALESCE(list_sum(list_transform(w, wd ->
        |      ($wlist)[CAST(($wh) % 64 AS INT) + 1])), 0) AS BIGINT) AS score_micro
-       |  FROM d0)
-       |SELECT doc_id, n_toks, score_micro, score_micro > 0 AS keep
-       |FROM sc ORDER BY doc_id""".stripMargin
+       |  FROM d0)""".stripMargin
   }
 
   /** q_approx_distinct oracle: Spark's HyperLogLogPlusPlus estimator

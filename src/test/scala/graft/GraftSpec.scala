@@ -1804,3 +1804,47 @@ class SetSimSpec extends AnyFunSuite {
     assert(uncapped.count() === (40L * 39L) / 2L)
   }
 }
+
+/** Degree-ordered triangle counting on hand graphs. */
+class TrianglesSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("one triangle plus a dangling edge counts each member once") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r = graph.Triangles.perNode(edges).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // node 4 in no triangle
+  }
+
+  test("two triangles sharing an edge count their shared nodes twice") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val r = graph.Triangles.perNode(edges).as[(Long, Long)].collect().toMap
+    assert(r === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+}
+
+/** One-pass multi-threshold confusion matrix with integer permille. */
+class ModelEvalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val scored = Seq(
+    (10L, true), (-5L, false), (20L, false), (0L, true)
+  ).toDF("score", "label")
+
+  test("confusion cells and permille at threshold 0") {
+    val r = text.ModelEval.confusion(scored, "score", "label", Seq(0L)).collect()(0)
+    // pred = score > 0: tp=1 (10,T), fp=1 (20,F), fn=1 (0,T), tn=1 (-5,F)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((1L, 1L, 1L, 1L)))
+    assert((r.getLong(5), r.getLong(6)) === ((500L, 500L)))
+  }
+
+  test("all thresholds come from one aggregate; empty cells zero-guard") {
+    val out = text.ModelEval.confusion(scored, "score", "label", Seq(-100L, 100L))
+      .orderBy("threshold").collect()
+    // t=-100: everything predicted positive -> fn=tn=0, recall 1000
+    assert((out(0).getLong(1), out(0).getLong(4), out(0).getLong(6)) === ((2L, 0L, 1000L)))
+    // t=100: nothing predicted positive -> tp=fp=0, precision zero-guarded
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(5)) === ((0L, 0L, 0L)))
+  }
+}
