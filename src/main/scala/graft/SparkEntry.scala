@@ -2967,6 +2967,82 @@ object SparkEntry {
       |SELECT part_a, part_b, n_orders FROM p
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
 
+  /** Robust per-type anomaly gate (ops.Anomaly): exact integer-cents
+    * median + MAD from histogram walks — no raw-value buffering, reduce
+    * state bounded by the value domain regardless of group skew; lower-
+    * median convention makes the SQL oracle bit-exact.
+    */
+  private def qAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    ops.Anomaly.madThresholds(
+      Tables.events(s, dir).select(col("event_type"), cents(col("value")).as("v")),
+      "event_type", "v", devX1000 = 3000L)
+      .orderBy("event_type")
+
+  private val qAnomalyMadSql =
+    """WITH r AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS v FROM events),
+      |mc AS (SELECT event_type, v AS hv, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY event_type, v),
+      |mw AS (
+      |  SELECT event_type, hv,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM mc),
+      |med AS (
+      |  SELECT event_type, CAST(min(hv) AS BIGINT) AS med, CAST(min(n) AS BIGINT) AS n
+      |  FROM mw WHERE cum * 2 >= n GROUP BY event_type),
+      |d AS (
+      |  SELECT r.event_type, abs(r.v - med.med) AS dv
+      |  FROM r JOIN med ON r.event_type = med.event_type),
+      |dc AS (SELECT event_type, dv AS hv, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY event_type, dv),
+      |dw AS (
+      |  SELECT event_type, hv,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM dc),
+      |mad AS (
+      |  SELECT event_type, CAST(min(hv) AS BIGINT) AS mad
+      |  FROM dw WHERE cum * 2 >= n GROUP BY event_type)
+      |SELECT r.event_type, med.n, med.med, mad.mad,
+      |  CAST(sum(CASE WHEN abs(r.v - med.med) * 1000 > 3000 * greatest(mad.mad, 1)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM r JOIN med ON r.event_type = med.event_type
+      |JOIN mad ON r.event_type = mad.event_type
+      |GROUP BY r.event_type, med.n, med.med, mad.mad
+      |ORDER BY r.event_type""".stripMargin
+
+  /** Rolling 7-day distinct users per day: sliding distinct decomposed
+    * relationally — the (user, day) distinct frame fans out to its ≤7
+    * covered target days MAP-SIDE (a 7-element explode, no self-join of
+    * the fact), then one distinct-count per target day. Two shuffles
+    * total, both map-side combinable; no window ever sees a raw stream.
+    */
+  private def qEventsRollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+    val targets = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("t_day"))
+      .distinct()
+    val realDays = userDays.select(col("day").as("t_day")).distinct()
+    targets.join(realDays, "t_day")
+      .groupBy("t_day").agg(count(lit(1)).as("n_users_7d"))
+      .orderBy("t_day")
+  }
+
+  private val qEventsRollingDistinctSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |t AS (
+      |  SELECT DISTINCT user_id, day + i AS t_day
+      |  FROM ud, UNNEST(generate_series(0, 6)) AS u(i)),
+      |rd AS (SELECT DISTINCT day AS t_day FROM ud)
+      |SELECT t.t_day, CAST(count(*) AS BIGINT) AS n_users_7d
+      |FROM t JOIN rd USING (t_day)
+      |GROUP BY t.t_day ORDER BY t.t_day""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3033,6 +3109,8 @@ object SparkEntry {
     "text_model_eval" -> (textModelEval _),
     "text_postings" -> (textPostings _),
     "q_copurchase_pairs" -> (qCopurchasePairs _),
+    "q_anomaly_mad" -> (qAnomalyMad _),
+    "q_events_rolling_distinct" -> (qEventsRollingDistinct _),
     "dedup_survivors" -> (dedupSurvivors _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
@@ -3187,6 +3265,8 @@ object SparkEntry {
     "text_model_eval" -> textModelEvalSql,
     "text_postings" -> textPostingsSql,
     "q_copurchase_pairs" -> qCopurchasePairsSql,
+    "q_anomaly_mad" -> qAnomalyMadSql,
+    "q_events_rolling_distinct" -> qEventsRollingDistinctSql,
     "dedup_survivors" -> dedupSurvivorsSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,

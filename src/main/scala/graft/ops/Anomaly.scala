@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust anomaly thresholds per group: exact MEDIAN and MAD (median
+  * absolute deviation) computed from integer-valued histograms — the
+  * outlier gate a metrics pipeline runs before alerting or data gets
+  * dropped.
+  *
+  * Scale shape: Spark's exact `percentile` aggregate buffers every
+  * group's values; a hot group (one event_type = half the corpus) blows
+  * its buffer. This operator never holds raw values: it aggregates to
+  * (group, value) COUNTS first — one map-side-combinable shuffle whose
+  * reduce state is bounded by the value DOMAIN, not the row count —
+  * then walks each group's histogram with a cumulative window whose
+  * partition size is again domain-bounded. A second identical pass over
+  * |x − median| yields the MAD. Two aggregate+window rounds total,
+  * independent of group skew.
+  *
+  * Median convention: lower median (the smallest value whose cumulative
+  * count reaches ceil(n/2)) — integer-exact, no interpolation, so the
+  * SQL oracle reproduces it bit-for-bit on BIGINT inputs.
+  */
+object Anomaly {
+
+  /** `rows(group, v: long)` → one row per group:
+    * (group, n, med, mad, n_outliers) where outliers are
+    * |v − med| · 1000 > devX1000 · max(mad, 1).
+    */
+  def madThresholds(rows: DataFrame, groupCol: String, vCol: String, devX1000: Long): DataFrame = {
+    val g = col(groupCol)
+
+    def lowerMedian(frame: DataFrame, valueCol: String, outName: String): DataFrame = {
+      val counts = frame.groupBy(g, col(valueCol).as("hv")).agg(count(lit(1)).as("c"))
+      val byValue = Window.partitionBy(g).orderBy(col("hv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byGroup = Window.partitionBy(g)
+      counts
+        .withColumn("cum", sum(col("c")).over(byValue))
+        .withColumn("n", sum(col("c")).over(byGroup))
+        .where(col("cum") * 2 >= col("n")) // first value reaching ceil(n/2)
+        .groupBy(g).agg(min(col("hv")).as(outName), min(col("n")).as(s"${outName}_n"))
+    }
+
+    val med = lowerMedian(rows, vCol, "med")
+    val dev = rows.join(med, groupCol)
+      .select(g, abs(col(vCol) - col("med")).as("d"))
+    val mad = lowerMedian(dev, "d", "mad")
+    val flagged = rows
+      .join(med, groupCol).join(mad, groupCol)
+      .select(g, col(vCol).as("v"), col("med"), col("mad"), col("med_n").as("n"))
+      .withColumn("is_out",
+        abs(col("v") - col("med")) * 1000 > lit(devX1000) * greatest(col("mad"), lit(1L)))
+    flagged
+      .groupBy(g, col("n"), col("med"), col("mad"))
+      .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(g, col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+}

@@ -1848,3 +1848,25 @@ class ModelEvalSpec extends AnyFunSuite {
     assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(5)) === ((0L, 0L, 0L)))
   }
 }
+
+/** Histogram-walk exact median/MAD anomaly thresholds. */
+class AnomalySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("hand-computed median, MAD, and outlier count") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L))
+      .toDF("g", "v")
+    val r = ops.Anomaly.madThresholds(rows, "g", "v", devX1000 = 3000L).collect()(0)
+    // sorted [1,2,3,4,100]: lower median 3; |v-3| sorted [0,1,1,2,97]: MAD 1
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 3L, 1L, 1L)))
+  }
+
+  test("even group size takes the lower median; zero MAD guard flags any deviation") {
+    val rows = Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 9L)).toDF("g", "v")
+    val r = ops.Anomaly.madThresholds(rows, "g", "v", devX1000 = 3000L).collect()(0)
+    // sorted [5,5,5,9]: lower median 5; deviations [0,0,0,4]: MAD 0 ->
+    // guard max(mad,1): outlier iff |v-5| > 3 -> the single 9
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((4L, 5L, 0L, 1L)))
+  }
+}
