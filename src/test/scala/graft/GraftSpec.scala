@@ -1870,3 +1870,29 @@ class AnomalySpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((4L, 5L, 0L, 1L)))
   }
 }
+
+/** New-operator cache lifecycle: SetSim and Triangles release their
+  * intermediates; the caller owns exactly the returned result.
+  */
+class NewOpCacheSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("SetSim.prefixJoin leaves only its materialized result persisted") {
+    spark.catalog.clearCache()
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r = dedup.SetSim.prefixJoin(docs, tX1000 = 600)
+    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    r.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("Triangles.perNode leaves only its materialized result persisted") {
+    spark.catalog.clearCache()
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
+    val r = graph.Triangles.perNode(edges)
+    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    r.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}
