@@ -1167,16 +1167,15 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
-  /** BM25-shaped lexical top-k retrieval for a fixed 3-term query.
-    * tf saturation (k1 = 1.2) and length normalization (b = 0.75) are
-    * standard BM25; idf is the BM25 rational odds (N - df + .5)/(df + .5)
-    * WITHOUT the log so both engines produce bit-identical doubles
-    * (swap ln() in for production ranking — it's a per-term monotone
-    * transform). Scale shape: ONE corpus pass aggregates df/N/avgdl to
-    * a single row collected at the driver (index metadata, like k-means
-    * centroids) and inlined as literals, so scoring is a pure map over
-    * the corpus — fixed-order column sums, no explode, no join, no
-    * shuffle at all — and top-k runs as TakeOrdered.
+  /** BM25 lexical top-k retrieval for a fixed 3-term query: tf
+    * saturation (k1 = 1.2), length normalization (b = 0.75), and the
+    * Lucene idf ln(1 + (N - df + .5)/(df + .5)), nano-quantized for
+    * cross-engine float parity (see the idf comment below). Scale
+    * shape: ONE corpus pass aggregates df/N/avgdl to a single row
+    * collected at the driver (index metadata, like k-means centroids)
+    * and inlined as literals, so scoring is a pure map over the corpus
+    * — fixed-order column sums, no explode, no join, no shuffle at all
+    * — and top-k runs as TakeOrdered.
     */
   private def textBm25Topk(s: SparkSession, dir: String): DataFrame = {
     val terms = Seq("vector", "spark", "window")
@@ -1192,7 +1191,13 @@ object SparkEntry {
     val avgdl = st.getLong(1).toDouble / nDocs
     val parts = terms.zipWithIndex.map { case (t, i) =>
       val df = st.getLong(2 + i)
-      val idf = (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5)
+      // Lucene-style BM25 idf = ln(1 + (N - df + 0.5)/(df + 0.5)), always
+      // positive. Quantized to nano-units because Java's Math.log and the
+      // oracle engine's ln() can differ in the last ~3 ulp (measured): both
+      // sides floor at 1e-9 so they land on the same double unless the true
+      // value sits within ~1e-7 of a floor boundary — which the hash gate
+      // itself would catch for the fixed test data.
+      val idf = math.floor(math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5)) * 1e9) / 1e9
       val tfd = size(filter(col("ws"), w => w === t)).cast("long").cast("double")
       (lit(idf) * (tfd * lit(2.2)) /
         (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
@@ -1214,7 +1219,7 @@ object SparkEntry {
       s"CAST(SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df$i"
     }.mkString(", ")
     val parts = terms.zipWithIndex.map { case (t, i) =>
-      s"""((CAST(n_docs AS DOUBLE) - df$i + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) *
+      s"""(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - df$i + 0.5) / (CAST(df$i AS DOUBLE) + 0.5)) * 1e9) / 1e9) *
          | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2) /
          | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) +
          |   1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))""".stripMargin.replaceAll("\n", "")
@@ -1245,9 +1250,12 @@ object SparkEntry {
   private def pipeTokenMix(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val toks = text.Text.wordCount(col("text"))
-    val srcs = docs.select("source").distinct().collect().map(_.getString(0))
-    val total = docs.agg(sum(toks)).head.getLong(0)
-    val budgets = srcs.map { src =>
+    // one metadata pass: per-source token subtotals give both the source
+    // list and (summed) the corpus total — not two separate corpus scans
+    val perSrc = docs.groupBy("source").agg(sum(toks).as("t")).collect()
+    val total = perSrc.map(_.getLong(1)).sum
+    val budgets = perSrc.map { r =>
+      val src = r.getString(0)
       val i = src.stripPrefix("src").toInt
       src -> total.toDouble * (if (i % 2 == 0) 1.0 / 40 else 3.0 / 40)
     }.toMap
@@ -1615,67 +1623,75 @@ object SparkEntry {
     s"""SELECT doc_id, md5($canonSql) AS fp, CAST(length(text) AS BIGINT) AS n_chars_m
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Real ImageIO decode metadata: one deterministic synthetic PNG per doc
+    * (pixel values are integer formulas of doc_id; PNG round-trips
+    * losslessly), decoded per partition with `javax.imageio`; the oracle
+    * predicts the DECODED dims and the (0,0) gray value in pure SQL — a
+    * wrong decode hash-mismatches.
+    */
   private def mmBinaryMeta(s: SparkSession, dir: String): DataFrame =
-    mm.Multimodal.mediaFrame(Tables.documents(s, dir))
-      .select(
-        col("doc_id"),
-        length(col("media")).cast("long").as("byte_len"),
-        md5(col("media")).as("checksum"),
-        col("format"))
-      .orderBy("doc_id")
+    mm.Multimodal.imageMeta(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id")
 
   private val mmBinaryMetaSql =
-    """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-      |  md5(text) AS checksum, 'text/plain' AS format
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 9 AS INT) AS width,
+      |  CAST(8 + (doc_id // 3) % 7 AS INT) AS height,
+      |  CAST((doc_id * 31) % 256 AS INT) AS px00,
+      |  'image/png' AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Resize fan-through: the batched mapPartitions resize shape over the
-    * media frame. The stub's output structure (8-byte "RSZ:WxH:" header +
-    * payload truncated to w*h bytes) is fully length-determined, so the
-    * oracle checks the real batch plumbing hash-exact; byte fidelity of
-    * the stub itself is MultimodalSpec's job.
+  /** Batched real resize: ImageIO decode → nearest-neighbor raster resize
+    * (out(x,y) = in(x*sw/8, y*sh/8)) → ImageIO PNG re-encode. The oracle
+    * recomputes the resized raster's gray-pixel sum from the pixel formula
+    * — decoded source dims AND every resized pixel are hash-checked.
     */
   private def mmResize(s: SparkSession, dir: String): DataFrame =
-    mm.Multimodal.resizeAll(
-        s, mm.Multimodal.mediaFrame(Tables.documents(s, dir)).where(col("media").isNotNull), 8, 8)
-      .select(
-        col("doc_id"),
-        length(col("media")).cast("long").as("byte_len"),
-        col("width"),
-        col("height"))
+    mm.Multimodal.resizeAll(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)), 8, 8)
+      .select(col("doc_id"), col("src_w"), col("src_h"), col("width"), col("height"), col("px_sum"))
       .orderBy("doc_id")
 
   private val mmResizeSql =
-    """SELECT doc_id,
-      |  CAST(8 + least(octet_length(encode(text)), 64) AS BIGINT) AS byte_len,
-      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
-      |FROM documents WHERE text IS NOT NULL ORDER BY doc_id""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    (d.doc_id * 31 + (gx.x * d.sw // 8) * 7 + (gy.y * d.sh // 8) * 13) % 256 AS v
+      |  FROM d, generate_series(0, 7) AS gx(x), generate_series(0, 7) AS gy(y))
+      |SELECT doc_id, CAST(sw AS INT) AS src_w, CAST(sh AS INT) AS src_h,
+      |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+      |  CAST(SUM(v) AS BIGINT) AS px_sum
+      |FROM p GROUP BY doc_id, sw, sh ORDER BY doc_id""".stripMargin
 
-  /** Video-style frame sampling: one media row fans out to n frame rows
-    * partition-locally (no shuffle). Frame boundaries are pure integer
-    * arithmetic on the byte length, so the explode shape and per-frame
-    * sizes are oracle-exact.
+  /** Video frame sampling: each doc is a length-prefixed container of
+    * frameCount(doc) PNG frames; sampleFrames picks evenly-spaced source
+    * indices (i*k/n when n < k, else all) partition-locally and ImageIO-
+    * decodes every sampled frame. Dims and per-frame pixel sums are
+    * integer formulas — the whole decode fan-out is oracle-exact.
     */
   private def mmFrames(s: SparkSession, dir: String): DataFrame =
-    mm.Multimodal.sampleFrames(
-        s, mm.Multimodal.mediaFrame(Tables.documents(s, dir)).where(col("media").isNotNull), 8)
-      .select(
-        col("doc_id"),
-        col("frame_idx"),
-        length(col("frame")).cast("long").as("frame_len"))
-      .orderBy("doc_id", "frame_idx")
+    mm.Multimodal.sampleFrames(s, mm.Multimodal.videoFrame(s, Tables.documents(s, dir)), 3)
+      .toDF().orderBy("doc_id", "frame_idx")
 
   private val mmFramesSql =
-    """WITH m AS (
-      |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
-      |  WHERE text IS NOT NULL AND octet_length(encode(text)) > 0),
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
       |s AS (
-      |  SELECT doc_id, len, greatest(1, len // 8) AS stride, least(8, len) AS k FROM m),
+      |  SELECT doc_id, k, gi.i AS fi,
+      |    CASE WHEN 3 >= k THEN gi.i ELSE gi.i * k // 3 END AS src
+      |  FROM d, generate_series(0, 3) AS gi(i)
+      |  WHERE gi.i < least(3, k)),
       |f AS (
-      |  SELECT doc_id, UNNEST(generate_series(0, k - 1)) AS fi, stride, len FROM s)
-      |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
-      |  CAST(least(len, (fi + 1) * stride) - fi * stride AS BIGINT) AS frame_len
-      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+      |  SELECT doc_id, fi, src,
+      |    6 + (doc_id + src) % 6 AS fw, 6 + (doc_id + 2 * src) % 6 AS fh FROM s),
+      |p AS (
+      |  SELECT f.doc_id, f.fi, f.src, f.fw, f.fh,
+      |    (f.doc_id * 31 + f.src * 97 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM f, generate_series(0, 10) AS gx(x), generate_series(0, 10) AS gy(y)
+      |  WHERE gx.x < f.fw AND gy.y < f.fh)
+      |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(src AS INT) AS src_idx,
+      |  CAST(fw AS INT) AS width, CAST(fh AS INT) AS height,
+      |  CAST(SUM(v) AS BIGINT) AS px_sum
+      |FROM p GROUP BY doc_id, fi, src, fw, fh ORDER BY doc_id, frame_idx""".stripMargin
 
   // =================== §2.4 training-data pipeline, round 2 ===================
 

@@ -25,10 +25,10 @@ import org.apache.spark.sql.expressions.Window
   * score sums are order-independent — the DuckDB oracle reproduces
   * codes, luts, and scores exactly.
   *
-  * The codebook here is the deterministic sampled variant (sub-vectors
-  * of the k lowest vec_ids — same precedent as ann_ivf_topk's fallback
-  * centroids); production swaps in a per-subspace KMeans.fit without
-  * touching encode/score.
+  * The codebook is FIT per subspace with [[KMeans.fit]] (deterministic
+  * lowest-k init + one Lloyd iteration in integer micro-units — the same
+  * reproducible fit the IVF index build uses), so the oracle unrolls the
+  * per-subspace fit into chained CTEs exactly like ann_ivf_kmeans.
   */
 object Pq {
 
@@ -36,7 +36,26 @@ object Pq {
   val dsub = 8   // dims per subspace (m * dsub = embedding dim)
   val kCent = 16 // centroids per subspace
 
-  /** codebook(s)(c): dsub doubles — sub-vector c of subspace s. */
+  /** Per-subspace k-means codebook: subspace s is fit over the corpus'
+    * dsub-dim sub-vectors. The base frame is cached once so the m
+    * sub-fits scan memory, not parquet; a one-time index build cost
+    * (amortized over every probe job, like the IVF centroid fit).
+    */
+  def fittedCodebook(embeddings: DataFrame): Array[Array[Array[Double]]] = {
+    val base = embeddings.select(col("vec_id"), col("embedding")).persist()
+    try {
+      base.count() // materialize before the m dependent fit jobs
+      Array.tabulate(m) { s =>
+        val sub = base.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
+        KMeans.fit(sub, kCent, iters = 1)
+      }
+    } finally { base.unpersist(); () }
+  }
+
+  /** Deterministic unfit baseline — sub-vectors of the k lowest vec_ids.
+    * Kept as the fit's init (KMeans.fit starts here) and as the spec's
+    * quantization-error yardstick: the fitted codebook must beat it.
+    */
   def sampledCodebook(embeddings: DataFrame): Array[Array[Array[Double]]] = {
     val rows = embeddings.where(col("vec_id") < kCent).orderBy("vec_id")
       .select("embedding").collect()
@@ -80,7 +99,7 @@ object Pq {
     * (query_id, vec_id, score_micro, rnk).
     */
   def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
-    val cb = sampledCodebook(embeddings)
+    val cb = fittedCodebook(embeddings)
     val qRows = embeddings.where(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -105,32 +124,68 @@ object Pq {
       .select(col("query_id"), col("vec_id"), col("score_micro"), col("rnk"))
   }
 
-  /** DuckDB oracle for [[adcTopK]] (codes, luts, scores bit-exact). */
+  /** DuckDB oracle for [[adcTopK]] (fit, codes, luts, scores bit-exact).
+    * The per-subspace KMeans fit is unrolled into chained CTEs exactly
+    * like the validated ann_ivf_kmeans oracle: lowest-kCent init (cb0),
+    * one Lloyd iteration — cosine assignment with ascending-dim left
+    * folds (sc0/a0), integer-micro-unit mean update with trunc()
+    * mirroring Spark's truncating CAST (ex/upd/cb1), empty cells keeping
+    * their init centroid via the LEFT JOIN coalesce — then the ADC tail
+    * (codes by L2² argmin, lut dots, score sums) against cb1.
+    */
   def oracleSql(queryIds: Seq[Long], k: Int = 10): String = {
     val ids = queryIds.sorted.mkString(", ")
-    def foldSq(a: String, b: String) =
+    def fold(term: String) =
       s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($dsub), j -> " +
-        s"(CAST($a AS DOUBLE) - CAST($b AS DOUBLE)) * (CAST($a AS DOUBLE) - CAST($b AS DOUBLE)))), (ac, t) -> ac + t)"
-    def foldDot(a: String, b: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($dsub), j -> " +
-        s"CAST($a AS DOUBLE) * CAST($b AS DOUBLE))), (ac, t) -> ac + t)"
-    val ve = s"v.embedding[gs.s*$dsub + j + 1]"
-    val qe = s"q.qe[gs.s*$dsub + j + 1]"
-    val ce = s"c.e[gs.s*$dsub + j + 1]"
-    s"""WITH cb AS (SELECT vec_id AS c, embedding AS e FROM embeddings WHERE vec_id < $kCent),
-       |gs AS (SELECT unnest(range($m)) AS s),
+        s"$term)), (ac, t) -> ac + t)"
+    def foldSq(a: String, b: String)  = fold(s"($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1])")
+    def foldDot(a: String, b: String) = fold(s"$a[j+1] * $b[j+1]")
+    def foldNorm2(a: String)          = fold(s"$a[j+1] * $a[j+1]")
+    s"""WITH gs AS (SELECT unnest(range($m)) AS s),
+       |cb0 AS (
+       |  SELECT gs.s, em.vec_id AS c,
+       |    list_transform(range($dsub), j -> CAST(em.embedding[gs.s*$dsub + j + 1] AS DOUBLE)) AS e
+       |  FROM embeddings em, gs WHERE em.vec_id < $kCent),
+       |cn0 AS (SELECT s, c, e, sqrt(${foldNorm2("e")}) AS cnorm FROM cb0),
+       |sub AS (
+       |  SELECT em.vec_id, gs.s,
+       |    list_transform(range($dsub), j -> CAST(em.embedding[gs.s*$dsub + j + 1] AS DOUBLE)) AS v
+       |  FROM embeddings em, gs),
+       |subn AS (SELECT vec_id, s, v, ${foldNorm2("v")} AS nv FROM sub),
+       |sc0 AS (
+       |  SELECT sn.vec_id, sn.s, c0.c,
+       |    CASE WHEN sn.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("sn.v", "c0.e")} / (sqrt(sn.nv) * c0.cnorm) END AS score
+       |  FROM subn sn JOIN cn0 c0 ON c0.s = sn.s),
+       |a0 AS (
+       |  SELECT vec_id, s, c FROM (
+       |    SELECT vec_id, s, c,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY score DESC, c ASC) AS rn
+       |    FROM sc0) WHERE rn = 1),
+       |ex AS (
+       |  SELECT a0.s, a0.c, unnest(range($dsub)) AS pos,
+       |    unnest(list_transform(sn.v, x -> CAST(trunc(x * 1000000) AS BIGINT))) AS xq
+       |  FROM subn sn JOIN a0 ON a0.vec_id = sn.vec_id AND a0.s = sn.s),
+       |upd AS (SELECT s, c, pos, SUM(xq) AS su, COUNT(*) AS n FROM ex GROUP BY s, c, pos),
+       |cpos AS (SELECT s, c, unnest(range($dsub)) AS pos, unnest(e) AS cv FROM cb0),
+       |cb1 AS (
+       |  SELECT cp.s, cp.c,
+       |    list(CASE WHEN u.su IS NULL THEN cp.cv
+       |              ELSE CAST(u.su AS DOUBLE) / (1000000.0 * u.n) END ORDER BY cp.pos) AS e
+       |  FROM cpos cp LEFT JOIN upd u ON u.s = cp.s AND u.c = cp.c AND u.pos = cp.pos
+       |  GROUP BY cp.s, cp.c),
        |d AS (
-       |  SELECT v.vec_id, gs.s, c.c, ${foldSq(ve, ce)} AS dist
-       |  FROM embeddings v, gs, cb c),
+       |  SELECT sn.vec_id, sn.s, c1.c, ${foldSq("sn.v", "c1.e")} AS dist
+       |  FROM subn sn JOIN cb1 c1 ON c1.s = sn.s),
        |codes AS (
        |  SELECT vec_id, s, c AS code FROM (
        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
        |    FROM d) WHERE rn = 1),
-       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN ($ids)),
+       |q AS (SELECT vec_id AS query_id, s, v AS qv FROM subn WHERE vec_id IN ($ids)),
        |lut AS (
-       |  SELECT q.query_id, gs.s, c.c,
-       |    CAST(trunc(${foldDot(qe, ce)} * 1000000) AS BIGINT) AS v
-       |  FROM q, gs, cb c),
+       |  SELECT q.query_id, c1.s, c1.c,
+       |    CAST(trunc(${foldDot("q.qv", "c1.e")} * 1000000) AS BIGINT) AS v
+       |  FROM q JOIN cb1 c1 ON c1.s = q.s),
        |sc AS (
        |  SELECT l.query_id, cd.vec_id, CAST(sum(l.v) AS BIGINT) AS score_micro
        |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.code = l.c

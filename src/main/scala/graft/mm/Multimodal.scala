@@ -1,25 +1,167 @@
 package graft.mm
 
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media as opaque `binary` columns with
-  * typed metadata, batched feature extraction over partitions.
+  * typed metadata, batched decode / resize / frame-sample over partitions.
   *
-  * The image/audio codec libraries are not in this container, so the
-  * decode step is a clearly-marked deterministic stub (`fakeDecode`) —
-  * the Spark-side contract (schema, batch iteration shape, partition
-  * sizing) is real and tested. At scale: media rides in its own column
-  * so projection pruning keeps metadata-only queries from reading bytes;
-  * partitions are byte-bounded via files.maxPartitionBytes.
+  * The codecs are REAL JDK codecs — `javax.imageio.ImageIO` decode/encode
+  * (PNG) and raster-level resize (nearest-neighbor, plus a `Graphics2D`
+  * bilinear path). The container has no image test data, so the media
+  * bytes are deterministic synthetic PNGs generated from integer pixel
+  * formulas of `doc_id` — PNG round-trips losslessly, so every decoded
+  * pixel is an integer function the DuckDB oracle reproduces in SQL
+  * without knowing anything about PNG byte layout. "Video" is a minimal
+  * length-prefixed PNG-frame container (no JDK video codec exists);
+  * each sampled frame is individually ImageIO-decoded.
+  *
+  * At scale: media rides in its own column so projection pruning keeps
+  * metadata-only queries from reading bytes; partitions are byte-bounded
+  * via files.maxPartitionBytes; all decode work is mapPartitions with
+  * per-partition codec init (ImageIO reader reuse), never a shuffle.
   */
 object Multimodal {
 
-  case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
-  case class MediaFeatures(doc_id: Long, byte_len: Long, checksum: String, features: Array[Float])
+  // ================= deterministic synthetic media (test-data producer) =================
 
-  /** Build a media frame from any (id, payload) source — here the
-    * documents table, payload = utf-8 bytes standing in for image bytes.
+  /** Gray value of pixel (x, y) of frame `frameIdx` of doc `docId` —
+    * a pure integer formula the SQL oracle reproduces exactly.
+    */
+  def pixelValue(docId: Long, frameIdx: Int, x: Int, y: Int): Int =
+    (((docId * 31L + frameIdx * 97L + x * 7L + y * 13L) % 256L + 256L) % 256L).toInt
+
+  /** Source image dims vary per doc (SQL-predictable). */
+  def srcWidth(docId: Long): Int  = 8 + (((docId % 9L) + 9L) % 9L).toInt
+  def srcHeight(docId: Long): Int = 8 + ((((docId / 3L) % 7L) + 7L) % 7L).toInt
+
+  /** Frames per "video" doc (SQL-predictable). */
+  def frameCount(docId: Long): Int = 2 + (((docId % 3L) + 3L) % 3L).toInt
+
+  def syntheticImage(docId: Long, frameIdx: Int, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixelValue(docId, frameIdx, x, y)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  // ================= real JDK codecs =================
+
+  def encodePng(img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode: javax.imageio. Throws on corrupt/unsupported bytes. */
+  def decodeImage(bytes: Array[Byte]): BufferedImage = {
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload (${bytes.length} bytes)")
+    img
+  }
+
+  /** Nearest-neighbor resize on the decoded raster:
+    * out(x, y) = in(x * srcW / w, y * srcH / h) (integer floor) — a real
+    * resize algorithm whose output pixels stay SQL-reproducible.
+    */
+  def resizeNearest(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val sw = img.getWidth; val sh = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * sw / w, y * sh / h) & 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Graphics2D bilinear resize — the production-quality path; decode →
+    * filtered scale → re-encode. Deterministic (spec-asserted) but its
+    * interpolated pixels are JDK-implementation math, so oracle-checked
+    * queries use [[resizeNearest]] and this path is spec-covered.
+    */
+  def resizeBilinear(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION, RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    out
+  }
+
+  /** Sum of the gray channel over the raster (bounded by w*h*255 — fits a Long). */
+  def pixelSum(img: BufferedImage): Long = {
+    var acc = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { acc += (img.getRGB(x, y) & 0xff).toLong; x += 1 }
+      y += 1
+    }
+    acc
+  }
+
+  // ================= minimal video container (length-prefixed PNG frames) =================
+
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(frames.length)
+    frames.foreach { f => out.writeInt(f.length); out.write(f) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def decodeVideo(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    (0 until n).map { _ =>
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      buf
+    }
+  }
+
+  /** Evenly-spaced sample positions: all frames when n >= total, else
+    * source index i * total / n for sample i (integer floor) — pure
+    * integer arithmetic, SQL-reproducible.
+    */
+  def sampleIndices(total: Int, n: Int): IndexedSeq[Int] =
+    if (n >= total) 0 until total
+    else (0 until n).map(i => i * total / n)
+
+  // ================= Spark-side plumbing =================
+
+  case class MediaRow(doc_id: Long, media: Array[Byte], format: String)
+  case class ImageMeta(doc_id: Long, width: Int, height: Int, px00: Int, format: String)
+  case class ResizedImage(doc_id: Long, media: Array[Byte], src_w: Int, src_h: Int,
+                          width: Int, height: Int, px_sum: Long)
+  case class Frame(doc_id: Long, frame_idx: Int, src_idx: Int, width: Int, height: Int, px_sum: Long)
+  case class MediaFeatures(doc_id: Long, width: Int, height: Int,
+                           mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Opaque-binary media frame from any (id, payload) source — here the
+    * documents table, payload = utf-8 bytes. Metadata-only consumers of
+    * this frame never decode (projection pruning keeps byte reads out).
     */
   def mediaFrame(docs: DataFrame): DataFrame =
     docs.select(
@@ -27,83 +169,99 @@ object Multimodal {
       col("text").cast("binary").as("media"),
       lit("text/plain").as("format"))
 
-  /** STUB decoder — deterministic fake standing in for an image/audio
-    * codec. Real deployments swap this body for e.g. JPEG decode +
-    * model features; the signature (bytes -> fixed-length float vector)
-    * and the batched per-partition driver below are the real contract.
+  /** Image media frame: one deterministic synthetic PNG per doc, encoded
+    * with the real ImageIO PNG writer. Partition-local, no shuffle.
     */
-  def fakeDecode(bytes: Array[Byte]): Array[Float] = {
-    val n = bytes.length
-    Array.tabulate(8) { i =>
-      var acc = 1469598103934665603L ^ (i.toLong * 1099511628211L)
-      var j = i
-      while (j < n) { acc = (acc ^ bytes(j)) * 1099511628211L; j += 64 }
-      (acc % 1000L).toFloat / 1000f
-    }
-  }
-
-  /** STUB resize — deterministic fake standing in for an image resize
-    * (e.g. libvips). Real contract: bytes -> bytes with target dims in
-    * the metadata; the fake emits a dims header + truncated payload so
-    * round-trip tests can assert on structure.
-    */
-  def fakeResize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val header = s"RSZ:${w}x$h:".getBytes("UTF-8")
-    val body = java.util.Arrays.copyOf(bytes, math.min(bytes.length, w * h))
-    header ++ body
-  }
-
-  /** STUB frame sampling — deterministic fake standing in for video
-    * frame extraction: n evenly-spaced "frames" (byte slices).
-    */
-  def fakeFrameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    if (bytes.isEmpty || n <= 0) Seq.empty
-    else {
-      val stride = math.max(1, bytes.length / n)
-      (0 until math.min(n, bytes.length)).map { i =>
-        val start = i * stride
-        java.util.Arrays.copyOfRange(bytes, start, math.min(bytes.length, start + stride))
-      }
-    }
-  }
-
-  case class ResizedMedia(doc_id: Long, media: Array[Byte], width: Int, height: Int)
-  case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
-
-  /** Batched resize over partitions — same batch shape as decode. */
-  def resizeAll(spark: SparkSession, media: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+  def imageFrame(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => ResizedMedia(id, fakeResize(bytes, w, h), w, h) })
-  }
-
-  /** Frame sampling: one input row fans out to n frame rows (the video ->
-    * frames exploding shape; partition-local, no shuffle).
-    */
-  def sampleFrames(spark: SparkSession, media: DataFrame, n: Int): Dataset[Frame] = {
-    import spark.implicits._
-    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        fakeFrameSample(bytes, n).zipWithIndex.map { case (f, i) => Frame(id, i, f) }
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, encodePng(syntheticImage(id, 0, srcWidth(id), srcHeight(id))), "image/png")
       })
   }
 
-  /** Batched feature extraction: one decoder instance per partition
-    * (mapPartitions), amortizing codec setup exactly like a Pandas UDF
-    * batch would; returns typed rows.
+  /** Video media frame: frameCount(doc) synthetic PNG frames per doc in
+    * the length-prefixed container. Frame f of doc d has dims
+    * (6 + (d + f) % 6, 6 + (d + 2f) % 6) and pixelValue(d, f, x, y).
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def videoFrame(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
     import spark.implicits._
-    media
-      .select(col("doc_id"), col("media"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // codec init would happen here, once per partition
-        it.map { case (id, bytes) =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          val sum = md.digest(bytes).map("%02x".format(_)).mkString
-          MediaFeatures(id, bytes.length.toLong, sum, fakeDecode(bytes))
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (0 until frameCount(id)).map { f =>
+          val fw = 6 + ((((id + f) % 6L) + 6L) % 6L).toInt
+          val fh = 6 + ((((id + 2L * f) % 6L) + 6L) % 6L).toInt
+          encodePng(syntheticImage(id, f, fw, fh))
         }
+        MediaRow(id, encodeVideo(frames), "video/x-graft-frames")
+      })
+  }
+
+  /** Decode metadata extraction: real ImageIO decode per row, one codec
+    * scope per partition; emits decoded dims + the (0,0) gray value.
+    */
+  def imageMeta(spark: SparkSession, media: Dataset[MediaRow]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // codec init once per partition (ImageIO registry is warmed here)
+      it.map { m =>
+        val img = decodeImage(m.media)
+        ImageMeta(m.doc_id, img.getWidth, img.getHeight, img.getRGB(0, 0) & 0xff, m.format)
       }
+    }
+  }
+
+  /** Batched resize over partitions: decode (ImageIO) → nearest-neighbor
+    * raster resize → re-encode (ImageIO PNG). Emits the resized bytes
+    * plus decoded source dims and the resized raster's gray-pixel sum.
+    */
+  def resizeAll(spark: SparkSession, media: Dataset[MediaRow], w: Int, h: Int): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val img = decodeImage(m.media)
+      val out = resizeNearest(img, w, h)
+      ResizedImage(m.doc_id, encodePng(out), img.getWidth, img.getHeight, w, h, pixelSum(out))
+    })
+  }
+
+  /** Frame sampling: one video row fans out to its evenly-spaced sampled
+    * frames (partition-local explode, no shuffle); every sampled frame is
+    * individually ImageIO-decoded.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val frames = decodeVideo(m.media)
+      sampleIndices(frames.length, n).zipWithIndex.map { case (src, i) =>
+        val img = decodeImage(frames(src))
+        Frame(m.doc_id, i, src, img.getWidth, img.getHeight, pixelSum(img))
+      }
+    })
+  }
+
+  /** Batched feature extraction: decode once, per-channel means —
+    * the model-featurizer seam (swap the body for an embedding model).
+    */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.media)
+        var (r, g, b) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val p = img.getRGB(x, y)
+            r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val npx = img.getWidth.toLong * img.getHeight
+        MediaFeatures(m.doc_id, img.getWidth, img.getHeight,
+          r.toDouble / npx, g.toDouble / npx, b.toDouble / npx)
+      }
+    }
   }
 }

@@ -22,15 +22,40 @@ import org.apache.spark.sql.functions._
   * Median convention: lower median (the smallest value whose cumulative
   * count reaches ceil(n/2)) — integer-exact, no interpolation, so the
   * SQL oracle reproduces it bit-for-bit on BIGINT inputs.
+  *
+  * Cardinality contract: the histogram-walk window partition holds one
+  * row per DISTINCT value per group, so state is bounded by the value
+  * domain, not the row count. For naturally discrete domains (integer
+  * cents, counts, micros) that bound is the contract as-is. For
+  * continuous or unbounded-cardinality metrics, pass `binWidth` > 1:
+  * values are floor-binned to multiples of binWidth BEFORE the
+  * histogram, capping every window partition at (domain span /
+  * binWidth) + 1 rows per group; median and MAD are then exact over the
+  * binned values (within binWidth of the unbinned statistics).
+  * AnomalyBinSpec plants a ~1e6-distinct-value group and asserts the
+  * bound.
   */
 object Anomaly {
 
   /** `rows(group, v: long)` → one row per group:
     * (group, n, med, mad, n_outliers) where outliers are
     * |v − med| · 1000 > devX1000 · max(mad, 1).
+    * `binWidth` = 1 (default) is exact on integer domains; > 1 pre-bins
+    * (floor to multiples) to bound histogram cardinality — see the
+    * class doc's cardinality contract.
     */
-  def madThresholds(rows: DataFrame, groupCol: String, vCol: String, devX1000: Long): DataFrame = {
+  def madThresholds(rows: DataFrame, groupCol: String, vCol: String, devX1000: Long,
+                    binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
     val g = col(groupCol)
+    // floor-bin (toward -inf, exact for negatives): v - ((v % bw + bw) % bw)
+    val binned =
+      if (binWidth == 1L) rows
+      else {
+        val bw = lit(binWidth)
+        rows.withColumn(vCol,
+          (col(vCol) - ((col(vCol) % bw + bw) % bw)).cast("long"))
+      }
 
     def lowerMedian(frame: DataFrame, valueCol: String, outName: String): DataFrame = {
       val counts = frame.groupBy(g, col(valueCol).as("hv")).agg(count(lit(1)).as("c"))
@@ -44,11 +69,11 @@ object Anomaly {
         .groupBy(g).agg(min(col("hv")).as(outName), min(col("n")).as(s"${outName}_n"))
     }
 
-    val med = lowerMedian(rows, vCol, "med")
-    val dev = rows.join(med, groupCol)
+    val med = lowerMedian(binned, vCol, "med")
+    val dev = binned.join(med, groupCol)
       .select(g, abs(col(vCol) - col("med")).as("d"))
     val mad = lowerMedian(dev, "d", "mad")
-    val flagged = rows
+    val flagged = binned
       .join(med, groupCol).join(mad, groupCol)
       .select(g, col(vCol).as("v"), col("med"), col("mad"), col("med_n").as("n"))
       .withColumn("is_out",

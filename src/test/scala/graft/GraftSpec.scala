@@ -321,15 +321,84 @@ class ExtensionsSpec extends AnyFunSuite {
 
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
+  import mm.Multimodal
 
-  test("resize and frame-sample plumbing: shapes and determinism") {
-    val media = mm.Multimodal.mediaFrame(Tables.documents(spark, dir).limit(10))
-    val resized = mm.Multimodal.resizeAll(spark, media, 8, 8).collect()
+  test("PNG encode/decode round-trip is pixel-exact (real ImageIO codec)") {
+    val docId = 42L
+    val (w, h) = (Multimodal.srcWidth(docId), Multimodal.srcHeight(docId))
+    val decoded = Multimodal.decodeImage(Multimodal.encodePng(Multimodal.syntheticImage(docId, 0, w, h)))
+    assert(decoded.getWidth === w && decoded.getHeight === h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = Multimodal.pixelValue(docId, 0, x, y)
+      assert((decoded.getRGB(x, y) & 0xffffff) === ((v << 16) | (v << 8) | v))
+    }
+  }
+
+  test("nearest-neighbor resize is pixel-exact against the index formula") {
+    val docId = 7L
+    val (sw, sh) = (Multimodal.srcWidth(docId), Multimodal.srcHeight(docId))
+    val src = Multimodal.decodeImage(Multimodal.encodePng(Multimodal.syntheticImage(docId, 0, sw, sh)))
+    val out = Multimodal.resizeNearest(src, 8, 8)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = Multimodal.pixelValue(docId, 0, x * sw / 8, y * sh / 8)
+      assert((out.getRGB(x, y) & 0xff) === v)
+    }
+  }
+
+  test("Graphics2D bilinear resize: correct dims, deterministic across runs") {
+    val src = Multimodal.syntheticImage(13L, 0, 16, 12)
+    val a = Multimodal.encodePng(Multimodal.resizeBilinear(src, 8, 8))
+    val b = Multimodal.encodePng(Multimodal.resizeBilinear(Multimodal.syntheticImage(13L, 0, 16, 12), 8, 8))
+    assert(java.util.Arrays.equals(a, b))
+    val back = Multimodal.decodeImage(a)
+    assert(back.getWidth === 8 && back.getHeight === 8)
+  }
+
+  test("degenerate payloads: corrupt image rejected, empty video yields no frames") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val e = intercept[IllegalArgumentException](Multimodal.decodeImage(garbage))
+    assert(e.getMessage.contains("undecodable"))
+    assert(Multimodal.decodeVideo(Multimodal.encodeVideo(Seq.empty)).isEmpty)
+    assert(Multimodal.sampleIndices(0, 3).isEmpty)
+  }
+
+  test("video container round-trip and evenly-spaced sampling") {
+    val frames = (0 until 4).map(f => Multimodal.encodePng(Multimodal.syntheticImage(5L, f, 6, 6)))
+    val back = Multimodal.decodeVideo(Multimodal.encodeVideo(frames))
+    assert(back.length === 4)
+    assert(back.zip(frames).forall { case (x, y) => java.util.Arrays.equals(x, y) })
+    assert(Multimodal.sampleIndices(4, 8) === (0 until 4))  // n >= total: all
+    assert(Multimodal.sampleIndices(4, 2) === Seq(0, 2))    // n < total: stride
+  }
+
+  test("distributed decode/resize/frame pipeline: real pixels, deterministic") {
+    val docs = Tables.documents(spark, dir).limit(10)
+    val resized = Multimodal.resizeAll(spark, Multimodal.imageFrame(spark, docs), 8, 8).collect()
     assert(resized.length === 10)
-    assert(resized.forall(r => new String(r.media.take(8), "UTF-8") == "RSZ:8x8:"))
-    val frames = mm.Multimodal.sampleFrames(spark, media, 4)
-    val perDoc = frames.toDF().groupBy("doc_id").count().collect()
-    assert(perDoc.length === 10 && perDoc.forall(_.getLong(1) === 4L))
+    resized.foreach { r =>
+      assert(r.src_w === Multimodal.srcWidth(r.doc_id) && r.src_h === Multimodal.srcHeight(r.doc_id))
+      val expected = (for (y <- 0 until 8; x <- 0 until 8)
+        yield Multimodal.pixelValue(r.doc_id, 0, x * r.src_w / 8, y * r.src_h / 8).toLong).sum
+      assert(r.px_sum === expected)
+      // the re-encoded payload decodes back to the same raster
+      val back = Multimodal.decodeImage(r.media)
+      assert(back.getWidth === 8 && back.getHeight === 8 && Multimodal.pixelSum(back) === r.px_sum)
+    }
+    val frames = Multimodal.sampleFrames(spark, Multimodal.videoFrame(spark, docs), 3).collect()
+    frames.foreach { f =>
+      val fw = 6 + (((f.doc_id + f.src_idx) % 6L + 6L) % 6L).toInt
+      assert(f.width === fw)
+      val expected = (for (y <- 0 until f.height; x <- 0 until f.width)
+        yield Multimodal.pixelValue(f.doc_id, f.src_idx, x, y).toLong).sum
+      assert(f.px_sum === expected)
+    }
+    val feats = Multimodal.extractFeatures(spark, Multimodal.imageFrame(spark, docs)).collect()
+    feats.foreach { ft =>
+      val vals = for (y <- 0 until ft.height; x <- 0 until ft.width)
+        yield Multimodal.pixelValue(ft.doc_id, 0, x, y).toLong
+      val mean = vals.sum.toDouble / vals.length
+      assert(ft.mean_r === mean && ft.mean_g === mean && ft.mean_b === mean)
+    }
   }
 }
 
@@ -1670,6 +1739,24 @@ class PqSpec extends AnyFunSuite {
     assert(r.forall(x => x.getLong(0) != x.getLong(1)))
     assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
   }
+
+  test("fitted codebook beats the sampled baseline on quantization error") {
+    val emb = Tables.embeddings(spark, dir)
+    val fitted = ann.Pq.fittedCodebook(emb)
+    val sampled = ann.Pq.sampledCodebook(emb)
+    // fit is deterministic: a second fit is bit-identical (index rebuilds must be)
+    val again = ann.Pq.fittedCodebook(emb)
+    assert(fitted.flatten.flatten.toSeq === again.flatten.flatten.toSeq)
+    val vecs = emb.select("embedding").collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def err(cb: Array[Array[Array[Double]]]): Double =
+      vecs.map { v =>
+        (0 until ann.Pq.m).map { s =>
+          val sub = v.slice(s * ann.Pq.dsub, (s + 1) * ann.Pq.dsub)
+          cb(s).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum
+    assert(err(fitted) < err(sampled))
+  }
 }
 
 /** Streaming materialized view: micro-batched state folding equals the
@@ -1868,6 +1955,47 @@ class AnomalySpec extends AnyFunSuite {
     // sorted [5,5,5,9]: lower median 5; deviations [0,0,0,4]: MAD 0 ->
     // guard max(mad,1): outlier iff |v-5| > 3 -> the single 9
     assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) === ((4L, 5L, 0L, 1L)))
+  }
+
+  test("binWidth = 1 is the identity on integer domains") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L)).toDF("g", "v")
+    val a = ops.Anomaly.madThresholds(rows, "g", "v", 3000L).collect()(0)
+    val b = ops.Anomaly.madThresholds(rows, "g", "v", 3000L, binWidth = 1L).collect()(0)
+    assert(a.toSeq === b.toSeq)
+  }
+}
+
+/** The cardinality contract: binWidth pre-binning bounds the histogram-
+  * walk window partitions by the binned DOMAIN even when a group has
+  * ~1e6 distinct raw values.
+  */
+class AnomalyBinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("1e6-distinct-value group: binned histogram stays domain-bounded, stats exact on bins") {
+    // one group, 1,000,000 distinct values 0..999999 (a continuous metric in micros)
+    val rows = spark.range(1000000L).select(lit("hot").as("g"), col("id").as("v"))
+    val bw = 1000L
+    val out = ops.Anomaly.madThresholds(rows, "g", "v", devX1000 = 3000L, binWidth = bw)
+    val r = out.collect()(0)
+    // binned values are 0, 1000, ..., 999000 (1000 bins): lower median bin
+    // = 499000 (cum 500000 = n/2); |v - med| bins give MAD 250000
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1000000L, 499000L, 250000L)))
+    // the histogram fed to the window holds one row per bin, not per value:
+    // domain span 0..999999 / binWidth -> exactly 1000 rows per group
+    val binnedDistinct = rows
+      .select((col("v") - ((col("v") % bw + bw) % bw)).as("vb"))
+      .distinct().count()
+    assert(binnedDistinct === 1000L)
+    // unbinned would have paid a 1e6-row window partition; binned pays 1e3
+  }
+
+  test("floor-binning is exact for negative values") {
+    val rows = Seq(("n", -5L), ("n", -4L), ("n", -3L), ("n", 3L), ("n", 5L)).toDF("g", "v")
+    val r = ops.Anomaly.madThresholds(rows, "g", "v", 3000L, binWidth = 4L).collect()(0)
+    // floor-bins of [-5,-4,-3,3,5] at width 4: [-8,-4,-4,0,4] -> lower median -4
+    assert(r.getLong(2) === -4L)
   }
 }
 
