@@ -80,8 +80,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val passTotals = perPass.map(_.values.sum).mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"query_spread":$spread}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"query_spread":$spread}"""
+    println(line)
+    // stdout gets tail-captured and truncated by harnesses; ALSO persist the
+    // full JSON to a file so per-query numbers stay auditable after the run
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     spark.stop()
   }
 }

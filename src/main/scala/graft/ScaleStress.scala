@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress harness (dev main, not part of the driver contract):
+  * synthesizes a ~`mult`× copy of the sf0.1 documents corpus into
+  * TmpDirs scratch with PLANTED pathologies —
+  *   - a 10k-copy viral segment (every doc_id % 5 == 0 doc starts with
+  *     the same 40-word window → one hot LineDedup key, one hot LSH
+  *     band bucket, 38 shared 3-shingles for SetSim's df cap),
+  *   - a viral domain (every doc_id % 5 == 2 doc lands in source
+  *     "src0" → pipe_domain_cap's TopKPerKey vs a 10k-doc domain),
+  * then times the dedup family + incremental index + SetSim + line
+  * dedup + domain cap at sf0.1 AND at the synthetic ~sf1, asserting
+  * the skew guards hold at the larger scale (DedupSkewSpec-style) and
+  * printing a per-op (base, big, ratio) table for SURVEY §5.
+  *
+  * A synthetic link graph with a 10k-degree viral hub stresses
+  * Triangles' degree orientation the same way, at two edge scales.
+  *
+  * Usage: sbt "runMain graft.ScaleStress [mult] [baseDir]"
+  */
+object ScaleStress {
+
+  def main(args: Array[String]): Unit = {
+    val mult = args.lift(0).map(_.toInt).getOrElse(10)
+    val baseDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    TmpDirs.sweepStale()
+    val spark = GraftSession.local(32, 32)
+    spark.sparkContext.setLogLevel("WARN")
+    // NOT TmpDirs.create: the per-op sweepRecorded() below must not reap the
+    // corpus mid-run. The graft_ prefix keeps it reclaimable by sweepStale.
+    val scratch = s"/tmp/graft_stress_corpus_${System.nanoTime()}"
+    new java.io.File(scratch).mkdirs()
+
+    // ---- synthesize the big corpus ----
+    val base = Tables.documents(spark, baseDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val n = base.count()
+    val viralSeg = (1 to 40).map(i => s"graftviral$i").mkString(" ")
+    val copies = (0 until mult).map { i =>
+      base.select(
+        (col("doc_id") + lit(i.toLong * n)).as("doc_id"),
+        // per-copy word-level perturbation so copies are near-, not exact-, dups
+        concat(col("text"), lit(s" copyset$i mark"), (col("doc_id") % 97).cast("string")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    val big = copies.reduce(_ unionByName _)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(viralSeg + " "), col("text")))
+          .otherwise(col("text")).as("text"),
+        col("lang"),
+        when(col("doc_id") % 5 === 2, lit("src0")).otherwise(col("source")).as("source"),
+        col("n_chars"))
+    big.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
+    val nBig = spark.read.parquet(s"$scratch/documents.parquet").count()
+    println(s"[stress] corpus: base=$n docs, big=$nBig docs (${mult}x), scratch=$scratch")
+
+    // ---- timed ops (documents-only query keys run verbatim on either dir) ----
+    val ops = Seq(
+      "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
+      "dedup_setsim_prefix", "text_line_dedup", "pipe_domain_cap", "dedup_incremental")
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      TmpDirs.sweepRecorded()
+      (dt, rows)
+    }
+    // untimed warmup: session init, codegen, parquet reader setup
+    time("dedup_exact", baseDir)
+    val results = ops.map { op =>
+      val (tb, rb) = time(op, baseDir)
+      val (tg, rg) = time(op, scratch)
+      println(f"[stress] $op%-22s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
+      (op, tb, tg, rb, rg)
+    }
+
+    // ---- skew-guard assertions at the larger scale ----
+    // 1. the 10k-copy viral segment survives segment dedup EXACTLY once
+    val lineOut = SparkEntry.queries("text_line_dedup")(spark, scratch)
+    val viralSurvivors = lineOut.where(col("kept_text").contains("graftviral1 ")).count()
+    require(viralSurvivors == 1L,
+      s"viral 40-word segment must survive exactly once, got $viralSurvivors")
+    spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    // 2. the ~10k-doc viral domain is capped at the query's n (5 per source)
+    val capOut = SparkEntry.queries("pipe_domain_cap")(spark, scratch)
+      .groupBy("source").count().collect()
+    val viralDomain = capOut.filter(_.getString(0) == "src0").map(_.getLong(1)).headOption
+    require(viralDomain.contains(5L),
+      s"viral domain must cap at 5 docs, got $viralDomain")
+    require(capOut.forall(_.getLong(1) <= 5L), "no domain may exceed the cap")
+    spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+
+    // ---- triangles: synthetic graph with a viral hub, two edge scales ----
+    def graphEdges(nodes: Long, hubDeg: Long) = {
+      val ring = spark.range(1, nodes)
+        .select(least(col("id"), (col("id") + 1) % nodes).as("a"),
+          greatest(col("id"), (col("id") + 1) % nodes).as("b"))
+      val rand = spark.range(1, nodes)
+        .select(col("id").as("a"), ((col("id") * 7919 + 13) % nodes).as("b"))
+        .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      val hub = spark.range(1, hubDeg + 1).select(lit(0L).as("a"), col("id").as("b"))
+      ring.unionByName(rand).unionByName(hub).where(col("a") =!= col("b")).distinct()
+    }
+    Seq(("base", 20000L), ("big", 200000L)).foreach { case (tag, nodes) =>
+      val t0 = System.nanoTime()
+      val tri = graph.Triangles.perNode(graphEdges(nodes, 10000L))
+      val rows = tri.count()
+      tri.unpersist(blocking = false)
+      println(f"[stress] triangles_$tag%-13s nodes=$nodes%7d hub=10000: ${(System.nanoTime() - t0) / 1e9}%6.1fs ($rows rows)")
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    }
+
+    println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
+    results.foreach { case (op, tb, tg, _, _) =>
+      println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")
+    }
+    println("[stress] all skew-guard assertions passed")
+    spark.stop()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(scratch))
+    ()
+  }
+}

@@ -2581,14 +2581,68 @@ object SparkEntry {
     * table riding inside codegen as an array literal; strictly
     * map-side, integer micro-unit exact.
     */
-  private def textQualityModel(s: SparkSession, dir: String): DataFrame =
-    text.QualityModel.scored(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")),
-      text.QualityModel.weightsMicro())
+  private def textQualityModel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
       .orderBy("doc_id")
+  }
 
-  private val textQualityModelSql =
-    oracle.DuckHash.qualityModelSql(text.QualityModel.weightsMicro())
+  /** Shared DuckDB CTEs: the per-doc Gopher keep label (`lab`) — reused
+    * by the quality-model fit and the model-eval confusion matrix.
+    */
+  private lazy val gopherLabelCtes = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""gm AS (
+       |  SELECT doc_id, CAST($wcSql AS BIGINT) AS n_words,
+       |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
+       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    $wordsListSql AS w
+       |  FROM documents),
+       |gtw AS (
+       |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
+       |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM gm, UNNEST(gm.w) AS t(g) GROUP BY doc_id, g)
+       |  GROUP BY doc_id),
+       |lab AS (
+       |  SELECT gm.doc_id,
+       |    (n_words >= 5 AND n_words <= 1000
+       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END) < 0.6
+       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_words END) < 0.2
+       |     AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_chars END) < 0.3) AS label
+       |  FROM gm LEFT JOIN gtw ON gm.doc_id = gtw.doc_id)""".stripMargin
+  }
+
+  /** Quality-model FIT + score oracle CTEs: recomputes
+    * QualityModel.fitWeightsMicro's bucket-rate weight table in SQL
+    * (`wt`, floor division on a non-negative numerator — engine-exact)
+    * and scores docs by joining tokens to the fitted table; ends in
+    * `sc(doc_id, n_toks, score_micro)`.
+    */
+  private lazy val qualityFitCtes =
+    s"""${oracle.DuckHash.docWordsCte},
+       |$gopherLabelCtes,
+       |tokb AS (
+       |  SELECT d0.doc_id, ${oracle.DuckHash.wordBucketSql} AS b
+       |  FROM d0, UNNEST(d0.w) AS u(wd)),
+       |tkl AS (SELECT tokb.doc_id, tokb.b, lab.label FROM tokb JOIN lab USING (doc_id)),
+       |gk AS (SELECT (SUM(CASE WHEN label THEN 1 ELSE 0 END) * 2000000) // COUNT(*) AS base FROM tkl),
+       |wt AS (
+       |  SELECT b,
+       |    CAST((SUM(CASE WHEN label THEN 1 ELSE 0 END) * 2000000) // COUNT(*) - (SELECT base FROM gk) AS BIGINT) AS wgt
+       |  FROM tkl GROUP BY b),
+       |scj AS (
+       |  SELECT tokb.doc_id, CAST(SUM(wt.wgt) AS BIGINT) AS s
+       |  FROM tokb JOIN wt USING (b) GROUP BY tokb.doc_id),
+       |sc AS (
+       |  SELECT d0.doc_id, CAST(len(d0.w) AS BIGINT) AS n_toks,
+       |    CAST(COALESCE(scj.s, 0) AS BIGINT) AS score_micro
+       |  FROM d0 LEFT JOIN scj USING (doc_id))""".stripMargin
+
+  private lazy val textQualityModelSql =
+    s"""WITH $qualityFitCtes
+       |SELECT doc_id, n_toks, score_micro, score_micro > 0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
 
   /** Bloom-prefiltered shuffle join (ops.BloomJoin): one distributed
     * bloom build over the selective dim's keys, then a map-side
@@ -2879,18 +2933,19 @@ object SparkEntry {
     */
   private def textModelEval(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scored = text.QualityModel.scored(docs, text.QualityModel.weightsMicro())
+    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
       .select(col("doc_id"), col("score_micro"))
     val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label"))
+    // training-set evaluation by construction (the fit supervises on the
+    // same Gopher label) — stated in QualityModel's doc; thresholds sized
+    // to the fitted ±1e6-per-token weight scale
     text.ModelEval.confusion(
       scored.join(labels, "doc_id"), "score_micro", "label",
-      Seq(-5000L, 0L, 5000L))
+      Seq(-5000000L, 0L, 5000000L))
       .orderBy("threshold")
   }
 
-  private val textModelEvalSql = {
-    val c = canonSql
-    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+  private lazy val textModelEvalSql = {
     def thrRow(t: Long) =
       s"""SELECT CAST($t AS BIGINT) AS threshold,
          |  CAST(sum(CASE WHEN score_micro > $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
@@ -2898,27 +2953,9 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN score_micro <= $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |  CAST(sum(CASE WHEN score_micro <= $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM j""".stripMargin
-    s"""WITH ${oracle.DuckHash.qualityModelScoreCtes(text.QualityModel.weightsMicro())},
-       |gm AS (
-       |  SELECT doc_id, CAST($wcSql AS BIGINT) AS n_words,
-       |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
-       |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
-       |    CAST(length(text) AS BIGINT) AS n_chars,
-       |    $wordsListSql AS w
-       |  FROM documents),
-       |gtw AS (
-       |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
-       |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM gm, UNNEST(gm.w) AS t(g) GROUP BY doc_id, g)
-       |  GROUP BY doc_id),
-       |lab AS (
-       |  SELECT gm.doc_id,
-       |    (n_words >= 5 AND n_words <= 1000
-       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END) < 0.6
-       |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_words END) < 0.2
-       |     AND (CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_chars END) < 0.3) AS label
-       |  FROM gm LEFT JOIN gtw ON gm.doc_id = gtw.doc_id),
+    s"""WITH $qualityFitCtes,
        |j AS (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
-       |u AS (${thrRow(-5000)} UNION ALL ${thrRow(0)} UNION ALL ${thrRow(5000)})
+       |u AS (${thrRow(-5000000)} UNION ALL ${thrRow(0)} UNION ALL ${thrRow(5000000)})
        |SELECT threshold, tp, fp, fn, tn,
        |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS precision_x1000,
        |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS recall_x1000

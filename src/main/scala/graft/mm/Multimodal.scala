@@ -159,16 +159,6 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                            mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** Opaque-binary media frame from any (id, payload) source — here the
-    * documents table, payload = utf-8 bytes. Metadata-only consumers of
-    * this frame never decode (projection pruning keeps byte reads out).
-    */
-  def mediaFrame(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      col("text").cast("binary").as("media"),
-      lit("text/plain").as("format"))
-
   /** Image media frame: one deterministic synthetic PNG per doc, encoded
     * with the real ImageIO PNG writer. Partition-local, no shuffle.
     */

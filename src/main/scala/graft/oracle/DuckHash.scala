@@ -374,33 +374,21 @@ object DuckHash {
        |SELECT doc_a, doc_b, hamming FROM prs
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
-  /** text_quality_model oracle: per-token Spark xxhash64 → low-6-bit
-    * feature bucket → integer micro-unit weight sum (mirrors
-    * text.QualityModel.scored bit-for-bit; weights inlined as literals,
-    * the same seeded-constant precedent as the LSH oracles).
+  /** Low-6-bit feature bucket of the canonical word bound as `wd` —
+    * text.QualityModel.bucket's xxhash64 kernel, bit-exact. Composable:
+    * the quality-model fit AND score oracles both hash with this.
     */
-  def qualityModelSql(weights: Array[Long]): String =
-    s"""WITH ${qualityModelScoreCtes(weights)}
-       |SELECT doc_id, n_toks, score_micro, score_micro > 0 AS keep
-       |FROM sc ORDER BY doc_id""".stripMargin
-
-  /** The score derivation alone, as composable CTEs `d0, sc` where
-    * `sc(doc_id, n_toks, score_micro)` — lets other oracles (e.g. the
-    * model-eval confusion matrix) reuse the exact scoring kernel.
-    */
-  def qualityModelScoreCtes(weights: Array[Long]): String = {
-    require(weights.length == 64, s"expected 64 weights, got ${weights.length}")
+  lazy val wordBucketSql: String = {
     val wh = "list_transform([length(wd)], L -> " +
       "list_transform([list_transform(range(1, L + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))], cs -> " +
       wordXxh64Sql + ")[1])[1]"
-    val wlist = weights.mkString("[", ",", "]")
-    s"""d0 AS (SELECT doc_id, $words AS w FROM documents),
-       |sc AS (
-       |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
-       |    CAST(COALESCE(list_sum(list_transform(w, wd ->
-       |      ($wlist)[CAST(($wh) % 64 AS INT) + 1])), 0) AS BIGINT) AS score_micro
-       |  FROM d0)""".stripMargin
+    s"CAST(($wh) % 64 AS INT)"
   }
+
+  /** `d0(doc_id, w: varchar[])` — doc_id + canonical words list over
+    * `documents`, the shared head of the quality-model oracles.
+    */
+  val docWordsCte: String = s"d0 AS (SELECT doc_id, $words AS w FROM documents)"
 
   /** q_approx_distinct oracle: Spark's HyperLogLogPlusPlus estimator
     * reproduced in SQL. Registers come from the hashLong kernel (seed

@@ -153,12 +153,15 @@ class DedupSpec extends AnyFunSuite {
 
   test("candidate functions release intermediates; caller owns only the result") {
     spark.catalog.clearCache()
+    // delta-based: clearCache cannot drop localCheckpoint RDDs other suites
+    // may have left, so compare against the pre-call persisted set
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val result = dedup.Dedup.minhashCandidates(corpus, minEstJaccard = 0.3)
-    // exactly one persisted RDD left: the materialized candidate result
-    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
-    assert(cachedAfter === 1, s"expected 1 persisted RDD, got $cachedAfter")
+    // exactly one NEW persisted RDD: the materialized candidate result
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.size === 1, s"expected 1 new persisted RDD, got ${added.size}")
     result.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
 
@@ -721,6 +724,50 @@ class JdbcLifecycleSpec extends AnyFunSuite {
       rs.next()
       assert((rs.getLong(1), rs.getLong(2), rs.getLong(3)) === ((100L, 0L, 99L)))
       // table was appended into, not dropped/recreated: PK constraint intact
+      val pk = st.executeQuery(
+        "SELECT c.CONSTRAINTNAME FROM SYS.SYSCONSTRAINTS c " +
+          "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID " +
+          "WHERE t.TABLENAME = 'LOADS' AND c.TYPE = 'P'")
+      assert(pk.next() && pk.getString(1) === "LOADS_PK")
+    } finally conn.close()
+  }
+
+  test("crash mid-append, then lifecycle re-run converges: TRUNCATE+reload idempotency") {
+    val url = s"jdbc:derby:memory:graftcrash${System.nanoTime()};create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE loads (id BIGINT NOT NULL, name VARCHAR(32), " +
+        "CONSTRAINT loads_pk PRIMARY KEY (id))")
+      def counts(): (Long, Long) = {
+        val rs = st.executeQuery("SELECT COUNT(*), COUNT(DISTINCT id) FROM loads")
+        try { rs.next(); (rs.getLong(1), rs.getLong(2)) } finally rs.close()
+      }
+      val clean = spark.range(100).toDF("id")
+        .withColumn("name", concat(lit("row"), col("id")))
+      // "kill" one of the 4 writer partitions mid-job: the row id=13 raises
+      // while serializing, so its partition's transaction rolls back AFTER
+      // other partitions may already have committed — the partial state a
+      // real mid-load crash leaves behind (per-partition connections each
+      // commit independently, exactly like the real sink at scale)
+      val poisoned = spark.range(100).toDF("id")
+        .withColumn("name",
+          when(col("id") === 13, raise_error(lit("simulated writer crash")))
+            .otherwise(concat(lit("row"), col("id"))))
+      intercept[Exception] {
+        sinks.JdbcBulkSink.write(poisoned, url, "loads", numPartitions = 4,
+          mode = org.apache.spark.sql.SaveMode.Append)
+      }
+      val (partial, _) = counts()
+      assert(partial < 100L, s"crashed load must not be complete, saw $partial rows")
+      // recovery = re-run the SAME lifecycle (the reference's operational
+      // story): pre-load TRUNCATE wipes the partial state, the full append
+      // lands exactly once — idempotent under any number of crash/retry loops
+      sinks.SqlLifecycle.execute(conn, Seq("TRUNCATE TABLE loads"))
+      sinks.JdbcBulkSink.write(clean, url, "loads", numPartitions = 4,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      assert(counts() === ((100L, 100L)))
+      // PK survived the crash + recovery (table never dropped/recreated)
       val pk = st.executeQuery(
         "SELECT c.CONSTRAINTNAME FROM SYS.SYSCONSTRAINTS c " +
           "JOIN SYS.SYSTABLES t ON c.TABLEID = t.TABLEID " +
@@ -1647,6 +1694,19 @@ class QualityModelSpec extends AnyFunSuite {
     assert(w.forall(x => x >= -1000L && x <= 1000L))
     assert(w.distinct.length > 16) // not degenerate
   }
+
+  test("fitted weights: deterministic, bounded, beat the seeded baseline on the label") {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val fitted = text.QualityModel.fitWeightsMicro(docs)
+    assert(fitted.toSeq === text.QualityModel.fitWeightsMicro(docs).toSeq)
+    assert(fitted.forall(x => x >= -2000000L && x <= 2000000L))
+    assert(fitted.count(_ != 0L) > 16) // most buckets saw tokens
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label"))
+    def correct(w: Array[Long]): Long =
+      text.QualityModel.scored(docs, w).join(labels, "doc_id")
+        .where(col("label") === (col("score_micro") > 0L)).count()
+    assert(correct(fitted) >= correct(text.QualityModel.weightsMicro()))
+  }
 }
 
 /** Key-skew diagnostic: exact counts on a planted hot key, one scan,
@@ -2008,19 +2068,21 @@ class NewOpCacheSpec extends AnyFunSuite {
 
   test("SetSim.prefixJoin leaves only its materialized result persisted") {
     spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")).toDF("doc_id", "text")
     val r = dedup.SetSim.prefixJoin(docs, tX1000 = 600)
-    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size === 1)
     r.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 
   test("Triangles.perNode leaves only its materialized result persisted") {
     spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a", "b")
     val r = graph.Triangles.perNode(edges)
-    assert(spark.sparkContext.getPersistentRDDs.size === 1)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size === 1)
     r.unpersist(blocking = true)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
