@@ -2935,7 +2935,10 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
       .select(col("doc_id"), col("score_micro"))
-    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label"))
+    // materialized like the fit's label frame (caller-owned persist, the
+    // session clearCache discipline reaps it): evaluated lazily inside the
+    // confusion join's broadcast build it costs ~10x
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label")).persist()
     // training-set evaluation by construction (the fit supervises on the
     // same Gopher label) — stated in QualityModel's doc; thresholds sized
     // to the fitted ±1e6-per-token weight scale
