@@ -94,6 +94,36 @@ object ScaleStress {
     require(capOut.forall(_.getLong(1) <= 5L), "no domain may exceed the cap")
     spark.catalog.clearCache(); TmpDirs.sweepRecorded()
 
+    // ---- events: ~mult× corpus with a planted hot user ----
+    // copies shift event_id/user_id into fresh ranges and nudge ts by i ns;
+    // ~2% of ALL events collapse onto user_id 0 → one user holds ~2% of the
+    // corpus (the viral-session shape window-free designs must survive)
+    val rawEv = Tables.events(spark, baseDir)
+    val uMax = rawEv.agg(max("user_id")).head.getLong(0) + 1
+    val eMax = rawEv.agg(max("event_id")).head.getLong(0) + 1
+    val passCols = rawEv.columns.filterNot(Set("ts", "ts_ns", "user_id", "event_id")).toSeq
+    val evCopies = (0 until mult).map { i =>
+      rawEv.select(
+        (col("ts_ns") + lit(i.toLong)).as("ts") +:
+          when(pmod(hash(col("event_id"), lit(i)), lit(50)) === 0, lit(0L))
+            .otherwise(col("user_id") + lit(i.toLong * uMax)).as("user_id") +:
+          (col("event_id") + lit(i.toLong * eMax)).as("event_id") +:
+          passCols.map(col): _*)
+    }
+    evCopies.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$scratch/events.parquet")
+    val nEvBig = spark.read.parquet(s"$scratch/events.parquet").count()
+    val hotShare = Tables.events(spark, scratch).where(col("user_id") === 0L).count()
+    println(s"[stress] events: big=$nEvBig rows, hot user holds $hotShare")
+    val evOps = Seq(
+      "q_events_session", "q_events_dedup_window", "q_events_rolling_distinct",
+      "q_events_funnel", "q_events_transitions", "q_events_attribution")
+    val evResults = evOps.map { op =>
+      val (tb, rb) = time(op, baseDir)
+      val (tg, rg) = time(op, scratch)
+      println(f"[stress] $op%-26s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
+      (op, tb, tg, rb, rg)
+    }
+
     // ---- triangles: synthetic graph with a viral hub, two edge scales ----
     def graphEdges(nodes: Long, hubDeg: Long) = {
       val ring = spark.range(1, nodes)
@@ -115,7 +145,7 @@ object ScaleStress {
     }
 
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
-    results.foreach { case (op, tb, tg, _, _) =>
+    (results ++ evResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")
     }
     println("[stress] all skew-guard assertions passed")
