@@ -1669,6 +1669,29 @@ object SparkEntry {
     * decodes every sampled frame. Dims and per-frame pixel sums are
     * integer formulas — the whole decode fan-out is oracle-exact.
     */
+  /** Batched feature extraction over decoded rasters: per-channel means
+    * from one ImageIO decode per row — the model-featurizer seam. Each
+    * mean is ONE division of an exact integer pixel sum by the pixel
+    * count, so the doubles are bit-identical cross-engine.
+    */
+  private def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.extractFeatures(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  private val mmFeaturesSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    (d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 13) AS gy(y)
+      |  WHERE gx.x < d.sw AND gy.y < d.sh)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height,
+      |  CAST(SUM(v) AS DOUBLE) / (sw * sh) AS mean_r,
+      |  CAST(SUM(v) AS DOUBLE) / (sw * sh) AS mean_g,
+      |  CAST(SUM(v) AS DOUBLE) / (sw * sh) AS mean_b
+      |FROM p GROUP BY doc_id, sw, sh ORDER BY doc_id""".stripMargin
+
   private def mmFrames(s: SparkSession, dir: String): DataFrame =
     mm.Multimodal.sampleFrames(s, mm.Multimodal.videoFrame(s, Tables.documents(s, dir)), 3)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -3184,6 +3207,7 @@ object SparkEntry {
     "mm_binary_meta" -> (mmBinaryMeta _),
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
+    "mm_features" -> (mmFeatures _),
     "text_chunk_windows" -> (textChunkWindows _),
     "text_line_dedup" -> (textLineDedup _),
     "text_intradoc_dedup" -> (textIntradocDedup _),
@@ -3295,6 +3319,7 @@ object SparkEntry {
     "mm_binary_meta" -> mmBinaryMetaSql,
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
+    "mm_features" -> mmFeaturesSql,
     "text_chunk_windows" -> textChunkWindowsSql,
     "text_line_dedup" -> textLineDedupSql,
     "text_intradoc_dedup" -> textIntradocDedupSql,
