@@ -100,11 +100,25 @@ object Pq {
     */
   def adcTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
     val cb = fittedCodebook(embeddings)
-    val qRows = embeddings.where(col("vec_id").isInCollection(queryIds))
+    val coded = embeddings.select(col("vec_id"), codes(col("embedding"), cb).as("codes"))
+    scoreCodes(coded, cb, collectQueries(embeddings, queryIds), k)
+  }
+
+  private def collectQueries(embeddings: DataFrame, queryIds: Seq[Long]): Array[(Long, Array[Double])] =
+    embeddings.where(col("vec_id").isInCollection(queryIds))
       .select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
-    val coded = embeddings.select(col("vec_id"), codes(col("embedding"), cb).as("codes"))
+
+  /** ADC scoring over an already-encoded corpus `coded(vec_id, codes)` —
+    * the probe path a persisted [[Index]] serves without refitting or
+    * re-encoding.
+    */
+  def scoreCodes(
+      coded: DataFrame,
+      cb: Array[Array[Array[Double]]],
+      qRows: Array[(Long, Array[Double])],
+      k: Int): DataFrame = {
     val scoreStructs = qRows.map { case (qid, q) =>
       val lutLit = typedLit(lut(q, cb).toSeq)
       val sc = aggregate(
@@ -122,6 +136,44 @@ object Pq {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_micro").desc, col("vec_id").asc)
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("vec_id"), col("score_micro"), col("rnk"))
+  }
+
+  /** Persisted PQ index — the 100 TB lifecycle: fit + encode ONCE
+    * (16× compression of the corpus), probes load 4-byte-ish codes and
+    * score without touching raw vectors again (same build-once pattern
+    * as [[IvfIndex]]).
+    */
+  object Index {
+
+    def build(embeddings: DataFrame, path: String): Array[Array[Array[Double]]] = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val cb = fittedCodebook(embeddings)
+      cb.zipWithIndex.flatMap { case (cents, s) =>
+        cents.zipWithIndex.map { case (e, c) => (s, c, e.toSeq) }
+      }.toSeq.toDF("s", "c", "e")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      embeddings.select(col("vec_id"), codes(col("embedding"), cb).as("codes"))
+        .write.mode("overwrite").parquet(s"$path/codes")
+      cb
+    }
+
+    def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Array[Double]]] = {
+      val rows = spark.read.parquet(s"$path/codebook").orderBy("s", "c").collect()
+      Array.tabulate(m) { s =>
+        rows.filter(_.getInt(0) == s).sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+    }
+
+    def loadCodes(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+      spark.read.parquet(s"$path/codes")
+
+    /** Probe the persisted index: queries come as raw vectors (they are
+      * tiny), the corpus side is codes-only.
+      */
+    def topK(spark: org.apache.spark.sql.SparkSession, path: String,
+             queries: Array[(Long, Array[Double])], k: Int = 10): DataFrame =
+      scoreCodes(loadCodes(spark, path), loadCodebook(spark, path), queries.sortBy(_._1), k)
   }
 
   /** DuckDB oracle for [[adcTopK]] (fit, codes, luts, scores bit-exact).

@@ -1800,6 +1800,21 @@ class PqSpec extends AnyFunSuite {
     assert(r.groupBy(_.getLong(0)).forall(_._2.map(_.getLong(3)).sorted.toSeq == (1L to 5L)))
   }
 
+  test("persisted PQ index: codebook round-trips bit-exact, probes match fresh encode") {
+    val emb = Tables.embeddings(spark, dir)
+    val tmp = graft.TmpDirs.create("pq_ix")
+    val built = ann.Pq.Index.build(emb, s"$tmp/ix")
+    val loaded = ann.Pq.Index.loadCodebook(spark, s"$tmp/ix")
+    assert(built.flatten.flatten.toSeq === loaded.flatten.flatten.toSeq)
+    val qs = emb.where(org.apache.spark.sql.functions.col("vec_id").isin(0L, 1L))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val fromIndex = ann.Pq.Index.topK(spark, s"$tmp/ix", qs, 5)
+      .collect().map(_.toSeq).toSet
+    val fresh = ann.Pq.adcTopK(emb, Seq(0L, 1L), 5).collect().map(_.toSeq).toSet
+    assert(fromIndex === fresh)
+  }
+
   test("fitted codebook beats the sampled baseline on quantization error") {
     val emb = Tables.embeddings(spark, dir)
     val fitted = ann.Pq.fittedCodebook(emb)
