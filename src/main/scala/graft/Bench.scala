@@ -83,11 +83,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"query_spread":$spread}"""
     println(line)
-    // stdout gets tail-captured and truncated by harnesses; ALSO persist the
-    // full JSON to a file so per-query numbers stay auditable after the run
+    // stdout gets tail-captured and truncated by harnesses (the ~8KB full
+    // line has never survived a capture intact): persist the full JSON to a
+    // file, and ALSO print a short summary line LAST so even a small tail
+    // window ends with one complete, parseable JSON record
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"n_queries":${names.length},"per_query_file":"$outFile"}""")
     spark.stop()
   }
 }
