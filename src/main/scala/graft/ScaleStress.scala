@@ -79,6 +79,9 @@ object ScaleStress {
     }
 
     // ---- skew-guard assertions at the larger scale ----
+    // deliberately re-executed AFTER the timed loop (not folded into it):
+    // assertion collects must never sit inside a timed window, and the
+    // ~3s of duplicated work is irrelevant to a dev harness
     // 1. the 10k-copy viral segment survives segment dedup EXACTLY once
     val lineOut = SparkEntry.queries("text_line_dedup")(spark, scratch)
     val viralSurvivors = lineOut.where(col("kept_text").contains("graftviral1 ")).count()

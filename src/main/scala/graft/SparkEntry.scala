@@ -2956,17 +2956,20 @@ object SparkEntry {
     */
   private def textModelEval(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
+    // ONE Gopher pass serves both the fit supervision and the eval labels
+    // (caller-owned persist — the session clearCache discipline reaps it;
+    // it must stay persisted because the returned frame's confusion join
+    // consumes it, and evaluated lazily inside a broadcast build the label
+    // plan costs ~10x)
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
+    labels.count()
+    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
       .select(col("doc_id"), col("score_micro"))
-    // materialized like the fit's label frame (caller-owned persist, the
-    // session clearCache discipline reaps it): evaluated lazily inside the
-    // confusion join's broadcast build it costs ~10x
-    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("label")).persist()
     // training-set evaluation by construction (the fit supervises on the
     // same Gopher label) — stated in QualityModel's doc; thresholds sized
     // to the fitted ±1e6-per-token weight scale
     text.ModelEval.confusion(
-      scored.join(labels, "doc_id"), "score_micro", "label",
+      scored.join(labels.withColumnRenamed("keep", "label"), "doc_id"), "score_micro", "label",
       Seq(-5000000L, 0L, 5000000L))
       .orderBy("threshold")
   }

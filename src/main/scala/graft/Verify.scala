@@ -6,8 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // dev-only: optional 3rd arg = comma-separated query-key filter
+    // dev-only: optional 3rd arg = comma-separated query-key filter.
+    // NOTE a filtered run writes a SUBSET oracle_sql.json — never point it
+    // at an outDir holding a full dump, or a later compare over that
+    // manifest silently checks only the filtered keys.
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    only.foreach(keys => System.err.println(
+      s"[verify] FILTERED run (${keys.size} keys) — oracle_sql.json will cover only these; use a fresh outDir"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

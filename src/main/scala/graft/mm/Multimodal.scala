@@ -31,17 +31,20 @@ object Multimodal {
   // ================= deterministic synthetic media (test-data producer) =================
 
   /** Gray value of pixel (x, y) of frame `frameIdx` of doc `docId` —
-    * a pure integer formula the SQL oracle reproduces exactly.
+    * a pure integer formula the SQL oracle reproduces exactly. Plain `%`
+    * deliberately, matching the oracle SQL operator-for-operator; ids are
+    * required non-negative at the generator entry points (a pmod here
+    * without a pmod in SQL would silently diverge on negative ids).
     */
   def pixelValue(docId: Long, frameIdx: Int, x: Int, y: Int): Int =
-    (((docId * 31L + frameIdx * 97L + x * 7L + y * 13L) % 256L + 256L) % 256L).toInt
+    ((docId * 31L + frameIdx * 97L + x * 7L + y * 13L) % 256L).toInt
 
   /** Source image dims vary per doc (SQL-predictable). */
-  def srcWidth(docId: Long): Int  = 8 + (((docId % 9L) + 9L) % 9L).toInt
-  def srcHeight(docId: Long): Int = 8 + ((((docId / 3L) % 7L) + 7L) % 7L).toInt
+  def srcWidth(docId: Long): Int  = 8 + (docId % 9L).toInt
+  def srcHeight(docId: Long): Int = 8 + ((docId / 3L) % 7L).toInt
 
   /** Frames per "video" doc (SQL-predictable). */
-  def frameCount(docId: Long): Int = 2 + (((docId % 3L) + 3L) % 3L).toInt
+  def frameCount(docId: Long): Int = 2 + (docId % 3L).toInt
 
   def syntheticImage(docId: Long, frameIdx: Int, w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
@@ -166,6 +169,7 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
+        require(id >= 0, s"doc_id must be non-negative (formula/oracle contract), got $id")
         MediaRow(id, encodePng(syntheticImage(id, 0, srcWidth(id), srcHeight(id))), "image/png")
       })
   }
@@ -178,9 +182,10 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long]
       .mapPartitions(_.map { id =>
+        require(id >= 0, s"doc_id must be non-negative (formula/oracle contract), got $id")
         val frames = (0 until frameCount(id)).map { f =>
-          val fw = 6 + ((((id + f) % 6L) + 6L) % 6L).toInt
-          val fh = 6 + ((((id + 2L * f) % 6L) + 6L) % 6L).toInt
+          val fw = 6 + ((id + f) % 6L).toInt
+          val fh = 6 + ((id + 2L * f) % 6L).toInt
           encodePng(syntheticImage(id, f, fw, fh))
         }
         MediaRow(id, encodeVideo(frames), "video/x-graft-frames")

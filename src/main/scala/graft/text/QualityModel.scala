@@ -62,24 +62,35 @@ object QualityModel {
     // explode+groupBy) is re-evaluated inside the broadcast build and the
     // fit pays ~19x (measured 13.6s -> 0.7s at sf0.1 on persist)
     val labels = Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
-    val agg =
-      try {
-        labels.count()
-        docs
-          .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
-          .select(col("doc_id"), bucket(col("t")).as("b"))
-          .join(labels, "doc_id")
-          .groupBy("b")
-          .agg(count(lit(1)).as("tot"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
-          .collect()
-      } finally { labels.unpersist(); () }
+    try {
+      labels.count()
+      fitWeightsMicro(docs, labels)
+    } finally { labels.unpersist(); () }
+  }
+
+  /** Fit against an already-materialized `labels(doc_id, keep)` frame —
+    * lets callers that need the labels themselves (e.g. model eval)
+    * compute the Gopher pass once and share it.
+    */
+  def fitWeightsMicro(docs: DataFrame, labels: DataFrame): Array[Long] = {
+    val agg = docs
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
+      .select(col("doc_id"), bucket(col("t")).as("b"))
+      .join(labels.select(col("doc_id"), col("keep")), "doc_id")
+      .groupBy("b")
+      .agg(count(lit(1)).as("tot"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
+      .collect()
+    // BigInt on the 64 driver-side rows: keep*2e6 overflows Long once a
+    // corpus holds ~4.6e12 keep tokens, while the SQL oracle's HUGEINT
+    // arithmetic stays exact — exactness must not depend on corpus size
+    def rate(k: Long, tot: Long): Long = ((BigInt(k) * 2000000) / BigInt(tot)).toLong
     val tot = agg.map(_.getLong(1)).sum
     val keep = agg.map(_.getLong(2)).sum
-    val base = if (tot == 0L) 0L else keep * 2000000L / tot
+    val base = if (tot == 0L) 0L else rate(keep, tot)
     val w = new Array[Long](dim)
     agg.foreach { r =>
       val b = r.getLong(0).toInt
-      w(b) = r.getLong(2) * 2000000L / r.getLong(1) - base
+      w(b) = rate(r.getLong(2), r.getLong(1)) - base
     }
     w
   }
