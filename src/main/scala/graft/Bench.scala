@@ -78,10 +78,17 @@ object Bench {
         "\"" + n + "\":" + (xs.max - xs.min)
       }
       .mkString("{", ",", "}")
-    val total = medians.map(_._2).sum
-    val passTotals = perPass.map(_.values.sum).mkString("[", ",", "]")
+    // Headline = MEDIAN of the per-pass totals (not sum-of-medians): the
+    // median pass is a number that actually occurred, it is robust to one
+    // noisy pass, and it is self-consistent with pass_totals by
+    // construction. sum_of_medians is kept alongside for continuity with
+    // rounds <= 6.
+    val passTotalSeq = perPass.map(_.values.sum)
+    val total = median(passTotalSeq)
+    val sumOfMedians = medians.map(_._2).sum
+    val passTotals = passTotalSeq.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"query_spread":$spread}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
@@ -91,7 +98,7 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"n_queries":${names.length},"per_query_file":"$outFile"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"per_query_file":"$outFile"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,10 @@ object ScaleStress {
     // ---- synthesize the big corpus ----
     val base = Tables.documents(spark, baseDir)
       .select("doc_id", "text", "lang", "source", "n_chars")
-    val n = base.count()
+    // copies shift by max(doc_id)+1, NOT count(): sparse base ids would
+    // make count()-shifted copies collide, corrupting the planted ratios
+    val n = base.agg(max("doc_id")).head.getLong(0) + 1
+    val nRows = base.count()
     val viralSeg = (1 to 40).map(i => s"graftviral$i").mkString(" ")
     val copies = (0 until mult).map { i =>
       base.select(
@@ -55,12 +58,13 @@ object ScaleStress {
         col("n_chars"))
     big.write.mode("overwrite").parquet(s"$scratch/documents.parquet")
     val nBig = spark.read.parquet(s"$scratch/documents.parquet").count()
-    println(s"[stress] corpus: base=$n docs, big=$nBig docs (${mult}x), scratch=$scratch")
+    println(s"[stress] corpus: base=$nRows docs, big=$nBig docs (${mult}x), scratch=$scratch")
 
     // ---- timed ops (documents-only query keys run verbatim on either dir) ----
     val ops = Seq(
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-      "dedup_setsim_prefix", "text_line_dedup", "pipe_domain_cap", "dedup_incremental")
+      "dedup_ngram_reps", "dedup_setsim_prefix", "text_line_dedup",
+      "pipe_domain_cap", "dedup_incremental")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()

@@ -951,6 +951,43 @@ object SparkEntry {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** O(n)-output representative mode of the blocked n-gram dedup: one
+    * row per doc — rep_id = the prefix-block anchor (min doc_id) when
+    * jaccard-to-anchor >= 0.5, else the doc itself. The 100 TB emission
+    * contract for boilerplate-heavy corpora, where the all-pairs mode
+    * above is quadratic in duplicate-group size (a 10k-copy block would
+    * emit ~50M pairs; this emits 10k rows).
+    */
+  private def dedupNgramReps(s: SparkSession, dir: String): DataFrame =
+    dedup.Dedup.ngramAnchorReps(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val dedupNgramRepsSql = {
+    val wordsSql = s"string_split($canonSql, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
+       |    CASE WHEN length($canonSql) = 0 THEN []
+       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+       |         ELSE list_distinct(list_transform(
+       |            generate_series(1, len($wordsSql) - 2),
+       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |    END AS sh
+       |  FROM documents),
+       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |a AS (SELECT prefix3, MIN(doc_id) AS anchor_id FROM d2 GROUP BY 1),
+       |aw AS (SELECT a.prefix3, a.anchor_id, d2.sh AS anchor_sh
+       |       FROM a JOIN d2 ON d2.doc_id = a.anchor_id),
+       |j AS (
+       |  SELECT d2.doc_id, aw.anchor_id,
+       |    CAST(len(list_filter(d2.sh, x -> list_contains(aw.anchor_sh, x))) AS DOUBLE) /
+       |    CAST(len(d2.sh) + len(aw.anchor_sh)
+       |         - len(list_filter(d2.sh, x -> list_contains(aw.anchor_sh, x))) AS DOUBLE)
+       |      AS jaccard
+       |  FROM d2 JOIN aw ON d2.prefix3 = aw.prefix3)
+       |SELECT doc_id, CASE WHEN jaccard >= 0.5 THEN anchor_id ELSE doc_id END AS rep_id,
+       |  jaccard
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
   private def dedupEmbedCosine(s: SparkSession, dir: String): DataFrame =
     dedup.Dedup.embedCosinePairs(Tables.embeddings(s, dir), minCosine = 0.25)
       .orderBy("vec_a", "vec_b")
@@ -3182,6 +3219,7 @@ object SparkEntry {
     "dedup_minhash" -> (dedupMinhash _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_ngram_reps" -> (dedupNgramReps _),
     "dedup_embed_cosine" -> (dedupEmbedCosine _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_delta" -> (dedupIncrementalDelta _),
@@ -3314,6 +3352,7 @@ object SparkEntry {
     "dedup_minhash" -> oracle.DuckHash.minhashSql,
     "dedup_simhash" -> oracle.DuckHash.simhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "dedup_ngram_reps" -> dedupNgramRepsSql,
     "ann_bruteforce_topk" -> annBruteforceSql,
     "text_langid" -> textLangidSql,
     "text_quality" -> textQualitySql,

@@ -7,12 +7,19 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // dev-only: optional 3rd arg = comma-separated query-key filter.
-    // NOTE a filtered run writes a SUBSET oracle_sql.json — never point it
-    // at an outDir holding a full dump, or a later compare over that
-    // manifest silently checks only the filtered keys.
+    // A filtered run writes a SUBSET oracle_sql.json, so it REFUSES to run
+    // into an outDir that already holds a manifest: overwriting a full dump
+    // with a subset would make a later compare silently validate only the
+    // filtered keys.
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
-    only.foreach(keys => System.err.println(
-      s"[verify] FILTERED run (${keys.size} keys) — oracle_sql.json will cover only these; use a fresh outDir"))
+    only.foreach { keys =>
+      if (Files.exists(Paths.get(s"$outDir/oracle_sql.json")))
+        throw new IllegalArgumentException(
+          s"[verify] refusing FILTERED run into $outDir: it already holds an " +
+            "oracle_sql.json whose keys a subset manifest would silently shadow — use a fresh outDir")
+      System.err.println(
+        s"[verify] FILTERED run (${keys.size} keys) — oracle_sql.json will cover only these; fresh outDir enforced")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -199,6 +199,56 @@ object Dedup {
       blockedAll)
   }
 
+  /** O(n)-output scale path for the blocked n-gram dedup: instead of
+    * ALL similar pairs — quadratic in duplicate-group size, so a
+    * 10k-copy boilerplate block would emit ~50M pairs — each doc is
+    * compared ONLY to its block's anchor (the minimum doc_id in its
+    * prefix block) and emits exactly one row:
+    * (doc_id, rep_id, jaccard-to-anchor), rep_id = anchor when
+    * jaccard >= minJaccard, else the doc itself (the anchor is its own
+    * rep at jaccard 1.0). Compute is O(block size) per block and output
+    * O(corpus) regardless of duplication rate — the emission contract a
+    * boilerplate-heavy 100 TB corpus needs. `blockedNgramJaccard`
+    * remains the all-pairs mode for small candidate sets where the
+    * pair list itself is the product. Recall contract: a doc similar to
+    * other block members but not to the anchor keeps itself as rep —
+    * representative assignment, not full transitive clustering (that is
+    * Components.minLabel's job on the pair mode's output).
+    *
+    * Plan shape: ONE groupBy(pfx) with a map-side-combined min_by
+    * carries the anchor's shingle set; the join back on pfx reuses the
+    * same hash partitioning, so the whole operator costs one exchange
+    * of the (doc_id, pfx, sh) frame.
+    */
+  def ngramAnchorReps(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      prefixN: Int = 3,
+      minJaccard: Double = 0.5): DataFrame = {
+    val blockedAll = docs
+      .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK, prefixN).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocked = blockedAll.where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val anchors = blocked
+      .groupBy("pfx")
+      .agg(min_by(struct(col("doc_id"), col("sh")), col("doc_id")).as("a"))
+      .select(col("pfx"), col("a.doc_id").as("anchor_id"), col("a.sh").as("anchor_sh"))
+    val inter = size(array_intersect(col("sh"), col("anchor_sh")))
+    materializeThenRelease(
+      blocked.join(anchors, Seq("pfx"))
+        .withColumn(
+          "jaccard",
+          inter.cast("double") /
+            (size(col("sh")) + size(col("anchor_sh")) - inter).cast("double"))
+        .select(
+          col("doc_id"),
+          when(col("jaccard") >= minJaccard, col("anchor_id"))
+            .otherwise(col("doc_id")).as("rep_id"),
+          col("jaccard")),
+      blockedAll)
+  }
+
   /** Exact n-gram Jaccard verification over candidate pairs.
     *
     * Shingle sets are computed ONLY for docs appearing in `pairs` (semi-

@@ -151,6 +151,25 @@ class DedupSpec extends AnyFunSuite {
     assert(r === Set((1L, 2L))) // unrelated pair filtered out
   }
 
+  test("ngram anchor reps: O(n) output, dup group collapses to its anchor") {
+    val r = dedup.Dedup.ngramAnchorReps(corpus, minJaccard = 0.5)
+      .select("doc_id", "rep_id").as[(Long, Long)].collect().toMap
+    // exactly one row per doc regardless of duplication rate
+    assert(r.size === 4)
+    // the exact and near dup both point at the block anchor (doc 1)...
+    assert(r(1L) === 1L && r(2L) === 1L && r(3L) === 1L)
+    // ...and the unrelated doc stays its own representative
+    assert(r(4L) === 4L)
+    // a planted 200-copy boilerplate group still emits one row per doc
+    val viral = (0 until 200)
+      .map(i => (100L + i, s"shared boilerplate header text for every mirror page number $i"))
+      .toDF("doc_id", "text")
+    val v = dedup.Dedup.ngramAnchorReps(viral, minJaccard = 0.5)
+      .select("doc_id", "rep_id").as[(Long, Long)].collect()
+    assert(v.length === 200)
+    assert(v.forall(_._2 == 100L)) // all collapse to the min doc_id anchor
+  }
+
   test("candidate functions release intermediates; caller owns only the result") {
     spark.catalog.clearCache()
     // delta-based: clearCache cannot drop localCheckpoint RDDs other suites
