@@ -734,8 +734,10 @@ object SparkEntry {
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
-  /** HLL-sketch approximate distincts next to exact (rows-only check:
-    * DuckDB's HLL implementation differs by construction).
+  /** HLL-sketch approximate distincts next to exact. Hash-exact oracle
+    * (since R4): DuckDB's own HLL differs by construction, so the oracle
+    * reproduces Spark's HLL++ estimator in SQL instead — see the
+    * oracleSql scaladoc below.
     */
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
@@ -1419,6 +1421,56 @@ object SparkEntry {
 
   private val annPqSql = ann.Pq.oracleSql(annQueryIds, 10)
 
+  /** Probe-only ANN twins — the production steady state, benchmarked
+    * separately from the fit+build+probe keys: the index (PQ
+    * codebook+codes / IVF centroids) is built ONCE per corpus into a
+    * deterministic graft_probeix_* scratch path and cached for the
+    * JVM's lifetime (crash-safe via a _COMPLETE marker; reclaimed by
+    * TmpDirs.sweepStale like all graft_* scratch, deliberately NOT
+    * recorded for per-query sweeping). Bench's untimed warmup pass pays
+    * the build, so every timed pass measures load+probe latency only.
+    * Outputs are bit-identical to the fit+probe twins (the Pq.Index /
+    * IvfIndex round-trip specs prove it), so they share those oracles.
+    */
+  private val probeIx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def cachedIndexDir(kind: String, dir: String)(build: String => Unit): String =
+    probeIx.computeIfAbsent(s"$kind|$dir", { _ =>
+      val h = java.lang.Integer.toHexString(dir.hashCode)
+      val p = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_probeix_${kind}_$h")
+      val marker = p.resolve("_COMPLETE")
+      if (!java.nio.file.Files.exists(marker)) {
+        // partial dirs from crashed runs rebuild from scratch
+        org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
+        build(p.toString)
+        java.nio.file.Files.createFile(marker)
+      }
+      p.toString
+    })
+
+  private def annPqProbe(s: SparkSession, dir: String): DataFrame = {
+    val ix = cachedIndexDir("pq", dir) { p =>
+      ann.Pq.Index.build(Tables.embeddings(s, dir), p); ()
+    }
+    val qs = Tables.embeddings(s, dir)
+      .where(col("vec_id").isInCollection(annQueryIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    ann.Pq.Index.topK(s, ix, qs, 10).orderBy("query_id", "rnk")
+  }
+
+  private def annIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    val ix = cachedIndexDir("ivf", dir) { p =>
+      ann.IvfIndex.build(Tables.embeddings(s, dir), p, k = 16, iters = 1); ()
+    }
+    val cents = ann.IvfIndex.load(s, ix)
+    ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10,
+        centroids = Some(cents.toSeq.map(_.toSeq)))
+      .orderBy("query_id", "rnk")
+  }
+
   /** Bit-exact SQL folds mirroring the Cells scoring path: left-fold
     * double sums reproduce PlaneDots / aggregate() summation order, so
     * cell assignment, probe selection, and cosine ranks all agree with
@@ -2053,7 +2105,8 @@ object SparkEntry {
 
   /** IVF with k-means-fitted centroids persisted as index metadata: the
     * production ANN path — build index once (IvfIndex.build), load, probe.
-    * Rows-only check (centroid fit is engine-internal float math).
+    * Hash-exact oracle (since R4): the deterministic one-iteration fit is
+    * unrolled into chained CTEs with integer-micro-unit update sums.
     */
   private def annIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
@@ -3241,6 +3294,8 @@ object SparkEntry {
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_pq_topk" -> (annPq _),
+    "ann_pq_probe" -> (annPqProbe _),
+    "ann_ivf_probe" -> (annIvfProbe _),
     "text_langid" -> (textLangid _),
     "text_quality" -> (textQuality _),
     "text_tokens" -> (textTokens _),
@@ -3399,6 +3454,8 @@ object SparkEntry {
     "pipe_token_mix" -> pipeTokenMixSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,
+    "ann_pq_probe" -> annPqSql,
+    "ann_ivf_probe" -> annIvfKmeansSql,
     "ann_ivf_topk" -> annIvfSql,
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,

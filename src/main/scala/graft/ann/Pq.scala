@@ -29,6 +29,14 @@ import org.apache.spark.sql.expressions.Window
   * lowest-k init + one Lloyd iteration in integer micro-units — the same
   * reproducible fit the IVF index build uses), so the oracle unrolls the
   * per-subspace fit into chained CTEs exactly like ann_ivf_kmeans.
+  *
+  * Objective note: KMeans.fit ASSIGNS by cosine (spherical k-means,
+  * shared with the IVF path for oracle parity), while PQ encoding and
+  * ADC use L2² argmin — the fit optimizes a related but different
+  * objective, so "fitted beats the sampled init on quantization error"
+  * (asserted by PqSpec) is an empirical property of the corpus, not a
+  * guarantee by construction. Acceptable: PQ recall degrades gracefully
+  * with codebook quality, and reproducibility is the binding contract.
   */
 object Pq {
 
@@ -47,7 +55,17 @@ object Pq {
       base.count() // materialize before the m dependent fit jobs
       Array.tabulate(m) { s =>
         val sub = base.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
-        KMeans.fit(sub, kCent, iters = 1)
+        val cents = KMeans.fit(sub, kCent, iters = 1)
+        // mirror sampledCodebook's guards: KMeans.fit only needs a nonEmpty
+        // init, so a corpus missing the kCent lowest vec_ids — or with
+        // embeddings not of m*dsub dims — must fail HERE with a clear
+        // message, not later as an ArrayIndexOutOfBounds in codes()
+        require(cents.length == kCent,
+          s"subspace $s: fit returned ${cents.length} centroids, need $kCent " +
+            s"(the $kCent lowest vec_ids must be present)")
+        require(cents.forall(_.length == dsub),
+          s"subspace $s: centroid dims != $dsub — embeddings must be ${m * dsub}-dim")
+        cents
       }
     } finally { base.unpersist(); () }
   }
@@ -110,29 +128,49 @@ object Pq {
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
 
+  /** Queries per scoring chunk: the per-query explode multiplies each
+    * scanned corpus row by the chunk's query count, and every query adds
+    * a m*kCent-long lut literal to the projection's codegen — both must
+    * stay bounded no matter how many queries a probe batch carries.
+    */
+  val queryChunkSize = 128
+
   /** ADC scoring over an already-encoded corpus `coded(vec_id, codes)` —
     * the probe path a persisted [[Index]] serves without refitting or
     * re-encoding.
+    *
+    * Queries are scored in chunks of `queryChunk` and the per-chunk
+    * top-k unioned (query_ids are disjoint across chunks, so chunked
+    * output is identical to unchunked): map-side fanout and codegen
+    * size are bounded by the chunk, not the probe-batch size — a 10k-
+    * query probe runs 10k/queryChunk bounded scans of the (16×-
+    * compressed) code table instead of one scan with a 10k-wide explode.
     */
   def scoreCodes(
       coded: DataFrame,
       cb: Array[Array[Array[Double]]],
       qRows: Array[(Long, Array[Double])],
-      k: Int): DataFrame = {
-    val scoreStructs = qRows.map { case (qid, q) =>
-      val lutLit = typedLit(lut(q, cb).toSeq)
-      val sc = aggregate(
-        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-          (code, s) => element_at(lutLit, (s * kCent + code + 1).cast("int"))),
-        lit(0L), (a, x) => a + x)
-      struct(lit(qid).as("query_id"), sc.as("score_micro"))
-    }
-    val scored = coded
-      .select(col("vec_id"), explode(array(scoreStructs.toIndexedSeq: _*)).as("qs"))
-      .select(col("qs.query_id").as("query_id"), col("vec_id"), col("qs.score_micro").as("score_micro"))
-      .where(col("query_id") =!= col("vec_id"))
-    val top = graft.plans.TopK.perKey(
-      scored, Seq("query_id"), Seq("score_micro" -> true, "vec_id" -> false), k)
+      k: Int,
+      queryChunk: Int = queryChunkSize): DataFrame = {
+    require(qRows.nonEmpty, "scoreCodes needs at least one query")
+    require(queryChunk > 0, s"queryChunk must be positive, got $queryChunk")
+    val chunkTops = qRows.grouped(queryChunk).map { chunk =>
+      val scoreStructs = chunk.map { case (qid, q) =>
+        val lutLit = typedLit(lut(q, cb).toSeq)
+        val sc = aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (code, s) => element_at(lutLit, (s * kCent + code + 1).cast("int"))),
+          lit(0L), (a, x) => a + x)
+        struct(lit(qid).as("query_id"), sc.as("score_micro"))
+      }
+      val scored = coded
+        .select(col("vec_id"), explode(array(scoreStructs.toIndexedSeq: _*)).as("qs"))
+        .select(col("qs.query_id").as("query_id"), col("vec_id"), col("qs.score_micro").as("score_micro"))
+        .where(col("query_id") =!= col("vec_id"))
+      graft.plans.TopK.perKey(
+        scored, Seq("query_id"), Seq("score_micro" -> true, "vec_id" -> false), k)
+    }.toSeq
+    val top = chunkTops.reduce(_ unionByName _)
     val w = Window.partitionBy(col("query_id")).orderBy(col("score_micro").desc, col("vec_id").asc)
     top.withColumn("rnk", row_number().over(w).cast("long"))
       .select(col("query_id"), col("vec_id"), col("score_micro"), col("rnk"))

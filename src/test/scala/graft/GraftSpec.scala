@@ -1834,6 +1834,27 @@ class PqSpec extends AnyFunSuite {
     assert(fromIndex === fresh)
   }
 
+  test("chunked query scoring is identical to unchunked (fanout bound)") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, dir)
+    val cb = ann.Pq.sampledCodebook(emb)
+    val coded = emb.select(col("vec_id"), ann.Pq.codes(col("embedding"), cb).as("codes"))
+      .persist()
+    // a few hundred queries: far beyond the chunk, with a ragged tail
+    val qs = emb.where(col("vec_id") < 210).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    assert(qs.length === 210)
+    val unchunked = ann.Pq.scoreCodes(coded, cb, qs, 5, queryChunk = qs.length)
+      .collect().map(_.toSeq).toSet
+    val chunked = ann.Pq.scoreCodes(coded, cb, qs, 5, queryChunk = 17)
+      .collect().map(_.toSeq).toSet
+    assert(chunked === unchunked)
+    assert(chunked.map(_.head).size === 210) // every query answered
+    coded.unpersist(blocking = true)
+    ()
+  }
+
   test("fitted codebook beats the sampled baseline on quantization error") {
     val emb = Tables.embeddings(spark, dir)
     val fitted = ann.Pq.fittedCodebook(emb)
