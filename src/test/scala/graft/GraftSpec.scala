@@ -1898,6 +1898,43 @@ class IncrAggStreamSpec extends AnyFunSuite {
     assert(rows(state) === rows(batch))
     assert(rows(state)("a") === ((3L, 9L, 1L, 5L)))
   }
+
+  test("kill between state write and commit: restart converges exactly-once") {
+    val srcDir = TmpDirs.create("incagcrsrc")
+    val stateDir = TmpDirs.create("incagcrstate") + "/state"
+    val ck = TmpDirs.create("incagcrck")
+    Seq(("a", 1L), ("b", 7L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    def src = spark.readStream.schema("k STRING, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    // KILL the first run mid-batch: after the version dir is written,
+    // before the commit pointer flips — the at-least-once replay window
+    // where a naive fold would double-count the batch on restart
+    intercept[Exception] {
+      streaming.IncrAggStream.runToState(spark, src, Seq("k"), "v", stateDir,
+        checkpointDir = ck, onBeforeCommit = () => throw new RuntimeException("simulated kill"))
+    }
+    // the crash left an uncommitted version dir and no committed state
+    assert(intercept[IllegalStateException] {
+      streaming.IncrAggStream.readState(spark, stateDir)
+    }.getMessage.contains("no committed state"))
+    // a second file lands while the job is down
+    Seq(("a", 3L), ("c", 2L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    // restart from the same checkpoint: batch 0 REPLAYS (it never
+    // committed), batch 1 is new — every row folds exactly once
+    val state = streaming.IncrAggStream.runToState(
+      spark, src, Seq("k"), "v", stateDir, checkpointDir = ck)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    val batch = ops.IncrAgg.snapshot(spark.read.parquet(srcDir), Seq("k"), "v")
+    assert(rows(state) === rows(batch))
+    assert(rows(state)("a") === ((2L, 4L, 1L, 3L))) // folded once, not twice
+    // a replay of an ALREADY-committed batchId is a no-op (idempotence)
+    streaming.IncrAggStream.applyBatch(
+      spark, Seq(("a", 99L)).toDF("k", "v"), 0L, Seq("k"), "v", stateDir)
+    assert(rows(streaming.IncrAggStream.readState(spark, stateDir)) === rows(batch))
+  }
 }
 
 /** Linear attribution: hand-computed shares, lookback exclusion, and
