@@ -1961,6 +1961,93 @@ object SparkEntry {
        |FROM j ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher-style n-gram repetition signals: top-bigram char fraction +
+    * duplicated-5-gram occurrence fraction per doc (the repetition family
+    * `text_gopher_quality`'s word-level stats don't cover). One corpus
+    * explode, one (doc_id, k, gram)-keyed count — doc_id prefixes the key
+    * so corpus-wide boilerplate grams never concentrate a partition.
+    */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    text.Repetition.metrics(Tables.documents(s, dir)).orderBy("doc_id")
+
+  private val textRepetitionSql = {
+    // Word k-gram occurrence list (multiset): mirrors Text.shinglesOfWords
+    // (short docs -> one whole-text gram; empty canon -> none).
+    def gramsSql(k: Int): String = {
+      val cat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+      s"""CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+         |     WHEN len(w) <= $k THEN [array_to_string(w, ' ')]
+         |     ELSE list_transform(generate_series(1, len(w) - ${k - 1}),
+         |            i -> $cat) END""".stripMargin.replaceAll("\n", " ")
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id, $wordsListSql AS w,
+       |    CAST(length($canonSql) AS BIGINT) AS n_chars_canon
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, 2 AS k, UNNEST(${gramsSql(2)}) AS g FROM d
+       |  UNION ALL
+       |  SELECT doc_id, 5 AS k, UNNEST(${gramsSql(5)}) AS g FROM d),
+       |c AS (SELECT doc_id, k, g, COUNT(*) AS c FROM occ GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT doc_id,
+       |    MAX(CASE WHEN k = 2 THEN c * length(g) END) AS top2_chars,
+       |    SUM(CASE WHEN k = 5 AND c >= 2 THEN c END) AS dup5_occ,
+       |    SUM(CASE WHEN k = 5 THEN c END) AS tot5_occ
+       |  FROM c GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, d.n_chars_canon,
+       |    CAST(COALESCE(top2_chars, 0) AS BIGINT) AS top2_chars,
+       |    CAST(COALESCE(dup5_occ, 0) AS BIGINT) AS dup5_occ,
+       |    CAST(COALESCE(tot5_occ, 0) AS BIGINT) AS tot5_occ
+       |  FROM d LEFT JOIN s ON d.doc_id = s.doc_id)
+       |SELECT doc_id, n_chars_canon, top2_chars, dup5_occ, tot5_occ,
+       |  CASE WHEN n_chars_canon = 0 THEN 0.0
+       |       ELSE CAST(top2_chars AS DOUBLE) / n_chars_canon END AS top_bigram_frac,
+       |  CASE WHEN tot5_occ = 0 THEN 0.0
+       |       ELSE CAST(dup5_occ AS DOUBLE) / tot5_occ END AS dup5_frac,
+       |  (CASE WHEN n_chars_canon = 0 THEN 0.0
+       |        ELSE CAST(top2_chars AS DOUBLE) / n_chars_canon END < 0.2
+       |   AND CASE WHEN tot5_occ = 0 THEN 0.0
+       |            ELSE CAST(dup5_occ AS DOUBLE) / tot5_occ END < 0.3) AS keep
+       |FROM j ORDER BY doc_id""".stripMargin
+  }
+
+  /** Temperature-reweighted source mixing (α = 0.5): per-source budgets
+    * FIT from corpus shares (sqrt-share, renormalized by a left fold in
+    * source order), half the corpus total overall; selection rides the
+    * same bounded-window prefix machinery as `pipe_token_mix`.
+    */
+  private def sampTemperature(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.temperatureMix(
+        Tables.documents(s, dir), "source", "doc_id",
+        text.Text.wordCount(col("text")), budgetFrac = 0.5)
+      .orderBy("source", "doc_id")
+
+  private val sampTemperatureSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST($wcSql AS BIGINT) AS toks FROM documents),
+       |tot AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS st FROM t GROUP BY 1),
+       |g AS (SELECT CAST(SUM(st) AS BIGINT) AS gt FROM tot),
+       |w AS (SELECT source, sqrt(CAST(st AS DOUBLE) / gt) AS sq FROM tot, g),
+       |z AS (SELECT list_reduce(
+       |        list_prepend(CAST(0.0 AS DOUBLE), list(sq ORDER BY source)),
+       |        (a, b) -> a + b) AS z FROM w),
+       |b AS (SELECT source, (sq / z.z) * (CAST(0.5 AS DOUBLE) * CAST(g.gt AS DOUBLE)) AS budget
+       |      FROM w, z, g),
+       |cum AS (
+       |  SELECT source, doc_id, toks,
+       |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM t)
+       |SELECT cum.source, cum.doc_id, cum.toks, cum.cum_before
+       |FROM cum JOIN b ON cum.source = b.source
+       |WHERE cum.cum_before < b.budget
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
     */
@@ -3291,6 +3378,8 @@ object SparkEntry {
     "q_salted_join" -> (qSaltedJoin _),
     "text_bm25_topk" -> (textBm25Topk _),
     "pipe_token_mix" -> (pipeTokenMix _),
+    "text_repetition" -> (textRepetition _),
+    "samp_temperature" -> (sampTemperature _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_pq_topk" -> (annPq _),
@@ -3452,6 +3541,8 @@ object SparkEntry {
     "q_salted_join" -> qSaltedJoinSql,
     "text_bm25_topk" -> textBm25TopkSql,
     "pipe_token_mix" -> pipeTokenMixSql,
+    "text_repetition" -> textRepetitionSql,
+    "samp_temperature" -> sampTemperatureSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,
     "ann_pq_probe" -> annPqSql,

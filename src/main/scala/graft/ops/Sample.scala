@@ -128,4 +128,47 @@ object Sample {
       .where(col("cum_before") < budget)
       .select(col(key), col(idCol), col("toks"), col("cum_before"))
   }
+
+  /** Temperature-reweighted source mixing: the per-source token budgets
+    * are FIT from the corpus instead of handed in. With temperature
+    * α = 0.5 (the standard multilingual-LM rebalancing trick: sample
+    * p_s ∝ share_s^α so head sources are de-emphasized and tail sources
+    * up-weighted), each source's budget is
+    *
+    *   budget_s = (sqrt(share_s) / Σ_t sqrt(share_t)) × budgetFrac × T
+    *
+    * where share_s = tokens_s / T. α is FIXED at 0.5 because sqrt is
+    * IEEE-754 correctly-rounded in both the JVM and DuckDB — pow(x, α)
+    * for general α is not, and would break bit-exact oracle parity.
+    * The normalizer Σ sqrt(share) is a LEFT FOLD in source-name order
+    * (binary/UTF8 ordering), mirrored by the oracle's list_reduce over
+    * list(... ORDER BY source): double addition is order-sensitive, so
+    * both engines must fold identically.
+    *
+    * Scale: the only driver-side state is one row per SOURCE (bounded by
+    * the catalog of sources, not the corpus); selection then rides
+    * `tokenMix`'s two-level bounded-window prefix sums. Output = the
+    * selected (source, doc, tokens, cum_before) rows.
+    */
+  def temperatureMix(
+      docs: DataFrame,
+      key: String,
+      idCol: String,
+      tokens: Column,
+      budgetFrac: Double,
+      bucketSize: Long = 4096L): DataFrame = {
+    val toks = docs.select(col(key), col(idCol), tokens.as("toks"))
+    // Bounded collect: one (source, total) row per source.
+    val totals = toks.groupBy(key).agg(sum("toks").as("t"))
+      .orderBy(key).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val grand = totals.map(_._2).sum
+    require(grand > 0, s"temperatureMix: corpus has no tokens under '$key'")
+    val sq = totals.map { case (s, t) => s -> math.sqrt(t.toDouble / grand) }
+    val z = sq.map(_._2).foldLeft(0.0)(_ + _)
+    val budgets = sq.map { case (s, w) =>
+      s -> (w / z) * (budgetFrac * grand)
+    }.toMap
+    tokenMix(docs, key, idCol, tokens, budgets, bucketSize)
+  }
 }

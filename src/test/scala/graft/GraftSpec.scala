@@ -2178,3 +2178,99 @@ class NewOpCacheSpec extends AnyFunSuite {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
+
+class RepetitionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("bigram-stuffed and span-duplicated docs flagged; varied doc kept") {
+    val dupSpan = "alpha beta gamma delta epsilon" // a 5-word span
+    val docs = Seq(
+      // one bigram dominates: "buy now" repeated 6 times = 12 of 13 words
+      (1L, "buy now buy now buy now buy now buy now buy now please"),
+      // lyrics-style loop: the span repeats back-to-back, so EVERY
+      // 5-gram window (including wrap-around windows) occurs >= 2 times
+      (2L, s"$dupSpan $dupSpan $dupSpan"),
+      (3L, "a genuinely varied sentence where every single word differs " +
+        "completely from its neighbor so no phrase ever repeats at all"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val r = text.Repetition.metrics(docs).orderBy("doc_id").collect()
+
+    // doc 1: top bigram "buy now" count=6, len=7 -> 42 chars of 54 canon
+    assert(r(0).getAs[Long]("top2_chars") === 42L)
+    assert(r(0).getAs[Double]("top_bigram_frac") > 0.7)
+    assert(r(0).getAs[Boolean]("keep") === false)
+
+    // doc 2: 15 words -> 11 window positions, every window's gram
+    // occurs >= 2 times across the three span copies -> frac = 1.0
+    assert(r(1).getAs[Long]("tot5_occ") === 11L)
+    assert(r(1).getAs[Double]("dup5_frac") === 1.0)
+    assert(r(1).getAs[Boolean]("keep") === false)
+
+    // doc 3: all words distinct -> no repeated grams at all
+    assert(r(2).getAs[Long]("dup5_occ") === 0L)
+    assert(r(2).getAs[Double]("top_bigram_frac") < 0.2)
+    assert(r(2).getAs[Boolean]("keep") === true)
+
+    // doc 4: empty -> zeros, kept (emptiness is Gopher.metrics' job)
+    assert(r(3).getAs[Long]("n_chars_canon") === 0L)
+    assert(r(3).getAs[Double]("top_bigram_frac") === 0.0)
+    assert(r(3).getAs[Double]("dup5_frac") === 0.0)
+    assert(r(3).getAs[Boolean]("keep") === true)
+  }
+
+  test("short docs yield one whole-text gram; no phantom repetition") {
+    val r = text.Repetition.metrics(
+        Seq((1L, "two words")).toDF("doc_id", "text"))
+      .collect()(0)
+    // single whole-text gram for both k -> count 1, never duplicated
+    assert(r.getAs[Long]("tot5_occ") === 1L)
+    assert(r.getAs[Long]("dup5_occ") === 0L)
+    // top2_chars = 1 * len("two words") = 9
+    assert(r.getAs[Long]("top2_chars") === 9L)
+  }
+}
+
+class TemperatureMixSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // head source holds 90% of tokens (9 docs x 10 tokens), tail 10%
+  private val docs = (
+    (1L to 9L).map(i => (i, "head", ("w " * 10).trim)) :+
+      (10L, "tail", ("w " * 10).trim)
+  ).toDF("doc_id", "source", "text")
+
+  test("sqrt temperature upweights the tail source vs raw share") {
+    val sel = ops.Sample.temperatureMix(
+      docs, "source", "doc_id", text.Text.wordCount(col("text")),
+      budgetFrac = 0.5)
+    val bysrc = sel.groupBy("source").agg(sum("toks").as("t"))
+      .as[(String, Long)].collect().toMap
+    // budgets: z = sqrt(.9)+sqrt(.1); head w=.9487/z=.75, tail .25
+    // head budget = .75*50 = 37.5 tokens -> 4 docs (cum_before<37.5 at 30)
+    // tail budget = .25*50 = 12.5 -> its single 10-token doc admits
+    assert(bysrc("head") === 40L)
+    assert(bysrc("tail") === 10L)
+    // raw-share mixing at the same budget would give the tail
+    // .1*50 = 5 tokens -> zero whole docs; sqrt temperature admits it
+  }
+
+  test("selection is a doc_id prefix per source") {
+    val sel = ops.Sample.temperatureMix(
+        docs, "source", "doc_id", text.Text.wordCount(col("text")), 0.5)
+      .select("source", "doc_id").as[(String, Long)].collect()
+    val heads = sel.filter(_._1 == "head").map(_._2).sorted
+    assert(heads === (1L to heads.length).toArray)
+  }
+
+  test("empty corpus is rejected with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      ops.Sample.temperatureMix(
+        Seq((1L, "s", "")).toDF("doc_id", "source", "text"),
+        "source", "doc_id", text.Text.wordCount(col("text")), 0.5)
+    }
+    assert(e.getMessage.contains("no tokens"))
+  }
+}
