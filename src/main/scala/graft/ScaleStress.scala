@@ -151,6 +151,36 @@ object ScaleStress {
       spark.catalog.clearCache(); TmpDirs.sweepRecorded()
     }
 
+    // ---- ANN probe path at two corpus scales ----
+    // the production steady state: the PQ index is built once per corpus;
+    // probes scan only the 16×-compressed codes. Measured at 1× and mult×
+    // vectors (copies shift vec_id by max+1; fit init ids are preserved) —
+    // probe time should scale ~linearly with the code table and never
+    // shuffle the corpus.
+    val emb = Tables.embeddings(spark, baseDir).select("vec_id", "embedding")
+    val vMax = emb.agg(max("vec_id")).head.getLong(0) + 1
+    (0 until mult).map { i =>
+      emb.select((col("vec_id") + lit(i.toLong * vMax)).as("vec_id"), col("embedding"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
+    val qs = emb.where(col("vec_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val annTimes = Seq(("base", baseDir), ("big", scratch)).map { case (tag, d) =>
+      val pqPath = s"$scratch/pqix_$tag"
+      val tb0 = System.nanoTime()
+      ann.Pq.Index.build(Tables.embeddings(spark, d), pqPath)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+      val tp0 = System.nanoTime()
+      val rows = ann.Pq.Index.topK(spark, pqPath, qs, 10).count()
+      val tProbe = (System.nanoTime() - tp0) / 1e9
+      println(f"[stress] ann_pq_probe_$tag%-9s build=${tBuild}%5.1fs probe=${tProbe}%5.1fs ($rows rows)")
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+      (tag, tBuild, tProbe)
+    }
+    println(f"[stress] ann_pq probe ratio at ${mult}x vectors: ${annTimes(1)._3 / annTimes(0)._3}%.2f")
+
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
     (results ++ evResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")

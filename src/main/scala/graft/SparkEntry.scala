@@ -2048,6 +2048,52 @@ object SparkEntry {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Per-source corpus quality scorecard: ONE report frame holding every
+    * gate's keep count (Gopher word stats, n-gram repetition, language-ID
+    * agreement) plus token totals — the dashboard a curation run reads to
+    * decide which sources need filtering attention. All counts are exact
+    * bigints; the per-signal pipelines join on doc_id (co-partitioned
+    * after their own aggs) before one tiny groupBy(source).
+    */
+  private def pipeQualityScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("gk"))
+    val rep = text.Repetition.metrics(docs).select(col("doc_id"), col("keep").as("rk"))
+    val base = docs.select(
+      col("doc_id"), col("source"), col("lang"),
+      text.Text.wordCount(col("text")).as("toks"),
+      text.Text.langId(col("text")).as("lang_pred"))
+    base.join(g, Seq("doc_id")).join(rep, Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        sum(when(col("gk"), 1L).otherwise(0L)).as("gopher_kept"),
+        sum(when(col("rk"), 1L).otherwise(0L)).as("rep_kept"),
+        sum(when(col("gk") && col("rk"), 1L).otherwise(0L)).as("both_kept"),
+        sum(when(col("lang_pred") === col("lang"), 1L).otherwise(0L)).as("lang_agree"))
+      .orderBy("source")
+  }
+
+  private val pipeQualityScorecardSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH gq AS (SELECT doc_id, keep AS gk FROM ($textGopherQualitySql)),
+       |rq AS (SELECT doc_id, keep AS rk FROM ($textRepetitionSql)),
+       |lq AS (SELECT doc_id, lang_pred FROM ($textLangidSql)),
+       |b AS (SELECT doc_id, source, lang, CAST($wcSql AS BIGINT) AS toks
+       |      FROM documents)
+       |SELECT b.source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS gopher_kept,
+       |  CAST(SUM(CASE WHEN rk THEN 1 ELSE 0 END) AS BIGINT) AS rep_kept,
+       |  CAST(SUM(CASE WHEN gk AND rk THEN 1 ELSE 0 END) AS BIGINT) AS both_kept,
+       |  CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS lang_agree
+       |FROM b JOIN gq USING (doc_id) JOIN rq USING (doc_id) JOIN lq USING (doc_id)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
     */
@@ -3380,6 +3426,7 @@ object SparkEntry {
     "pipe_token_mix" -> (pipeTokenMix _),
     "text_repetition" -> (textRepetition _),
     "samp_temperature" -> (sampTemperature _),
+    "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
     "ann_pq_topk" -> (annPq _),
@@ -3543,6 +3590,7 @@ object SparkEntry {
     "pipe_token_mix" -> pipeTokenMixSql,
     "text_repetition" -> textRepetitionSql,
     "samp_temperature" -> sampTemperatureSql,
+    "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,
     "ann_pq_probe" -> annPqSql,
