@@ -2274,3 +2274,15 @@ class TemperatureMixSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no tokens"))
   }
 }
+
+class VerifyGuardSpec extends AnyFunSuite {
+  test("filtered Verify refuses an outDir already holding a manifest") {
+    val out = java.nio.file.Files.createTempDirectory("vguard").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/oracle_sql.json"), "{}")
+    val e = intercept[IllegalArgumentException] {
+      Verify.main(Array("/root/testdata/sf0.001", out, "q1_agg"))
+    }
+    assert(e.getMessage.contains("refusing FILTERED run"))
+  }
+}
