@@ -2094,6 +2094,125 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Per-document Shannon word entropy — the repetition/diversity signal
+    * carried as exact quantized-log BIGINTs (see [[text.InfoTheory]]).
+    * Threshold 3.0 nats splits the corpus near its median.
+    */
+  private def textEntropy(s: SparkSession, dir: String): DataFrame =
+    text.InfoTheory.entropy(Tables.documents(s, dir), keepMinNats = 3.0)
+      .orderBy("doc_id")
+
+  private val textEntropySql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |dc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(w) AS t FROM d) GROUP BY 1, 2),
+       |per AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(c) AS BIGINT) AS n_words,
+       |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sc
+       |  FROM dc GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    COALESCE(n_distinct, 0) AS n_distinct,
+       |    COALESCE(sc, 0) AS sc
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |e AS (
+       |  SELECT doc_id, n_words, n_distinct,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE n_words * CAST(floor(ln(CAST(n_words AS DOUBLE)) * 1e9) AS BIGINT) - sc
+       |    END AS ent_q
+       |  FROM j),
+       |f AS (
+       |  SELECT doc_id, n_words, n_distinct, ent_q,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE CAST(ent_q AS DOUBLE) / (CAST(n_words AS DOUBLE) * 1e9)
+       |    END AS entropy_nats
+       |  FROM e)
+       |SELECT doc_id, n_words, n_distinct, ent_q, entropy_nats,
+       |  entropy_nats >= CAST(3.0 AS DOUBLE) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Corpus-fit unigram-LM surprisal (perplexity-filter shape): the fit
+    * (word dictionary + corpus total) is recomputed inside the oracle's
+    * CTEs; keep band [3.398, 3.410] nats drops both tails of this
+    * corpus' distribution (boilerplate below, gibberish above).
+    */
+  private def textUnigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    text.InfoTheory.surprisal(Tables.documents(s, dir),
+        keepLoNats = 3.398, keepHiNats = 3.410)
+      .orderBy("doc_id")
+
+  private val textUnigramSurprisalSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |dc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(w) AS t FROM d) GROUP BY 1, 2),
+       |dict AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf FROM dc GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(floor(ln(CAST(SUM(cf) AS DOUBLE)) * 1e9) AS BIGINT) AS qlnt
+       |  FROM dict),
+       |per AS (
+       |  SELECT dc.doc_id,
+       |    CAST(SUM(dc.c) AS BIGINT) AS n_words,
+       |    CAST(SUM(dc.c * CAST(floor(ln(CAST(dict.cf AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS scf
+       |  FROM dc JOIN dict USING (t) GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    COALESCE(scf, 0) AS scf
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |e AS (
+       |  SELECT doc_id, n_words,
+       |    CASE WHEN n_words = 0 THEN 0
+       |         ELSE n_words * (SELECT qlnt FROM tot) - scf END AS sur_q
+       |  FROM j),
+       |f AS (
+       |  SELECT doc_id, n_words, sur_q,
+       |    CASE WHEN n_words = 0 THEN 0.0
+       |         ELSE CAST(sur_q AS DOUBLE) / (CAST(n_words AS DOUBLE) * 1e9)
+       |    END AS avg_surprisal
+       |  FROM e)
+       |SELECT doc_id, n_words, sur_q, avg_surprisal,
+       |  (avg_surprisal >= CAST(3.398 AS DOUBLE)
+       |   AND avg_surprisal <= CAST(3.410 AS DOUBLE)) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Deterministic stratified train/val/test accounting: 80/10/10 by
+    * SplitMix64(doc_id), tokens by the length-arithmetic word count.
+    */
+  private def sampSplit(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.hashSplit(Tables.documents(s, dir), "doc_id", "source",
+        text.Text.wordCount(col("text")), trainPct = 80, valPct = 10)
+      .orderBy("source", "split")
+
+  private val sampSplitSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH b AS (
+       |  SELECT source,
+       |    ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} AS bucket,
+       |    CAST($wcSql AS BIGINT) AS toks
+       |  FROM documents),
+       |s AS (
+       |  SELECT source,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val'
+       |         ELSE 'test' END AS split,
+       |    toks
+       |  FROM b),
+       |g AS (
+       |  SELECT source, split,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(toks) AS BIGINT) AS n_tokens
+       |  FROM s GROUP BY 1, 2)
+       |SELECT source, split, n_docs, n_tokens,
+       |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS docs_frac
+       |FROM g ORDER BY source, split""".stripMargin
+  }
+
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
     */
@@ -3425,7 +3544,10 @@ object SparkEntry {
     "text_bm25_topk" -> (textBm25Topk _),
     "pipe_token_mix" -> (pipeTokenMix _),
     "text_repetition" -> (textRepetition _),
+    "text_entropy" -> (textEntropy _),
+    "text_unigram_surprisal" -> (textUnigramSurprisal _),
     "samp_temperature" -> (sampTemperature _),
+    "samp_split" -> (sampSplit _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -3589,7 +3711,10 @@ object SparkEntry {
     "text_bm25_topk" -> textBm25TopkSql,
     "pipe_token_mix" -> pipeTokenMixSql,
     "text_repetition" -> textRepetitionSql,
+    "text_entropy" -> textEntropySql,
+    "text_unigram_surprisal" -> textUnigramSurprisalSql,
     "samp_temperature" -> sampTemperatureSql,
+    "samp_split" -> sampSplitSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

@@ -101,6 +101,35 @@ object Mix64 {
   }
 }
 
+/** SplitMix64 finalizer of a BIGINT column — the deterministic row hash
+  * behind reproducible train/val/test assignment ([[graft.ops.Sample
+  * .hashSplit]]). A dedicated expression because the wrapping multiplies
+  * can't be written with Column arithmetic under ANSI mode (overflow
+  * would throw); the codegen inlines the three mix rounds directly, so
+  * the hash stays inside whole-stage codegen with zero calls/boxing.
+  * Mirrored bit-exactly in SQL by [[graft.oracle.DuckHash.mix64BucketSql]].
+  */
+case class Mix64Long(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, _ == LongType, "bigint")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(Mix64(input.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val z = ctx.freshName("z")
+      s"""long $z = $input + 0x9e3779b97f4a7c15L;
+         |$z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |${ev.value} = $z ^ ($z >>> 31);""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Mix64Long = copy(child = c)
+  override def prettyName: String = "mix64"
+}
+
 /** MinHash signature over a column of pre-hashed shingles.
   *
   * Input: `array<long>` (xxhash64 of each shingle). Output: `array<long>`

@@ -129,6 +129,46 @@ object Sample {
       .select(col(key), col(idCol), col("toks"), col("cum_before"))
   }
 
+  /** Deterministic stratified train/val/test assignment with per-split
+    * accounting. Each row's split is a pure function of its id —
+    * bucket = (SplitMix64(id) >>> 32) mod 100, train if bucket < trainPct,
+    * val if < trainPct+valPct, else test — so the split is reproducible
+    * across runs, retries, and cluster layouts, and any engine with the
+    * same mixer assigns identically (the oracle mirrors the mixer in
+    * SQL). The top 32 hash bits feed the modulo so the bucket math runs
+    * on a value both signed and unsigned arithmetic agree on.
+    *
+    * Output is the ACCOUNTING frame (source × split: docs, tokens, doc
+    * fraction), the artifact a curation run records; per-row assignment
+    * is the same expression applied at write time. One map-side hash +
+    * one groupBy on (source, split) — the window for docs_frac runs on
+    * the tiny aggregated frame (|sources| × 3 rows).
+    */
+  def hashSplit(
+      docs: DataFrame,
+      idCol: String,
+      srcCol: String,
+      tokens: Column,
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"hashSplit: need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(idCol))))
+    val bucket = shiftrightunsigned(h, 32) % lit(100L)
+    val split = when(bucket < trainPct.toLong, lit("train"))
+      .when(bucket < (trainPct + valPct).toLong, lit("val"))
+      .otherwise(lit("test"))
+    val g = docs
+      .select(col(srcCol).as("source"), split.as("split"), tokens.as("toks"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    g.withColumn("docs_frac",
+      col("n_docs").cast("double") / sum("n_docs").over(w).cast("double"))
+  }
+
   /** Temperature-reweighted source mixing: the per-source token budgets
     * are FIT from the corpus instead of handed in. With temperature
     * α = 0.5 (the standard multilingual-LM rebalancing trick: sample

@@ -98,6 +98,15 @@ object DuckHash {
     xorShr(z2, 31)
   }
 
+  /** Split bucket of a non-negative BIGINT expr: mirrors the Spark side's
+    * `Mix64Long(x) >>> 32 % m` (graft.functions.Mix64Long +
+    * shiftrightunsigned). The TOP 32 bits are used so the modulo runs on
+    * a value both engines agree is non-negative — no signed/unsigned
+    * mod reconciliation needed.
+    */
+  def mix64BucketSql(x: String, m: Int): String =
+    s"CAST((${mix64Sql(s"CAST($x AS UBIGINT)")} >> 32) % $m AS BIGINT)"
+
   /** FNV-1a fold over a UBIGINT list (offset prepended: DuckDB 1.0's
     * list_reduce has no initial-value form).
     */

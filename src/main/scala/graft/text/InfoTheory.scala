@@ -1,0 +1,111 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Information-theoretic quality signals for the training-data pipeline:
+  * per-document word entropy and corpus-fit unigram surprisal (the
+  * classic perplexity filter — CCNet/Wenzek et al. use a 5-gram LM; the
+  * unigram variant keeps the same keep-the-middle contract while staying
+  * SQL-expressible for the oracle).
+  *
+  * Cross-engine exactness: both signals are sums of QUANTIZED logs held
+  * as BIGINTs — qln(x) = floor(ln(x)·1e9) — so every aggregate is exact
+  * integer arithmetic (order-free, no float-fold mirroring needed) and
+  * each document's score is ONE final division of two exact integers.
+  * ln is not correctly-rounded identically across engines, but both
+  * floor at 1e-9, so they land on the same integer unless the true value
+  * sits within ~1e-7 of a floor boundary — which the hash gate itself
+  * would catch for the fixed test data (same argument as the BM25 idf).
+  *
+  * Scale: both are ONE explode + (doc_id, word)-keyed counts — doc_id
+  * prefixes the key so corpus-wide hot words (stopwords) never
+  * concentrate a partition. Surprisal's dictionary join runs on the
+  * ALREADY per-doc-reduced (doc_id, word, count) frame, so a hot word
+  * contributes one row per document containing it, not one per
+  * occurrence; the dictionary itself is never collected (only the 1-row
+  * corpus total is).
+  */
+object InfoTheory {
+
+  /** floor(ln(x)·1e9) as BIGINT — exact-summable log units. */
+  private def qln(x: Column): Column =
+    floor(log(x.cast("double")) * lit(1e9)).cast("long")
+
+  /** Per-document Shannon word entropy (nats).
+    *
+    * H = ln(n) − (1/n)·Σ c_t·ln(c_t) over word counts c_t, carried as
+    * ent_q = n·qln(n) − Σ c_t·qln(c_t) (BIGINT, exact). Low entropy =
+    * repetitive/templated text; the keep gate drops docs below
+    * `keepMinNats`. Wordless docs score 0 and fail the gate.
+    */
+  def entropy(docs: DataFrame, keepMinNats: Double): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("doc_id").agg(
+      sum("c").as("nw"),
+      count(lit(1)).as("nd"),
+      sum(col("c") * qln(col("c"))).as("sc"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct"),
+        coalesce(col("sc"), lit(0L)).as("sc"))
+      .withColumn("ent_q",
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(col("n_words") * qln(col("n_words")) - col("sc")))
+      .withColumn("entropy_nats",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("ent_q").cast("double") /
+            (col("n_words").cast("double") * lit(1e9))))
+      .withColumn("keep", col("entropy_nats") >= lit(keepMinNats))
+      .drop("sc")
+  }
+
+  /** Per-document average unigram surprisal (nats/token) under a unigram
+    * LM FIT from the corpus itself: surprisal(t) = ln(T/cf_t) where cf_t
+    * is t's corpus frequency and T the corpus token total. Carried as
+    * sur_q = n·qln(T) − Σ c_t·qln(cf_t) (BIGINT, exact);
+    * avg = sur_q / (n·1e9).
+    *
+    * The keep gate is the CCNet band: drop BOTH tails — too-predictable
+    * (boilerplate the LM has memorized) and too-surprising (gibberish /
+    * wrong-language) documents. The only driver-side state is the 1-row
+    * corpus token total (bounded metadata, same contract as the BM25
+    * collect); the word dictionary stays distributed.
+    */
+  def surprisal(docs: DataFrame, keepLoNats: Double, keepHiNats: Double): DataFrame = {
+    // Bounded collect: ONE scalar. T equals Σ cf by construction, but a
+    // length-arithmetic wordCount scan is far cheaper than the explode.
+    val totRow = docs.agg(sum(Text.wordCount(col("text")))).head()
+    val tokTotal = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
+    require(tokTotal > 0, "surprisal: corpus has no words")
+    val qlnT = math.floor(math.log(tokTotal.toDouble) * 1e9).toLong
+
+    val cnt = docs
+      .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val dict = cnt.groupBy("t").agg(sum("c").as("cf"))
+    val per = cnt.join(dict, "t")
+      .groupBy("doc_id")
+      .agg(sum("c").as("nw"), sum(col("c") * qln(col("cf"))).as("scf"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        coalesce(col("scf"), lit(0L)).as("scf"))
+      .withColumn("sur_q",
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(col("n_words") * lit(qlnT) - col("scf")))
+      .withColumn("avg_surprisal",
+        when(col("n_words") === 0L, lit(0.0))
+          .otherwise(col("sur_q").cast("double") /
+            (col("n_words").cast("double") * lit(1e9))))
+      .withColumn("keep",
+        col("avg_surprisal") >= lit(keepLoNats) &&
+          col("avg_surprisal") <= lit(keepHiNats))
+      .drop("scf")
+  }
+}

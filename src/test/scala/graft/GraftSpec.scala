@@ -2286,3 +2286,124 @@ class VerifyGuardSpec extends AnyFunSuite {
     assert(e.getMessage.contains("refusing FILTERED run"))
   }
 }
+
+class InfoTheorySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // qln reference values: floor(ln(x) * 1e9)
+  private val qln2 = 693147180L
+  private val qln3 = 1098612288L
+  private val qln4 = 1386294361L
+  private val qln5 = 1609437912L
+
+  test("entropy: exact quantized-log integers, nats, and the keep gate") {
+    val docs = Seq(
+      (1L, "a a a a"), // one word repeated -> H = 0
+      (2L, "a b c d"), // all distinct -> H = ln(4)
+      (3L, "a a b"),   // mixed -> 3*qln(3) - 2*qln(2)
+      (4L, "")         // wordless -> zeros, dropped by the gate
+    ).toDF("doc_id", "text")
+    val r = text.InfoTheory.entropy(docs, keepMinNats = 1.0)
+      .orderBy("doc_id").collect()
+
+    assert(r(0).getAs[Long]("ent_q") === 0L)
+    assert(r(0).getAs[Double]("entropy_nats") === 0.0)
+    assert(r(0).getAs[Boolean]("keep") === false)
+
+    assert(r(1).getAs[Long]("n_words") === 4L)
+    assert(r(1).getAs[Long]("n_distinct") === 4L)
+    assert(r(1).getAs[Long]("ent_q") === 4L * qln4)
+    assert(math.abs(r(1).getAs[Double]("entropy_nats") - math.log(4.0)) < 1e-8)
+    assert(r(1).getAs[Boolean]("keep") === true)
+
+    assert(r(2).getAs[Long]("ent_q") === 3L * qln3 - 2L * qln2)
+    assert(math.abs(r(2).getAs[Double]("entropy_nats") - 0.636514168) < 1e-8)
+
+    assert(r(3).getAs[Long]("n_words") === 0L)
+    assert(r(3).getAs[Double]("entropy_nats") === 0.0)
+    assert(r(3).getAs[Boolean]("keep") === false)
+  }
+
+  test("surprisal: corpus-fit unigram LM, rare words score higher") {
+    // corpus: cf(a)=4, cf(b)=1, T=5
+    val docs = Seq((1L, "a a a"), (2L, "a b")).toDF("doc_id", "text")
+    val r = text.InfoTheory.surprisal(docs, keepLoNats = 0.5, keepHiNats = 1.0)
+      .orderBy("doc_id").collect()
+
+    // doc 1: 3*qln(5) - 3*qln(4)
+    assert(r(0).getAs[Long]("sur_q") === 3L * qln5 - 3L * qln4)
+    assert(math.abs(r(0).getAs[Double]("avg_surprisal") - 0.223143551) < 1e-8)
+    assert(r(0).getAs[Boolean]("keep") === false) // too predictable
+
+    // doc 2: 2*qln(5) - (qln(4) + qln(1)) ; qln(1) = 0
+    assert(r(1).getAs[Long]("sur_q") === 2L * qln5 - qln4)
+    assert(math.abs(r(1).getAs[Double]("avg_surprisal") - 0.9162907315) < 1e-8)
+    assert(r(1).getAs[Boolean]("keep") === true)
+
+    assert(r(1).getAs[Double]("avg_surprisal") > r(0).getAs[Double]("avg_surprisal"))
+  }
+
+  test("surprisal rejects a wordless corpus with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      text.InfoTheory.surprisal(
+        Seq((1L, "...")).toDF("doc_id", "text"), 0.0, 1.0)
+    }
+    assert(e.getMessage.contains("no words"))
+  }
+}
+
+class HashSplitSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.functions.{Mix64, Mix64Long}
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  test("Mix64Long matches Mix64.apply through codegen, including negatives") {
+    val ids = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val got = ids.toDF("x")
+      .select(ColumnBridge.column(Mix64Long(ColumnBridge.expression(col("x")))).as("h"))
+      .as[Long].collect()
+    assert(got.toSeq === ids.map(Mix64(_)))
+  }
+
+  test("hashSplit accounting matches a direct Mix64 replay and is deterministic") {
+    val n = 1000
+    val docs = (0 until n).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd", "w x"))
+      .toDF("doc_id", "source", "text")
+    def run() = ops.Sample.hashSplit(
+        docs, "doc_id", "source", lit(1L), trainPct = 80, valPct = 10)
+      .orderBy("source", "split").collect()
+    val r1 = run()
+    assert(r1.toSeq === run().toSeq, "same input must produce the same split")
+
+    // replay the assignment rule directly on the driver
+    def splitOf(id: Long): String = {
+      val b = (Mix64(id) >>> 32) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    val expect = (0 until n)
+      .map(i => ((if (i % 2 == 0) "even" else "odd", splitOf(i.toLong)), 1))
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    r1.foreach { row =>
+      val k = (row.getAs[String]("source"), row.getAs[String]("split"))
+      assert(row.getAs[Long]("n_docs") === expect(k).toLong, s"count mismatch at $k")
+      assert(row.getAs[Long]("n_tokens") === row.getAs[Long]("n_docs")) // tokens = lit(1)
+    }
+    assert(r1.map(_.getAs[Long]("n_docs")).sum === n.toLong)
+
+    // docs_frac sums to 1 within each source
+    r1.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("docs_frac")).sum - 1.0) < 1e-12)
+    }
+  }
+
+  test("hashSplit rejects percentages that leave no test slice") {
+    val e = intercept[IllegalArgumentException] {
+      ops.Sample.hashSplit(
+        Seq((1L, "s", "t")).toDF("doc_id", "source", "text"),
+        "doc_id", "source", lit(1L), trainPct = 90, valPct = 10)
+    }
+    assert(e.getMessage.contains("hashSplit"))
+  }
+}
