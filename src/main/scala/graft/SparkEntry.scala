@@ -1384,8 +1384,11 @@ object SparkEntry {
     ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .orderBy("query_id", "rnk")
 
-  private val annBruteforceSql =
-    """WITH e AS (
+  /** Brute-force cosine rank oracle, parameterized on k so the hybrid
+    * fusion oracle can reuse the identical scoring chain at k=20.
+    */
+  private def bruteforceRankSql(k: Int): String =
+    s"""WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
       |  FROM embeddings),
       |n AS (
@@ -1403,8 +1406,10 @@ object SparkEntry {
       |  SELECT query_id, vec_id, cosine,
       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
       |  FROM s)
-      |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+      |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= $k
       |ORDER BY query_id, rnk""".stripMargin
+
+  private val annBruteforceSql = bruteforceRankSql(10)
 
   private def annLsh(s: SparkSession, dir: String): DataFrame =
     ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
@@ -2212,6 +2217,71 @@ object SparkEntry {
        |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE) AS docs_frac
        |FROM g ORDER BY source, split""".stripMargin
   }
+
+  /** Hybrid retrieval: RRF fusion ([[ops.Fusion.rrf2]]) of the vector
+    * leg (brute-force cosine top-20 per query) and the lexical leg
+    * (BM25 top-20 for the fixed term set, shared across queries and
+    * fanned out MAP-SIDE via explode — no cross join). The lexical
+    * rank window is bounded by the upstream LIMIT 20.
+    */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val vec = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 20)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("vrnk"))
+    val lex = textBm25Topk(s, dir)
+      .withColumn("lrnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("score"), col("doc_id"))).cast("long"))
+      .select(col("doc_id").as("vec_id"), col("lrnk"))
+      .withColumn("query_id", explode(lit(annQueryIds.toArray)))
+    ops.Fusion.rrf2(vec, lex, k0 = 60.0, topK = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val qHybridRrfSql =
+    s"""WITH vr AS (SELECT query_id, vec_id, rnk FROM (${bruteforceRankSql(20)})),
+       |lex AS (
+       |  SELECT doc_id AS vec_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lrnk
+       |  FROM ($textBm25TopkSql)),
+       |lq AS (
+       |  SELECT q.query_id, lex.vec_id, lex.lrnk
+       |  FROM lex, (SELECT UNNEST(CAST([0,1,2,3,4] AS BIGINT[])) AS query_id) q),
+       |f AS (
+       |  SELECT COALESCE(vr.query_id, lq.query_id) AS query_id,
+       |    COALESCE(vr.vec_id, lq.vec_id) AS vec_id,
+       |    vr.rnk AS vrnk, lq.lrnk,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(vr.rnk AS DOUBLE)), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(lq.lrnk AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf
+       |  FROM vr FULL OUTER JOIN lq
+       |    ON vr.query_id = lq.query_id AND vr.vec_id = lq.vec_id),
+       |r AS (
+       |  SELECT query_id, vec_id, vrnk, lrnk, rrf,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM f)
+       |SELECT query_id, vec_id, vrnk, lrnk, rrf, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Tokenizer-fit step: BPE first-iteration merge-candidate table
+    * ([[text.Bpe.pairCounts]] — pair explosion over the word DICTIONARY,
+    * not the token stream). Top-20 by occurrence-weighted count.
+    */
+  private def textBpePairs(s: SparkSession, dir: String): DataFrame =
+    text.Bpe.pairCounts(Tables.documents(s, dir))
+      .orderBy(desc("n"), col("pair"))
+      .limit(20)
+
+  private val textBpePairsSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |dict AS (
+       |  SELECT t AS w, COUNT(*) AS freq
+       |  FROM (SELECT UNNEST(w) AS t FROM d) GROUP BY 1),
+       |p AS (
+       |  SELECT freq,
+       |    UNNEST(list_transform(generate_series(1, length(w) - 1),
+       |      i -> substr(w, i, 2))) AS pair
+       |  FROM dict WHERE length(w) >= 2)
+       |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+       |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
@@ -3548,6 +3618,8 @@ object SparkEntry {
     "text_unigram_surprisal" -> (textUnigramSurprisal _),
     "samp_temperature" -> (sampTemperature _),
     "samp_split" -> (sampSplit _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
+    "text_bpe_pairs" -> (textBpePairs _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -3715,6 +3787,8 @@ object SparkEntry {
     "text_unigram_surprisal" -> textUnigramSurprisalSql,
     "samp_temperature" -> sampTemperatureSql,
     "samp_split" -> sampSplitSql,
+    "q_hybrid_rrf" -> qHybridRrfSql,
+    "text_bpe_pairs" -> textBpePairsSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

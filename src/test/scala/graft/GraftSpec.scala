@@ -989,11 +989,14 @@ class PlanAuditSpec extends AnyFunSuite {
     p
   }
 
-  test("no query plans a nested-loop or cartesian join, except the two tiny-broadcast baselines") {
+  test("no query plans a nested-loop or cartesian join, except the tiny-broadcast baselines") {
     // BNLJ is acceptable ONLY where the broadcast side is provably tiny
     // by construction: the scalar-subquery enrichment (1 row) and the
-    // brute-force ANN baseline (|queryIds| rows against one corpus scan).
-    val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk")
+    // brute-force ANN baseline (|queryIds| rows against one corpus
+    // scan) — q_hybrid_rrf embeds that same brute-force leg, so it
+    // inherits the same (allowed) plan shape; its own fusion join is
+    // an equi-join.
+    val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf")
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -2405,5 +2408,69 @@ class HashSplitSpec extends AnyFunSuite {
         "doc_id", "source", lit(1L), trainPct = 90, valPct = 10)
     }
     assert(e.getMessage.contains("hashSplit"))
+  }
+}
+
+class FusionSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("rrf2 fuses ranks, handles missing legs, breaks ties on vec_id") {
+    val vec = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "vec_id", "vrnk")
+    val lex = Seq((1L, 11L, 1L), (1L, 12L, 2L))
+      .toDF("query_id", "vec_id", "lrnk")
+    val r = ops.Fusion.rrf2(vec, lex).orderBy("rnk").collect()
+
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq === Seq(11L, 10L, 12L))
+    // both legs: 1/(60+2) + 1/(60+1), added vec-term-first
+    assert(r(0).getAs[Double]("rrf") === 1.0 / 62 + 1.0 / 61)
+    // vec only / lex only: single term, other leg null
+    assert(r(1).getAs[Double]("rrf") === 1.0 / 61)
+    assert(r(1).isNullAt(r(1).fieldIndex("lrnk")))
+    assert(r(2).getAs[Double]("rrf") === 1.0 / 62)
+    assert(r(2).isNullAt(r(2).fieldIndex("vrnk")))
+  }
+
+  test("rrf2 equal scores fall back to vec_id order; topK truncates") {
+    val vec = Seq((1L, 30L, 1L)).toDF("query_id", "vec_id", "vrnk")
+    val lex = Seq((1L, 20L, 1L)).toDF("query_id", "vec_id", "lrnk")
+    val both = ops.Fusion.rrf2(vec, lex).orderBy("rnk").collect()
+    assert(both.map(_.getAs[Long]("vec_id")).toSeq === Seq(20L, 30L)) // tie -> id asc
+    val top1 = ops.Fusion.rrf2(vec, lex, topK = 1).collect()
+    assert(top1.length === 1 && top1(0).getAs[Long]("vec_id") === 20L)
+  }
+
+  test("q_hybrid_rrf end-to-end: 10 fused results per query, rrf consistent") {
+    val r = SparkEntry.queries("q_hybrid_rrf")(spark, dir).collect()
+    val byQ = r.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to rows.length))
+      assert(rows.length <= 10)
+    }
+    r.foreach { row =>
+      def leg(c: String): Double =
+        if (row.isNullAt(row.fieldIndex(c))) 0.0 else 1.0 / (60.0 + row.getAs[Long](c))
+      assert(row.getAs[Double]("rrf") === leg("vrnk") + leg("lrnk"))
+    }
+    spark.catalog.clearCache()
+  }
+}
+
+class BpeSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("pair counts are occurrence-weighted over the word dictionary") {
+    val docs = Seq(
+      (1L, "aa ab aa"), // dict: aa freq 2, ab freq 1
+      (2L, "abc"),      // pairs ab, bc at freq 1
+      (3L, "a b"),      // single-char words contribute nothing
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = text.Bpe.pairCounts(docs)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("aa" -> 2L, "ab" -> 2L, "bc" -> 1L))
   }
 }
