@@ -2283,6 +2283,209 @@ object SparkEntry {
        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
        |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  /** Sequential-Poisson weighted sampling ([[ops.Sample.poissonSample]]):
+    * 10 docs per source drawn without replacement with inclusion odds
+    * proportional to token count — rank u/w is one exact-int IEEE
+    * division, selection through the bounded-heap TopKPerKey operator.
+    * (n = 10 < the 25 docs/source at the smallest gated scale, so the
+    * selection itself — not just the ranking — is oracle-checked.)
+    */
+  private def sampPoisson(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.poissonSample(Tables.documents(s, dir), "doc_id", "source",
+        text.Text.wordCount(col("text")), n = 10)
+      .orderBy("stratum", "rank", "doc_id")
+
+  private val sampPoissonSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH b AS (
+       |  SELECT source AS stratum, doc_id, CAST($wcSql AS BIGINT) AS w,
+       |    ${oracle.DuckHash.mix64Top32Sql("doc_id")} + 1 AS u
+       |  FROM documents),
+       |r AS (
+       |  SELECT stratum, doc_id, w,
+       |    CAST(u AS DOUBLE) / CAST(w AS DOUBLE) AS rank
+       |  FROM b WHERE w > 0),
+       |s AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY stratum ORDER BY rank, doc_id) AS rn
+       |  FROM r)
+       |SELECT stratum, doc_id, w, rank FROM s WHERE rn <= 10
+       |ORDER BY stratum, rank, doc_id""".stripMargin
+  }
+
+  /** PII audit ([[text.Pii.audit]]): per-source incidence report of
+    * detected emails / test-range phones / IPv4 literals — the
+    * compliance artifact recorded before [[text.Text.scrubPii]] runs.
+    * PII is PLANTED deterministically (every 3rd doc gets a
+    * doc_id-derived email + 555-number, every 7th an IP) so detection is
+    * exercised against known ground truth — the planting expression is
+    * part of the query and mirrored by the oracle.
+    */
+  private def textPiiAudit(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir).withColumn("ptext",
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@ex.org or call 555-"),
+            lpad((col("doc_id") % 10000L).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256L).cast("string"),
+            lit(".1")))
+          .otherwise(lit(""))))
+    text.Pii.audit(planted, col("ptext"), col("source"))
+      .orderBy("source")
+  }
+
+  private val textPiiAuditSql = {
+    val email = text.Text.emailPattern
+    val phone = text.Pii.PhoneRe
+    val ip = text.Pii.Ipv4Re
+    s"""WITH p AS (
+       |  SELECT source,
+       |    text
+       |    || CASE WHEN doc_id % 3 = 0
+       |         THEN ' contact u' || CAST(doc_id AS VARCHAR)
+       |           || '@ex.org or call 555-'
+       |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 7 = 0
+       |         THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+       |         ELSE '' END AS ptext
+       |  FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    CAST(len(regexp_extract_all(ptext, '$email')) AS BIGINT) AS ne,
+       |    CAST(len(regexp_extract_all(ptext, '$phone')) AS BIGINT) AS np,
+       |    CAST(len(regexp_extract_all(ptext, '$ip')) AS BIGINT) AS ni
+       |  FROM p)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+       |  CAST(SUM(ne) AS BIGINT) AS n_emails,
+       |  CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+       |  CAST(SUM(np) AS BIGINT) AS n_phones,
+       |  CAST(SUM(CASE WHEN ni > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ip,
+       |  CAST(SUM(ni) AS BIGINT) AS n_ips
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Corpus-fit bigram-LM surprisal ([[text.InfoTheory.bigramSurprisal]]):
+    * the sharper perplexity-filter variant — templated text repeats word
+    * PAIRS, so it scores near zero even with a diverse unigram mix. Keep
+    * band chosen to split this corpus (probe both tails).
+    */
+  private def textBigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    text.InfoTheory.bigramSurprisal(Tables.documents(s, dir),
+        keepLoNats = 3.35, keepHiNats = 3.42)
+      .orderBy("doc_id")
+
+  private val textBigramSurprisalSql = {
+    def qlnSql(x: String): String =
+      s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |bgidx AS (
+       |  SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 1)) AS i
+       |  FROM d WHERE len(w) >= 2),
+       |bg AS (SELECT doc_id, w[i] AS w1, w[i + 1] AS w2 FROM bgidx),
+       |cnt AS (
+       |  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3),
+       |dictb AS (
+       |  SELECT w1, w2, CAST(SUM(c) AS BIGINT) AS cfb FROM cnt GROUP BY 1, 2),
+       |dictc AS (
+       |  SELECT w1, CAST(SUM(cfb) AS BIGINT) AS ctx FROM dictb GROUP BY 1),
+       |per AS (
+       |  SELECT cnt.doc_id,
+       |    CAST(SUM(cnt.c) AS BIGINT) AS nb,
+       |    CAST(SUM(cnt.c * (${qlnSql("ctx")} - ${qlnSql("cfb")})) AS BIGINT) AS sq
+       |  FROM cnt JOIN dictb USING (w1, w2) JOIN dictc USING (w1)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(nb, 0) AS n_bigrams,
+       |    COALESCE(sq, 0) AS sur_q
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |f AS (
+       |  SELECT doc_id, n_bigrams, sur_q,
+       |    CASE WHEN n_bigrams = 0 THEN 0.0
+       |         ELSE CAST(sur_q AS DOUBLE) / (CAST(n_bigrams AS DOUBLE) * 1e9)
+       |    END AS avg_surprisal
+       |  FROM j)
+       |SELECT doc_id, n_bigrams, sur_q, avg_surprisal,
+       |  (avg_surprisal >= CAST(3.35 AS DOUBLE)
+       |   AND avg_surprisal <= CAST(3.42 AS DOUBLE)) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** Duplicated-substring spans ([[text.Spans.duplicated]]): fraction of
+    * word-8-gram positions shared with at least one other document — the
+    * exact-substring-dedup signal that catches shared templates around
+    * otherwise-unique text.
+    */
+  private def textDupSpans(s: SparkSession, dir: String): DataFrame =
+    text.Spans.duplicated(Tables.documents(s, dir), n = 8, maxDupFrac = 0.5)
+      .orderBy("doc_id")
+
+  private val textDupSpansSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    UNNEST(list_transform(generate_series(1, len(w) - 7),
+       |      i -> array_to_string(w[i:i + 7], ' '))) AS g
+       |  FROM d WHERE len(w) >= 8),
+       |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+       |spread AS (SELECT g, COUNT(*) AS n_docs FROM cnt GROUP BY 1),
+       |per AS (
+       |  SELECT cnt.doc_id,
+       |    CAST(SUM(cnt.c) AS BIGINT) AS ng,
+       |    CAST(SUM(CASE WHEN spread.n_docs >= 2 THEN cnt.c ELSE 0 END) AS BIGINT) AS dg
+       |  FROM cnt JOIN spread USING (g) GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(ng, 0) AS n_grams,
+       |    COALESCE(dg, 0) AS dup_grams
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |f AS (
+       |  SELECT doc_id, n_grams, dup_grams,
+       |    CASE WHEN n_grams = 0 THEN 0.0
+       |         ELSE CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+       |    END AS dup_frac
+       |  FROM j)
+       |SELECT doc_id, n_grams, dup_grams, dup_frac,
+       |  dup_frac <= CAST(0.5 AS DOUBLE) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+
+  /** Top event-type trigram paths: per-user ordered sequences, adjacent
+    * triples via two leads, corpus-wide counts, top 20 with a
+    * total-order tie-break. The window partitions by user (bounded per
+    * user), the count is one map-side-combined groupBy.
+    */
+  private def qEventsPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("e2", lead("event_type", 1).over(byUser))
+      .withColumn("e3", lead("event_type", 2).over(byUser))
+      .where(col("e2").isNotNull && col("e3").isNotNull)
+    ev.groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("path"))
+      .limit(20)
+  }
+
+  private val qEventsPathsSql =
+    s"""WITH e AS (
+       |  SELECT event_type,
+       |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS e2,
+       |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS e3
+       |  FROM events)
+       |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       |  CAST(COUNT(*) AS BIGINT) AS n
+       |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
     */
@@ -3620,6 +3823,11 @@ object SparkEntry {
     "samp_split" -> (sampSplit _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "text_bpe_pairs" -> (textBpePairs _),
+    "samp_poisson" -> (sampPoisson _),
+    "text_pii_audit" -> (textPiiAudit _),
+    "text_bigram_surprisal" -> (textBigramSurprisal _),
+    "text_dup_spans" -> (textDupSpans _),
+    "q_events_paths" -> (qEventsPaths _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -3789,6 +3997,11 @@ object SparkEntry {
     "samp_split" -> sampSplitSql,
     "q_hybrid_rrf" -> qHybridRrfSql,
     "text_bpe_pairs" -> textBpePairsSql,
+    "samp_poisson" -> sampPoissonSql,
+    "text_pii_audit" -> textPiiAuditSql,
+    "text_bigram_surprisal" -> textBigramSurprisalSql,
+    "text_dup_spans" -> textDupSpansSql,
+    "q_events_paths" -> qEventsPathsSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

@@ -211,4 +211,41 @@ object Sample {
     }.toMap
     tokenMix(docs, key, idCol, tokens, budgets, bucketSize)
   }
+
+  /** Sequential Poisson sampling (Ohlsson 1998): a fixed-size
+    * weighted-without-replacement sample per stratum. Each row's rank is
+    *
+    *   xi = u / w,  u = (SplitMix64(id) >>> 32) + 1  in [1, 2^32]
+    *
+    * and the `n` SMALLEST ranks per stratum win — inclusion probability
+    * approximates proportional-to-size (the classic survey-sampling
+    * order-sampling scheme). The scheme is chosen over
+    * Efraimidis–Spirakis u^(1/w) deliberately: u and w are exact
+    * integers and the rank is ONE IEEE-754 division (correctly rounded
+    * in every engine), where pow()/exp() are not cross-engine
+    * bit-stable. Deterministic, repartition-stable, reproducible.
+    *
+    * Scale: ranking is map-side arithmetic; selection routes through the
+    * bounded-heap TopKPerKey operator, so per-task state is
+    * strata × n and a stratum holding most of the corpus never
+    * concentrates a window partition.
+    */
+  def poissonSample(
+      docs: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      weight: Column,
+      n: Int): DataFrame = {
+    require(n > 0, s"poissonSample: need n > 0, got $n")
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(idCol))))
+    val u = shiftrightunsigned(h, 32) + lit(1L)
+    val scored = docs
+      .select(col(stratumCol).as("stratum"), col(idCol), weight.as("w"))
+      .where(col("w") > 0L)
+      .withColumn("rank", u.cast("double") / col("w").cast("double"))
+    graft.plans.TopK.perKey(
+      scored, Seq("stratum"), Seq("rank" -> false, idCol -> false), n)
+  }
 }

@@ -107,6 +107,13 @@ object DuckHash {
   def mix64BucketSql(x: String, m: Int): String =
     s"CAST((${mix64Sql(s"CAST($x AS UBIGINT)")} >> 32) % $m AS BIGINT)"
 
+  /** Top 32 mixed bits of a non-negative BIGINT expr, as BIGINT in
+    * [0, 2^32): mirrors the Spark side's `Mix64Long(x) >>> 32`
+    * (the deterministic-uniform source for order sampling).
+    */
+  def mix64Top32Sql(x: String): String =
+    s"CAST(${mix64Sql(s"CAST($x AS UBIGINT)")} >> 32 AS BIGINT)"
+
   /** FNV-1a fold over a UBIGINT list (offset prepended: DuckDB 1.0's
     * list_reduce has no initial-value form).
     */

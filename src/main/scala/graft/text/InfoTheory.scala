@@ -108,4 +108,54 @@ object InfoTheory {
           col("avg_surprisal") <= lit(keepHiNats))
       .drop("scf")
   }
+
+  /** Per-document average BIGRAM surprisal under a bigram LM fit from
+    * the corpus: surprisal(w1 w2) = ln(ctx(w1) / cf(w1 w2)), where
+    * cf(w1 w2) is the corpus count of the bigram and ctx(w1) the count
+    * of bigrams starting with w1. Every scored bigram is by definition
+    * in the fit (same corpus), so no smoothing term is needed and
+    *
+    *   sur_q = Σ c_b · (qln(ctx_{w1}) − qln(cf_b))   (BIGINT, exact)
+    *
+    * with avg = sur_q / (n_bigrams · 1e9) — one final division, same
+    * cross-engine contract as [[surprisal]]. A sharper signal than the
+    * unigram LM: templated text repeats whole word PAIRS, so it scores
+    * near zero even when its unigram mix looks diverse.
+    *
+    * Scale: one positional-bigram explode with counts keyed
+    * (doc_id, w1, w2); the dictionary joins run on the per-doc-REDUCED
+    * count frame, so a corpus-hot bigram costs one row per containing
+    * doc. Neither dictionary is ever collected.
+    */
+  def bigramSurprisal(docs: DataFrame, keepLoNats: Double, keepHiNats: Double): DataFrame = {
+    val w = Text.words(col("text"))
+    val pairs = when(size(w) < 2, array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+    val cnt = docs
+      .select(col("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("c"))
+    val dictB = cnt.groupBy("w1", "w2").agg(sum("c").as("cfb"))
+    val dictC = dictB.groupBy("w1").agg(sum("cfb").as("ctx"))
+    val per = cnt.join(dictB, Seq("w1", "w2")).join(dictC, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("nb"),
+        sum(col("c") * (qln(col("ctx")) - qln(col("cfb")))).as("sq"))
+    docs.select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sq"), lit(0L)).as("sur_q"))
+      .withColumn("avg_surprisal",
+        when(col("n_bigrams") === 0L, lit(0.0))
+          .otherwise(col("sur_q").cast("double") /
+            (col("n_bigrams").cast("double") * lit(1e9))))
+      .withColumn("keep",
+        col("avg_surprisal") >= lit(keepLoNats) &&
+          col("avg_surprisal") <= lit(keepHiNats))
+  }
 }

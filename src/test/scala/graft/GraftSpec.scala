@@ -2474,3 +2474,186 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Map("aa" -> 2L, "ab" -> 2L, "bc" -> 1L))
   }
 }
+
+class PoissonSampleSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("fixed-size per stratum, weight-zero rows excluded, ranks ascending") {
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "a" else "b",
+      if (i % 10 == 0) 0L else i)).toDF("doc_id", "source", "wt")
+    val r = ops.Sample.poissonSample(docs, "doc_id", "source", col("wt"), 7)
+      .orderBy("stratum", "rank").collect()
+    val byS = r.groupBy(_.getAs[String]("stratum"))
+    assert(byS.keySet === Set("a", "b"))
+    byS.values.foreach { rows =>
+      assert(rows.length === 7)
+      val ranks = rows.map(_.getAs[Double]("rank")).toSeq
+      assert(ranks === ranks.sorted)
+    }
+    // weight-0 rows (doc_id % 10 == 0) never selected
+    assert(!r.exists(_.getAs[Long]("doc_id") % 10 == 0))
+    // rank is exactly u / w for exact integers u, w
+    r.foreach { row =>
+      assert(row.getAs[Double]("rank") * 0 == 0) // finite
+      assert(row.getAs[Long]("w") > 0L)
+    }
+  }
+
+  test("selection odds follow weight: giant-weight rows always win") {
+    // 200 unit-weight rows vs 5 rows at weight 2^40: rank = u/w with
+    // u <= 2^32 makes every heavy rank < 1 while unit ranks are huge
+    val docs = ((1L to 200L).map(i => (i, "s", 1L)) ++
+      (201L to 205L).map(i => (i, "s", 1L << 40))).toDF("doc_id", "source", "wt")
+    val picked = ops.Sample.poissonSample(docs, "doc_id", "source", col("wt"), 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(picked === Set(201L, 202L, 203L, 204L, 205L))
+  }
+
+  test("deterministic and repartition-stable") {
+    val docs = (1L to 60L).map(i => (i, "s", i)).toDF("doc_id", "source", "wt")
+    val a = ops.Sample.poissonSample(docs, "doc_id", "source", col("wt"), 10)
+      .orderBy("doc_id").collect().toSeq
+    val b = ops.Sample.poissonSample(docs.repartition(13), "doc_id", "source", col("wt"), 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
+
+class PiiSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def detectOne(t: String): (Long, Long, Long) = {
+    val r = text.Pii.detect(Seq(t).toDF("text"), col("text"))
+      .select("n_emails", "n_phones", "n_ips").collect()(0)
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  test("detects emails, test-range phones, and IPv4 literals") {
+    assert(detectOne("mail a.b+c@ex-corp.org or X@Y.io, call 555-0142 from 10.0.3.1")
+      === ((2L, 1L, 1L)))
+  }
+
+  test("digit runs, ids, and dotted versions do not false-positive") {
+    // 5551234: no separator; 555-12345: trailing boundary fails on the
+    // 5th digit; a555-0142: leading boundary fails; 1.2.3: only 3 quads
+    assert(detectOne("order 5551234 ref 555-12345 code a555-0142 v1.2.3")
+      === ((0L, 0L, 0L)))
+  }
+
+  test("phone inside an email local part is counted once as email shape") {
+    // \b before 555 holds (- is a non-word char), so the digits also
+    // match the phone pattern -- the audit counts SHAPES independently;
+    // scrubbing order (email first) is Text.scrubPii's concern
+    assert(detectOne("u-555-0142@ex.org") === ((1L, 1L, 0L)))
+  }
+
+  test("audit aggregates per source with doc and occurrence counts") {
+    val docs = Seq(
+      (1L, "a", "x@y.io and z@w.io"),
+      (2L, "a", "clean"),
+      (3L, "b", "call 555-0001 or 555-0002 from 10.1.1.1")
+    ).toDF("doc_id", "source", "text")
+    val r = text.Pii.audit(docs, col("text"), col("source"))
+      .orderBy("source").collect()
+    assert(r(0).toSeq === Seq("a", 2L, 1L, 2L, 0L, 0L, 0L, 0L))
+    assert(r(1).toSeq === Seq("b", 1L, 0L, 0L, 1L, 2L, 1L, 1L))
+  }
+}
+
+class BigramSurprisalSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val qln2 = 693147180L
+
+  test("exact quantized-log integers over the corpus-fit bigram LM") {
+    // corpus bigrams: d1 = {ab, bc}, d2 = {ab, bb}
+    //   cfb: ab=2, bc=1, bb=1 ; ctx: a=2, b=2
+    val docs = Seq((1L, "a b c"), (2L, "a b b"), (3L, "solo"), (4L, ""))
+      .toDF("doc_id", "text")
+    val r = text.InfoTheory.bigramSurprisal(docs, keepLoNats = 0.1, keepHiNats = 0.5)
+      .orderBy("doc_id").collect()
+
+    // d1: ab -> qln2-qln2 = 0 ; bc -> qln(ctx b)=qln2 minus qln(1)=0
+    assert(r(0).getAs[Long]("n_bigrams") === 2L)
+    assert(r(0).getAs[Long]("sur_q") === qln2)
+    assert(math.abs(r(0).getAs[Double]("avg_surprisal") - math.log(2.0) / 2) < 1e-8)
+    assert(r(0).getAs[Boolean]("keep") === true)
+
+    // d2 mirrors d1 (bb also unique with ctx b = 2)
+    assert(r(1).getAs[Long]("sur_q") === qln2)
+
+    // single-word and empty docs: no bigrams, score 0, gated out
+    Seq(r(2), r(3)).foreach { row =>
+      assert(row.getAs[Long]("n_bigrams") === 0L)
+      assert(row.getAs[Double]("avg_surprisal") === 0.0)
+      assert(row.getAs[Boolean]("keep") === false)
+    }
+  }
+
+  test("the corpus-dominant continuation scores below the rare one") {
+    // ctx(a) = 5 splits 4:1 between x and y -- the doc riding the
+    // dominant pair (a x) is predictable, the rare continuation (a y)
+    // is surprising under the same fit
+    val docs = Seq(
+      (1L, "a x a x a x a x"),
+      (2L, "a y")
+    ).toDF("doc_id", "text")
+    val r = text.InfoTheory.bigramSurprisal(docs, 0.0, 99.0)
+      .orderBy("doc_id").collect()
+    val d1 = r(0).getAs[Double]("avg_surprisal")
+    val d2 = r(1).getAs[Double]("avg_surprisal")
+    assert(math.abs(d1 - 4 * (math.log(5) - math.log(4)) / 7) < 1e-8)
+    assert(math.abs(d2 - math.log(5)) < 1e-8)
+    assert(d1 < d2)
+  }
+}
+
+class SpansSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("cross-doc duplicated positions counted, intra-doc repeats are not") {
+    val docs = Seq(
+      (1L, "a b c"),     // grams(2): "a b", "b c"
+      (2L, "b c d"),     // grams:    "b c", "c d"
+      (3L, "x y x y"),   // grams: "x y", "y x", "x y" -- repeats only HERE
+      (4L, "q")          // too short: 0 grams
+    ).toDF("doc_id", "text")
+    val r = text.Spans.duplicated(docs, n = 2, maxDupFrac = 0.4)
+      .orderBy("doc_id").collect()
+
+    assert(r(0).getAs[Long]("n_grams") === 2L)
+    assert(r(0).getAs[Long]("dup_grams") === 1L) // "b c" also in d2
+    assert(r(0).getAs[Double]("dup_frac") === 0.5)
+    assert(r(0).getAs[Boolean]("keep") === false)
+
+    assert(r(1).getAs[Long]("dup_grams") === 1L)
+
+    // d3's "x y" occurs twice but only in one doc: not duplicated
+    assert(r(2).getAs[Long]("n_grams") === 3L)
+    assert(r(2).getAs[Long]("dup_grams") === 0L)
+    assert(r(2).getAs[Boolean]("keep") === true)
+
+    assert(r(3).getAs[Long]("n_grams") === 0L)
+    assert(r(3).getAs[Double]("dup_frac") === 0.0)
+    assert(r(3).getAs[Boolean]("keep") === true)
+  }
+
+  test("a shared template around unique text is localized") {
+    val tpl = "terms of service apply to all content on this site"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $tpl"),
+      (2L, s"one two three four five six seven eight $tpl")
+    ).toDF("doc_id", "text")
+    val r = text.Spans.duplicated(docs, n = 8, maxDupFrac = 0.2)
+      .orderBy("doc_id").collect()
+    // the 10-word template contributes duplicated 8-gram positions in both
+    r.foreach { row =>
+      assert(row.getAs[Long]("dup_grams") >= 1L)
+      assert(row.getAs[Boolean]("keep") === false)
+    }
+  }
+}
