@@ -2486,6 +2486,97 @@ object SparkEntry {
        |FROM e WHERE e2 IS NOT NULL AND e3 IS NOT NULL
        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** Top principal direction of the embedding corpus
+    * ([[vec.Eigen.topDirection]]): 3 all-integer power-iteration steps
+    * over int8-normalized vectors — the PCA/whitening/anisotropy
+    * primitive. Each step is one scan with d map-side-combined integer
+    * sums; the oracle unrolls the 3 steps into chained CTEs.
+    */
+  private def vecTopEigen(s: SparkSession, dir: String): DataFrame =
+    vec.Eigen.topDirection(Tables.embeddings(s, dir), iters = 3, scaleMax = 4096L)
+      .orderBy("dim")
+
+  private val vecTopEigenSql = {
+    // one power step: dot with the previous iterate -> per-dim integer
+    // sums -> trunc-renormalize to max-norm 4096
+    def step(k: Int, sExpr: String): String =
+      s"""s$k AS (SELECT q, CAST($sExpr AS BIGINT) AS s FROM q${if (k > 1) s", l${k - 1}" else ""}),
+         |e$k AS (SELECT UNNEST(generate_series(1, 64)) AS j, q, s FROM s$k),
+         |a$k AS (SELECT j, CAST(SUM(q[j] * s) AS BIGINT) AS acc FROM e$k GROUP BY j),
+         |m$k AS (SELECT GREATEST(MAX(GREATEST(acc, -acc)), 1) AS m FROM a$k),
+         |v$k AS (
+         |  SELECT j, CAST(CASE WHEN acc >= 0 THEN (acc * 4096) // m
+         |                      ELSE -(((-acc) * 4096) // m) END AS BIGINT) AS v
+         |  FROM a$k, m$k),
+         |l$k AS (SELECT list(v ORDER BY j) AS vl FROM v$k)""".stripMargin
+    val vDot = "list_sum(list_transform(generate_series(1, 64), j -> q[j] * vl[j]))"
+    s"""WITH qm AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT qq, CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+       |  FROM qm),
+       |q AS (
+       |  SELECT list_transform(qq, x ->
+       |    CASE WHEN nq = 0 THEN 0
+       |         ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
+       |    END) AS q
+       |  FROM qn),
+       |${step(1, "list_sum(q)")},
+       |${step(2, vDot)},
+       |${step(3, vDot)}
+       |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
+  }
+
+  /** Rate-burst detection ([[ops.Anomaly.flagOutliers]]): hourly event
+    * counts per type, hours beyond 3×MAD of the type's median flagged —
+    * the metrics-anomaly twin of `q_anomaly_mad` that returns WHICH
+    * buckets burst, not just the thresholds.
+    */
+  private def qEventsBurst(s: SparkSession, dir: String): DataFrame = {
+    val perHour = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
+    ops.Anomaly.flagOutliers(perHour, "event_type", "cnt", devX1000 = 3000L)
+      .where(col("is_out"))
+      .select(col("event_type"), col("hour"), col("cnt"), col("med"), col("mad"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qEventsBurstSql =
+    """WITH r AS (
+      |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |mc AS (SELECT event_type, cnt AS hv, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+      |mw AS (
+      |  SELECT event_type, hv,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM mc),
+      |med AS (
+      |  SELECT event_type, CAST(min(hv) AS BIGINT) AS med
+      |  FROM mw WHERE cum * 2 >= n GROUP BY event_type),
+      |d AS (
+      |  SELECT r.event_type, abs(r.cnt - med.med) AS dv
+      |  FROM r JOIN med USING (event_type)),
+      |dc AS (SELECT event_type, dv AS hv, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+      |dw AS (
+      |  SELECT event_type, hv,
+      |    sum(c) OVER (PARTITION BY event_type ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM dc),
+      |mad AS (
+      |  SELECT event_type, CAST(min(hv) AS BIGINT) AS mad
+      |  FROM dw WHERE cum * 2 >= n GROUP BY event_type)
+      |SELECT r.event_type, r.hour, r.cnt, med.med, mad.mad
+      |FROM r JOIN med USING (event_type) JOIN mad USING (event_type)
+      |WHERE abs(r.cnt - med.med) * 1000 > 3000 * greatest(mad.mad, 1)
+      |ORDER BY r.event_type, r.hour""".stripMargin
+
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
     * eval slice (doc_id % 50 == 0 stands in for the benchmark set).
     */
@@ -3828,6 +3919,8 @@ object SparkEntry {
     "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_dup_spans" -> (textDupSpans _),
     "q_events_paths" -> (qEventsPaths _),
+    "vec_top_eigen" -> (vecTopEigen _),
+    "q_events_burst" -> (qEventsBurst _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -4002,6 +4095,8 @@ object SparkEntry {
     "text_bigram_surprisal" -> textBigramSurprisalSql,
     "text_dup_spans" -> textDupSpansSql,
     "q_events_paths" -> qEventsPathsSql,
+    "vec_top_eigen" -> vecTopEigenSql,
+    "q_events_burst" -> qEventsBurstSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

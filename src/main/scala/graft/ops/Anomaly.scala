@@ -57,22 +57,10 @@ object Anomaly {
           (col(vCol) - ((col(vCol) % bw + bw) % bw)).cast("long"))
       }
 
-    def lowerMedian(frame: DataFrame, valueCol: String, outName: String): DataFrame = {
-      val counts = frame.groupBy(g, col(valueCol).as("hv")).agg(count(lit(1)).as("c"))
-      val byValue = Window.partitionBy(g).orderBy(col("hv"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val byGroup = Window.partitionBy(g)
-      counts
-        .withColumn("cum", sum(col("c")).over(byValue))
-        .withColumn("n", sum(col("c")).over(byGroup))
-        .where(col("cum") * 2 >= col("n")) // first value reaching ceil(n/2)
-        .groupBy(g).agg(min(col("hv")).as(outName), min(col("n")).as(s"${outName}_n"))
-    }
-
-    val med = lowerMedian(binned, vCol, "med")
+    val med = lowerMedian(g, binned, vCol, "med")
     val dev = binned.join(med, groupCol)
       .select(g, abs(col(vCol) - col("med")).as("d"))
-    val mad = lowerMedian(dev, "d", "mad")
+    val mad = lowerMedian(g, dev, "d", "mad")
     val flagged = binned
       .join(med, groupCol).join(mad, groupCol)
       .select(g, col(vCol).as("v"), col("med"), col("mad"), col("med_n").as("n"))
@@ -82,5 +70,57 @@ object Anomaly {
       .groupBy(g, col("n"), col("med"), col("mad"))
       .agg(sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"))
       .select(g, col("n"), col("med"), col("mad"), col("n_outliers"))
+  }
+
+  /** Per-ROW outlier flags under the same robust thresholds: the input
+    * frame comes back with `med`, `mad`, and `is_out` appended (every
+    * original column preserved — callers keep their time buckets / ids).
+    * Same two-histogram-pass shape and the same cardinality contract as
+    * [[madThresholds]]; with `binWidth` > 1 the flag is computed on the
+    * binned value while the reported `vCol` stays raw.
+    */
+  def flagOutliers(rows: DataFrame, groupCol: String, vCol: String, devX1000: Long,
+                   binWidth: Long = 1L): DataFrame = {
+    require(binWidth >= 1L, s"binWidth must be >= 1, got $binWidth")
+    val g = col(groupCol)
+    val bv = "__graft_binned_v"
+    require(!rows.columns.contains(bv), s"input already has a $bv column")
+    val binned =
+      if (binWidth == 1L) rows.withColumn(bv, col(vCol).cast("long"))
+      else {
+        val bw = lit(binWidth)
+        rows.withColumn(bv,
+          (col(vCol) - ((col(vCol) % bw + bw) % bw)).cast("long"))
+      }
+    val med = lowerMedian(g, binned, bv, "med").drop("med_n")
+    val dev = binned.join(med, groupCol)
+      .select(g, abs(col(bv) - col("med")).as("d"))
+    val mad = lowerMedian(g, dev, "d", "mad").drop("mad_n")
+    binned
+      .join(med, groupCol).join(mad, groupCol)
+      .withColumn("is_out",
+        abs(col(bv) - col("med")) * 1000 > lit(devX1000) * greatest(col("mad"), lit(1L)))
+      .drop(bv)
+  }
+
+  /** Lower median per group from a (group, value) histogram: the
+    * smallest value whose cumulative count reaches ceil(n/2). Window
+    * partitions are bounded by the value DOMAIN (see the class doc's
+    * cardinality contract).
+    */
+  private def lowerMedian(
+      g: org.apache.spark.sql.Column,
+      frame: DataFrame,
+      valueCol: String,
+      outName: String): DataFrame = {
+    val counts = frame.groupBy(g, col(valueCol).as("hv")).agg(count(lit(1)).as("c"))
+    val byValue = Window.partitionBy(g).orderBy(col("hv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byGroup = Window.partitionBy(g)
+    counts
+      .withColumn("cum", sum(col("c")).over(byValue))
+      .withColumn("n", sum(col("c")).over(byGroup))
+      .where(col("cum") * 2 >= col("n")) // first value reaching ceil(n/2)
+      .groupBy(g).agg(min(col("hv")).as(outName), min(col("n")).as(s"${outName}_n"))
   }
 }

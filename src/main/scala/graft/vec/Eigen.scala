@@ -1,0 +1,72 @@
+package graft.vec
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed power iteration for the top principal direction of an
+  * embedding corpus — the PCA primitive behind whitening, anisotropy
+  * diagnostics ("is the embedding space collapsing?"), and 1-D
+  * projection indexes.
+  *
+  * All-INTEGER fixed point, so the result is bit-identical in any
+  * engine: vectors are int8-normalized ([[Vec.int8Normalize]], exact),
+  * the iterate v is held at max-norm `scaleMax` as longs, and one
+  * iteration is
+  *
+  *   s_i   = Σ_j q_ij · v_j            (exact per-row dot)
+  *   acc_j = Σ_i q_ij · s_i            (exact, order-free integer sums)
+  *   v'_j  = (acc_j · scaleMax) quot max_k |acc_k|   (trunc division)
+  *
+  * i.e. v' ∝ (QᵀQ) v — the Gram-matrix power step — with a max-norm
+  * rescale instead of L2 so no sqrt enters the integer path. Trunc
+  * (toward-zero) division is mirrored in the oracle as
+  * sign(x)·(|x|·scaleMax // m).
+  *
+  * Scale: each iteration is ONE scan of the cached quantized corpus —
+  * s_i is map-side, acc is d running `sum` aggregates with map-side
+  * partial combine (no explode, no wide shuffle; the reduce moves
+  * d values per partition). Driver state per iteration is the d-vector
+  * acc — bounded index metadata, the same contract as the KMeans
+  * centroid collect. Overflow bound: |acc_j| ≤ n · 127 · d · 127 ·
+  * scaleMax, safe in Int64 for n up to ~2^30 rows at d=64,
+  * scaleMax=4096; beyond that, shard the corpus and average directions.
+  */
+object Eigen {
+
+  def topDirection(
+      embeddings: DataFrame,
+      iters: Int = 3,
+      scaleMax: Long = 4096L): DataFrame = {
+    require(iters >= 1, s"topDirection: need iters >= 1, got $iters")
+    require(scaleMax >= 2L && scaleMax <= (1L << 20),
+      s"topDirection: scaleMax out of range: $scaleMax")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d >= 1, "topDirection: empty embedding vector")
+
+    val q8 = embeddings.select(Vec.int8Normalize(col("embedding")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var v = Array.fill(d)(1L)
+      for (_ <- 1 to iters) {
+        val vl = typedLit(v.toSeq)
+        val s = aggregate(
+          zip_with(col("q"), vl, (x, y) => x * y), lit(0L), (a, b) => a + b)
+        val withS = q8.select(col("q"), s.as("s"))
+        val accRow = withS.agg(
+          sum(element_at(col("q"), 1) * col("s")).as("a0"),
+          (1 until d).map(j =>
+            sum(element_at(col("q"), j + 1) * col("s")).as(s"a$j")): _*)
+          .head()
+        val acc = Array.tabulate(d)(j =>
+          if (accRow.isNullAt(j)) 0L else accRow.getLong(j))
+        val m = math.max(acc.map(math.abs).max, 1L)
+        v = acc.map(a => a * scaleMax / m) // Long division: trunc toward zero
+      }
+      v.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
+        .toDF("dim", "v_q")
+    } finally { q8.unpersist(); () }
+  }
+}

@@ -2657,3 +2657,65 @@ class SpansSpec extends AnyFunSuite {
     }
   }
 }
+
+class EigenSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mk(vs: Seq[Seq[Float]]) =
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+
+  test("recovers the dominant axis of an axis-aligned corpus") {
+    // 20 vectors on the x-axis, 2 on y: top direction is +-x
+    val docs = mk(Seq.fill(20)(Seq(1f, 0f, 0f, 0f)) ++ Seq.fill(2)(Seq(0f, 1f, 0f, 0f)))
+    val v = vec.Eigen.topDirection(docs, iters = 3, scaleMax = 4096L)
+      .orderBy("dim").select("v_q").as[Long].collect()
+    assert(math.abs(v(0)) === 4096L)
+    assert(math.abs(v(1)) < 4096L / 4)
+    assert(v(2) === 0L && v(3) === 0L)
+  }
+
+  test("deterministic and repartition-stable") {
+    val docs = mk(Seq.tabulate(50)(i =>
+      Seq((i % 7).toFloat, (i % 3).toFloat, 1f, (i % 5).toFloat)))
+    val a = vec.Eigen.topDirection(docs, 3).orderBy("dim").collect().toSeq
+    val b = vec.Eigen.topDirection(docs.repartition(11), 3).orderBy("dim").collect().toSeq
+    assert(a === b)
+  }
+
+  test("max-norm of the iterate is exactly scaleMax") {
+    val docs = mk(Seq.tabulate(30)(i => Seq(1f, (i % 2).toFloat, 0.5f, 0.1f)))
+    val v = vec.Eigen.topDirection(docs, 2, scaleMax = 1000L)
+      .select("v_q").as[Long].collect()
+    assert(v.map(math.abs).max === 1000L)
+  }
+}
+
+class BurstSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("flagOutliers preserves caller columns and flags beyond k*MAD") {
+    // group g: values 10 x7, 12 x2, then a 100 burst -> med 10, mad 0->1
+    val rows = (Seq.fill(7)(10L) ++ Seq.fill(2)(12L) ++ Seq(100L))
+      .zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("grp", "bucket", "v")
+    val r = ops.Anomaly.flagOutliers(rows, "grp", "v", devX1000 = 3000L)
+    assert(r.columns.toSet === Set("grp", "bucket", "v", "med", "mad", "is_out"))
+    val flagged = r.where(col("is_out")).select("bucket").as[Long].collect()
+    assert(flagged.toSeq === Seq(9L)) // only the 100 burst
+    val med = r.select("med").as[Long].head()
+    assert(med === 10L)
+  }
+
+  test("matches madThresholds outlier accounting") {
+    val rows = (1L to 200L).map(i => ("a", i, if (i % 50 == 0) 500L else i % 7))
+      .toDF("grp", "bucket", "v")
+    val nFlagged = ops.Anomaly.flagOutliers(rows, "grp", "v", 3000L)
+      .where(col("is_out")).count()
+    val nThresh = ops.Anomaly.madThresholds(
+      rows.select(col("grp"), col("v")), "grp", "v", 3000L)
+      .select("n_outliers").as[Long].head()
+    assert(nFlagged === nThresh)
+  }
+}
