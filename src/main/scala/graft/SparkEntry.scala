@@ -2529,6 +2529,53 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Nearest-centroid classification ([[vec.Centroid.classify]]): one
+    * integer centroid per label, map-side argmin assignment, confusion
+    * matrix out — the label-separability diagnostic for the embedding
+    * space. Fit is one groupBy(label) of d integer sums; the corpus
+    * never shuffles.
+    */
+  private def vecCentroidClassify(s: SparkSession, dir: String): DataFrame =
+    vec.Centroid.classify(Tables.embeddings(s, dir), k = 1024L)
+      .orderBy("label", "pred")
+
+  private val vecCentroidClassifySql =
+    """WITH qm AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, label, qq,
+      |    CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+      |  FROM qm),
+      |q8 AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(qq, x ->
+      |      CASE WHEN nq = 0 THEN 0
+      |           ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
+      |      END) AS q
+      |  FROM qn),
+      |nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q8 GROUP BY 1),
+      |e AS (SELECT label, UNNEST(generate_series(1, 64)) AS j, q FROM q8),
+      |sj AS (SELECT label, j, CAST(SUM(q[j]) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT sj.label, j,
+      |    CAST(CASE WHEN s >= 0 THEN (s * 1024) // n
+      |              ELSE -(((-s) * 1024) // n) END AS BIGINT) AS c
+      |  FROM sj JOIN nl ON sj.label = nl.label),
+      |cl AS (SELECT label AS clabel, list(c ORDER BY j) AS cv FROM cent GROUP BY 1),
+      |dists AS (
+      |  SELECT q8.vec_id, q8.label, cl.clabel,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      j -> (q8.q[j] * 1024 - cl.cv[j]) * (q8.q[j] * 1024 - cl.cv[j]))) AS BIGINT) AS dist
+      |  FROM q8 CROSS JOIN cl),
+      |best AS (
+      |  SELECT vec_id, label, clabel AS pred,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+      |  FROM dists)
+      |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Rate-burst detection ([[ops.Anomaly.flagOutliers]]): hourly event
     * counts per type, hours beyond 3×MAD of the type's median flagged —
     * the metrics-anomaly twin of `q_anomaly_mad` that returns WHICH
@@ -3921,6 +3968,7 @@ object SparkEntry {
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "q_events_burst" -> (qEventsBurst _),
+    "vec_centroid_classify" -> (vecCentroidClassify _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -4097,6 +4145,7 @@ object SparkEntry {
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "q_events_burst" -> qEventsBurstSql,
+    "vec_centroid_classify" -> vecCentroidClassifySql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

@@ -2719,3 +2719,45 @@ class BurstSpec extends AnyFunSuite {
     assert(nFlagged === nThresh)
   }
 }
+
+class CentroidSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def mk(rows: Seq[(Long, Int, Seq[Float])]) =
+    rows.toDF("vec_id", "label", "embedding")
+
+  test("well-separated classes classify perfectly; confusion is diagonal") {
+    val rows =
+      (0L to 9L).map(i => (i, 0, Seq(1f, 0f, 0f, 0f))) ++
+      (10L to 19L).map(i => (i, 1, Seq(0f, 1f, 0f, 0f))) ++
+      (20L to 24L).map(i => (i, 2, Seq(0f, 0f, 1f, 1f)))
+    val r = vec.Centroid.classify(mk(rows), k = 1024L)
+    val got = r.orderBy("label", "pred").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq
+    r.unpersist(blocking = true)
+    assert(got === Seq((0L, 0L, 10L), (1L, 1L, 10L), (2L, 2L, 5L)))
+  }
+
+  test("an off-cluster point lands in the nearest other class") {
+    val rows =
+      (0L to 9L).map(i => (i, 0, Seq(1f, 0f))) ++
+      (10L to 19L).map(i => (i, 1, Seq(0f, 1f))) ++
+      Seq((20L, 0, Seq(0.1f, 1f))) // labeled 0, sits in class 1 territory
+    val r = vec.Centroid.classify(mk(rows), k = 1024L)
+    val got = r.collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getLong(2)).toMap
+    r.unpersist(blocking = true)
+    assert(got((0L, 1L)) === 1L) // the planted point confuses 0 -> 1
+    assert(got((0L, 0L)) === 10L && got((1L, 1L)) === 10L)
+  }
+
+  test("leaves only its materialized result persisted") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = vec.Centroid.classify(
+      mk((0L to 5L).map(i => (i, (i % 2).toInt, Seq(i.toFloat, 1f)))), k = 1024L)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size === 1)
+    r.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+}
