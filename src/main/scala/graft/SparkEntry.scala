@@ -2529,6 +2529,90 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Semantic dedup clusters: connected components
+    * ([[dedup.Components.minLabel]]) over the LSH-blocked
+    * embedding-cosine pair graph — the embedding-space twin of
+    * `dedup_clusters` (which runs on the n-gram Jaccard graph). One
+    * cluster id per vector; the oracle replays the closure as a
+    * recursive CTE over the proven cosine-pair subquery.
+    */
+  private def dedupEmbedClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup.Dedup.embedCosinePairs(Tables.embeddings(s, dir), minCosine = 0.25)
+    val labels = dedup.Components.minLabel(
+      pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    pairs.unpersist(blocking = false)
+    labels.select(col("doc_id").as("vec_id"), col("cluster_id")).orderBy("vec_id")
+  }
+
+  private val dedupEmbedClustersSql =
+    s"""WITH RECURSIVE pq AS (SELECT vec_a, vec_b FROM ($dedupEmbedCosineSql)),
+       |sym AS (
+       |  SELECT vec_a AS src, vec_b AS dst FROM pq
+       |  UNION SELECT vec_b, vec_a FROM pq),
+       |reach AS (
+       |  SELECT src AS node, dst AS lab FROM sym
+       |  UNION SELECT src, src FROM sym
+       |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src)
+       |SELECT node AS vec_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin
+
+  /** Dataset card: the one-row corpus datasheet a curation run records —
+    * doc/token totals, source/lang/exact-content cardinalities, the
+    * Gopher keep count, and deterministic split sizes. Exact count
+    * distincts (the Expand-operator plan) are the reporting-query
+    * contract; the approximate path at extreme scale is
+    * `q_approx_distinct`'s HLL. Composes only proven kernels: the
+    * length-arithmetic word count, md5 content fingerprint, Gopher
+    * gate, and the SplitMix64 split bucket.
+    */
+  private def pipeDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val g = text.Gopher.metrics(docs).select(col("doc_id"), col("keep").as("gk"))
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id"))))
+    val bucket = shiftrightunsigned(h, 32) % lit(100L)
+    docs.select(
+        col("doc_id"), col("source"), col("lang"),
+        text.Text.wordCount(col("text")).as("toks"),
+        text.Text.fingerprintMd5(col("text")).as("ck"),
+        bucket.as("bucket"))
+      .join(g, Seq("doc_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"),
+        countDistinct("source").as("n_sources"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("ck").as("exact_groups"),
+        sum(when(col("gk"), 1L).otherwise(0L)).as("gopher_kept"),
+        sum(when(col("bucket") < 80L, 1L).otherwise(0L)).as("train_docs"),
+        sum(when(col("bucket") >= 80L && col("bucket") < 90L, 1L).otherwise(0L)).as("val_docs"),
+        sum(when(col("bucket") >= 90L, 1L).otherwise(0L)).as("test_docs"))
+  }
+
+  private val pipeDatasetCardSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH gq AS (SELECT doc_id, keep AS gk FROM ($textGopherQualitySql)),
+       |b AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST($wcSql AS BIGINT) AS toks,
+       |    md5($c) AS ck,
+       |    ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} AS bucket
+       |  FROM documents)
+       |SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(COUNT(DISTINCT ck) AS BIGINT) AS exact_groups,
+       |  CAST(SUM(CASE WHEN gk THEN 1 ELSE 0 END) AS BIGINT) AS gopher_kept,
+       |  CAST(SUM(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+       |  CAST(SUM(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS BIGINT) AS val_docs,
+       |  CAST(SUM(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+       |FROM b JOIN gq USING (doc_id)""".stripMargin
+  }
+
   /** Nearest-centroid classification ([[vec.Centroid.classify]]): one
     * integer centroid per label, map-side argmin assignment, confusion
     * matrix out — the label-separability diagnostic for the embedding
@@ -3969,6 +4053,8 @@ object SparkEntry {
     "vec_top_eigen" -> (vecTopEigen _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
+    "dedup_embed_clusters" -> (dedupEmbedClusters _),
+    "pipe_dataset_card" -> (pipeDatasetCard _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -4146,6 +4232,8 @@ object SparkEntry {
     "vec_top_eigen" -> vecTopEigenSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
+    "dedup_embed_clusters" -> dedupEmbedClustersSql,
+    "pipe_dataset_card" -> pipeDatasetCardSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,

@@ -39,10 +39,16 @@ object Components {
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
+      // localCheckpoint, not persist: persist materializes but leaves the
+      // logical plan nested one level deeper per round, and Catalyst
+      // re-analysis of that tower turns quadratic-plus in round count —
+      // a deep graph (long cosine chains) stalled PLANNING for minutes
+      // while the jobs themselves were milliseconds. The checkpoint cuts
+      // the plan to a leaf, so analysis stays O(1) per round.
       val next = labels.select(col("doc_id"), col("cluster_id"))
         .union(viaNeighbors)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
         .where(col("cluster_id") =!= col("prev"))
         .count()
