@@ -2529,6 +2529,178 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Market-basket lift: the co-purchase pairs ranked by lift rather
+    * than raw support — lift_x1000 = P(ab)/(P(a)P(b)) · 1000 as exact
+    * integer arithmetic over order counts (trunc division, positive
+    * operands, so Spark's div and DuckDB's // agree). Pair counts come
+    * from the same order self-join as `q_copurchase_pairs`; the
+    * per-part counts broadcast back onto the pair frame. The only
+    * driver-side state is the 1-value order total.
+    */
+  private def qCopurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val totRow = li.agg(countDistinct("l_orderkey")).head()
+    val nOrders = totRow.getLong(0)
+    require(nOrders > 0, "copurchaseLift: no orders")
+    val partN = li.groupBy("l_partkey").agg(count(lit(1)).as("np"))
+    val pairs = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("part_a"), col("y.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(partN.select(col("l_partkey").as("part_a"), col("np").as("n_a"))), "part_a")
+      .join(broadcast(partN.select(col("l_partkey").as("part_b"), col("np").as("n_b"))), "part_b")
+      .select(
+        col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr(s"n_ab * ${nOrders}L * 1000 div (n_a * n_b)").as("lift_x1000"),
+        expr("n_ab * 1000 div n_a").as("conf_a_x1000"))
+      .orderBy(desc("lift_x1000"), col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
+  private val qCopurchaseLiftSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |tot AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM li),
+      |pn AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS np FROM li GROUP BY 1),
+      |p AS (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |    AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+      |SELECT part_a, part_b, n_ab, a.np AS n_a, b.np AS n_b,
+      |  n_ab * tot.n * 1000 // (a.np * b.np) AS lift_x1000,
+      |  n_ab * 1000 // a.np AS conf_a_x1000
+      |FROM p JOIN pn a ON p.part_a = a.l_partkey
+      |       JOIN pn b ON p.part_b = b.l_partkey
+      |       CROSS JOIN tot
+      |ORDER BY lift_x1000 DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  /** RFM customer segmentation: recency / frequency / monetary quintiles
+    * over the customer DIMENSION (bounded cardinality — the global
+    * ntile sort runs on one row per customer, never on the fact table),
+    * with doc-deterministic tie-breaks so both engines bucket
+    * identically. segment = r·100 + f·10 + m, the classic CRM code.
+    */
+  private def qOrdersRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val maxD = o.agg(max(to_date(col("o_orderdate")))).head().getDate(0)
+    val per = o.groupBy(col("o_custkey"))
+      .agg(
+        datediff(lit(maxD), max(to_date(col("o_orderdate")))).cast("long").as("r_days"),
+        count(lit(1)).as("f_orders"),
+        sum(cents(col("o_totalprice"))).as("m_cents"))
+    val W = org.apache.spark.sql.expressions.Window
+    val r = ntile(5).over(W.orderBy(col("r_days"), col("o_custkey"))).cast("long")
+    val f = ntile(5).over(W.orderBy(desc("f_orders"), col("o_custkey"))).cast("long")
+    val m = ntile(5).over(W.orderBy(desc("m_cents"), col("o_custkey"))).cast("long")
+    per.select(
+        col("o_custkey"), col("r_days"), col("f_orders"), col("m_cents"),
+        r.as("r_q"), f.as("f_q"), m.as("m_q"))
+      .withColumn("segment", col("r_q") * 100 + col("f_q") * 10 + col("m_q"))
+      .orderBy("o_custkey")
+  }
+
+  private val qOrdersRfmSql =
+    """WITH per AS (
+      |  SELECT o_custkey,
+      |    CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+      |      (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS r_days,
+      |    CAST(COUNT(*) AS BIGINT) AS f_orders,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM orders GROUP BY 1),
+      |q AS (
+      |  SELECT *,
+      |    CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS BIGINT) AS r_q,
+      |    CAST(ntile(5) OVER (ORDER BY f_orders DESC, o_custkey) AS BIGINT) AS f_q,
+      |    CAST(ntile(5) OVER (ORDER BY m_cents DESC, o_custkey) AS BIGINT) AS m_q
+      |  FROM per)
+      |SELECT o_custkey, r_days, f_orders, m_cents, r_q, f_q, m_q,
+      |  r_q * 100 + f_q * 10 + m_q AS segment
+      |FROM q ORDER BY o_custkey""".stripMargin
+
+  /** Flesch-style readability as exact integers: words and sentence
+    * terminators by length arithmetic, vowel-group count as the
+    * syllable proxy (RE2-safe class regex), score_x1000 with trunc
+    * divisions of positive integers — map-side only, bit-exact.
+    */
+  private def textReadability(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    def occ(ch: String): Column =
+      (length(t) - length(replace(t, lit(ch), lit("")))).cast("long")
+    val sents = greatest(occ(".") + occ("!") + occ("?"), lit(1L))
+    val words = text.Text.wordCount(t)
+    val syll = size(regexp_extract_all(lower(t), lit("[aeiou]+"), lit(0))).cast("long")
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), words.as("n_words"), sents.as("n_sents"), syll.as("n_syll"))
+      .withColumn("flesch_x1000",
+        when(col("n_words") === 0L, lit(0L))
+          .otherwise(lit(206835L)
+            - expr("1015 * n_words div n_sents")
+            - expr("84600 * n_syll div n_words")))
+      .orderBy("doc_id")
+  }
+
+  private val textReadabilitySql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH r AS (
+       |  SELECT doc_id,
+       |    CAST($wcSql AS BIGINT) AS n_words,
+       |    GREATEST(
+       |      CAST(length(text) - length(replace(text, '.', '')) AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '!', '')) AS BIGINT)
+       |      + CAST(length(text) - length(replace(text, '?', '')) AS BIGINT), 1) AS n_sents,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syll
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_sents, n_syll,
+       |  CASE WHEN n_words = 0 THEN 0
+       |       ELSE 206835 - (1015 * n_words) // n_sents - (84600 * n_syll) // n_words
+       |  END AS flesch_x1000
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** DAU/WAU stickiness per day: daily distinct users over the rolling
+    * 7-day distinct (same map-side day-fanout as
+    * `q_events_rolling_distinct` — no self-join, no unbounded window
+    * state), ratio as one trunc division of positive integers.
+    */
+  private def qEventsStickiness(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val userDays = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val targets = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("t_day"))
+      .distinct()
+    val realDays = userDays.select(col("day").as("t_day")).distinct()
+    val wau = targets.join(realDays, "t_day")
+      .groupBy("t_day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day") === col("t_day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000 div wau").as("stickiness_x1000"))
+      .orderBy("day")
+  }
+
+  private val qEventsStickinessSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+      |t AS (
+      |  SELECT DISTINCT user_id, day + g AS t_day
+      |  FROM ud, UNNEST(generate_series(0, 6)) AS s(g)),
+      |rd AS (SELECT DISTINCT day AS t_day FROM ud),
+      |wau AS (
+      |  SELECT t_day, CAST(COUNT(*) AS BIGINT) AS wau
+      |  FROM t JOIN rd USING (t_day) GROUP BY 1)
+      |SELECT day, dau, wau, dau * 1000 // wau AS stickiness_x1000
+      |FROM dau JOIN wau ON day = t_day
+      |ORDER BY day""".stripMargin
+
   /** Semantic dedup clusters: connected components
     * ([[dedup.Components.minLabel]]) over the LSH-blocked
     * embedding-cosine pair graph — the embedding-space twin of
@@ -4055,6 +4227,10 @@ object SparkEntry {
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "dedup_embed_clusters" -> (dedupEmbedClusters _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
+    "q_copurchase_lift" -> (qCopurchaseLift _),
+    "q_orders_rfm" -> (qOrdersRfm _),
+    "text_readability" -> (textReadability _),
+    "q_events_stickiness" -> (qEventsStickiness _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
     "ann_bruteforce_topk" -> (annBruteforce _),
     "ann_lsh_topk" -> (annLsh _),
@@ -4234,6 +4410,10 @@ object SparkEntry {
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "dedup_embed_clusters" -> dedupEmbedClustersSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
+    "q_copurchase_lift" -> qCopurchaseLiftSql,
+    "q_orders_rfm" -> qOrdersRfmSql,
+    "text_readability" -> textReadabilitySql,
+    "q_events_stickiness" -> qEventsStickinessSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,
     "ann_lsh_topk" -> annLshSql,
     "ann_pq_topk" -> annPqSql,
