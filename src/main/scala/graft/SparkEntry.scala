@@ -2529,6 +2529,64 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Approximate k-NN graph ([[ann.Ann.knnGraph]]): every vector's top-5
+    * cosine neighbors among its LSH-bucket mates — the corpus-to-corpus
+    * self-join feeding graph ANN indexes and cluster diagnostics.
+    * Bucket-blocked candidates, exact quantized-integer cosine,
+    * bounded-heap TopKPerKey reduction.
+    */
+  private def vecKnnGraph(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.knnGraph(Tables.embeddings(s, dir), k = 5)
+      .orderBy("vec_id", "rnk")
+
+  private val vecKnnGraphSql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q, bucket,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |c AS (
+       |  SELECT l.vec_id, r.vec_id AS nbr_id,
+       |    CASE WHEN l.nrm * r.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(l.q, r.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |              / sqrt(CAST(l.nrm * r.nrm AS DOUBLE)) END AS cosine
+       |  FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
+       |t AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
+       |  FROM c)
+       |SELECT vec_id, nbr_id, cosine, rnk FROM t WHERE rnk <= 5
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** Dominant intensity bin ([[mm.Multimodal.dominantBin]]): 16-bin
+    * histogram argmax of the DECODED red channel — the oracle predicts
+    * it from the synthetic pixel formula, so the real ImageIO decode
+    * stays hash-checked end to end.
+    */
+  private def mmDominantBin(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.dominantBin(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  private val mmDominantBinSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    ((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256) // 16 AS bin
+      |  FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 13) AS gy(y)
+      |  WHERE gx.x < d.sw AND gy.y < d.sh),
+      |h AS (SELECT doc_id, sw, sh, bin, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2, 3, 4),
+      |b AS (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY c DESC, bin) AS rn FROM h)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height,
+      |  CAST(bin AS BIGINT) AS dom_bin, c AS dom_count
+      |FROM b WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Market-basket lift: the co-purchase pairs ranked by lift rather
     * than raw support — lift_x1000 = P(ab)/(P(a)P(b)) · 1000 as exact
     * integer arithmetic over order counts (trunc division, positive
@@ -4229,6 +4287,8 @@ object SparkEntry {
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "q_copurchase_lift" -> (qCopurchaseLift _),
     "q_orders_rfm" -> (qOrdersRfm _),
+    "vec_knn_graph" -> (vecKnnGraph _),
+    "mm_dominant_bin" -> (mmDominantBin _),
     "text_readability" -> (textReadability _),
     "q_events_stickiness" -> (qEventsStickiness _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
@@ -4412,6 +4472,8 @@ object SparkEntry {
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "q_copurchase_lift" -> qCopurchaseLiftSql,
     "q_orders_rfm" -> qOrdersRfmSql,
+    "vec_knn_graph" -> vecKnnGraphSql,
+    "mm_dominant_bin" -> mmDominantBinSql,
     "text_readability" -> textReadabilitySql,
     "q_events_stickiness" -> qEventsStickinessSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,

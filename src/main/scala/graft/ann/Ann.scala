@@ -4,6 +4,7 @@ import graft.vec.Vec
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -160,5 +161,43 @@ object Ann {
         col("vec_id"),
         round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
     rank(scored, k)
+  }
+
+  /** Approximate k-NN GRAPH: every vector's top-k cosine neighbors
+    * among its LSH-bucket mates — the corpus-to-corpus self-join
+    * (where lshTopK is queries-to-corpus) that feeds graph-based ANN
+    * indexes, label propagation, and cluster diagnostics. Vectors
+    * whose bucket holds no other member emit no rows (the LSH recall
+    * contract, same as `ann_lsh_topk`).
+    *
+    * Scale: candidates are generated only WITHIN buckets (one shuffle
+    * on the bucket key), scored with the exact quantized-integer
+    * cosine, and reduced through the bounded-heap TopKPerKey operator —
+    * per-task state corpus×k, never the full candidate set.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5, p: Int = 8): DataFrame = {
+    require(k >= 1, s"knnGraph: need k >= 1, got $k")
+    val b = embeddings.select(
+      col("vec_id"),
+      Vec.quantize(col("embedding")).as("q"),
+      Vec.lshBucket(col("embedding"), p).as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = b.as("l").join(b.as("r"), Seq("bucket"))
+      .where(col("l.vec_id") =!= col("r.vec_id"))
+      .select(
+        col("l.vec_id").as("vec_id"),
+        col("r.vec_id").as("nbr_id"),
+        Vec.cosineQ(col("l.q"), col("r.q")).as("cosine"))
+    val top = graft.plans.TopK.perKey(
+      cand, Seq("vec_id"), Seq("cosine" -> true, "nbr_id" -> false), k)
+    val w = Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nbr_id").asc)
+    val out = top
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while b is cached; caller owns `out`
+    b.unpersist(blocking = false)
+    out
   }
 }

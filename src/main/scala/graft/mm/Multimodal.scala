@@ -259,4 +259,39 @@ object Multimodal {
       }
     }
   }
+
+  case class MediaDominant(doc_id: Long, width: Int, height: Int,
+                           dom_bin: Long, dom_count: Long)
+
+  /** Dominant intensity bin per image: a 16-bin histogram of the DECODED
+    * red channel, argmax bin (ties to the lowest bin) — the
+    * palette/exposure diagnostic, and one more operator whose output the
+    * oracle predicts from the synthetic pixel formula so the REAL codec
+    * path stays hash-checked end to end. Same per-partition decode seam
+    * as [[extractFeatures]]; no shuffle.
+    */
+  def dominantBin(spark: SparkSession, media: Dataset[MediaRow], bins: Int = 16): Dataset[MediaDominant] = {
+    require(bins >= 2 && 256 % bins == 0, s"dominantBin: bins must divide 256, got $bins")
+    import spark.implicits._
+    val div = 256 / bins
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.media)
+        val hist = new Array[Long](bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(((img.getRGB(x, y) >> 16) & 0xff) / div) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var best = 0
+        var i = 1
+        while (i < bins) { if (hist(i) > hist(best)) best = i; i += 1 }
+        MediaDominant(m.doc_id, img.getWidth, img.getHeight, best.toLong, hist(best))
+      }
+    }
+  }
 }

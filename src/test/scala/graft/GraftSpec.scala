@@ -2761,3 +2761,57 @@ class CentroidSpec extends AnyFunSuite {
     assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
   }
 }
+
+class KnnGraphSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("neighbors are bucket-mates ranked by exact cosine, k-bounded") {
+    // identical vectors share a bucket and have cosine 1.0
+    val rows = (0L to 6L).map(i => (i, Seq(1f, 0.5f, 0.25f, 1f))) ++
+      Seq((7L, Seq(-1f, 0.5f, -0.25f, -1f)))
+    val r = ann.Ann.knnGraph(rows.toDF("vec_id", "embedding"), k = 3)
+    val got = r.orderBy("vec_id", "rnk").collect()
+    r.unpersist(blocking = true)
+    val byV = got.groupBy(_.getAs[Long]("vec_id"))
+    (0L to 6L).foreach { v =>
+      val rows = byV(v)
+      assert(rows.length === 3) // 6 identical candidates, k = 3 kept
+      assert(rows.forall(_.getAs[Double]("cosine") === 1.0))
+      // ties broken by ascending nbr_id
+      val nbrs = rows.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("nbr_id")).toSeq
+      assert(nbrs === (0L to 6L).filter(_ != v).take(3))
+    }
+  }
+
+  test("leaves only its materialized result persisted") {
+    spark.catalog.clearCache()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val r = ann.Ann.knnGraph(
+      (0L to 5L).map(i => (i, Seq(1f, i.toFloat))).toDF("vec_id", "embedding"), k = 2)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).size === 1)
+    r.unpersist(blocking = true)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+}
+
+class DominantBinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("argmax bin of the decoded histogram matches the pixel formula") {
+    val docs = Seq(0L, 5L, 17L).toDF("doc_id")
+    val r = mm.Multimodal.dominantBin(spark, mm.Multimodal.imageFrame(spark, docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    Seq(0L, 5L, 17L).foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (8 + (id / 3) % 7).toInt
+      val hist = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        hist((((id * 31 + x * 7 + y * 13) % 256) / 16).toInt) += 1
+      val best = hist.zipWithIndex.maxBy { case (c, i) => (c, -i) }
+      assert(r(id).width === w && r(id).height === h)
+      assert(r(id).dom_bin === best._2.toLong)
+      assert(r(id).dom_count === best._1)
+    }
+  }
+}
