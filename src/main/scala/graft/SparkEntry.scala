@@ -2529,6 +2529,46 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Winnowing near-dup pairs ([[dedup.Winnow.sharedPairs]]): MOSS-style
+    * local fingerprints — window minima over md5'd positional 4-grams
+    * (window 5), pairs sharing ≥2 fingerprints after a df-50 cap on
+    * corpus-hot fingerprints. Position-robust where whole-doc MinHash
+    * is not.
+    */
+  private def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    dedup.Winnow.sharedPairs(Tables.documents(s, dir))
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupWinnowSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS wl FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(wl) = 0 THEN []
+       |         WHEN len(wl) <= 4 THEN [array_to_string(wl, ' ')]
+       |         ELSE list_transform(generate_series(1, len(wl) - 3),
+       |           i -> array_to_string(wl[i:i + 3], ' '))
+       |    END AS grams
+       |  FROM d),
+       |h AS (SELECT doc_id, list_transform(grams, g -> md5(g)) AS hs FROM g),
+       |f AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN []
+       |         WHEN len(hs) < 5 THEN [list_min(hs)]
+       |         ELSE list_distinct(list_transform(generate_series(1, len(hs) - 4),
+       |           i -> list_min(hs[i:i + 4])))
+       |    END AS fps
+       |  FROM h),
+       |e AS (SELECT doc_id, UNNEST(fps) AS fp FROM f),
+       |df AS (SELECT fp, COUNT(*) AS df FROM e GROUP BY 1),
+       |ke AS (SELECT e.doc_id, e.fp FROM e JOIN df USING (fp) WHERE df.df <= 50),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM ke a JOIN ke b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, shared FROM p WHERE shared >= 2
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Approximate k-NN graph ([[ann.Ann.knnGraph]]): every vector's top-5
     * cosine neighbors among its LSH-bucket mates — the corpus-to-corpus
     * self-join feeding graph ANN indexes and cluster diagnostics.
@@ -2891,7 +2931,7 @@ object SparkEntry {
       |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Rate-burst detection ([[ops.Anomaly.flagOutliers]]): hourly event
-    * counts per type, hours beyond 3×MAD of the type's median flagged —
+    * counts per type, hours beyond 1.5×MAD of the type's median flagged (demo sensitivity; raise devX1000 for production) —
     * the metrics-anomaly twin of `q_anomaly_mad` that returns WHICH
     * buckets burst, not just the thresholds.
     */
@@ -2899,7 +2939,7 @@ object SparkEntry {
     val perHour = Tables.events(s, dir)
       .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
       .groupBy("event_type", "hour").agg(count(lit(1)).as("cnt"))
-    ops.Anomaly.flagOutliers(perHour, "event_type", "cnt", devX1000 = 3000L)
+    ops.Anomaly.flagOutliers(perHour, "event_type", "cnt", devX1000 = 1500L)
       .where(col("is_out"))
       .select(col("event_type"), col("hour"), col("cnt"), col("med"), col("mad"))
       .orderBy("event_type", "hour")
@@ -2935,7 +2975,7 @@ object SparkEntry {
       |  FROM dw WHERE cum * 2 >= n GROUP BY event_type)
       |SELECT r.event_type, r.hour, r.cnt, med.med, mad.mad
       |FROM r JOIN med USING (event_type) JOIN mad USING (event_type)
-      |WHERE abs(r.cnt - med.med) * 1000 > 3000 * greatest(mad.mad, 1)
+      |WHERE abs(r.cnt - med.med) * 1000 > 1500 * greatest(mad.mad, 1)
       |ORDER BY r.event_type, r.hour""".stripMargin
 
   /** Benchmark decontamination: docs sharing any 5-gram with the held-out
@@ -4289,6 +4329,7 @@ object SparkEntry {
     "q_orders_rfm" -> (qOrdersRfm _),
     "vec_knn_graph" -> (vecKnnGraph _),
     "mm_dominant_bin" -> (mmDominantBin _),
+    "dedup_winnow" -> (dedupWinnow _),
     "text_readability" -> (textReadability _),
     "q_events_stickiness" -> (qEventsStickiness _),
     "pipe_quality_scorecard" -> (pipeQualityScorecard _),
@@ -4474,6 +4515,7 @@ object SparkEntry {
     "q_orders_rfm" -> qOrdersRfmSql,
     "vec_knn_graph" -> vecKnnGraphSql,
     "mm_dominant_bin" -> mmDominantBinSql,
+    "dedup_winnow" -> dedupWinnowSql,
     "text_readability" -> textReadabilitySql,
     "q_events_stickiness" -> qEventsStickinessSql,
     "pipe_quality_scorecard" -> pipeQualityScorecardSql,

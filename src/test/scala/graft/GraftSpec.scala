@@ -2815,3 +2815,46 @@ class DominantBinSpec extends AnyFunSuite {
     }
   }
 }
+
+class WinnowSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("detection guarantee: a shared run of >= w+k-1 words yields a shared fingerprint") {
+    // k=4, w=5: any shared 8-word run must surface at least one shared fp
+    val run = "zero one two three four five six seven"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $run epsilon"),
+      (2L, s"$run omega psi chi phi upsilon"),
+      (3L, "totally different words with no overlap at all here")
+    ).toDF("doc_id", "text")
+    val fp = dedup.Winnow.fingerprints(docs)
+    val byDoc = fp.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty)
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
+  test("density: winnowing selects far fewer fingerprints than grams") {
+    val text = (1 to 200).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val nFp = dedup.Winnow.fingerprints(docs).count()
+    val nGrams = 200 - 4 + 1
+    assert(nFp < nGrams / 2) // expected ~2/(w+1) density
+    assert(nFp > 0)
+  }
+
+  test("sharedPairs caps hot fingerprints and honors minShared") {
+    // 60 docs sharing one template sentence: its fps exceed maxDf=50 and
+    // are dropped, so no pair survives; two docs sharing a long unique
+    // run do pair
+    val tpl = "shared boiler plate sentence appears in every single doc"
+    val longRun = "unique run alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1L to 60L).map(i => (i, s"$tpl filler$i")) ++
+      Seq((100L, s"$longRun tail one"), (101L, s"$longRun tail two")))
+      .toDF("doc_id", "text")
+    val pairs = dedup.Winnow.sharedPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)))
+    assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L })
+  }
+}
