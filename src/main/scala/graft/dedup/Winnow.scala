@@ -25,17 +25,28 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** One row per (doc_id, distinct fingerprint). */
+  /** One row per (doc_id, distinct fingerprint).
+    *
+    * The gram-hash array is LET-BOUND (single-element-array transform,
+    * same trick as `Vec.int8Normalize` / `Text.shingles`) before the
+    * window lambda: higher-order functions evaluate interpreted, and an
+    * unbound `slice(hs, i, w)` in the lambda body re-evaluates the whole
+    * canon-regex + shingle + md5 chain for EVERY window index — measured
+    * as a 20+-minute single task at sf0.1 before the binding.
+    */
   def fingerprints(docs: DataFrame, k: Int = 4, w: Int = 5): DataFrame = {
     require(k >= 1 && w >= 2, s"Winnow: need k >= 1, w >= 2, got k=$k w=$w")
-    val words = Text.words(col("text"))
-    val hs = transform(Text.shinglesOfWords(words, k), g => md5(g))
-    val n = size(hs)
-    val fps = when(n === 0, array().cast("array<string>"))
-      .when(n < w, array(array_min(hs)))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), n - (w - 1)),
-        i => array_min(slice(hs, i, lit(w))))))
+    val hs = transform(Text.shingles(col("text"), k), g => md5(g))
+    val fps = element_at(
+      transform(array(hs), h => {
+        val n = size(h)
+        when(n === 0, array().cast("array<string>"))
+          .when(n < w, array(array_min(h)))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), n - (w - 1)),
+            i => array_min(slice(h, i, lit(w))))))
+      }),
+      1)
     docs.select(col("doc_id"), explode(fps).as("fp"))
   }
 

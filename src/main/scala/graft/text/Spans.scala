@@ -29,11 +29,15 @@ object Spans {
     */
   def duplicated(docs: DataFrame, n: Int, maxDupFrac: Double): DataFrame = {
     require(n >= 2, s"Spans.duplicated: need n >= 2, got $n")
+    // Text.shingles let-binds the words array before the gram lambda —
+    // an unbound slice(words, i, n) in the lambda body would re-run the
+    // canon regex per gram position (interpreted HOF path). Docs shorter
+    // than n words yield one whole-text gram that can never be
+    // position-duplicated, matching the < n => no-grams contract only
+    // when filtered; keep the short-doc guard explicit.
     val w = Text.words(col("text"))
     val grams = when(size(w) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(w) - lit(n - 1)),
-        i => array_join(slice(w, i, lit(n)), " ")))
+      .otherwise(Text.shingles(col("text"), n))
     // positional counts: c occurrences of gram g in this doc
     val cnt = docs
       .select(col("doc_id"), explode(grams).as("g"))
