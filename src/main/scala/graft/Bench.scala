@@ -32,8 +32,11 @@ object Bench {
     // machinery, and parquet reader setup are paid before timing; then
     // drop all cached/persisted data so the timed pass recomputes every
     // operator from the raw files (steady-state engine, cold data).
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).count() catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] warmup $name FAILED: ${e.toString.take(300)}")
+      }
       spark.catalog.clearCache()
       TmpDirs.sweepRecorded()
     }
@@ -45,15 +48,24 @@ object Bench {
     val queries = SparkEntry.queries
     val names = queries.keys.toSeq
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val perPass: Seq[Map[String, Double]] = (1 to nPasses).map { _ =>
+    // A query that throws is an ERROR, not a time: its elapsed-to-throw is
+    // recorded separately and NEVER enters medians/totals, the key is
+    // listed in the errors map, and the run exits nonzero — a bench over a
+    // broken engine must not look green (r7's 22 broken events queries
+    // appeared as ~0.06s "passes" under the old swallow-everything catch).
+    val perPass: Seq[Map[String, Either[String, Double]]] = (1 to nPasses).map { _ =>
       // between passes, outside any timed window: drive ContextCleaner so
       // dead shuffle files from the previous pass are gone before timing
       System.gc()
       Thread.sleep(2000)
       names.map { name =>
         val t0 = System.nanoTime()
-        try { queries(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
+        val res: Either[String, Double] =
+          try { queries(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            Left(e.getClass.getName + ": " + String.valueOf(e.getMessage).take(200))
+          }
         // several library functions hand back caller-owned persisted
         // results; drop them so no query's timing is distorted by the
         // accumulated caches (and heap pressure) of the queries before it
@@ -61,7 +73,7 @@ object Bench {
         // scratch-dir deletion happens outside the timed window of the NEXT
         // query too (dt is already captured), keeping timings write-only
         TmpDirs.sweepRecorded()
-        name -> dt
+        name -> res
       }.toMap
     }
     def median(xs: Seq[Double]): Double = {
@@ -69,12 +81,23 @@ object Bench {
       val m = s.length / 2
       if (s.length % 2 == 1) s(m) else (s(m - 1) + s(m)) / 2
     }
-    val medians = names.map(n => n -> median(perPass.map(_(n))))
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val erred: Seq[String] = names.filter(n => perPass.exists(_(n).isLeft))
+    val ok: Seq[String] = names.filterNot(erred.contains)
+    val errors = erred
+      .map(n => jstr(n) + ":" + jstr(perPass.flatMap(_(n).left.toOption).head))
+      .mkString("{", ",", "}")
+    val medians = ok.map(n => n -> median(perPass.map(_(n).toOption.get)))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val spread = names
+    val spread = ok
       .map { n =>
-        val xs = perPass.map(_(n))
+        val xs = perPass.map(_(n).toOption.get)
         "\"" + n + "\":" + (xs.max - xs.min)
       }
       .mkString("{", ",", "}")
@@ -82,13 +105,14 @@ object Bench {
     // median pass is a number that actually occurred, it is robust to one
     // noisy pass, and it is self-consistent with pass_totals by
     // construction. sum_of_medians is kept alongside for continuity with
-    // rounds <= 6.
-    val passTotalSeq = perPass.map(_.values.sum)
+    // rounds <= 6 (metric_version 2 = median-of-pass-totals headline,
+    // introduced r7; compare rounds <= 6 via sum_of_medians).
+    val passTotalSeq = perPass.map(p => ok.map(n => p(n).toOption.get).sum)
     val total = median(passTotalSeq)
     val sumOfMedians = medians.map(_._2).sum
     val passTotals = passTotalSeq.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread}"""
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
@@ -97,8 +121,10 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    val failedKeys = erred.map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"per_query_file":"$outFile"}""")
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"per_query_file":"$outFile"}""")
     spark.stop()
+    if (erred.nonEmpty) sys.exit(1)
   }
 }

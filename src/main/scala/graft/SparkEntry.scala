@@ -2218,34 +2218,111 @@ object SparkEntry {
        |FROM g ORDER BY source, split""".stripMargin
   }
 
+  /** Per-query term sets for the hybrid-retrieval lexical leg — the
+    * query WORKLOAD, fixed literals exactly like the vector leg's query
+    * ids. Terms overlap across queries only where intended; every term
+    * occurs in the corpus so df varies per term and scores vary per
+    * query.
+    */
+  private val hybridQueryTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "spark", "window"),
+    1L -> Seq("join", "hash", "merge"),
+    2L -> Seq("scan", "filter", "sort"),
+    3L -> Seq("stream", "batch", "group"),
+    4L -> Seq("query", "table", "data"))
+
+  /** Per-query lexical leg: BM25 top-`k` PER QUERY over
+    * [[hybridQueryTerms]]. One corpus pass aggregates every distinct
+    * term's df plus N/avgdl to a single driver row (index metadata,
+    * like k-means centroids) inlined as literals; scoring is then a
+    * pure map — per-term partial columns computed once, per-query sums
+    * emitted via a literal-array explode, no join, no shuffle before
+    * top-k — and [[plans.TopK.perKey]] bounds the exchange at
+    * (#queries x k) candidates per partition. The lrnk window runs on
+    * <= #queries x k rows.
+    */
+  private def bm25PerQueryTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val allTerms = hybridQueryTerms.flatMap(_._2).distinct
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")).cast("long"))
+    val st = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("sum_dl") +: allTerms.zipWithIndex.map { case (t, i) =>
+        sum(array_contains(col("ws"), t).cast("long")).as(s"df$i")
+      }: _*).head()
+    val nDocs = st.getLong(0)
+    val avgdl = st.getLong(1).toDouble / nDocs
+    val partOf: Map[String, Column] = allTerms.zipWithIndex.map { case (t, i) =>
+      val df = st.getLong(2 + i)
+      // same nano-quantized Lucene idf as textBm25Topk (see its comment)
+      val idf = math.floor(math.log(1.0 + (nDocs.toDouble - df + 0.5) / (df.toDouble + 0.5)) * 1e9) / 1e9
+      val tfd = size(filter(col("ws"), w => w === t)).cast("long").cast("double")
+      t -> (lit(idf) * (tfd * lit(2.2)) /
+        (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl))))
+    }.toMap
+    val perQueryScores = array(hybridQueryTerms.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.map(partOf).reduceLeft(_ + _).as("score")) // fixed add order, oracle mirrors
+    }: _*)
+    val scored = docs
+      .select(col("doc_id"), explode(perQueryScores).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"), col("q.score").as("score"))
+      .where(col("score") > 0.0)
+    plans.TopK.perKey(scored, Seq("query_id"),
+      Seq("score" -> true, "doc_id" -> false), k)
+      .withColumn("lrnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))).cast("long"))
+  }
+
   /** Hybrid retrieval: RRF fusion ([[ops.Fusion.rrf2]]) of the vector
-    * leg (brute-force cosine top-20 per query) and the lexical leg
-    * (BM25 top-20 for the fixed term set, shared across queries and
-    * fanned out MAP-SIDE via explode — no cross join). The lexical
-    * rank window is bounded by the upstream LIMIT 20.
+    * leg (brute-force cosine top-20 per query) and a PER-QUERY lexical
+    * leg ([[bm25PerQueryTopK]] — each query scores its own term set, so
+    * both legs vary by query). The fusion join touches only the two
+    * top-20 candidate sets per query.
     */
   private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
     val vec = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 20)
       .select(col("query_id"), col("vec_id"), col("rnk").as("vrnk"))
-    val lex = textBm25Topk(s, dir)
-      .withColumn("lrnk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("score"), col("doc_id"))).cast("long"))
-      .select(col("doc_id").as("vec_id"), col("lrnk"))
-      .withColumn("query_id", explode(lit(annQueryIds.toArray)))
+    val lex = bm25PerQueryTopK(s, dir, 20)
+      .select(col("query_id"), col("doc_id").as("vec_id"), col("lrnk"))
     ops.Fusion.rrf2(vec, lex, k0 = 60.0, topK = 10)
       .orderBy("query_id", "rnk")
   }
 
-  private val qHybridRrfSql =
+  private val qHybridRrfSql = {
+    val allTerms = hybridQueryTerms.flatMap(_._2).distinct
+    val ws = s"string_split($canonSql, ' ')"
+    val dfsSql = allTerms
+      .map(t => s"CAST(SUM(CASE WHEN list_contains(ws, '$t') THEN 1 ELSE 0 END) AS BIGINT) AS df_$t")
+      .mkString(", ")
+    def partSql(t: String) =
+      s"""(floor(ln(1.0 + (CAST(n_docs AS DOUBLE) - df_$t + 0.5) / (CAST(df_$t AS DOUBLE) + 0.5)) * 1e9) / 1e9) *
+         | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) * 2.2) /
+         | (CAST(len(list_filter(ws, w -> w = '$t')) AS DOUBLE) +
+         |   1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))""".stripMargin.replaceAll("\n", "")
+    val perQuery = hybridQueryTerms.map { case (qid, ts) =>
+      // parenthesization mirrors Spark's reduceLeft: ((p0 + p1)) + (p2)
+      val score = s"((${partSql(ts(0))}) + (${partSql(ts(1))})) + (${partSql(ts(2))})"
+      s"SELECT CAST($qid AS BIGINT) AS query_id, doc_id, $score AS score FROM d, st"
+    }.mkString("\n  UNION ALL ")
     s"""WITH vr AS (SELECT query_id, vec_id, rnk FROM (${bruteforceRankSql(20)})),
-       |lex AS (
-       |  SELECT doc_id AS vec_id,
-       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lrnk
-       |  FROM ($textBm25TopkSql)),
+       |d AS (
+       |  SELECT doc_id, $ws AS ws,
+       |    CAST(CASE WHEN length($canonSql) = 0 THEN 0
+       |              ELSE len($ws) END AS BIGINT) AS dl
+       |  FROM documents),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, $dfsSql,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+       |  FROM d),
+       |sc AS (
+       |  $perQuery),
        |lq AS (
-       |  SELECT q.query_id, lex.vec_id, lex.lrnk
-       |  FROM lex, (SELECT UNNEST(CAST([0,1,2,3,4] AS BIGINT[])) AS query_id) q),
+       |  SELECT query_id, doc_id AS vec_id, lrnk FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS lrnk
+       |    FROM sc WHERE score > 0.0) WHERE lrnk <= 20),
        |f AS (
        |  SELECT COALESCE(vr.query_id, lq.query_id) AS query_id,
        |    COALESCE(vr.vec_id, lq.vec_id) AS vec_id,
@@ -2260,6 +2337,7 @@ object SparkEntry {
        |  FROM f)
        |SELECT query_id, vec_id, vrnk, lrnk, rrf, rnk FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Tokenizer-fit step: BPE first-iteration merge-candidate table
     * ([[text.Bpe.pairCounts]] — pair explosion over the word DICTIONARY,

@@ -30,13 +30,30 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     TmpDirs.sweepStale() // reclaim scratch dirs from earlier/crashed runs
+    // Registry/oracle key-set discipline: an oracle with no query is drift
+    // and fails immediately; a query with no oracle is the documented
+    // weaker rows-only contract and is only reported.
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    if (orphanOracles.nonEmpty)
+      throw new IllegalStateException(
+        s"[verify] oracleSql keys with no matching queries entry: ${orphanOracles.toSeq.sorted.mkString(", ")}")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    if (rowsOnly.nonEmpty)
+      System.err.println(s"[verify] rows-only keys (no oracle): ${rowsOnly.toSeq.sorted.mkString(", ")}")
+    // Totality: a key whose DataFrame cannot even be constructed must leave
+    // a loud, machine-readable trace — r7's events break silently shrank
+    // the correctness dump from 142 to 120 keys and every gate stayed
+    // green. Failures are collected, dumped to verify_errors.json, and the
+    // run exits nonzero.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = e.toString.take(500)
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       // several library functions hand back caller-owned persisted
       // results; release them so 70+ queries don't accumulate caches
@@ -59,6 +76,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Always written (empty object when clean) so compare tooling can
+    // assert dump totality: dumped dirs + verify_errors keys == registry.
+    val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
+    if (failures.nonEmpty) {
+      println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Raw parquet schema of the events table with TIMESTAMP(NANOS) read
-    * as long (see Tables.events for the batch-side handling).
+  /** Raw parquet schema of the events table. The physical type of `ts`
+    * has changed across testdata generations (TIMESTAMP(NANOS) read as
+    * long via nanosAsLong, then TIMESTAMP(MICROS)); streaming sources
+    * must declare a schema up front, so it is parameterized by the ts
+    * type probed from the files (see [[source]]).
     */
-  val rawSchema: StructType = StructType(Seq(
+  def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos-as-long
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -28,15 +31,20 @@ object EventsStream {
     * option exists); see Tables.events for the full rationale. It is a
     * GraftSession default — set here too only so driver-built sessions
     * work.
+    *
+    * The ts physical type is probed with one batch schema read (footer
+    * only, no data) so the declared stream schema always matches the
+    * files; graft.Tables.normalizeEventTime then maps any generation to
+    * the canonical (`ts_ns` long-nanos, `ts` timestamp) pair.
     */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    graft.Tables.normalizeEventTime(
+      spark.readStream
+        .schema(rawSchema(tsType))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Watermarked tumbling-window counts per event type — the streaming

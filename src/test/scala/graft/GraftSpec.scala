@@ -2858,3 +2858,57 @@ class WinnowSpec extends AnyFunSuite {
     assert(pairs.forall { case (a, b) => a >= 100L && b >= 100L })
   }
 }
+
+class TablesSchemaSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  // micro-aligned nanos so all three physical layouts agree bit-exactly
+  private def baseNanos = Seq(
+    (1L, 1700000000123456000L, 10L, "view", 1.5, "{}"),
+    (2L, 1700000003987654000L, 10L, "purchase", 2.5, "{}"),
+    (3L, 1700086400000000000L, 11L, "view", 0.5, "{}"))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("events loader adapts all three ts layouts to the same ts_ns/ts pair") {
+    val dirs = Seq(
+      ("nanos_long", baseNanos),
+      ("micros_tz", baseNanos.withColumn("ts", timestamp_micros(expr("ts div 1000")))),
+      ("micros_ntz", baseNanos.withColumn(
+        "ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))))
+    val results = dirs.map { case (tag, df) =>
+      val d = TmpDirs.create(s"tbl_$tag")
+      df.write.mode("overwrite").parquet(s"$d/events.parquet")
+      val ev = Tables.events(spark, d)
+      assert(ev.schema("ts_ns").dataType === LongType, tag)
+      assert(ev.schema("ts").dataType === TimestampType, tag)
+      val rows = ev
+        .select(col("event_id"), col("ts_ns"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("t"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      tag -> rows
+    }
+    val want = results.head._2
+    results.tail.foreach { case (tag, rows) => assert(rows === want, tag) }
+    assert(want.map(_._2) === Seq(
+      1700000000123456000L, 1700000003987654000L, 1700086400000000000L))
+  }
+
+  test("schema drift fails the load with a message naming table, column, and types") {
+    val d = TmpDirs.create("tbl_drift")
+    baseNanos.withColumn("value", lit("oops"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, d))
+    assert(e.getMessage.contains("schema drift"))
+    assert(e.getMessage.contains("events"))
+    assert(e.getMessage.contains("value is string (want double)"))
+  }
+
+  test("a missing required column is reported as MISSING, not a resolve error") {
+    val d = TmpDirs.create("tbl_miss")
+    baseNanos.drop("props").write.mode("overwrite").parquet(s"$d/events.parquet")
+    val e = intercept[IllegalStateException](Tables.events(spark, d))
+    assert(e.getMessage.contains("props MISSING"))
+  }
+}

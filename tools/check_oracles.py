@@ -35,6 +35,15 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    # Verify-side construction failures (dump totality): every key the
+    # Scala registry holds but could not dump lands here — surface each.
+    import os.path
+    if os.path.exists(f"{out_dir}/verify_errors.json"):
+        for name, err in sorted(json.load(open(f"{out_dir}/verify_errors.json")).items()):
+            print(f"FAIL {name}: verify-side construction error: {err[:300]}")
+            failures += 1
+    else:
+        print("WARN verify_errors.json missing (old Verify build?) — totality not assertable")
     for name, sql in sorted(oracles.items()):
         try:
             got = con.execute(
