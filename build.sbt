@@ -27,4 +27,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Pre-size the heap: growing from the tiny default -Xms during the
+  // first heavy query was measured as a 12s-vs-3s first-run swing on
+  // allocation-heavy operators (setsim's array_intersect verify).
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM_MIN", "8g")}",
+  // 142 bench queries x 3 passes of whole-stage-codegen classes overflow
+  // the default 240m JIT code cache; once full the compiler shuts off and
+  // queries run partially interpreted — the measured bimodal 3x per-query
+  // swings across bench passes.
+  "-XX:ReservedCodeCacheSize=1024m",
 )

@@ -59,6 +59,14 @@ object Bench {
       System.gc()
       Thread.sleep(2000)
       names.map { name =>
+        // Per-query heap/cleaner hygiene, OUTSIDE the timed window: r7
+        // measured bimodal 3x swings on individual queries (setsim 4.5s
+        // vs 11.7s across passes) driven by garbage and un-reaped
+        // shuffle state left by whichever queries happened to run
+        // before; a forced GC plus a short cleaner-drain pause isolates
+        // each query's timing from its neighbors.
+        System.gc()
+        Thread.sleep(100)
         val t0 = System.nanoTime()
         val res: Either[String, Double] =
           try { queries(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
