@@ -4310,6 +4310,164 @@ object SparkEntry {
       |FROM t JOIN rd USING (t_day)
       |GROUP BY t.t_day ORDER BY t.t_day""".stripMargin
 
+  /** Asymmetric containment self-join ([[dedup.SetSim.containJoinSets]]):
+    * doc_a contained-in doc_b at |A∩B|/|A| >= 0.8 over df-filtered
+    * 3-shingle sets — the doc-in-doc relation (excerpts, quote
+    * inclusion) that symmetric Jaccard misses when |B| >> |A|. Same
+    * fused ShingleBlock elements and df cap as dedup_setsim_prefix.
+    */
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    dedup.SetSim.containJoinSets(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
+      tX1000 = 800, maxTokenDf = 1000)
+      .orderBy("doc_a", "doc_b")
+
+  private val dedupContainmentSql =
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM documents),
+       |d AS (SELECT doc_id,
+       |  CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[])
+       |    WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+       |    ELSE list_transform(generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |  END AS sh FROM d0),
+       |tok AS (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
+       |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
+       |el AS (
+       |  SELECT tok.doc_id, tok.token, df
+       |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
+       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM el a JOIN el b USING (token) WHERE a.doc_id != b.doc_id),
+       |i AS (
+       |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand
+       |  JOIN el ta ON ta.doc_id = cand.doc_a
+       |  JOIN el tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
+       |  GROUP BY doc_a, doc_b)
+       |SELECT i.doc_a, i.doc_b, i.inter, na.n AS n_a, nb.n AS n_b,
+       |  i.inter * 1000 // na.n AS cont_x1000
+       |FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
+       |WHERE i.inter * 1000 >= 800 * na.n
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** CCNet-style corpus split: per language, docs bucket into
+    * head/middle/tail thirds by quantized unigram-LM surprisal
+    * ([[text.InfoTheory.surprisal]]'s BIGINT sur_q — lower = more
+    * fluent). Thresholds come from an exact (lang, sur_q) histogram:
+    * cumulative counts over the HISTOGRAM (bounded by distinct
+    * quantized values, never corpus-shaped rows) pick the smallest
+    * value covering ceil(n/3) and ceil(2n/3), then bucketing is a
+    * map-side broadcast-join compare. Value-threshold semantics (ties
+    * share a bucket) — deterministic across engines, unlike ntile.
+    * At 100 TB, coarsen the surprisal quantization to bound the
+    * histogram; thresholds stay a tiny broadcast.
+    */
+  private def textSurprisalBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sur = text.InfoTheory.surprisal(docs, keepLoNats = 3.398, keepHiNats = 3.410)
+      .select(col("doc_id"), col("n_words"), col("sur_q"))
+    val byDoc = docs.select(col("doc_id"), col("lang")).join(sur, "doc_id")
+    val hist = byDoc.groupBy("lang", "sur_q").agg(count(lit(1)).as("c"))
+    val cum = hist
+      .withColumn("cc", sum("c").over(Window.partitionBy("lang").orderBy("sur_q")))
+      .withColumn("n", sum("c").over(Window.partitionBy("lang")))
+    val th = cum.groupBy("lang").agg(
+      min(when(col("cc") * 3 >= col("n"), col("sur_q"))).as("t1"),
+      min(when(col("cc") * 3 >= col("n") * 2, col("sur_q"))).as("t2"))
+    byDoc.join(broadcast(th), "lang")
+      .withColumn("bucket",
+        when(col("sur_q") <= col("t1"), "head")
+          .when(col("sur_q") <= col("t2"), "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_tokens"),
+        min("sur_q").as("min_q"), max("sur_q").as("max_q"))
+      .orderBy("lang", "bucket")
+  }
+
+  private val textSurprisalBucketsSql =
+    s"""WITH d AS (SELECT doc_id, lang, $wordsListSql AS w FROM documents),
+       |dc AS (
+       |  SELECT doc_id, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, UNNEST(w) AS t FROM d) GROUP BY 1, 2),
+       |dict AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf FROM dc GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(floor(ln(CAST(SUM(cf) AS DOUBLE)) * 1e9) AS BIGINT) AS qlnt
+       |  FROM dict),
+       |per AS (
+       |  SELECT dc.doc_id,
+       |    CAST(SUM(dc.c) AS BIGINT) AS n_words,
+       |    CAST(SUM(dc.c * CAST(floor(ln(CAST(dict.cf AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS scf
+       |  FROM dc JOIN dict USING (t) GROUP BY 1),
+       |b AS (
+       |  SELECT d.doc_id, d.lang,
+       |    COALESCE(n_words, 0) AS n_words,
+       |    CASE WHEN COALESCE(n_words, 0) = 0 THEN 0
+       |         ELSE n_words * (SELECT qlnt FROM tot) - scf END AS sur_q
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |h AS (SELECT lang, sur_q, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, sur_q,
+       |    SUM(c) OVER (PARTITION BY lang ORDER BY sur_q) AS cc,
+       |    SUM(c) OVER (PARTITION BY lang) AS n
+       |  FROM h),
+       |t AS (
+       |  SELECT lang,
+       |    MIN(CASE WHEN cc * 3 >= n THEN sur_q END) AS t1,
+       |    MIN(CASE WHEN cc * 3 >= n * 2 THEN sur_q END) AS t2
+       |  FROM cum GROUP BY 1),
+       |z AS (
+       |  SELECT b.lang,
+       |    CASE WHEN sur_q <= t1 THEN 'head'
+       |         WHEN sur_q <= t2 THEN 'middle'
+       |         ELSE 'tail' END AS bucket,
+       |    n_words, sur_q
+       |  FROM b JOIN t USING (lang))
+       |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(sur_q) AS BIGINT) AS min_q, CAST(MAX(sur_q) AS BIGINT) AS max_q
+       |FROM z GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
+  /** Cohort retention matrix: users cohorted by first-signup day, then
+    * counted distinct-active per (cohort_day, day offset 0..7). One
+    * events scan feeds both derivations; everything keys on user_id
+    * (cohort min-agg, activity distinct, the cohort⋈activity join)
+    * so the fact shuffles on one key, and the final matrix agg is
+    * cohort-days × 8 rows. The generalization of q_events_retention's
+    * single-offset D1 number.
+    */
+  private def qEventsCohort(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+    val cohorts = ev.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("day").as("cohort_day"))
+    val active = ev.select("user_id", "day").distinct()
+    cohorts.join(active, "user_id")
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .where(col("offset").between(0, 7))
+      .groupBy("cohort_day", "offset")
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  private val qEventsCohortSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) // 86400000000000 AS day
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, MIN(day) AS cohort_day
+      |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, day FROM e)
+      |SELECT c.cohort_day, a.day - c.cohort_day AS "offset",
+      |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+      |FROM c JOIN a USING (user_id)
+      |WHERE a.day - c.cohort_day BETWEEN 0 AND 7
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4372,6 +4530,7 @@ object SparkEntry {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_incremental_delta" -> (dedupIncrementalDelta _),
     "dedup_setsim_prefix" -> (dedupSetsimPrefix _),
+    "dedup_containment" -> (dedupContainment _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_transitions" -> (qEventsTransitions _),
     "text_model_eval" -> (textModelEval _),
@@ -4382,6 +4541,7 @@ object SparkEntry {
     "dedup_survivors" -> (dedupSurvivors _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
+    "q_events_cohort" -> (qEventsCohort _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_salted_join" -> (qSaltedJoin _),
     "text_bm25_topk" -> (textBm25Topk _),
@@ -4389,6 +4549,7 @@ object SparkEntry {
     "text_repetition" -> (textRepetition _),
     "text_entropy" -> (textEntropy _),
     "text_unigram_surprisal" -> (textUnigramSurprisal _),
+    "text_surprisal_buckets" -> (textSurprisalBuckets _),
     "samp_temperature" -> (sampTemperature _),
     "samp_split" -> (sampSplit _),
     "q_hybrid_rrf" -> (qHybridRrf _),
@@ -4558,6 +4719,7 @@ object SparkEntry {
     "dedup_incremental" -> oracle.DuckHash.incrementalSql(0.5),
     "dedup_incremental_delta" -> oracle.DuckHash.incrementalDeltaSql(0.5),
     "dedup_setsim_prefix" -> dedupSetsimPrefixSql,
+    "dedup_containment" -> dedupContainmentSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_transitions" -> qEventsTransitionsSql,
     "text_model_eval" -> textModelEvalSql,
@@ -4568,6 +4730,7 @@ object SparkEntry {
     "dedup_survivors" -> dedupSurvivorsSql,
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,
+    "q_events_cohort" -> qEventsCohortSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_salted_join" -> qSaltedJoinSql,
     "text_bm25_topk" -> textBm25TopkSql,
@@ -4575,6 +4738,7 @@ object SparkEntry {
     "text_repetition" -> textRepetitionSql,
     "text_entropy" -> textEntropySql,
     "text_unigram_surprisal" -> textUnigramSurprisalSql,
+    "text_surprisal_buckets" -> textSurprisalBucketsSql,
     "samp_temperature" -> sampTemperatureSql,
     "samp_split" -> sampSplitSql,
     "q_hybrid_rrf" -> qHybridRrfSql,

@@ -124,4 +124,63 @@ object SetSim {
   /** Word-unigram convenience overload. */
   def prefixJoin(docs: DataFrame, tX1000: Int = 600, maxTokenDf: Int = 1000): DataFrame =
     prefixJoin(docs, Text.words(col("text")), tX1000, maxTokenDf)
+
+  /** Ordered pairs (doc_a CONTAINED IN doc_b): exact containment
+    * |A∩B|/|A| >= tX1000/1000 over the df-filtered element sets — the
+    * asymmetric doc-in-doc relation (quote inclusion, page-in-crawl,
+    * excerpt detection) that Jaccard misses when |B| >> |A|.
+    *
+    * Prefix filter on the PROBE (contained) side only: if A's
+    * `|A| - ceil(t·|A|) + 1` rarest tokens miss B entirely, then
+    * |A∩B| <= ceil(t·|A|) - 1 < t·|A| (A∩B ⊆ B), so joining A-prefixes
+    * against the FULL eligible element relation is complete. Candidate
+    * fan-out per token is still bounded by the same df cap as the
+    * Jaccard path — containment places no bound on the B side, the df
+    * threshold does.
+    *
+    * Returns (doc_a, doc_b, inter, n_a, n_b, cont_x1000), doc_a != doc_b,
+    * integer permille; caller owns the returned persisted frame.
+    */
+  def containJoinSets(
+      sets: DataFrame,
+      tX1000: Int,
+      maxTokenDf: Int): DataFrame = {
+    val toks = sets
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("token"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
+
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
+    val byDoc = Window.partitionBy("doc_id")
+    val prefix = eligible
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(byDoc))
+      .where(col("rn") <= col("n") - expr(s"($tX1000 * n + 999) div 1000") + 1)
+      .select("doc_id", "token")
+
+    val cand = prefix.as("l")
+      .join(eligible.select("doc_id", "token").as("r"), Seq("token"))
+      .where(col("l.doc_id") =!= col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+
+    val fsets = eligible
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("token"))).as("fsh"), count(lit(1)).as("n"))
+    val verified = cand
+      .join(fsets.select(col("doc_id").as("doc_a"), col("fsh").as("sh_a"), col("n").as("n_a")), "doc_a")
+      .join(fsets.select(col("doc_id").as("doc_b"), col("fsh").as("sh_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .where(col("inter") * 1000 >= lit(tX1000.toLong) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("n_a"), col("n_b"),
+        expr("inter * 1000 div n_a").as("cont_x1000"))
+
+    val out = verified.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(blocking = false)
+    out
+  }
 }

@@ -2912,3 +2912,36 @@ class TablesSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("props MISSING"))
   }
 }
+
+class ContainmentSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("containment finds the doc-in-doc pair symmetric Jaccard misses") {
+    // A (5 elements) sits entirely inside B (50 elements): containment
+    // A-in-B = 1.0 but Jaccard = 5/50 = 0.1 — below any dedup threshold
+    val sets = Seq(
+      (1L, (1L to 5L).toArray),
+      (2L, (1L to 50L).toArray),
+      (3L, Array(100L, 101L, 102L)))
+      .toDF("doc_id", "sh")
+    val out = dedup.SetSim.containJoinSets(sets, tX1000 = 800, maxTokenDf = 1000)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSet
+    out.unpersist()
+    assert(rows === Set((1L, 2L, 5L, 1000L))) // A-in-B only; B-in-A is 100 permille
+  }
+
+  test("prefix-on-probe-side candidates are complete at the threshold boundary") {
+    // A shares exactly 4 of its 5 elements with B: containment 800 — ON
+    // the t=0.8 threshold; the pair must survive (>=, not >)
+    val sets = Seq(
+      (1L, Array(1L, 2L, 3L, 4L, 99L)),
+      (2L, (1L to 40L).toArray))
+      .toDF("doc_id", "sh")
+    val out = dedup.SetSim.containJoinSets(sets, tX1000 = 800, maxTokenDf = 1000)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet
+    out.unpersist()
+    assert(rows === Set((1L, 2L, 800L)))
+  }
+}
