@@ -2392,6 +2392,34 @@ object SparkEntry {
        |ORDER BY stratum, rank, doc_id""".stripMargin
   }
 
+  /** Class-balanced downsampling ([[ops.Sample.balancedSample]]): every
+    * embedding label keeps exactly the minority label's count, members
+    * chosen by deterministic SplitMix64(vec_id) top-32 rank — the
+    * label-skew corrective applied before training classifiers on
+    * imbalanced data. Selection through the bounded-heap TopKPerKey
+    * operator; n_min is one collected scalar of class metadata.
+    */
+  private def sampBalance(s: SparkSession, dir: String): DataFrame =
+    ops.Sample.balancedSample(
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label").cast("long").as("label")),
+      "vec_id", "label")
+      .orderBy("label", "rk", "vec_id")
+
+  private val sampBalanceSql =
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |m AS (SELECT MIN(n) AS n_min FROM (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY label)),
+       |r AS (
+       |  SELECT vec_id, label,
+       |    ${oracle.DuckHash.mix64Top32Sql("vec_id")} AS rk
+       |  FROM e),
+       |s AS (
+       |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY rk, vec_id) AS rn
+       |  FROM r)
+       |SELECT vec_id, label, rk FROM s, m WHERE rn <= n_min
+       |ORDER BY label, rk, vec_id""".stripMargin
+
   /** PII audit ([[text.Pii.audit]]): per-source incidence report of
     * detected emails / test-range phones / IPv4 literals — the
     * compliance artifact recorded before [[text.Text.scrubPii]] runs.
@@ -4555,6 +4583,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "text_bpe_pairs" -> (textBpePairs _),
     "samp_poisson" -> (sampPoisson _),
+    "samp_balance" -> (sampBalance _),
     "text_pii_audit" -> (textPiiAudit _),
     "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_dup_spans" -> (textDupSpans _),
@@ -4744,6 +4773,7 @@ object SparkEntry {
     "q_hybrid_rrf" -> qHybridRrfSql,
     "text_bpe_pairs" -> textBpePairsSql,
     "samp_poisson" -> sampPoissonSql,
+    "samp_balance" -> sampBalanceSql,
     "text_pii_audit" -> textPiiAuditSql,
     "text_bigram_surprisal" -> textBigramSurprisalSql,
     "text_dup_spans" -> textDupSpansSql,

@@ -248,4 +248,26 @@ object Sample {
     graft.plans.TopK.perKey(
       scored, Seq("stratum"), Seq("rank" -> false, idCol -> false), n)
   }
+
+  /** Class-balanced downsampling: every class keeps exactly the minority
+    * class's count, members selected by deterministic SplitMix64(id)
+    * top-32 rank (uniform within class, repartition-stable) — the
+    * label-skew corrective applied before training on imbalanced data.
+    *
+    * Scale: the per-class count is class metadata (one map-side-combined
+    * groupBy, a single min collected); ranking is map-side arithmetic;
+    * selection rides the bounded-heap TopKPerKey operator, so a 99%%
+    * majority class costs (classes x n_min) heap state per task, never a
+    * sort of the majority partition.
+    */
+  def balancedSample(docs: DataFrame, idCol: String, classCol: String): DataFrame = {
+    val nMin = docs.groupBy(classCol).agg(count(lit(1)).as("n"))
+      .agg(min("n")).head().getLong(0)
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(idCol))))
+    val scored = docs.withColumn("rk", shiftrightunsigned(h, 32))
+    graft.plans.TopK.perKey(
+      scored, Seq(classCol), Seq("rk" -> false, idCol -> false), nMin.toInt)
+  }
 }
