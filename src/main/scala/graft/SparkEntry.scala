@@ -2635,6 +2635,76 @@ object SparkEntry {
        |SELECT j - 1 AS dim, v AS v_q FROM v3 ORDER BY dim""".stripMargin
   }
 
+  /** Top-2 principal basis ([[vec.Eigen.top2Basis]]): v1 by the proven
+    * integer power iteration, v2 by the same iteration with per-step
+    * EXACT-INTEGER projection deflation (w'_j = w_j·(v1·v1) −
+    * (v1·w)·v1_j — cross-multiplication, no division until the rescale)
+    * so both directions are bit-identical cross-engine. The 2-D PCA
+    * projection basis; oracle unrolls both 3-step chains.
+    */
+  private def vecPcaBasis(s: SparkSession, dir: String): DataFrame =
+    vec.Eigen.top2Basis(Tables.embeddings(s, dir), iters = 3, scaleMax = 4096L)
+      .orderBy("dim")
+
+  private val vecPcaBasisSql = {
+    // plain power step (shared with vec_top_eigen's oracle)
+    def step(k: Int, sExpr: String): String =
+      s"""s$k AS (SELECT q, CAST($sExpr AS BIGINT) AS s FROM q${if (k > 1) s", l${k - 1}" else ""}),
+         |e$k AS (SELECT UNNEST(generate_series(1, 64)) AS j, q, s FROM s$k),
+         |a$k AS (SELECT j, CAST(SUM(q[j] * s) AS BIGINT) AS acc FROM e$k GROUP BY j),
+         |m$k AS (SELECT GREATEST(MAX(GREATEST(acc, -acc)), 1) AS m FROM a$k),
+         |v$k AS (
+         |  SELECT j, CAST(CASE WHEN acc >= 0 THEN (acc * 4096) // m
+         |                      ELSE -(((-acc) * 4096) // m) END AS BIGINT) AS v
+         |  FROM a$k, m$k),
+         |l$k AS (SELECT list(v ORDER BY j) AS vl FROM v$k)""".stripMargin
+    // deflated step: Gram step -> rescale -> integer orthogonalization
+    // against v1 (l3) -> rescale; mirrors Eigen.powerSteps(orthoTo=Some)
+    def dstep(k: Int, sExpr: String): String =
+      s"""t$k AS (SELECT q, CAST($sExpr AS BIGINT) AS s FROM q${if (k > 1) s", k${k - 1}" else ""}),
+         |f$k AS (SELECT UNNEST(generate_series(1, 64)) AS j, q, s FROM t$k),
+         |b$k AS (SELECT j, CAST(SUM(q[j] * s) AS BIGINT) AS acc FROM f$k GROUP BY j),
+         |n$k AS (SELECT GREATEST(MAX(GREATEST(acc, -acc)), 1) AS m FROM b$k),
+         |w$k AS (
+         |  SELECT j, CAST(CASE WHEN acc >= 0 THEN (acc * 4096) // m
+         |                      ELSE -(((-acc) * 4096) // m) END AS BIGINT) AS w
+         |  FROM b$k, n$k),
+         |wl$k AS (SELECT list(w ORDER BY j) AS wl FROM w$k),
+         |p$k AS (
+         |  SELECT CAST(list_sum(list_transform(vl, x -> x * x)) AS BIGINT) AS n1,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), j -> vl[j] * wl[j])) AS BIGINT) AS ip
+         |  FROM l3, wl$k),
+         |o$k AS (SELECT w$k.j, CAST(w * n1 - ip * vl[w$k.j] AS BIGINT) AS acc FROM w$k, p$k, l3),
+         |no$k AS (SELECT GREATEST(MAX(GREATEST(acc, -acc)), 1) AS m FROM o$k),
+         |u$k AS (
+         |  SELECT j, CAST(CASE WHEN acc >= 0 THEN (acc * 4096) // m
+         |                      ELSE -(((-acc) * 4096) // m) END AS BIGINT) AS v
+         |  FROM o$k, no$k),
+         |k$k AS (SELECT list(v ORDER BY j) AS vl FROM u$k)""".stripMargin
+    val vDot = "list_sum(list_transform(generate_series(1, 64), j -> q[j] * vl[j]))"
+    s"""WITH qm AS (
+       |  SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT qq, CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+       |  FROM qm),
+       |q AS (
+       |  SELECT list_transform(qq, x ->
+       |    CASE WHEN nq = 0 THEN 0
+       |         ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
+       |    END) AS q
+       |  FROM qn),
+       |${step(1, "list_sum(q)")},
+       |${step(2, vDot)},
+       |${step(3, vDot)},
+       |${dstep(1, "list_sum(q)")},
+       |${dstep(2, vDot)},
+       |${dstep(3, vDot)}
+       |SELECT v3.j - 1 AS dim, v3.v AS v1_q, u3.v AS v2_q
+       |FROM v3 JOIN u3 USING (j) ORDER BY dim""".stripMargin
+  }
+
   /** Winnowing near-dup pairs ([[dedup.Winnow.sharedPairs]]): MOSS-style
     * local fingerprints — window minima over md5'd positional 4-grams
     * (window 5), pairs sharing ≥2 fingerprints after a df-50 cap on
@@ -4589,6 +4659,7 @@ object SparkEntry {
     "text_dup_spans" -> (textDupSpans _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
+    "vec_pca_basis" -> (vecPcaBasis _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "dedup_embed_clusters" -> (dedupEmbedClusters _),
@@ -4779,6 +4850,7 @@ object SparkEntry {
     "text_dup_spans" -> textDupSpansSql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
+    "vec_pca_basis" -> vecPcaBasisSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "dedup_embed_clusters" -> dedupEmbedClustersSql,

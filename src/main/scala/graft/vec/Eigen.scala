@@ -34,6 +34,52 @@ import org.apache.spark.storage.StorageLevel
   */
 object Eigen {
 
+  /** One Gram power step per iteration over the cached quantized corpus;
+    * `orthoTo = Some(v1)` applies exact-integer projection deflation
+    * AFTER each step's max-norm rescale:
+    *
+    *   w'_j = w_j·(v1·v1) − (v1·w)·v1_j
+    *
+    * — a pure integer cross-multiplication (no division until the final
+    * rescale), so the deflated iterate is bit-exact in any engine.
+    * Bounds: |w| ≤ scaleMax, v1·v1 ≤ d·scaleMax², so |w'| ≤
+    * 2·d·scaleMax³ ≈ 2^45 at d=64, scaleMax=4096 — safely in Int64.
+    */
+  private def powerSteps(
+      q8: DataFrame,
+      d: Int,
+      iters: Int,
+      scaleMax: Long,
+      orthoTo: Option[Array[Long]]): Array[Long] = {
+    def rescale(a: Array[Long]): Array[Long] = {
+      val m = math.max(a.map(math.abs).max, 1L)
+      a.map(x => x * scaleMax / m) // Long division: trunc toward zero
+    }
+    var v = Array.fill(d)(1L)
+    for (_ <- 1 to iters) {
+      val vl = typedLit(v.toSeq)
+      val s = aggregate(
+        zip_with(col("q"), vl, (x, y) => x * y), lit(0L), (a, b) => a + b)
+      val withS = q8.select(col("q"), s.as("s"))
+      val accRow = withS.agg(
+        sum(element_at(col("q"), 1) * col("s")).as("a0"),
+        (1 until d).map(j =>
+          sum(element_at(col("q"), j + 1) * col("s")).as(s"a$j")): _*)
+        .head()
+      val acc = Array.tabulate(d)(j =>
+        if (accRow.isNullAt(j)) 0L else accRow.getLong(j))
+      v = orthoTo match {
+        case None => rescale(acc)
+        case Some(v1) =>
+          val w = rescale(acc)
+          val n1 = v1.map(x => x * x).sum
+          val ip = v1.zip(w).map { case (a, b) => a * b }.sum
+          rescale(w.zip(v1).map { case (wj, v1j) => wj * n1 - ip * v1j })
+      }
+    }
+    v
+  }
+
   def topDirection(
       embeddings: DataFrame,
       iters: Int = 3,
@@ -49,24 +95,36 @@ object Eigen {
     val q8 = embeddings.select(Vec.int8Normalize(col("embedding")).as("q"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      var v = Array.fill(d)(1L)
-      for (_ <- 1 to iters) {
-        val vl = typedLit(v.toSeq)
-        val s = aggregate(
-          zip_with(col("q"), vl, (x, y) => x * y), lit(0L), (a, b) => a + b)
-        val withS = q8.select(col("q"), s.as("s"))
-        val accRow = withS.agg(
-          sum(element_at(col("q"), 1) * col("s")).as("a0"),
-          (1 until d).map(j =>
-            sum(element_at(col("q"), j + 1) * col("s")).as(s"a$j")): _*)
-          .head()
-        val acc = Array.tabulate(d)(j =>
-          if (accRow.isNullAt(j)) 0L else accRow.getLong(j))
-        val m = math.max(acc.map(math.abs).max, 1L)
-        v = acc.map(a => a * scaleMax / m) // Long division: trunc toward zero
-      }
+      val v = powerSteps(q8, d, iters, scaleMax, orthoTo = None)
       v.zipWithIndex.map { case (x, j) => (j.toLong, x) }.toSeq
         .toDF("dim", "v_q")
+    } finally { q8.unpersist(); () }
+  }
+
+  /** Top-2 principal basis: v1 by plain power iteration, v2 by the same
+    * iteration with per-step exact-integer projection deflation against
+    * v1 (see [[powerSteps]]). Output (dim, v1_q, v2_q) — the 2-D PCA
+    * projection basis for embedding-space maps and anisotropy checks.
+    * Cost: 2·iters corpus scans, each d map-side-combined integer sums;
+    * driver state = two d-vectors.
+    */
+  def top2Basis(
+      embeddings: DataFrame,
+      iters: Int = 3,
+      scaleMax: Long = 4096L): DataFrame = {
+    require(iters >= 1, s"top2Basis: need iters >= 1, got $iters")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d >= 1, "top2Basis: empty embedding vector")
+
+    val q8 = embeddings.select(Vec.int8Normalize(col("embedding")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v1 = powerSteps(q8, d, iters, scaleMax, orthoTo = None)
+      val v2 = powerSteps(q8, d, iters, scaleMax, orthoTo = Some(v1))
+      (0 until d).map(j => (j.toLong, v1(j), v2(j))).toSeq
+        .toDF("dim", "v1_q", "v2_q")
     } finally { q8.unpersist(); () }
   }
 }
