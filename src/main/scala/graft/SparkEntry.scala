@@ -4529,6 +4529,88 @@ object SparkEntry {
        |  CAST(MIN(sur_q) AS BIGINT) AS min_q, CAST(MAX(sur_q) AS BIGINT) AS max_q
        |FROM z GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
 
+  /** Per-type median inter-arrival gap: consecutive-event gaps within
+    * each user (window partitions bounded per user, never corpus-
+    * shaped), binned to whole seconds, then the exact lower median per
+    * event type via [[ops.Anomaly.lowerMedian]]'s histogram walk — the
+    * domain-bounded alternative to Spark's buffer-everything exact
+    * percentile, immune to a hot event type. The latency/engagement
+    * profile of the event stream.
+    */
+  private def qEventsInterarrival(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev", lag(col("ts_ns"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("gap_s", expr("(ts_ns - prev) div 1000000000"))
+    ops.Anomaly.lowerMedian(col("event_type"), gaps, "gap_s", "med_gap_s")
+      .select(col("event_type"), col("med_gap_s_n").as("n_gaps"), col("med_gap_s"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsInterarrivalSql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    (tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id))
+      |      // 1000000000 AS gap_s
+      |  FROM e),
+      |h AS (
+      |  SELECT event_type, gap_s, COUNT(*) AS c
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, gap_s,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY gap_s) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM h)
+      |SELECT event_type, CAST(MIN(n) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap_s) AS BIGINT) AS med_gap_s
+      |FROM cum WHERE cum * 2 >= n GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** CUSUM rate-shift detection over daily event counts: deviation
+    * dev_d = c_d·n_days − total (exact integer — cross-multiplied mean,
+    * no division) accumulated in day order; |cusum| > 2·total flags a
+    * sustained rate shift that per-day MAD outliers (q_anomaly_mad)
+    * miss. The final window runs on the DAILY aggregate — n_days rows,
+    * domain-bounded, never the fact table.
+    */
+  private def qEventsCusum(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(s, dir)
+      .select(expr(s"ts_ns div $dayNs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+    val st = daily.agg(sum("n_events"), count(lit(1))).head()
+    val (total, nDays) = (st.getLong(0), st.getLong(1))
+    daily
+      .withColumn("dev", col("n_events") * lit(nDays) - lit(total))
+      .withColumn("cusum", sum("dev").over(
+        Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("shift_flag", abs(col("cusum")) > lit(2L) * lit(total))
+      .orderBy("day")
+  }
+
+  private val qEventsCusumSql =
+    """WITH d AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events
+      |  FROM events GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(SUM(n_events) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_days
+      |  FROM d),
+      |c AS (
+      |  SELECT day, n_events,
+      |    n_events * n_days - total AS dev,
+      |    CAST(SUM(n_events * n_days - total)
+      |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum,
+      |    total
+      |  FROM d, st)
+      |SELECT day, n_events, CAST(dev AS BIGINT) AS dev, cusum,
+      |  abs(cusum) > 2 * total AS shift_flag
+      |FROM c ORDER BY day""".stripMargin
+
   /** Cohort retention matrix: users cohorted by first-signup day, then
     * counted distinct-active per (cohort_day, day offset 0..7). One
     * events scan feeds both derivations; everything keys on user_id
@@ -4640,6 +4722,8 @@ object SparkEntry {
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_cohort" -> (qEventsCohort _),
+    "q_events_interarrival" -> (qEventsInterarrival _),
+    "q_events_cusum" -> (qEventsCusum _),
     "q_cdc_apply" -> (qCdcApply _),
     "q_salted_join" -> (qSaltedJoin _),
     "text_bm25_topk" -> (textBm25Topk _),
@@ -4831,6 +4915,8 @@ object SparkEntry {
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_cohort" -> qEventsCohortSql,
+    "q_events_interarrival" -> qEventsInterarrivalSql,
+    "q_events_cusum" -> qEventsCusumSql,
     "q_cdc_apply" -> qCdcApplySql,
     "q_salted_join" -> qSaltedJoinSql,
     "text_bm25_topk" -> textBm25TopkSql,

@@ -106,9 +106,10 @@ object Anomaly {
   /** Lower median per group from a (group, value) histogram: the
     * smallest value whose cumulative count reaches ceil(n/2). Window
     * partitions are bounded by the value DOMAIN (see the class doc's
-    * cardinality contract).
+    * cardinality contract). Public: also the median kernel for
+    * inter-arrival statistics (SparkEntry q_events_interarrival).
     */
-  private def lowerMedian(
+  def lowerMedian(
       g: org.apache.spark.sql.Column,
       frame: DataFrame,
       valueCol: String,
