@@ -1786,6 +1786,40 @@ object SparkEntry {
       |  CAST(SUM(v) AS DOUBLE) / (sw * sh) AS mean_b
       |FROM p GROUP BY doc_id, sw, sh ORDER BY doc_id""".stripMargin
 
+  /** Image near-dup buckets by perceptual dHash
+    * ([[mm.Multimodal.dhashAll]]): real ImageIO decode → 9×8
+    * nearest-neighbor downscale → 64 horizontal-gradient bits as two
+    * 32-bit halves → bucket sizes per hash. The linear synthetic pixel
+    * formula collapses many ids to shared gradient signatures, so
+    * multi-image buckets are exercised (and oracle-predicted) at every
+    * scale; on real crawls this is the screenshot/meme near-dup key.
+    * Decode map-side; the only shuffle is the final hash groupBy.
+    */
+  private def mmPhashGroups(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.dhashAll(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)))
+      .groupBy("h_hi", "h_lo")
+      .agg(count(lit(1)).as("n_imgs"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("h_hi", "h_lo")
+
+  private val mmPhashGroupsSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT doc_id, gy.y AS y, gx.x AS x,
+      |    CASE WHEN (doc_id * 31 + ((gx.x + 1) * sw // 9) * 7 + (gy.y * sh // 8) * 13) % 256
+      |            > (doc_id * 31 + (gx.x * sw // 9) * 7 + (gy.y * sh // 8) * 13) % 256
+      |         THEN 1 ELSE 0 END AS b
+      |  FROM d, generate_series(0, 7) AS gx(x), generate_series(0, 7) AS gy(y)),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN y >= 4 THEN b * (CAST(1 AS BIGINT) << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS h_hi,
+      |    CAST(SUM(CASE WHEN y < 4 THEN b * (CAST(1 AS BIGINT) << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS h_lo
+      |  FROM p GROUP BY 1)
+      |SELECT h_hi, h_lo, CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      |FROM h GROUP BY 1, 2 ORDER BY h_hi, h_lo""".stripMargin
+
   private def mmFrames(s: SparkSession, dir: String): DataFrame =
     mm.Multimodal.sampleFrames(s, mm.Multimodal.videoFrame(s, Tables.documents(s, dir)), 3)
       .toDF().orderBy("doc_id", "frame_idx")
@@ -4769,6 +4803,7 @@ object SparkEntry {
     "mm_resize" -> (mmResize _),
     "mm_frames" -> (mmFrames _),
     "mm_features" -> (mmFeatures _),
+    "mm_phash_groups" -> (mmPhashGroups _),
     "text_chunk_windows" -> (textChunkWindows _),
     "text_line_dedup" -> (textLineDedup _),
     "text_intradoc_dedup" -> (textIntradocDedup _),
@@ -4882,6 +4917,7 @@ object SparkEntry {
     "mm_resize" -> mmResizeSql,
     "mm_frames" -> mmFramesSql,
     "mm_features" -> mmFeaturesSql,
+    "mm_phash_groups" -> mmPhashGroupsSql,
     "text_chunk_windows" -> textChunkWindowsSql,
     "text_line_dedup" -> textLineDedupSql,
     "text_intradoc_dedup" -> textIntradocDedupSql,

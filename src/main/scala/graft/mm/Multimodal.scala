@@ -294,4 +294,41 @@ object Multimodal {
       }
     }
   }
+
+  case class MediaDhash(doc_id: Long, h_hi: Long, h_lo: Long)
+
+  /** Perceptual difference-hash (dHash) per image: REAL ImageIO decode →
+    * nearest-neighbor 9×8 downscale → 64 horizontal-gradient bits
+    * (bit(x,y) = p(x+1,y) > p(x,y) on the red channel), emitted as two
+    * 32-bit halves so the hash stays signed-BIGINT-exact in any engine.
+    * Gradient signs survive exposure/scale changes that break exact
+    * pixel hashing — the standard image near-dup bucket key. Same
+    * per-partition decode seam as [[extractFeatures]]; no shuffle until
+    * the caller groups on the halves.
+    */
+  def dhashAll(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaDhash] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.media)
+        val small = resizeNearest(img, 9, 8)
+        var hi = 0L; var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val a = (small.getRGB(x, y) >> 16) & 0xff
+            val b = (small.getRGB(x + 1, y) >> 16) & 0xff
+            if (b > a) {
+              if (y < 4) lo |= 1L << (y * 8 + x)
+              else hi |= 1L << ((y - 4) * 8 + x)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        MediaDhash(m.doc_id, hi, lo)
+      }
+    }
+  }
 }
