@@ -157,10 +157,13 @@ object ScaleStress {
     // vectors (copies shift vec_id by max+1; fit init ids are preserved) —
     // probe time should scale ~linearly with the code table and never
     // shuffle the corpus.
-    val emb = Tables.embeddings(spark, baseDir).select("vec_id", "embedding")
+    // carry the FULL table schema (label included): the synthesized
+    // corpus must pass the same Tables.load schema check as real data
+    val emb = Tables.embeddings(spark, baseDir).select("vec_id", "embedding", "label")
     val vMax = emb.agg(max("vec_id")).head.getLong(0) + 1
     (0 until mult).map { i =>
-      emb.select((col("vec_id") + lit(i.toLong * vMax)).as("vec_id"), col("embedding"))
+      emb.select((col("vec_id") + lit(i.toLong * vMax)).as("vec_id"),
+        col("embedding"), col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$scratch/embeddings.parquet")
     val qs = emb.where(col("vec_id") < 5).collect()
