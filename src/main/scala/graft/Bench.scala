@@ -4,6 +4,51 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 object Bench {
+
+  /** Run `nPasses` timed passes over `queries`. A query that throws is an
+    * ERROR (`Left(message)`), not a time — it must never enter
+    * medians/totals downstream. Public so the failure contract is
+    * unit-testable with a deliberately broken query (BenchErrorSpec).
+    */
+  def timedPasses(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      nPasses: Int): Seq[Map[String, Either[String, Double]]] = {
+    val names = queries.keys.toSeq
+    (1 to nPasses).map { _ =>
+      // between passes, outside any timed window: drive ContextCleaner so
+      // dead shuffle files from the previous pass are gone before timing
+      System.gc()
+      Thread.sleep(2000)
+      names.map { name =>
+        // Per-query heap/cleaner hygiene, OUTSIDE the timed window: r7
+        // measured bimodal 3x swings on individual queries (setsim 4.5s
+        // vs 11.7s across passes) driven by garbage and un-reaped
+        // shuffle state left by whichever queries happened to run
+        // before; a forced GC plus a short cleaner-drain pause isolates
+        // each query's timing from its neighbors.
+        System.gc()
+        Thread.sleep(100)
+        val t0 = System.nanoTime()
+        val res: Either[String, Double] =
+          try { queries(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
+            Left(e.getClass.getName + ": " + String.valueOf(e.getMessage).take(200))
+          }
+        // several library functions hand back caller-owned persisted
+        // results; drop them so no query's timing is distorted by the
+        // accumulated caches (and heap pressure) of the queries before it
+        spark.catalog.clearCache()
+        // scratch-dir deletion happens outside the timed window of the NEXT
+        // query too (dt is already captured), keeping timings write-only
+        TmpDirs.sweepRecorded()
+        name -> res
+      }.toMap
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -53,37 +98,7 @@ object Bench {
     // listed in the errors map, and the run exits nonzero — a bench over a
     // broken engine must not look green (r7's 22 broken events queries
     // appeared as ~0.06s "passes" under the old swallow-everything catch).
-    val perPass: Seq[Map[String, Either[String, Double]]] = (1 to nPasses).map { _ =>
-      // between passes, outside any timed window: drive ContextCleaner so
-      // dead shuffle files from the previous pass are gone before timing
-      System.gc()
-      Thread.sleep(2000)
-      names.map { name =>
-        // Per-query heap/cleaner hygiene, OUTSIDE the timed window: r7
-        // measured bimodal 3x swings on individual queries (setsim 4.5s
-        // vs 11.7s across passes) driven by garbage and un-reaped
-        // shuffle state left by whichever queries happened to run
-        // before; a forced GC plus a short cleaner-drain pause isolates
-        // each query's timing from its neighbors.
-        System.gc()
-        Thread.sleep(100)
-        val t0 = System.nanoTime()
-        val res: Either[String, Double] =
-          try { queries(name)(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.toString.take(300)}")
-            Left(e.getClass.getName + ": " + String.valueOf(e.getMessage).take(200))
-          }
-        // several library functions hand back caller-owned persisted
-        // results; drop them so no query's timing is distorted by the
-        // accumulated caches (and heap pressure) of the queries before it
-        spark.catalog.clearCache()
-        // scratch-dir deletion happens outside the timed window of the NEXT
-        // query too (dt is already captured), keeping timings write-only
-        TmpDirs.sweepRecorded()
-        name -> res
-      }.toMap
-    }
+    val perPass = timedPasses(spark, sfDir, queries, nPasses)
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       val m = s.length / 2

@@ -2945,3 +2945,19 @@ class ContainmentSpec extends AnyFunSuite {
     assert(rows === Set((1L, 2L, 800L)))
   }
 }
+
+class BenchErrorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("a deliberately broken query is an error, never a time") {
+    val qs: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "good" -> ((s, d) => Tables.region(s, d)),
+      "broken" -> ((s, d) => Tables.region(s, d).select(col("no_such_column"))))
+    val passes = Bench.timedPasses(spark, dir, qs, nPasses = 1)
+    assert(passes.length === 1)
+    assert(passes.head("good").isRight)
+    val bad = passes.head("broken")
+    assert(bad.isLeft)
+    assert(bad.left.exists(_.nonEmpty)) // carries the failure class+message
+  }
+}
