@@ -4167,6 +4167,59 @@ object SparkEntry {
        |WHERE i.inter * 1000 >= 700 * (na.n + nb.n - i.inter)
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup-method evaluation: MinHash-LSH candidate pairs (b-bit
+    * estimate ≥ 0.5, the recall-oriented candidate gate) scored against
+    * EXACT df-filtered Jaccard ≥ 0.7 ground truth from the prefix-filter
+    * join — the quality report a curation pipeline publishes before
+    * trusting approximate dedup at scale. Recall is the headline (which
+    * true near-dup pairs does LSH+estimate surface); precision is
+    * naturally lower because the candidate gate is deliberately wider
+    * than the truth threshold. Both legs are the proven operators; the
+    * eval itself is one full-outer join of two bounded pair sets + one
+    * aggregate row. All counts exact integers; ratios trunc permille.
+    */
+  private def dedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = dedup.Dedup.minhashCandidates(Tables.documents(s, dir))
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    val truth = dedup.SetSim.prefixJoinSets(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
+      tX1000 = 700, maxTokenDf = 1000)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000 div greatest(n_pred, 1)").as("precision_x1000"),
+        expr("tp * 1000 div greatest(n_truth, 1)").as("recall_x1000"))
+  }
+
+  private val dedupMinhashEvalSql =
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM (${oracle.DuckHash.minhashSql})),
+       |tr AS (SELECT doc_a, doc_b FROM ($dedupSetsimPrefixSql)),
+       |f AS (
+       |  SELECT COALESCE(mh.doc_a, tr.doc_a) AS doc_a,
+       |    COALESCE(mh.doc_b, tr.doc_b) AS doc_b,
+       |    mh.doc_a IS NOT NULL AS p, tr.doc_a IS NOT NULL AS t
+       |  FROM mh FULL OUTER JOIN tr
+       |    ON mh.doc_a = tr.doc_a AND mh.doc_b = tr.doc_b),
+       |a AS (
+       |  SELECT CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM f)
+       |SELECT n_pred, n_truth, tp, fp, fn,
+       |  tp * 1000 // GREATEST(n_pred, 1) AS precision_x1000,
+       |  tp * 1000 // GREATEST(n_truth, 1) AS recall_x1000
+       |FROM a""".stripMargin
+
   /** Degree-ordered triangle counting (graph.Triangles) on the strong-
     * trade-link nation graph: the PageRank derivation, made undirected
     * and sparsified to pairs with strictly above-mean lineitem count —
@@ -4745,6 +4798,7 @@ object SparkEntry {
     "dedup_incremental_delta" -> (dedupIncrementalDelta _),
     "dedup_setsim_prefix" -> (dedupSetsimPrefix _),
     "dedup_containment" -> (dedupContainment _),
+    "dedup_minhash_eval" -> (dedupMinhashEval _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_transitions" -> (qEventsTransitions _),
     "text_model_eval" -> (textModelEval _),
@@ -4940,6 +4994,7 @@ object SparkEntry {
     "dedup_incremental_delta" -> oracle.DuckHash.incrementalDeltaSql(0.5),
     "dedup_setsim_prefix" -> dedupSetsimPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
+    "dedup_minhash_eval" -> dedupMinhashEvalSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_transitions" -> qEventsTransitionsSql,
     "text_model_eval" -> textModelEvalSql,
