@@ -569,6 +569,30 @@ object SparkEntry {
       |  CAST(round((p_retailprice)*100) AS BIGINT) AS retail_cents
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Plain text-lines source/sink round-trip (`write.text`/`read.text` —
+    * the log-file / one-doc-per-line wire format LLM corpora commonly
+    * ship as): canonical text written as `doc_id|canon` lines, read back
+    * and re-parsed. The canonical alphabet ([a-z0-9 ]) cannot contain
+    * the delimiter, so the parse is unambiguous; round-trip equality
+    * against the base table is the oracle.
+    */
+  private def snkTextRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("txt")
+    val canon = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    Tables.documents(s, dir)
+      .select(concat(col("doc_id").cast("string"), lit("|"), canon).as("value"))
+      .write.mode("overwrite").text(s"$tmp/docs_txt")
+    s.read.text(s"$tmp/docs_txt")
+      .select(
+        split(col("value"), "\\|", 2).getItem(0).cast("long").as("doc_id"),
+        split(col("value"), "\\|", 2).getItem(1).as("text_line"))
+      .orderBy("doc_id")
+  }
+
+  private val snkTextRoundtripSql =
+    s"""SELECT doc_id, $canonSql AS text_line
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   private def snkOverwrite(s: SparkSession, dir: String): DataFrame = {
     val tmp = TmpDirs.create("ovw")
     val nat = srcDfIdentity(s, dir)
@@ -4783,6 +4807,7 @@ object SparkEntry {
     "op_normalize_cast" -> (opNormalizeCast _),
     "op_hooks_pipeline" -> (opHooksPipeline _),
     "snk_csv_roundtrip" -> (snkCsvRoundtrip _),
+    "snk_text_roundtrip" -> (snkTextRoundtrip _),
     "snk_overwrite" -> (snkOverwrite _),
     "pipe_parallel_load" -> (pipeParallelLoad _),
     "pipe_load_report" -> (pipeLoadReport _),
@@ -4954,6 +4979,7 @@ object SparkEntry {
     "op_normalize_cast" -> opNormalizeCastSql,
     "op_hooks_pipeline" -> opHooksPipelineSql,
     "snk_csv_roundtrip" -> snkCsvRoundtripSql,
+    "snk_text_roundtrip" -> snkTextRoundtripSql,
     "snk_overwrite" -> snkOverwriteSql,
     "pipe_parallel_load" -> pipeParallelLoadSql,
     "pipe_load_report" -> pipeLoadReportSql,
