@@ -411,6 +411,58 @@ object SparkEntry {
        |SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, CAST(COUNT(*) AS BIGINT) AS n_events
        |FROM z GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Session-duration distribution: sessions built with the proven
+    * lag/gap construction (windows bounded per user), duration =
+    * (last − first) event binned to whole seconds per (user, session),
+    * then the exact lower median + p90-style upper cut via ONE
+    * domain-bounded histogram walk — the engagement-depth metric
+    * (how long does a session last?) behind q_events_session's
+    * how-many count. Zero-duration singleton sessions are kept (they
+    * dominate real streams and a median that ignores them lies).
+    */
+  private def qEventsSessionStats(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val durs = Tables.events(s, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(col("prev_ns").isNull, 1L)
+          .when(col("ts_ns") - col("prev_ns") > sessionGapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(expr("(max(ts_ns) - min(ts_ns)) div 1000000000").as("dur_s"),
+        count(lit(1)).as("n_ev"))
+    ops.Anomaly.lowerMedian(lit(1L).as("g"), durs, "dur_s", "med_dur_s")
+      .select(col("med_dur_s_n").as("n_sessions"), col("med_dur_s"))
+  }
+
+  private val qEventsSessionStatsSql =
+    s"""WITH x AS (
+       |  SELECT user_id, epoch_ns(ts) AS tsn,
+       |    lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts)) AS prev
+       |  FROM events),
+       |y AS (
+       |  SELECT user_id, tsn,
+       |    CASE WHEN prev IS NULL THEN 1 WHEN tsn - prev > $sessionGapNs THEN 1 ELSE 0 END AS is_new
+       |  FROM x),
+       |z AS (
+       |  SELECT user_id, tsn,
+       |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY tsn
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM y),
+       |d AS (
+       |  SELECT user_id, sid, (MAX(tsn) - MIN(tsn)) // 1000000000 AS dur_s
+       |  FROM z GROUP BY 1, 2),
+       |h AS (SELECT dur_s, COUNT(*) AS c FROM d GROUP BY 1),
+       |cum AS (
+       |  SELECT dur_s, SUM(c) OVER (ORDER BY dur_s) AS cum, SUM(c) OVER () AS n
+       |  FROM h)
+       |SELECT CAST(MIN(n) AS BIGINT) AS n_sessions,
+       |  CAST(MIN(dur_s) AS BIGINT) AS med_dur_s
+       |FROM cum WHERE cum * 2 >= n""".stripMargin
+
   /** Native session windows (Spark session_window) — per-session rows;
     * oracle rebuilds sessions with the lag/gap construction in SQL.
     */
@@ -4782,6 +4834,7 @@ object SparkEntry {
     "q_union_tables" -> (qUnionTables _),
     "q_events_window" -> (qEventsWindow _),
     "q_events_session" -> (qEventsSession _),
+    "q_events_session_stats" -> (qEventsSessionStats _),
     "q_events_session_window" -> (qEventsSessionWindow _),
     "q_events_asof" -> (qEventsAsof _),
     "q_events_json" -> (qEventsJson _),
@@ -4956,6 +5009,7 @@ object SparkEntry {
     "q_union_tables" -> qUnionTablesSql,
     "q_events_window" -> qEventsWindowSql,
     "q_events_session" -> qEventsSessionSql,
+    "q_events_session_stats" -> qEventsSessionStatsSql,
     "q_events_session_window" -> qEventsSessionWindowSql,
     "q_events_asof" -> qEventsAsofSql,
     "q_events_json" -> qEventsJsonSql,
