@@ -2961,3 +2961,35 @@ class BenchErrorSpec extends AnyFunSuite {
     assert(bad.left.exists(_.nonEmpty)) // carries the failure class+message
   }
 }
+
+class StreamLayoutSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import org.apache.spark.sql.types._
+
+  test("streaming events source adapts both ts layouts; stream equals across them") {
+    val base = Seq(
+      (1L, 1700000000000000000L, 1L, "view", 1.0, "{}"),
+      (2L, 1700000001000000000L, 1L, "purchase", 2.0, "{}"),
+      (3L, 1700003600000000000L, 2L, "view", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val layouts = Seq(
+      "nanos" -> base,
+      "ntz" -> base.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType)))
+    val results = layouts.map { case (tag, df) =>
+      // the streaming source globs for a FILE named events.parquet (the
+      // testdata layout); stage the write and move the single part file
+      val d = TmpDirs.create(s"sl_$tag")
+      df.coalesce(1).write.mode("overwrite").parquet(s"$d/stage")
+      val part = new java.io.File(s"$d/stage").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val out = streaming.EventsStream.runToMemory(spark,
+        streaming.EventsStream.hourlyCounts(spark, d), s"slspec_$tag")
+      out.orderBy("hour_start", "event_type").collect().map(_.toString).toSeq
+    }
+    assert(results.head.nonEmpty)
+    assert(results.head === results(1))
+  }
+}
