@@ -3694,6 +3694,68 @@ object SparkEntry {
        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
        |${gateAnnotateSqlTail("u")}""".stripMargin
 
+  /** Cascade attrition report: document counts surviving each stage of
+    * the standard curation ORDER — exact dedup → MinHash near-dup →
+    * quality gate — with trunc-permille keep rates against the input.
+    * The artifact a pipeline owner reads to see WHERE the corpus
+    * shrinks (and the reason stage order matters: each stage runs on
+    * the previous stage's survivors, so costs fall monotonically).
+    * Reuses CorpusPrep's exact stage constructions; the four counts are
+    * bounded metadata (one scalar per stage, LoadReport precedent).
+    */
+  private def pipeDedupCascade(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val n0 = docs.count()
+    val survivorIds = dedup.Dedup.exact(docs).select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
+    val n1 = survivors.count()
+    val cands = dedup.Dedup.minhashCandidates(survivors, minEstJaccard = 0.8)
+    val losers = cands.select(col("doc_b").as("doc_id")).distinct()
+    val unique = survivors.join(losers, Seq("doc_id"), "left_anti")
+    val n2 = unique.count()
+    val n3 = pipeline.CorpusPrep.gateAndAnnotate(unique).count()
+    survivorIds.unpersist(blocking = false)
+    cands.unpersist(blocking = false)
+    val d = math.max(n0, 1L)
+    Seq(
+      ("0_input", n0, 1000L),
+      ("1_exact_dedup", n1, n1 * 1000L / d),
+      ("2_near_dedup", n2, n2 * 1000L / d),
+      ("3_quality_gate", n3, n3 * 1000L / d))
+      .toDF("stage", "n_docs", "kept_x1000")
+      .orderBy("stage")
+  }
+
+  private val pipeDedupCascadeSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
+    s"""WITH exact AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($c)),
+       |srcdocs AS (SELECT dd.* FROM documents dd JOIN exact USING (doc_id)),
+       |${oracle.DuckHash.minhashCtes("srcdocs", 0.8)},
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM mh),
+       |u AS (
+       |  SELECT doc_id, lang, text FROM srcdocs
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+       |m AS (
+       |  SELECT doc_id, CAST($wcSql AS BIGINT) AS wc, CAST($uniqSql AS BIGINT) AS uniq
+       |  FROM u),
+       |g AS (SELECT * FROM m
+       |  WHERE wc >= 5 AND (CASE WHEN wc = 0 THEN 0.0 ELSE uniq / wc END) > 0.1),
+       |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM srcdocs),
+       |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+       |n3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g)
+       |SELECT stage, n_docs, kept_x1000 FROM (
+       |  SELECT '0_input' AS stage, n AS n_docs, CAST(1000 AS BIGINT) AS kept_x1000 FROM n0
+       |  UNION ALL SELECT '1_exact_dedup', n1.n, n1.n * 1000 // GREATEST(n0.n, 1) FROM n1, n0
+       |  UNION ALL SELECT '2_near_dedup', n2.n, n2.n * 1000 // GREATEST(n0.n, 1) FROM n2, n0
+       |  UNION ALL SELECT '3_quality_gate', n3.n, n3.n * 1000 // GREATEST(n0.n, 1) FROM n3, n0)
+       |ORDER BY stage""".stripMargin
+  }
+
   /** SCD Type-2 effective-dated dimension merge over the customer dim:
     * updates derived deterministically from the table itself — keys %10==0
     * change balance (close + reopen), %10==5 arrive unchanged (idempotent,
@@ -4865,6 +4927,7 @@ object SparkEntry {
     "pipe_parallel_load" -> (pipeParallelLoad _),
     "pipe_load_report" -> (pipeLoadReport _),
     "pipe_corpus_prep" -> (pipeCorpusPrep _),
+    "pipe_dedup_cascade" -> (pipeDedupCascade _),
     // §2.3 LLM-data ops
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash" -> (dedupMinhash _),
@@ -5128,6 +5191,7 @@ object SparkEntry {
     "ann_ivf_kmeans" -> annIvfKmeansSql,
     "pipe_corpus_verified" -> pipeCorpusVerifiedSql,
     "pipe_corpus_prep" -> pipeCorpusPrepSql,
+    "pipe_dedup_cascade" -> pipeDedupCascadeSql,
     "q_scd2_merge" -> qScd2MergeSql,
     "q_scd2_lookup" -> qScd2LookupSql,
     "q_expectations" -> qExpectationsSql,
