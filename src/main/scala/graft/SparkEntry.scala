@@ -5076,6 +5076,192 @@ object SparkEntry {
        |  CAST(SUM(rev_c) AS BIGINT) AS class_rev_c
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PMI-scored bigram collocations: pointwise mutual information
+    * pmi = ln(n_xy·N) − ln(n_x·n_y) over the bigram table's own
+    * marginals, each log nano-quantized BEFORE the subtraction so the
+    * score is an exact BIGINT difference of two quantized logs — the
+    * collocation/phrase-mining primitive ("new york"-style units) run
+    * before tokenizer fitting. One corpus pass explodes bigrams into a
+    * map-side-combined count; marginals reuse that aggregate (two small
+    * re-aggregations of the DICTIONARY, never the corpus); N is one
+    * collected scalar. min-count 5 kills the PMI rare-pair pathology;
+    * top-20 rides TakeOrdered.
+    */
+  private def textCollocationPmi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(text.Text.words(col("text")).as("w"))
+      .where(size(col("w")) >= 2)
+    val bg = d.select(explode(expr(
+        "transform(sequence(1, size(w) - 1), i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+    val nTot = cnt.agg(sum("n_xy")).head().getLong(0) // corpus metadata scalar
+    val left = cnt.groupBy("w1").agg(sum("n_xy").as("n_x"))
+    val right = cnt.groupBy("w2").agg(sum("n_xy").as("n_y"))
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    cnt.where(col("n_xy") >= 5)
+      .join(left, "w1").join(right, "w2")
+      .select(col("w1"), col("w2"), col("n_xy"),
+        (qln(col("n_xy") * lit(nTot)) - qln(col("n_x") * col("n_y"))).as("pmi_q"))
+      .orderBy(desc("pmi_q"), col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val textCollocationPmiSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH d AS (SELECT $wordsListSql AS w FROM documents),
+       |bgidx AS (
+       |  SELECT w, UNNEST(generate_series(1, len(w) - 1)) AS i
+       |  FROM d WHERE len(w) >= 2),
+       |cnt AS (
+       |  SELECT w[i] AS w1, w[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS n_xy
+       |  FROM bgidx GROUP BY 1, 2),
+       |t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS nn FROM cnt),
+       |lm AS (SELECT w1, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM cnt GROUP BY 1),
+       |rm AS (SELECT w2, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM cnt GROUP BY 1)
+       |SELECT cnt.w1, cnt.w2, n_xy,
+       |  ${qln("n_xy * nn")} - ${qln("n_x * n_y")} AS pmi_q
+       |FROM cnt JOIN lm USING (w1) JOIN rm USING (w2), t
+       |WHERE n_xy >= 5
+       |ORDER BY pmi_q DESC, w1, w2 LIMIT 20""".stripMargin
+  }
+
+  /** Week-over-week top movers: event-type weekly counts self-joined on
+    * (type, week−1), ranked by absolute delta — the drift report that
+    * pages someone before a silent pipeline change ships. Both join
+    * sides are the SAME tiny weekly aggregate (types × weeks rows); the
+    * fact table pays one map-side-combined groupBy. The signed permille
+    * ratio is sign-split so truncating division matches across engines
+    * (Spark div truncates toward zero, DuckDB // floors — they disagree
+    * on negatives).
+    */
+  private def qEventsTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val weekNs = 7L * 86400L * 1000000000L
+    val wk = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $weekNs").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val prev = wk.select(col("event_type"), (col("week") + 1).as("week"),
+      col("n").as("n_prev"))
+    wk.join(prev, Seq("event_type", "week"))
+      .withColumn("delta", col("n") - col("n_prev"))
+      .withColumn("ratio_pml",
+        when(col("delta") >= 0, expr("delta * 1000 div n_prev"))
+          .otherwise(-expr("(-delta) * 1000 div n_prev")))
+      .select("event_type", "week", "n", "n_prev", "delta", "ratio_pml")
+      .orderBy(abs(col("delta")).desc, col("event_type"), col("week"))
+      .limit(10)
+  }
+
+  private val qEventsTopMoversSql =
+    """WITH wk AS (
+      |  SELECT event_type, epoch_ns(ts) // 604800000000000 AS week,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, a.week, a.n, b.n AS n_prev, a.n - b.n AS delta
+      |  FROM wk a JOIN wk b
+      |    ON a.event_type = b.event_type AND a.week = b.week + 1)
+      |SELECT event_type, week, n, n_prev, delta,
+      |  CASE WHEN delta >= 0 THEN delta * 1000 // n_prev
+      |       ELSE -((-delta) * 1000 // n_prev) END AS ratio_pml
+      |FROM j
+      |ORDER BY abs(delta) DESC, event_type, week LIMIT 10""".stripMargin
+
+  /** Training-shard manifest: documents packed into fixed token-budget
+    * shards in deterministic (source, doc_id) order — shard =
+    * prefix-tokens div budget, so shard boundaries are pure arithmetic
+    * on a running sum and every engine (and every retry) derives the
+    * identical layout. The prefix sum windows WITHIN each source
+    * (bounded partitions); at 100 TB the same layout comes from
+    * range-partitioned per-partition totals + composed offsets — the
+    * documented scale path for the one ordered primitive here. Output
+    * is the manifest (per-shard docs/tokens/fill), the artifact a
+    * training job consumes.
+    */
+  private def pipeShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2000L
+    val d = Tables.documents(s, dir).select(col("source"), col("doc_id"),
+      text.Text.wordCount(col("text")).cast("long").as("tok"))
+    val W = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum", sum("tok").over(W))
+      .withColumn("shard", expr(s"(cum - tok) div $budget"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"))
+      .withColumn("fill_pml", expr(s"tokens * 1000 div $budget"))
+      .orderBy("source", "shard")
+  }
+
+  private val pipeShardManifestSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH d AS (
+       |  SELECT source, doc_id, CAST($wcSql AS BIGINT) AS tok FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, tok,
+       |    CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d)
+       |SELECT source, (cum - tok) // 2000 AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS tokens,
+       |  CAST(SUM(tok) AS BIGINT) * 1000 // 2000 AS fill_pml
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Johnson-Lindenstrauss random projection to 16 dims: int8-normalized
+    * embeddings dotted with a deterministic ±1 sign matrix
+    * (sign(i,j) = parity of SplitMix64(1000·i + j) — Achlioptas's
+    * database-friendly construction, exact in integers, zero
+    * multiplications). Pure map-side column arithmetic inside one
+    * codegen stage — the dimensionality-reduction front of any
+    * billion-vector dedup/cluster/ANN pass; the oracle inlines the same
+    * Mix64-derived signs. Long-format output keyed (vec_id, j).
+    */
+  private def vecRandProj(s: SparkSession, dir: String): DataFrame = {
+    val P = 16
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vec.Vec.int8Normalize(col("embedding")).as("q"))
+    val projs = (0 until P).map { i =>
+      val terms = (0 until 64).map { j =>
+        if ((graft.functions.Mix64(1000L * i + j) & 1L) == 0L) s"(q[$j])" else s"(-q[$j])"
+      }
+      expr(terms.mkString(" + ")).as(s"p$i")
+    }
+    e.select((col("vec_id") +: projs): _*)
+      .select(col("vec_id"), explode(array((0 until P).map(i =>
+        struct(lit(i.toLong).as("j"), col(s"p$i").as("proj"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.j").as("j"), col("s.proj").as("proj"))
+      .orderBy("vec_id", "j")
+  }
+
+  private val vecRandProjSql = {
+    val P = 16
+    val sels = (0 until P).map { i =>
+      val terms = (0 until 64).map { j =>
+        if ((graft.functions.Mix64(1000L * i + j) & 1L) == 0L) s"(q[${j + 1}])" else s"(-q[${j + 1}])"
+      }
+      s"SELECT vec_id, CAST($i AS BIGINT) AS j, CAST(${terms.mkString(" + ")} AS BIGINT) AS proj FROM q"
+    }
+    s"""WITH qm AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+       |  FROM embeddings),
+       |qn AS (
+       |  SELECT vec_id, qq,
+       |    CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+       |  FROM qm),
+       |q AS (
+       |  SELECT vec_id, list_transform(qq, x ->
+       |    CASE WHEN nq = 0 THEN 0
+       |         ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
+       |    END) AS q
+       |  FROM qn)
+       |${sels.mkString("\n  UNION ALL ")}
+       |ORDER BY vec_id, j""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5155,6 +5341,10 @@ object SparkEntry {
     "q_events_retention" -> (qEventsRetention _),
     "q_events_cohort" -> (qEventsCohort _),
     "q_events_kmv_distinct" -> (qEventsKmvDistinct _),
+    "text_collocation_pmi" -> (textCollocationPmi _),
+    "q_events_top_movers" -> (qEventsTopMovers _),
+    "pipe_shard_manifest" -> (pipeShardManifest _),
+    "vec_rand_proj" -> (vecRandProj _),
     "q_shipping_priority" -> (qShippingPriority _),
     "q_promo_share" -> (qPromoShare _),
     "q_orders_abc" -> (qOrdersAbc _),
@@ -5357,6 +5547,10 @@ object SparkEntry {
     "q_events_retention" -> qEventsRetentionSql,
     "q_events_cohort" -> qEventsCohortSql,
     "q_events_kmv_distinct" -> qEventsKmvDistinctSql,
+    "text_collocation_pmi" -> textCollocationPmiSql,
+    "q_events_top_movers" -> qEventsTopMoversSql,
+    "pipe_shard_manifest" -> pipeShardManifestSql,
+    "vec_rand_proj" -> vecRandProjSql,
     "q_shipping_priority" -> qShippingPrioritySql,
     "q_promo_share" -> qPromoShareSql,
     "q_orders_abc" -> qOrdersAbcSql,
