@@ -5262,6 +5262,86 @@ object SparkEntry {
        |ORDER BY vec_id, j""".stripMargin
   }
 
+  /** Audio envelope through the REAL JDK WAV codec ([[mm.Audio]]):
+    * synthetic 8-bit PCM → AudioSystem WAV encode → opaque binary →
+    * AudioSystem decode → Σ|sample−128| per 256-sample window. Sample
+    * counts are deliberately non-multiples of the window so the trailing
+    * partial window is oracle-checked. All decode map-side; the oracle
+    * predicts every decoded sample from the integer formula.
+    */
+  private def mmAudioEnvelope(s: SparkSession, dir: String): DataFrame =
+    mm.Audio.envelope(s, mm.Audio.audioFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id", "win")
+
+  private val mmAudioEnvelopeSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    1000 + (doc_id % 5) * 256 + (doc_id % 7) * 3 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS i FROM d)
+      |SELECT doc_id, CAST(i // 256 AS INT) AS win,
+      |  CAST(COUNT(*) AS INT) AS n_samples,
+      |  CAST(SUM(abs((doc_id * 31 + i * 17) % 256 - 128)) AS BIGINT) AS abs_sum
+      |FROM s GROUP BY doc_id, i // 256
+      |ORDER BY doc_id, win""".stripMargin
+
+  /** Population-stability-index drift gate: each source's document-length
+    * distribution (100-char bins) against the whole-corpus reference,
+    * PSI = Σ (p−q)·ln(p/q) with the shares permille-quantized and each
+    * log nano-quantized BEFORE combining, so the score is an exact
+    * BIGINT — the per-ingest distribution-drift alarm run before a new
+    * crawl slice joins the corpus. Add-one smoothing keeps empty bins
+    * finite and deterministic. One fact-table groupBy to (source, bin)
+    * counts; the reference and the PSI both re-aggregate that bounded
+    * matrix (sources × bins rows).
+    */
+  private def qDriftPsi(s: SparkSession, dir: String): DataFrame = {
+    val binned = Tables.documents(s, dir)
+      .groupBy(col("source"), expr("n_chars div 100").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val bins = binned.select("bin").distinct()
+    val srcs = binned.groupBy("source").agg(sum("cnt").as("n_src"))
+    val ref = binned.groupBy("bin").agg(sum("cnt").as("cnt_ref"))
+    val nTot = Tables.documents(s, dir).count()
+    // dense (source × bin) grid with add-one smoothing on both sides
+    val grid = srcs.crossJoin(bins) // sources × bins rows — bounded metadata
+      .join(binned, Seq("source", "bin"), "left")
+      .join(ref, Seq("bin"))
+      .select(col("source"), col("n_src"),
+        (coalesce(col("cnt"), lit(0L)) + 1L).as("p_cnt"),
+        (col("cnt_ref") + 1L).as("q_cnt"))
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val term =
+      (expr("p_cnt * 1000 div n_src") - expr(s"q_cnt * 1000 div $nTot")) *
+        (qln(col("p_cnt") * lit(nTot)) - qln(col("q_cnt") * col("n_src")))
+    grid.select(col("source"), term.as("t"))
+      .groupBy("source").agg(sum("t").as("psi_q"))
+      .orderBy("source")
+  }
+
+  private val qDriftPsiSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST($x AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH b AS (
+       |  SELECT source, n_chars // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |bins AS (SELECT DISTINCT bin FROM b),
+       |srcs AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_src FROM b GROUP BY 1),
+       |ref AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt_ref FROM b GROUP BY 1),
+       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM documents),
+       |grid AS (
+       |  SELECT srcs.source, srcs.n_src,
+       |    COALESCE(b.cnt, 0) + 1 AS p_cnt, ref.cnt_ref + 1 AS q_cnt, t.n_tot
+       |  FROM srcs CROSS JOIN bins
+       |  LEFT JOIN b ON b.source = srcs.source AND b.bin = bins.bin
+       |  JOIN ref ON ref.bin = bins.bin, t)
+       |SELECT source,
+       |  CAST(SUM((p_cnt * 1000 // n_src - q_cnt * 1000 // n_tot) *
+       |           (${qln("p_cnt * n_tot")} - ${qln("q_cnt * n_src")})) AS BIGINT) AS psi_q
+       |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5342,6 +5422,8 @@ object SparkEntry {
     "q_events_cohort" -> (qEventsCohort _),
     "q_events_kmv_distinct" -> (qEventsKmvDistinct _),
     "text_collocation_pmi" -> (textCollocationPmi _),
+    "mm_audio_envelope" -> (mmAudioEnvelope _),
+    "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
     "vec_rand_proj" -> (vecRandProj _),
@@ -5548,6 +5630,8 @@ object SparkEntry {
     "q_events_cohort" -> qEventsCohortSql,
     "q_events_kmv_distinct" -> qEventsKmvDistinctSql,
     "text_collocation_pmi" -> textCollocationPmiSql,
+    "mm_audio_envelope" -> mmAudioEnvelopeSql,
+    "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,
     "vec_rand_proj" -> vecRandProjSql,

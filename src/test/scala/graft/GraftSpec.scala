@@ -996,7 +996,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // scan) — q_hybrid_rrf embeds that same brute-force leg, so it
     // inherits the same (allowed) plan shape; its own fusion join is
     // an equi-join.
-    val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf")
+    // q_events_kmv_distinct joins two 1-row sketch/exact aggregates for
+    // its TOTAL row; q_drift_psi densifies a (sources × bins) metadata
+    // grid — both sides are aggregates bounded by construction.
+    val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
+      "q_events_kmv_distinct", "q_drift_psi")
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3030,5 +3034,35 @@ class KmvSpec extends AnyFunSuite {
     val direct = 15L * 4294967296L / kth
     assert(total.head.getLong(2) === direct,
       "TOTAL (union-of-day-sketches) must equal the direct global sketch")
+  }
+}
+
+class AudioSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("WAV codec round-trips PCM losslessly through the real AudioSystem") {
+    val samples = Array.tabulate(1003)(i => mm.Audio.sampleValue(7L, i).toByte)
+    val wav = mm.Audio.encodeWav(samples)
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF") // real container
+    val (fmt, decoded) = mm.Audio.decodeWav(wav)
+    assert(fmt.getSampleSizeInBits === 8 && fmt.getChannels === 1)
+    assert(decoded.toSeq === samples.toSeq)
+  }
+
+  test("corrupt audio bytes fail loudly, not silently") {
+    intercept[Exception] {
+      mm.Audio.decodeWav(Array[Byte](1, 2, 3, 4, 5))
+    }
+  }
+
+  test("envelope covers every sample exactly once incl. the partial tail window") {
+    val docs = spark.range(0, 10).toDF("doc_id")
+    val env = mm.Audio.envelope(spark, mm.Audio.audioFrame(spark, docs)).collect()
+    docs.collect().map(_.getLong(0)).foreach { id =>
+      val rows = env.filter(_.doc_id == id)
+      assert(rows.map(_.n_samples).sum === mm.Audio.sampleCount(id))
+      assert(rows.map(_.n_samples).init.forall(_ == 256)) // full windows
+      assert(rows.last.n_samples < 256) // 1000+… mod 256 is never 0
+    }
   }
 }
