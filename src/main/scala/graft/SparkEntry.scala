@@ -5342,6 +5342,37 @@ object SparkEntry {
        |FROM grid GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** ANN recall evaluation: IVF top-10 scored against the brute-force
+    * exact top-10 truth per query — recall@10 as truncating permille.
+    * The quality report published before trusting approximate search at
+    * scale (the ANN sibling of `dedup_minhash_eval`). Both legs are the
+    * proven operators; the eval adds one left join of two
+    * (queries × k)-row candidate sets and a 5-row aggregate.
+    */
+  private def annRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pml", expr("n_hits * 1000 div n_truth"))
+      .orderBy("query_id")
+  }
+
+  private val annRecallEvalSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS (SELECT query_id, vec_id, 1 AS hit FROM ($annIvfSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5423,6 +5454,7 @@ object SparkEntry {
     "q_events_kmv_distinct" -> (qEventsKmvDistinct _),
     "text_collocation_pmi" -> (textCollocationPmi _),
     "mm_audio_envelope" -> (mmAudioEnvelope _),
+    "ann_recall_eval" -> (annRecallEval _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -5631,6 +5663,7 @@ object SparkEntry {
     "q_events_kmv_distinct" -> qEventsKmvDistinctSql,
     "text_collocation_pmi" -> textCollocationPmiSql,
     "mm_audio_envelope" -> mmAudioEnvelopeSql,
+    "ann_recall_eval" -> annRecallEvalSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

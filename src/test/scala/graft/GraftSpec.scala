@@ -3066,3 +3066,31 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 }
+
+class KmvStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("k-min fold law: merge is associative/idempotent over the represented set") {
+    val k = 16
+    val a = Array.tabulate(40)(i => graft.functions.Mix64(i.toLong) >>> 32)
+    val (x, y, z) = (a.slice(0, 15), a.slice(15, 30), a.slice(30, 40))
+    val allAtOnce = streaming.KmvStream.mergeKmin(Array.empty, a, k)
+    val folded = streaming.KmvStream.mergeKmin(
+      streaming.KmvStream.mergeKmin(
+        streaming.KmvStream.mergeKmin(Array.empty, x, k), y, k), z, k)
+    assert(folded.toSeq === allAtOnce.toSeq)
+    // idempotent: re-feeding already-absorbed hashes changes nothing
+    assert(streaming.KmvStream.mergeKmin(folded, x, k).toSeq === folded.toSeq)
+  }
+
+  test("streaming per-day KMV sketches equal the batch operator's day rows") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = streaming.EventsStream.runToMemory(spark,
+        streaming.KmvStream.sketchStream(spark, dir).toDF(), "kmvstream", mode = "update")
+      .collect().map(r => r.getLong(0).toString -> r.getLong(3)).toMap
+    val batch = SparkEntry.queries("q_events_kmv_distinct")(spark, dir)
+      .collect().filter(_.getString(0) != "TOTAL")
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(streamed === batch)
+  }
+}
