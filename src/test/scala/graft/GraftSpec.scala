@@ -999,8 +999,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_events_kmv_distinct joins two 1-row sketch/exact aggregates for
     // its TOTAL row; q_drift_psi densifies a (sources × bins) metadata
     // grid — both sides are aggregates bounded by construction.
+    // ann_recall_eval composes the brute-force truth leg, so it inherits
+    // that leg's tiny-broadcast BNLJ; its own truth-vs-approx join is an
+    // equi-join on (query_id, vec_id).
     val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
-      "q_events_kmv_distinct", "q_drift_psi")
+      "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval")
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
