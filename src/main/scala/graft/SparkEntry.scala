@@ -5373,6 +5373,372 @@ object SparkEntry {
        |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // =================== §2.2/§2.3 additions, round 8 ===================
+
+  /** TPC-H Q5-shaped local-supplier volume: revenue per ASIA nation from
+    * orders where the CUSTOMER and the SUPPLIER share the nation — the
+    * canonical 5-way star join. The two fact joins shuffle on their
+    * natural keys (custkey, then orderkey); supplier joins on
+    * (l_suppkey, c_nationkey = s_nationkey) — the co-nation equality
+    * rides the hash join as a second key, not a post-filter; region and
+    * nation are broadcast dimensions. Date filter is a pushed parquet
+    * predicate on the orders scan.
+    */
+  private def qLocalVolume(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val n = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)
+        .where(col("r_name") === "ASIA").select("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(sum("rev").as("revenue_cp"))
+      .orderBy(desc("revenue_cp"), col("n_name"))
+  }
+
+  private val qLocalVolumeSql =
+    s"""SELECT n_name,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_cp
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |GROUP BY 1 ORDER BY revenue_cp DESC, n_name""".stripMargin
+
+  /** TPC-H Q10-shaped returned-item ranking: top 20 customers by revenue
+    * lost to returns ('R' lineitems) in one quarter. Return-flag and
+    * date filters reach both fact scans as pushed predicates; the
+    * customer join shuffles on custkey; nation broadcasts; top-20 rides
+    * TakeOrdered.
+    */
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-10-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        cents(col("c_acctbal")).as("acctbal_c"))
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name", "acctbal_c")
+      .agg(sum("rev").as("revenue_cp"))
+      .orderBy(desc("revenue_cp"), col("c_custkey"))
+      .limit(20)
+  }
+
+  private val qReturnedItemsSql =
+    s"""SELECT c_custkey, c_name, n_name,
+       |  ${centsSql("c_acctbal")} AS acctbal_c,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_cp
+       |FROM orders
+       |JOIN lineitem ON o_orderkey = l_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+       |  AND o_orderdate < TIMESTAMP '1997-01-01'
+       |  AND l_returnflag = 'R'
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY revenue_cp DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** TPC-H Q12-shaped priority class count: per lineitem linestatus in a
+    * one-year ship window, how many orders were urgent/high priority vs
+    * the rest — the fact⋈fact equi join with conditional aggregation.
+    * Both counts come out of ONE pass (no second scan, no self-join);
+    * map-side partial aggregation collapses each partition to ≤
+    * |linestatus| rows before the exchange.
+    */
+  private def qPriorityClass(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .select("l_orderkey", "l_linestatus")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  private val qPriorityClassSql =
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total lineitem
+    * quantity exceeds 250, with customer identity — the
+    * aggregate-then-semi-join shape. The HAVING aggregate runs FIRST on
+    * the fact table (map-side combined on l_orderkey), and only the
+    * surviving ~0.1% of orderkeys join back to orders/customer; the
+    * heavy table is never joined pre-filter. Top 100 rides TakeOrdered.
+    */
+  private def qLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(cents(col("l_quantity"))).as("qty_c"))
+      .where(col("qty_c") > 250L * 100L)
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        cents(col("o_totalprice")).as("totalprice_c"))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "o_orderkey", "o_date", "totalprice_c", "qty_c")
+      .orderBy(desc("totalprice_c"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  private val qLargeOrdersSql =
+    s"""SELECT c_custkey, c_name, o_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       |  ${centsSql("o_totalprice")} AS totalprice_c, qty_c
+       |FROM (
+       |  SELECT l_orderkey, CAST(SUM(${centsSql("l_quantity")}) AS BIGINT) AS qty_c
+       |  FROM lineitem GROUP BY 1 HAVING SUM(${centsSql("l_quantity")}) > 25000)
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |ORDER BY totalprice_c DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q19-shaped disjunctive revenue: one lineitem⋈part equi join
+    * on partkey whose OR-of-ANDs brand/size/quantity bands become the
+    * join's residual filter — Catalyst keeps the hash join (partkey is
+    * common to every disjunct) and pushes the part-only / lineitem-only
+    * conjuncts of each band down to the scans as disjunctive pushed
+    * predicates. One row out: revenue + matched-row count.
+    */
+  private def qDisjunctiveRev(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(col("l_partkey"), col("l_quantity"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    val bands =
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#7" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    l.join(p, col("l_partkey") === col("p_partkey"))
+      .where(bands)
+      .agg(sum("rev").as("revenue_cp"), count(lit(1)).as("n_items"))
+  }
+
+  private val qDisjunctiveRevSql =
+    s"""SELECT
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_cp,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 35
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** KMV sketch SET OPERATIONS: distinct-user overlap between two event
+    * types by inclusion-exclusion on mergeable sketches —
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is just
+    * the k smallest of the two sketches' union (never re-reading the
+    * data). This is the 100 TB audience-overlap shape: per-segment
+    * sketches are tiny (k hashes), union/intersection estimates compose
+    * from sketches alone, and the fact table is scanned once per
+    * segment, ever. Each sketch rides TakeOrdered (k=16, no global
+    * sort); exact intersection is computed alongside and the permille
+    * error published. All integer arithmetic (SplitMix64 top-32 hash
+    * space), exact in both engines.
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame = {
+    val k = 16
+    val estNum = (k - 1).toLong * 4294967296L // (k-1)·2^32
+    val ev = Tables.events(s, dir)
+    def hcol: Column = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(
+            col("user_id").cast("long")))), 32)
+    def sketch(t: String): DataFrame =
+      ev.where(col("event_type") === t).select(hcol.as("h"))
+        .distinct().orderBy("h").limit(k)
+    def est(sk: DataFrame, name: String): DataFrame =
+      sk.agg(count(lit(1)).as("n"), max("h").as("kth"))
+        .select(when(col("n") < k, col("n"))
+          .otherwise(expr(s"$estNum div kth")).as(name))
+    val sa = sketch("click")
+    val sb = sketch("view")
+    val su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+    val exact = ev.where(col("event_type").isin("click", "view"))
+      .select("user_id", "event_type").distinct()
+      .groupBy("user_id").agg(count(lit(1)).as("nt"))
+      .where(col("nt") === 2)
+      .agg(count(lit(1)).as("n_exact_inter"))
+    est(sa, "est_a") // 1-row sketch estimates: crossJoin is 1×1 metadata
+      .crossJoin(est(sb, "est_b"))
+      .crossJoin(est(su, "est_union"))
+      .crossJoin(exact)
+      .withColumn("est_inter",
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("err_pml",
+        expr("abs(est_inter - n_exact_inter) * 1000 div n_exact_inter"))
+  }
+
+  private val qKmvOverlapSql = {
+    val k = 16
+    val estNum = (k - 1).toLong * 4294967296L
+    def skCte(name: String, t: String) =
+      s"""$name AS (
+         |  SELECT h FROM (
+         |    SELECT DISTINCT ${oracle.DuckHash.mix64Top32Sql("user_id")} AS h
+         |    FROM events WHERE event_type = '$t')
+         |  ORDER BY h LIMIT $k)""".stripMargin
+    def estCte(name: String, src: String, colName: String) =
+      s"""$name AS (
+         |  SELECT CASE WHEN COUNT(*) < $k THEN CAST(COUNT(*) AS BIGINT)
+         |              ELSE CAST($estNum // MAX(h) AS BIGINT) END AS $colName
+         |  FROM $src)""".stripMargin
+    s"""WITH ${skCte("sa", "click")},
+       |${skCte("sb", "view")},
+       |su AS (
+       |  SELECT h FROM (
+       |    SELECT DISTINCT h FROM (SELECT h FROM sa UNION ALL SELECT h FROM sb))
+       |  ORDER BY h LIMIT $k),
+       |${estCte("ea", "sa", "est_a")},
+       |${estCte("eb", "sb", "est_b")},
+       |${estCte("eu", "su", "est_union")},
+       |ex AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_inter FROM (
+       |    SELECT user_id FROM (
+       |      SELECT DISTINCT user_id, event_type FROM events
+       |      WHERE event_type IN ('click', 'view'))
+       |    GROUP BY 1 HAVING COUNT(*) = 2))
+       |SELECT est_a, est_b, est_union,
+       |  GREATEST(0, est_a + est_b - est_union) AS est_inter, n_exact_inter,
+       |  CAST(abs(GREATEST(0, est_a + est_b - est_union) - n_exact_inter)
+       |    * 1000 // n_exact_inter AS BIGINT) AS err_pml
+       |FROM ea, eb, eu, ex""".stripMargin
+  }
+
+  /** Per-user ML feature generation — the feature-store shape: previous
+    * value (lag 1), seconds since the previous event, and the rolling
+    * sum of the prior 3 values, all over one (user_id, ts) window pass.
+    * One shuffle on user_id serves every feature; the user_id sample
+    * predicate is pushed BELOW the window (it filters the partition key)
+    * all the way into the parquet scan. Nulls on each user's first rows
+    * are part of the contract (no fabricated zeros).
+    */
+  private def qEventsLagFeatures(s: SparkSession, dir: String): DataFrame = {
+    val W = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(s, dir)
+      .where(col("user_id") % 5 === 0)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        cents(col("value")).as("v_c"))
+      .withColumn("lag1_c", lag("v_c", 1).over(W))
+      .withColumn("prev_ts", lag("ts_ns", 1).over(W))
+      .withColumn("roll3_c",
+        sum("v_c").over(W.rowsBetween(-3, -1)))
+      .withColumn("gap_s", expr("(ts_ns - prev_ts) div 1000000000"))
+      .select("user_id", "event_id", "v_c", "lag1_c", "gap_s", "roll3_c")
+      .orderBy("user_id", "event_id")
+  }
+
+  private val qEventsLagFeaturesSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+       |    ${centsSql("value")} AS v_c
+       |  FROM events WHERE user_id % 5 = 0)
+       |SELECT user_id, event_id, v_c,
+       |  lag(v_c) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id) AS lag1_c,
+       |  (ts_ns - lag(ts_ns) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id))
+       |    // 1000000000 AS gap_s,
+       |  CAST(SUM(v_c) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS BIGINT) AS roll3_c
+       |FROM e ORDER BY user_id, event_id""".stripMargin
+
+  /** Zipf exponent of the corpus token distribution, by exact integer
+    * least squares over (qln rank, qln freq) of the top-1000 terms:
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), published NEGATED (Zipf
+    * slopes are negative; both engines' integer div then agrees — they
+    * differ on negative division: Spark truncates, DuckDB floors).
+    * Logs quantized at 1e4 so every cross term stays within int64
+    * (x,y ≤ ~1.4e5 ⇒ n·Σxy ≤ ~1e18). The top-1000 rides TakeOrdered
+    * off the token-frequency aggregate; the rank window orders a
+    * 1000-row bounded set, never the corpus. Healthy natural-language
+    * corpora sit near slope −1; far-off corpora are template- or
+    * spam-dominated — a one-row corpus health gate.
+    */
+  private def textZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    def qln4(c: Column): Column = floor(log(c.cast("double")) * lit(1e4)).cast("long")
+    val top = Tables.documents(s, dir)
+      .select(explode(text.Text.words(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("t")).limit(1000)
+    val W = Window.orderBy(desc("cf"), col("t")) // 1000-row bounded set
+    top.withColumn("rank", row_number().over(W))
+      .select(qln4(col("rank")).as("x"), qln4(col("cf")).as("y"))
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n_terms"),
+        (col("sx") * col("sy") - col("n_terms") * col("sxy")).as("num_neg"),
+        (col("n_terms") * col("sxx") - col("sx") * col("sx")).as("den"))
+      .withColumn("slope_neg_pml", expr("num_neg * 1000 div den"))
+  }
+
+  private val textZipfSlopeSql =
+    s"""WITH cf AS (
+       |  SELECT t, CAST(COUNT(*) AS BIGINT) AS cf FROM (
+       |    SELECT UNNEST($wordsListSql) AS t FROM documents)
+       |  GROUP BY 1 ORDER BY cf DESC, t LIMIT 1000),
+       |xy AS (
+       |  SELECT
+       |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY cf DESC, t) AS DOUBLE)) * 1e4) AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e4) AS BIGINT) AS y
+       |  FROM cf),
+       |agg AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+       |  FROM xy)
+       |SELECT n_terms,
+       |  sx * sy - n_terms * sxy AS num_neg,
+       |  n_terms * sxx - sx * sx AS den,
+       |  (sx * sy - n_terms * sxy) * 1000 // (n_terms * sxx - sx * sx) AS slope_neg_pml
+       |FROM agg""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5455,6 +5821,14 @@ object SparkEntry {
     "text_collocation_pmi" -> (textCollocationPmi _),
     "mm_audio_envelope" -> (mmAudioEnvelope _),
     "ann_recall_eval" -> (annRecallEval _),
+    "q_local_volume" -> (qLocalVolume _),
+    "q_returned_items" -> (qReturnedItems _),
+    "q_priority_class" -> (qPriorityClass _),
+    "q_large_orders" -> (qLargeOrders _),
+    "q_disjunctive_rev" -> (qDisjunctiveRev _),
+    "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_events_lag_features" -> (qEventsLagFeatures _),
+    "text_zipf_slope" -> (textZipfSlope _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -5664,6 +6038,14 @@ object SparkEntry {
     "text_collocation_pmi" -> textCollocationPmiSql,
     "mm_audio_envelope" -> mmAudioEnvelopeSql,
     "ann_recall_eval" -> annRecallEvalSql,
+    "q_local_volume" -> qLocalVolumeSql,
+    "q_returned_items" -> qReturnedItemsSql,
+    "q_priority_class" -> qPriorityClassSql,
+    "q_large_orders" -> qLargeOrdersSql,
+    "q_disjunctive_rev" -> qDisjunctiveRevSql,
+    "q_kmv_overlap" -> qKmvOverlapSql,
+    "q_events_lag_features" -> qEventsLagFeaturesSql,
+    "text_zipf_slope" -> textZipfSlopeSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

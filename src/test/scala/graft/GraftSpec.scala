@@ -1002,8 +1002,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // ann_recall_eval composes the brute-force truth leg, so it inherits
     // that leg's tiny-broadcast BNLJ; its own truth-vs-approx join is an
     // equi-join on (query_id, vec_id).
+    // q_kmv_overlap crossJoins four 1-row sketch/exact aggregates —
+    // same bounded-metadata contract as q_events_kmv_distinct's TOTAL.
     val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
-      "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval")
+      "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap")
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3095,5 +3097,118 @@ class KmvStreamSpec extends AnyFunSuite {
       .collect().filter(_.getString(0) != "TOTAL")
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(streamed === batch)
+  }
+}
+
+/** Round-8 additions: TPC-H join shapes, KMV set ops, lag features,
+  * Zipf slope. Invariants recomputed independently of the oracle SQL.
+  */
+class R8ShapesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q_local_volume: only ASIA nations, ordered by revenue desc") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_local_volume")(spark, sf01).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val asia = Tables.nation(spark, sf01)
+      .join(Tables.region(spark, sf01).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_name").collect().map(_.getString(0)).toSet
+    assert(rows.forall(r => asia(r.getString(0))))
+    val revs = rows.map(_.getLong(1))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q_priority_class: high+low equals the joined row count in window") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_priority_class")(spark, sf01).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val direct = Tables.lineitem(spark, sf01)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(Tables.orders(spark, sf01),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(total === direct && rows.length === 2)
+  }
+
+  test("q_large_orders: every order's qty matches a direct recompute and beats the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_large_orders")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    val direct = Tables.lineitem(spark, sf01).groupBy("l_orderkey")
+      .agg(sum(round(col("l_quantity") * 100, 0).cast("long")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (ok, qty) = (r.getLong(2), r.getLong(5))
+      assert(qty > 25000L && direct(ok) === qty)
+    }
+  }
+
+  test("q_disjunctive_rev: the OR-of-ANDs predicate is pushed to the part scan") {
+    val plan = SparkEntry.queries("q_disjunctive_rev")(spark, sf01)
+      .queryExecution.executedPlan.toString
+    // part-side disjuncts (brand/size bands) must reach the parquet scan
+    // as one pushed Or predicate, not evaluate post-join
+    assert(plan.contains("PushedFilters") && plan.contains("Or("), plan.take(800))
+    spark.catalog.clearCache()
+  }
+
+  test("q_kmv_overlap: inclusion-exclusion bounds and published error hold") {
+    val r = SparkEntry.queries("q_kmv_overlap")(spark, sf01).collect()(0)
+    val (a, b, u, inter, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(3))
+    assert(u <= a + b)            // union sketch never exceeds the sum
+    assert(inter <= math.min(a, b)) // intersection within both margins
+    assert(inter === math.max(0L, a + b - u))
+    assert(exact > 0 && math.abs(inter - exact).toDouble / exact < 0.5)
+  }
+
+  test("q_events_lag_features matches a per-user sliding recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_events_lag_features")(spark, sf01)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    // independent recompute from the raw table, one user at a time
+    val raw = Tables.events(spark, sf01).where(col("user_id") % 5 === 0)
+      .select(col("user_id"), col("event_id"), col("ts_ns"),
+        round(col("value") * 100, 0).cast("long").as("v_c"))
+      .collect().groupBy(_.getLong(0))
+    assert(rows.keySet === raw.keySet && rows.keySet.forall(_ % 5 == 0))
+    rows.foreach { case (uid, got) =>
+      val ordered = raw(uid).sortBy(r => (r.getLong(2), r.getLong(1)))
+      val byEvent = got.map(r => r.getLong(1) -> r).toMap
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val g = byEvent(r.getLong(1))
+        val expLag = if (i == 0) null else Long.box(ordered(i - 1).getLong(3))
+        val expGap = if (i == 0) null
+          else Long.box((r.getLong(2) - ordered(i - 1).getLong(2)) / 1000000000L)
+        val expRoll = if (i == 0) null
+          else Long.box(ordered.slice(math.max(0, i - 3), i).map(_.getLong(3)).sum)
+        assert((if (g.isNullAt(3)) null else Long.box(g.getLong(3))) === expLag)
+        assert((if (g.isNullAt(4)) null else Long.box(g.getLong(4))) === expGap)
+        assert((if (g.isNullAt(5)) null else Long.box(g.getLong(5))) === expRoll)
+      }
+    }
+  }
+
+  test("text_zipf_slope matches a driver-side recompute from token counts") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("text_zipf_slope")(spark, sf01).collect()(0)
+    val cf = Tables.documents(spark, sf01)
+      .select(explode(text.Text.words(col("text"))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cf"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }.take(1000)
+    def qln4(x: Long): Long = math.floor(math.log(x.toDouble) * 1e4).toLong
+    val xy = cf.zipWithIndex.map { case ((_, c), i) => (qln4(i + 1L), qln4(c)) }
+    val n = xy.length.toLong
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === sx * sy - n * sxy)
+    assert(r.getLong(2) === n * sxx - sx * sx)
+    assert(r.getLong(3) === (sx * sy - n * sxy) * 1000 / (n * sxx - sx * sx))
   }
 }
