@@ -5739,6 +5739,143 @@ object SparkEntry {
        |  (sx * sy - n_terms * sxy) * 1000 // (n_terms * sxx - sx * sx) AS slope_neg_pml
        |FROM agg""".stripMargin
 
+  /** Snapshot reconciliation — the table-diff shape behind CDC audits
+    * and backfill validation: full-outer join of two snapshots on the
+    * key, per-row change classification (insert/delete/update/same) and
+    * a column-level change mask, reduced to a bounded summary. The
+    * comparison is map-side after ONE key-partitioned join; at 100 TB
+    * both snapshots bucket/cluster by the key so the join co-locates.
+    * Snapshot B is derived in-flight from A with deterministic edits
+    * (deletes: key%97, price updates: key%13, status updates: key%29,
+    * inserts: key%101 re-keyed) — self-contained, oracle-mirrored.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir).select(col("o_orderkey").as("key"),
+      col("o_orderstatus").as("status"), cents(col("o_totalprice")).as("price_c"))
+    val b = a.where(col("key") % 97 =!= 0)
+      .withColumn("price_c",
+        when(col("key") % 13 === 0, col("price_c") + 100L).otherwise(col("price_c")))
+      .withColumn("status",
+        when(col("key") % 29 === 0, lit("X")).otherwise(col("status")))
+      .unionByName(a.where(col("key") % 101 === 0)
+        .withColumn("key", col("key") + 100000000L))
+    val an = a.select(col("key"), col("status").as("a_status"), col("price_c").as("a_price"))
+    val bn = b.select(col("key"), col("status").as("b_status"), col("price_c").as("b_price"))
+    an.join(bn, Seq("key"), "full_outer")
+      .withColumn("change_type",
+        when(col("a_status").isNull, "insert")
+          .when(col("b_status").isNull, "delete")
+          .when(col("a_status") =!= col("b_status") ||
+            col("a_price") =!= col("b_price"), "update")
+          .otherwise("same"))
+      .withColumn("changed_cols", when(col("change_type") === "update",
+        concat_ws(",",
+          when(col("a_price") =!= col("b_price"), lit("price_c")),
+          when(col("a_status") =!= col("b_status"), lit("status"))))
+        .otherwise(lit("")))
+      .groupBy("change_type", "changed_cols")
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy("change_type", "changed_cols")
+  }
+
+  private val qSnapshotDiffSql =
+    s"""WITH a AS (
+       |  SELECT o_orderkey AS key, o_orderstatus AS status,
+       |    ${centsSql("o_totalprice")} AS price_c
+       |  FROM orders),
+       |b AS (
+       |  SELECT key,
+       |    CASE WHEN key % 29 = 0 THEN 'X' ELSE status END AS status,
+       |    CASE WHEN key % 13 = 0 THEN price_c + 100 ELSE price_c END AS price_c
+       |  FROM a WHERE key % 97 <> 0
+       |  UNION ALL
+       |  SELECT key + 100000000, status, price_c FROM a WHERE key % 101 = 0),
+       |d AS (
+       |  SELECT
+       |    CASE WHEN a.status IS NULL THEN 'insert'
+       |         WHEN b.status IS NULL THEN 'delete'
+       |         WHEN a.status <> b.status OR a.price_c <> b.price_c THEN 'update'
+       |         ELSE 'same' END AS change_type,
+       |    CASE WHEN a.status IS NOT NULL AND b.status IS NOT NULL
+       |              AND (a.status <> b.status OR a.price_c <> b.price_c)
+       |      THEN concat_ws(',',
+       |        CASE WHEN a.price_c <> b.price_c THEN 'price_c' END,
+       |        CASE WHEN a.status <> b.status THEN 'status' END)
+       |      ELSE '' END AS changed_cols
+       |  FROM a FULL OUTER JOIN b USING (key))
+       |SELECT change_type, changed_cols, CAST(COUNT(*) AS BIGINT) AS n_rows
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Month-of-year seasonal index: each calendar month's share of
+    * annual-equivalent revenue as exact permille (rev·12·1000 div
+    * total). The fact scan collapses map-side to ≤ 12 rows; the total
+    * comes from a window over that 12-row aggregate — no second scan,
+    * no driver collect, no nested-loop join.
+    */
+  private def qOrdersSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("rev_c"))
+    val W = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per.withColumn("total_c", sum("rev_c").over(W)) // 12-row bounded window
+      .withColumn("index_pml", expr("rev_c * 12000 div total_c"))
+      .select("mon", "n_orders", "rev_c", "index_pml")
+      .orderBy("mon")
+  }
+
+  private val qOrdersSeasonalitySql =
+    s"""WITH per AS (
+       |  SELECT month(o_orderdate) AS mon, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1)
+       |SELECT CAST(mon AS INT) AS mon, n_orders, rev_c,
+       |  rev_c * 12000 // (SUM(rev_c) OVER ()) AS index_pml
+       |FROM per ORDER BY mon""".stripMargin
+
+  /** Per-user behavioral path entropy: Shannon entropy of each user's
+    * (prev event → event) transition distribution, in the engine's
+    * exact quantized-log units (ent_q = n·qln(n) − Σ c·qln(c)); top 20
+    * most-diverse users. One window pass forms transitions, one
+    * (user, pair) groupBy counts them, the per-user reduce is map-side
+    * combinable, and the top-20 rides TakeOrdered. Bot/script detection
+    * at corpus scale: near-zero entropy = mechanical loops.
+    */
+  private def qEventsPathEntropy(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * lit(1e9)).cast("long")
+    val W = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(W))
+      .where(col("prev_type").isNotNull)
+      .groupBy("user_id", "prev_type", "event_type")
+      .agg(count(lit(1)).as("c"))
+    trans.groupBy("user_id")
+      .agg(sum("c").as("n_trans"), count(lit(1)).as("n_distinct"),
+        sum(col("c") * qln(col("c"))).as("sc"))
+      .withColumn("ent_q", col("n_trans") * qln(col("n_trans")) - col("sc"))
+      .select("user_id", "n_trans", "n_distinct", "ent_q")
+      .orderBy(desc("ent_q"), col("user_id"))
+      .limit(20)
+  }
+
+  private val qEventsPathEntropySql =
+    """WITH t AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+      |      AS prev_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2, 3),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_trans,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sc
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n_trans, n_distinct,
+      |  n_trans * CAST(floor(ln(CAST(n_trans AS DOUBLE)) * 1e9) AS BIGINT) - sc AS ent_q
+      |FROM u ORDER BY ent_q DESC, user_id LIMIT 20""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5829,6 +5966,9 @@ object SparkEntry {
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_events_lag_features" -> (qEventsLagFeatures _),
     "text_zipf_slope" -> (textZipfSlope _),
+    "q_snapshot_diff" -> (qSnapshotDiff _),
+    "q_orders_seasonality" -> (qOrdersSeasonality _),
+    "q_events_path_entropy" -> (qEventsPathEntropy _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6046,6 +6186,9 @@ object SparkEntry {
     "q_kmv_overlap" -> qKmvOverlapSql,
     "q_events_lag_features" -> qEventsLagFeaturesSql,
     "text_zipf_slope" -> textZipfSlopeSql,
+    "q_snapshot_diff" -> qSnapshotDiffSql,
+    "q_orders_seasonality" -> qOrdersSeasonalitySql,
+    "q_events_path_entropy" -> qEventsPathEntropySql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

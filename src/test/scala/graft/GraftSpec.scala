@@ -3212,3 +3212,84 @@ class R8ShapesSpec extends AnyFunSuite {
     assert(r.getLong(3) === (sx * sy - n * sxy) * 1000 / (n * sxx - sx * sx))
   }
 }
+
+/** Round-8 batch 2: snapshot diff, seasonality, path entropy, and the
+  * streaming feature twin.
+  */
+class R8DiffSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q_snapshot_diff: classified counts reconcile with the synthetic edit rates") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_snapshot_diff")(spark, sf01).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val keys = Tables.orders(spark, sf01).select(col("o_orderkey").as("k"))
+      .collect().map(_.getLong(0))
+    val n = keys.length.toLong
+    assert(rows((("insert"), "")) === keys.count(_ % 101 == 0))
+    assert(rows((("delete"), "")) === keys.count(_ % 97 == 0))
+    // updates partition into the three non-empty masks; survivors = same
+    val upd = rows.filter(_._1._1 == "update").values.sum
+    val expectedUpd = keys.count(k => k % 97 != 0 && (k % 13 == 0 || k % 29 == 0))
+    assert(upd === expectedUpd)
+    assert(rows((("same"), "")) === n - keys.count(_ % 97 == 0) - expectedUpd)
+    // every update row names at least one changed column
+    assert(rows.keys.filter(_._1 == "update").forall(_._2.nonEmpty))
+  }
+
+  test("q_orders_seasonality: indexes sum to ~12000 permille and revenue reconciles") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_orders_seasonality")(spark, sf01).collect()
+    assert(rows.length === 12)
+    val total = rows.map(_.getLong(2)).sum
+    val direct = Tables.orders(spark, sf01)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0)
+    assert(total === direct)
+    val idxSum = rows.map(_.getLong(3)).sum
+    // truncating division loses < 1 permille per row
+    assert(idxSum > 12000 - 12 && idxSum <= 12000)
+  }
+
+  test("q_events_path_entropy: ent_q matches a driver-side recompute for the top user") {
+    import org.apache.spark.sql.functions._
+    val top = SparkEntry.queries("q_events_path_entropy")(spark, sf01).collect()
+    assert(top.length === 20)
+    assert(top.map(_.getLong(3)).toSeq === top.map(_.getLong(3)).sortBy(-_).toSeq)
+    val u0 = top.head.getLong(0)
+    val evs = Tables.events(spark, sf01).where(col("user_id") === u0)
+      .select("ts_ns", "event_id", "event_type")
+      .collect().sortBy(r => (r.getLong(0), r.getLong(1))).map(_.getString(2))
+    val counts = evs.zip(evs.tail).groupBy(identity).map(_._2.length.toLong)
+    def qln(x: Long) = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val nTr = counts.sum
+    val entQ = nTr * qln(nTr) - counts.map(c => c * qln(c)).sum
+    assert(top.head.getLong(1) === nTr)
+    assert(top.head.getLong(2) === counts.size.toLong)
+    assert(top.head.getLong(3) === entQ)
+  }
+}
+
+class FeatureStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming lag features equal the batch window query row for row") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = streaming.FeatureStream.runToResult(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_events_lag_features")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("feature state stays bounded at 3 ring values regardless of history") {
+    // pure fold check on the state contract: feed 10 events, ring ≤ 3
+    var st = streaming.FeatureStream.FeatState(-1L, Nil)
+    (1L to 10L).foreach { i =>
+      st = streaming.FeatureStream.FeatState(i * 1000L, (st.ring :+ i).takeRight(3))
+    }
+    assert(st.ring === Seq(8L, 9L, 10L) && st.ring.length === 3)
+  }
+}
