@@ -5876,6 +5876,102 @@ object SparkEntry {
       |  n_trans * CAST(floor(ln(CAST(n_trans AS DOUBLE)) * 1e9) AS BIGINT) - sc AS ent_q
       |FROM u ORDER BY ent_q DESC, user_id LIMIT 20""".stripMargin
 
+  /** EXACT rolling distinct users via distributed bitmaps — the
+    * ClickHouse/Druid retention shape, no sketch error: users pack into
+    * 62-bit words keyed (day, word = user div 62); DAU(day) =
+    * Σ popcount(bits); WAU(day) = Σ popcount of the 7-day OR, computed
+    * by SCATTERING each day's bitmap rows to the ≤7 windows they serve
+    * and bit_or-reducing per (day, word). The 7× amplification applies
+    * to the BITMAP AGGREGATE (≤ ⌈users/62⌉ rows/day), never the raw
+    * events — at 1e9 users that is ~16M words/day, each word combining
+    * map-side; everything is one groupBy cascade with no window over
+    * data and no driver state. 62-bit words (not 64) because shifting
+    * into the sign bit is an overflow in DuckDB — the cross-engine
+    * contract costs 3% density.
+    */
+  private def qEventsBitmapRetention(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val bm = Tables.events(s, dir)
+      .select(expr(s"ts_ns div $dayNs").as("day"),
+        expr("user_id div 62").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(user_id % 62 as int))").as("bit"))
+      .groupBy("day", "word").agg(expr("bit_or(bit)").as("bits"))
+    val days = bm.select("day").distinct()
+    val dau = bm.groupBy("day").agg(expr("cast(sum(bit_count(bits)) as bigint)").as("dau"))
+    val wau = bm
+      .select(col("word"), col("bits"),
+        explode(sequence(col("day"), col("day") + lit(6L))).as("day"))
+      .join(days, "day") // only materialized days publish a WAU row
+      .groupBy("day", "word").agg(expr("bit_or(bits)").as("bits"))
+      .groupBy("day").agg(expr("cast(sum(bit_count(bits)) as bigint)").as("wau7"))
+    dau.join(wau, "day").select("day", "dau", "wau7").orderBy("day")
+  }
+
+  private val qEventsBitmapRetentionSql =
+    """WITH b AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, user_id // 62 AS word,
+      |    bit_or(1::BIGINT << CAST(user_id % 62 AS INT)) AS bits
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM b),
+      |dau AS (
+      |  SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau FROM b GROUP BY 1),
+      |sc AS (
+      |  SELECT b.day + t.d AS day, b.word, b.bits
+      |  FROM b, generate_series(0, 6) AS t(d)),
+      |w AS (
+      |  SELECT sc.day, sc.word, bit_or(sc.bits) AS bits
+      |  FROM sc JOIN days ON sc.day = days.day GROUP BY 1, 2),
+      |wau AS (
+      |  SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS wau7 FROM w GROUP BY 1)
+      |SELECT dau.day, dau.dau, wau.wau7
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
+  /** Recency-weighted deterministic sampling — the freshness-biased
+    * retention gate for training corpora: an event's keep probability
+    * decays 10‰/day from 1000‰ down to a 100‰ floor, and the keep
+    * decision is pure hash arithmetic (SplitMix64(event_id) mod 1000 <
+    * target) — reproducible across runs/engines, no RNG state, fully
+    * map-side. Published per age-week: total, kept, realized vs target
+    * permille, so the decay curve is auditable. The only driver state is
+    * the 1-value max-timestamp collect (bounded metadata, same contract
+    * as the BM25/ABC totals).
+    */
+  private def sampRecency(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ev = Tables.events(s, dir)
+    val maxNs = ev.agg(max("ts_ns")).head().getLong(0) // 1-value bounded collect
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("event_id"))))
+    ev.select(col("event_id"), expr(s"($maxNs - ts_ns) div $dayNs").as("age_days"))
+      .withColumn("keep_pml", greatest(lit(100L), lit(1000L) - col("age_days") * 10L))
+      .withColumn("kept",
+        (shiftrightunsigned(h, 32) % 1000L < col("keep_pml")).cast("long"))
+      .groupBy(expr("age_days div 7").as("age_week"))
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        max("keep_pml").as("target_pml"))
+      .withColumn("kept_pml", expr("n_kept * 1000 div n_total"))
+      .orderBy("age_week")
+  }
+
+  private val sampRecencySql =
+    s"""WITH mx AS (SELECT MAX(epoch_ns(ts)) AS max_ns FROM events),
+       |e AS (
+       |  SELECT (mx.max_ns - epoch_ns(ts)) // 86400000000000 AS age_days,
+       |    ${oracle.DuckHash.mix64BucketSql("event_id", 1000)} AS h_pml
+       |  FROM events, mx),
+       |k AS (
+       |  SELECT age_days // 7 AS age_week,
+       |    GREATEST(100, 1000 - age_days * 10) AS keep_pml,
+       |    CASE WHEN h_pml < GREATEST(100, 1000 - age_days * 10)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM e)
+       |SELECT age_week, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(MAX(keep_pml) AS BIGINT) AS target_pml,
+       |  CAST(SUM(kept) * 1000 // COUNT(*) AS BIGINT) AS kept_pml
+       |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5969,6 +6065,8 @@ object SparkEntry {
     "q_snapshot_diff" -> (qSnapshotDiff _),
     "q_orders_seasonality" -> (qOrdersSeasonality _),
     "q_events_path_entropy" -> (qEventsPathEntropy _),
+    "q_events_bitmap_retention" -> (qEventsBitmapRetention _),
+    "samp_recency" -> (sampRecency _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6189,6 +6287,8 @@ object SparkEntry {
     "q_snapshot_diff" -> qSnapshotDiffSql,
     "q_orders_seasonality" -> qOrdersSeasonalitySql,
     "q_events_path_entropy" -> qEventsPathEntropySql,
+    "q_events_bitmap_retention" -> qEventsBitmapRetentionSql,
+    "samp_recency" -> sampRecencySql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

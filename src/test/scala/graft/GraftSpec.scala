@@ -3293,3 +3293,47 @@ class FeatureStreamSpec extends AnyFunSuite {
     assert(st.ring === Seq(8L, 9L, 10L) && st.ring.length === 3)
   }
 }
+
+class BitmapRetentionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bitmap DAU/WAU equal set-based distinct counts recomputed in the driver") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_events_bitmap_retention")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dayNs = 86400000000000L
+    val pairs = Tables.events(spark, dir)
+      .selectExpr(s"ts_ns div $dayNs as day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byDay = pairs.groupBy(_._1)
+    assert(rows.keySet === byDay.keySet)
+    byDay.foreach { case (d, dayPairs) =>
+      val dau = dayPairs.map(_._2).size.toLong
+      val wau = pairs.filter(p => p._1 >= d - 6 && p._1 <= d).map(_._2).size.toLong
+      assert(rows(d) === ((dau, wau)), s"day $d")
+    }
+  }
+}
+
+class SampRecencySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("recency sampling: floor respected, decay monotone, realized near target") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("samp_recency")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val targets = rows.map(_.getLong(3))
+    assert(targets.forall(_ >= 100L))
+    // target decays (non-strictly) with age week
+    assert(targets.toSeq === targets.sortBy(-_).toSeq)
+    // realized keep rate within ±15% of the bucket's max target on
+    // buckets big enough for the hash to average out
+    rows.filter(_.getLong(1) >= 500).foreach { r =>
+      assert(math.abs(r.getLong(4) - r.getLong(3)) <= 150,
+        s"week ${r.getLong(0)}: realized ${r.getLong(4)} vs target ${r.getLong(3)}")
+    }
+    // determinism: a second run is bit-identical (pure hash, no RNG)
+    val again = SparkEntry.queries("samp_recency")(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
