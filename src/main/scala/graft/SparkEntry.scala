@@ -5972,6 +5972,99 @@ object SparkEntry {
        |  CAST(SUM(kept) * 1000 // COUNT(*) AS BIGINT) AS kept_pml
        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Event-time lateness audit — the measurement that CHOOSES a
+    * streaming watermark delay instead of guessing one: per user (the
+    * keyed-stream unit), lateness of each event = running max of event
+    * time in ARRIVAL order minus the event's own time, reduced to a
+    * 6-hour-bucket histogram with cumulative permille. Reading the
+    * output: the bucket where cum_pml crosses your loss budget IS the
+    * watermark delay to configure. The testdata log has zero natural
+    * disorder (ts is monotone in event_id — verified), so the audit
+    * REPLAYS it through a deterministic synthetic transport delay
+    * (SplitMix64 gate: 5% of events arrive 48 h late) — the
+    * construction is mirrored in the oracle and reconciled by the
+    * spec; on a real ingest, `arrival_ns` is the ingest timestamp
+    * column. One per-user window pass (running max over
+    * rows-unbounded-preceding), histogram combine map-side; the
+    * cum_pml windows order the BUCKET AGGREGATE, never the data.
+    */
+  private def qEventsLatenessAudit(s: SparkSession, dir: String): DataFrame = {
+    val h6Ns = 6L * 3600 * 1000 * 1000 * 1000
+    val delayNs = 48L * 3600 * 1000 * 1000 * 1000
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("event_id"))))
+    val W = Window.partitionBy("user_id").orderBy("arrival_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ns"))
+      .withColumn("arrival_ns",
+        when(shiftrightunsigned(h, 32) % 20L === 0L, col("ts_ns") + delayNs)
+          .otherwise(col("ts_ns")))
+      .withColumn("hwm_ns", max("ts_ns").over(W))
+      .withColumn("late_h6", expr(s"(hwm_ns - ts_ns) div $h6Ns"))
+      .groupBy("late_h6").agg(count(lit(1)).as("n"))
+      .withColumn("cum_pml",
+        expr("sum(n) over (order by late_h6) * 1000 div sum(n) over ()"))
+      .orderBy("late_h6")
+  }
+
+  private val qEventsLatenessAuditSql =
+    s"""WITH a AS (
+       |  SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+       |    CASE WHEN ${oracle.DuckHash.mix64BucketSql("event_id", 20)} = 0
+       |         THEN epoch_ns(ts) + 172800000000000
+       |         ELSE epoch_ns(ts) END AS arrival_ns
+       |  FROM events),
+       |l AS (
+       |  SELECT (MAX(ts_ns) OVER (PARTITION BY user_id ORDER BY arrival_ns, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |          - ts_ns) // 21600000000000 AS late_h6
+       |  FROM a),
+       |h AS (SELECT late_h6, CAST(COUNT(*) AS BIGINT) AS n FROM l GROUP BY 1)
+       |SELECT late_h6, n,
+       |  CAST(SUM(n) OVER (ORDER BY late_h6) * 1000 // SUM(n) OVER () AS BIGINT)
+       |    AS cum_pml
+       |FROM h ORDER BY late_h6""".stripMargin
+
+  /** Degree distribution of the co-purchase part graph — the health
+    * check run before any graph algorithm (PageRank/triangles both live
+    * here): per-node degree from the deduplicated edge list (each
+    * undirected edge counted once per endpoint), reduced to a
+    * histogram over power-of-2 degree buckets. Heavy-tail inspection
+    * decides salting/threshold strategy for the downstream joins. Edge
+    * fanout is bounded by order size; both groupBys combine map-side.
+    */
+  private def qGraphDegreeDist(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.groupBy(expr("cast(floor(log2(degree)) as bigint)").as("bucket_log2"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min("degree").as("min_deg"), max("degree").as("max_deg"))
+      .orderBy("bucket_log2")
+  }
+
+  private val qGraphDegreeDistSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |d AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+      |  GROUP BY 1)
+      |SELECT CAST(floor(log2(degree)) AS BIGINT) AS bucket_log2,
+      |  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+      |  MIN(degree) AS min_deg, MAX(degree) AS max_deg
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6067,6 +6160,8 @@ object SparkEntry {
     "q_events_path_entropy" -> (qEventsPathEntropy _),
     "q_events_bitmap_retention" -> (qEventsBitmapRetention _),
     "samp_recency" -> (sampRecency _),
+    "q_events_lateness_audit" -> (qEventsLatenessAudit _),
+    "q_graph_degree_dist" -> (qGraphDegreeDist _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6289,6 +6384,8 @@ object SparkEntry {
     "q_events_path_entropy" -> qEventsPathEntropySql,
     "q_events_bitmap_retention" -> qEventsBitmapRetentionSql,
     "samp_recency" -> sampRecencySql,
+    "q_events_lateness_audit" -> qEventsLatenessAuditSql,
+    "q_graph_degree_dist" -> qGraphDegreeDistSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

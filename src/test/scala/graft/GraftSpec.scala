@@ -3337,3 +3337,58 @@ class SampRecencySpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 }
+
+class LatenessAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("lateness histogram reconciles with the synthetic 5% delay gate") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_events_lateness_audit")(spark, dir).collect()
+    val nTotal = rows.map(_.getLong(1)).sum
+    val ev = Tables.events(spark, dir)
+    assert(nTotal === ev.count())
+    // only gate-delayed events can be late; some delayed ones are still
+    // on time (no newer event overtook them), so late <= delayed
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("event_id"))))
+    val nDelayed = ev.where(shiftrightunsigned(h, 32) % 20L === 0L).count()
+    val nLate = rows.filter(_.getLong(0) > 0).map(_.getLong(1)).sum
+    assert(nLate > 0 && nLate <= nDelayed)
+    // cumulative permille is monotone and ends at exactly 1000
+    val cums = rows.map(_.getLong(2))
+    assert(cums.toSeq === cums.sorted.toSeq && cums.last === 1000L)
+    // 48h delay = at most 8 six-hour buckets
+    assert(rows.map(_.getLong(0)).max <= 8L)
+  }
+}
+
+class DegreeDistSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("degree histogram matches a driver-side recompute; buckets hold their range") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_graph_degree_dist")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << b.toInt) && mx < (1L << (b.toInt + 1)) && mn <= mx)
+    }
+    // independent recompute of node degrees from the pair query's edges
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byOrder = li.groupBy(_._1).values
+    val edges = byOrder.flatMap { ps =>
+      val parts = ps.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map(_._2.length.toLong)
+    val expected = deg.groupBy(d => (63 - java.lang.Long.numberOfLeadingZeros(d)).toLong)
+      .map { case (b, ds) => b -> (ds.size.toLong, ds.min, ds.max) }
+    val got = rows.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === expected)
+  }
+}
