@@ -6065,6 +6065,87 @@ object SparkEntry {
       |  MIN(degree) AS min_deg, MAX(degree) AS max_deg
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** BPE tokenizer TRAINING loop — three merge iterations of the
+    * byte-pair-encoding algorithm (Sennrich et al. 2016), the step
+    * `text_bpe_pairs` only counts once: each iteration finds the
+    * highest-weight adjacent token pair over the WORD-TYPE dictionary
+    * (never the token stream — the dictionary is vocab-bounded) and
+    * rewrites every word's token sequence, greedy left-to-right.
+    * Driver state per iteration is the 1-row top pair (the same
+    * bounded iterative-convergence contract as KMeans/PageRank).
+    *
+    * Token sequences are carried as delimiter strings ('|a||b|…'), so
+    * the merge rewrite is a plain non-overlapping left-to-right
+    * `replace('|a||b|' → '|ab|')` — bitwise identical semantics in the
+    * JVM and DuckDB, with no list-fold needed on either side; tokens
+    * are [a-z0-9]+ so the delimiter can never occur inside one.
+    * Output: the 3 merges (step, merged token, pair weight) + the
+    * post-merge vocabulary size.
+    */
+  private def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = "split(trim(BOTH '|' FROM tokstr), '\\\\|\\\\|')"
+    val words = Tables.documents(s, dir)
+      .select(explode(text.Text.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("regexp_replace(w, '(.)', '|$1|')").as("tokstr"), col("n"))
+    var cur = words.persist()
+    cur.count()
+    val merges = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
+    for (step <- 1 to 3) {
+      val top = cur
+        .select(col("n"), expr(
+          s"explode(transform(slice($toks, 1, size($toks) - 1), " +
+            s"(t, i) -> struct(t as a, ($toks)[i + 1] as b)))").as("p"))
+        .groupBy("p.a", "p.b").agg(sum("n").as("c"))
+        .orderBy(desc("c"), col("a"), col("b")).limit(1).collect()(0)
+      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step.toLong, a + b, c))
+      val next = cur.withColumn("tokstr",
+        expr(s"replace(tokstr, '|$a||$b|', '|$a$b|')")).persist()
+      next.count(); cur.unpersist(); cur = next
+    }
+    val vocab = cur.select(explode(expr(toks)).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    cur.unpersist()
+    (merges.toSeq :+ ((4L, "<vocab>", vocab)))
+      .toDF("step", "tok", "c").orderBy("step")
+  }
+
+  private val textBpeMergesSql = {
+    def pairs(src: String, name: String) =
+      s"""$name AS (
+         |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p, n
+         |    FROM (SELECT string_split(trim(tokstr, '|'), '||') AS toks, n FROM $src))
+         |  GROUP BY 1, 2)""".stripMargin
+    def top(src: String, name: String) =
+      s"$name AS (SELECT a, b, c FROM $src ORDER BY c DESC, a, b LIMIT 1)"
+    def rewrite(src: String, t: String, name: String) =
+      s"""$name AS (
+         |  SELECT replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
+         |    '|' || $t.a || $t.b || '|') AS tokstr, n
+         |  FROM $src, $t)""".stripMargin
+    s"""WITH w0 AS (
+       |  SELECT regexp_replace(t, '(.)', '|\\1|', 'g') AS tokstr,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT UNNEST($wordsListSql) AS t FROM documents) GROUP BY 1),
+       |${pairs("w0", "p1")}, ${top("p1", "t1")}, ${rewrite("w0", "t1", "w1")},
+       |${pairs("w1", "p2")}, ${top("p2", "t2")}, ${rewrite("w1", "t2", "w2")},
+       |${pairs("w2", "p3")}, ${top("p3", "t3")}, ${rewrite("w2", "t3", "w3")},
+       |vocab AS (
+       |  SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+       |    SELECT UNNEST(string_split(trim(tokstr, '|'), '||')) AS t FROM w3))
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS step, t1.a || t1.b AS tok, t1.c FROM t1
+       |  UNION ALL SELECT 2, t2.a || t2.b, t2.c FROM t2
+       |  UNION ALL SELECT 3, t3.a || t3.b, t3.c FROM t3
+       |  UNION ALL SELECT 4, '<vocab>', v FROM vocab)
+       |ORDER BY step""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6162,6 +6243,7 @@ object SparkEntry {
     "samp_recency" -> (sampRecency _),
     "q_events_lateness_audit" -> (qEventsLatenessAudit _),
     "q_graph_degree_dist" -> (qGraphDegreeDist _),
+    "text_bpe_merges" -> (textBpeMerges _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6386,6 +6468,7 @@ object SparkEntry {
     "samp_recency" -> sampRecencySql,
     "q_events_lateness_audit" -> qEventsLatenessAuditSql,
     "q_graph_degree_dist" -> qGraphDegreeDistSql,
+    "text_bpe_merges" -> textBpeMergesSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

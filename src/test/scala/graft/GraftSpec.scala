@@ -3392,3 +3392,40 @@ class DegreeDistSpec extends AnyFunSuite {
     assert(got === expected)
   }
 }
+
+class BpeMergesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("first BPE merge matches a driver-side recompute of the top pair") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_bpe_merges")(spark, dir).collect()
+    assert(rows.length === 4)
+    val wc = Tables.documents(spark, dir)
+      .select(explode(text.Text.words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val pairCounts = scala.collection.mutable.Map[(String, String), Long]()
+    wc.foreach { case (w, n) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        pairCounts(k) = pairCounts.getOrElse(k, 0L) + n
+      }
+    }
+    val (bestPair, bestC) =
+      pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+    assert(rows(0).getString(1) === bestPair._1 + bestPair._2)
+    assert(rows(0).getLong(2) === bestC)
+    // merge weights never increase across steps (greedy argmax each round)
+    assert(rows(0).getLong(2) >= rows(1).getLong(2))
+    // vocab row: merges add at most 3 tokens over the character alphabet
+    val alphabet = wc.map(_._1).flatMap(_.toSeq).distinct.length.toLong
+    assert(rows(3).getString(1) === "<vocab>" && rows(3).getLong(2) <= alphabet + 3)
+  }
+
+  test("delimiter-string replace implements greedy left-to-right non-overlapping merge") {
+    // the cross-engine representation contract: JVM String.replace must
+    // merge 'aaa' as [aa, a], never the overlapping [a, aa]
+    assert("|a||a||a|".replace("|a||a|", "|aa|") === "|aa||a|")
+    assert("|x||a||b||a||b|".replace("|a||b|", "|ab|") === "|x||ab||ab|")
+  }
+}
