@@ -6146,6 +6146,61 @@ object SparkEntry {
        |ORDER BY step""".stripMargin
   }
 
+  /** Conversion-lag distribution: time from each user's FIRST signup to
+    * their FIRST subsequent purchase, bucketed by day with cumulative
+    * permille over converters plus a never-converted row — the
+    * time-to-convert curve product analytics reads next to the funnel.
+    * Both "first" reductions are min-aggregates (map-side combinable;
+    * no window over events); the signup⋈purchase join is per-user on
+    * two already-reduced frames. The conditional min (first purchase ≥
+    * signup) rides the same aggregate via min(when...). Day buckets
+    * make the output bounded regardless of scale.
+    */
+  private def qEventsConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ev = Tables.events(s, dir)
+    val first = ev.where(col("event_type").isin("signup", "purchase"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_ns"))).as("signup_ns"))
+    val conv = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"))
+      .join(first.where(col("signup_ns").isNotNull), "user_id")
+      .where(col("ts_ns") >= col("signup_ns"))
+      .groupBy("user_id", "signup_ns").agg(min("ts_ns").as("conv_ns"))
+      .select(col("user_id"), expr(s"(conv_ns - signup_ns) div $dayNs").as("lag_days"))
+    val histo = conv.groupBy("lag_days").agg(count(lit(1)).as("n_users"))
+      .withColumn("cum_pml",
+        expr("sum(n_users) over (order by lag_days) * 1000 div sum(n_users) over ()"))
+    val never = first.where(col("signup_ns").isNotNull)
+      .join(conv.select("user_id"), Seq("user_id"), "left_anti")
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit(-1L).as("lag_days"), col("n_users"), lit(null).cast("long").as("cum_pml"))
+    histo.unionByName(never).orderBy("lag_days")
+  }
+
+  private val qEventsConversionLagSql =
+    """WITH su AS (
+      |  SELECT user_id, MIN(epoch_ns(ts)) AS signup_ns
+      |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+      |conv AS (
+      |  SELECT e.user_id,
+      |    (MIN(epoch_ns(e.ts)) - su.signup_ns) // 86400000000000 AS lag_days
+      |  FROM events e JOIN su ON e.user_id = su.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= su.signup_ns
+      |  GROUP BY e.user_id, su.signup_ns),
+      |h AS (
+      |  SELECT lag_days, CAST(COUNT(*) AS BIGINT) AS n_users FROM conv GROUP BY 1),
+      |hh AS (
+      |  SELECT lag_days, n_users,
+      |    CAST(SUM(n_users) OVER (ORDER BY lag_days) * 1000
+      |      // SUM(n_users) OVER () AS BIGINT) AS cum_pml
+      |  FROM h),
+      |nv AS (
+      |  SELECT CAST(-1 AS BIGINT) AS lag_days, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |    CAST(NULL AS BIGINT) AS cum_pml
+      |  FROM su WHERE user_id NOT IN (SELECT user_id FROM conv))
+      |SELECT * FROM hh UNION ALL SELECT * FROM nv ORDER BY lag_days""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6244,6 +6299,7 @@ object SparkEntry {
     "q_events_lateness_audit" -> (qEventsLatenessAudit _),
     "q_graph_degree_dist" -> (qGraphDegreeDist _),
     "text_bpe_merges" -> (textBpeMerges _),
+    "q_events_conversion_lag" -> (qEventsConversionLag _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6469,6 +6525,7 @@ object SparkEntry {
     "q_events_lateness_audit" -> qEventsLatenessAuditSql,
     "q_graph_degree_dist" -> qGraphDegreeDistSql,
     "text_bpe_merges" -> textBpeMergesSql,
+    "q_events_conversion_lag" -> qEventsConversionLagSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

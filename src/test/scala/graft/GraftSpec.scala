@@ -3429,3 +3429,36 @@ class BpeMergesSpec extends AnyFunSuite {
     assert("|x||a||b||a||b|".replace("|a||b|", "|ab|") === "|x||ab||ab|")
   }
 }
+
+class ConversionLagSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("conversion lag reconciles: converters + never-converted = signup users") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_events_conversion_lag")(spark, dir).collect()
+    val (never, histo) = rows.partition(_.getLong(0) == -1L)
+    assert(never.length === 1)
+    val nConv = histo.map(_.getLong(1)).sum
+    val ev = Tables.events(spark, dir)
+    val nSignup = ev.where(col("event_type") === "signup")
+      .select("user_id").distinct().count()
+    assert(nConv + never.head.getLong(1) === nSignup)
+    // cumulative permille monotone, ends at 1000 over converters
+    val cums = histo.filter(!_.isNullAt(2)).map(_.getLong(2))
+    assert(cums.toSeq === cums.sorted.toSeq && cums.last === 1000L)
+    // spot-check the head bucket: users whose first purchase lands on
+    // the signup day, recomputed independently
+    val su = ev.where(col("event_type") === "signup").groupBy("user_id")
+      .agg(min("ts_ns").as("sn")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pu = ev.where(col("event_type") === "purchase")
+      .select("user_id", "ts_ns").collect().groupBy(_.getLong(0))
+    val day0 = su.count { case (u, sn) =>
+      pu.get(u).exists { ps =>
+        val after = ps.map(_.getLong(1)).filter(_ >= sn)
+        after.nonEmpty && (after.min - sn) / 86400000000000L == 0L
+      }
+    }
+    assert(histo.find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L) === day0.toLong)
+  }
+}
