@@ -6201,6 +6201,42 @@ object SparkEntry {
       |  FROM su WHERE user_id NOT IN (SELECT user_id FROM conv))
       |SELECT * FROM hh UNION ALL SELECT * FROM nv ORDER BY lag_days""".stripMargin
 
+  /** TPC-H Q4-shaped order-priority check: orders placed in one quarter
+    * that had AT LEAST ONE lineitem shipped more than 90 days after the
+    * order date, counted per priority — the LEFT SEMI join with a
+    * non-equi residual (l_shipdate > o_orderdate + 90d references both
+    * sides, so it rides the orderkey hash join as its extra condition,
+    * never a post-join dedup). Semi-join semantics make the multi-match
+    * case exact without a distinct; the date filter prunes the orders
+    * scan.
+    */
+  private def qLateShipmentPriority(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val qLateShipmentPrioritySql =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6300,6 +6336,7 @@ object SparkEntry {
     "q_graph_degree_dist" -> (qGraphDegreeDist _),
     "text_bpe_merges" -> (textBpeMerges _),
     "q_events_conversion_lag" -> (qEventsConversionLag _),
+    "q_late_shipment_priority" -> (qLateShipmentPriority _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6526,6 +6563,7 @@ object SparkEntry {
     "q_graph_degree_dist" -> qGraphDegreeDistSql,
     "text_bpe_merges" -> textBpeMergesSql,
     "q_events_conversion_lag" -> qEventsConversionLagSql,
+    "q_late_shipment_priority" -> qLateShipmentPrioritySql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3462,3 +3462,31 @@ class ConversionLagSpec extends AnyFunSuite {
     assert(histo.find(_.getLong(0) == 0L).map(_.getLong(1)).getOrElse(0L) === day0.toLong)
   }
 }
+
+class LateShipmentSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Q4 shape: semi join counts orders once regardless of late-lineitem multiplicity") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_late_shipment_priority")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute: distinct qualifying orders via inner join
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val direct = Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .join(Tables.lineitem(spark, dir),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("o_orderkey", "o_orderpriority").distinct()
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === direct)
+    // plan: residual rides the hash join, no cartesian/BNLJ
+    val plan = SparkEntry.queries("q_late_shipment_priority")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && !plan.contains("CartesianProduct"), plan.take(500))
+    spark.catalog.clearCache()
+  }
+}
