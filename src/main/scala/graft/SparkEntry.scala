@@ -6237,6 +6237,67 @@ object SparkEntry {
       |      AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q13-shaped order-count distribution: how many customers
+    * placed exactly k orders, INCLUDING the zero-order customers the
+    * fact table alone can't see — the left-outer + count-of-counts
+    * shape. First groupBy reduces orders to one row per customer
+    * (map-side combined), the left join fills in absent customers, the
+    * second groupBy is over the bounded count domain. No distinct, no
+    * window.
+    */
+  private def qOrderCountDist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir).select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .groupBy("n_orders").agg(count(lit(1)).as("n_custs"))
+      .orderBy(desc("n_custs"), desc("n_orders"))
+  }
+
+  private val qOrderCountDistSql =
+    """WITH pc AS (
+      |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)
+      |SELECT COALESCE(pc.n_orders, 0) AS n_orders,
+      |  CAST(COUNT(*) AS BIGINT) AS n_custs
+      |FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY n_custs DESC, n_orders DESC""".stripMargin
+
+  /** TPC-H Q17-shaped small-quantity revenue: revenue from lineitems
+    * whose quantity is below 20% of their part's average — the
+    * correlated-aggregate threshold shape, decorrelated into one
+    * per-part aggregate of the fact table joined back on partkey. The
+    * threshold test is EXACT integer cross-multiplication
+    * (qty·5·n < Σqty, all in cents), never a float average; the
+    * per-part aggregate combines map-side before its shuffle, and the
+    * join-back reuses the same partkey partitioning.
+    */
+  private def qSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select(col("l_partkey"),
+      cents(col("l_quantity")).as("qty_c"),
+      cents(col("l_extendedprice")).as("price_c"))
+    val perPart = l.groupBy("l_partkey")
+      .agg(sum("qty_c").as("sum_qty_c"), count(lit(1)).as("n_items"))
+    l.join(perPart, "l_partkey")
+      .where(col("qty_c") * 5L * col("n_items") < col("sum_qty_c"))
+      .agg(sum("price_c").as("revenue_c"), count(lit(1)).as("n_small"))
+  }
+
+  private val qSmallQtyRevenueSql =
+    s"""WITH l AS (
+       |  SELECT l_partkey, ${centsSql("l_quantity")} AS qty_c,
+       |    ${centsSql("l_extendedprice")} AS price_c
+       |  FROM lineitem),
+       |pp AS (
+       |  SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+       |    CAST(COUNT(*) AS BIGINT) AS n_items
+       |  FROM l GROUP BY 1)
+       |SELECT CAST(SUM(l.price_c) AS BIGINT) AS revenue_c,
+       |  CAST(COUNT(*) AS BIGINT) AS n_small
+       |FROM l JOIN pp USING (l_partkey)
+       |WHERE l.qty_c * 5 * pp.n_items < pp.sum_qty_c""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6337,6 +6398,8 @@ object SparkEntry {
     "text_bpe_merges" -> (textBpeMerges _),
     "q_events_conversion_lag" -> (qEventsConversionLag _),
     "q_late_shipment_priority" -> (qLateShipmentPriority _),
+    "q_order_count_dist" -> (qOrderCountDist _),
+    "q_small_qty_revenue" -> (qSmallQtyRevenue _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6564,6 +6627,8 @@ object SparkEntry {
     "text_bpe_merges" -> textBpeMergesSql,
     "q_events_conversion_lag" -> qEventsConversionLagSql,
     "q_late_shipment_priority" -> qLateShipmentPrioritySql,
+    "q_order_count_dist" -> qOrderCountDistSql,
+    "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -13,6 +13,12 @@ object Verify {
     // filtered keys.
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
     only.foreach { keys =>
+      // A typo'd/unregistered key must not silently shrink a filtered run
+      // to an empty (vacuously green) manifest — fail it by name.
+      val unknown = keys -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        throw new IllegalArgumentException(
+          s"[verify] filter names unknown query keys: ${unknown.toSeq.sorted.mkString(", ")}")
       if (Files.exists(Paths.get(s"$outDir/oracle_sql.json")))
         throw new IllegalArgumentException(
           s"[verify] refusing FILTERED run into $outDir: it already holds an " +

@@ -3490,3 +3490,41 @@ class LateShipmentSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 }
+
+class CountDistSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Q13 shape: zero-order customers included; distribution mass reconciles") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_order_count_dist")(spark, dir).collect()
+    val nCust = Tables.customer(spark, dir).count()
+    val nOrders = Tables.orders(spark, dir).count()
+    assert(rows.map(_.getLong(1)).sum === nCust)        // every customer lands somewhere
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nOrders) // mass conserved
+  }
+}
+
+class SmallQtySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Q17 shape: integer cross-multiplied threshold equals the float-average filter") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q_small_qty_revenue")(spark, dir).collect()(0)
+    // independent recompute with a per-part double average
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect().groupBy(_.getLong(0))
+    var rev = 0L; var n = 0L
+    li.values.foreach { items =>
+      val avg = items.map(_.getDouble(1)).sum / items.length
+      items.foreach { it =>
+        if (it.getDouble(1) < 0.2 * avg) {
+          rev += math.round(it.getDouble(2) * 100); n += 1
+        }
+      }
+    }
+    assert(r.getLong(1) === n)
+    assert(r.getLong(0) === rev)
+  }
+}
