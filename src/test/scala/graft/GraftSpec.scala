@@ -3528,3 +3528,26 @@ class SmallQtySpec extends AnyFunSuite {
     assert(r.getLong(0) === rev)
   }
 }
+
+class BitmapStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streaming bitmap DAU equals the batch bitmap-retention DAU column") {
+    val dir = "/root/testdata/sf0.01"
+    val streamed = streaming.BitmapStream.dauFromStream(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q_events_bitmap_retention")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("bitmap fold is associative and idempotent (replay-safe merge law)") {
+    val bits = Seq(1L << 3, 1L << 17, 1L << 3, 1L << 61)
+    val once = bits.foldLeft(0L)(_ | _)
+    val split = bits.take(2).foldLeft(0L)(_ | _) | bits.drop(2).foldLeft(0L)(_ | _)
+    val replayed = (bits ++ bits).foldLeft(0L)(_ | _)
+    assert(once === split && once === replayed)
+    assert(java.lang.Long.bitCount(once) === 3)
+  }
+}
