@@ -6298,6 +6298,74 @@ object SparkEntry {
        |FROM l JOIN pp USING (l_partkey)
        |WHERE l.qty_c * 5 * pp.n_items < pp.sum_qty_c""".stripMargin
 
+  /** Distributed binary-file ingest — Spark's `binaryFile` source, the
+    * path raw multimodal assets (images/audio/video dumps) take from an
+    * object store into the engine before any decode: one row per file
+    * with (name, byte length, first/last-8-byte hex fingerprint). Files
+    * are assigned to tasks by the same FileScan partitioning as parquet
+    * (maxPartitionBytes-aware), so a 100 TB asset dump fans out across
+    * the cluster with no driver-side listing bottleneck beyond the
+    * catalog listing itself; the head/tail fingerprint reads ~16 bytes
+    * of real content per file, proving the bytes (not just the
+    * metadata) arrived. Rows-only key: the driver's oracle harness
+    * resolves TABLE names, not filesystem globs, so the DuckDB
+    * read_blob cross-check lives in BinaryFileSpec (which also verifies
+    * every byte fingerprint against direct java.nio reads).
+    */
+  private def srcBinaryfileScan(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("length"),
+        substring(hex(col("content")), 1, 16).as("head8_hex"),
+        expr("substring(hex(content), length * 2 - 15, 16)").as("tail8_hex"))
+      .orderBy("file_name")
+
+  /** Gini coefficient of customer revenue concentration — the
+    * single-number inequality metric next to the ABC classification:
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over revenues sorted ascending,
+    * published as exact integer numerator/denominator plus truncating
+    * permille (revenues in WHOLE currency units so every cross term
+    * fits int64 up to ~10⁷ customers; beyond that the documented
+    * decimal(38) upgrade applies — same note as the ABC operator). The
+    * rank window orders the CUSTOMER AGGREGATE (range-partitioned
+    * prefix sums at scale), never the fact table.
+    */
+  private def qOrdersGini(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .select(col("o_custkey"), expr("rev_c div 100").as("rev_u"))
+    val W = Window.orderBy(col("rev_u"), col("o_custkey"))
+    per.withColumn("i", row_number().over(W))
+      .agg(count(lit(1)).as("n_cust"), sum("rev_u").as("sum_u"),
+        sum(col("i") * col("rev_u")).as("sum_iu"))
+      .select(col("n_cust"),
+        (lit(2L) * col("sum_iu") - (col("n_cust") + 1L) * col("sum_u")).as("gini_num"),
+        (col("n_cust") * col("sum_u")).as("gini_den"))
+      .withColumn("gini_pml", expr("gini_num * 1000 div gini_den"))
+  }
+
+  private val qOrdersGiniSql =
+    s"""WITH per AS (
+       |  SELECT o_custkey,
+       |    CAST(SUM(${centsSql("o_totalprice")}) // 100 AS BIGINT) AS rev_u
+       |  FROM orders GROUP BY 1),
+       |r AS (
+       |  SELECT rev_u,
+       |    CAST(row_number() OVER (ORDER BY rev_u, o_custkey) AS BIGINT) AS i
+       |  FROM per),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |    CAST(SUM(rev_u) AS BIGINT) AS sum_u,
+       |    CAST(SUM(i * rev_u) AS BIGINT) AS sum_iu
+       |  FROM r)
+       |SELECT n_cust,
+       |  2 * sum_iu - (n_cust + 1) * sum_u AS gini_num,
+       |  n_cust * sum_u AS gini_den,
+       |  (2 * sum_iu - (n_cust + 1) * sum_u) * 1000 // (n_cust * sum_u) AS gini_pml
+       |FROM a""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6400,6 +6468,8 @@ object SparkEntry {
     "q_late_shipment_priority" -> (qLateShipmentPriority _),
     "q_order_count_dist" -> (qOrderCountDist _),
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
+    "src_binaryfile_scan" -> (srcBinaryfileScan _),
+    "q_orders_gini" -> (qOrdersGini _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6629,6 +6699,7 @@ object SparkEntry {
     "q_late_shipment_priority" -> qLateShipmentPrioritySql,
     "q_order_count_dist" -> qOrderCountDistSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
+    "q_orders_gini" -> qOrdersGiniSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

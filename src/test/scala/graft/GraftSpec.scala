@@ -3551,3 +3551,47 @@ class BitmapStreamSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(once) === 3)
   }
 }
+
+class BinaryFileSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("binaryFile scan fingerprints match direct java.nio reads and DuckDB read_blob") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("src_binaryfile_scan")(spark, dir).collect()
+    assert(rows.length === new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")))
+    rows.foreach { r =>
+      val f = java.nio.file.Paths.get(dir, r.getString(0))
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      assert(r.getLong(1) === bytes.length.toLong)
+      def hex(bs: Array[Byte]) = bs.map(b => f"${b & 0xff}%02X").mkString
+      assert(r.getString(2) === hex(bytes.take(8)))
+      assert(r.getString(3) === hex(bytes.takeRight(8)))
+      // parquet magic at both ends — the bytes really arrived
+      assert(r.getString(2).startsWith("50415231"))
+      assert(r.getString(3).endsWith("50415231"))
+    }
+  }
+}
+
+class GiniSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Gini permille matches a driver-side recompute and sits in (0, 1000)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q_orders_gini")(spark, dir).collect()(0)
+    val revs = Tables.orders(spark, dir).groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1) / 100L))
+      .sortBy(x => (x._2, x._1)).map(_._2)
+    val n = revs.length.toLong
+    val sumU = revs.sum
+    val sumIU = revs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === 2 * sumIU - (n + 1) * sumU)
+    assert(r.getLong(2) === n * sumU)
+    val pml = r.getLong(3)
+    assert(pml === r.getLong(1) * 1000 / r.getLong(2))
+    assert(pml > 0 && pml < 1000)
+  }
+}
