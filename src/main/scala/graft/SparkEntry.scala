@@ -6366,6 +6366,124 @@ object SparkEntry {
        |  (2 * sum_iu - (n_cust + 1) * sum_u) * 1000 // (n_cust * sum_u) AS gini_pml
        |FROM a""".stripMargin
 
+  /** TPC-H Q7-shaped bilateral trade volume: revenue shipped between
+    * two specific nations in BOTH directions, by ship year — the
+    * double-dimension join where supplier-nation and customer-nation
+    * each broadcast onto the fact spine, and the pair filter
+    * ((n1,n2) ∈ {(A,B),(B,A)}) collapses to a residual on the two
+    * broadcast joins. Fact joins shuffle on (suppkey, orderkey,
+    * custkey) natural keys only.
+    */
+  private def qNationTrade(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("ship_year"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "ship_year")
+      .agg(sum("rev").as("revenue_cp"))
+      .orderBy("supp_nation", "cust_nation", "ship_year")
+  }
+
+  private val qNationTradeSql =
+    s"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS ship_year,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS revenue_cp
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q16-shaped supplier diversity: DISTINCT supplier count per
+    * (brand, type, size) part class, EXCLUDING suppliers in deficit
+    * (acctbal < 0 — the "customer complaints" analog) via a broadcast
+    * ANTI join before the distinct — exclusion happens on the small
+    * dimension, never post-aggregation. The distinct-count groups by
+    * (class, supplier) first (map-side combinable), then counts — the
+    * two-phase exact distinct that scales where count(distinct) over a
+    * skewed group would not.
+    */
+  private def qPartSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val bad = Tables.supplier(s, dir).where(col("s_acctbal") < 0)
+      .select(col("s_suppkey").as("bad_key"))
+    val li = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_type", "p_size")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  private val qPartSupplierCountSql =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin
+
+  /** TPC-H Q22-shaped dormant high-value customers: per market segment,
+    * customers whose balance beats the global positive-balance average
+    * but who have placed NO order since the cutoff (churned wallets —
+    * every customer in this data has SOME order, so "never ordered"
+    * would be vacuous; the recency anti-join is the live variant of the
+    * same shape). The threshold compare is exact integer
+    * cross-multiplication (bal_c · n_pos > sum_pos_c, never a float
+    * average); the global (sum, count) pair is ONE bounded driver
+    * collect (same contract as the BM25/ABC totals); the date filter
+    * prunes the orders scan BEFORE the shuffled ANTI join.
+    */
+  private def qDormantCustomers(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("2000-01-01").cast("timestamp")
+    val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"),
+      cents(col("c_acctbal")).as("bal_c"))
+    val stats = c.where(col("bal_c") > 0)
+      .agg(sum("bal_c").as("s"), count(lit(1)).as("n")).head()
+    val (sumPos, nPos) = (stats.getLong(0), stats.getLong(1))
+    val recent = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= cutoff).select(col("o_custkey"))
+    c.where(col("bal_c") * lit(nPos) > lit(sumPos))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("total_bal_c"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val qDormantCustomersSql =
+    s"""WITH st AS (
+       |  SELECT CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS s,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM customer WHERE ${centsSql("c_acctbal")} > 0)
+       |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(SUM(${centsSql("c_acctbal")}) AS BIGINT) AS total_bal_c
+       |FROM customer, st
+       |WHERE ${centsSql("c_acctbal")} * st.n > st.s
+       |  AND c_custkey NOT IN (
+       |    SELECT o_custkey FROM orders
+       |    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6470,6 +6588,9 @@ object SparkEntry {
     "q_small_qty_revenue" -> (qSmallQtyRevenue _),
     "src_binaryfile_scan" -> (srcBinaryfileScan _),
     "q_orders_gini" -> (qOrdersGini _),
+    "q_nation_trade" -> (qNationTrade _),
+    "q_part_supplier_count" -> (qPartSupplierCount _),
+    "q_dormant_customers" -> (qDormantCustomers _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6700,6 +6821,9 @@ object SparkEntry {
     "q_order_count_dist" -> qOrderCountDistSql,
     "q_small_qty_revenue" -> qSmallQtyRevenueSql,
     "q_orders_gini" -> qOrdersGiniSql,
+    "q_nation_trade" -> qNationTradeSql,
+    "q_part_supplier_count" -> qPartSupplierCountSql,
+    "q_dormant_customers" -> qDormantCustomersSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3595,3 +3595,68 @@ class GiniSpec extends AnyFunSuite {
     assert(pml > 0 && pml < 1000)
   }
 }
+
+class TpchTradeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("Q7 shape: both trade directions present; revenue reconciles per direction") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_nation_trade")(spark, sf01).collect()
+    val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs === Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")))
+    // independent recompute of one direction's total
+    val n = Tables.nation(spark, sf01)
+    val k1 = n.where(col("n_name") === "NATION_1").head().getAs[Number](0).longValue()
+    val k2 = n.where(col("n_name") === "NATION_2").head().getAs[Number](0).longValue()
+    val direct = Tables.lineitem(spark, sf01)
+      .join(Tables.orders(spark, sf01), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(spark, sf01).where(col("s_nationkey") === k1),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, sf01).where(col("c_nationkey") === k2),
+        col("o_custkey") === col("c_custkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))))
+      .head().getLong(0)
+    val got = rows.filter(r => r.getString(0) == "NATION_1").map(_.getLong(3)).sum
+    assert(got === direct)
+  }
+
+  test("Q16 shape: deficit suppliers excluded from every distinct count") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_part_supplier_count")(spark, sf01).collect()
+    assert(rows.length === 20 && rows.forall(_.getLong(3) > 0))
+    val badKeys = Tables.supplier(spark, sf01).where(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    assert(badKeys.nonEmpty) // the exclusion actually bites on this data
+    // recompute the top row's count excluding deficit suppliers
+    val r0 = rows.head
+    val cnt = Tables.lineitem(spark, sf01)
+      .join(Tables.part(spark, sf01).where(col("p_brand") === r0.getString(0) &&
+        col("p_type") === r0.getString(1) && col("p_size") === r0.getInt(2)),
+        col("l_partkey") === col("p_partkey"))
+      .select("l_suppkey").distinct().collect().map(_.getLong(0))
+      .count(k => !badKeys(k)).toLong
+    assert(r0.getLong(3) === cnt)
+  }
+
+  test("Q22 shape: dormant = above-average balance and no recent order") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_dormant_customers")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // driver recompute: threshold over positive balances, then recency anti
+    val bals = Tables.customer(spark, sf01)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100, 0).cast("long").as("b"))
+      .collect()
+    val pos = bals.map(_.getLong(2)).filter(_ > 0)
+    val (s, n) = (pos.sum, pos.length.toLong)
+    val recent = Tables.orders(spark, sf01)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expected = bals.filter(r => r.getLong(2) * n > s && !recent(r.getLong(0)))
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
+  }
+}
