@@ -6484,6 +6484,106 @@ object SparkEntry {
        |    WHERE o_orderdate >= TIMESTAMP '2000-01-01')
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q8-shaped market share: of all revenue ASIA customers spent
+    * per order year, the permille supplied by NATION_2's suppliers —
+    * numerator and denominator from ONE conditional aggregation pass
+    * (no second scan, no self-join), share as exact integer permille.
+    * Region/nation broadcast; fact joins shuffle on natural keys.
+    */
+  private def qMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(s, dir)
+    val asiaKeys = Tables.region(s, dir).where(col("r_name") === "ASIA")
+      .select("r_regionkey")
+    val asiaCust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n.join(broadcast(asiaKeys),
+        col("n_regionkey") === col("r_regionkey")).select("n_nationkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val supN2 = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n.where(col("n_name") === "NATION_2").select(col("n_nationkey").as("nk2"))),
+        col("s_nationkey") === col("nk2"), "left_outer")
+      .select(col("s_suppkey"), col("nk2").isNotNull.as("is_n2"))
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("order_year"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(asiaCust, col("o_custkey") === col("c_custkey"))
+      .join(supN2, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("order_year")
+      .agg(sum(when(col("is_n2"), col("rev")).otherwise(0L)).as("n2_cp"),
+        sum("rev").as("total_cp"))
+      .withColumn("share_pml", expr("n2_cp * 1000 div total_cp"))
+      .orderBy("order_year")
+  }
+
+  private val qMarketShareSql =
+    s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+       |    THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |    ELSE 0 END) AS BIGINT) AS n2_cp,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS total_cp,
+       |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_2'
+       |    THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})
+       |    ELSE 0 END) * 1000 //
+       |   SUM(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))
+       |   AS BIGINT) AS share_pml
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation cn ON c_nationkey = cn.n_nationkey
+       |JOIN region ON cn.n_regionkey = r_regionkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation sn ON s_nationkey = sn.n_nationkey
+       |WHERE r_name = 'ASIA'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** TPC-H Q21-shaped sole-late-supplier ranking: suppliers who were
+    * the ONLY late shipper (> 60 days after order date) on a
+    * multi-supplier order — the double-correlated EXISTS/NOT-EXISTS,
+    * decorrelated into ONE per-order aggregation: count distinct
+    * suppliers, count late-distinct suppliers, carry the late
+    * supplier's key via the min-over-conditional trick; qualifying
+    * orders (≥2 suppliers, exactly 1 late) then group by that supplier.
+    * No self-join of the fact table, no EXISTS replay — one shuffle on
+    * orderkey, one on suppkey.
+    */
+  private def qSoleLateSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+    val flagged = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(col("late")).as("supp_late")) // supplier late if ANY of its items is
+    val perOrder = flagged.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"),
+        min(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
+    perOrder.where(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("late_supp").as("s_suppkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("s_suppkey"))
+      .limit(20)
+  }
+
+  private val qSoleLateSupplierSql =
+    """WITH f AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |        THEN 1 ELSE 0 END) AS supp_late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |po AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_supp,
+      |    CAST(SUM(supp_late) AS BIGINT) AS n_late,
+      |    MIN(CASE WHEN supp_late = 1 THEN l_suppkey END) AS late_supp
+      |  FROM f GROUP BY 1)
+      |SELECT late_supp AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM po WHERE n_supp >= 2 AND n_late = 1
+      |GROUP BY 1 ORDER BY n_orders DESC, s_suppkey LIMIT 20""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6591,6 +6691,8 @@ object SparkEntry {
     "q_nation_trade" -> (qNationTrade _),
     "q_part_supplier_count" -> (qPartSupplierCount _),
     "q_dormant_customers" -> (qDormantCustomers _),
+    "q_market_share" -> (qMarketShare _),
+    "q_sole_late_supplier" -> (qSoleLateSupplier _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6824,6 +6926,8 @@ object SparkEntry {
     "q_nation_trade" -> qNationTradeSql,
     "q_part_supplier_count" -> qPartSupplierCountSql,
     "q_dormant_customers" -> qDormantCustomersSql,
+    "q_market_share" -> qMarketShareSql,
+    "q_sole_late_supplier" -> qSoleLateSupplierSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3660,3 +3660,43 @@ class TpchTradeSpec extends AnyFunSuite {
     assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap === expected)
   }
 }
+
+class MarketShareSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Q8 shape: share permille bounded; totals reconcile with the Q5-family join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_market_share")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))            // numerator within total
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000)
+      assert(r.getLong(3) === r.getLong(1) * 1000 / r.getLong(2))
+    }
+  }
+
+  test("Q21 shape: every reported order count reconciles with a driver recompute") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_sole_late_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // driver-side recompute of the sole-late classification
+    val joined = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      .collect()
+    val perOrder = joined.groupBy(_.getLong(0)).view.mapValues { items =>
+      val bySupp = items.groupBy(_.getLong(1)).view.mapValues(_.exists(_.getBoolean(2)))
+      (bySupp.size, bySupp.filter(_._2).keys.toSeq.sorted)
+    }
+    val expected = perOrder.values
+      .collect { case (nSupp, late) if nSupp >= 2 && late.length == 1 => late.head }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach(r => assert(expected(r.getLong(0)) === r.getLong(1), s"supp ${r.getLong(0)}"))
+    // the limit-20 is the head of the full ranking
+    val top = expected.toSeq.sortBy { case (k, v) => (-v, k) }.take(rows.length)
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toSeq === top)
+  }
+}
