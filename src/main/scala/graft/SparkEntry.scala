@@ -6584,6 +6584,34 @@ object SparkEntry {
       |FROM po WHERE n_supp >= 2 AND n_late = 1
       |GROUP BY 1 ORDER BY n_orders DESC, s_suppkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q6-shaped forecast revenue: the iconic predicate-pushdown
+    * microbenchmark — one table, three range predicates, one sum. All
+    * three predicates (ship year, discount band, quantity cap) reach
+    * the parquet scan as pushed filters on a 4-column ReadSchema; the
+    * whole query is a single WholeStageCodegen span with a map-side
+    * partial sum. Revenue = Σ cents(price)·cents(discount) exact.
+    */
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1997-01-01").cast("timestamp")
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi &&
+        cents(col("l_discount")).between(5L, 7L) && col("l_quantity") < 24)
+      .agg(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))).as("revenue_cc"),
+        count(lit(1)).as("n_items"))
+  }
+
+  private val qForecastRevenueSql =
+    s"""SELECT
+       |  CAST(SUM(${centsSql("l_extendedprice")} * ${centsSql("l_discount")})
+       |    AS BIGINT) AS revenue_cc,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND ${centsSql("l_discount")} BETWEEN 5 AND 7
+       |  AND l_quantity < 24""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6693,6 +6721,7 @@ object SparkEntry {
     "q_dormant_customers" -> (qDormantCustomers _),
     "q_market_share" -> (qMarketShare _),
     "q_sole_late_supplier" -> (qSoleLateSupplier _),
+    "q_forecast_revenue" -> (qForecastRevenue _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6928,6 +6957,7 @@ object SparkEntry {
     "q_dormant_customers" -> qDormantCustomersSql,
     "q_market_share" -> qMarketShareSql,
     "q_sole_late_supplier" -> qSoleLateSupplierSql,
+    "q_forecast_revenue" -> qForecastRevenueSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3700,3 +3700,23 @@ class MarketShareSpec extends AnyFunSuite {
     assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toSeq === top)
   }
 }
+
+class ForecastRevenueSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("Q6 shape: range predicates reach the parquet scan; scan reads 4 columns") {
+    val dir = "/root/testdata/sf0.01"
+    val df = SparkEntry.queries("q_forecast_revenue")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the rendered PushedFilters list truncates after ~100 chars, so
+    // assert on the filters that fit the window (shipdate range leads)
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"), plan.take(900))
+    val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.exists(_.contains("l_discount")) &&
+      reads.forall(s => !s.contains("l_orderkey")), reads.mkString("; "))
+    val r = df.collect()(0)
+    assert(r.getLong(1) > 0 && r.getLong(0) > 0)
+    spark.catalog.clearCache()
+  }
+}
