@@ -6389,8 +6389,8 @@ object SparkEntry {
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .where((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy("supp_nation", "cust_nation", "ship_year")
       .agg(sum("rev").as("revenue_cp"))
       .orderBy("supp_nation", "cust_nation", "ship_year")
@@ -6407,8 +6407,8 @@ object SparkEntry {
        |JOIN customer ON o_custkey = c_custkey
        |JOIN nation sn ON s_nationkey = sn.n_nationkey
        |JOIN nation cn ON c_nationkey = cn.n_nationkey
-       |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
-       |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+       |WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+       |   OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   /** TPC-H Q16-shaped supplier diversity: DISTINCT supplier count per

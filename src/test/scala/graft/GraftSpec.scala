@@ -3605,11 +3605,11 @@ class TpchTradeSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q_nation_trade")(spark, sf01).collect()
     val dirs = rows.map(r => (r.getString(0), r.getString(1))).toSet
-    assert(dirs === Set(("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")))
+    assert(dirs === Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")))
     // independent recompute of one direction's total
     val n = Tables.nation(spark, sf01)
-    val k1 = n.where(col("n_name") === "NATION_1").head().getAs[Number](0).longValue()
-    val k2 = n.where(col("n_name") === "NATION_2").head().getAs[Number](0).longValue()
+    val k1 = n.where(col("n_name") === "NATION_18").head().getAs[Number](0).longValue()
+    val k2 = n.where(col("n_name") === "NATION_19").head().getAs[Number](0).longValue()
     val direct = Tables.lineitem(spark, sf01)
       .join(Tables.orders(spark, sf01), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(spark, sf01).where(col("s_nationkey") === k1),
@@ -3619,7 +3619,7 @@ class TpchTradeSpec extends AnyFunSuite {
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
         (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))))
       .head().getLong(0)
-    val got = rows.filter(r => r.getString(0) == "NATION_1").map(_.getLong(3)).sum
+    val got = rows.filter(r => r.getString(0) == "NATION_18").map(_.getLong(3)).sum
     assert(got === direct)
   }
 
