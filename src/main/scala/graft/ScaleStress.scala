@@ -123,7 +123,13 @@ object ScaleStress {
     println(s"[stress] events: big=$nEvBig rows, hot user holds $hotShare")
     val evOps = Seq(
       "q_events_session", "q_events_dedup_window", "q_events_rolling_distinct",
-      "q_events_funnel", "q_events_transitions", "q_events_attribution")
+      "q_events_funnel", "q_events_transitions", "q_events_attribution",
+      // R8 second wave: exact-bitmap retention, windowed feature gen,
+      // conversion lag, path entropy, lateness audit — all must hold
+      // their shape with the planted 2%-of-corpus hot user
+      "q_events_bitmap_retention", "q_events_lag_features",
+      "q_events_conversion_lag", "q_events_path_entropy",
+      "q_events_lateness_audit")
     val evResults = evOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)

@@ -6612,6 +6612,48 @@ object SparkEntry {
        |  AND ${centsSql("l_discount")} BETWEEN 5 AND 7
        |  AND l_quantity < 24""".stripMargin
 
+  /** Deterministic epoch reshuffling — the training-reproducibility
+    * contract: each epoch re-deals every document to a shard and an
+    * intra-shard order via SplitMix64(doc_id·2 + epoch), so any worker
+    * can recompute its exact read order from (doc_id, epoch) alone — no
+    * global rank, no shuffle service state, bit-identical on reruns and
+    * across engines. Published per (epoch, shard): count, doc-id sum
+    * and the minimum order hash (the shard manifest checksum trio).
+    * Everything is one map-side hash + one combinable groupBy; a 100 TB
+    * corpus re-deals per epoch without any global sort.
+    */
+  private def pipeEpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = Tables.documents(s, dir).select("doc_id")
+    val epochs = Seq(0L, 1L).map { ep =>
+      val h = column(graft.functions.Mix64Long(
+        expression(col("doc_id") * 2L + lit(ep))))
+      docs.select(lit(ep).as("epoch"),
+        (shiftrightunsigned(h, 32) % 8L).as("shard"),
+        col("doc_id"),
+        shiftrightunsigned(h, 16).as("ord_h"))
+    }
+    epochs.reduce(_ unionByName _)
+      .groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_doc_id"),
+        min("ord_h").as("min_ord_h"))
+      .orderBy("epoch", "shard")
+  }
+
+  private val pipeEpochShuffleSql = {
+    def leg(ep: Int) =
+      s"""SELECT CAST($ep AS BIGINT) AS epoch,
+         |  ${oracle.DuckHash.mix64BucketSql(s"doc_id * 2 + $ep", 8)} AS shard,
+         |  doc_id,
+         |  ${oracle.DuckHash.mix64Top48Sql(s"doc_id * 2 + $ep")} AS ord_h
+         |FROM documents""".stripMargin
+    s"""WITH u AS (${leg(0)} UNION ALL ${leg(1)})
+       |SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       |  CAST(MIN(ord_h) AS BIGINT) AS min_ord_h
+       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6722,6 +6764,7 @@ object SparkEntry {
     "q_market_share" -> (qMarketShare _),
     "q_sole_late_supplier" -> (qSoleLateSupplier _),
     "q_forecast_revenue" -> (qForecastRevenue _),
+    "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -6958,6 +7001,7 @@ object SparkEntry {
     "q_market_share" -> qMarketShareSql,
     "q_sole_late_supplier" -> qSoleLateSupplierSql,
     "q_forecast_revenue" -> qForecastRevenueSql,
+    "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -114,6 +114,13 @@ object DuckHash {
   def mix64Top32Sql(x: String): String =
     s"CAST(${mix64Sql(s"CAST($x AS UBIGINT)")} >> 32 AS BIGINT)"
 
+  /** Top 48 mixed bits (>> 16), as BIGINT in [0, 2^48): mirrors the
+    * Spark side's `Mix64Long(x) >>> 16` (epoch-shuffle order hashes,
+    * where 32 bits would collide on large corpora).
+    */
+  def mix64Top48Sql(x: String): String =
+    s"CAST(${mix64Sql(s"CAST($x AS UBIGINT)")} >> 16 AS BIGINT)"
+
   /** FNV-1a fold over a UBIGINT list (offset prepended: DuckDB 1.0's
     * list_reduce has no initial-value form).
     */

@@ -3720,3 +3720,25 @@ class ForecastRevenueSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 }
+
+class EpochShuffleSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("epoch re-deal: counts conserve, shards differ across epochs, reruns bit-identical") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("pipe_epoch_shuffle")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    Seq(0L, 1L).foreach { ep =>
+      val mine = rows.filter(_.getLong(0) == ep)
+      assert(mine.map(_.getLong(2)).sum === nDocs)       // every doc dealt
+      assert(mine.map(_.getLong(1)).toSet.size >= 6)     // shards actually used
+    }
+    // the re-deal is epoch-sensitive: per-shard doc-id sums differ
+    val byEpoch = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(3)).toMap)
+    assert(byEpoch(0L) !== byEpoch(1L))
+    // determinism: a second run is bit-identical (pure hash, no RNG)
+    val again = SparkEntry.queries("pipe_epoch_shuffle")(spark, dir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
