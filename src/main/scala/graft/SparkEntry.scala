@@ -6654,6 +6654,68 @@ object SparkEntry {
        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** K-hop breadth-first reach from the highest-degree node of the
+    * co-purchase graph: how many nodes first appear at each hop ≤ 3 —
+    * the iterative frontier-expansion shape (recommendation radius,
+    * blast-radius analysis). Each round joins the CURRENT FRONTIER
+    * (small) against the edge list and anti-joins the visited set, so
+    * min-hop labels fall out of BFS order with no path explosion —
+    * unlike a naive transitive closure, work per round is
+    * O(frontier·degree), not O(paths). Driver state per round is one
+    * bounded count (the KMeans/PageRank convergence contract); the
+    * DuckDB oracle replays the same reach with a bounded recursive CTE
+    * reduced by MIN(hop).
+    */
+  private def qGraphKhop(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seed = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("a")).limit(1).head().getLong(0)
+    var visited = s.range(1).select(lit(seed).as("node"), lit(0L).as("hop")).persist()
+    visited.count()
+    for (h <- 1L to 3L) {
+      val frontier = visited.where(col("hop") === (h - 1)).select("node")
+      val reached = frontier.join(bidir, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .select(col("node"), lit(h).as("hop"))
+      val next = visited.unionByName(reached).persist()
+      next.count(); visited.unpersist(); visited = next
+    }
+    val out = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
+    val rows = out.collect() // bounded: ≤ 4 rows; release the loop caches
+    visited.unpersist(); bidir.unpersist()
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("hop", "n_nodes")
+      .orderBy("hop")
+  }
+
+  private val qGraphKhopSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |bidir AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |seed AS (
+      |  SELECT a AS node FROM (
+      |    SELECT a, COUNT(*) AS deg FROM bidir GROUP BY 1)
+      |  ORDER BY deg DESC, a LIMIT 1),
+      |r AS (
+      |  WITH RECURSIVE walk(node, hop) AS (
+      |    SELECT node, 0 FROM seed
+      |    UNION ALL
+      |    SELECT bidir.b, walk.hop + 1
+      |    FROM walk JOIN bidir ON walk.node = bidir.a
+      |    WHERE walk.hop < 3)
+      |  SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY 1)
+      |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6765,6 +6827,7 @@ object SparkEntry {
     "q_sole_late_supplier" -> (qSoleLateSupplier _),
     "q_forecast_revenue" -> (qForecastRevenue _),
     "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
+    "q_graph_khop" -> (qGraphKhop _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7002,6 +7065,7 @@ object SparkEntry {
     "q_sole_late_supplier" -> qSoleLateSupplierSql,
     "q_forecast_revenue" -> qForecastRevenueSql,
     "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
+    "q_graph_khop" -> qGraphKhopSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

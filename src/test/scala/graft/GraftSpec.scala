@@ -3742,3 +3742,34 @@ class EpochShuffleSpec extends AnyFunSuite {
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 }
+
+class KhopSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("k-hop BFS matches a driver-side breadth-first search") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_graph_khop")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver BFS over the same edge list
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]().withDefaultValue(Set())
+    li.groupBy(_._1).values.foreach { ps =>
+      val parts = ps.map(_._2).distinct
+      for (x <- parts; y <- parts if x != y) adj(x) = adj(x) + y
+    }
+    val seed = adj.toSeq.map { case (n, ns) => (n, ns.size) }
+      .minBy { case (n, d) => (-d, n) }._1
+    var visited = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1L to 3L) {
+      val next = frontier.flatMap(adj).diff(visited.keySet)
+      visited ++= next.map(_ -> h)
+      frontier = next
+    }
+    val expected = visited.values.groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
+    assert(rows === expected)
+    assert(rows(0L) === 1L) // the seed itself
+  }
+}
