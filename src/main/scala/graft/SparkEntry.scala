@@ -6716,6 +6716,46 @@ object SparkEntry {
       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** LSH recall evaluation — the sign-LSH sibling of `ann_recall_eval`:
+    * hyperplane-bucketed top-10 scored against the brute-force exact
+    * truth, recall@10 as truncating permille per query. Publishing
+    * recall per approximate index (LSH here, IVF in its sibling) is
+    * what lets a 100 TB deployment pick its probe/band budget from
+    * data instead of folklore; both legs are the already-proven
+    * operators, the eval adds one equi left join + a 5-row aggregate.
+    *
+    * On the gated testdata this eval's VERDICT is damning by design:
+    * sign-LSH at 8 planes/256 buckets recalls 0–100‰ where IVF@nProbe
+    * recalls 700–1000‰ (`ann_recall_eval`) — single-probe hyperplane
+    * bucketing fractures true neighborhoods. That asymmetry, measured
+    * side by side, IS the deliverable: it tells the deployment to
+    * spend its budget on IVF probes (or multi-probe LSH), not more
+    * planes.
+    */
+  private def annLshRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.lshTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pml", expr("n_hits * 1000 div n_truth"))
+      .orderBy("query_id")
+  }
+
+  private val annLshRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS (SELECT query_id, vec_id, 1 AS hit FROM ($annLshSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6828,6 +6868,7 @@ object SparkEntry {
     "q_forecast_revenue" -> (qForecastRevenue _),
     "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
     "q_graph_khop" -> (qGraphKhop _),
+    "ann_lsh_recall" -> (annLshRecall _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7066,6 +7107,7 @@ object SparkEntry {
     "q_forecast_revenue" -> qForecastRevenueSql,
     "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "q_graph_khop" -> qGraphKhopSql,
+    "ann_lsh_recall" -> annLshRecallSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

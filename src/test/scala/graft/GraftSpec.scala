@@ -1005,7 +1005,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // q_kmv_overlap crossJoins four 1-row sketch/exact aggregates —
     // same bounded-metadata contract as q_events_kmv_distinct's TOTAL.
     val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
-      "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap")
+      "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap",
+      "ann_lsh_recall") // same inherited brute-force truth leg as ann_recall_eval
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3771,5 +3772,24 @@ class KhopSpec extends AnyFunSuite {
     val expected = visited.values.groupBy(identity).map { case (h, xs) => h -> xs.size.toLong }
     assert(rows === expected)
     assert(rows(0L) === 1L) // the seed itself
+  }
+}
+
+class LshRecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("recall evals expose the LSH-vs-IVF asymmetry on the same truth set") {
+    val dir = "/root/testdata/sf0.01"
+    val lsh = SparkEntry.queries("ann_lsh_recall")(spark, dir).collect()
+    val ivf = SparkEntry.queries("ann_recall_eval")(spark, dir).collect()
+    assert(lsh.length === 5 && ivf.length === 5)
+    lsh.foreach(r => assert(r.getLong(1) === 10L && r.getLong(2) <= 10L))
+    // the measured finding: single-probe sign-LSH recalls strictly less
+    // than IVF on every query here — the eval pair must preserve that
+    val lshTotal = lsh.map(_.getLong(2)).sum
+    val ivfTotal = ivf.map(_.getLong(2)).sum
+    assert(lshTotal < ivfTotal, s"lsh $lshTotal vs ivf $ivfTotal")
+    // permille arithmetic is the exact truncating division
+    (lsh ++ ivf).foreach(r => assert(r.getLong(3) === r.getLong(2) * 1000 / r.getLong(1)))
   }
 }
