@@ -6756,6 +6756,73 @@ object SparkEntry {
        |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Mergeable histogram-sketch quantiles: per event type, the median
+    * estimated from a ~90-bucket log-grid histogram (bucket =
+    * ⌊ln(1+v)·8⌋, estimate = midpoint of the bucket where the
+    * cumulative count crosses n/2) next to the EXACT interpolated
+    * median, relative error published. This is the 100 TB quantile
+    * shape — the histogram is mergeable by plain addition (per-shard
+    * sketches union with one groupBy; sorting the data is never
+    * needed), its size is bounded by the grid regardless of row count,
+    * and the crossing scan windows the BUCKET AGGREGATE (≤ ~90 rows
+    * per type), never the data. Value min/max per bucket are carried
+    * exactly, so the estimate is pure integer arithmetic.
+    */
+  private def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    val v = cents(col("value"))
+    val hist = Tables.events(s, dir)
+      .select(col("event_type"), v.as("v_c"),
+        floor(log(lit(1.0) + v.cast("double")) * 8).cast("long").as("b"))
+      .groupBy("event_type", "b")
+      .agg(count(lit(1)).as("n_b"), min("v_c").as("min_v"), max("v_c").as("max_v"))
+    val W = Window.partitionBy("event_type").orderBy("b")
+    val Wall = Window.partitionBy("event_type")
+    val crossed = hist
+      .withColumn("cum", sum("n_b").over(
+        W.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum("n_b").over(Wall))
+      .where(col("cum") >= (col("n") + 1) / 2)
+      .withColumn("rn", row_number().over(W))
+      .where(col("rn") === 1)
+      .select(col("event_type"), col("n"),
+        expr("(min_v + max_v) div 2").as("est_median_c"))
+    val exact = Tables.events(s, dir)
+      .select(col("event_type"), v.as("v_c"))
+      .groupBy("event_type")
+      .agg(percentile(col("v_c"), lit(0.5)).as("p50_exact"))
+    crossed.join(exact, "event_type")
+      .withColumn("rel_err",
+        abs(col("est_median_c") - col("p50_exact")) / col("p50_exact"))
+      .orderBy("event_type")
+  }
+
+  private val qQuantileSketchSql =
+    s"""WITH e AS (
+       |  SELECT event_type, ${centsSql("value")} AS v_c,
+       |    CAST(floor(ln(1.0 + CAST(${centsSql("value")} AS DOUBLE)) * 8) AS BIGINT) AS b
+       |  FROM events),
+       |h AS (
+       |  SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS n_b,
+       |    MIN(v_c) AS min_v, MAX(v_c) AS max_v
+       |  FROM e GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, b, min_v, max_v,
+       |    SUM(n_b) OVER (PARTITION BY event_type ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(n_b) OVER (PARTITION BY event_type) AS n
+       |  FROM h),
+       |x AS (
+       |  SELECT event_type, CAST(n AS BIGINT) AS n,
+       |    (min_v + max_v) // 2 AS est_median_c,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY b) AS rn
+       |  FROM c WHERE cum >= (n + 1) / 2),
+       |ex AS (
+       |  SELECT event_type, quantile_cont(v_c, 0.5) AS p50_exact FROM e GROUP BY 1)
+       |SELECT x.event_type, x.n, x.est_median_c, ex.p50_exact,
+       |  abs(x.est_median_c - ex.p50_exact) / ex.p50_exact AS rel_err
+       |FROM x JOIN ex ON x.event_type = ex.event_type
+       |WHERE x.rn = 1 ORDER BY x.event_type""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6869,6 +6936,7 @@ object SparkEntry {
     "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
     "q_graph_khop" -> (qGraphKhop _),
     "ann_lsh_recall" -> (annLshRecall _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7108,6 +7176,7 @@ object SparkEntry {
     "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "q_graph_khop" -> qGraphKhopSql,
     "ann_lsh_recall" -> annLshRecallSql,
+    "q_quantile_sketch" -> qQuantileSketchSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3793,3 +3793,38 @@ class LshRecallSpec extends AnyFunSuite {
     (lsh ++ ivf).foreach(r => assert(r.getLong(3) === r.getLong(2) * 1000 / r.getLong(1)))
   }
 }
+
+class QuantileSketchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("histogram median estimate stays within the log-grid error bound") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_quantile_sketch")(spark, dir).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      // bucket width is a factor e^(1/8) ~ 1.133, so the midpoint of the
+      // straddling bucket is within ~14% of any value inside it
+      assert(r.getDouble(4) < 0.14, s"${r.getString(0)}: rel_err ${r.getDouble(4)}")
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0)
+    }
+  }
+
+  test("the log-grid histogram is mergeable by plain addition") {
+    // per-shard sketches combine with count addition and min/max fold —
+    // the property that makes this the distributed-quantile shape
+    case class B(n: Long, mn: Long, mx: Long)
+    def merge(a: B, b: B) = B(a.n + b.n, math.min(a.mn, b.mn), math.max(a.mx, b.mx))
+    val shard1 = Map(3L -> B(10, 21, 27), 4L -> B(5, 30, 40))
+    val shard2 = Map(4L -> B(7, 28, 44), 5L -> B(2, 50, 55))
+    val merged = (shard1.keySet ++ shard2.keySet).map { k =>
+      k -> (shard1.get(k), shard2.get(k)) match {
+        case (k2, (Some(a), Some(b))) => k2 -> merge(a, b)
+        case (k2, (Some(a), None)) => k2 -> a
+        case (k2, (None, Some(b))) => k2 -> b
+        case (k2, (None, None)) => k2 -> B(0, 0, 0)
+      }
+    }.toMap
+    assert(merged(4L) === B(12, 28, 44)) // counts add, extents fold
+    assert(merged(3L) === B(10, 21, 27) && merged(5L) === B(2, 50, 55))
+  }
+}
