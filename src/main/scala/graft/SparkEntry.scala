@@ -6823,6 +6823,55 @@ object SparkEntry {
        |FROM x JOIN ex ON x.event_type = ex.event_type
        |WHERE x.rn = 1 ORDER BY x.event_type""".stripMargin
 
+  /** Referential-integrity audit across the star schema's four FK
+    * edges — the load-validation companion to `q_expectations`: for
+    * each relationship, total child rows, orphaned rows (ANTI join
+    * against the parent key projection), and distinct orphaned keys.
+    * Each edge is one shuffled anti join against a key-only projection
+    * (column-pruned parent scans); the four audits are independent and
+    * run as one union of bounded 1-row aggregates. Zero orphans on
+    * healthy loads — the row the ingest gate asserts on.
+    */
+  private def qRefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.select(col(fk)).join(
+        parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphan"), // 1×1 stats rows
+          countDistinct(col(fk)).as("n_orphan_keys")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphan"),
+          col("n_orphan_keys"))
+    }
+    val li = Tables.lineitem(s, dir)
+    Seq(
+      audit("lineitem.l_orderkey->orders", li, "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      audit("lineitem.l_partkey->part", li, "l_partkey",
+        Tables.part(s, dir), "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", li, "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"),
+      audit("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk_edge")
+  }
+
+  private val qRefIntegritySql = {
+    def leg(name: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS fk_edge,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $child) AS n_child,
+         |  CAST(COUNT(*) AS BIGINT) AS n_orphan,
+         |  CAST(COUNT(DISTINCT $fk) AS BIGINT) AS n_orphan_keys
+         |FROM $child WHERE $fk NOT IN (SELECT $pk FROM $parent)""".stripMargin
+    Seq(
+      leg("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      leg("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      leg("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      leg("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6937,6 +6986,7 @@ object SparkEntry {
     "q_graph_khop" -> (qGraphKhop _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "q_ref_integrity" -> (qRefIntegrity _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7177,6 +7227,7 @@ object SparkEntry {
     "q_graph_khop" -> qGraphKhopSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
+    "q_ref_integrity" -> qRefIntegritySql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -1006,7 +1006,8 @@ class PlanAuditSpec extends AnyFunSuite {
     // same bounded-metadata contract as q_events_kmv_distinct's TOTAL.
     val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
       "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap",
-      "ann_lsh_recall") // same inherited brute-force truth leg as ann_recall_eval
+      "ann_lsh_recall", // same inherited brute-force truth leg as ann_recall_eval
+      "q_ref_integrity") // 1x1 crossJoins of per-edge count aggregates
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3826,5 +3827,31 @@ class QuantileSketchSpec extends AnyFunSuite {
     }.toMap
     assert(merged(4L) === B(12, 28, 44)) // counts add, extents fold
     assert(merged(3L) === B(10, 21, 27) && merged(5L) === B(2, 50, 55))
+  }
+}
+
+class RefIntegritySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("clean star schema audits to zero orphans; a planted orphan is caught") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_ref_integrity")(spark, dir).collect()
+    assert(rows.length === 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) === 0L && r.getLong(3) === 0L, r.getString(0))
+    }
+    // negative control: the same anti-join construction flags a planted
+    // orphan (drop a parent key, its children must surface)
+    val victim = Tables.orders(spark, dir).select("o_orderkey").head().getLong(0)
+    val parents = Tables.orders(spark, dir).where(col("o_orderkey") =!= victim)
+    val orphans = Tables.lineitem(spark, dir).select("l_orderkey")
+      .join(parents.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val n = orphans.count()
+    val expected = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") === victim).count()
+    assert(n === expected && n > 0)
   }
 }
