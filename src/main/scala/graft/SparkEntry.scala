@@ -5691,9 +5691,11 @@ object SparkEntry {
 
   /** Zipf exponent of the corpus token distribution, by exact integer
     * least squares over (qln rank, qln freq) of the top-1000 terms:
-    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), published NEGATED (Zipf
-    * slopes are negative; both engines' integer div then agrees — they
-    * differ on negative division: Spark truncates, DuckDB floors).
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), published NEGATED so the
+    * headline number is positive. (Historically a division-semantics
+    * precaution; since disproven by measurement — DuckDB's `//`
+    * truncates toward zero exactly like Spark's `div`, see
+    * `q_revenue_trend`, which publishes a negative slope directly.)
     * Logs quantized at 1e4 so every cross term stays within int64
     * (x,y ≤ ~1.4e5 ⇒ n·Σxy ≤ ~1e18). The top-1000 rides TakeOrdered
     * off the token-frequency aggregate; the rank window orders a
@@ -6872,6 +6874,58 @@ object SparkEntry {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
   }
 
+  /** Revenue trend + next-month forecast by EXACT integer least
+    * squares over the monthly revenue series (the same integer
+    * regression kernel as `text_zipf_slope`, applied to time):
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = month index from a
+    * dense rank over the ≤~80-row monthly aggregate, y = revenue in
+    * whole currency units. Slope/intercept/forecast are integer
+    * divisions — deterministic across engines, no float regression.
+    * The fact scan collapses map-side to months; every window runs on
+    * that bounded aggregate.
+    */
+  private def qRevenueTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100").as("rev_u"))
+    val W = Window.orderBy("month") // bounded: one row per month
+    val xy = monthly.withColumn("x", row_number().over(W).cast("long") - 1L)
+    // Negative-slope safety: Spark's `div` and DuckDB's `//` BOTH
+    // truncate toward zero (measured: -25495741/2000 -> -12747 in both;
+    // DuckDB's `//` is not a floor despite the Python-style spelling),
+    // so plain integer division is cross-engine exact at any sign.
+    xy.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("rev_u").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("rev_u")).as("sxy"))
+      .select(col("n"),
+        expr("(n * sxy - sx * sy) div (n * sxx - sx * sx)").as("slope_u"),
+        col("sx"), col("sy"))
+      .withColumn("intercept_u", expr("(sy - slope_u * sx) div n"))
+      .withColumn("forecast_next_u", expr("intercept_u + slope_u * n"))
+      .select("n", "slope_u", "intercept_u", "forecast_next_u")
+  }
+
+  private val qRevenueTrendSql =
+    s"""WITH m AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |    CAST(SUM(${centsSql("o_totalprice")}) // 100 AS BIGINT) AS rev_u
+       |  FROM orders GROUP BY 1),
+       |xy AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY month) - 1 AS BIGINT) AS x, rev_u
+       |  FROM m),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(rev_u) AS BIGINT) AS sy,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * rev_u) AS BIGINT) AS sxy
+       |  FROM xy),
+       |b AS (
+       |  SELECT n, sx, sy,
+       |    (n * sxy - sx * sy) // (n * sxx - sx * sx) AS slope_u
+       |  FROM a)
+       |SELECT n, slope_u,
+       |  (sy - slope_u * sx) // n AS intercept_u,
+       |  (sy - slope_u * sx) // n + slope_u * n AS forecast_next_u
+       |FROM b""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6987,6 +7041,7 @@ object SparkEntry {
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
+    "q_revenue_trend" -> (qRevenueTrend _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7228,6 +7283,7 @@ object SparkEntry {
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,
+    "q_revenue_trend" -> qRevenueTrendSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

@@ -3855,3 +3855,29 @@ class RefIntegritySpec extends AnyFunSuite {
     assert(n === expected && n > 0)
   }
 }
+
+class RevenueTrendSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("integer trend matches a driver-side regression; forecast is the line at x=n") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val r = SparkEntry.queries("q_revenue_trend")(spark, dir).collect()(0)
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg((sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100).cast("long").as("y"))
+      .collect().map(x => x.getString(0) -> x.getLong(1)).sortBy(_._1)
+    val n = monthly.length.toLong
+    val ys = monthly.map(_._2)
+    val xs = (0L until n).toArray
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === slope)
+    assert(r.getLong(2) === intercept)
+    assert(r.getLong(3) === intercept + slope * n)
+  }
+}
