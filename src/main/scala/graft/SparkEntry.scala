@@ -6939,6 +6939,38 @@ object SparkEntry {
        |  (sy - slope_u * sx) // n + slope_u * n AS forecast_next_u
        |FROM b""".stripMargin
 
+  /** Open-order backlog aging — the operational report behind every
+    * fulfillment dashboard: orders still open ('O') bucketed by age in
+    * 30-day bands relative to the corpus watermark (max order date —
+    * one bounded driver collect), with counts and open value per band.
+    * The status filter is a pushed parquet predicate; ages are integer
+    * day arithmetic on the pruned scan; output is bounded by the band
+    * count at any scale.
+    */
+  private def qOrdersBacklogAging(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    // NTZ → TIMESTAMP cast is the identity instant mapping under the
+    // engine's UTC session (same contract as Tables.normalizeEventTime)
+    val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    val wm = o.agg(max(odUs)).head().getLong(0)
+    o.where(col("o_orderstatus") === "O")
+      .select(cents(col("o_totalprice")).as("price_c"),
+        expr(s"(($wm - unix_micros(cast(o_orderdate as timestamp)))" +
+          " div 86400000000) div 30").as("age_band_30d"))
+      .groupBy("age_band_30d")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("open_value_c"))
+      .orderBy("age_band_30d")
+  }
+
+  private val qOrdersBacklogAgingSql =
+    """WITH wm AS (SELECT MAX(epoch_us(o_orderdate)) AS w FROM orders)
+      |SELECT ((wm.w - epoch_us(o_orderdate)) // 86400000000) // 30 AS age_band_30d,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS open_value_c
+      |FROM orders, wm
+      |WHERE o_orderstatus = 'O'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7055,6 +7087,7 @@ object SparkEntry {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
     "q_revenue_trend" -> (qRevenueTrend _),
+    "q_orders_backlog_aging" -> (qOrdersBacklogAging _),
     "q_drift_psi" -> (qDriftPsi _),
     "q_events_top_movers" -> (qEventsTopMovers _),
     "pipe_shard_manifest" -> (pipeShardManifest _),
@@ -7297,6 +7330,7 @@ object SparkEntry {
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,
     "q_revenue_trend" -> qRevenueTrendSql,
+    "q_orders_backlog_aging" -> qOrdersBacklogAgingSql,
     "q_drift_psi" -> qDriftPsiSql,
     "q_events_top_movers" -> qEventsTopMoversSql,
     "pipe_shard_manifest" -> pipeShardManifestSql,

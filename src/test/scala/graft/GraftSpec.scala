@@ -3881,3 +3881,23 @@ class RevenueTrendSpec extends AnyFunSuite {
     assert(r.getLong(3) === intercept + slope * n)
   }
 }
+
+class BacklogAgingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("backlog bands cover every open order; values reconcile") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_orders_backlog_aging")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val open = Tables.orders(spark, dir).where(col("o_orderstatus") === "O")
+    assert(rows.map(_.getLong(1)).sum === open.count())
+    val totalV = open.agg(sum(round(col("o_totalprice") * 100, 0).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalV)
+    // bands are non-negative and contiguous from 0 is NOT required
+    // (months with no open orders are legal), but the newest band must
+    // exist: some order is within 30 days of the watermark
+    assert(rows.map(_.getLong(0)).min === 0L)
+  }
+}
