@@ -6971,6 +6971,208 @@ object SparkEntry {
       |WHERE o_orderstatus = 'O'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q15-shaped top supplier: per-supplier quarter revenue
+    * (map-side-combined groupBy on l_suppkey — the fact table shuffles
+    * once, already reduced to ≤ |suppliers| rows), then the winners
+    * join the 1-row max frame by VALUE equality (broadcast hash join,
+    * ties included — no second fact scan, no global window), and the
+    * tiny winner set picks up names from the supplier dimension.
+    * Revenue in exact cent·percent so max-equality is bit-stable
+    * cross-engine (a float SUM's max would tie-break differently per
+    * partitioning).
+    */
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-04-01").cast("timestamp")
+    val rev = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))).as("total_rev_cp"))
+    val mx = rev.agg(max(col("total_rev_cp")).as("mx"))
+    rev.join(broadcast(mx), col("total_rev_cp") === col("mx"))
+      .join(Tables.supplier(s, dir).select("s_suppkey", "s_name"), Seq("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev_cp"))
+      .orderBy("s_suppkey")
+  }
+
+  private val qTopSupplierSql =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS s_suppkey,
+       |    CAST(SUM(${centsSql("l_extendedprice")} *
+       |      (100 - ${centsSql("l_discount")})) AS BIGINT) AS total_rev_cp
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY 1),
+       |m AS (SELECT MAX(total_rev_cp) AS mx FROM rev)
+       |SELECT r.s_suppkey, s.s_name, r.total_rev_cp
+       |FROM rev r JOIN supplier s USING (s_suppkey), m
+       |WHERE r.total_rev_cp = m.mx
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q9-shaped product-line profit by supplier nation and order
+    * year, for parts whose name carries a token (the Q9 LIKE filter).
+    * Join discipline at 100 TB: the filtered part list, supplier
+    * key→nation map, and nation names are all dimensions and broadcast;
+    * the only shuffles are the two fact tables meeting on l_orderkey
+    * and the final (nation, year) aggregation — which map-side combines
+    * to ≤ |nations|·|years| rows before its exchange. (The reference
+    * Q9's ps_supplycost term has no partsupp table in this star; profit
+    * here is the exact cent·percent revenue of the filtered parts.)
+    */
+  private def qProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .where(col("p_name").contains("bolt")).select("p_partkey")
+    val supp = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val nation = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))).as("profit_cp"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name", "o_year")
+  }
+
+  private val qProductProfitSql =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM(${centsSql("l_extendedprice")} *
+       |    (100 - ${centsSql("l_discount")})) AS BIGINT) AS profit_cp,
+       |  CAST(COUNT(*) AS BIGINT) AS n_items
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%bolt%'
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Hard-negative mining ([[ann.Ann.hardNegativesTopK]]): per query
+    * vector, the 10 nearest neighbors with a DIFFERENT label — the
+    * contrastive-training negatives. One corpus scan, queries
+    * broadcast, label inequality as join residual.
+    */
+  private def vecHardNegatives(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.hardNegativesTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private val vecHardNegativesSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+      |  FROM e),
+      |s AS (
+      |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+      |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+      |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+      |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id AND cs.label <> qs.label
+      |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+      |r AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Lexical-diversity profile per source: type count, token count,
+    * hapax-legomena count, and integer-permille type/token and
+    * hapax/type ratios — the classic template-vs-natural-text signal
+    * (machine-generated boilerplate has low TTR; scraped spam has
+    * anomalous hapax mass). Two map-side-combinable groupBys, both
+    * keyed by (source, word) then source — no row ever carries more
+    * than a word, so a 100 TB corpus profiles in one shuffle pair.
+    */
+  private def textHapaxRatio(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cf"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_types"), sum("cf").as("n_tokens"),
+        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+        expr("n_types * 1000 div n_tokens").as("ttr_pml"),
+        expr("n_hapax * 1000 div n_types").as("hapax_pml"))
+      .orderBy("source")
+
+  private val textHapaxRatioSql =
+    s"""WITH t AS (SELECT source, UNNEST($wordsListSql) AS w FROM documents),
+       |cf AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY 1, 2),
+       |a AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_types,
+       |    CAST(SUM(cf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |  FROM cf GROUP BY 1)
+       |SELECT source, n_types, n_tokens, n_hapax,
+       |  CAST(n_types * 1000 // n_tokens AS BIGINT) AS ttr_pml,
+       |  CAST(n_hapax * 1000 // n_types AS BIGINT) AS hapax_pml
+       |FROM a ORDER BY source""".stripMargin
+
+  /** Vocabulary-growth (Heaps'-law) curve over corpus deciles: the
+    * corpus is split into 10 equal doc-id bands; each word contributes
+    * to vocabulary exactly once, at the band of its FIRST occurrence
+    * (min over a monotonic band expression ≡ band of min doc_id — one
+    * word-keyed groupBy, no re-scan per prefix, which is what makes
+    * this O(corpus) instead of O(corpus · prefixes)). Published per
+    * decile: cumulative tokens, cumulative vocabulary, and the
+    * integer-permille vocab/token ratio whose decay is the
+    * sublinearity check — a corpus whose curve stays linear is
+    * near-duplicate-free template spam, one that flattens too fast is
+    * low-diversity. Cumulative sums run over the bounded 10-row frame.
+    */
+  private def textVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // bounded 1-row stats collect (index-metadata contract): the band
+    // divisor, inlined as a literal so banding is a map-side expression
+    val nd = docs.agg(max(col("doc_id").cast("long"))).head().getLong(0) + 1L
+    val words = docs.select(
+      expr(s"cast(doc_id as bigint) * 10 div $nd").as("decile"),
+      explode(text.Text.words(col("text"))).as("w"))
+    val newTypes = words.groupBy("w").agg(min(col("decile")).as("decile"))
+      .groupBy("decile").agg(count(lit(1)).as("new_types"))
+    val toks = words.groupBy("decile").agg(count(lit(1)).as("toks"))
+    val W = Window.orderBy("decile") // ≤ 10 distinct rows post-agg
+    toks.join(newTypes, Seq("decile"), "full_outer")
+      .select(col("decile"), coalesce(col("toks"), lit(0L)).as("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("toks").over(W))
+      .withColumn("cum_vocab", sum("new_types").over(W))
+      .select(col("decile"), col("cum_tokens"), col("cum_vocab"),
+        expr("cum_vocab * 1000 div cum_tokens").as("vocab_pml"))
+      .orderBy("decile")
+  }
+
+  private val textVocabGrowthSql =
+    s"""WITH nd AS (SELECT CAST(MAX(doc_id) AS BIGINT) + 1 AS nd FROM documents),
+       |t AS (
+       |  SELECT CAST(doc_id AS BIGINT) * 10 // nd.nd AS decile,
+       |    UNNEST($wordsListSql) AS w
+       |  FROM documents, nd),
+       |nt AS (
+       |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+       |    SELECT w, MIN(decile) AS decile FROM t GROUP BY 1) GROUP BY 1),
+       |tk AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS toks FROM t GROUP BY 1),
+       |j AS (
+       |  SELECT COALESCE(tk.decile, nt.decile) AS decile,
+       |    COALESCE(toks, 0) AS toks, COALESCE(new_types, 0) AS new_types
+       |  FROM tk FULL OUTER JOIN nt ON tk.decile = nt.decile),
+       |c AS (
+       |  SELECT decile,
+       |    CAST(SUM(toks) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(new_types) OVER (ORDER BY decile) AS BIGINT) AS cum_vocab
+       |  FROM j)
+       |SELECT decile, cum_tokens, cum_vocab,
+       |  CAST(cum_vocab * 1000 // cum_tokens AS BIGINT) AS vocab_pml
+       |FROM c ORDER BY decile""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7083,6 +7285,11 @@ object SparkEntry {
     "q_forecast_revenue" -> (qForecastRevenue _),
     "pipe_epoch_shuffle" -> (pipeEpochShuffle _),
     "q_graph_khop" -> (qGraphKhop _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_product_profit" -> (qProductProfit _),
+    "vec_hard_negatives" -> (vecHardNegatives _),
+    "text_hapax_ratio" -> (textHapaxRatio _),
+    "text_vocab_growth" -> (textVocabGrowth _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -7326,6 +7533,11 @@ object SparkEntry {
     "q_forecast_revenue" -> qForecastRevenueSql,
     "pipe_epoch_shuffle" -> pipeEpochShuffleSql,
     "q_graph_khop" -> qGraphKhopSql,
+    "q_top_supplier" -> qTopSupplierSql,
+    "q_product_profit" -> qProductProfitSql,
+    "vec_hard_negatives" -> vecHardNegativesSql,
+    "text_hapax_ratio" -> textHapaxRatioSql,
+    "text_vocab_growth" -> textVocabGrowthSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

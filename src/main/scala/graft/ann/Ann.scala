@@ -86,6 +86,32 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
+    * from the query's own — the near-miss impostors a retrieval/
+    * embedding model must learn to push away. Same plan shape as
+    * [[bruteForceTopK]] (queries broadcast, corpus scanned once, no
+    * corpus shuffle), with the label inequality riding the broadcast
+    * join as an extra residual, so the mining pass costs exactly one
+    * corpus scan regardless of label cardinality.
+    */
+  def hardNegativesTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q = embeddings
+      .where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        Vec.quantize(col("embedding")).as("qv"))
+    val corpus = embeddings.select(col("vec_id"), col("label"),
+      Vec.quantize(col("embedding")).as("cv"))
+    val scored = corpus
+      .join(broadcast(q),
+        col("query_id") =!= col("vec_id") && col("qlabel") =!= col("label"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
   /** IVF (inverted-file) top-k: corpus is partitioned into cells around
     * centroid vectors; queries probe only the `nProbe` nearest cells.
     *

@@ -1007,7 +1007,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val allowedBnlj = Set("q_scalar_sub", "ann_bruteforce_topk", "q_hybrid_rrf",
       "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap",
       "ann_lsh_recall", // same inherited brute-force truth leg as ann_recall_eval
-      "q_ref_integrity") // 1x1 crossJoins of per-edge count aggregates
+      "q_ref_integrity", // 1x1 crossJoins of per-edge count aggregates
+      "vec_hard_negatives") // brute-force scoring leg with the label
+                            // inequality as residual: same |queryIds|-row
+                            // broadcast contract as ann_bruteforce_topk
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3899,5 +3902,91 @@ class BacklogAgingSpec extends AnyFunSuite {
     // (months with no open orders are legal), but the newest band must
     // exist: some order is within 30 days of the watermark
     assert(rows.map(_.getLong(0)).min === 0L)
+  }
+}
+
+class Wave3Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("top supplier carries the exact max revenue over the quarter") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_top_supplier")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // recompute independently: per-supplier quarter revenue in cent-percent
+    val rev = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))).as("r"))
+    val mx = rev.agg(max("r")).head().getLong(0)
+    assert(rows.forall(_.getLong(2) == mx))
+    // every supplier at the max is present (tie semantics)
+    assert(rows.length === rev.where(col("r") === mx).count())
+  }
+
+  test("product profit conserves the filtered-part revenue mass") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_product_profit")(spark, dir)
+    val total = out.agg(sum("profit_cp"), sum("n_items")).head()
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).where(col("p_name").contains("bolt"))
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))),
+        count(lit(1))).head()
+    // every filtered lineitem lands in exactly one (nation, year) cell:
+    // the FK joins (orders, supplier, nation) must not drop or fan out
+    assert(total.getLong(0) === base.getLong(0))
+    assert(total.getLong(1) === base.getLong(1))
+  }
+
+  test("hard negatives never share the query's label and rank by cosine") {
+    val out = SparkEntry.queries("vec_hard_negatives")(spark, dir)
+    val lbl = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val joined = out
+      .join(lbl.withColumnRenamed("label", "nlabel"), Seq("vec_id"))
+      .join(lbl.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+        Seq("query_id"))
+    assert(joined.where(col("nlabel") === col("qlabel")).count() === 0L)
+    // per query: ranks are 1..k and cosine is non-increasing in rank
+    val bad = out.selectExpr("query_id", "rnk", "cosine")
+      .withColumn("prev", lag("cosine", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy("rnk")))
+      .where(col("prev").isNotNull && col("prev") < col("cosine"))
+    assert(bad.count() === 0L)
+  }
+
+  test("hapax ratio invariants: hapax <= types <= tokens, mass conserved") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("text_hapax_ratio")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (types, tokens, hapax) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= types && types <= tokens)
+      assert(r.getLong(4) === types * 1000 / tokens)
+      assert(r.getLong(5) === hapax * 1000 / types)
+    }
+    val totalTokens = Tables.documents(spark, dir)
+      .agg(sum(text.Text.wordCount(col("text")))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalTokens)
+  }
+
+  test("vocab growth: cumulative, ends at corpus totals, vocab sublinear") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("text_vocab_growth")(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+    val last = rows.last
+    val words = Tables.documents(spark, dir)
+      .select(explode(text.Text.words(col("text"))).as("w"))
+    assert(last.getLong(1) === words.count())
+    assert(last.getLong(2) === words.distinct().count())
+    // strictly cumulative in tokens; vocab non-decreasing
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) > a.getLong(1) && b.getLong(2) >= a.getLong(2))
+      case _ => ()
+    }
   }
 }
