@@ -1622,7 +1622,11 @@ object SparkEntry {
     * centroid via the per-position LEFT JOIN coalesce. The probe tail is
     * the validated ann_ivf_topk oracle with the fitted centroids.
     */
-  private val annIvfKmeansSql = {
+  /** Shared k-means fit prefix (cen0 → … → sc → assigned): consumed by
+    * the ann_ivf_kmeans probe tail and the samp_prototypes
+    * representative tail — one fit contract, two published views.
+    */
+  private val ivfKmeansFitCtes: String = {
     def foldDot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
@@ -1678,7 +1682,11 @@ object SparkEntry {
        |  SELECT vec_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
-       |    FROM sc) WHERE rn = 1),
+       |    FROM sc) WHERE rn = 1)""".stripMargin
+  }
+
+  private val annIvfKmeansSql =
+    s"""$ivfKmeansFitCtes,
        |probes AS (
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
@@ -1699,7 +1707,6 @@ object SparkEntry {
        |  FROM s)
        |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
-  }
 
   private def annIvf(s: SparkSession, dir: String): DataFrame =
     ann.Ann.ivfTopK(Tables.embeddings(s, dir), annQueryIds, 10)
@@ -1710,21 +1717,27 @@ object SparkEntry {
       .select(col("doc_id"), text.Text.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
-  private val textLangidSql = {
+  /** Shared stopword-score CASE over a padded-canonical column `p` —
+    * the SQL twin of [[text.Text.langId]], consumed by the per-doc
+    * prediction oracle and the confusion-matrix oracle.
+    */
+  private val langidCaseSql: String = {
     val scoreSql = text.Text.stopwords.map { case (lang, ws) =>
       lang -> ws.map(occSql).mkString("(", " + ", ")")
     }
-    val cases = scoreSql.zipWithIndex.map { case ((lang, sc), i) =>
+    scoreSql.zipWithIndex.map { case ((lang, sc), i) =>
       val later = scoreSql.drop(i + 1).map(_._2)
       if (later.isEmpty) s"WHEN $sc > 0 THEN '$lang'"
       else s"WHEN $sc > 0 AND $sc >= greatest(${later.mkString(", ")}) THEN '$lang'"
     }.mkString("\n    ")
+  }
+
+  private val textLangidSql =
     s"""WITH c AS (SELECT doc_id, $paddedSql AS p FROM documents)
        |SELECT doc_id, CASE
-       |    $cases
+       |    $langidCaseSql
        |    ELSE 'und' END AS lang_pred
        |FROM c ORDER BY doc_id""".stripMargin
-  }
 
   private def textQuality(s: SparkSession, dir: String): DataFrame = {
     import text.Text._
@@ -7173,6 +7186,187 @@ object SparkEntry {
        |  CAST(cum_vocab * 1000 // cum_tokens AS BIGINT) AS vocab_pml
        |FROM c ORDER BY decile""".stripMargin
 
+  /** Per-cluster prototype selection over the fitted IVF/k-means cells
+    * ([[ann.Ann.prototypesPerCell]]): the 3 most-central vectors of
+    * every cell — the data-pruning representative pick. Same persisted
+    * one-iteration fit as `ann_ivf_kmeans`, so the oracle reuses the
+    * shared fit CTEs verbatim with a different tail.
+    */
+  private def sampPrototypes(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val tmp = TmpDirs.create("proto")
+    ann.IvfIndex.build(emb, s"$tmp/index", k = 16, iters = 1)
+    val cents = ann.IvfIndex.load(s, s"$tmp/index")
+    ann.Ann.prototypesPerCell(emb, cents.toSeq.map(_.toSeq), 3)
+      .orderBy("cell", "rnk")
+  }
+
+  private val sampPrototypesSql =
+    s"""$ivfKmeansFitCtes,
+       |proto AS (
+       |  SELECT a.cell, sc.vec_id, round(sc.score, 6) AS cosine,
+       |    CAST(row_number() OVER (PARTITION BY a.cell
+       |      ORDER BY round(sc.score, 6) DESC, sc.vec_id ASC) AS BIGINT) AS rnk
+       |  FROM sc JOIN assigned a ON a.vec_id = sc.vec_id AND a.cell = sc.cell)
+       |SELECT cell, vec_id, cosine, rnk FROM proto WHERE rnk <= 3
+       |ORDER BY cell, rnk""".stripMargin
+
+  /** Language-ID confusion matrix: heuristic prediction
+    * ([[text.Text.langId]]) against the corpus's declared `lang` —
+    * the model-eval view of the langid signal (which declared
+    * languages the stopword heuristic mistakes for which). Counts are
+    * (declared, predicted)-keyed and map-side combinable; output is
+    * bounded by |langs|².
+    */
+  private def textLangidEval(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), text.Text.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_pred")
+
+  private val textLangidEvalSql =
+    s"""WITH c AS (SELECT lang, $paddedSql AS p FROM documents),
+       |p AS (
+       |  SELECT lang, CASE
+       |    $langidCaseSql
+       |    ELSE 'und' END AS lang_pred
+       |  FROM c)
+       |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Customer-cohort LTV matrix: customers are cohorted by their
+    * first-order quarter (window min over one custkey exchange — no
+    * aggregate-and-join-back second scan of the fact), every order
+    * lands in a (cohort, quarters-since-cohort) cell, and cumulative
+    * revenue per cohort is the LTV curve. The matrix is bounded by
+    * quarters² at any corpus size, so the cumulative window runs over
+    * a metadata-sized frame.
+    */
+  private def qOrdersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+    val qIdx = (c: Column) => year(c) * 4 + quarter(c)
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("price_c"))
+      .withColumn("first_dt", min("o_orderdate").over(w))
+    val cells = o.select(
+      year(col("first_dt")).cast("long").as("cohort_y"),
+      quarter(col("first_dt")).cast("long").as("cohort_q"),
+      (qIdx(col("o_orderdate")) - qIdx(col("first_dt"))).cast("long").as("age_q"),
+      col("price_c"))
+      .groupBy("cohort_y", "cohort_q", "age_q")
+      .agg(count(lit(1)).as("n_orders"), sum("price_c").as("revenue_c"))
+    val cw = Window.partitionBy("cohort_y", "cohort_q").orderBy("age_q")
+    cells.withColumn("cum_revenue_c", sum("revenue_c").over(cw))
+      .orderBy("cohort_y", "cohort_q", "age_q")
+  }
+
+  private val qOrdersCohortLtvSql =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderdate, ${centsSql("o_totalprice")} AS price_c,
+       |    MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_dt
+       |  FROM orders),
+       |g AS (
+       |  SELECT CAST(year(first_dt) AS BIGINT) AS cohort_y,
+       |    CAST(quarter(first_dt) AS BIGINT) AS cohort_q,
+       |    CAST((year(o_orderdate) * 4 + quarter(o_orderdate)) -
+       |         (year(first_dt) * 4 + quarter(first_dt)) AS BIGINT) AS age_q,
+       |    price_c
+       |  FROM o),
+       |a AS (
+       |  SELECT cohort_y, cohort_q, age_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |    CAST(SUM(price_c) AS BIGINT) AS revenue_c
+       |  FROM g GROUP BY 1, 2, 3)
+       |SELECT cohort_y, cohort_q, age_q, n_orders, revenue_c,
+       |  CAST(SUM(revenue_c) OVER (PARTITION BY cohort_y, cohort_q
+       |    ORDER BY age_q) AS BIGINT) AS cum_revenue_c
+       |FROM a ORDER BY 1, 2, 3""".stripMargin
+
+  /** Embedding-margin evaluation: per query vector, the best same-label
+    * cosine (nearest positive) vs the best different-label cosine
+    * (nearest impostor) and their margin — the metric-learning health
+    * check (a well-trained embedding has positive margins; a collapsed
+    * one doesn't). One corpus scan against the broadcast query set;
+    * both extremes come from ONE conditional-aggregation pass.
+    * Cosines are published as exact micro-unit integers so the margin
+    * subtraction is bit-stable cross-engine.
+    */
+  private def vecMarginEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.vec.Vec
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.where(col("vec_id").isInCollection(annQueryIds))
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        Vec.quantize(col("embedding")).as("qv"))
+    val scored = emb.select(col("vec_id"), col("label"), Vec.quantize(col("embedding")).as("cv"))
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel"), col("label"),
+        round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
+    scored.groupBy("query_id")
+      .agg(
+        max(when(col("label") === col("qlabel"), col("cosine"))).as("pos_c"),
+        max(when(col("label") =!= col("qlabel"), col("cosine"))).as("neg_c"))
+      .select(col("query_id"),
+        round(col("pos_c") * 1e6, 0).cast("long").as("pos_u6"),
+        round(col("neg_c") * 1e6, 0).cast("long").as("neg_u6"))
+      .withColumn("margin_u6", col("pos_u6") - col("neg_u6"))
+      .orderBy("query_id")
+  }
+
+  private val vecMarginEvalSql =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, label, q,
+      |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+      |  FROM e),
+      |s AS (
+      |  SELECT qs.vec_id AS query_id, qs.label AS qlabel, cs.label,
+      |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+      |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+      |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+      |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id
+      |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+      |a AS (
+      |  SELECT query_id,
+      |    MAX(CASE WHEN label = qlabel THEN cosine END) AS pos_c,
+      |    MAX(CASE WHEN label <> qlabel THEN cosine END) AS neg_c
+      |  FROM s GROUP BY 1)
+      |SELECT query_id,
+      |  CAST(round(pos_c * 1e6) AS BIGINT) AS pos_u6,
+      |  CAST(round(neg_c * 1e6) AS BIGINT) AS neg_u6,
+      |  CAST(round(pos_c * 1e6) AS BIGINT) - CAST(round(neg_c * 1e6) AS BIGINT) AS margin_u6
+      |FROM a ORDER BY query_id""".stripMargin
+
+  /** Per-supplier fulfilment lead time: exact interpolated median and
+    * p90 of integer ship-lag days (µs arithmetic, never a float date
+    * diff), plus the max — per-supplier SLA reporting. One fact-fact
+    * equi join on orderkey, then a supplier-keyed aggregate; the
+    * percentile runs inside the aggregate (no global sort).
+    */
+  private def qSupplierLeadTime(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(col("l_suppkey"), col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").as("s_suppkey"),
+        expr("(unix_micros(cast(l_shipdate as timestamp)) - " +
+          "unix_micros(cast(o_orderdate as timestamp))) div 86400000000").as("lag_days"))
+      .groupBy("s_suppkey")
+      .agg(count(lit(1)).as("n_items"),
+        percentile(col("lag_days"), lit(0.5)).as("p50_days"),
+        percentile(col("lag_days"), lit(0.9)).as("p90_days"),
+        max("lag_days").as("max_days"))
+      .orderBy("s_suppkey")
+
+  private val qSupplierLeadTimeSql =
+    """SELECT l_suppkey AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+      |  quantile_cont((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000, 0.5) AS p50_days,
+      |  quantile_cont((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000, 0.9) AS p90_days,
+      |  CAST(MAX((epoch_us(l_shipdate) - epoch_us(o_orderdate)) // 86400000000) AS BIGINT) AS max_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7290,6 +7484,11 @@ object SparkEntry {
     "vec_hard_negatives" -> (vecHardNegatives _),
     "text_hapax_ratio" -> (textHapaxRatio _),
     "text_vocab_growth" -> (textVocabGrowth _),
+    "samp_prototypes" -> (sampPrototypes _),
+    "text_langid_eval" -> (textLangidEval _),
+    "q_orders_cohort_ltv" -> (qOrdersCohortLtv _),
+    "vec_margin_eval" -> (vecMarginEval _),
+    "q_supplier_lead_time" -> (qSupplierLeadTime _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -7538,6 +7737,11 @@ object SparkEntry {
     "vec_hard_negatives" -> vecHardNegativesSql,
     "text_hapax_ratio" -> textHapaxRatioSql,
     "text_vocab_growth" -> textVocabGrowthSql,
+    "samp_prototypes" -> sampPrototypesSql,
+    "text_langid_eval" -> textLangidEvalSql,
+    "q_orders_cohort_ltv" -> qOrdersCohortLtvSql,
+    "vec_margin_eval" -> vecMarginEvalSql,
+    "q_supplier_lead_time" -> qSupplierLeadTimeSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

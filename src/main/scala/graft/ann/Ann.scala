@@ -112,6 +112,29 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Per-cell prototype selection — the data-pruning representative
+    * pick (SSL-prototypes / SemDedup-centroid construction): every
+    * vector is assigned to its best cell and scored against THAT
+    * centroid; the k most-central exemplars per cell survive.
+    * Assignment and scoring are map-side expressions over broadcast
+    * centroid literals (the corpus never shuffles to score); the only
+    * exchange is the (cell)-keyed top-k reduction, bounded at
+    * cells × k × partitions rows by TopKPerKey's partial heaps.
+    * Scores are rounded to 6 decimals BEFORE ranking (the same
+    * determinism contract as [[rank]]); ties break on vec_id.
+    */
+  def prototypesPerCell(embeddings: DataFrame, centroids: Seq[Seq[Double]], k: Int): DataFrame = {
+    val scored = embeddings.select(
+      col("vec_id"),
+      Cells.bestCell(col("embedding"), centroids).as("cell"),
+      round(array_max(Cells.cellScores(col("embedding"), centroids)), 6).as("cosine"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("cell"), Seq("cosine" -> true, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("cell")).orderBy(col("cosine").desc, col("vec_id").asc)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("cell"), col("vec_id"), col("cosine"), col("rnk"))
+  }
+
   /** IVF (inverted-file) top-k: corpus is partitioned into cells around
     * centroid vectors; queries probe only the `nProbe` nearest cells.
     *

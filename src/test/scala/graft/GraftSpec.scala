@@ -1008,9 +1008,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_events_kmv_distinct", "q_drift_psi", "ann_recall_eval", "q_kmv_overlap",
       "ann_lsh_recall", // same inherited brute-force truth leg as ann_recall_eval
       "q_ref_integrity", // 1x1 crossJoins of per-edge count aggregates
-      "vec_hard_negatives") // brute-force scoring leg with the label
+      "vec_hard_negatives", // brute-force scoring leg with the label
                             // inequality as residual: same |queryIds|-row
                             // broadcast contract as ann_bruteforce_topk
+      "vec_margin_eval") // same |queryIds|-row broadcast scoring leg
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -3987,6 +3988,77 @@ class Wave3Spec extends AnyFunSuite {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b.getLong(1) > a.getLong(1) && b.getLong(2) >= a.getLong(2))
       case _ => ()
+    }
+  }
+}
+
+class Wave4Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("prototypes: <=3 per cell, contiguous ranks, central-first") {
+    val rows = SparkEntry.queries("samp_prototypes")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCell = rows.groupBy(_.getLong(0))
+    byCell.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+      val cos = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // prototypes are distinct vectors
+    assert(rows.map(_.getLong(1)).distinct.length === rows.length)
+  }
+
+  test("langid confusion matrix aggregates the per-doc predictions") {
+    val m = SparkEntry.queries("text_langid_eval")(spark, dir)
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("lang"), text.Text.langId(col("text")).as("lang_pred"))
+      .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    assert(m.collect().map(_.toSeq).toSet === perDoc.collect().map(_.toSeq).toSet)
+    assert(m.agg(sum("n")).head().getLong(0) ===
+      Tables.documents(spark, dir).count())
+  }
+
+  test("cohort LTV conserves order count and revenue; curves are cumulative") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_orders_cohort_ltv")(spark, dir)
+    val rows = out.collect()
+    val orders = Tables.orders(spark, dir)
+    assert(rows.map(_.getLong(3)).sum === orders.count())
+    assert(rows.map(_.getLong(4)).sum ===
+      orders.agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))).head().getLong(0))
+    assert(rows.forall(_.getLong(2) >= 0L)) // age never negative
+    // every cohort has its own age-0 cell and cum matches the running sum
+    rows.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, rs) =>
+      val s = rs.sortBy(_.getLong(2))
+      assert(s.head.getLong(2) === 0L)
+      assert(s.map(_.getLong(4)).scanLeft(0L)(_ + _).tail.toSeq ==
+        s.map(_.getLong(5)).toSeq)
+    }
+  }
+
+  test("margin eval's impostor side equals the top hard negative") {
+    val m = SparkEntry.queries("vec_margin_eval")(spark, dir)
+      .select("query_id", "neg_u6", "pos_u6", "margin_u6").collect()
+    assert(m.length === 5)
+    val hn1 = SparkEntry.queries("vec_hard_negatives")(spark, dir)
+      .where(col("rnk") === 1)
+      .select(col("query_id"), round(col("cosine") * 1e6, 0).cast("long").as("u6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m.foreach { r =>
+      assert(r.getLong(1) === hn1(r.getLong(0)))
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1))
+      assert(math.abs(r.getLong(2)) <= 1000000L && math.abs(r.getLong(1)) <= 1000000L)
+    }
+  }
+
+  test("supplier lead time: item mass conserved, quantile ordering holds") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q_supplier_lead_time")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.lineitem(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) && r.getDouble(3) <= r.getLong(4).toDouble)
     }
   }
 }
