@@ -64,7 +64,11 @@ object ScaleStress {
     val ops = Seq(
       "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
       "dedup_ngram_reps", "dedup_setsim_prefix", "text_line_dedup",
-      "pipe_domain_cap", "dedup_incremental")
+      "pipe_domain_cap", "dedup_incremental",
+      // R8 wave 3-5: (source,word)/word/gram-keyed profiles — the viral
+      // segment concentrates one 40-word window's grams, the viral
+      // domain concentrates src0's type table; both must stay combinable
+      "text_hapax_ratio", "text_vocab_growth", "text_ngram_novelty")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -190,8 +194,19 @@ object ScaleStress {
     }
     println(f"[stress] ann_pq probe ratio at ${mult}x vectors: ${annTimes(1)._3 / annTimes(0)._3}%.2f")
 
+    // ---- R8 wave 4: embedding-keyed eval/pruning ops at mult× vectors ----
+    // all three are one-corpus-scan designs (queries broadcast, k-means
+    // assignment map-side) — expected ~linear, never a corpus shuffle
+    val embOps = Seq("samp_prototypes", "vec_hard_negatives", "vec_margin_eval")
+    val embResults = embOps.map { op =>
+      val (tb, rb) = time(op, baseDir)
+      val (tg, rg) = time(op, scratch)
+      println(f"[stress] $op%-22s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
+      (op, tb, tg, rb, rg)
+    }
+
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
-    (results ++ evResults).foreach { case (op, tb, tg, _, _) =>
+    (results ++ evResults ++ embResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")
     }
     println("[stress] all skew-guard assertions passed")

@@ -1939,6 +1939,19 @@ object SparkEntry {
   private val wordsListSql =
     s"CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($canonSql, ' ') END"
 
+  /** DuckDB word k-gram occurrence list over a words column `w`
+    * (multiset): mirrors Text.shinglesOfWords — short docs yield one
+    * whole-text gram, empty canon none. Shared by the repetition and
+    * novelty oracles.
+    */
+  private def wordGramsSql(k: Int): String = {
+    val cat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
+    s"""CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
+       |     WHEN len(w) <= $k THEN [array_to_string(w, ' ')]
+       |     ELSE list_transform(generate_series(1, len(w) - ${k - 1}),
+       |            i -> $cat) END""".stripMargin.replaceAll("\n", " ")
+  }
+
   private def textChunkWindows(s: SparkSession, dir: String): DataFrame =
     text.Chunking.chunkByWords(Tables.documents(s, dir), 40)
       .orderBy("doc_id", "chunk_idx")
@@ -2099,15 +2112,7 @@ object SparkEntry {
     text.Repetition.metrics(Tables.documents(s, dir)).orderBy("doc_id")
 
   private val textRepetitionSql = {
-    // Word k-gram occurrence list (multiset): mirrors Text.shinglesOfWords
-    // (short docs -> one whole-text gram; empty canon -> none).
-    def gramsSql(k: Int): String = {
-      val cat = (0 until k).map(j => s"w[i+$j]").mkString(" || ' ' || ")
-      s"""CASE WHEN len(w) = 0 THEN CAST([] AS VARCHAR[])
-         |     WHEN len(w) <= $k THEN [array_to_string(w, ' ')]
-         |     ELSE list_transform(generate_series(1, len(w) - ${k - 1}),
-         |            i -> $cat) END""".stripMargin.replaceAll("\n", " ")
-    }
+    def gramsSql(k: Int): String = wordGramsSql(k)
     s"""WITH d AS (
        |  SELECT doc_id, $wordsListSql AS w,
        |    CAST(length($canonSql) AS BIGINT) AS n_chars_canon
@@ -7367,6 +7372,126 @@ object SparkEntry {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Windowed audio features through the REAL JDK WAV codec
+    * ([[mm.Audio.features]]): integer energy Σ(s−128)² and
+    * zero-crossing count per 256-sample window — the
+    * speech/music/noise gate pair. The oracle predicts both from the
+    * sample formula; the engine path decodes actual WAV bytes.
+    */
+  private def mmAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    mm.Audio.features(s, mm.Audio.audioFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id", "win")
+
+  private val mmAudioFeaturesSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    1000 + (doc_id % 5) * 256 + (doc_id % 7) * 3 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, i, i // 256 AS win,
+      |    (doc_id * 31 + i * 17) % 256 AS cur,
+      |    (doc_id * 31 + (i - 1) * 17) % 256 AS prev
+      |  FROM s)
+      |SELECT doc_id, CAST(win AS INT) AS win,
+      |  CAST(COUNT(*) AS INT) AS n_samples,
+      |  CAST(SUM((cur - 128) * (cur - 128)) AS BIGINT) AS energy,
+      |  CAST(SUM(CASE WHEN i % 256 <> 0 AND (prev < 128) <> (cur < 128)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+      |FROM v GROUP BY doc_id, win
+      |ORDER BY doc_id, win""".stripMargin
+
+  /** Per-document n-gram novelty: the share of a doc's distinct word
+    * 5-grams whose corpus-wide FIRST occurrence (min doc_id) is this
+    * doc — the "how much of this document is new text" curation signal
+    * (near-1 novelty = fresh content; near-0 = assembled from seen
+    * text). First-occurrence via window-min over ONE gram-keyed
+    * exchange of the distinct (doc, gram) pairs — no per-doc rescan,
+    * no join-back; per-doc aggregation map-side combines.
+    */
+  private def textNgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        explode(text.Text.shingles(col("text"), 5)).as("g"))
+      .distinct()
+    val w = Window.partitionBy("g")
+    pairs.withColumn("first_doc", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        expr("n_novel * 1000 div n_grams").as("novelty_pml"))
+      .orderBy("doc_id")
+  }
+
+  private val textNgramNoveltySql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |p AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, UNNEST(${wordGramsSql(5)}) AS g FROM d)),
+       |f AS (
+       |  SELECT doc_id, g,
+       |    MIN(doc_id) OVER (PARTITION BY g) AS first_doc
+       |  FROM p),
+       |a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |    CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |  FROM f GROUP BY 1)
+       |SELECT doc_id, n_grams, n_novel,
+       |  CAST(n_novel * 1000 // n_grams AS BIGINT) AS novelty_pml
+       |FROM a ORDER BY doc_id""".stripMargin
+
+  /** Customer revenue-band migration: each customer's annual revenue
+    * falls in a fixed cent-threshold band; consecutive-year band
+    * transitions aggregate to the Markov migration matrix (the
+    * upgrade/churn-risk dashboard). Fixed thresholds — never
+    * data-dependent quantiles — keep band identity stable across
+    * engines and corpus slices. One custkey-year aggregation, one lag
+    * window over the per-customer year sequence (same custkey
+    * exchange), then a bounded bands² count matrix.
+    */
+  private def qCustomerMigration(s: SparkSession, dir: String): DataFrame = {
+    val annual = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      .withColumn("band",
+        when(col("rev_c") < 25000000L, 0L)
+          .when(col("rev_c") < 50000000L, 1L)
+          .when(col("rev_c") < 75000000L, 2L)
+          .otherwise(3L))
+    val w = Window.partitionBy("o_custkey").orderBy("yr")
+    annual
+      .withColumn("prev_band", lag("band", 1).over(w))
+      .withColumn("prev_yr", lag("yr", 1).over(w))
+      .where(col("prev_yr") === col("yr") - 1L)
+      .groupBy(col("prev_band").as("band_from"), col("band").as("band_to"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("band_from", "band_to")
+  }
+
+  private val qCustomerMigrationSql =
+    s"""WITH a AS (
+       |  SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+       |  FROM orders GROUP BY 1, 2),
+       |b AS (
+       |  SELECT o_custkey, yr,
+       |    CAST(CASE WHEN rev_c < 25000000 THEN 0
+       |         WHEN rev_c < 50000000 THEN 1
+       |         WHEN rev_c < 75000000 THEN 2
+       |         ELSE 3 END AS BIGINT) AS band
+       |  FROM a),
+       |t AS (
+       |  SELECT o_custkey, yr, band,
+       |    lag(band) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_band,
+       |    lag(yr) OVER (PARTITION BY o_custkey ORDER BY yr) AS prev_yr
+       |  FROM b)
+       |SELECT prev_band AS band_from, band AS band_to,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers
+       |FROM t WHERE prev_yr = yr - 1
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7489,6 +7614,9 @@ object SparkEntry {
     "q_orders_cohort_ltv" -> (qOrdersCohortLtv _),
     "vec_margin_eval" -> (vecMarginEval _),
     "q_supplier_lead_time" -> (qSupplierLeadTime _),
+    "mm_audio_features" -> (mmAudioFeatures _),
+    "text_ngram_novelty" -> (textNgramNovelty _),
+    "q_customer_migration" -> (qCustomerMigration _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -7742,6 +7870,9 @@ object SparkEntry {
     "q_orders_cohort_ltv" -> qOrdersCohortLtvSql,
     "vec_margin_eval" -> vecMarginEvalSql,
     "q_supplier_lead_time" -> qSupplierLeadTimeSql,
+    "mm_audio_features" -> mmAudioFeaturesSql,
+    "text_ngram_novelty" -> textNgramNoveltySql,
+    "q_customer_migration" -> qCustomerMigrationSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -82,6 +82,42 @@ object Audio {
       })
   }
 
+  case class FeatureRow(doc_id: Long, win: Int, n_samples: Int, energy: Long, zero_cross: Long)
+
+  /** Windowed spectral-proxy features: per `win`-sample window, the
+    * integer energy Σ(sample−128)² and the zero-crossing count (sign
+    * flips around the 128 midline, counted over within-window neighbor
+    * pairs only — the speech/music/noise discriminator pair classical
+    * audio pipelines gate on). Sign classes are `<128` vs `≥128`, so a
+    * sample ON the midline is deterministic, never a float epsilon
+    * call. Same posture as [[envelope]]: one real WAV decode per row,
+    * all accumulation in-partition, integer outputs the oracle
+    * reproduces from the sample formula with no codec knowledge.
+    */
+  def features(spark: SparkSession, audio: Dataset[AudioRow], win: Int = Window): Dataset[FeatureRow] = {
+    import spark.implicits._
+    audio.mapPartitions(_.flatMap { row =>
+      val (fmt, pcm) = decodeWav(row.media)
+      require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+        s"expected 8-bit mono PCM, got $fmt")
+      (0 until (pcm.length + win - 1) / win).map { w =>
+        val from = w * win
+        val to = math.min(from + win, pcm.length)
+        var energy = 0L
+        var zc = 0L
+        var i = from
+        while (i < to) {
+          val d = (pcm(i) & 0xff) - 128
+          energy += d.toLong * d.toLong
+          if (i > from &&
+              ((pcm(i - 1) & 0xff) < 128) != ((pcm(i) & 0xff) < 128)) zc += 1L
+          i += 1
+        }
+        FeatureRow(row.doc_id, w, to - from, energy, zc)
+      }
+    })
+  }
+
   /** Windowed amplitude envelope: Σ|sample − 128| per `win`-sample
     * window over the decoded PCM — the VAD/silence-trim/loudness
     * primitive. One real WAV decode per row, envelope accumulation

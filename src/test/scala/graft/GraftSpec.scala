@@ -4062,3 +4062,54 @@ class Wave4Spec extends AnyFunSuite {
     }
   }
 }
+
+class Wave5Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("audio features align with the envelope windows; integer invariants") {
+    val feat = SparkEntry.queries("mm_audio_features")(spark, dir)
+      .select(col("doc_id"), col("win"), col("n_samples").as("ns_f"),
+        col("energy"), col("zero_cross"))
+    val env = SparkEntry.queries("mm_audio_envelope")(spark, dir)
+      .select(col("doc_id"), col("win"), col("n_samples").as("ns_e"),
+        col("abs_sum"))
+    val j = feat.join(env, Seq("doc_id", "win"), "full_outer")
+    // identical window partitioning out of both decode passes
+    assert(j.where(col("ns_f") =!= col("ns_e") ||
+      col("ns_f").isNull || col("ns_e").isNull).count() === 0L)
+    // d integer => d^2 >= |d|, so energy dominates the envelope sum;
+    // crossings are bounded by within-window neighbor pairs
+    val bad = j.where(col("energy") < col("abs_sum") ||
+      col("zero_cross") > col("ns_f") - 1 || col("energy") < 0)
+    assert(bad.count() === 0L)
+  }
+
+  test("ngram novelty: first doc fully novel, novel mass = distinct grams") {
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the lowest doc_id with any grams owns all its grams
+    assert(rows.minBy(_.getLong(0)).getLong(3) === 1000L)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // every distinct gram is novel in exactly one doc
+    val distinctGrams = Tables.documents(spark, dir)
+      .select(explode(text.Text.shingles(col("text"), 5)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === distinctGrams)
+  }
+
+  test("migration matrix counts every consecutive-year customer pair once") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_customer_migration")(spark, dir)
+    val annual = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(count(lit(1)).as("n"))
+    val pairs = annual.as("a").join(annual.as("b"),
+      col("a.o_custkey") === col("b.o_custkey") &&
+        col("a.yr") === col("b.yr") - 1).count()
+    assert(out.agg(sum("n_customers")).head().getLong(0) === pairs)
+    val bands = out.select("band_from", "band_to").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bands.forall { case (f, t) => f >= 0 && f <= 3 && t >= 0 && t <= 3 })
+  }
+}
