@@ -7492,6 +7492,83 @@ object SparkEntry {
        |FROM t WHERE prev_yr = yr - 1
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Tokenizer fertility report per language: whitespace words vs
+    * BPE-ish regex tokens vs raw chars, with integer-permille
+    * fertility (BPE tokens per word) and compression (chars per BPE
+    * token) — the eval a tokenizer choice is judged on per language
+    * (high fertility on a language = that language pays more sequence
+    * positions per word). One map-side token-counting pass, one
+    * lang-keyed combinable aggregate.
+    */
+  private def pipeTokenizerFertility(s: SparkSession, dir: String): DataFrame = {
+    import text.Text._
+    Tables.documents(s, dir)
+      .select(col("lang"), wordCount(col("text")).as("ws"),
+        bpeTokenCount(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("ws").as("ws_tokens"),
+        sum("bpe").as("bpe_tokens"), sum("chars").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        expr("bpe_tokens * 1000 div ws_tokens").as("fertility_pml"),
+        expr("n_chars * 1000 div bpe_tokens").as("chars_per_bpe_pml"))
+      .orderBy("lang")
+  }
+
+  private val pipeTokenizerFertilitySql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH d AS (
+       |  SELECT lang, CAST($wcSql AS BIGINT) AS ws,
+       |    CAST(len(regexp_extract_all(text, '${text.Text.bpeTokenPattern}')) AS BIGINT) AS bpe,
+       |    CAST(length(text) AS BIGINT) AS chars
+       |  FROM documents),
+       |a AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       |    CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       |    CAST(SUM(chars) AS BIGINT) AS n_chars
+       |  FROM d GROUP BY 1)
+       |SELECT lang, n_docs, ws_tokens, bpe_tokens,
+       |  CAST(bpe_tokens * 1000 // ws_tokens AS BIGINT) AS fertility_pml,
+       |  CAST(n_chars * 1000 // bpe_tokens AS BIGINT) AS chars_per_bpe_pml
+       |FROM a ORDER BY lang""".stripMargin
+  }
+
+  /** Embedding-norm audit — the ingest sanity gate for vector columns:
+    * integer squared norms (quantized, exact), global median and MAD
+    * as bounded 1-row stats (exact halves/quarters — interpolated
+    * percentiles of integers are binary-exact doubles), and per-label
+    * counts of |n² − median| > 5·MAD outliers (zeroed, truncated, or
+    * blown-up vectors land here long before they poison training).
+    */
+  private def vecNormAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.vec.Vec
+    val norms = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        aggregate(Vec.quantize(col("embedding")), lit(0L), (a, x) => a + x * x).as("n2"))
+    // bounded 1-row stats collects (index-metadata contract)
+    val med = norms.agg(percentile(col("n2"), lit(0.5))).head().getDouble(0)
+    val mad = norms.agg(percentile(abs(col("n2") - med), lit(0.5))).head().getDouble(0)
+    norms.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), min("n2").as("min_n2"), max("n2").as("max_n2"),
+        sum(when(abs(col("n2") - med) > mad * 5.0, 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("label")
+  }
+
+  private val vecNormAuditSql =
+    """WITH n AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT) * CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS n2
+      |  FROM embeddings),
+      |m AS (SELECT quantile_cont(n2, 0.5) AS med FROM n),
+      |d AS (SELECT quantile_cont(abs(n.n2 - m.med), 0.5) AS mad FROM n, m)
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(MIN(n2) AS BIGINT) AS min_n2, CAST(MAX(n2) AS BIGINT) AS max_n2,
+      |  CAST(SUM(CASE WHEN abs(n.n2 - m.med) > d.mad * 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM n, m, d GROUP BY label ORDER BY label""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7617,6 +7694,8 @@ object SparkEntry {
     "mm_audio_features" -> (mmAudioFeatures _),
     "text_ngram_novelty" -> (textNgramNovelty _),
     "q_customer_migration" -> (qCustomerMigration _),
+    "pipe_tokenizer_fertility" -> (pipeTokenizerFertility _),
+    "vec_norm_audit" -> (vecNormAudit _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -7873,6 +7952,8 @@ object SparkEntry {
     "mm_audio_features" -> mmAudioFeaturesSql,
     "text_ngram_novelty" -> textNgramNoveltySql,
     "q_customer_migration" -> qCustomerMigrationSql,
+    "pipe_tokenizer_fertility" -> pipeTokenizerFertilitySql,
+    "vec_norm_audit" -> vecNormAuditSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

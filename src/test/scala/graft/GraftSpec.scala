@@ -4113,3 +4113,28 @@ class Wave5Spec extends AnyFunSuite {
     assert(bands.forall { case (f, t) => f >= 0 && f <= 3 && t >= 0 && t <= 3 })
   }
 }
+
+class Wave6Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("fertility report aggregates the per-doc token counts exactly") {
+    val rep = SparkEntry.queries("pipe_tokenizer_fertility")(spark, dir).collect()
+    assert(rep.nonEmpty)
+    val perDoc = SparkEntry.queries("text_tokens")(spark, dir)
+      .agg(sum("ws_tokens"), sum("bpe_tokens")).head()
+    assert(rep.map(_.getLong(2)).sum === perDoc.getLong(0))
+    assert(rep.map(_.getLong(3)).sum === perDoc.getLong(1))
+    // a BPE-ish token never spans a whitespace word: fertility >= 1
+    rep.foreach(r => assert(r.getLong(4) >= 1000L))
+  }
+
+  test("norm audit covers every vector; outliers respect the MAD gate") {
+    val rows = SparkEntry.queries("vec_norm_audit")(spark, dir).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, dir).count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))       // min <= max
+      assert(r.getLong(4) <= r.getLong(1))       // outliers <= members
+    }
+  }
+}
