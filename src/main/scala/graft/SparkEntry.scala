@@ -7569,6 +7569,69 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN abs(n.n2 - m.med) > d.mad * 5.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
       |FROM n, m, d GROUP BY label ORDER BY label""".stripMargin
 
+  /** Video scene-cut detection ([[mm.Multimodal.sceneCuts]]): every
+    * frame really decoded, per-frame mean gray in integer milli-gray units,
+    * cuts where the consecutive-frame delta exceeds 8000 milli-gray
+    * (8 gray levels). The oracle
+    * replays frame means from the pixel formula and lags them in SQL.
+    */
+  private def mmSceneCuts(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.sceneCuts(s, mm.Multimodal.videoFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id")
+
+  private val mmSceneCutsSql =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+      |s AS (
+      |  SELECT doc_id, gi.i AS src FROM d, generate_series(0, 3) AS gi(i)
+      |  WHERE gi.i < k),
+      |f AS (
+      |  SELECT doc_id, src,
+      |    6 + (doc_id + src) % 6 AS fw, 6 + (doc_id + 2 * src) % 6 AS fh FROM s),
+      |p AS (
+      |  SELECT f.doc_id, f.src, f.fw, f.fh,
+      |    (f.doc_id * 31 + f.src * 97 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM f, generate_series(0, 10) AS gx(x), generate_series(0, 10) AS gy(y)
+      |  WHERE gx.x < f.fw AND gy.y < f.fh),
+      |m AS (
+      |  SELECT doc_id, src, CAST(SUM(v) * 1000 // (fw * fh) AS BIGINT) AS mean_m
+      |  FROM p GROUP BY doc_id, src, fw, fh),
+      |dl AS (
+      |  SELECT doc_id,
+      |    abs(mean_m - lag(mean_m) OVER (PARTITION BY doc_id ORDER BY src)) AS delta
+      |  FROM m)
+      |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_frames,
+      |  CAST(SUM(CASE WHEN delta > 8000 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(MAX(delta) AS BIGINT) AS max_delta_m
+      |FROM dl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Partition-retention sweep — the TTL/compliance delete: facts laid
+    * out partitioned by year, expired partitions dropped as WHOLE
+    * DIRECTORIES (no row rewrite, no tombstone scan: at 100 TB
+    * retention must be a file/metadata operation, never a data pass),
+    * then the table re-read with NO logical filter to prove the rows
+    * are physically gone. The oracle replays the cutoff as a WHERE.
+    */
+  private def snkRetentionSweep(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("ttl")
+    val orders = Tables.orders(s, dir).withColumn("yr", year(col("o_orderdate")))
+    sinks.Refresh.overwrite(orders, s"$tmp/orders", partitionBy = Seq("yr"))
+    new java.io.File(s"$tmp/orders").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("yr=") &&
+        f.getName.stripPrefix("yr=").toInt < 1998)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    s.read.parquet(s"$tmp/orders")
+      .groupBy(col("yr").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_orders"), sum(cents(col("o_totalprice"))).as("value_c"))
+      .orderBy("yr")
+  }
+
+  private val snkRetentionSweepSql =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+       |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS value_c
+       |FROM orders WHERE year(o_orderdate) >= 1998
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7696,6 +7759,8 @@ object SparkEntry {
     "q_customer_migration" -> (qCustomerMigration _),
     "pipe_tokenizer_fertility" -> (pipeTokenizerFertility _),
     "vec_norm_audit" -> (vecNormAudit _),
+    "mm_scene_cuts" -> (mmSceneCuts _),
+    "snk_retention_sweep" -> (snkRetentionSweep _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -7954,6 +8019,8 @@ object SparkEntry {
     "q_customer_migration" -> qCustomerMigrationSql,
     "pipe_tokenizer_fertility" -> pipeTokenizerFertilitySql,
     "vec_norm_audit" -> vecNormAuditSql,
+    "mm_scene_cuts" -> mmSceneCutsSql,
+    "snk_retention_sweep" -> snkRetentionSweepSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

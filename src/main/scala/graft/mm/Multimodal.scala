@@ -234,6 +234,38 @@ object Multimodal {
     })
   }
 
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Long, max_delta_m: Long)
+
+  /** Scene-cut detection: EVERY frame of each video is decoded (real
+    * ImageIO), reduced to its mean gray level in integer
+    * MILLI-GRAY units (`px_sum·1000 / npx` ∈ [0, 255000], truncating
+    * long division — the DuckDB `//` twin), and a cut is declared
+    * wherever the consecutive-frame mean jumps by more than
+    * `thresholdM` milli-gray (default 8000 = 8 gray levels). The
+    * key-frame/shot-boundary primitive of video curation pipelines.
+    * Per-doc work is frame-local (no shuffle); output one row per doc.
+    */
+  def sceneCuts(spark: SparkSession, media: Dataset[MediaRow], thresholdM: Long = 8000L): Dataset[SceneCuts] = {
+    import spark.implicits._
+    media.mapPartitions(_.map { m =>
+      val frames = decodeVideo(m.media)
+      val means = frames.map { fb =>
+        val img = decodeImage(fb)
+        pixelSum(img) * 1000L / (img.getWidth.toLong * img.getHeight)
+      }
+      var cuts = 0L
+      var maxD = 0L
+      var i = 1
+      while (i < means.length) {
+        val d = math.abs(means(i) - means(i - 1))
+        if (d > thresholdM) cuts += 1L
+        if (d > maxD) maxD = d
+        i += 1
+      }
+      SceneCuts(m.doc_id, means.length, cuts, maxD)
+    })
+  }
+
   /** Batched feature extraction: decode once, per-channel means —
     * the model-featurizer seam (swap the body for an embedding model).
     */

@@ -4138,3 +4138,35 @@ class Wave6Spec extends AnyFunSuite {
     }
   }
 }
+
+class Wave7Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("scene cuts agree with the declared frame counts; deltas bounded") {
+    val rows = SparkEntry.queries("mm_scene_cuts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nf, cuts, maxD) = (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))
+      assert(nf === 2 + (id % 3).toInt)      // formula frame count survived the codec
+      assert(cuts <= nf - 1)                  // at most one cut per frame pair
+      assert(maxD >= 0 && maxD <= 255000)     // milli-gray mean delta bounds
+      if (cuts > 0) assert(maxD > 8000)       // a cut implies a supra-threshold delta
+    }
+  }
+
+  test("retention sweep physically removes expired partitions") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("snk_retention_sweep")(spark, dir).collect()
+    assert(out.nonEmpty)
+    // nothing before the cutoff survives a full unfiltered re-read
+    assert(out.forall(_.getLong(0) >= 1998L))
+    // surviving years carry exactly the source's counts
+    val expect = Tables.orders(spark, dir)
+      .where(year(col("o_orderdate")) >= 1998)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expect)
+  }
+}
