@@ -7632,6 +7632,88 @@ object SparkEntry {
        |FROM orders WHERE year(o_orderdate) >= 1998
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Bot/automation detector on inter-event regularity: real users'
+    * gaps spread widely around their mean, schedulers' don't. Per
+    * user: consecutive-event gaps (µs, lag over ONE user-keyed
+    * exchange with (ts_ns, event_id) total order), the integer mean
+    * gap, and the permille of gaps within ±10% of that mean — the
+    * regularity score. FULLY integer arithmetic end-to-end (the
+    * classic MAD formulation needs interpolated medians of derived
+    * values; the near-mean-share gives the same signal without a
+    * single float). Top-20 most-regular eligible users (≥ 10 gaps).
+    */
+  private def qEventsBotScore(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+    val wo = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val gaps = ev.withColumn("gap", col("us") - lag("us", 1).over(wo))
+      .where(col("gap").isNotNull)
+    val wu = Window.partitionBy("user_id")
+    gaps
+      .withColumn("mean_gap", (sum("gap").over(wu) / count(lit(1)).over(wu)).cast("long"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        first("mean_gap").as("mean_gap_us"),
+        sum(when(abs(col("gap") - col("mean_gap")) * 10 <= col("mean_gap"), 1L)
+          .otherwise(0L)).as("near"))
+      .where(col("n_gaps") >= 10)
+      .select(col("user_id"), col("n_gaps"), col("mean_gap_us"),
+        expr("near * 1000 div n_gaps").as("regularity_pml"))
+      .orderBy(desc("regularity_pml"), col("user_id"))
+      .limit(20)
+  }
+
+  private val qEventsBotScoreSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap
+      |  FROM e),
+      |g2 AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+      |m AS (
+      |  SELECT user_id, gap,
+      |    CAST(SUM(gap) OVER (PARTITION BY user_id) //
+      |         COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS mean_gap
+      |  FROM g2),
+      |a AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |    CAST(MIN(mean_gap) AS BIGINT) AS mean_gap_us,
+      |    CAST(SUM(CASE WHEN abs(gap - mean_gap) * 10 <= mean_gap
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS near
+      |  FROM m GROUP BY 1)
+      |SELECT user_id, n_gaps, mean_gap_us,
+      |  CAST(near * 1000 // n_gaps AS BIGINT) AS regularity_pml
+      |FROM a WHERE n_gaps >= 10
+      |ORDER BY regularity_pml DESC, user_id LIMIT 20""".stripMargin
+
+  /** Schema-evolution merged read: two parquet generations of the same
+    * table — the old one WITHOUT a column that the new one carries —
+    * unified by mergeSchema into one frame where the missing column is
+    * NULL for old-generation rows. The additive-column migration every
+    * long-lived lakehouse table goes through; generation rides a
+    * partition directory so the physical layout is the real thing.
+    */
+  private def srcSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("evo")
+    val n = Tables.nation(s, dir)
+    n.select("n_nationkey", "n_name").write.parquet(s"$tmp/t/gen=1")
+    n.select("n_nationkey", "n_name", "n_regionkey").write.parquet(s"$tmp/t/gen=2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+      .select(col("gen").cast("long").as("gen"),
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      .orderBy("gen", "n_nationkey")
+  }
+
+  private val srcSchemaEvolutionSql =
+    """SELECT CAST(1 AS BIGINT) AS gen, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  n_name, CAST(NULL AS BIGINT) AS n_regionkey FROM nation
+      |UNION ALL
+      |SELECT 2, CAST(n_nationkey AS BIGINT), n_name, CAST(n_regionkey AS BIGINT)
+      |FROM nation
+      |ORDER BY gen, n_nationkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7761,6 +7843,8 @@ object SparkEntry {
     "vec_norm_audit" -> (vecNormAudit _),
     "mm_scene_cuts" -> (mmSceneCuts _),
     "snk_retention_sweep" -> (snkRetentionSweep _),
+    "q_events_bot_score" -> (qEventsBotScore _),
+    "src_schema_evolution" -> (srcSchemaEvolution _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8021,6 +8105,8 @@ object SparkEntry {
     "vec_norm_audit" -> vecNormAuditSql,
     "mm_scene_cuts" -> mmSceneCutsSql,
     "snk_retention_sweep" -> snkRetentionSweepSql,
+    "q_events_bot_score" -> qEventsBotScoreSql,
+    "src_schema_evolution" -> srcSchemaEvolutionSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

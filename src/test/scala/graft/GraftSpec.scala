@@ -4170,3 +4170,40 @@ class Wave7Spec extends AnyFunSuite {
     assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expect)
   }
 }
+
+class Wave8Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("bot score: a planted metronome user outranks organic traffic") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("bot")
+    // organic: pseudo-random gaps; metronome: exact 1s cadence
+    val organic = (1 to 40).map { i =>
+      (100L + i, 9000L, (1 to 30).scanLeft(0L)((t, j) => t + 500000L + ((i * 7919L + j * 104729L) % 1500000L)))
+    }.flatMap { case (u, _, ts) => ts.map(t => (u, t)) }
+    val bot = (1 to 30).map(j => (7L, j * 1000000L))
+    val ev = (organic ++ bot).zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, t * 1000L) }
+      .toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // reuse the documents/embeddings-free key directly against the scratch dir
+    val out = SparkEntry.queries("q_events_bot_score")(spark, tmp).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getLong(0) === 7L)               // metronome ranks first
+    assert(out.head.getLong(3) === 1000L)            // perfectly regular
+    // organic users never reach perfect regularity
+    assert(out.filter(_.getLong(0) != 7L).forall(_.getLong(3) < 1000L))
+  }
+
+  test("schema evolution: old generation surfaces NULL for the new column") {
+    val out = SparkEntry.queries("src_schema_evolution")(spark, dir)
+    val n = Tables.nation(spark, dir).count()
+    assert(out.count() === 2 * n)
+    assert(out.where(col("gen") === 1 && col("n_regionkey").isNotNull).count() === 0L)
+    assert(out.where(col("gen") === 2 && col("n_regionkey").isNull).count() === 0L)
+  }
+}
