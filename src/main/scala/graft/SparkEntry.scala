@@ -7714,6 +7714,97 @@ object SparkEntry {
       |FROM nation
       |ORDER BY gen, n_nationkey""".stripMargin
 
+  /** Peak concurrency per day by sweep line: every event opens a
+    * 5-minute activity window [t, t+300s); +1/−1 boundary deltas are
+    * aggregated per distinct instant (so same-instant boundary order
+    * can never matter — the closed-open overlap rule falls out of the
+    * net sum), then one prefix-sum per day gives the concurrency
+    * curve, whose max and first-peak instant are the capacity-planning
+    * row. Day-partitioned windows keep the sort partition-bounded
+    * (never a global order); windows opened before midnight are
+    * counted in their opening day — the documented clip both engines
+    * replay identically.
+    */
+  private def qEventsPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val spanUs = 300L * 1000000L
+    val ev = Tables.events(s, dir).select(expr("ts_ns div 1000").as("us"))
+    val deltas = ev.select(col("us"), lit(1L).as("d"))
+      .unionByName(ev.select((col("us") + spanUs).as("us"), lit(-1L).as("d")))
+      .withColumn("day", expr("us div 86400000000"))
+      .groupBy("day", "us").agg(sum("d").as("net"))
+    val w = Window.partitionBy("day").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = deltas.withColumn("conc", sum("net").over(w))
+      .select(col("day"), col("us"), col("conc"))
+    val peaks = curve.groupBy("day").agg(max("conc").as("peak"))
+    curve.join(peaks, Seq("day"))
+      .where(col("conc") === col("peak"))
+      .groupBy("day", "peak").agg(min("us").as("peak_at_us"))
+      .select(col("day"), col("peak"), col("peak_at_us"))
+      .orderBy("day")
+  }
+
+  private val qEventsPeakConcurrencySql =
+    """WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+      |b AS (
+      |  SELECT us, CAST(1 AS BIGINT) AS d FROM e
+      |  UNION ALL
+      |  SELECT us + 300000000, CAST(-1 AS BIGINT) FROM e),
+      |n AS (
+      |  SELECT us // 86400000000 AS day, us, CAST(SUM(d) AS BIGINT) AS net
+      |  FROM b GROUP BY 1, 2),
+      |c AS (
+      |  SELECT day, us,
+      |    CAST(SUM(net) OVER (PARTITION BY day ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+      |  FROM n),
+      |p AS (SELECT day, MAX(conc) AS peak FROM c GROUP BY 1)
+      |SELECT c.day, CAST(p.peak AS BIGINT) AS peak,
+      |  CAST(MIN(c.us) AS BIGINT) AS peak_at_us
+      |FROM c JOIN p ON c.day = p.day AND c.conc = p.peak
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
+  /** Code-vs-prose scoring — the code-filtering gate of text curation:
+    * per-source symbol-density permille ((braces + semicolons + equals
+    * + angle brackets) · 1000 / chars, all counts by length-difference
+    * arithmetic — no regex engine divergence possible) plus the count
+    * of docs over the 20‰ flag line. Map-side counting, one combinable
+    * source-keyed aggregate.
+    */
+  private def textCodeScore(s: SparkSession, dir: String): DataFrame = {
+    def occ(c: Column, ch: String): Column =
+      (length(c) - length(replace(c, lit(ch), lit("")))).cast("long")
+    val t = col("text")
+    val d = Tables.documents(s, dir).select(
+      col("source"),
+      length(t).cast("long").as("chars"),
+      (occ(t, "{") + occ(t, "}") + occ(t, ";") + occ(t, "=") +
+        occ(t, "<") + occ(t, ">")).as("sym"))
+      .withColumn("doc_pml", expr("sym * 1000 div greatest(chars, 1)"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("n_chars"),
+        sum("sym").as("n_sym"),
+        sum(when(col("doc_pml") > 20L, 1L).otherwise(0L)).as("n_flagged"))
+      .select(col("source"), col("n_docs"), col("n_sym"),
+        expr("n_sym * 1000 div greatest(n_chars, 1)").as("code_pml"),
+        col("n_flagged"))
+      .orderBy("source")
+  }
+
+  private val textCodeScoreSql = {
+    def occ(ch: String) = s"(length(text) - length(replace(text, '$ch', '')))"
+    val sym = s"CAST(${occ("{")} + ${occ("}")} + ${occ(";")} + ${occ("=")} + ${occ("<")} + ${occ(">")} AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT source, CAST(length(text) AS BIGINT) AS chars, $sym AS sym,
+       |    $sym * 1000 // greatest(CAST(length(text) AS BIGINT), 1) AS doc_pml
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(sym) AS BIGINT) AS n_sym,
+       |  CAST(SUM(sym) * 1000 // greatest(SUM(chars), 1) AS BIGINT) AS code_pml,
+       |  CAST(SUM(CASE WHEN doc_pml > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7845,6 +7936,8 @@ object SparkEntry {
     "snk_retention_sweep" -> (snkRetentionSweep _),
     "q_events_bot_score" -> (qEventsBotScore _),
     "src_schema_evolution" -> (srcSchemaEvolution _),
+    "q_events_peak_concurrency" -> (qEventsPeakConcurrency _),
+    "text_code_score" -> (textCodeScore _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8107,6 +8200,8 @@ object SparkEntry {
     "snk_retention_sweep" -> snkRetentionSweepSql,
     "q_events_bot_score" -> qEventsBotScoreSql,
     "src_schema_evolution" -> srcSchemaEvolutionSql,
+    "q_events_peak_concurrency" -> qEventsPeakConcurrencySql,
+    "text_code_score" -> textCodeScoreSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

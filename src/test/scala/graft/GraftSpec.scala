@@ -4207,3 +4207,46 @@ class Wave8Spec extends AnyFunSuite {
     assert(out.where(col("gen") === 2 && col("n_regionkey").isNull).count() === 0L)
   }
 }
+
+class Wave9Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("peak concurrency: planted burst of k overlapping windows yields peak k") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("conc")
+    // 7 events within one second (all overlap), plus 5 isolated events
+    // spaced far beyond the 5-minute span
+    val burst = (0 until 7).map(i => (i.toLong, 1000000L + i * 100000L))
+    val lone = (0 until 5).map(i => (100L + i, 3600000000L * (i + 1)))
+    val ev = (burst ++ lone).map { case (id, us) => (id, 5L, us * 1000L) }
+      .toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_peak_concurrency")(spark, tmp).collect()
+    assert(out.map(_.getLong(1)).max === 7L)
+    // the peak is first reached when the burst's last window opens
+    val day0 = out.filter(_.getLong(0) === 0L).head
+    assert(day0.getLong(2) === 1000000L + 6 * 100000L)
+    // isolated windows never stack
+    assert(out.filter(_.getLong(0) > 0L).forall(_.getLong(1) === 1L))
+  }
+
+  test("code score flags brace-dense text, not prose") {
+    import spark.implicits._
+    val code = "int f(){int x=1;if(x<2){x=3;}return x;}"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((0L, code, "en", "srcA", code.length),
+      (1L, prose, "en", "srcB", prose.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = TmpDirs.create("code")
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_code_score")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("srcA").getLong(4) === 1L)   // flagged
+    assert(out("srcB").getLong(4) === 0L)
+    assert(out("srcA").getLong(3) > out("srcB").getLong(3))
+  }
+}
