@@ -7805,6 +7805,34 @@ object SparkEntry {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Unpivot (melt) — the inverse of `q_pivot_api` and the
+    * wide-to-long reshape of the reference's pandas surface: the
+    * pivoted priority×year count matrix melts back to (priority, year,
+    * n) rows via Spark's native `unpivot`, zero-count cells dropped so
+    * the long form is exactly the sparse groupBy both engines agree
+    * on. Round-trip coverage: pivot ∘ unpivot ≡ the plain aggregate.
+    */
+  private def qUnpivotApi(s: SparkSession, dir: String): DataFrame = {
+    val years = Seq(1995, 1996, 1997, 1998)
+    val wide = qPivotApi(s, dir)
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      years.map(y => col(s"n_$y")).toArray,
+      "yr_col", "n")
+      .where(col("n") > 0L)
+      .select(col("o_orderpriority"),
+        substring(col("yr_col"), 3, 4).cast("long").as("yr"), col("n"))
+      .orderBy("o_orderpriority", "yr")
+  }
+
+  private val qUnpivotApiSql =
+    """SELECT o_orderpriority,
+      |  CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM orders
+      |WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997, 1998)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7938,6 +7966,7 @@ object SparkEntry {
     "src_schema_evolution" -> (srcSchemaEvolution _),
     "q_events_peak_concurrency" -> (qEventsPeakConcurrency _),
     "text_code_score" -> (textCodeScore _),
+    "q_unpivot_api" -> (qUnpivotApi _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8202,6 +8231,7 @@ object SparkEntry {
     "src_schema_evolution" -> srcSchemaEvolutionSql,
     "q_events_peak_concurrency" -> qEventsPeakConcurrencySql,
     "text_code_score" -> textCodeScoreSql,
+    "q_unpivot_api" -> qUnpivotApiSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

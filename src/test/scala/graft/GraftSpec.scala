@@ -4250,3 +4250,18 @@ class Wave9Spec extends AnyFunSuite {
     assert(out("srcA").getLong(3) > out("srcB").getLong(3))
   }
 }
+
+class UnpivotSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("pivot then unpivot reproduces the plain sparse aggregate") {
+    val dir = "/root/testdata/sf0.01"
+    val long = SparkEntry.queries("q_unpivot_api")(spark, dir)
+    val plain = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), year(to_date(col("o_orderdate"))).cast("long").as("yr"))
+      .where(col("yr").between(1995, 1998))
+      .groupBy("o_orderpriority", "yr").agg(count(lit(1)).as("n"))
+    assert(long.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+  }
+}
