@@ -7833,6 +7833,68 @@ object SparkEntry {
       |WHERE EXTRACT(year FROM CAST(o_orderdate AS DATE)) IN (1995, 1996, 1997, 1998)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Interval-union active time — the session-stitching primitive:
+    * each event opens a 5-minute window; overlapping windows per user
+    * merge by the sweep (boundary deltas, prefix sum, gap time counted
+    * only while the running count is positive), so double-counted
+    * overlap is impossible. BOTH boundaries carry the OPENING event's
+    * day, so every (user, day) partition is self-contained and its
+    * sweep provably closes at zero — the partition-bounded sort that
+    * replaces a global order at any scale. Published per day: total
+    * unioned active time, users seen, and the single largest per-user
+    * active total.
+    */
+  private def qEventsActiveTime(s: SparkSession, dir: String): DataFrame = {
+    val spanUs = 300L * 1000000L
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"),
+        expr("(ts_ns div 1000) div 86400000000").as("day"))
+    val deltas = ev.select(col("user_id"), col("day"), col("us"), lit(1L).as("d"))
+      .unionByName(ev.select(col("user_id"), col("day"),
+        (col("us") + spanUs).as("us"), lit(-1L).as("d")))
+      .groupBy("user_id", "day", "us").agg(sum("d").as("net"))
+    val wsum = Window.partitionBy("user_id", "day").orderBy("us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wlead = Window.partitionBy("user_id", "day").orderBy("us")
+    val perUser = deltas
+      .withColumn("conc", sum("net").over(wsum))
+      .withColumn("gap", lead("us", 1).over(wlead) - col("us"))
+      .where(col("conc") > 0L && col("gap").isNotNull)
+      .groupBy("user_id", "day").agg(sum("gap").as("active_us"))
+    perUser.groupBy("day")
+      .agg(sum("active_us").as("total_active_us"),
+        count(lit(1)).as("n_users"),
+        max("active_us").as("max_user_active_us"))
+      .orderBy("day")
+  }
+
+  private val qEventsActiveTimeSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |    epoch_us(ts) // 86400000000 AS day
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, day, us, CAST(1 AS BIGINT) AS d FROM e
+      |  UNION ALL
+      |  SELECT user_id, day, us + 300000000, CAST(-1 AS BIGINT) FROM e),
+      |n AS (
+      |  SELECT user_id, day, us, CAST(SUM(d) AS BIGINT) AS net
+      |  FROM b GROUP BY 1, 2, 3),
+      |c AS (
+      |  SELECT user_id, day, us, net,
+      |    CAST(SUM(net) OVER (PARTITION BY user_id, day ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc,
+      |    lead(us) OVER (PARTITION BY user_id, day ORDER BY us) - us AS gap
+      |  FROM n),
+      |u AS (
+      |  SELECT user_id, day, CAST(SUM(gap) AS BIGINT) AS active_us
+      |  FROM c WHERE conc > 0 AND gap IS NOT NULL
+      |  GROUP BY 1, 2)
+      |SELECT day, CAST(SUM(active_us) AS BIGINT) AS total_active_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(MAX(active_us) AS BIGINT) AS max_user_active_us
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7967,6 +8029,7 @@ object SparkEntry {
     "q_events_peak_concurrency" -> (qEventsPeakConcurrency _),
     "text_code_score" -> (textCodeScore _),
     "q_unpivot_api" -> (qUnpivotApi _),
+    "q_events_active_time" -> (qEventsActiveTime _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8232,6 +8295,7 @@ object SparkEntry {
     "q_events_peak_concurrency" -> qEventsPeakConcurrencySql,
     "text_code_score" -> textCodeScoreSql,
     "q_unpivot_api" -> qUnpivotApiSql,
+    "q_events_active_time" -> qEventsActiveTimeSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4265,3 +4265,31 @@ class UnpivotSpec extends AnyFunSuite {
     assert(long.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
   }
 }
+
+class ActiveTimeSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("interval union never double-counts overlap and caps at window span") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("act")
+    // user 1: 3 windows inside one 5-min span -> union = span + small tail
+    // user 2: two disjoint windows -> union = exactly 2 spans
+    val ev = Seq(
+      (0L, 1L, 1000000L), (1L, 1L, 2000000L), (2L, 1L, 3000000L),
+      (3L, 2L, 1000000L), (4L, 2L, 2000000000L))
+      .map { case (id, u, us) => (id, u, us * 1000L) }
+      .toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_active_time")(spark, tmp).collect()
+    assert(out.length === 1)
+    val span = 300000000L
+    // user 1: [1s, 3s+300s) = span + 2s; user 2: 2 disjoint spans
+    assert(out.head.getLong(1) === (span + 2000000L) + 2 * span)
+    assert(out.head.getLong(2) === 2L)
+    assert(out.head.getLong(3) === 2 * span)
+  }
+}
