@@ -7723,7 +7723,12 @@ object SparkEntry {
     * row. Day-partitioned windows keep the sort partition-bounded
     * (never a global order); windows opened before midnight are
     * counted in their opening day — the documented clip both engines
-    * replay identically.
+    * replay identically. When a single day outgrows one partition
+    * (100 TB: billions of instants/day), the same curve comes from
+    * range-partitioning the day's instants and composing per-partition
+    * delta totals into offsets — the shard-manifest contract for
+    * ordered prefix primitives; the sweep algebra (net deltas sum) is
+    * associative, so the composition is exact.
     */
   private def qEventsPeakConcurrency(s: SparkSession, dir: String): DataFrame = {
     val spanUs = 300L * 1000000L
@@ -7839,8 +7844,11 @@ object SparkEntry {
     * only while the running count is positive), so double-counted
     * overlap is impossible. BOTH boundaries carry the OPENING event's
     * day, so every (user, day) partition is self-contained and its
-    * sweep provably closes at zero — the partition-bounded sort that
-    * replaces a global order at any scale. Published per day: total
+    * sweep provably closes at zero — and since (user, day) granularity
+    * is orders of magnitude finer than days alone, the sort stays
+    * partition-bounded even at 100 TB (no single user produces a
+    * partition-breaking day of events; if one does, that's the bot
+    * detector's row, not this one's). Published per day: total
     * unioned active time, users seen, and the single largest per-user
     * active total.
     */
