@@ -34,6 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 142 bench queries x 3 passes of whole-stage-codegen classes overflow
   // the default 240m JIT code cache; once full the compiler shuts off and
   // queries run partially interpreted — the measured bimodal 3x per-query
-  // swings across bench passes.
-  "-XX:ReservedCodeCacheSize=1024m",
+  // swings across bench passes. At 223 queries the 1g cache showed the
+  // same signature again (decode-heavy mapPartitions ops doubling,
+  // +0.1-0.5s diffuse drift on everything else) — 2g holds the full
+  // suite's compiled classes with headroom.
+  "-XX:ReservedCodeCacheSize=2048m",
 )
