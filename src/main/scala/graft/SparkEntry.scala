@@ -7903,6 +7903,58 @@ object SparkEntry {
       |  CAST(MAX(active_us) AS BIGINT) AS max_user_active_us
       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q2-shaped minimum-cost supplier: for each size-5 part, the
+    * cheapest ASIA supplier who has actually shipped it (the distinct
+    * (part, supplier) edge from lineitem stands in for partsupp;
+    * s_acctbal is the cost proxy). The correlated-MIN subquery is
+    * decorrelated the scale-safe way: one partkey-keyed aggregate of
+    * the eligible edges, winners join BACK on (partkey, value = min) —
+    * ties kept, no window over the fact, no re-scan. Eligibility
+    * (supplier ⋈ nation ⋈ region + part size) broadcasts onto the edge
+    * list; the only big shuffles are the edge distinct and the min
+    * aggregate, both map-side combinable.
+    */
+  private def qMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val asiaSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        cents(col("s_acctbal")).as("cost_c"))
+    val parts = Tables.part(s, dir).where(col("p_size") === 5)
+      .select("p_partkey", "p_type")
+    val eligible = edges
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = eligible.groupBy("p_partkey").agg(min("cost_c").as("min_c"))
+    eligible.join(minCost, Seq("p_partkey"))
+      .where(col("cost_c") === col("min_c"))
+      .select(col("p_partkey"), col("p_type"), col("s_suppkey"),
+        col("s_name"), col("n_name"), col("cost_c"))
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  private val qMinCostSupplierSql =
+    s"""WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+       |asup AS (
+       |  SELECT s_suppkey, s_name, n_name, ${centsSql("s_acctbal")} AS cost_c
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA'),
+       |el AS (
+       |  SELECT p.p_partkey, p.p_type, a.s_suppkey, a.s_name, a.n_name, a.cost_c
+       |  FROM edges e
+       |  JOIN part p ON e.l_partkey = p.p_partkey AND p.p_size = 5
+       |  JOIN asup a ON e.l_suppkey = a.s_suppkey),
+       |mc AS (SELECT p_partkey, MIN(cost_c) AS min_c FROM el GROUP BY 1)
+       |SELECT el.p_partkey, el.p_type, el.s_suppkey, el.s_name, el.n_name, el.cost_c
+       |FROM el JOIN mc ON el.p_partkey = mc.p_partkey AND el.cost_c = mc.min_c
+       |ORDER BY el.p_partkey, el.s_suppkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8038,6 +8090,7 @@ object SparkEntry {
     "text_code_score" -> (textCodeScore _),
     "q_unpivot_api" -> (qUnpivotApi _),
     "q_events_active_time" -> (qEventsActiveTime _),
+    "q_min_cost_supplier" -> (qMinCostSupplier _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8304,6 +8357,7 @@ object SparkEntry {
     "text_code_score" -> textCodeScoreSql,
     "q_unpivot_api" -> qUnpivotApiSql,
     "q_events_active_time" -> qEventsActiveTimeSql,
+    "q_min_cost_supplier" -> qMinCostSupplierSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

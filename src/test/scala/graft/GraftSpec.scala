@@ -4293,3 +4293,61 @@ class ActiveTimeSpec extends AnyFunSuite {
     assert(out.head.getLong(3) === 2 * span)
   }
 }
+
+class BotStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("online fold: metronome pins 1000 permille; jitter degrades it") {
+    var st = streaming.BotStream.BotState(-1L, 0L, 0L, 0L)
+    (0 until 20).foreach { i =>
+      val (next, scored) = streaming.BotStream.step(st, i * 1000000L)
+      st = next
+      scored.foreach { case (_, pml) => assert(pml === 1000L) }
+    }
+    assert(st.n === 19L && st.near === 19L)
+    // a wild outlier gap is not near; score drops below 1000
+    val (st2, scored2) = streaming.BotStream.step(st, st.lastUs + 50L * 1000000L)
+    assert(scored2.get._2 < 1000L && st2.near === st.near)
+  }
+
+  test("streaming scores cover every gap the batch side sees") {
+    val streamed = streaming.BotStream.runToResult(spark, dir)
+    assert(streamed.count() > 0)
+    val lastPerUser = streamed.groupBy("user_id")
+      .agg(max("n_gaps").as("n_gaps"))
+    val batchGaps = Tables.events(spark, dir)
+      .groupBy("user_id").agg((count(lit(1)) - 1).as("expect"))
+      .where(col("expect") > 0)
+    val j = lastPerUser.join(batchGaps, Seq("user_id"), "full_outer")
+    assert(j.where(col("n_gaps") =!= col("expect") ||
+      col("n_gaps").isNull || col("expect").isNull).count() === 0L)
+  }
+}
+
+class MinCostSupplierSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("every size-5 part with an ASIA shipper appears, at its true min") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_min_cost_supplier")(spark, dir)
+    // recompute eligibility independently
+    val asia = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir).where(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), round(col("s_acctbal") * 100, 0).cast("long").as("c"))
+    val el = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey").distinct()
+      .join(Tables.part(spark, dir).where(col("p_size") === 5).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .join(asia, col("l_suppkey") === col("s_suppkey"))
+    val expectParts = el.select("p_partkey").distinct().count()
+    assert(out.select("p_partkey").distinct().count() === expectParts)
+    // each output row carries its part's true minimum
+    val mins = el.groupBy("p_partkey").agg(min("c").as("true_min"))
+    val bad = out.join(mins, Seq("p_partkey"))
+      .where(col("cost_c") =!= col("true_min"))
+    assert(bad.count() === 0L)
+  }
+}
