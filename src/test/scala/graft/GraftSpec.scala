@@ -1022,6 +1022,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"non-equi join plans in: $offenders")
   }
 
+  test("R8 sweep/sequence operators plan only KEYED windows (no global sort)") {
+    // a global window's spec starts with the ORDER column (no partition
+    // columns): windowspecdefinition(col ASC ...); keyed windows list
+    // their partition columns first. The sweeps/sequences below must
+    // never fall back to a single-partition global order — that is the
+    // 100 TB design claim as an executable regression. (Bounded global
+    // windows — zipf's 1000-row fit, vocab_growth's 10-row deciles —
+    // are a different, documented contract and are not in this list.)
+    val globalSpec = """windowspecdefinition\([a-z_]+#\d+L? (ASC|DESC)""".r
+    Seq("q_events_peak_concurrency", "q_events_active_time",
+      "q_events_bot_score", "q_orders_cohort_ltv", "q_customer_migration",
+      "text_ngram_novelty").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("windowspecdefinition"), s"$q lost its window")
+      assert(globalSpec.findFirstIn(p).isEmpty,
+        s"$q plans a GLOBAL window: ${globalSpec.findFirstIn(p)}")
+    }
+  }
+
   test("text operators prune the documents scan to (doc_id, text)") {
     Seq("text_gopher_quality", "dedup_contaminated", "text_chunk_windows", "text_line_dedup").foreach { q =>
       val reads = "ReadSchema: ([^\\n]*)".r.findAllMatchIn(planOf(q)).map(_.group(1)).toSeq
