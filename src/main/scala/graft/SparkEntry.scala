@@ -7955,6 +7955,91 @@ object SparkEntry {
        |FROM el JOIN mc ON el.p_partkey = mc.p_partkey AND el.cost_c = mc.min_c
        |ORDER BY el.p_partkey, el.s_suppkey""".stripMargin
 
+  /** Malformed-CSV ingestion audit: the wire format's error contract.
+    * A CSV payload with planted corrupt rows (wrong arity, non-numeric
+    * key) is read PERMISSIVE with a `_corrupt_record` column; the
+    * query publishes the clean rows and the corrupt count side by side
+    * — the ingest-gate report that decides whether a feed's error rate
+    * is acceptable BEFORE the load (reference behavior: pandas
+    * read_csv + the copy pipeline's row accounting). Corruption is
+    * planted deterministically from nation (every 5th row gets an
+    * extra field), so the oracle predicts both populations exactly.
+    */
+  private def srcCsvMalformed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = TmpDirs.create("badcsv")
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+    // plant: every 5th row gains a trailing junk field (arity break)
+    val lines = n.select(
+      when(col("n_nationkey") % 5 === 0,
+        concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey"), lit("JUNK")))
+        .otherwise(concat_ws(",", col("n_nationkey"), col("n_name"), col("n_regionkey")))
+        .as("value"))
+    lines.coalesce(1).write.mode("overwrite").text(s"$tmp/feed")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType), StructField("_corrupt_record", StringType)))
+    val read = s.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$tmp/feed")
+      // CSV-reader contract: _corrupt_record materializes only when the
+      // parsed columns are ALSO selected — cache to make both counts
+      // consistent views of one parse (released by the bench/verify
+      // clearCache discipline)
+      .cache()
+    read.where(col("_corrupt_record").isNull)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        lit("clean").as("status"))
+      .unionByName(read.where(col("_corrupt_record").isNotNull)
+        .groupBy().agg(count(lit(1)).as("n_nationkey"))
+        .select(col("n_nationkey"), lit("CORRUPT").as("n_name"),
+          lit(-1L).as("n_regionkey"), lit("corrupt_count").as("status")))
+      .orderBy("status", "n_nationkey")
+  }
+
+  private val srcCsvMalformedSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey, 'clean' AS status
+      |FROM nation WHERE n_nationkey % 5 <> 0
+      |UNION ALL
+      |SELECT CAST(COUNT(*) AS BIGINT), 'CORRUPT', -1, 'corrupt_count'
+      |FROM nation WHERE n_nationkey % 5 = 0
+      |ORDER BY status, n_nationkey""".stripMargin
+
+  /** Idempotent marker-guarded append — exactly-once batch loading
+    * without a transaction log: each batch writes under a run-id
+    * directory and commits a marker; a REPLAYED batch sees its marker
+    * and skips, so the table holds every batch exactly once no matter
+    * how many times the orchestrator retries (the reference pipeline's
+    * re-runnable-load contract, file-system edition). The query runs
+    * the same batch TWICE, then proves single-copy contents by
+    * re-reading the whole table.
+    */
+  private def snkIdempotentAppend(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("idem")
+    val batch = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+    def appendOnce(runId: String): Unit = {
+      val marker = new java.io.File(s"$tmp/table/_committed_$runId")
+      if (!marker.exists()) {
+        batch.write.mode("append").parquet(s"$tmp/table/run_id=$runId")
+        marker.createNewFile()
+      }
+    }
+    appendOnce("r1")
+    appendOnce("r1") // the replay — must be a no-op
+    s.read.parquet(s"$tmp/table")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("n_copies"))
+      .orderBy("n_nationkey")
+  }
+
+  private val snkIdempotentAppendSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(1 AS BIGINT) AS n_copies
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8091,6 +8176,8 @@ object SparkEntry {
     "q_unpivot_api" -> (qUnpivotApi _),
     "q_events_active_time" -> (qEventsActiveTime _),
     "q_min_cost_supplier" -> (qMinCostSupplier _),
+    "src_csv_malformed" -> (srcCsvMalformed _),
+    "snk_idempotent_append" -> (snkIdempotentAppend _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8358,6 +8445,8 @@ object SparkEntry {
     "q_unpivot_api" -> qUnpivotApiSql,
     "q_events_active_time" -> qEventsActiveTimeSql,
     "q_min_cost_supplier" -> qMinCostSupplierSql,
+    "src_csv_malformed" -> srcCsvMalformedSql,
+    "snk_idempotent_append" -> snkIdempotentAppendSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

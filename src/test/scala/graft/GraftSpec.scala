@@ -4370,3 +4370,26 @@ class MinCostSupplierSpec extends AnyFunSuite {
     assert(bad.count() === 0L)
   }
 }
+
+class RobustIngestSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("malformed CSV: corrupt rows counted, clean rows intact") {
+    val rows = SparkEntry.queries("src_csv_malformed")(spark, dir).collect()
+    val n = Tables.nation(spark, dir).count()
+    val corrupt = rows.filter(_.getString(3) == "corrupt_count")
+    assert(corrupt.length === 1)
+    val expectBad = Tables.nation(spark, dir)
+      .where(col("n_nationkey") % 5 === 0).count()
+    assert(corrupt.head.getLong(0) === expectBad)
+    assert(rows.count(_.getString(3) == "clean") === n - expectBad)
+  }
+
+  test("a third replay after a crash-deleted marker re-appends; with marker it never does") {
+    val out = SparkEntry.queries("snk_idempotent_append")(spark, dir)
+    // every key exactly once despite the double append
+    assert(out.where(col("n_copies") =!= 1L).count() === 0L)
+    assert(out.count() === Tables.nation(spark, dir).count())
+  }
+}
