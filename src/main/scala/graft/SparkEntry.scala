@@ -8040,6 +8040,73 @@ object SparkEntry {
       |  CAST(1 AS BIGINT) AS n_copies
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** Set-operator coverage: INTERSECT and EXCEPT (both DISTINCT
+    * semantics) over customer-activity year slices — retained vs
+    * churned-from-1996 customer sets. Spark's `intersect`/`except`
+    * plan as left-semi/anti joins over distincts, exactly the shuffle
+    * shape the equivalent EXISTS forms take — one exchange per side,
+    * map-side-combined distincts first.
+    */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    def active(yr: Int) = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey").cast("long").as("c")).distinct()
+    val y96 = active(1996); val y97 = active(1997)
+    val retained = y96.intersect(y97)
+      .select(col("c").as("o_custkey"), lit("retained").as("cohort"))
+    val churned = y96.except(y97)
+      .select(col("c").as("o_custkey"), lit("churned").as("cohort"))
+    retained.unionByName(churned).orderBy("cohort", "o_custkey")
+  }
+
+  private val qSetOpsSql =
+    """WITH y96 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c FROM orders WHERE year(o_orderdate) = 1996),
+      |y97 AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c FROM orders WHERE year(o_orderdate) = 1997)
+      |SELECT c AS o_custkey, 'retained' AS cohort FROM (SELECT c FROM y96 INTERSECT SELECT c FROM y97)
+      |UNION ALL
+      |SELECT c, 'churned' FROM (SELECT c FROM y96 EXCEPT SELECT c FROM y97)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** Null-semantics parity torture row: NULLs manufactured by a left
+    * outer join (customers with no 1997 orders), then every
+    * null-sensitive primitive exercised in ONE aggregate — COUNT(*)
+    * vs COUNT(col), COUNT(DISTINCT col) (null-excluding), null-safe
+    * equality (`<=>` / IS NOT DISTINCT FROM), COALESCE fallback sums,
+    * NULLIF self-erasure. One row out; any engine disagreement on
+    * null semantics flips a column.
+    */
+  private def qNullSemantics(s: SparkSession, dir: String): DataFrame = {
+    val ords97 = Tables.orders(s, dir)
+      .where(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_custkey").cast("long").as("ck"))
+      .agg(count(lit(1)).as("n97"))
+    val j = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("c_custkey"), col("c_nationkey"))
+      .join(ords97, col("c_custkey") === col("ck"), "left")
+    j.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("n97")).as("n_nonnull"),
+      countDistinct(col("n97")).as("n_distinct_nonnull"),
+      sum(when(col("n97") <=> lit(null), 1L).otherwise(0L)).as("n_nullsafe_null"),
+      sum(coalesce(col("n97"), lit(0L))).as("sum_coalesced"),
+      sum(when(nullif(col("n97"), col("n97")).isNull, 1L).otherwise(0L)).as("n_nullif_all"))
+  }
+
+  private val qNullSemanticsSql =
+    """WITH o97 AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS ck, CAST(COUNT(*) AS BIGINT) AS n97
+      |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+      |j AS (
+      |  SELECT c.c_custkey, o97.n97
+      |  FROM customer c LEFT JOIN o97 ON CAST(c.c_custkey AS BIGINT) = o97.ck)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(COUNT(n97) AS BIGINT) AS n_nonnull,
+      |  CAST(COUNT(DISTINCT n97) AS BIGINT) AS n_distinct_nonnull,
+      |  CAST(SUM(CASE WHEN n97 IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+      |  CAST(SUM(COALESCE(n97, 0)) AS BIGINT) AS sum_coalesced,
+      |  CAST(SUM(CASE WHEN NULLIF(n97, n97) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_all
+      |FROM j""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8178,6 +8245,8 @@ object SparkEntry {
     "q_min_cost_supplier" -> (qMinCostSupplier _),
     "src_csv_malformed" -> (srcCsvMalformed _),
     "snk_idempotent_append" -> (snkIdempotentAppend _),
+    "q_set_ops" -> (qSetOps _),
+    "q_null_semantics" -> (qNullSemantics _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8447,6 +8516,8 @@ object SparkEntry {
     "q_min_cost_supplier" -> qMinCostSupplierSql,
     "src_csv_malformed" -> srcCsvMalformedSql,
     "snk_idempotent_append" -> snkIdempotentAppendSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_null_semantics" -> qNullSemanticsSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4393,3 +4393,27 @@ class RobustIngestSpec extends AnyFunSuite {
     assert(out.count() === Tables.nation(spark, dir).count())
   }
 }
+
+class SetNullSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("set ops partition 1996 actives into retained + churned exactly") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_set_ops")(spark, dir)
+    val y96 = Tables.orders(spark, dir)
+      .where(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().count()
+    // retained + churned = 1996 actives, and the two cohorts are disjoint
+    assert(out.count() === y96)
+    assert(out.select("o_custkey").distinct().count() === y96)
+  }
+
+  test("null semantics: every identity the row asserts holds") {
+    val r = SparkEntry.queries("q_null_semantics")(spark, dir).head()
+    val (rows, nonnull, nullsafe) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    assert(rows === nonnull + nullsafe)  // null-safe-null counts the gaps
+    assert(r.getLong(5) === rows)        // NULLIF(x, x) is NULL for every row
+    assert(r.getLong(2) <= nonnull)
+  }
+}
