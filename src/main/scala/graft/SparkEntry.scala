@@ -8107,6 +8107,47 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN NULLIF(n97, n97) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nullif_all
       |FROM j""".stripMargin
 
+  /** Aggregation→array→rows round-trip: per-order lineitem quantities
+    * collected into a DETERMINISTICALLY ordered array (collect_list is
+    * partition-order-dependent; sorting by (qty, linenumber) pins it —
+    * the only safe way to publish an array aggregate cross-engine),
+    * then posexploded back with positions. Covers the nested-type
+    * aggregate surface: collect, sort, size, element_at, posexplode.
+    */
+  private def qArrayRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey").cast("long").as("okey"),
+        col("l_linenumber").cast("long").as("ln"),
+        cents(col("l_quantity")).as("qty_c"))
+    val arrs = li.groupBy("okey")
+      .agg(sort_array(collect_list(struct(col("qty_c"), col("ln")))).as("items"))
+      .select(col("okey"), size(col("items")).cast("long").as("n_items"),
+        col("items"))
+    arrs.select(col("okey"), col("n_items"),
+      posexplode(col("items")).as(Seq("pos", "item")))
+      .select(col("okey"), col("n_items"), col("pos").cast("long").as("pos"),
+        col("item.qty_c").as("qty_c"), col("item.ln").as("ln"))
+      .orderBy("okey", "pos")
+  }
+
+  private val qArrayRoundtripSql =
+    """WITH li AS (
+      |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+      |    CAST(l_linenumber AS BIGINT) AS ln,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c
+      |  FROM lineitem WHERE l_orderkey % 100 = 0),
+      |a AS (
+      |  SELECT okey,
+      |    list_sort(list((qty_c, ln))) AS items,
+      |    CAST(COUNT(*) AS BIGINT) AS n_items
+      |  FROM li GROUP BY okey)
+      |SELECT okey, n_items,
+      |  CAST(UNNEST(generate_series(0, CAST(len(items) AS BIGINT) - 1)) AS BIGINT) AS pos,
+      |  UNNEST(list_transform(items, x -> x[1])) AS qty_c,
+      |  UNNEST(list_transform(items, x -> x[2])) AS ln
+      |FROM a ORDER BY okey, pos""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8247,6 +8288,7 @@ object SparkEntry {
     "snk_idempotent_append" -> (snkIdempotentAppend _),
     "q_set_ops" -> (qSetOps _),
     "q_null_semantics" -> (qNullSemantics _),
+    "q_array_roundtrip" -> (qArrayRoundtrip _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8518,6 +8560,7 @@ object SparkEntry {
     "snk_idempotent_append" -> snkIdempotentAppendSql,
     "q_set_ops" -> qSetOpsSql,
     "q_null_semantics" -> qNullSemanticsSql,
+    "q_array_roundtrip" -> qArrayRoundtripSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

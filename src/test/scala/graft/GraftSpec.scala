@@ -4417,3 +4417,30 @@ class SetNullSpec extends AnyFunSuite {
     assert(r.getLong(2) <= nonnull)
   }
 }
+
+class ArrayRoundtripSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("exploded rows reconstruct the source multiset; positions contiguous") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("q_array_roundtrip")(spark, dir)
+    val src = Tables.lineitem(spark, dir)
+      .where(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey").cast("long"),
+        round(col("l_quantity") * 100, 0).cast("long"),
+        col("l_linenumber").cast("long"))
+    // round-trip is lossless: same (okey, qty, ln) multiset
+    assert(out.select("okey", "qty_c", "ln").collect().map(_.toSeq).sorted(
+      Ordering.by((s: Seq[Any]) => s.map(_.toString).mkString(","))).toSeq ===
+      src.collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.map(_.toString).mkString(","))).toSeq)
+    // positions are 0..n-1 within each order and qty is non-decreasing
+    val bad = out.withColumn("prev", lag("qty_c", 1).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("okey").orderBy("pos")))
+      .where(col("prev").isNotNull && col("prev") > col("qty_c"))
+    assert(bad.count() === 0L)
+    assert(out.groupBy("okey").agg(max("pos").as("m"), count(lit(1)).as("n"))
+      .where(col("m") =!= col("n") - 1).count() === 0L)
+  }
+}
