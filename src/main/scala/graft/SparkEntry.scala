@@ -8148,6 +8148,45 @@ object SparkEntry {
       |  UNNEST(list_transform(items, x -> x[2])) AS ln
       |FROM a ORDER BY okey, pos""".stripMargin
 
+  /** Group-held-out split — the leakage-proof fold assignment: every
+    * SOURCE lands wholly in one of 5 folds (doc-level hash splits leak
+    * near-duplicate template text across folds; group-level splits are
+    * the eval-hygiene fix). The group key is the source's min doc_id —
+    * a stable integer representative — mixed through SplitMix64, so
+    * assignment is reproducible from data alone on any engine. One
+    * source-keyed aggregate for the keys, fold stats map-side combine.
+    */
+  private def sampGroupSplit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id").cast("long").as("doc_id"),
+        text.Text.wordCount(col("text")).as("toks"))
+    val groups = docs.groupBy("source").agg(min("doc_id").as("gid"))
+    val h = column(graft.functions.Mix64Long(expression(col("gid"))))
+    val folded = groups.select(col("source"),
+      (shiftrightunsigned(h, 32) % 5L).as("fold"))
+    docs.join(broadcast(folded), Seq("source"))
+      .groupBy("fold")
+      .agg(countDistinct("source").as("n_sources"),
+        count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+      .orderBy("fold")
+  }
+
+  private val sampGroupSplitSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH d AS (
+       |  SELECT source, CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST($wcSql AS BIGINT) AS toks
+       |  FROM documents),
+       |g AS (SELECT source, MIN(doc_id) AS gid FROM d GROUP BY 1),
+       |f AS (SELECT source, ${oracle.DuckHash.mix64BucketSql("gid", 5)} AS fold FROM g)
+       |SELECT f.fold, CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(d.toks) AS BIGINT) AS n_tokens
+       |FROM d JOIN f ON d.source = f.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8289,6 +8328,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_null_semantics" -> (qNullSemantics _),
     "q_array_roundtrip" -> (qArrayRoundtrip _),
+    "samp_group_split" -> (sampGroupSplit _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8561,6 +8601,7 @@ object SparkEntry {
     "q_set_ops" -> qSetOpsSql,
     "q_null_semantics" -> qNullSemanticsSql,
     "q_array_roundtrip" -> qArrayRoundtripSql,
+    "samp_group_split" -> sampGroupSplitSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

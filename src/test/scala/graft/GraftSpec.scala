@@ -4444,3 +4444,18 @@ class ArrayRoundtripSpec extends AnyFunSuite {
       .where(col("m") =!= col("n") - 1).count() === 0L)
   }
 }
+
+class GroupSplitSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("group split: folds conserve mass; no source straddles folds") {
+    val dir = "/root/testdata/sf0.01"
+    val out = SparkEntry.queries("samp_group_split")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+    assert(out.map(_.getLong(2)).sum === docs.count())
+    assert(out.map(_.getLong(1)).sum ===
+      docs.select("source").distinct().count()) // each source in ONE fold
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 5))
+  }
+}
