@@ -8187,6 +8187,67 @@ object SparkEntry {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Embedding-space anisotropy probe — the collapse diagnostic: the
+    * mean cosine of 1000 DETERMINISTICALLY sampled vector pairs
+    * (SplitMix64(2i), SplitMix64(2i+1) mod corpus size — reproducible
+    * from data alone, no RNG state). A healthy embedding space has
+    * near-zero mean pairwise cosine; a collapsed one (all vectors in a
+    * cone) shows it immediately. The 1000-pair probe list broadcasts;
+    * the corpus is hash-joined twice map-side — cost is O(pairs), not
+    * O(n²), at any corpus size. Cosines in exact µ-unit integers.
+    */
+  private def vecAnisotropy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    import graft.vec.Vec
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("vec_id"),
+        Vec.quantize(col("embedding")).as("qv"))
+    // bounded 1-row stats collect: the modulus, inlined as a literal
+    val n = emb.agg(max("vec_id")).head().getLong(0) + 1L
+    def pick(e: Column) =
+      shiftrightunsigned(column(graft.functions.Mix64Long(expression(e))), 32) % n
+    val pairs = s.range(1000)
+      .select(pick(col("id") * 2L).as("a"), pick(col("id") * 2L + 1L).as("b"))
+      .where(col("a") =!= col("b"))
+    val scored = broadcast(pairs)
+      .join(emb.select(col("vec_id").as("a"), col("qv").as("qa")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("qv").as("qb")), Seq("b"))
+      .select(round(round(Vec.cosineQ(col("qa"), col("qb")), 6) * 1e6, 0)
+        .cast("long").as("c_u6"))
+    scored.agg(count(lit(1)).as("n_pairs"), sum("c_u6").as("sum_u6"),
+      min("c_u6").as("min_u6"), max("c_u6").as("max_u6"))
+      .select(col("n_pairs"), expr("sum_u6 div n_pairs").as("mean_cos_u6"),
+        col("min_u6"), col("max_u6"))
+  }
+
+  private val vecAnisotropySql = {
+    def pick(e: String) = s"${oracle.DuckHash.mix64Top32Sql(e)} % nn.n"
+    """WITH nn AS (SELECT CAST(MAX(vec_id) AS BIGINT) + 1 AS n FROM embeddings),
+      |e AS (
+      |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |en AS (
+      |  SELECT vec_id, q,
+      |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+      |  FROM e),
+      |p AS (
+      |  SELECT a, b FROM (
+      |    SELECT """.stripMargin + pick("2*g.i") + " AS a, " + pick("2*g.i+1") +
+      s""" AS b
+      |    FROM generate_series(0, 999) AS g(i), nn)
+      |  WHERE a <> b),
+      |sc AS (
+      |  SELECT CAST(round(round(CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
+      |    ELSE CAST(CAST(list_sum(list_transform(list_zip(ea.q, eb.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+      |         / sqrt(CAST(ea.nrm * eb.nrm AS DOUBLE)) END, 6) * 1e6) AS BIGINT) AS c_u6
+      |  FROM p JOIN en ea ON ea.vec_id = p.a JOIN en eb ON eb.vec_id = p.b)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(c_u6) // COUNT(*) AS BIGINT) AS mean_cos_u6,
+      |  CAST(MIN(c_u6) AS BIGINT) AS min_u6, CAST(MAX(c_u6) AS BIGINT) AS max_u6
+      |FROM sc""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8329,6 +8390,7 @@ object SparkEntry {
     "q_null_semantics" -> (qNullSemantics _),
     "q_array_roundtrip" -> (qArrayRoundtrip _),
     "samp_group_split" -> (sampGroupSplit _),
+    "vec_anisotropy" -> (vecAnisotropy _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8602,6 +8664,7 @@ object SparkEntry {
     "q_null_semantics" -> qNullSemanticsSql,
     "q_array_roundtrip" -> qArrayRoundtripSql,
     "samp_group_split" -> sampGroupSplitSql,
+    "vec_anisotropy" -> vecAnisotropySql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4459,3 +4459,16 @@ class GroupSplitSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 5))
   }
 }
+
+class AnisotropySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("anisotropy probe: bounded cosines, deterministic pair count, sane mean") {
+    val r1 = SparkEntry.queries("vec_anisotropy")(spark, dir).head()
+    val r2 = SparkEntry.queries("vec_anisotropy")(spark, dir).head()
+    assert(r1 === r2)                                   // bit-stable rerun
+    assert(r1.getLong(0) > 900L && r1.getLong(0) <= 1000L)
+    assert(r1.getLong(2) >= -1000000L && r1.getLong(3) <= 1000000L)
+    assert(r1.getLong(2) <= r1.getLong(1) && r1.getLong(1) <= r1.getLong(3))
+  }
+}
