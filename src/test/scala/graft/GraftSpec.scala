@@ -4472,3 +4472,16 @@ class AnisotropySpec extends AnyFunSuite {
     assert(r1.getLong(2) <= r1.getLong(1) && r1.getLong(1) <= r1.getLong(3))
   }
 }
+
+class ConcurrencyStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("single-batch streamed sweep equals the batch peak rows exactly") {
+    val streamed = streaming.ConcurrencyStream.runToResult(spark, dir)
+      .select("day", "peak", "peak_at_us").collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_events_peak_concurrency")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
