@@ -8020,15 +8020,9 @@ object SparkEntry {
     val tmp = TmpDirs.create("idem")
     val batch = Tables.nation(s, dir)
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
-    def appendOnce(runId: String): Unit = {
-      val marker = new java.io.File(s"$tmp/table/_committed_$runId")
-      if (!marker.exists()) {
-        batch.write.mode("append").parquet(s"$tmp/table/run_id=$runId")
-        marker.createNewFile()
-      }
-    }
-    appendOnce("r1")
-    appendOnce("r1") // the replay — must be a no-op
+    require(sinks.IdempotentAppend.append(batch, s"$tmp/table", "r1"))
+    // the replay — must be a no-op
+    require(!sinks.IdempotentAppend.append(batch, s"$tmp/table", "r1"))
     s.read.parquet(s"$tmp/table")
       .groupBy(col("n_nationkey"), col("n_name"))
       .agg(count(lit(1)).as("n_copies"))

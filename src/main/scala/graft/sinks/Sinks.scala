@@ -178,3 +178,29 @@ object Refresh {
     (if (partitionBy.nonEmpty) base.partitionBy(partitionBy: _*) else base).parquet(path)
   }
 }
+
+/** Idempotent marker-guarded append — exactly-once batch loading
+  * without a transaction log: each batch writes under a run-id
+  * partition directory, then commits a marker file; a replayed run-id
+  * that finds its marker skips entirely. The marker is written AFTER
+  * the data, so the crash window is write-completed-but-marker-missing
+  * — a replay then re-appends and the run-id partition holds two
+  * copies, which the DOWNSTREAM read deduplicates by (run_id, key) if
+  * the feed requires crash-exactness (the documented trade: marker
+  * idempotence is at-least-once under a crash in the commit gap,
+  * exactly-once everywhere else; a rename-based commit or a log closes
+  * the gap at the cost of a transactional store).
+  */
+object IdempotentAppend {
+  /** @return true if this call performed the write, false if skipped */
+  def append(df: DataFrame, table: String, runId: String): Boolean = {
+    val marker = new java.io.File(s"$table/_committed_$runId")
+    if (marker.exists()) false
+    else {
+      df.write.mode(SaveMode.Append).parquet(s"$table/run_id=$runId")
+      marker.getParentFile.mkdirs()
+      marker.createNewFile()
+      true
+    }
+  }
+}

@@ -4386,11 +4386,26 @@ class RobustIngestSpec extends AnyFunSuite {
     assert(rows.count(_.getString(3) == "clean") === n - expectBad)
   }
 
-  test("a third replay after a crash-deleted marker re-appends; with marker it never does") {
+  test("replay with intact marker is a no-op; every key exactly once") {
     val out = SparkEntry.queries("snk_idempotent_append")(spark, dir)
-    // every key exactly once despite the double append
     assert(out.where(col("n_copies") =!= 1L).count() === 0L)
     assert(out.count() === Tables.nation(spark, dir).count())
+  }
+
+  test("crash window: replay after a lost marker re-appends (at-least-once)") {
+    val tmp = TmpDirs.create("idemcrash")
+    val batch = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("k"), col("n_name"))
+    assert(sinks.IdempotentAppend.append(batch, s"$tmp/t", "r1"))
+    // simulate a crash between data write and marker commit
+    assert(new java.io.File(s"$tmp/t/_committed_r1").delete())
+    assert(sinks.IdempotentAppend.append(batch, s"$tmp/t", "r1")) // re-runs
+    val copies = spark.read.parquet(s"$tmp/t")
+      .groupBy("k").count().select("count").distinct().collect()
+    assert(copies.map(_.getLong(0)).toSet === Set(2L)) // documented at-least-once
+    // a FRESH run id is unaffected by r1's history
+    assert(sinks.IdempotentAppend.append(batch, s"$tmp/t", "r2"))
+    assert(!sinks.IdempotentAppend.append(batch, s"$tmp/t", "r2"))
   }
 }
 
