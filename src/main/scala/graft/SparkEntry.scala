@@ -8242,6 +8242,46 @@ object SparkEntry {
       |FROM sc""".stripMargin
   }
 
+  /** Window-function suite 2 — the remaining ranking/navigation
+    * surface: dense_rank, percent_rank and cume_dist (doubles, but
+    * exact: both engines evaluate the same k/n IEEE division on the
+    * same integers), lead, first_value, nth_value(2), and a bounded
+    * 3-row moving sum. Same keyed total-ordered window discipline as
+    * suite 1.
+    */
+  private def qWindowSuite2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wMov = w.rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        cents(col("o_totalprice")).as("total_cents"))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        lead(col("total_cents"), 1).over(w).as("next_cents"),
+        first(col("total_cents")).over(w).as("first_cents"),
+        nth_value(col("total_cents"), 2).over(w).as("second_cents"),
+        sum(col("total_cents")).over(wMov).as("mov3_cents"))
+      .orderBy("o_custkey", "drnk", "o_orderkey")
+  }
+
+  private val qWindowSuite2Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  lead(total_cents, 1) OVER w AS next_cents,
+      |  first_value(total_cents) OVER w AS first_cents,
+      |  nth_value(total_cents, 2) OVER w AS second_cents,
+      |  CAST(SUM(total_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3_cents
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |        CAST(round((o_totalprice)*100) AS BIGINT) AS total_cents FROM orders) t
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, drnk, o_orderkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8385,6 +8425,7 @@ object SparkEntry {
     "q_array_roundtrip" -> (qArrayRoundtrip _),
     "samp_group_split" -> (sampGroupSplit _),
     "vec_anisotropy" -> (vecAnisotropy _),
+    "q_window_suite2" -> (qWindowSuite2 _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8659,6 +8700,7 @@ object SparkEntry {
     "q_array_roundtrip" -> qArrayRoundtripSql,
     "samp_group_split" -> sampGroupSplitSql,
     "vec_anisotropy" -> vecAnisotropySql,
+    "q_window_suite2" -> qWindowSuite2Sql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4500,3 +4500,20 @@ class ConcurrencyStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 }
+
+class WindowSuite2Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("suite2 identities: prnk/cdist bounds, nth null until visible, mov3 bounded") {
+    val out = SparkEntry.queries("q_window_suite2")(spark, dir)
+    assert(out.where(col("prnk") < 0 || col("prnk") > 1 ||
+      col("cdist") <= 0 || col("cdist") > 1).count() === 0L)
+    // the first row of every partition has prnk 0 and no second_cents yet
+    assert(out.where(col("drnk") === 1 && col("prnk") =!= 0.0).count() === 0L)
+    // moving sum over <=3 rows is never below the current value alone
+    val cur = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+    assert(out.join(cur, Seq("o_orderkey")).where(col("mov3_cents") < col("c")).count() === 0L)
+  }
+}
