@@ -8282,6 +8282,69 @@ object SparkEntry {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, drnk, o_orderkey""".stripMargin
 
+  /** Degree assortativity of the co-purchase graph — do hubs link to
+    * hubs? Pearson correlation of endpoint degrees over edges (each
+    * undirected edge contributes both orientations, the standard
+    * Newman construction), with EVERY moment an exact integer sum —
+    * the correlation's numerator and denominators are published as
+    * integers and the quantized coefficient is one deterministic
+    * IEEE division of those exact values. Degrees join onto endpoints
+    * by node key; the moment aggregation map-side combines to one row.
+    */
+  private def qGraphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("node"))
+      .unionByName(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val both = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    val xy = both
+      .join(deg.select(col("node").as("a"), col("degree").as("dx")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("degree").as("dy")), Seq("b"))
+    xy.agg(count(lit(1)).as("n"), sum("dx").as("sx"), sum("dy").as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("assort_pml",
+        floor(col("num").cast("double") /
+          sqrt(col("den_x").cast("double") * col("den_y").cast("double")) * 1000)
+          .cast("long"))
+  }
+
+  private val qGraphAssortativitySql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |d AS (
+      |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |  GROUP BY 1),
+      |bo AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |xy AS (
+      |  SELECT da.degree AS dx, db.degree AS dy
+      |  FROM bo JOIN d da ON bo.a = da.node JOIN d db ON bo.b = db.node),
+      |m AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx, CAST(SUM(dy * dy) AS BIGINT) AS syy,
+      |    CAST(SUM(dx * dy) AS BIGINT) AS sxy
+      |  FROM xy)
+      |SELECT n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+      |  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+      |  CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT) AS assort_pml
+      |FROM m""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8426,6 +8489,7 @@ object SparkEntry {
     "samp_group_split" -> (sampGroupSplit _),
     "vec_anisotropy" -> (vecAnisotropy _),
     "q_window_suite2" -> (qWindowSuite2 _),
+    "q_graph_assortativity" -> (qGraphAssortativity _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8701,6 +8765,7 @@ object SparkEntry {
     "samp_group_split" -> sampGroupSplitSql,
     "vec_anisotropy" -> vecAnisotropySql,
     "q_window_suite2" -> qWindowSuite2Sql,
+    "q_graph_assortativity" -> qGraphAssortativitySql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

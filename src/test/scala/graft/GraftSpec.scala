@@ -4517,3 +4517,17 @@ class WindowSuite2Spec extends AnyFunSuite {
     assert(out.join(cur, Seq("o_orderkey")).where(col("mov3_cents") < col("c")).count() === 0L)
   }
 }
+
+class AssortativitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("assortativity invariants: symmetric moments, coefficient in [-1, 1]") {
+    val r = SparkEntry.queries("q_graph_assortativity")(spark, dir).head()
+    // both-orientation construction makes x and y moments IDENTICAL
+    assert(r.getLong(2) === r.getLong(3)) // den_x == den_y
+    val pml = r.getLong(4)
+    assert(pml >= -1000L && pml <= 1000L)
+    // Cauchy-Schwarz: |num| <= sqrt(den_x * den_y) = den_x here
+    assert(math.abs(r.getLong(1)) <= r.getLong(2))
+  }
+}
