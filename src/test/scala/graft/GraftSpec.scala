@@ -4531,3 +4531,21 @@ class AssortativitySpec extends AnyFunSuite {
     assert(math.abs(r.getLong(1)) <= r.getLong(2))
   }
 }
+
+class ActiveTimeStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("streamed per-user unions aggregate to the batch day rows exactly") {
+    val streamed = streaming.ActiveTimeStream.runToResult(spark, dir)
+      .groupBy("day")
+      .agg(sum("active_us").as("total_active_us"),
+        count(lit(1)).as("n_users"),
+        max("active_us").as("max_user_active_us"))
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("q_events_active_time")(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
