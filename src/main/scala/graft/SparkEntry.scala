@@ -8345,6 +8345,74 @@ object SparkEntry {
       |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) * 1000) AS BIGINT) AS assort_pml
       |FROM m""".stripMargin
 
+  /** Code-switching (mixed-language) detection: the stopword langid
+    * applied independently to each HALF of every document; documents
+    * whose halves disagree are the mixed-language candidates a
+    * monolingual filter silently mangles. Output is the bounded
+    * langs² half-pair matrix. Purely map-side scoring + one
+    * combinable aggregate.
+    */
+  private def textCodeSwitch(s: SparkSession, dir: String): DataFrame = {
+    val h1 = expr("substring(text, 1, length(text) div 2)")
+    val h2 = expr("substring(text, length(text) div 2 + 1, length(text))")
+    Tables.documents(s, dir)
+      .select(text.Text.langId(h1).as("lang_a"), text.Text.langId(h2).as("lang_b"))
+      .groupBy("lang_a", "lang_b").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  private val textCodeSwitchSql = {
+    def canonOf(e: String) = s"trim(regexp_replace(lower($e), '[^a-z0-9]+', ' ', 'g'))"
+    def half(e: String, alias: String) =
+      s"""SELECT doc_id, CASE
+         |    $langidCaseSql
+         |    ELSE 'und' END AS $alias
+         |  FROM (SELECT doc_id, (' ' || ${canonOf(e)} || ' ') AS p FROM documents)""".stripMargin
+    s"""WITH a AS (
+       |  ${half("substr(text, 1, length(text) // 2)", "lang_a")}),
+       |b AS (
+       |  ${half("substr(text, length(text) // 2 + 1)", "lang_b")})
+       |SELECT lang_a, lang_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM a JOIN b USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Burstiness (Fano factor) per event type: variance-to-mean ratio
+    * of per-minute event counts — Poisson traffic sits at 1000‰,
+    * bursty types far above, throttled/metronomic ones below. All
+    * moments exact integer sums over the (type, minute) count
+    * aggregate; the published Fano is one integer cross-multiplied
+    * division. Minutes WITH events only (the zero-inflated variant is
+    * a different, documented statistic).
+    */
+  private def qEventsFano(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .select(col("event_type"), expr("(ts_ns div 1000) div 60000000").as("minute"))
+      .groupBy("event_type", "minute").agg(count(lit(1)).as("x"))
+    perMin.groupBy("event_type")
+      .agg(count(lit(1)).as("n_minutes"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .where(col("n_minutes") > 1L)
+      .select(col("event_type"), col("n_minutes"), col("sx").as("n_events"),
+        expr("(n_minutes * sxx - sx * sx) * 1000 div (sx * (n_minutes - 1))")
+          .as("fano_pml"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsFanoSql =
+    """WITH m AS (
+      |  SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |a AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM m GROUP BY 1)
+      |SELECT event_type, n_minutes, sx AS n_events,
+      |  CAST((n_minutes * sxx - sx * sx) * 1000 // (sx * (n_minutes - 1)) AS BIGINT) AS fano_pml
+      |FROM a WHERE n_minutes > 1
+      |ORDER BY event_type""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8490,6 +8558,8 @@ object SparkEntry {
     "vec_anisotropy" -> (vecAnisotropy _),
     "q_window_suite2" -> (qWindowSuite2 _),
     "q_graph_assortativity" -> (qGraphAssortativity _),
+    "text_code_switch" -> (textCodeSwitch _),
+    "q_events_fano" -> (qEventsFano _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8766,6 +8836,8 @@ object SparkEntry {
     "vec_anisotropy" -> vecAnisotropySql,
     "q_window_suite2" -> qWindowSuite2Sql,
     "q_graph_assortativity" -> qGraphAssortativitySql,
+    "text_code_switch" -> textCodeSwitchSql,
+    "q_events_fano" -> qEventsFanoSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

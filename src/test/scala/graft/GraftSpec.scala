@@ -4549,3 +4549,42 @@ class ActiveTimeStreamSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 }
+
+class Wave21Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("code-switch matrix conserves docs; planted bilingual doc lands off-diagonal") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("csw")
+    val en = "the of and to in is was he for it with as his on be at by had"
+    val de = "der die und in den von zu das mit sich des auf ist im dem nicht"
+    val df = Seq((0L, s"$en $en", "en", "s", 10), (1L, s"$en $de", "mx", "s", 10))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_code_switch")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum === 2L)
+    assert(out.getOrElse(("en", "en"), 0L) === 1L)   // monolingual on-diagonal
+    assert(out.getOrElse(("en", "de"), 0L) === 1L)   // bilingual off-diagonal
+  }
+
+  test("fano: metronome type is sub-Poisson, burst type super-Poisson") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("fano")
+    // 'tick': one event per minute (variance 0); 'burst': 60 events in
+    // one minute + 1 in another (high variance)
+    val tick = (0 until 30).map(i => ("tick", i.toLong * 60000000L))
+    val burst = (0 until 60).map(_ => ("burst", 0L)) :+ (("burst", 600000000L))
+    val ev = (tick ++ burst).zipWithIndex.map { case ((t, us), i) =>
+      (i.toLong, 1L, us * 1000L, t)
+    }.toDF("event_id", "user_id", "ts_ns", "event_type")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_fano")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(out("tick") === 0L)        // zero variance
+    assert(out("burst") > 1000L)      // super-Poisson
+  }
+}
