@@ -8413,6 +8413,106 @@ object SparkEntry {
       |FROM a WHERE n_minutes > 1
       |ORDER BY event_type""".stripMargin
 
+  /** CSV quoting/escaping torture round-trip: fields carrying embedded
+    * delimiters, double quotes, AND newlines — the three things that
+    * break naive CSV pipelines — written by Spark's CSV writer
+    * (RFC-4180 quoting with doubled quotes) and read back with the
+    * multiLine parser. The oracle reconstructs the payload from
+    * nation, so a quoting/escaping asymmetry anywhere in the
+    * write→read path breaks the hash.
+    */
+  private def snkCsvQuoting(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("csvq")
+    val tricky = Tables.nation(s, dir).select(
+      col("n_nationkey").cast("long").as("n_nationkey"),
+      concat(col("n_name"), lit(",\"x\ny\"")).as("tricky"))
+    tricky.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(s"$tmp/out")
+    s.read
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(s"$tmp/out")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("tricky"))
+      .orderBy("n_nationkey")
+  }
+
+  private val snkCsvQuotingSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      |  n_name || ',"x' || chr(10) || 'y"' AS tricky
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Markov stationary distribution of the event-type chain: the
+    * long-run share of time a user's behavior spends in each state —
+    * where the funnel actually settles. The transition matrix is the
+    * bounded |types|² aggregate (one user-keyed lag exchange, the
+    * q_events_transitions construction); the power iteration runs on
+    * that COLLECTED metadata in exact µ-unit integer arithmetic
+    * (x′_j = Σ_i x_i·p_ij div 1e6, 8 steps from uniform), so the
+    * driver-side loop is the KMeans/PageRank bounded-state contract —
+    * never a per-row operation — and the oracle unrolls the identical
+    * 8 steps in SQL.
+    */
+  private def qEventsMarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .where(col("prev_type").isNotNull)
+    val t = ev.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // bounded |types|^2 metadata collect (index/stats contract)
+    val cells = t.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val types = cells.keys.flatMap { case (a, b) => Seq(a, b) }.toSeq.distinct.sorted
+    val rowTot = types.map(a => a -> types.map(b => cells.getOrElse((a, b), 0L)).sum).toMap
+    val pU6 = types.map { a =>
+      a -> types.map { b =>
+        val tot = rowTot(a)
+        b -> (if (tot == 0L) 0L else cells.getOrElse((a, b), 0L) * 1000000L / tot)
+      }.toMap
+    }.toMap
+    var x = types.map(_ => 1000000L / types.length)
+    (1 to 8).foreach { _ =>
+      x = types.indices.map { j =>
+        types.indices.map(i => x(i) * pU6(types(i))(types(j)) / 1000000L).sum
+      }
+    }
+    import s.implicits._
+    types.zip(x).toDF("event_type", "stationary_u6").orderBy("event_type")
+  }
+
+  private val qEventsMarkovStationarySql = {
+    val iter = (1 to 8).map { k =>
+      s"""x$k AS (
+         |  SELECT p.next_type AS event_type,
+         |    CAST(SUM(x.v * p.p_u6 // 1000000) AS BIGINT) AS v
+         |  FROM x${k - 1} x JOIN p ON p.prev_type = x.event_type
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type,
+       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+       |  FROM events),
+       |t AS (
+       |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM ev WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+       |types AS (SELECT DISTINCT prev_type AS ty FROM t UNION SELECT DISTINCT next_type FROM t),
+       |grid AS (
+       |  SELECT a.ty AS prev_type, b.ty AS next_type,
+       |    COALESCE(t.n, 0) AS n
+       |  FROM types a CROSS JOIN types b
+       |  LEFT JOIN t ON t.prev_type = a.ty AND t.next_type = b.ty),
+       |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM grid GROUP BY 1),
+       |p AS (
+       |  SELECT g.prev_type, g.next_type,
+       |    CASE WHEN tot.tot = 0 THEN 0
+       |         ELSE CAST(g.n * 1000000 // tot.tot AS BIGINT) END AS p_u6
+       |  FROM grid g JOIN tot ON g.prev_type = tot.prev_type),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM types),
+       |x0 AS (SELECT ty AS event_type, CAST(1000000 // nt.k AS BIGINT) AS v FROM types, nt),
+       |$iter
+       |SELECT event_type, v AS stationary_u6 FROM x8 ORDER BY event_type""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8560,6 +8660,8 @@ object SparkEntry {
     "q_graph_assortativity" -> (qGraphAssortativity _),
     "text_code_switch" -> (textCodeSwitch _),
     "q_events_fano" -> (qEventsFano _),
+    "snk_csv_quoting" -> (snkCsvQuoting _),
+    "q_events_markov_stationary" -> (qEventsMarkovStationary _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8838,6 +8940,8 @@ object SparkEntry {
     "q_graph_assortativity" -> qGraphAssortativitySql,
     "text_code_switch" -> textCodeSwitchSql,
     "q_events_fano" -> qEventsFanoSql,
+    "snk_csv_quoting" -> snkCsvQuotingSql,
+    "q_events_markov_stationary" -> qEventsMarkovStationarySql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

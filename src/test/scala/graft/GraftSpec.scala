@@ -4588,3 +4588,28 @@ class Wave21Spec extends AnyFunSuite {
     assert(out("burst") > 1000L)      // super-Poisson
   }
 }
+
+class MarkovStationarySpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("stationary mass is conserved (mod truncation) and a sink state absorbs") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_events_markov_stationary")(spark, dir).collect()
+    val mass = rows.map(_.getLong(1)).sum
+    // truncation loses at most |types| u6 per step x 8 steps
+    assert(mass <= 1000000L && mass > 1000000L - 8L * rows.length * rows.length)
+    // planted absorbing chain: a -> b always, b -> b always => all mass on b
+    val tmp = TmpDirs.create("mkv")
+    val ev = (0 until 40).map { i =>
+      (i.toLong, (i / 20).toLong, i.toLong * 1000000000L, if (i % 20 == 0) "a" else "b")
+    }.toDF("event_id", "user_id", "ts_ns", "event_type")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val st = SparkEntry.queries("q_events_markov_stationary")(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("a") === 0L)
+    assert(st("b") > 990000L)
+  }
+}
