@@ -8513,6 +8513,18 @@ object SparkEntry {
        |SELECT event_type, v AS stationary_u6 FROM x8 ORDER BY event_type""".stripMargin
   }
 
+  /** PQ quantization distortion ([[ann.Pq.distortion]]): per-subspace
+    * nearest-centroid L2² moments of the fitted codebook — the
+    * compression-quality monitor whose drift signals a stale index.
+    * Shares the fit CTEs with the ann_pq oracles.
+    */
+  private def vecPqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    ann.Pq.distortion(emb, ann.Pq.fittedCodebook(emb))
+  }
+
+  private val vecPqDistortionSql = ann.Pq.distortionSql
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8662,6 +8674,7 @@ object SparkEntry {
     "q_events_fano" -> (qEventsFano _),
     "snk_csv_quoting" -> (snkCsvQuoting _),
     "q_events_markov_stationary" -> (qEventsMarkovStationary _),
+    "vec_pq_distortion" -> (vecPqDistortion _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8942,6 +8955,7 @@ object SparkEntry {
     "q_events_fano" -> qEventsFanoSql,
     "snk_csv_quoting" -> snkCsvQuotingSql,
     "q_events_markov_stationary" -> qEventsMarkovStationarySql,
+    "vec_pq_distortion" -> vecPqDistortionSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

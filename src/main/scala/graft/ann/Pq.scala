@@ -100,6 +100,36 @@ object Pq {
     array(perS: _*)
   }
 
+  /** Per-subspace quantization distortion — the compression-quality
+    * monitor (distortion drift means the codebook no longer fits the
+    * corpus and the index needs a re-fit): for every vector and
+    * subspace, the L2² to its NEAREST centroid (exactly the quantity
+    * PQ encoding minimizes), truncated to µ-units per (vector,
+    * subspace) BEFORE aggregation so the published means/maxes are
+    * order-independent integers. Map-side against codebook literals;
+    * one bounded (m rows) aggregate out.
+    */
+  def distortion(embeddings: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val perS = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * dsub + 1, dsub)
+      val dists = array((0 until kCent).map { c =>
+        aggregate(
+          zip_with(sub, typedLit(cb(s)(c).toSeq),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, x) => a + x)
+      }: _*)
+      struct(lit(s.toLong).as("s"), (array_min(dists) * 1e6).cast("long").as("dist_u6"))
+    }
+    embeddings
+      .select(col("vec_id"), explode(array(perS: _*)).as("sd"))
+      .select(col("sd.s").as("s"), col("sd.dist_u6").as("dist_u6"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(dist_u6) div count(1)").as("mean_dist_u6"),
+        max("dist_u6").as("max_dist_u6"))
+      .orderBy("s")
+  }
+
   /** ADC lookup table for query vector `q` (flat, lut(s*kCent+c)):
     * integer micro-units of <q_s, codebook(s)(c)>, ascending-dim fold.
     */
@@ -223,14 +253,19 @@ object Pq {
     * their init centroid via the LEFT JOIN coalesce — then the ADC tail
     * (codes by L2² argmin, lut dots, score sums) against cb1.
     */
-  def oracleSql(queryIds: Seq[Long], k: Int = 10): String = {
-    val ids = queryIds.sorted.mkString(", ")
-    def fold(term: String) =
-      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($dsub), j -> " +
-        s"$term)), (ac, t) -> ac + t)"
-    def foldSq(a: String, b: String)  = fold(s"($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1])")
-    def foldDot(a: String, b: String) = fold(s"$a[j+1] * $b[j+1]")
-    def foldNorm2(a: String)          = fold(s"$a[j+1] * $a[j+1]")
+  private def fold(term: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range($dsub), j -> " +
+      s"$term)), (ac, t) -> ac + t)"
+  private def foldSq(a: String, b: String)  = fold(s"($a[j+1] - $b[j+1]) * ($a[j+1] - $b[j+1])")
+  private def foldDot(a: String, b: String) = fold(s"$a[j+1] * $b[j+1]")
+  private def foldNorm2(a: String)          = fold(s"$a[j+1] * $a[j+1]")
+
+  /** Shared fit-prefix CTEs (gs → … → cb1 → d): the per-subspace
+    * k-means unroll plus the all-centroid L2² table, consumed by the
+    * ADC top-k tail and the distortion tail — one fit contract, two
+    * published views (the ann_ivf_kmeans pattern).
+    */
+  def fitCtesSql: String =
     s"""WITH gs AS (SELECT unnest(range($m)) AS s),
        |cb0 AS (
        |  SELECT gs.s, em.vec_id AS c,
@@ -266,7 +301,11 @@ object Pq {
        |  GROUP BY cp.s, cp.c),
        |d AS (
        |  SELECT sn.vec_id, sn.s, c1.c, ${foldSq("sn.v", "c1.e")} AS dist
-       |  FROM subn sn JOIN cb1 c1 ON c1.s = sn.s),
+       |  FROM subn sn JOIN cb1 c1 ON c1.s = sn.s)""".stripMargin
+
+  def oracleSql(queryIds: Seq[Long], k: Int = 10): String = {
+    val ids = queryIds.sorted.mkString(", ")
+    s"""$fitCtesSql,
        |codes AS (
        |  SELECT vec_id, s, c AS code FROM (
        |    SELECT vec_id, s, c, row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, c) AS rn
@@ -287,4 +326,20 @@ object Pq {
        |SELECT query_id, vec_id, score_micro, rnk FROM rk WHERE rnk <= $k
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  /** Distortion oracle: the fit prefix's `d` table reduced to each
+    * (vector, subspace)'s nearest-centroid L2², µ-unit-truncated per
+    * cell before aggregation (order-independent integer moments).
+    */
+  def distortionSql: String =
+    s"""$fitCtesSql,
+       |mind AS (SELECT vec_id, s, MIN(dist) AS dmin FROM d GROUP BY 1, 2),
+       |q6 AS (
+       |  SELECT vec_id, CAST(s AS BIGINT) AS s,
+       |    CAST(trunc(dmin * 1000000) AS BIGINT) AS dist_u6
+       |  FROM mind)
+       |SELECT s, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(dist_u6) // COUNT(*) AS BIGINT) AS mean_dist_u6,
+       |  CAST(MAX(dist_u6) AS BIGINT) AS max_dist_u6
+       |FROM q6 GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -4613,3 +4613,26 @@ class MarkovStationarySpec extends AnyFunSuite {
     assert(st("b") > 990000L)
   }
 }
+
+class PqDistortionSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("distortion: one row per subspace, fitted beats a degenerate codebook") {
+    val emb = Tables.embeddings(spark, dir)
+    val cb = ann.Pq.fittedCodebook(emb)
+    val fitted = ann.Pq.distortion(emb, cb).collect()
+    assert(fitted.length === ann.Pq.m)
+    fitted.foreach { r =>
+      assert(r.getLong(1) === emb.count())
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3))
+    }
+    // degenerate codebook: every centroid the zero vector -> distortion
+    // becomes the raw subvector energy, strictly worse in every subspace
+    val zero = Array.fill(ann.Pq.m, ann.Pq.kCent, ann.Pq.dsub)(0.0)
+    val degen = ann.Pq.distortion(emb, zero).collect()
+    fitted.zip(degen).foreach { case (f, z) =>
+      assert(f.getLong(2) < z.getLong(2),
+        s"subspace ${f.getLong(0)}: fitted ${f.getLong(2)} !< zero ${z.getLong(2)}")
+    }
+  }
+}
