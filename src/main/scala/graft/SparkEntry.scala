@@ -8525,6 +8525,42 @@ object SparkEntry {
 
   private val vecPqDistortionSql = ann.Pq.distortionSql
 
+  /** Out-of-vocabulary rate per source: the share of token
+    * occurrences not covered by the corpus' top-1000 word vocabulary —
+    * the coverage eval that decides a tokenizer's vocab budget (a
+    * source with high OOV pays UNK mass or byte-fallback blowup). The
+    * vocabulary is a bounded TakeOrdered artifact (freq desc, word
+    * asc — total order) broadcast onto the occurrence stream; counts
+    * are (source)-keyed and map-side combinable.
+    */
+  private def textOovRate(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("w")).limit(1000).select("w")
+    words.join(broadcast(vocab.withColumn("in_vocab", lit(1L))), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000 div n_tokens").as("oov_pml"))
+      .orderBy("source")
+  }
+
+  private val textOovRateSql =
+    s"""WITH t AS (SELECT source, UNNEST($wordsListSql) AS w FROM documents),
+       |v AS (
+       |  SELECT w FROM (
+       |    SELECT w, CAST(COUNT(*) AS BIGINT) AS cf FROM t GROUP BY 1
+       |    ORDER BY cf DESC, w LIMIT 1000)),
+       |j AS (
+       |  SELECT t.source, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM t LEFT JOIN v ON t.w = v.w)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+       |  CAST(SUM(oov) * 1000 // COUNT(*) AS BIGINT) AS oov_pml
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8675,6 +8711,7 @@ object SparkEntry {
     "snk_csv_quoting" -> (snkCsvQuoting _),
     "q_events_markov_stationary" -> (qEventsMarkovStationary _),
     "vec_pq_distortion" -> (vecPqDistortion _),
+    "text_oov_rate" -> (textOovRate _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8956,6 +8993,7 @@ object SparkEntry {
     "snk_csv_quoting" -> snkCsvQuotingSql,
     "q_events_markov_stationary" -> qEventsMarkovStationarySql,
     "vec_pq_distortion" -> vecPqDistortionSql,
+    "text_oov_rate" -> textOovRateSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4636,3 +4636,22 @@ class PqDistortionSpec extends AnyFunSuite {
     }
   }
 }
+
+class OovRateSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("OOV mass conserves; a full-coverage vocab would zero it") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("text_oov_rate")(spark, dir).collect()
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("w"))
+    assert(rows.map(_.getLong(1)).sum === words.count())
+    // total OOV equals the occurrence mass of words OUTSIDE the top-1000
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), col("w")).limit(1000).select("w")
+    val oov = words.join(vocab, Seq("w"), "left_anti").count()
+    assert(rows.map(_.getLong(2)).sum === oov)
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000))
+  }
+}
