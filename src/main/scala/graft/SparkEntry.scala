@@ -8561,6 +8561,55 @@ object SparkEntry {
        |  CAST(SUM(oov) * 1000 // COUNT(*) AS BIGINT) AS oov_pml
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Source-concentration index (Herfindahl) of the corpus' token
+    * mass: Σ share² over sources — the dataset-diversity gate (a
+    * corpus dominated by one crawl source trains a model of that
+    * source). Shares are exact µ-unit integers (t_i·1e6 div T), so the
+    * HHI is an exact integer sum of bounded squares — no float
+    * summation order anywhere. Published with the top source's share
+    * and the effective source count (1e12 div hhi — the
+    * inverse-Simpson diversity, exact integer). One token-counting
+    * pass, one bounded |sources|-row reduction.
+    */
+  private def pipeSourceHhi(s: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(s, dir)
+      .select(col("source"), text.Text.wordCount(col("text")).as("toks"))
+      .groupBy("source").agg(sum("toks").as("t"))
+      .persist() // read twice (1-row total collect + share map); caller-owned
+                 // — the harnesses' clearCache discipline reaps it
+    // bounded 1-row stats collect (index-metadata contract)
+    val tt = bySource.agg(sum("t")).head().getLong(0)
+    val out = bySource
+      .select(expr(s"t * 1000000 div $tt").as("share_u6"))
+      .agg(count(lit(1)).as("n_sources"),
+        max("share_u6").as("top_share_u6"),
+        sum(col("share_u6") * col("share_u6")).as("sq"))
+      .select(col("n_sources"), col("top_share_u6"),
+        expr("sq div 1000000").as("hhi_u6"),
+        expr("case when sq div 1000000 = 0 then 0 else 1000000000000 div (sq div 1000000) end")
+          .as("eff_sources_u6"))
+    out
+  }
+
+  private val pipeSourceHhiSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH b AS (
+       |  SELECT source, CAST(SUM($wcSql) AS BIGINT) AS t FROM documents GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM b),
+       |sh AS (SELECT CAST(b.t * 1000000 // tt.tt AS BIGINT) AS share_u6 FROM b, tt),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    CAST(MAX(share_u6) AS BIGINT) AS top_share_u6,
+       |    CAST(SUM(share_u6 * share_u6) AS BIGINT) AS sq
+       |  FROM sh)
+       |SELECT n_sources, top_share_u6,
+       |  CAST(sq // 1000000 AS BIGINT) AS hhi_u6,
+       |  CAST(CASE WHEN sq // 1000000 = 0 THEN 0
+       |       ELSE 1000000000000 // (sq // 1000000) END AS BIGINT) AS eff_sources_u6
+       |FROM a""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8712,6 +8761,7 @@ object SparkEntry {
     "q_events_markov_stationary" -> (qEventsMarkovStationary _),
     "vec_pq_distortion" -> (vecPqDistortion _),
     "text_oov_rate" -> (textOovRate _),
+    "pipe_source_hhi" -> (pipeSourceHhi _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -8994,6 +9044,7 @@ object SparkEntry {
     "q_events_markov_stationary" -> qEventsMarkovStationarySql,
     "vec_pq_distortion" -> vecPqDistortionSql,
     "text_oov_rate" -> textOovRateSql,
+    "pipe_source_hhi" -> pipeSourceHhiSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4655,3 +4655,25 @@ class OovRateSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000))
   }
 }
+
+class SourceHhiSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("HHI bounds: uniform floor 1/n, top-share lower bound, effective count") {
+    val r = SparkEntry.queries("pipe_source_hhi")(spark, dir).head()
+    val (n, top, hhi, eff) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(hhi >= 1000000L / n - n)       // >= 1/n (minus truncation slack)
+    assert(hhi <= 1000000L)
+    assert(hhi * n >= top * top / 1000000L * 1L || hhi >= top * top / 1000000L)
+    assert(eff <= n * 1000000L + n)       // effective sources <= n (u6)
+    // planted monopoly: one source holds everything -> HHI ~= 1, eff ~= 1
+    import spark.implicits._
+    val tmp = TmpDirs.create("hhi")
+    Seq((0L, "a b c d e", "en", "solo", 9), (1L, "f g h i j", "en", "solo", 9))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val m = SparkEntry.queries("pipe_source_hhi")(spark, tmp).head()
+    assert(m.getLong(2) === 1000000L && m.getLong(3) === 1000000L)
+  }
+}
