@@ -8610,6 +8610,52 @@ object SparkEntry {
        |FROM a""".stripMargin
   }
 
+  /** χ² independence test between part brand and part type — the
+    * contingency-table significance primitive (catalog-drift and
+    * feature-dependence checks). Expected counts come from exact
+    * integer marginals; each cell's (o−e)²/e is quantized to
+    * milli-units BEFORE summation (per-cell quantization makes the
+    * statistic an order-independent integer sum — the cross-engine
+    * float rule). Marginals are bounded broadcasts; the contingency
+    * grid is |brands|×|types| metadata.
+    */
+  private def qBrandTypeChi2(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val obs = p.groupBy("p_brand", "p_type").agg(count(lit(1)).as("o")).persist()
+    obs.count() // materialize: three aggregates below reuse it
+    val rowTot = obs.groupBy("p_brand").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("p_type").agg(sum("o").as("ct"))
+    // bounded 1-row stats collect (index-metadata contract)
+    val n = p.count()
+    val cells = obs
+      .join(broadcast(rowTot), Seq("p_brand"))
+      .join(broadcast(colTot), Seq("p_type"))
+      .select(
+        floor({
+          val e = col("rt").cast("double") * col("ct") / n
+          val d = col("o").cast("double") - e
+          d * d / e * 1000 // explicit square: pow(x, 2) is 1-ulp, x*x exact
+        }).cast("long").as("term_m"))
+    cells.agg(count(lit(1)).as("n_cells"), sum("term_m").as("chi2_m"))
+      .select(col("n_cells"), col("chi2_m"))
+  }
+
+  private val qBrandTypeChi2Sql =
+    """WITH o AS (
+      |  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS o FROM part GROUP BY 1, 2),
+      |rt AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |ct AS (SELECT p_type, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+      |c AS (
+      |  SELECT CAST(floor(
+      |    (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n) *
+      |    (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n)
+      |      / (CAST(rt.rt AS DOUBLE) * ct.ct / nn.n) * 1000) AS BIGINT) AS term_m
+      |  FROM o JOIN rt USING (p_brand) JOIN ct USING (p_type), nn)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+      |  CAST(SUM(term_m) AS BIGINT) AS chi2_m
+      |FROM c""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8762,6 +8808,7 @@ object SparkEntry {
     "vec_pq_distortion" -> (vecPqDistortion _),
     "text_oov_rate" -> (textOovRate _),
     "pipe_source_hhi" -> (pipeSourceHhi _),
+    "q_brand_type_chi2" -> (qBrandTypeChi2 _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -9045,6 +9092,7 @@ object SparkEntry {
     "vec_pq_distortion" -> vecPqDistortionSql,
     "text_oov_rate" -> textOovRateSql,
     "pipe_source_hhi" -> pipeSourceHhiSql,
+    "q_brand_type_chi2" -> qBrandTypeChi2Sql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4677,3 +4677,26 @@ class SourceHhiSpec extends AnyFunSuite {
     assert(m.getLong(2) === 1000000L && m.getLong(3) === 1000000L)
   }
 }
+
+class Chi2Spec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("chi2: nonnegative, and a perfectly independent table scores ~0") {
+    val r = SparkEntry.queries("q_brand_type_chi2")(spark, dir).head()
+    assert(r.getLong(1) >= 0L)
+    assert(r.getLong(0) <= Tables.part(spark, dir)
+      .select("p_brand").distinct().count() *
+      Tables.part(spark, dir).select("p_type").distinct().count())
+    // planted independence: every (brand, type) cell equally filled
+    import spark.implicits._
+    val tmp = TmpDirs.create("chi2")
+    val rows = for { b <- 0 until 3; t <- 0 until 4; i <- 0 until 5 } yield
+      ((b * 100 + t * 10 + i).toLong, s"name$i", s"B$b", s"T$t", 1, 1.0)
+    rows.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val ind = SparkEntry.queries("q_brand_type_chi2")(spark, tmp).head()
+    assert(ind.getLong(1) === 0L)
+    assert(ind.getLong(0) === 12L)
+  }
+}
