@@ -8656,6 +8656,61 @@ object SparkEntry {
       |  CAST(SUM(term_m) AS BIGINT) AS chi2_m
       |FROM c""".stripMargin
 
+  /** Lag-1 autocorrelation of the per-minute event-count series — the
+    * traffic-predictability signal (high autocorrelation = smooth
+    * load, near-zero = memoryless). Adjacent minutes meet by a SELF
+    * EQUI JOIN on minute+1 (no global window, no sort — the series
+    * sharding is a keyed join at any scale); pairs where both minutes
+    * exist count, gaps don't (the documented sparse-series contract).
+    * All Pearson moments exact integers; the coefficient is one
+    * deterministic IEEE division, published permille.
+    */
+  private def qEventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .select(expr("(ts_ns div 1000) div 60000000").as("minute"))
+      .groupBy("minute").agg(count(lit(1)).as("x"))
+    val pairs = perMin.as("a")
+      .join(perMin.as("b"), col("a.minute") + 1L === col("b.minute"))
+      .select(col("a.x").as("x"), col("b.x").as("y"))
+    pairs.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("den_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("den_y"))
+      .withColumn("autocorr_pml",
+        // zero-variance series (every minute identical) has no defined
+        // correlation: published as 0 on both engines
+        when(col("den_x") * col("den_y") === 0L, 0L)
+          .otherwise(floor(col("num").cast("double") /
+            sqrt(col("den_x").cast("double") * col("den_y").cast("double")) * 1000)
+            .cast("long")))
+  }
+
+  private val qEventsAutocorrSql =
+    """WITH m AS (
+      |  SELECT epoch_us(ts) // 60000000 AS minute, CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT a.x AS x, b.x AS y
+      |  FROM m a JOIN m b ON a.minute + 1 = b.minute),
+      |mo AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+      |    CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM p)
+      |SELECT n,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+      |  CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+      |  CAST(CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+      |    ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |      sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)) * 1000)
+      |    END AS BIGINT) AS autocorr_pml
+      |FROM mo""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -8809,6 +8864,7 @@ object SparkEntry {
     "text_oov_rate" -> (textOovRate _),
     "pipe_source_hhi" -> (pipeSourceHhi _),
     "q_brand_type_chi2" -> (qBrandTypeChi2 _),
+    "q_events_autocorr" -> (qEventsAutocorr _),
     "ann_lsh_recall" -> (annLshRecall _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "q_ref_integrity" -> (qRefIntegrity _),
@@ -9093,6 +9149,7 @@ object SparkEntry {
     "text_oov_rate" -> textOovRateSql,
     "pipe_source_hhi" -> pipeSourceHhiSql,
     "q_brand_type_chi2" -> qBrandTypeChi2Sql,
+    "q_events_autocorr" -> qEventsAutocorrSql,
     "ann_lsh_recall" -> annLshRecallSql,
     "q_quantile_sketch" -> qQuantileSketchSql,
     "q_ref_integrity" -> qRefIntegritySql,

@@ -4700,3 +4700,29 @@ class Chi2Spec extends AnyFunSuite {
     assert(ind.getLong(0) === 12L)
   }
 }
+
+class AutocorrSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("autocorr in [-1000, 1000]; a perfect sawtooth anti-correlates") {
+    val r = SparkEntry.queries("q_events_autocorr")(spark, dir).head()
+    assert(math.abs(r.getLong(4)) <= 1000L)
+    assert(math.abs(r.getLong(1)) <= // Cauchy-Schwarz
+      math.sqrt(r.getLong(2).toDouble * r.getLong(3).toDouble).toLong + 1)
+    // planted sawtooth: minute counts alternate 1, 3, 1, 3 -> lag-1
+    // correlation is exactly -1 (every pair is (1,3) or (3,1))
+    import spark.implicits._
+    val tmp = TmpDirs.create("ac")
+    val ev = (0 until 40).flatMap { m =>
+      val k = if (m % 2 == 0) 1 else 3
+      (0 until k).map(j => (m.toLong * 10 + j, 1L, (m.toLong * 60 + j) * 1000000000L))
+    }.toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val saw = SparkEntry.queries("q_events_autocorr")(spark, tmp).head()
+    assert(saw.getLong(4) === -1000L)
+  }
+}
