@@ -1,0 +1,47 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.functions._
+
+/** Iterative k-hop breadth-first search over an edge list.
+  *
+  * Each round joins the CURRENT FRONTIER (small) against the edge list
+  * and anti-joins the visited set, so min-hop labels fall out of BFS
+  * order with no path explosion — unlike a naive transitive closure,
+  * work per round is O(frontier·degree), not O(paths).
+  *
+  * Scale contract: the anti-join's visited side is broadcast ONLY while
+  * its row count (already paid for by the per-round convergence
+  * `count()`) stays under `broadcastLimit`; past that the hint is
+  * dropped and both joins shuffle on the node key — on a 100× graph
+  * whose reach is millions of nodes, a hard-coded broadcast would be a
+  * driver OOM. Driver state per round is the one bounded count (the
+  * KMeans/PageRank convergence contract).
+  */
+object Bfs {
+
+  /** Min-hop labels `(node, hop)` for every node within `hops` of
+    * `seed`, over a BIDIRECTIONAL edge list `bidir(a, b)` (undirected
+    * graphs must pass both orientations). The returned frame is
+    * persisted; callers unpersist after consuming.
+    */
+  def khop(bidir: DataFrame, seed: Long, hops: Int,
+      broadcastLimit: Long = 4000000L): DataFrame = {
+    val s = bidir.sparkSession
+    var visited = s.range(1).select(lit(seed).as("node"), lit(0L).as("hop")).persist()
+    var visitedCount = visited.count()
+    for (h <- 1 to hops) {
+      val frontier = visited.where(col("hop") === (h - 1).toLong).select("node")
+      val anti = if (visitedCount <= broadcastLimit) F.broadcast(visited) else visited
+      val reached = frontier.join(bidir, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(anti, Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hop"))
+      val next = visited.unionByName(reached).persist()
+      visitedCount = next.count()
+      visited.unpersist()
+      visited = next
+    }
+    visited
+  }
+}

@@ -167,22 +167,22 @@ object DuckHash {
     */
   def minhashCtes(src: String, minEst: Double): String = {
     s"""${sigCtes(src)},
-       |capped AS (
+       |capped AS MATERIALIZED (
        |  SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n FROM banded)
        |  WHERE n <= 1000),
-       |pairs AS (
+       |pairs AS MATERIALIZED (
        |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM capped l JOIN capped r USING (band, bh)
        |  WHERE l.doc_id < r.doc_id),
-       |est AS (
+       |est AS MATERIALIZED (
        |  SELECT doc_a, doc_b,
        |    CAST(list_sum(list_transform(range(1, 129),
        |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
        |  FROM pairs
        |  JOIN sk a ON a.doc_id = doc_a
        |  JOIN sk b ON b.doc_id = doc_b),
-       |mh AS (SELECT * FROM est WHERE est_jaccard >= $minEst)""".stripMargin
+       |mh AS MATERIALIZED (SELECT * FROM est WHERE est_jaccard >= $minEst)""".stripMargin
   }
 
   /** Shared signature chain over `src` (doc_id + text): canonical words
@@ -205,20 +205,20 @@ object DuckHash {
     val sig = let(
       "list_transform(shs, h -> {'lo': CAST(h % 4294967296 AS HUGEINT), 'hi': CAST(h // 4294967296 AS HUGEINT)})")(
       shsp => s"list_transform([$coefs], c -> ${perm.replace("shsp", shsp)})")
-    s"""d0 AS (SELECT doc_id, $words AS w FROM $src),
-       |dw AS (
+    s"""d0 AS MATERIALIZED (SELECT doc_id, $words AS w FROM $src),
+       |dw AS MATERIALIZED (
        |  SELECT doc_id, list_transform(w, wd -> $wordHashSql) AS wh
        |  FROM d0 WHERE len(w) > 0),
-       |sh AS (
+       |sh AS MATERIALIZED (
        |  SELECT doc_id, list_transform(
        |    range(0, CASE WHEN len(wh) <= 3 THEN 1 ELSE len(wh) - 2 END),
        |    si -> ${let("LEAST(3, len(wh))")(wd2 => mix64Sql(fnvFold(s"wh[si+1 : si+$wd2]")))}) AS shs
        |  FROM dw),
-       |sg AS (SELECT doc_id, $sig AS sig FROM sh),
-       |banded AS (
+       |sg AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM sh),
+       |banded AS MATERIALIZED (
        |  SELECT doc_id, band, $bh AS bh
        |  FROM sg, (SELECT unnest(range(16)) AS band)),
-       |sk AS (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg)""".stripMargin
+       |sk AS MATERIALIZED (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg)""".stripMargin
   }
 
   /** dedup_incremental oracle: batch docs (doc_id % 4 = 3) classified
@@ -229,25 +229,25 @@ object DuckHash {
     */
   def incrementalSql(minEst: Double): String =
     s"""WITH ${sigCtes("documents")},
-       |bdocs AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
-       |hkeys AS (
+       |bdocs AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % 4 = 3),
+       |hkeys AS MATERIALIZED (
        |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
        |  FROM documents WHERE doc_id % 4 <> 3 GROUP BY 1),
-       |bkeys AS (
+       |bkeys AS MATERIALIZED (
        |  SELECT doc_id, md5($canon) AS content_key
        |  FROM documents WHERE doc_id % 4 = 3),
-       |exact AS (
+       |exact AS MATERIALIZED (
        |  SELECT k.doc_id, h.hist_id FROM bkeys k JOIN hkeys h USING (content_key)),
-       |hcap AS (
+       |hcap AS MATERIALIZED (
        |  SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
        |    FROM banded WHERE doc_id % 4 <> 3)
        |  WHERE n <= 1000),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
        |  FROM (SELECT * FROM banded WHERE doc_id % 4 = 3) b
        |  JOIN hcap h USING (band, bh)),
-       |near AS (
+       |near AS MATERIALIZED (
        |  SELECT doc_id, MIN(hist_id) AS near_id FROM (
        |    SELECT c.doc_id, c.hist_id,
        |      CAST(list_sum(list_transform(range(1, 129),
@@ -273,17 +273,17 @@ object DuckHash {
     */
   private def classifyCtes(p: String, deltaPred: String, keysCte: String,
       bandsCte: String, minEst: Double): String =
-    s"""${p}k AS (
+    s"""${p}k AS MATERIALIZED (
        |  SELECT doc_id, md5($canon) AS content_key
        |  FROM documents WHERE $deltaPred),
-       |${p}e AS (
+       |${p}e AS MATERIALIZED (
        |  SELECT k.doc_id, MIN(h.hist_id) AS exact_id
        |  FROM ${p}k k JOIN $keysCte h USING (content_key) GROUP BY 1),
-       |${p}c AS (
+       |${p}c AS MATERIALIZED (
        |  SELECT DISTINCT b.doc_id AS doc_id, h.doc_id AS hist_id
        |  FROM (SELECT * FROM banded WHERE $deltaPred) b
        |  JOIN $bandsCte h USING (band, bh)),
-       |${p}n AS (
+       |${p}n AS MATERIALIZED (
        |  SELECT doc_id, MIN(hist_id) AS near_id FROM (
        |    SELECT c.doc_id, c.hist_id,
        |      CAST(list_sum(list_transform(range(1, 129),
@@ -292,7 +292,7 @@ object DuckHash {
        |    JOIN sk a ON a.doc_id = c.doc_id
        |    JOIN sk b ON b.doc_id = c.hist_id)
        |  WHERE est >= $minEst GROUP BY doc_id),
-       |${p}v AS (
+       |${p}v AS MATERIALIZED (
        |  SELECT d.doc_id,
        |    CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
        |         WHEN n.near_id IS NOT NULL THEN 'near'
@@ -311,26 +311,26 @@ object DuckHash {
     */
   def incrementalDeltaSql(minEst: Double): String =
     s"""WITH ${sigCtes("documents")},
-       |hkeys AS (
+       |hkeys AS MATERIALIZED (
        |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
        |  FROM documents WHERE doc_id % 4 < 2 GROUP BY 1),
-       |hcap AS (
+       |hcap AS MATERIALIZED (
        |  SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
        |    FROM banded WHERE doc_id % 4 < 2)
        |  WHERE n <= 1000),
        |${classifyCtes("d1", "doc_id % 4 = 2", "hkeys", "hcap", minEst)},
-       |nov1 AS (SELECT doc_id FROM d1v WHERE verdict = 'novel'),
-       |novkeys AS (
+       |nov1 AS MATERIALIZED (SELECT doc_id FROM d1v WHERE verdict = 'novel'),
+       |novkeys AS MATERIALIZED (
        |  SELECT md5($canon) AS content_key, MIN(doc_id) AS hist_id
        |  FROM documents JOIN nov1 USING (doc_id) GROUP BY 1),
-       |keys2 AS (SELECT * FROM hkeys UNION ALL SELECT * FROM novkeys),
-       |novbands AS (
+       |keys2 AS MATERIALIZED (SELECT * FROM hkeys UNION ALL SELECT * FROM novkeys),
+       |novbands AS MATERIALIZED (
        |  SELECT doc_id, band, bh FROM (
        |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n
        |    FROM banded JOIN nov1 USING (doc_id))
        |  WHERE n <= 1000),
-       |bands2 AS (SELECT * FROM hcap UNION ALL SELECT * FROM novbands),
+       |bands2 AS MATERIALIZED (SELECT * FROM hcap UNION ALL SELECT * FROM novbands),
        |${classifyCtes("d2", "doc_id % 4 = 3", "keys2", "bands2", minEst)}
        |SELECT * FROM (
        |  SELECT 1 AS delta, doc_id, verdict, CAST(match_id AS BIGINT) AS match_id FROM d1v
@@ -382,7 +382,7 @@ object DuckHash {
       s"THEN CAST([$powers][b+1] AS HUGEINT) ELSE 0 END)) AS HUGEINT) " +
       "% 18446744073709551616 AS UBIGINT)"
     s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
-       |dw AS (
+       |dw AS MATERIALIZED (
        |  SELECT doc_id, list_transform(w, wd -> $wh) AS whs
        |  FROM d0 WHERE len(w) > 0),
        |sm AS (SELECT doc_id, $bits AS shu FROM dw),

@@ -190,17 +190,40 @@ object Refresh {
   * idempotence is at-least-once under a crash in the commit gap,
   * exactly-once everywhere else; a rename-based commit or a log closes
   * the gap at the cost of a transactional store).
+  *
+  * The marker is checked and created through the table path's Hadoop
+  * `FileSystem` (not `java.io.File`), so the guard works on HDFS/S3A
+  * as well as local paths, and creation uses the atomic
+  * `create(overwrite=false)` claim-or-skip primitive: of two racing
+  * runs with the same run-id, exactly one wins the marker. NOTE the
+  * single-writer-per-run-id assumption for the DATA: the loser of the
+  * marker race skips its write, but a loser that already STARTED
+  * writing before losing would still have appended — callers must not
+  * run the same run-id concurrently with itself (the marker closes the
+  * replay/retry race, not a concurrent-duplicate-submission race,
+  * which needs the lock a transaction log provides).
   */
 object IdempotentAppend {
   /** @return true if this call performed the write, false if skipped */
   def append(df: DataFrame, table: String, runId: String): Boolean = {
-    val marker = new java.io.File(s"$table/_committed_$runId")
-    if (marker.exists()) false
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val fs = tablePath.getFileSystem(conf)
+    val marker = new org.apache.hadoop.fs.Path(tablePath, s"_committed_$runId")
+    if (fs.exists(marker)) false
     else {
       df.write.mode(SaveMode.Append).parquet(s"$table/run_id=$runId")
-      marker.getParentFile.mkdirs()
-      marker.createNewFile()
-      true
+      fs.mkdirs(tablePath)
+      try {
+        // atomic claim: create(overwrite=false) throws if the marker
+        // appeared since the exists() check (a racing replay committed)
+        fs.create(marker, false).close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") => false
+      }
     }
   }
 }

@@ -50,7 +50,15 @@ object ActiveTimeStream {
       }
   }
 
-  /** Drive the finite file source to completion; latest row per group. */
+  /** Drive the finite file source to completion; latest row per group.
+    * The update-mode memory sink holds one row per (group, micro-batch)
+    * when the file source splits into multiple batches (multiple files /
+    * maxFilesPerTrigger), so reduce to the LAST emission per group:
+    * `active_us` is non-decreasing within a group across batches (union
+    * time only grows), so the last row is exactly max(active_us).
+    */
   def runToResult(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, actives(spark, dir).toDF(), "active_out", "update")
+      .groupBy("user_id", "day")
+      .agg(max("active_us").as("active_us"))
 }

@@ -57,7 +57,16 @@ object ConcurrencyStream {
       }
   }
 
-  /** Drive the finite file source to completion; latest row per day. */
+  /** Drive the finite file source to completion; latest row per day.
+    * The update-mode memory sink holds one row per (day, micro-batch)
+    * when the file source splits into multiple batches, so reduce to
+    * the LAST emission per day: `peak` is non-decreasing across batches
+    * and `peak_at_us` only moves when the peak strictly grows, so the
+    * last row is exactly the lexicographic max of (peak, peak_at_us).
+    */
   def runToResult(spark: SparkSession, dir: String): DataFrame =
     EventsStream.runToMemory(spark, peaks(spark, dir).toDF(), "conc_out", "update")
+      .groupBy("day")
+      .agg(max(struct(col("peak"), col("peak_at_us"))).as("m"))
+      .select(col("day"), col("m.peak").as("peak"), col("m.peak_at_us").as("peak_at_us"))
 }

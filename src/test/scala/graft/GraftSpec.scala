@@ -4235,9 +4235,10 @@ class Wave9Spec extends AnyFunSuite {
     import spark.implicits._
     val tmp = TmpDirs.create("conc")
     // 7 events within one second (all overlap), plus 5 isolated events
-    // spaced far beyond the 5-minute span
+    // each on its OWN DAY (>86400s apart) so the day>0 non-stacking
+    // assertion below actually matches rows
     val burst = (0 until 7).map(i => (i.toLong, 1000000L + i * 100000L))
-    val lone = (0 until 5).map(i => (100L + i, 3600000000L * (i + 1)))
+    val lone = (0 until 5).map(i => (100L + i, 86400000000L * (i + 1) + 1000000L))
     val ev = (burst ++ lone).map { case (id, us) => (id, 5L, us * 1000L) }
       .toDF("event_id", "user_id", "ts_ns")
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
@@ -4249,7 +4250,9 @@ class Wave9Spec extends AnyFunSuite {
     // the peak is first reached when the burst's last window opens
     val day0 = out.filter(_.getLong(0) === 0L).head
     assert(day0.getLong(2) === 1000000L + 6 * 100000L)
-    // isolated windows never stack
+    // isolated windows never stack — and the filter is non-vacuous:
+    // all 5 lone days are present
+    assert(out.count(_.getLong(0) > 0L) === 5)
     assert(out.filter(_.getLong(0) > 0L).forall(_.getLong(1) === 1L))
   }
 
