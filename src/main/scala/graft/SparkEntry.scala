@@ -2735,6 +2735,48 @@ object SparkEntry {
        |  dup_frac <= CAST(0.5 AS DOUBLE) AS keep
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** ExactSubstr span REMOVAL ([[text.Spans.removeDuplicated]]): the
+    * Lee et al. 2022 cut step on top of `text_dup_spans`' detection —
+    * every word covered by a cross-document duplicated 8-gram is
+    * removed and the document reassembled from the survivors. The
+    * oracle pins the removed-mass = detected-span-union invariant
+    * per document (n_removed = |∪ [i, i+7]| over dup starts) plus the
+    * exact surviving text.
+    */
+  private def textDupSpanRemoval(s: SparkSession, dir: String): DataFrame =
+    text.Spans.removeDuplicated(Tables.documents(s, dir), n = 8)
+      .orderBy("doc_id")
+
+  private val textDupSpanRemovalSql =
+    s"""WITH d AS MATERIALIZED (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, i, array_to_string(w[i:i + 7], ' ') AS g FROM (
+       |    SELECT doc_id, w, UNNEST(generate_series(1, len(w) - 7)) AS i
+       |    FROM d WHERE len(w) >= 8)),
+       |dup AS MATERIALIZED (
+       |  SELECT g FROM (
+       |    SELECT g, COUNT(*) AS n_docs
+       |    FROM (SELECT DISTINCT doc_id, g FROM g) GROUP BY g)
+       |  WHERE n_docs >= 2),
+       |st AS MATERIALIZED (
+       |  SELECT doc_id, list_sort(list(i)) AS starts
+       |  FROM g JOIN dup USING (g) GROUP BY doc_id),
+       |j AS (
+       |  SELECT d.doc_id, d.w,
+       |    COALESCE(st.starts, CAST([] AS BIGINT[])) AS starts
+       |  FROM d LEFT JOIN st USING (doc_id)),
+       |f AS (
+       |  SELECT doc_id,
+       |    CAST(len(w) AS BIGINT) AS n_words,
+       |    CAST(len(starts) AS BIGINT) AS n_dup_starts,
+       |    list_filter(w, (x, jj) ->
+       |      len(list_filter(starts, s -> s <= jj AND jj <= s + 7)) = 0) AS kept
+       |  FROM j)
+       |SELECT doc_id, n_words, n_dup_starts,
+       |  CAST(n_words - len(kept) AS BIGINT) AS n_removed,
+       |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
+       |FROM f ORDER BY doc_id""".stripMargin
+
   /** Top event-type trigram paths: per-user ordered sequences, adjacent
     * triples via two leads, corpus-wide counts, top 20 with a
     * total-order tie-break. The window partitions by user (bounded per
@@ -4549,6 +4591,59 @@ object SparkEntry {
        |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS precision_x1000,
        |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000 // (tp + fn) END AS recall_x1000
        |FROM u ORDER BY threshold""".stripMargin
+  }
+
+  /** Quality-classifier ROC/AUC ([[text.ModelEval.rocAuc]]): the
+    * threshold sweep folded into a trapezoid area in exact integer
+    * cross-multiplied arithmetic (auc_num2 = Σ Δfp·(tp_k+tp_{k+1}),
+    * auc_den = 2·P·N) — `text_model_eval` publishes the per-threshold
+    * confusion cells; this row is what lets curation PICK an operating
+    * point from data. Same one-pass fit + score + label plan; a 9-point
+    * sweep over the fitted ±1e6-per-token micro score scale.
+    */
+  private def textModelAuc(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
+    labels.count()
+    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
+      .select(col("doc_id"), col("score_micro"))
+    text.ModelEval.rocAuc(
+      scored.join(labels.withColumnRenamed("keep", "label"), "doc_id"),
+      "score_micro", "label", textAucThresholds)
+  }
+
+  private val textAucThresholds: Seq[Long] =
+    Seq(-20L, -15L, -10L, -5L, 0L, 5L, 10L, 15L, 20L).map(_ * 1000000L)
+
+  private lazy val textModelAucSql = {
+    def thrRow(t: Long) =
+      s"""SELECT CAST($t AS BIGINT) AS threshold,
+         |  CAST(sum(CASE WHEN score_micro > $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score_micro > $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score_micro <= $t AND label THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN score_micro <= $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM j""".stripMargin
+    val sweep = textAucThresholds.map(thrRow).mkString(" UNION ALL ")
+    s"""WITH $qualityFitCtes,
+       |j AS (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+       |u AS ($sweep),
+       |tot AS (SELECT MAX(tp + fn) AS p, MAX(fp + tn) AS n FROM u),
+       |pts AS (
+       |  SELECT threshold, tp, fp FROM u
+       |  UNION ALL SELECT CAST(9223372036854775807 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+       |  UNION ALL SELECT CAST(-9223372036854775808 AS BIGINT), p, n FROM tot),
+       |seg AS (
+       |  SELECT fp - lag(fp) OVER (ORDER BY threshold DESC) AS dfp,
+       |    tp + lag(tp) OVER (ORDER BY threshold DESC) AS stp
+       |  FROM pts),
+       |s AS (
+       |  SELECT CAST(SUM(dfp * stp) AS BIGINT) AS auc_num2
+       |  FROM seg WHERE dfp IS NOT NULL)
+       |SELECT CAST(p AS BIGINT) AS p, CAST(n AS BIGINT) AS n, auc_num2,
+       |  CAST(2 * p * n AS BIGINT) AS auc_den,
+       |  CASE WHEN p * n = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(auc_num2 * 1000000 // (2 * p * n) AS BIGINT) END AS auc_x1e6
+       |FROM s, tot""".stripMargin
   }
 
   /** Inverted-index posting heads: per token, document frequency and the
@@ -8803,6 +8898,7 @@ object SparkEntry {
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_transitions" -> (qEventsTransitions _),
     "text_model_eval" -> (textModelEval _),
+    "text_model_auc" -> (textModelAuc _),
     "text_postings" -> (textPostings _),
     "q_copurchase_pairs" -> (qCopurchasePairs _),
     "q_anomaly_mad" -> (qAnomalyMad _),
@@ -8918,6 +9014,7 @@ object SparkEntry {
     "text_pii_audit" -> (textPiiAudit _),
     "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_dup_spans" -> (textDupSpans _),
+    "text_dup_span_removal" -> (textDupSpanRemoval _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -9089,6 +9186,7 @@ object SparkEntry {
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_transitions" -> qEventsTransitionsSql,
     "text_model_eval" -> textModelEvalSql,
+    "text_model_auc" -> textModelAucSql,
     "text_postings" -> textPostingsSql,
     "q_copurchase_pairs" -> qCopurchasePairsSql,
     "q_anomaly_mad" -> qAnomalyMadSql,
@@ -9203,6 +9301,7 @@ object SparkEntry {
     "text_pii_audit" -> textPiiAuditSql,
     "text_bigram_surprisal" -> textBigramSurprisalSql,
     "text_dup_spans" -> textDupSpansSql,
+    "text_dup_span_removal" -> textDupSpanRemovalSql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

@@ -4729,3 +4729,85 @@ class AutocorrSpec extends AnyFunSuite {
     assert(saw.getLong(4) === -1000L)
   }
 }
+
+class DupSpanRemovalSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("planted shared prefix is cut from both docs; removed mass = span union") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$shared alpha beta gamma delta epsilon"),
+      (1L, s"$shared zeta eta theta iota kappa"),
+      (2L, "wholly unique text with no repeated span at all ok"),
+      (3L, "tiny doc")) // < 8 words: no grams, nothing removable
+      .toDF("doc_id", "text")
+    val out = text.Spans.removeDuplicated(docs, n = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 0/1: dup 8-gram starts at 1..3 (inside the 10-word shared
+    // prefix) -> union [1,10] -> exactly the 10 shared words removed
+    Seq(0L, 1L).foreach { id =>
+      val r = out(id)
+      assert(r.getLong(1) === 15L) // n_words
+      assert(r.getLong(2) === 3L)  // n_dup_starts
+      assert(r.getLong(3) === 10L) // n_removed = span union, not 3*8
+    }
+    assert(out(0L).getString(4) === "alpha beta gamma delta epsilon")
+    assert(out(1L).getString(4) === "zeta eta theta iota kappa")
+    // untouched docs survive verbatim (canonicalized)
+    assert(out(2L).getLong(3) === 0L)
+    assert(out(2L).getString(4) === "wholly unique text with no repeated span at all ok")
+    assert(out(3L).getLong(3) === 0L && out(3L).getString(4) === "tiny doc")
+  }
+
+  test("removed mass equals detected dup positions' interval union on real data") {
+    val rem = SparkEntry.queries("text_dup_span_removal")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val det = SparkEntry.queries("text_dup_spans")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rem.keySet === det.keySet)
+    rem.foreach { case (id, r) =>
+      // a doc loses words iff detection saw dup positions, and never
+      // more words than n_dup_starts * 8 (each start covers <= 8)
+      val dupStarts = r.getLong(2)
+      assert((r.getLong(3) > 0L) === (det(id).getLong(2) > 0L))
+      assert(dupStarts === det(id).getLong(2))
+      assert(r.getLong(3) <= dupStarts * 8L)
+      assert(r.getLong(3) >= (if (dupStarts > 0L) 8L else 0L))
+    }
+  }
+}
+
+class RocAucSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("perfect separation gives AUC 1.0; inverted gives 0; exact integers") {
+    import spark.implicits._
+    val perfect = (1 to 50).map(i => (i.toLong * 1000000L + 10000000L, true)) ++
+      (1 to 50).map(i => (i.toLong * 1000000L - 60000000L, false))
+    val thr = Seq(-50L, -25L, 0L, 25L, 50L).map(_ * 1000000L)
+    val p = text.ModelEval.rocAuc(
+      perfect.toDF("score_micro", "label"), "score_micro", "label", thr).head()
+    assert(p.getLong(0) === 50L && p.getLong(1) === 50L)
+    assert(p.getLong(4) === 1000000L) // AUC = 1.0 exactly
+    assert(p.getLong(3) === 2L * 50L * 50L)
+    val inverted = perfect.map { case (s, l) => (-s, l) }
+    val q = text.ModelEval.rocAuc(
+      inverted.toDF("score_micro", "label"), "score_micro", "label", thr).head()
+    assert(q.getLong(4) === 0L)
+  }
+
+  test("interleaved scores give AUC strictly between 0 and 1") {
+    import spark.implicits._
+    // positives at even scores, negatives at odd: near-random ordering
+    val mixed = (0 until 100).map(i => (i.toLong * 1000000L, i % 2 == 0))
+    val thr = (0L until 100L by 10L).map(_ * 1000000L)
+    val r = text.ModelEval.rocAuc(
+      mixed.toDF("score_micro", "label"), "score_micro", "label", thr).head()
+    assert(r.getLong(4) > 300000L && r.getLong(4) < 700000L)
+    // trapezoid identity: auc_num2 <= auc_den, both positive
+    assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3))
+  }
+}
