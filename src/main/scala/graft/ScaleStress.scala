@@ -161,6 +161,45 @@ object ScaleStress {
       spark.catalog.clearCache(); TmpDirs.sweepRecorded()
     }
 
+    // ---- khop broadcast fallback on a planted HIGH-REACH graph ----
+    // hub-of-hubs: seed 0 connects to 1..500, each of those to 500
+    // more — the 2-hop reach is ~250k nodes. With broadcastLimit=100
+    // the visited set outgrows the hint after round 1; Bfs must drop
+    // the broadcast (usedBroadcast=false observed) and still produce
+    // the identical hop histogram as the broadcast-everything run.
+    {
+      val l1 = spark.range(1, 501).select(lit(0L).as("a"), col("id").as("b"))
+      val l2 = spark.range(1, 501).select(col("id").as("a"),
+          explode(sequence(col("id") * 500 + 1000, col("id") * 500 + 1499)).as("b"))
+      val e = l1.unionByName(l2)
+      val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+      def hist(limit: Long, expectShuffleRounds: Boolean): Map[Long, Long] = {
+        val rounds = scala.collection.mutable.ArrayBuffer[(Int, Long, Boolean)]()
+        val v = graph.Bfs.khop(bidir, 0L, 3, limit, (h, n, b) => rounds += ((h, n, b)))
+        val out = v.groupBy("hop").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        v.unpersist()
+        if (expectShuffleRounds)
+          require(rounds.exists(!_._3),
+            s"planted reach must disengage the broadcast at limit=$limit, rounds=$rounds")
+        else require(rounds.forall(_._3), s"default limit must broadcast, rounds=$rounds")
+        out
+      }
+      val t0 = System.nanoTime()
+      val viaShuffle = hist(100L, expectShuffleRounds = true)
+      val tShuffle = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val viaBroadcast = hist(4000000L, expectShuffleRounds = false)
+      val tBcast = (System.nanoTime() - t1) / 1e9
+      require(viaShuffle == viaBroadcast,
+        s"fallback path must match broadcast path: $viaShuffle vs $viaBroadcast")
+      require(viaShuffle(2L) == 250000L, s"2-hop reach must be 250k, got $viaShuffle")
+      println(f"[stress] khop_fallback     reach=${viaShuffle.values.sum}%7d nodes: " +
+        f"shuffle-path ${tShuffle}%5.1fs == broadcast-path ${tBcast}%5.1fs (same histogram)")
+      bidir.unpersist()
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    }
+
     // ---- ANN probe path at two corpus scales ----
     // the production steady state: the PQ index is built once per corpus;
     // probes scan only the 16×-compressed codes. Measured at 1× and mult×

@@ -3161,11 +3161,12 @@ object SparkEntry {
       .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
       .distinct()
     val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-    val targets = userDays
+    // target days with no real activity are dropped by the inner join
+    // with dau below, so no separate real-days semi-join is needed —
+    // one fewer events scan + distinct + join than the r7-r8 plan
+    val wau = userDays
       .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("t_day"))
       .distinct()
-    val realDays = userDays.select(col("day").as("t_day")).distinct()
-    val wau = targets.join(realDays, "t_day")
       .groupBy("t_day").agg(count(lit(1)).as("wau"))
     dau.join(wau, col("day") === col("t_day"))
       .select(col("day"), col("dau"), col("wau"),

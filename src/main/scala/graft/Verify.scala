@@ -52,13 +52,20 @@ object Verify {
     // green. Failures are collected, dumped to verify_errors.json, and the
     // run exits nonzero.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-key manifest: ran/err/secs/oracle — one artifact answering both
+    // "did it run" and (joined with the DuckDB compare) "did it match"
+    val manifest = scala.collection.mutable.LinkedHashMap[String, (Boolean, Double, String)]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        manifest(name) = (true, (System.nanoTime() - t0) / 1e9, null)
+      } catch { case e: Throwable =>
         failures(name) = e.toString.take(500)
+        manifest(name) = (false, (System.nanoTime() - t0) / 1e9, e.toString.take(500))
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       // several library functions hand back caller-owned persisted
@@ -86,6 +93,17 @@ object Verify {
     // assert dump totality: dumped dirs + verify_errors keys == registry.
     val errJson = failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
+    // verify_manifest.json (SURVEY §6): every attempted key, in registry
+    // order — {"key": {"ran": bool, "secs": s, "oracle": bool, "err":
+    // str|null}}. `ran`=false rows repeat verify_errors.json so one file
+    // answers "ran"; the DuckDB compare over oracle_sql.json answers
+    // "matched" for the `oracle`=true subset.
+    val manJson = manifest.map { case (k, (ok, secs, err)) =>
+      val errV = if (err == null) "null" else q(err)
+      s"${q(k)}: {\"ran\": $ok, \"secs\": ${f"$secs%.3f"}, " +
+        s"\"oracle\": ${SparkEntry.oracleSql.contains(k)}, \"err\": $errV}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manJson)
     spark.stop()
     if (failures.nonEmpty) {
       println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: ${failures.keys.mkString(", ")}")

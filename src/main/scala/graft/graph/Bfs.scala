@@ -25,14 +25,21 @@ object Bfs {
     * graphs must pass both orientations). The returned frame is
     * persisted; callers unpersist after consuming.
     */
+  /** Per-round observer: (hop, visitedCountBeforeRound, usedBroadcast).
+    * Lets the scale harness assert the fallback actually disengaged the
+    * broadcast on a planted high-reach graph.
+    */
   def khop(bidir: DataFrame, seed: Long, hops: Int,
-      broadcastLimit: Long = 4000000L): DataFrame = {
+      broadcastLimit: Long = 4000000L,
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
     val s = bidir.sparkSession
     var visited = s.range(1).select(lit(seed).as("node"), lit(0L).as("hop")).persist()
     var visitedCount = visited.count()
     for (h <- 1 to hops) {
       val frontier = visited.where(col("hop") === (h - 1).toLong).select("node")
-      val anti = if (visitedCount <= broadcastLimit) F.broadcast(visited) else visited
+      val useBroadcast = visitedCount <= broadcastLimit
+      onRound(h, visitedCount, useBroadcast)
+      val anti = if (useBroadcast) F.broadcast(visited) else visited
       val reached = frontier.join(bidir, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(anti, Seq("node"), "left_anti")

@@ -4811,3 +4811,28 @@ class RocAucSpec extends AnyFunSuite {
     assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3))
   }
 }
+
+class BfsFallbackSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("khop shuffle fallback produces the broadcast path's exact labels") {
+    import spark.implicits._
+    // path graph 0-1-2-3-4 plus a branch 1-10, seed 0
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 10L)).toDF("a", "b")
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    def labels(limit: Long) = {
+      val rounds = scala.collection.mutable.ArrayBuffer[Boolean]()
+      val v = graph.Bfs.khop(bidir, 0L, 3, limit, (_, _, b) => rounds += b)
+      val out = v.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      v.unpersist()
+      (out, rounds.toSeq)
+    }
+    val (viaB, rb) = labels(1000000L)
+    val (viaS, rs) = labels(0L) // every round past the seed must shuffle
+    assert(rb.forall(identity))
+    assert(rs.forall(b => !b))
+    assert(viaB === viaS)
+    assert(viaB === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 10L -> 2L, 3L -> 3L))
+  }
+}

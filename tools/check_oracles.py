@@ -96,6 +96,13 @@ def main(sf_dir: str, out_dir: str, workers: int, only: list) -> int:
             failures += 1
     else:
         print("WARN verify_errors.json missing (old Verify build?) — totality not assertable")
+    # verify_manifest.json (SURVEY §6): per-key ran/secs/oracle/err.
+    # Cross-check totality: every oracle key must appear as ran=true.
+    if os.path.exists(f"{out_dir}/verify_manifest.json"):
+        manifest = json.load(open(f"{out_dir}/verify_manifest.json"))
+        for name in sorted(set(oracles) - {k for k, m in manifest.items() if m["ran"]}):
+            print(f"FAIL {name}: oracle key not marked ran=true in verify_manifest.json")
+            failures += 1
     items = sorted(oracles.items())
     t0 = time.time()
     if workers <= 1:
