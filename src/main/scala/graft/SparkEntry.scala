@@ -3321,6 +3321,155 @@ object SparkEntry {
       |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
       |FROM best WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Centroid affinity matrix ([[vec.Centroid.affinity]]): pairwise
+    * cosine between per-label integer centroids — the domain-similarity
+    * diagnostic behind data-mixture design (near-parallel label
+    * centroids compete for model capacity; orthogonal ones complement).
+    * Fit is the classify fit's one groupBy(label) d-sum pass; the
+    * pairwise fold runs on collected labels×d metadata in exact integer
+    * dots, one IEEE floor division per pair to µ-precision.
+    */
+  private def vecCentroidAffinity(s: SparkSession, dir: String): DataFrame =
+    vec.Centroid.affinity(Tables.embeddings(s, dir), k = 1024L)
+      .orderBy("label_a", "label_b")
+
+  private val vecCentroidAffinitySql =
+    """WITH qm AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, label, qq,
+      |    CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+      |  FROM qm),
+      |q8 AS (
+      |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |    list_transform(qq, x ->
+      |      CASE WHEN nq = 0 THEN 0
+      |           ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
+      |      END) AS q
+      |  FROM qn),
+      |nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q8 GROUP BY 1),
+      |e AS (SELECT label, UNNEST(generate_series(1, 64)) AS j, q FROM q8),
+      |sj AS (SELECT label, j, CAST(SUM(q[j]) AS BIGINT) AS s FROM e GROUP BY 1, 2),
+      |cent AS (
+      |  SELECT sj.label, j,
+      |    CAST(CASE WHEN s >= 0 THEN (s * 1024) // n
+      |              ELSE -(((-s) * 1024) // n) END AS BIGINT) AS c
+      |  FROM sj JOIN nl ON sj.label = nl.label),
+      |cl AS (SELECT label AS clabel, list(c ORDER BY j) AS cv FROM cent GROUP BY 1),
+      |pr AS (
+      |  SELECT a.clabel AS label_a, b.clabel AS label_b,
+      |    na.n AS n_a, nb.n AS n_b,
+      |    CAST(list_sum(list_transform(generate_series(1, 64), j -> a.cv[j] * b.cv[j])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(a.cv, x -> x * x)) AS BIGINT) AS naa,
+      |    CAST(list_sum(list_transform(b.cv, x -> x * x)) AS BIGINT) AS nbb
+      |  FROM cl a JOIN cl b ON a.clabel < b.clabel
+      |  JOIN nl na ON na.label = a.clabel JOIN nl nb ON nb.label = b.clabel)
+      |SELECT label_a, label_b, n_a, n_b,
+      |  CASE WHEN naa = 0 OR nbb = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST(floor(CAST(dot AS DOUBLE) * 1e6 /
+      |         sqrt(CAST(naa AS DOUBLE) * CAST(nbb AS DOUBLE))) AS BIGINT)
+      |  END AS cos_x1e6
+      |FROM pr ORDER BY label_a, label_b""".stripMargin
+
+  /** Edit-distance verified near-dup ([[dedup.Dedup.minhashCandidates]]
+    * + Levenshtein): the sketch proposes, the exact edit distance
+    * disposes — the standard candidate→verify contract where the
+    * verifier is character-level (catches the word-order/reflow edits
+    * n-gram Jaccard under-penalizes). Pairwise work only on the LSH
+    * candidates (never corpus-quadratic); the Levenshtein DP is
+    * O(len²) per pair — bounded by document length, and production
+    * pipelines verify on capped prefixes at 100 TB. The 30‰ gate is
+    * chosen to SPLIT this corpus's candidate set (7-63‰ observed), so
+    * the verdict column is non-degenerate at every test scale.
+    */
+  private def dedupEditVerify(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val canon = docs.select(col("doc_id"), text.Text.canon(col("text")).as("ct"))
+    dedup.Dedup.minhashCandidates(docs)
+      .join(canon.select(col("doc_id").as("doc_a"), col("ct").as("ca")), "doc_a")
+      .join(canon.select(col("doc_id").as("doc_b"), col("ct").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("ca"), col("cb")).cast("long").as("dist"),
+        greatest(length(col("ca")), length(col("cb")), lit(1)).cast("long").as("max_len"))
+      .withColumn("rel_pml", expr("dist * 1000 div max_len"))
+      .withColumn("verified", col("rel_pml") <= 30L)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupEditVerifySql =
+    s"""WITH mh AS (SELECT doc_a, doc_b FROM (${oracle.DuckHash.minhashSql})),
+       |c AS (SELECT doc_id, $canonSql AS ct FROM documents),
+       |v AS (
+       |  SELECT mh.doc_a, mh.doc_b,
+       |    CAST(levenshtein(a.ct, b.ct) AS BIGINT) AS dist,
+       |    CAST(GREATEST(length(a.ct), length(b.ct), 1) AS BIGINT) AS max_len
+       |  FROM mh JOIN c a ON a.doc_id = mh.doc_a JOIN c b ON b.doc_id = mh.doc_b)
+       |SELECT doc_a, doc_b, dist, max_len,
+       |  dist * 1000 // max_len AS rel_pml,
+       |  dist * 1000 // max_len <= 30 AS verified
+       |FROM v ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Train/test near-dup LEAKAGE audit ([[ops.Sample.splitOf]] ×
+    * [[dedup.Dedup.minhashCandidates]]): every LSH near-dup pair whose
+    * endpoints land in DIFFERENT splits of the shipped deterministic
+    * 80/10/10 assignment — the eval-integrity check (a test doc with a
+    * train near-twin inflates benchmarks exactly like benchmark
+    * contamination). Uses the SAME splitOf primitive as `samp_split`,
+    * so the audit audits the split that ships; pairwise work stays on
+    * the LSH candidates.
+    */
+  private def sampSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sp = docs.select(col("doc_id"), ops.Sample.splitOf(col("doc_id")).as("split"))
+    dedup.Dedup.minhashCandidates(docs)
+      .join(sp.select(col("doc_id").as("doc_a"), col("split").as("split_a")), "doc_a")
+      .join(sp.select(col("doc_id").as("doc_b"), col("split").as("split_b")), "doc_b")
+      .where(col("split_a") =!= col("split_b"))
+      .select(col("doc_a"), col("doc_b"), col("split_a"), col("split_b"), col("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val sampSplitLeakageSql =
+    s"""WITH mh AS (SELECT * FROM (${oracle.DuckHash.minhashSql})),
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} < 80 THEN 'train'
+       |         WHEN ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM documents)
+       |SELECT mh.doc_a, mh.doc_b, a.split AS split_a, b.split AS split_b, mh.est_jaccard
+       |FROM mh JOIN sp a ON a.doc_id = mh.doc_a JOIN sp b ON b.doc_id = mh.doc_b
+       |WHERE a.split <> b.split
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Grid tiling stats ([[mm.Multimodal.tileSums]]): each REAL
+    * ImageIO-decoded raster splits into a 2×2 pixel-count-balanced tile
+    * grid with one exact integer gray sum per tile — the ViT patch-prep
+    * shape (per-tile stats feed patch normalization and blank-tile
+    * detection before patch embedding). Decode + tiling map-side; the
+    * oracle recomputes every tile sum from the pixel formula.
+    */
+  private def mmTiles(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.tileSums(s, mm.Multimodal.imageFrame(s, Tables.documents(s, dir)), 2, 2)
+      .toDF().orderBy("doc_id", "tile_y", "tile_x")
+
+  private val mmTilesSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT doc_id, sw, sh,
+      |    gy.y * 2 // sh AS tile_y, gx.x * 2 // sw AS tile_x,
+      |    (doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 13) AS gy(y)
+      |  WHERE gx.x < sw AND gy.y < sh)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height,
+      |  CAST(tile_y AS INT) AS tile_y, CAST(tile_x AS INT) AS tile_x,
+      |  CAST(SUM(v) AS BIGINT) AS px_sum
+      |FROM p GROUP BY doc_id, sw, sh, tile_y, tile_x
+      |ORDER BY doc_id, tile_y, tile_x""".stripMargin
+
   /** Rate-burst detection ([[ops.Anomaly.flagOutliers]]): hourly event
     * counts per type, hours beyond 1.5×MAD of the type's median flagged (demo sensitivity; raise devX1000 for production) —
     * the metrics-anomaly twin of `q_anomaly_mad` that returns WHICH
@@ -9021,6 +9170,10 @@ object SparkEntry {
     "vec_pca_basis" -> (vecPcaBasis _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
+    "vec_centroid_affinity" -> (vecCentroidAffinity _),
+    "dedup_edit_verify" -> (dedupEditVerify _),
+    "samp_split_leakage" -> (sampSplitLeakage _),
+    "mm_tiles" -> (mmTiles _),
     "dedup_embed_clusters" -> (dedupEmbedClusters _),
     "pipe_dataset_card" -> (pipeDatasetCard _),
     "q_copurchase_lift" -> (qCopurchaseLift _),
@@ -9308,6 +9461,10 @@ object SparkEntry {
     "vec_pca_basis" -> vecPcaBasisSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
+    "vec_centroid_affinity" -> vecCentroidAffinitySql,
+    "dedup_edit_verify" -> dedupEditVerifySql,
+    "samp_split_leakage" -> sampSplitLeakageSql,
+    "mm_tiles" -> mmTilesSql,
     "dedup_embed_clusters" -> dedupEmbedClustersSql,
     "pipe_dataset_card" -> pipeDatasetCardSql,
     "q_copurchase_lift" -> qCopurchaseLiftSql,

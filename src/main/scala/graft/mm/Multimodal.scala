@@ -161,6 +161,8 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, src_idx: Int, width: Int, height: Int, px_sum: Long)
   case class MediaFeatures(doc_id: Long, width: Int, height: Int,
                            mean_r: Double, mean_g: Double, mean_b: Double)
+  case class Tile(doc_id: Long, width: Int, height: Int,
+                  tile_y: Int, tile_x: Int, px_sum: Long)
 
   /** Image media frame: one deterministic synthetic PNG per doc, encoded
     * with the real ImageIO PNG writer. Partition-local, no shuffle.
@@ -216,6 +218,36 @@ object Multimodal {
       val img = decodeImage(m.media)
       val out = resizeNearest(img, w, h)
       ResizedImage(m.doc_id, encodePng(out), img.getWidth, img.getHeight, w, h, pixelSum(out))
+    })
+  }
+
+  /** Grid tiling over decoded rasters — the ViT patch-prep shape: each
+    * image splits into a gy×gx grid of pixel-count-balanced tiles
+    * (tile of pixel (x, y) is (y·gy div h, x·gx div w)) with one exact
+    * integer gray sum per tile. One real ImageIO decode per row,
+    * partition-local fan-out to gy·gx rows, no shuffle; on a real
+    * corpus these per-tile stats feed patch normalization and
+    * blank/letterbox-tile detection before patch embedding.
+    */
+  def tileSums(spark: SparkSession, media: Dataset[MediaRow],
+      gx: Int, gy: Int): Dataset[Tile] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val img = decodeImage(m.media)
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = Array.ofDim[Long](gy, gx)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          sums(y * gy / h)(x * gx / w) += (img.getRGB(x, y) & 0xff).toLong
+          x += 1
+        }
+        y += 1
+      }
+      for (ty <- 0 until gy; tx <- 0 until gx)
+        yield Tile(m.doc_id, w, h, ty, tx, sums(ty)(tx))
     })
   }
 

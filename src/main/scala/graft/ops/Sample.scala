@@ -144,6 +144,22 @@ object Sample {
     * one groupBy on (source, split) — the window for docs_frac runs on
     * the tiny aggregated frame (|sources| × 3 rows).
     */
+  /** Deterministic split label of an id: SplitMix64(id) >>> 32 mod 100
+    * into 'train'/'val'/'test' bands — the shared assignment primitive
+    * behind [[hashSplit]] and the leakage audit (the SAME function must
+    * label both, or the audit audits a different split than the one
+    * shipped).
+    */
+  def splitOf(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(id)))
+    val bucket = shiftrightunsigned(h, 32) % lit(100L)
+    when(bucket < trainPct.toLong, lit("train"))
+      .when(bucket < (trainPct + valPct).toLong, lit("val"))
+      .otherwise(lit("test"))
+  }
+
   def hashSplit(
       docs: DataFrame,
       idCol: String,
@@ -153,13 +169,7 @@ object Sample {
       valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"hashSplit: need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
-    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
-      graft.functions.Mix64Long(
-        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col(idCol))))
-    val bucket = shiftrightunsigned(h, 32) % lit(100L)
-    val split = when(bucket < trainPct.toLong, lit("train"))
-      .when(bucket < (trainPct + valPct).toLong, lit("val"))
-      .otherwise(lit("test"))
+    val split = splitOf(col(idCol), trainPct, valPct)
     val g = docs
       .select(col(srcCol).as("source"), split.as("split"), tokens.as("toks"))
       .groupBy("source", "split")

@@ -27,6 +27,46 @@ import org.apache.spark.storage.StorageLevel
   */
 object Centroid {
 
+  /** Pairwise centroid cosine affinity between label groups — the
+    * domain-similarity matrix behind data-mixture design: when two
+    * sources/labels sit on near-parallel centroids, their budgets
+    * compete for the same capacity; orthogonal ones complement. Fit is
+    * the same one-groupBy(label) d-sum pass as [[classify]]; the
+    * pairwise fold runs on the collected labels×d centroid table
+    * (bounded index metadata, the Markov/KMeans driver contract) in
+    * exact integer dot products, one IEEE floor-division per pair to
+    * µ-precision. Output is the labels²/2 upper triangle.
+    */
+  def affinity(embeddings: DataFrame, k: Long = 1024L): DataFrame = {
+    val s = embeddings.sparkSession
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val q8 = embeddings.select(
+      col("label").cast("long").as("label"),
+      Vec.int8Normalize(col("embedding")).as("q"))
+    val fitRows = q8.groupBy("label").agg(
+      count(lit(1)).as("n"),
+      (0 until d).map(j => sum(element_at(col("q"), j + 1)).as(s"s$j")): _*)
+      .collect() // bounded: one row per label
+    val cents: Seq[(Long, Long, Array[Long])] = fitRows.map { r =>
+      val n = r.getAs[Long]("n")
+      val c = Array.tabulate(d)(j => r.getLong(2 + j) * k / n)
+      (r.getAs[Long]("label"), n, c)
+    }.toSeq.sortBy(_._1)
+    val rows = for {
+      (la, na, ca) <- cents
+      (lb, nb, cb) <- cents if la < lb
+    } yield {
+      val dot = (0 until d).map(j => ca(j) * cb(j)).sum
+      val naa = (0 until d).map(j => ca(j) * ca(j)).sum
+      val nbb = (0 until d).map(j => cb(j) * cb(j)).sum
+      val cos = if (naa == 0L || nbb == 0L) 0L
+        else math.floor(dot.toDouble * 1e6 / math.sqrt(naa.toDouble * nbb.toDouble)).toLong
+      (la, lb, na, nb, cos)
+    }
+    import s.implicits._
+    rows.toDF("label_a", "label_b", "n_a", "n_b", "cos_x1e6")
+  }
+
   def classify(embeddings: DataFrame, k: Long = 1024L): DataFrame = {
     require(k >= 2L && k <= (1L << 20), s"classify: scale k out of range: $k")
     val d = embeddings.select(size(col("embedding"))).head().getInt(0)

@@ -4836,3 +4836,105 @@ class BfsFallbackSpec extends AnyFunSuite {
     assert(viaB === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 10L -> 2L, 3L -> 3L))
   }
 }
+
+class EditVerifySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("candidates carry exact edit distances; verdict tracks the 30 permille gate") {
+    val out = SparkEntry.queries("dedup_edit_verify")(spark, "/root/testdata/sf0.01").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (dist, maxLen, relPml, verified) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(relPml === dist * 1000 / maxLen)
+      assert(verified === (relPml <= 30L))
+      assert(dist >= 0L && maxLen >= 1L)
+    }
+    // the corpus's planted near-dups keep the verdict non-degenerate
+    assert(out.exists(_.getBoolean(5)) && out.exists(!_.getBoolean(5)))
+  }
+}
+
+class SplitLeakageSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("planted identical docs leak exactly across their split boundaries") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("leak")
+    val ids = (0L until 40L)
+    val txt = "the quick brown fox jumps over the lazy dog and keeps on running far away"
+    ids.map(i => (i, txt, "en", "srcA", txt.length))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // expected: identical docs are all-pairs candidates; leakage = pairs
+    // whose splitOf labels differ (computed via the SAME primitive)
+    val splits = ids.map(i => i -> spark.range(1).select(
+      ops.Sample.splitOf(lit(i))).head.getString(0)).toMap
+    val expected = (for {
+      a <- ids; b <- ids if a < b && splits(a) != splits(b)
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "planted ids must span splits")
+    val got = SparkEntry.queries("samp_split_leakage")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+}
+
+class CentroidAffinitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("parallel label centroids score ~1e6; orthogonal ~0") {
+    import spark.implicits._
+    def unit(dim: Int): Seq[Float] =
+      (0 until 64).map(j => if (j == dim) 1.0f else 0.0f)
+    val rows =
+      (0 until 5).map(i => (i.toLong, unit(0), 0L)) ++
+      (5 until 10).map(i => (i.toLong, unit(0), 1L)) ++ // parallel to label 0
+      (10 until 15).map(i => (i.toLong, unit(1), 2L))   // orthogonal
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = vec.Centroid.affinity(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    assert(out((0L, 1L)) >= 999999L)
+    assert(math.abs(out((0L, 2L))) <= 1000L)
+    assert(math.abs(out((1L, 2L))) <= 1000L)
+  }
+
+  test("affinity on the gated corpus is bounded and upper-triangular") {
+    val out = SparkEntry.queries("vec_centroid_affinity")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(math.abs(r.getLong(4)) <= 1000000L)
+      assert(r.getLong(2) > 0L && r.getLong(3) > 0L)
+    }
+  }
+}
+
+class MmTilesSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("real-decode tile sums partition the raster exactly (formula cross-check)") {
+    import spark.implicits._
+    val docs = Seq(0L, 7L, 13L, 25L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = mm.Multimodal.tileSums(spark, mm.Multimodal.imageFrame(spark, docs), 2, 2)
+      .collect().map(t => (t.doc_id, t.tile_y, t.tile_x) -> (t.width, t.height, t.px_sum)).toMap
+    Seq(0L, 7L, 13L, 25L).foreach { id =>
+      val (w, h) = (mm.Multimodal.srcWidth(id), mm.Multimodal.srcHeight(id))
+      val expect = Array.ofDim[Long](2, 2)
+      for (y <- 0 until h; x <- 0 until w)
+        expect(y * 2 / h)(x * 2 / w) += mm.Multimodal.pixelValue(id, 0, x, y).toLong
+      for (ty <- 0 until 2; tx <- 0 until 2) {
+        val (gw, gh, sum) = out((id, ty, tx))
+        assert((gw, gh) === (w, h))
+        assert(sum === expect(ty)(tx), s"doc $id tile ($ty,$tx)")
+      }
+      // the four tiles partition the raster: sums add to the whole image
+      val total = (0 until 2).flatMap(ty => (0 until 2).map(tx => out((id, ty, tx))._3)).sum
+      val whole = (for (y <- 0 until h; x <- 0 until w)
+        yield mm.Multimodal.pixelValue(id, 0, x, y).toLong).sum
+      assert(total === whole)
+    }
+  }
+}
