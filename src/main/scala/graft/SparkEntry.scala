@@ -2860,7 +2860,14 @@ object SparkEntry {
     vec.Eigen.top2Basis(Tables.embeddings(s, dir), iters = 3, scaleMax = 4096L)
       .orderBy("dim")
 
-  private val vecPcaBasisSql = {
+  /** Shared PCA-chain CTE prefix (qm/qn/q quantization + the two
+    * unrolled 3-step integer power iterations, all MATERIALIZED so
+    * DuckDB never re-inlines the chains): `l3` ends as the v1 list,
+    * `k3` as the v2 list. `carryId` threads vec_id through the
+    * quantization CTEs for the projection oracle.
+    */
+  private def pcaChainCtes(carryId: Boolean): String = {
+    val id = if (carryId) "vec_id, " else ""
     // plain power step (shared with vec_top_eigen's oracle)
     def step(k: Int, sExpr: String): String =
       s"""s$k AS MATERIALIZED (SELECT q, CAST($sExpr AS BIGINT) AS s FROM q${if (k > 1) s", l${k - 1}" else ""}),
@@ -2897,14 +2904,14 @@ object SparkEntry {
          |k$k AS MATERIALIZED (SELECT list(v ORDER BY j) AS vl FROM u$k)""".stripMargin
     val vDot = "list_sum(list_transform(generate_series(1, 64), j -> q[j] * vl[j]))"
     s"""WITH qm AS MATERIALIZED (
-       |  SELECT list_transform(embedding,
+       |  SELECT ${id}list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qq
        |  FROM embeddings),
        |qn AS MATERIALIZED (
-       |  SELECT qq, CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
+       |  SELECT ${id}qq, CAST(list_sum(list_transform(qq, x -> x * x)) AS BIGINT) AS nq
        |  FROM qm),
        |q AS MATERIALIZED (
-       |  SELECT list_transform(qq, x ->
+       |  SELECT ${id}list_transform(qq, x ->
        |    CASE WHEN nq = 0 THEN 0
        |         ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT)
        |    END) AS q
@@ -2914,10 +2921,30 @@ object SparkEntry {
        |${step(3, vDot)},
        |${dstep(1, "list_sum(q)")},
        |${dstep(2, vDot)},
-       |${dstep(3, vDot)}
+       |${dstep(3, vDot)}""".stripMargin
+  }
+
+  private val vecPcaBasisSql =
+    s"""${pcaChainCtes(carryId = false)}
        |SELECT v3.j - 1 AS dim, v3.v AS v1_q, u3.v AS v2_q
        |FROM v3 JOIN u3 USING (j) ORDER BY dim""".stripMargin
-  }
+
+  /** 2-D PCA projection ([[vec.Eigen.project2]]): the top-2 integer
+    * basis applied to every vector — one map-side pass of exact integer
+    * dots (basis as codegen literals), the embedding-space map step.
+    * Oracle: the shared PCA chain with vec_id threaded through, final
+    * per-vector list dots against the l3/k3 basis lists.
+    */
+  private def vecPcaProject(s: SparkSession, dir: String): DataFrame =
+    vec.Eigen.project2(Tables.embeddings(s, dir), iters = 3, scaleMax = 4096L)
+      .orderBy("vec_id")
+
+  private val vecPcaProjectSql =
+    s"""${pcaChainCtes(carryId = true)}
+       |SELECT q.vec_id,
+       |  CAST(list_sum(list_transform(generate_series(1, 64), j -> q.q[j] * l3.vl[j])) AS BIGINT) AS p1_q,
+       |  CAST(list_sum(list_transform(generate_series(1, 64), j -> q.q[j] * k3.vl[j])) AS BIGINT) AS p2_q
+       |FROM q, l3, k3 ORDER BY vec_id""".stripMargin
 
   /** Winnowing near-dup pairs ([[dedup.Winnow.sharedPairs]]): MOSS-style
     * local fingerprints — window minima over md5'd positional 4-grams
@@ -2969,28 +2996,87 @@ object SparkEntry {
     ann.Ann.knnGraph(Tables.embeddings(s, dir), k = 5)
       .orderBy("vec_id", "rnk")
 
-  private val vecKnnGraphSql =
-    s"""WITH e AS (
+  /** Shared k-NN-graph CTE chain (quantized corpus `n` + bucketed
+    * candidate scoring `c` + per-node rank `t`), MATERIALIZED — `n` is
+    * re-referenced by every beam round of the graph-search oracle.
+    */
+  private val knnGraphCtes =
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
        |    ${lshBucketSql("embedding")} AS bucket
        |  FROM embeddings),
-       |n AS (
+       |n AS MATERIALIZED (
        |  SELECT vec_id, q, bucket,
        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |  FROM e),
-       |c AS (
+       |c AS MATERIALIZED (
        |  SELECT l.vec_id, r.vec_id AS nbr_id,
        |    CASE WHEN l.nrm * r.nrm = 0 THEN 0.0
        |         ELSE CAST(CAST(list_sum(list_transform(list_zip(l.q, r.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
        |              / sqrt(CAST(l.nrm * r.nrm AS DOUBLE)) END AS cosine
        |  FROM n l JOIN n r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY vec_id ORDER BY cosine DESC, nbr_id) AS BIGINT) AS rnk
-       |  FROM c)
+       |  FROM c)""".stripMargin
+
+  private val vecKnnGraphSql =
+    s"""WITH $knnGraphCtes
        |SELECT vec_id, nbr_id, cosine, rnk FROM t WHERE rnk <= 5
        |ORDER BY vec_id, rnk""".stripMargin
+
+  /** Graph-ANN beam search ([[ann.Ann.graphSearch]]): greedy navigation
+    * of the k-NN graph seeded from the per-bucket min-id entry layer
+    * (the bucketed graph is a disjoint union of components; the coarse
+    * layer is the DiskANN-medoid/HNSW-upper-layer role) — the third
+    * ANN index family beside IVF cell-probing and PQ code compression.
+    * Per-hop work is O(queries·(k+2^p)·nnK), corpus-size-independent;
+    * the oracle unrolls the three hops with the exact rescoring +
+    * top-k fold per round.
+    */
+  private def annGraphSearch(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.graphSearch(Tables.embeddings(s, dir), annQueryIds, k = 10, hops = 3)
+      .orderBy("query_id", "rnk")
+
+  private val annGraphSearchSql = {
+    val cosSql =
+      """round(CASE WHEN qs.qnrm * n.nrm = 0 THEN 0.0
+        |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.qq, n.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+        |           / sqrt(CAST(qs.qnrm * n.nrm AS DOUBLE)) END, 6)""".stripMargin
+    def hop(r: Int): String =
+      s"""c$r AS (
+         |  SELECT DISTINCT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id FROM b${r - 1}
+         |    UNION ALL
+         |    SELECT b.query_id, g.dst AS vec_id
+         |    FROM b${r - 1} b JOIN g ON g.src = b.vec_id)),
+         |s$r AS (
+         |  SELECT c.query_id, c.vec_id, $cosSql AS cosine
+         |  FROM c$r c JOIN n ON n.vec_id = c.vec_id
+         |  JOIN qs ON qs.query_id = c.query_id
+         |  WHERE c.vec_id <> c.query_id),
+         |b$r AS (
+         |  SELECT query_id, vec_id, cosine FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+         |    FROM s$r)
+         |  WHERE rn <= 10)""".stripMargin
+    s"""WITH $knnGraphCtes,
+       |g AS MATERIALIZED (SELECT vec_id AS src, nbr_id AS dst FROM t WHERE rnk <= 5),
+       |qs AS (
+       |  SELECT vec_id AS query_id, q AS qq, nrm AS qnrm FROM n
+       |  WHERE vec_id IN (${annQueryIds.mkString(", ")})),
+       |r AS (SELECT MIN(vec_id) AS vec_id FROM n GROUP BY bucket),
+       |b0 AS (SELECT qs.query_id, r.vec_id FROM qs, r),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT query_id, vec_id, cosine,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk
+       |FROM b3 ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Dominant intensity bin ([[mm.Multimodal.dominantBin]]): 16-bin
     * histogram argmax of the DECODED red channel — the oracle predicts
@@ -9168,6 +9254,7 @@ object SparkEntry {
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
+    "vec_pca_project" -> (vecPcaProject _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -9179,6 +9266,7 @@ object SparkEntry {
     "q_copurchase_lift" -> (qCopurchaseLift _),
     "q_orders_rfm" -> (qOrdersRfm _),
     "vec_knn_graph" -> (vecKnnGraph _),
+    "ann_graph_search" -> (annGraphSearch _),
     "mm_dominant_bin" -> (mmDominantBin _),
     "dedup_winnow" -> (dedupWinnow _),
     "text_readability" -> (textReadability _),
@@ -9459,6 +9547,7 @@ object SparkEntry {
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,
+    "vec_pca_project" -> vecPcaProjectSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,
@@ -9470,6 +9559,7 @@ object SparkEntry {
     "q_copurchase_lift" -> qCopurchaseLiftSql,
     "q_orders_rfm" -> qOrdersRfmSql,
     "vec_knn_graph" -> vecKnnGraphSql,
+    "ann_graph_search" -> annGraphSearchSql,
     "mm_dominant_bin" -> mmDominantBinSql,
     "dedup_winnow" -> dedupWinnowSql,
     "text_readability" -> textReadabilitySql,

@@ -224,6 +224,82 @@ object Ann {
     * cosine, and reduced through the bounded-heap TopKPerKey operator —
     * per-task state corpus×k, never the full candidate set.
     */
+  /** Greedy beam search over the k-NN GRAPH — the third ANN index
+    * family (graph navigation, the HNSW/NSG base layer) next to the
+    * cell-probe (IVF) and code-compression (PQ) families. The bucketed
+    * [[knnGraph]] is a disjoint union of per-bucket components, so a
+    * single global entry could never leave its own component; instead
+    * the beam seeds from a COARSE ENTRY LAYER — one representative
+    * (min vec_id) per LSH bucket, ≤2^p driver-held ids, the
+    * DiskANN-medoid / HNSW-upper-layer role. Each hop expands the
+    * current beam through its stored top-`nnK` out-edges, rescores
+    * beam ∪ neighbors against the query (exact quantized cosine,
+    * rounded to 6 before ranking), and keeps the best `k` per query —
+    * so hop 1 doubles as the entry-layer scoring pass.
+    *
+    * Scale: the graph build is [[knnGraph]]'s bucketed self-join (built
+    * once, shareable); each search hop is one equi-join of the
+    * queries×k beam frame against the edge list plus one map-side
+    * rescoring pass — per-hop work O(queries·(k+2^p)·nnK), independent
+    * of corpus size, which is the entire point of graph ANN. Query
+    * vectors ride into codegen as literals (bounded workload metadata,
+    * the lshTopK broadcast contract).
+    */
+  def graphSearch(
+      embeddings: DataFrame,
+      queryIds: Seq[Long],
+      k: Int = 10,
+      hops: Int = 3,
+      nnK: Int = 5,
+      p: Int = 8): DataFrame = {
+    require(k >= 1 && hops >= 1, s"graphSearch: need k, hops >= 1; got $k, $hops")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val graph = knnGraph(embeddings, nnK, p) // persisted by knnGraph; released below
+    val edges = graph.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val corpusB = embeddings.select(
+      col("vec_id"),
+      Vec.quantize(col("embedding")).as("cv"),
+      Vec.lshBucket(col("embedding"), p).as("bucket"))
+    val corpus = corpusB.select("vec_id", "cv")
+    val qvecs: Seq[(Long, Seq[Long])] = corpus
+      .where(col("vec_id").isInCollection(queryIds))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toSeq.sortBy(_._1)
+    require(qvecs.nonEmpty, "graphSearch: no query vectors found")
+    // coarse entry layer: bounded at 2^p ids — index metadata, not data
+    val repIds: Seq[Long] = corpusB.groupBy("bucket")
+      .agg(min(col("vec_id")).as("v"))
+      .select("v").collect().map(_.getLong(0)).toSeq.sorted
+    // per-query cosine vs the bound query literal, lshTopK conventions
+    val score = qvecs.foldLeft(lit(Double.NaN)) { case (els, (qid, qv)) =>
+      when(col("query_id") === qid,
+        round(Vec.cosineQ(typedLit(qv), col("cv")), 6)).otherwise(els)
+    }
+    var beam = (for { (qid, _) <- qvecs; r <- repIds } yield (qid, r))
+      .toDF("query_id", "vec_id")
+    var beamScored: DataFrame = null
+    for (_ <- 1 to hops) {
+      val expanded = beam.join(edges, beam("vec_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("vec_id"))
+      val cand = beam.unionByName(expanded).distinct()
+      val scored = cand.join(corpus, "vec_id")
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), score.as("cosine"))
+      beamScored = graft.plans.TopK.perKey(
+        scored, Seq("query_id"), Seq("cosine" -> true, "vec_id" -> false), k)
+      beam = beamScored.select("query_id", "vec_id")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val out = beamScored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize while the graph is cached; caller owns out
+    graph.unpersist(blocking = false)
+    out
+  }
+
   def knnGraph(embeddings: DataFrame, k: Int = 5, p: Int = 8): DataFrame = {
     require(k >= 1, s"knnGraph: need k >= 1, got $k")
     val b = embeddings.select(

@@ -101,6 +101,35 @@ object Eigen {
     } finally { q8.unpersist(); () }
   }
 
+  /** 2-D PCA projection of every vector: fit the [[top2Basis]] integer
+    * basis, then one MAP-SIDE pass computes each vector's exact integer
+    * dot with v1 and v2 (the basis rides into codegen as literals) —
+    * the embedding-space map/whitening step downstream tools consume.
+    * p ≤ d·127·scaleMax ≈ 2^35 at d=64 — exact in Int64. Output
+    * (vec_id, p1_q, p2_q); corpus never shuffles.
+    */
+  def project2(
+      embeddings: DataFrame,
+      iters: Int = 3,
+      scaleMax: Long = 4096L): DataFrame = {
+    require(iters >= 1, s"project2: need iters >= 1, got $iters")
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d >= 1, "project2: empty embedding vector")
+    val q8 = embeddings
+      .select(col("vec_id"), Vec.int8Normalize(col("embedding")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v1 = powerSteps(q8, d, iters, scaleMax, orthoTo = None)
+      val v2 = powerSteps(q8, d, iters, scaleMax, orthoTo = Some(v1))
+      def dot(v: Array[Long]) = aggregate(
+        zip_with(col("q"), typedLit(v.toSeq), (x, y) => x * y),
+        lit(0L), (a, b) => a + b)
+      // lazy result re-derives q8's lineage after the unpersist below —
+      // one extra map-side normalize pass, no cached-state leak
+      q8.select(col("vec_id"), dot(v1).as("p1_q"), dot(v2).as("p2_q"))
+    } finally { q8.unpersist(blocking = false); () }
+  }
+
   /** Top-2 principal basis: v1 by plain power iteration, v2 by the same
     * iteration with per-step exact-integer projection deflation against
     * v1 (see [[powerSteps]]). Output (dim, v1_q, v2_q) — the 2-D PCA

@@ -1011,7 +1011,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "vec_hard_negatives", // brute-force scoring leg with the label
                             // inequality as residual: same |queryIds|-row
                             // broadcast contract as ann_bruteforce_topk
-      "vec_margin_eval") // same |queryIds|-row broadcast scoring leg
+      "vec_margin_eval", // same |queryIds|-row broadcast scoring leg
+      "text_model_auc") // 1x1 crossJoin of the AUC fold with class totals
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -4936,5 +4937,53 @@ class MmTilesSpec extends AnyFunSuite {
         yield mm.Multimodal.pixelValue(id, 0, x, y).toLong).sum
       assert(total === whole)
     }
+  }
+}
+
+class PcaProjectSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("projections are the exact integer dots with the fitted basis") {
+    val emb = Tables.embeddings(spark, dir)
+    val basis = SparkEntry.queries("vec_pca_basis")(spark, dir).collect()
+    val v1 = basis.map(r => r.getLong(1))
+    val v2 = basis.map(r => r.getLong(2))
+    val q8 = emb.select(col("vec_id"), graft.vec.Vec.int8Normalize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val out = SparkEntry.queries("vec_pca_project")(spark, dir).collect()
+    assert(out.length === q8.size)
+    out.take(20).foreach { r =>
+      val q = q8(r.getLong(0))
+      assert(r.getLong(1) === q.zip(v1).map { case (a, b) => a * b }.sum)
+      assert(r.getLong(2) === q.zip(v2).map { case (a, b) => a * b }.sum)
+    }
+  }
+}
+
+class GraphSearchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("beam search returns ranked, deduplicated, reachable neighbors") {
+    val out = SparkEntry.queries("ann_graph_search")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length <= 10)
+      // rnk sequential from 1; cosine non-increasing in rank order
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to rows.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ =>
+      }
+      // never returns the query itself; no duplicate neighbors
+      assert(!rows.exists(_.getLong(1) == q))
+      assert(rows.map(_.getLong(1)).distinct.length === rows.length)
+    }
+    // the navigator must find at least one true top-10 neighbor somewhere
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).count(bf.contains) > 0)
   }
 }
