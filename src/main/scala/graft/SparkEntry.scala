@@ -2564,6 +2564,201 @@ object SparkEntry {
        |ORDER BY stratum, rank, doc_id""".stripMargin
   }
 
+  /** Poisson bootstrap CI ([[ops.Bootstrap.meanCI]], Chamandy et al.
+    * 2012): 32 deterministic Poisson(1)-weighted replicates of mean
+    * order value from ONE corpus pass (map-side ×32 fan-out, partial
+    * aggregation into 32 cells) + the interpolated 2.5/97.5 percentile
+    * CI over the replicate frame — the only bootstrap that survives
+    * 100 TB. Weights via SplitMix64 top-32 bits against integer CDF
+    * thresholds: replicate sums bit-exact cross-engine.
+    */
+  private def sampBootstrap(s: SparkSession, dir: String): DataFrame =
+    ops.Bootstrap.meanCI(Tables.orders(s, dir),
+        col("o_orderkey"), cents(col("o_totalprice")), b = 32)
+      .orderBy("replicate")
+
+  private val sampBootstrapSql = {
+    val ts = ops.Bootstrap.CdfQ32
+    val wCase = ts.zipWithIndex
+      .map { case (t, k) => s"WHEN u < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH e AS (
+       |  SELECT o_orderkey * 32 + r.replicate AS hk,
+       |    ${centsSql("o_totalprice")} AS v, r.replicate
+       |  FROM orders, (SELECT UNNEST(generate_series(0, 31)) AS replicate) r),
+       |u AS (SELECT replicate, v, ${oracle.DuckHash.mix64Top32Sql("hk")} AS u FROM e),
+       |w AS (SELECT replicate, v, $wCase AS w FROM u),
+       |a AS (
+       |  SELECT CAST(replicate AS BIGINT) AS replicate,
+       |    CAST(SUM(w) AS BIGINT) AS n_w,
+       |    CAST(SUM(w * v) AS BIGINT) AS tot
+       |  FROM w GROUP BY 1),
+       |m AS (
+       |  SELECT replicate, n_w, tot,
+       |    CASE WHEN n_w = 0 THEN 0 ELSE tot * 1000 // n_w END AS mean_milli
+       |  FROM a)
+       |SELECT replicate, n_w, tot, mean_milli,
+       |  quantile_cont(mean_milli, 0.025) OVER () AS ci_lo_milli,
+       |  quantile_cont(mean_milli, 0.975) OVER () AS ci_hi_milli
+       |FROM m ORDER BY replicate""".stripMargin
+  }
+
+  /** Length-bucketed batching plan: per-source exact token-length
+    * quartiles (Spark's counts-map percentile — state bounded by the
+    * token-length DOMAIN, not corpus size) broadcast back onto the
+    * corpus to assign each doc a quartile bucket, then per-(source,
+    * bucket) volume stats — the bucketed-batching layout step that
+    * keeps padding waste bounded when packing training batches.
+    * Interpolated percentiles of integers are binary-exact doubles on
+    * both engines, so the bucket boundaries — and therefore every
+    * count — are hash-exact.
+    */
+  private def pipeLengthBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("source"), text.Text.wordCount(col("text")).as("w"))
+    val q = d.groupBy("source").agg(
+      percentile(col("w"), lit(0.25)).as("q1"),
+      percentile(col("w"), lit(0.5)).as("q2"),
+      percentile(col("w"), lit(0.75)).as("q3"))
+    d.join(broadcast(q), "source")
+      .withColumn("bucket",
+        when(col("w") <= col("q1"), lit(0L))
+          .when(col("w") <= col("q2"), lit(1L))
+          .when(col("w") <= col("q3"), lit(2L))
+          .otherwise(lit(3L)))
+      .groupBy("source", "bucket")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("w")).as("tok_sum"),
+        min(col("w")).as("w_min"),
+        max(col("w")).as("w_max"))
+      .orderBy("source", "bucket")
+  }
+
+  private val pipeLengthBucketsSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH d AS (SELECT source, CAST($wcSql AS BIGINT) AS w FROM documents),
+       |q AS (
+       |  SELECT source,
+       |    quantile_cont(w, 0.25) AS q1,
+       |    quantile_cont(w, 0.5) AS q2,
+       |    quantile_cont(w, 0.75) AS q3
+       |  FROM d GROUP BY 1),
+       |b AS (
+       |  SELECT d.source, w,
+       |    CASE WHEN w <= q1 THEN 0 WHEN w <= q2 THEN 1
+       |         WHEN w <= q3 THEN 2 ELSE 3 END AS bucket
+       |  FROM d JOIN q USING (source))
+       |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(w) AS BIGINT) AS tok_sum,
+       |  CAST(MIN(w) AS BIGINT) AS w_min,
+       |  CAST(MAX(w) AS BIGINT) AS w_max
+       |FROM b GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+  }
+
+  /** DSIR-style importance resampling gate ([[text.InfoTheory
+    * .importanceWeights]], Xie et al. 2023): per-doc integer-quantized
+    * log-likelihood ratio between a unigram LM fit on the target
+    * source (MIN(source) — deterministic) and one fit on the rest,
+    * add-1 smoothed over the joint vocabulary; keep = non-target docs
+    * scoring ≥ the interpolated median (binary-exact on integer
+    * inputs). Dictionary vocab-bounded, never collected; the median
+    * rides back as a broadcast 1-row equi-join on the is_target flag.
+    */
+  private def sampImportance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val target = docs.agg(min(col("source"))).head().getString(0)
+    text.InfoTheory.importanceWeights(docs, target).orderBy("doc_id")
+  }
+
+  private val sampImportanceSql = {
+    def q(e: String) = s"CAST(floor(ln(CAST($e AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    source = (SELECT MIN(source) FROM documents) AS is_target,
+       |    $wordsListSql AS w
+       |  FROM documents),
+       |dc AS (
+       |  SELECT doc_id, is_target, t, COUNT(*) AS c
+       |  FROM (SELECT doc_id, is_target, UNNEST(w) AS t FROM d) GROUP BY 1, 2, 3),
+       |dict AS (
+       |  SELECT t,
+       |    COALESCE(SUM(CASE WHEN is_target THEN c END), 0) + 1 AS ct1,
+       |    COALESCE(SUM(CASE WHEN NOT is_target THEN c END), 0) + 1 AS cs1
+       |  FROM dc GROUP BY 1),
+       |tot AS (
+       |  SELECT ${q("SUM(ct1)")} AS qtt, ${q("SUM(cs1)")} AS qts FROM dict),
+       |per AS (
+       |  SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS nw,
+       |    CAST(SUM(c * (${q("ct1")} - ${q("cs1")})) AS BIGINT) AS sll
+       |  FROM dc JOIN dict USING (t) GROUP BY 1),
+       |s AS (
+       |  SELECT d.doc_id, d.is_target,
+       |    COALESCE(nw, 0) AS n_words,
+       |    COALESCE(sll, 0) - COALESCE(nw, 0) *
+       |      ((SELECT qtt FROM tot) - (SELECT qts FROM tot)) AS imp_q
+       |  FROM d LEFT JOIN per USING (doc_id)),
+       |m AS (SELECT quantile_cont(imp_q, 0.5) AS med FROM s WHERE NOT is_target)
+       |SELECT doc_id, is_target, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(imp_q AS BIGINT) AS imp_q,
+       |  (NOT is_target AND CAST(imp_q AS DOUBLE) >= (SELECT med FROM m)) AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Pairwise source n-gram overlap matrix: distinct 8-gram Jaccard
+    * between every source pair — the corpus-level redundancy report
+    * that decides which sources to dedup against each other BEFORE
+    * paying a full cross-source near-dup pass. Gram-keyed equi-join
+    * (a gram shared by S sources costs S² rows with S = source count,
+    * bounded metadata); the pair frame itself is a sources×sources
+    * metadata join. Jaccard in integer permille (truncating division
+    * both engines).
+    */
+  private def pipeSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"),
+        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("g"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = g.as("a").join(g.as("b"), "g")
+      .where(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val pairs = sizes.as("x")
+      .join(sizes.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n").as("n_a"), col("y.n").as("n_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("inter"), lit(0L)).as("inter"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard_permille", expr("inter * 1000 div uni"))
+      .orderBy("src_a", "src_b")
+  }
+
+  private val pipeSourceOverlapSql =
+    s"""WITH d AS (SELECT source, $wordsListSql AS w FROM documents),
+       |g AS (
+       |  SELECT DISTINCT source, g FROM (
+       |    SELECT source, UNNEST(${wordGramsSql(8)}) AS g FROM d)),
+       |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+       |i AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |    CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+       |  FROM sz x JOIN sz y ON x.source < y.source)
+       |SELECT p.src_a AS src_a, p.src_b AS src_b, n_a, n_b,
+       |  COALESCE(inter, 0) AS inter,
+       |  n_a + n_b - COALESCE(inter, 0) AS uni,
+       |  COALESCE(inter, 0) * 1000 // (n_a + n_b - COALESCE(inter, 0)) AS jaccard_permille
+       |FROM p LEFT JOIN i ON p.src_a = i.src_a AND p.src_b = i.src_b
+       |ORDER BY p.src_a, p.src_b""".stripMargin
+
   /** Class-balanced downsampling ([[ops.Sample.balancedSample]]): every
     * embedding label keeps exactly the minority label's count, members
     * chosen by deterministic SplitMix64(vec_id) top-32 rank — the
@@ -9255,6 +9450,10 @@ object SparkEntry {
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
     "vec_pca_project" -> (vecPcaProject _),
+    "samp_bootstrap" -> (sampBootstrap _),
+    "pipe_length_buckets" -> (pipeLengthBuckets _),
+    "samp_importance" -> (sampImportance _),
+    "pipe_source_overlap" -> (pipeSourceOverlap _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -9548,6 +9747,10 @@ object SparkEntry {
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,
     "vec_pca_project" -> vecPcaProjectSql,
+    "samp_bootstrap" -> sampBootstrapSql,
+    "pipe_length_buckets" -> pipeLengthBucketsSql,
+    "samp_importance" -> sampImportanceSql,
+    "pipe_source_overlap" -> pipeSourceOverlapSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -158,4 +158,61 @@ object InfoTheory {
         col("avg_surprisal") >= lit(keepLoNats) &&
           col("avg_surprisal") <= lit(keepHiNats))
   }
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank raw-corpus
+    * documents by how target-domain-like they are under two unigram
+    * LMs — one fit on the `targetSource` slice, one on everything
+    * else. Per doc (add-1 smoothed over the JOINT vocabulary V):
+    *
+    *   imp_q = Σ c_t·(qln(ct_t+1) − qln(cs_t+1))
+    *           − n_words·(qln(Tt+V) − qln(Ts+V))     (BIGINT, exact)
+    *
+    * i.e. the integer-quantized log-likelihood ratio
+    * log p_target(doc) − log p_raw(doc). The resampling gate keeps the
+    * top half of NON-target docs: imp_q ≥ the interpolated median of
+    * non-target scores (binary-exact doubles on integer inputs, so the
+    * gate is hash-exact cross-engine). Target docs carry their score
+    * with keep = false (they are the reference, not candidates).
+    *
+    * Scale: the dictionary is vocab-bounded and never collected; both
+    * LM fits are one groupBy over the per-doc-reduced count frame; the
+    * median rides back as a 1-row equi-join key on the is_target flag
+    * (broadcast), never a corpus-wide unpartitioned window.
+    */
+  def importanceWeights(docs: DataFrame, targetSource: String): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), (col("source") === lit(targetSource)).as("is_target"),
+        explode(Text.words(col("text"))).as("t"))
+      .groupBy("doc_id", "is_target", "t").agg(count(lit(1)).as("c"))
+    val dict = cnt.groupBy("t").agg(
+      (coalesce(sum(when(col("is_target"), col("c"))), lit(0L)) + 1L).as("ct1"),
+      (coalesce(sum(when(!col("is_target"), col("c"))), lit(0L)) + 1L).as("cs1"))
+    // bounded collect: three scalars of LM metadata (V, smoothed totals)
+    val totRow = dict.agg(count(lit(1)), sum("ct1"), sum("cs1")).head()
+    val (v, tt, ts) = (totRow.getLong(0), totRow.getLong(1), totRow.getLong(2))
+    require(v > 0, "importanceWeights: corpus has no words")
+    val qTt = math.floor(math.log(tt.toDouble) * 1e9).toLong
+    val qTs = math.floor(math.log(ts.toDouble) * 1e9).toLong
+    val per = cnt.join(dict, "t")
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("nw"),
+        sum(col("c") * (qln(col("ct1")) - qln(col("cs1")))).as("sll"))
+    val scored = docs.select(col("doc_id"),
+        (col("source") === lit(targetSource)).as("is_target"))
+      .join(per, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("is_target"),
+        coalesce(col("nw"), lit(0L)).as("n_words"),
+        (coalesce(col("sll"), lit(0L)) -
+          coalesce(col("nw"), lit(0L)) * lit(qTt - qTs)).as("imp_q"))
+    val med = scored.where(!col("is_target"))
+      .agg(percentile(col("imp_q"), lit(0.5)).as("med"))
+      .select(lit(false).as("is_target"), col("med"))
+    scored.join(broadcast(med), Seq("is_target"), "left")
+      .select(col("doc_id"), col("is_target"), col("n_words"), col("imp_q"),
+        (!col("is_target") && col("imp_q").cast("double") >= col("med"))
+          .as("keep"))
+  }
 }

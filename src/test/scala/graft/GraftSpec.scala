@@ -1012,7 +1012,8 @@ class PlanAuditSpec extends AnyFunSuite {
                             // inequality as residual: same |queryIds|-row
                             // broadcast contract as ann_bruteforce_topk
       "vec_margin_eval", // same |queryIds|-row broadcast scoring leg
-      "text_model_auc") // 1x1 crossJoin of the AUC fold with class totals
+      "text_model_auc", // 1x1 crossJoin of the AUC fold with class totals
+      "pipe_source_overlap") // sources×sources metadata pair frame
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -4985,5 +4986,118 @@ class GraphSearchSpec extends AnyFunSuite {
     val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out.map(r => (r.getLong(0), r.getLong(1))).count(bf.contains) > 0)
+  }
+}
+
+class BootstrapSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("32 Poisson replicates bracket the point estimate with a consistent CI") {
+    val out = SparkEntry.queries("samp_bootstrap")(spark, dir).collect()
+    assert(out.length === 32)
+    assert(out.map(_.getLong(0)).toSeq === (0L to 31L))
+    // every replicate resamples ~n rows; weighted mean = truncated division
+    out.foreach { r =>
+      assert(r.getLong(1) > 0L)
+      assert(r.getLong(3) === r.getLong(2) * 1000L / r.getLong(1))
+    }
+    // CI columns constant across the frame, ordered, inside the replicate range
+    val lo = out.map(_.getDouble(4)).distinct
+    val hi = out.map(_.getDouble(5)).distinct
+    assert(lo.length === 1 && hi.length === 1 && lo.head <= hi.head)
+    val means = out.map(_.getLong(3))
+    assert(lo.head >= means.min.toDouble && hi.head <= means.max.toDouble)
+    // the unweighted corpus mean must land inside the replicate spread
+    val truth = Tables.orders(spark, dir)
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long") * 1000L)
+        .cast("double") / count(lit(1)))
+      .head().getDouble(0)
+    assert(means.min.toDouble <= truth && truth <= means.max.toDouble)
+  }
+
+  test("replicate sizes concentrate near n (Poisson(1) per row)") {
+    val n = Tables.orders(spark, dir).count()
+    val out = SparkEntry.queries("samp_bootstrap")(spark, dir).collect()
+    // 6-sigma band on sum of n Poisson(1) draws
+    val band = 6.0 * math.sqrt(n.toDouble)
+    out.foreach(r => assert(math.abs(r.getLong(1) - n).toDouble <= band))
+  }
+}
+
+class LengthBucketsSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("quartile buckets partition each source with monotone length ranges") {
+    val out = SparkEntry.queries("pipe_length_buckets")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val perSource = Tables.documents(spark, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      // buckets partition the source corpus
+      assert(rows.map(_.getLong(2)).sum === perSource(src))
+      // ranges are disjoint and ordered: max of bucket k <= min of bucket k+1
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) <= b.getLong(4))
+        case _ =>
+      }
+      // quartiles of a non-degenerate source fill all four buckets
+      if (rows.map(_.getLong(4)).distinct.length > 1)
+        assert(rows.length >= 2)
+    }
+  }
+}
+
+class ImportanceSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("importance gate keeps exactly the top half of non-target docs") {
+    val out = SparkEntry.queries("samp_importance")(spark, dir).collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(out.length === nDocs)
+    // target docs are reference-only: scored but never kept
+    assert(out.filter(_.getBoolean(1)).forall(!_.getBoolean(4)))
+    val nt = out.filter(r => !r.getBoolean(1))
+    val kept = nt.filter(_.getBoolean(4)).map(_.getLong(3))
+    val dropped = nt.filter(!_.getBoolean(4)).map(_.getLong(3))
+    // the gate is a score threshold: every kept score >= every dropped
+    if (kept.nonEmpty && dropped.nonEmpty) assert(kept.min >= dropped.max)
+    // median split keeps at least half (ties can push it over)
+    assert(kept.length >= nt.length / 2)
+  }
+
+  test("a planted target-vocab doc outranks a planted off-vocab doc") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta gamma alpha", "raw"),
+      (3L, "zeta eta theta iota", "raw"),
+      (4L, "alpha alpha beta beta", "raw"))).toDF("doc_id", "text", "source")
+    val out = graft.text.InfoTheory.importanceWeights(docs, "tgt")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(2L) > out(3L))
+    assert(out(4L) > out(3L))
+  }
+}
+
+class SourceOverlapSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pair matrix is complete, symmetric-free and Jaccard-consistent") {
+    val out = SparkEntry.queries("pipe_source_overlap")(spark, dir).collect()
+    val sources = out.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct
+    // one row per unordered pair of gram-bearing sources
+    assert(out.length === sources.length * (sources.length - 1) / 2)
+    out.foreach { r =>
+      val (na, nb, inter, uni) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getString(0) < r.getString(1))
+      assert(inter >= 0L && inter <= math.min(na, nb))
+      assert(uni === na + nb - inter)
+      assert(r.getLong(6) === inter * 1000L / uni)
+    }
   }
 }
