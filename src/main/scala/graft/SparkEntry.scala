@@ -3141,6 +3141,41 @@ object SparkEntry {
        |  CAST(list_sum(list_transform(generate_series(1, 64), j -> q.q[j] * k3.vl[j])) AS BIGINT) AS p2_q
        |FROM q, l3, k3 ORDER BY vec_id""".stripMargin
 
+  /** PCA variance diagnostic ([[vec.Eigen.explained2]]): the corpus
+    * mean of each vector's exact-integer energy share along v1/v2 —
+    * the "is 2-D enough?" check read before trusting the
+    * [[vec.Eigen.project2]] plane. One map-side pass over basis
+    * literals, 1×3 output; oracle extends the shared MATERIALIZED
+    * power-iteration chain with per-vector share folds.
+    */
+  private def vecPcaVar(s: SparkSession, dir: String): DataFrame =
+    vec.Eigen.explained2(Tables.embeddings(s, dir), iters = 3, scaleMax = 4096L)
+
+  private val vecPcaVarSql = {
+    def dotSql(basis: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, 64), j -> q.q[j] * $basis.vl[j])) AS BIGINT)"
+    s"""${pcaChainCtes(carryId = true)},
+       |vv AS (
+       |  SELECT
+       |    CAST(list_sum(list_transform(l3.vl, x -> x * x)) AS BIGINT) AS vv1,
+       |    CAST(list_sum(list_transform(k3.vl, x -> x * x)) AS BIGINT) AS vv2
+       |  FROM l3, k3),
+       |pr AS (
+       |  SELECT q.vec_id,
+       |    ${dotSql("l3")} AS p1, ${dotSql("k3")} AS p2,
+       |    CAST(list_sum(list_transform(q.q, x -> x * x)) AS BIGINT) AS nq
+       |  FROM q, l3, k3),
+       |sh AS (
+       |  SELECT
+       |    CASE WHEN nq = 0 THEN 0 ELSE p1 * p1 * 1000 // (nq * vv1) END AS s1,
+       |    CASE WHEN nq = 0 THEN 0 ELSE p2 * p2 * 1000 // (nq * vv2) END AS s2
+       |  FROM pr, vv)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(s1) // COUNT(*) AS BIGINT) AS avg_v1_share_pml,
+       |  CAST(SUM(s2) // COUNT(*) AS BIGINT) AS avg_v2_share_pml
+       |FROM sh""".stripMargin
+  }
+
   /** Winnowing near-dup pairs ([[dedup.Winnow.sharedPairs]]): MOSS-style
     * local fingerprints — window minima over md5'd positional 4-grams
     * (window 5), pairs sharing ≥2 fingerprints after a df-50 cap on
@@ -7328,6 +7363,39 @@ object SparkEntry {
        |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Graph-ANN recall vs the brute-force truth leg — completes the
+    * per-family eval story (IVF: ann_recall_eval, LSH: ann_lsh_recall,
+    * graph: this): per query, how many true top-10 neighbors the
+    * 3-hop entry-layer beam search recovers, in integer permille.
+    * The published number is the budget-allocation signal for hops /
+    * beam width / graph degree.
+    */
+  private def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.graphSearch(Tables.embeddings(s, dir), annQueryIds,
+        k = 10, hops = 3)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pml", expr("n_hits * 1000 div n_truth"))
+      .orderBy("query_id")
+  }
+
+  private val annGraphRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |gsr AS ($annGraphSearchSql),
+       |approx AS (SELECT query_id, vec_id, 1 AS hit FROM gsr)
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Mergeable histogram-sketch quantiles: per event type, the median
     * estimated from a ~90-bucket log-grid histogram (bucket =
     * ⌊ln(1+v)·8⌋, estimate = midpoint of the bucket where the
@@ -9454,6 +9522,8 @@ object SparkEntry {
     "pipe_length_buckets" -> (pipeLengthBuckets _),
     "samp_importance" -> (sampImportance _),
     "pipe_source_overlap" -> (pipeSourceOverlap _),
+    "ann_graph_recall" -> (annGraphRecall _),
+    "vec_pca_var" -> (vecPcaVar _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -9751,6 +9821,8 @@ object SparkEntry {
     "pipe_length_buckets" -> pipeLengthBucketsSql,
     "samp_importance" -> sampImportanceSql,
     "pipe_source_overlap" -> pipeSourceOverlapSql,
+    "ann_graph_recall" -> annGraphRecallSql,
+    "vec_pca_var" -> vecPcaVarSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

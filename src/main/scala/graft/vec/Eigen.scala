@@ -130,6 +130,47 @@ object Eigen {
     } finally { q8.unpersist(blocking = false); () }
   }
 
+  /** Mean per-vector energy share captured by the top-2 basis — the
+    * "is 2-D enough?" diagnostic read before trusting [[project2]]
+    * coordinates for clustering/visualization. Per vector i the share
+    * along v is (q_i·v)²·1000 div (|q_i|²·|v|²) in exact integer
+    * permille (p ≤ d·127·scaleMax ≈ 2^25 at d=64, so p²·1000 ≤ 2^60;
+    * denominator |q|²·|v|² ≤ 2^20·2^30 = 2^50 — all in Int64);
+    * the published row is the corpus mean of the two shares (truncating
+    * division both engines). One map-side pass over the fitted basis
+    * literals; output 1×3 — n_vecs, avg_v1_share_pml, avg_v2_share_pml.
+    */
+  def explained2(
+      embeddings: DataFrame,
+      iters: Int = 3,
+      scaleMax: Long = 4096L): DataFrame = {
+    require(iters >= 1, s"explained2: need iters >= 1, got $iters")
+    val d = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(d >= 1, "explained2: empty embedding vector")
+    val q8 = embeddings
+      .select(col("vec_id"), Vec.int8Normalize(col("embedding")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v1 = powerSteps(q8, d, iters, scaleMax, orthoTo = None)
+      val v2 = powerSteps(q8, d, iters, scaleMax, orthoTo = Some(v1))
+      val vv1 = v1.map(x => x * x).sum
+      val vv2 = v2.map(x => x * x).sum
+      def dot(v: Array[Long]) = aggregate(
+        zip_with(col("q"), typedLit(v.toSeq), (x, y) => x * y),
+        lit(0L), (a, b) => a + b)
+      val nq = aggregate(zip_with(col("q"), col("q"), (x, y) => x * y),
+        lit(0L), (a, b) => a + b)
+      q8.select(dot(v1).as("p1"), dot(v2).as("p2"), nq.as("nq"))
+        .select(
+          expr(s"CASE WHEN nq = 0 THEN 0L ELSE p1 * p1 * 1000L div (nq * ${vv1}L) END").as("s1"),
+          expr(s"CASE WHEN nq = 0 THEN 0L ELSE p2 * p2 * 1000L div (nq * ${vv2}L) END").as("s2"))
+        .agg(count(lit(1)).as("n_vecs"), sum("s1").as("t1"), sum("s2").as("t2"))
+        .select(col("n_vecs"),
+          expr("t1 div n_vecs").as("avg_v1_share_pml"),
+          expr("t2 div n_vecs").as("avg_v2_share_pml"))
+    } finally { q8.unpersist(blocking = false); () }
+  }
+
   /** Top-2 principal basis: v1 by plain power iteration, v2 by the same
     * iteration with per-step exact-integer projection deflation against
     * v1 (see [[powerSteps]]). Output (dim, v1_q, v2_q) — the 2-D PCA

@@ -5101,3 +5101,38 @@ class SourceOverlapSpec extends AnyFunSuite {
     }
   }
 }
+
+class GraphRecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry-layer beam search recalls most of the true top-10") {
+    val out = SparkEntry.queries("ann_graph_recall")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(3) === r.getLong(2) * 1000L / r.getLong(1))
+    }
+    // the coarse entry layer must make graph-ANN competitive: mean
+    // recall well above the single-probe LSH floor (0-100 pml)
+    val mean = out.map(_.getLong(3)).sum / out.length
+    assert(mean >= 500L, s"mean graph recall $mean pml")
+  }
+}
+
+class PcaVarSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("energy shares are per-vector-bounded and v1 >= v2 on average") {
+    val out = SparkEntry.queries("vec_pca_var")(spark, dir).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getLong(0) === Tables.embeddings(spark, dir).count())
+    val (s1, s2) = (r.getLong(1), r.getLong(2))
+    assert(s1 >= 0L && s1 <= 1000L && s2 >= 0L && s2 <= 1000L)
+    // v1 is the dominant direction; allow integer-truncation slack
+    assert(s1 + 1 >= s2)
+    // the fitted plane must beat the 2/d isotropic floor
+    assert(s1 + s2 > 2000L / 64L)
+  }
+}
