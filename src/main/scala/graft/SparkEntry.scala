@@ -2113,6 +2113,43 @@ object SparkEntry {
        |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
 
+  /** Packed-sequence boundary manifest: pipe_pack_budget's packing
+    * exploded to the per-document grain a trainer consumes — for every
+    * doc its pack, its ordinal within the pack, and its global token
+    * start offset, the attention-boundary metadata needed to mask
+    * cross-document attention inside each packed sequence. Same keyed
+    * running-sum plan as the packer plus one keyed row_number window.
+    */
+  private def pipePackBoundaries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source", "pack_id").orderBy("doc_id")
+    text.Chunking.packByBudget(
+      Tables.documents(s, dir), text.Text.bpeTokenCount(col("text")), 2048)
+      .select(col("source"), col("pack_id"), col("doc_id"),
+        (col("cum_tokens") - col("n_tokens")).as("start_off"),
+        col("n_tokens"))
+      .withColumn("seq", row_number().over(w).cast("long"))
+      .orderBy("source", "pack_id", "seq")
+  }
+
+  private val pipePackBoundariesSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(regexp_extract_all(text, '${text.Text.bpeTokenPattern}')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t),
+       |p AS (
+       |  SELECT source, CAST((GREATEST(cum, 1) - 1) // 2048 AS BIGINT) AS pack_id,
+       |    doc_id, CAST(cum - n_tokens AS BIGINT) AS start_off, n_tokens
+       |  FROM c)
+       |SELECT source, pack_id, doc_id, start_off, n_tokens,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY source, pack_id ORDER BY doc_id) AS BIGINT) AS seq
+       |FROM p ORDER BY source, pack_id, seq""".stripMargin
+
   private def textGopherQuality(s: SparkSession, dir: String): DataFrame =
     text.Gopher.metrics(Tables.documents(s, dir)).orderBy("doc_id")
 
@@ -4185,6 +4222,59 @@ object SparkEntry {
        |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src)
        |SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
+  /** Soft dedup by cluster-size-inverse sampling: instead of the hard
+    * one-survivor-per-cluster rule ([[dedup.Dedup]] survivorship), every
+    * doc keeps with probability 1/|cluster| — the expected surviving
+    * mass per near-dup cluster is exactly one document, but WHICH copy
+    * survives varies by hash, preserving intra-cluster diversity
+    * (the D4/SoftDeDup-style reweighting argument). Deterministic:
+    * keep iff SplitMix64(doc_id) top-32 < 2^32 div csize, the same
+    * integer threshold on both engines; singletons (csize 1) always
+    * survive. Plan = the proven components kernel + one size groupBy.
+    */
+  private def sampSoftDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val edges = dedup.Dedup.blockedNgramJaccard(docs)
+    val labels = dedup.Components.minLabel(edges.select("doc_a", "doc_b"))
+    edges.unpersist(blocking = false)
+    val lab = docs.select("doc_id").join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    val u32 = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id")))), 32)
+    lab.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("csize"), u32.as("u32"))
+      .withColumn("kept", col("u32") < expr("4294967296 div csize"))
+      .orderBy("doc_id")
+  }
+
+  private val sampSoftDedupSql =
+    s"""WITH RECURSIVE $ngramPairsCtesSql,
+       |sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pq
+       |  UNION SELECT doc_b, doc_a FROM pq),
+       |reach AS (
+       |  SELECT src AS node, dst AS lab FROM sym
+       |  UNION SELECT src, src FROM sym
+       |  UNION SELECT r.node, s.dst FROM reach r JOIN sym s ON r.lab = s.src),
+       |cl AS (
+       |  SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |lab AS (
+       |  SELECT d0.doc_id, COALESCE(cl.cluster_id, d0.doc_id) AS cluster_id
+       |  FROM (SELECT doc_id FROM documents) d0 LEFT JOIN cl USING (doc_id)),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY 1),
+       |u AS (
+       |  SELECT lab.doc_id, lab.cluster_id, sz.csize,
+       |    ${oracle.DuckHash.mix64Top32Sql("lab.doc_id")} AS u32
+       |  FROM lab JOIN sz USING (cluster_id))
+       |SELECT doc_id, cluster_id, csize, u32,
+       |  u32 < 4294967296 // csize AS kept
+       |FROM u ORDER BY doc_id""".stripMargin
 
   /** Oracle-verified twin of the flagship pipeline: identical stages to
     * pipe_corpus_prep (exact dedup → near-dup removal → quality gate →
@@ -9524,6 +9614,8 @@ object SparkEntry {
     "pipe_source_overlap" -> (pipeSourceOverlap _),
     "ann_graph_recall" -> (annGraphRecall _),
     "vec_pca_var" -> (vecPcaVar _),
+    "pipe_pack_boundaries" -> (pipePackBoundaries _),
+    "samp_soft_dedup" -> (sampSoftDedup _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -9823,6 +9915,8 @@ object SparkEntry {
     "pipe_source_overlap" -> pipeSourceOverlapSql,
     "ann_graph_recall" -> annGraphRecallSql,
     "vec_pca_var" -> vecPcaVarSql,
+    "pipe_pack_boundaries" -> pipePackBoundariesSql,
+    "samp_soft_dedup" -> sampSoftDedupSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

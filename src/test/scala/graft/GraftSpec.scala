@@ -5136,3 +5136,46 @@ class PcaVarSpec extends AnyFunSuite {
     assert(s1 + s2 > 2000L / 64L)
   }
 }
+
+class PackBoundariesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("boundaries are contiguous within each source stream") {
+    val out = SparkEntry.queries("pipe_pack_boundaries")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r.getLong(1), r.getLong(5)))
+      // offsets chain: each doc starts where the previous one ended
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) === a.getLong(3) + a.getLong(4))
+        case _ =>
+      }
+      // seq restarts at 1 per pack and increments
+      ordered.groupBy(_.getLong(1)).foreach { case (_, pk) =>
+        assert(pk.map(_.getLong(5)).sorted.toSeq === (1L to pk.length).toSeq)
+      }
+    }
+  }
+}
+
+class SoftDedupSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("singletons always survive; expected cluster mass is one doc") {
+    val out = SparkEntry.queries("samp_soft_dedup")(spark, dir).collect()
+    assert(out.length === Tables.documents(spark, dir).count())
+    // csize=1 => threshold 2^32 > any u32 => kept
+    out.filter(_.getLong(2) === 1L).foreach(r => assert(r.getBoolean(4)))
+    // kept iff u32 < 2^32 div csize, recomputed independently
+    out.foreach { r =>
+      val thr = 4294967296L / r.getLong(2)
+      assert(r.getBoolean(4) === (r.getLong(3) < thr))
+    }
+    // cluster sizes are consistent: every member of a cluster reports
+    // the cluster's member count
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.forall(_.getLong(2) === rows.length))
+    }
+  }
+}
