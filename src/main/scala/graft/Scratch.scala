@@ -11,8 +11,7 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val keys = Seq("q_events_stickiness", "q_graph_triangles", "q_graph_khop",
-      "q_graph_degree_dist", "q_graph_assortativity", "q_graph_pagerank")
+    val keys = Seq("q_events_stickiness")
     // warmup (pays codegen + the build-once artifacts)
     keys.foreach { k =>
       SparkEntry.queries(k)(spark, dir).count()

@@ -3510,19 +3510,25 @@ object SparkEntry {
     */
   private def qEventsStickiness(s: SparkSession, dir: String): DataFrame = {
     val dayNs = 86400L * 1000000000L
-    val userDays = Tables.events(s, dir)
+    // single tree: one scan, one (user,day) distinct, one ×7 explode
+    // carrying an offset-0 marker, one groupBy computing BOTH dau (sum
+    // of markers — exact because (user,day) is already distinct) and
+    // wau (distinct users in the trailing window). No self-join, no
+    // second scan; days with no real activity have dau = 0 and are
+    // filtered, matching the old inner-join semantics.
+    val ex = Tables.events(s, dir)
       .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
       .distinct()
-    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
-    // target days with no real activity are dropped by the inner join
-    // with dau below, so no separate real-days semi-join is needed —
-    // one fewer events scan + distinct + join than the r7-r8 plan
-    val wau = userDays
-      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("t_day"))
-      .distinct()
-      .groupBy("t_day").agg(count(lit(1)).as("wau"))
-    dau.join(wau, col("day") === col("t_day"))
-      .select(col("day"), col("dau"), col("wau"),
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0L), lit(6L))).as("off"))
+      .select(col("user_id"), (col("day") + col("off")).as("t_day"),
+        (col("off") === 0L).as("is0"))
+    ex.groupBy("t_day")
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        sum(when(col("is0"), 1L).otherwise(0L)).as("dau"))
+      .where(col("dau") > 0L)
+      .select(col("t_day").as("day"), col("dau"), col("wau"),
         expr("dau * 1000 div wau").as("stickiness_x1000"))
       .orderBy("day")
   }
@@ -3531,17 +3537,15 @@ object SparkEntry {
     """WITH ud AS (
       |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
       |  FROM events),
-      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
-      |t AS (
-      |  SELECT DISTINCT user_id, day + g AS t_day
+      |e AS (
+      |  SELECT user_id, day + g AS t_day, g = 0 AS is0
       |  FROM ud, UNNEST(generate_series(0, 6)) AS s(g)),
-      |rd AS (SELECT DISTINCT day AS t_day FROM ud),
-      |wau AS (
-      |  SELECT t_day, CAST(COUNT(*) AS BIGINT) AS wau
-      |  FROM t JOIN rd USING (t_day) GROUP BY 1)
-      |SELECT day, dau, wau, dau * 1000 // wau AS stickiness_x1000
-      |FROM dau JOIN wau ON day = t_day
-      |ORDER BY day""".stripMargin
+      |a AS (
+      |  SELECT t_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau,
+      |    CAST(SUM(CASE WHEN is0 THEN 1 ELSE 0 END) AS BIGINT) AS dau
+      |  FROM e GROUP BY 1)
+      |SELECT t_day AS day, dau, wau, dau * 1000 // wau AS stickiness_x1000
+      |FROM a WHERE dau > 0 ORDER BY day""".stripMargin
 
   /** Semantic dedup clusters: connected components
     * ([[dedup.Components.minLabel]]) over the LSH-blocked
