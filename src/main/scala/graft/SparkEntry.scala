@@ -1539,7 +1539,7 @@ object SparkEntry {
     * `cachedIndexDir` lifecycle as the PQ/IVF indexes: built once per
     * (corpus, JVM), crash-safe via the _COMPLETE marker.
     */
-  private def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def copurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val ix = cachedIndexDir("cpedges", dir) { p =>
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
       li.as("x").join(li.as("y"), Seq("l_orderkey"))
@@ -3546,6 +3546,90 @@ object SparkEntry {
       |  FROM e GROUP BY 1)
       |SELECT t_day AS day, dau, wau, dau * 1000 // wau AS stickiness_x1000
       |FROM a WHERE dau > 0 ORDER BY day""".stripMargin
+
+  /** k-anonymity audit (k = 10): group sizes of the quasi-identifier
+    * (nation, market segment, thousand-dollar balance bucket) over
+    * customers — the privacy-compliance twin of the PII audit: PII
+    * finds direct identifiers, this finds RE-IDENTIFIABLE rows, the
+    * groups an anonymized release would have to suppress or
+    * generalize. One groupBy at quasi-id grain (domain-bounded:
+    * nations × segments × ~110 balance buckets), violation flag per
+    * cell plus nothing corpus-sized on the driver.
+    */
+  private def qKanonAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(
+        col("c_nationkey").cast("long").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("cast(round(c_acctbal * 100, 0) as long) div 100000").as("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("violates_k10", col("n") < 10L)
+      .orderBy("nation", "segment", "bal_bucket")
+
+  private val qKanonAuditSql =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment AS segment,
+       |  ${centsSql("c_acctbal")} // 100000 AS bal_bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  COUNT(*) < 10 AS violates_k10
+       |FROM customer GROUP BY 1, 2, 3
+       |ORDER BY nation, segment, bal_bucket""".stripMargin
+
+  /** EWMA daily-volume forecast with one-step-ahead backtest, exact
+    * integer arithmetic (α = 1/4: s_t = (n_t + 3·s_{t−1}) div 4, all
+    * non-negative so floor = trunc both engines). Per event type the
+    * daily counts collapse to an ordered DAY-BOUNDED list (≤ corpus
+    * day span — workload metadata, not data), levels via prefix folds
+    * (O(days²) on ≤dozens of elements), published with the absolute
+    * one-step-ahead backtest error and its permille-of-volume rate —
+    * the "can I trust this smoother" number next to the forecast.
+    */
+  private def qEventsEwma(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"))
+      .withColumn("ns", expr("transform(dn, x -> x.n)"))
+      .withColumn("lv", expr(
+        "transform(sequence(1, size(ns)), i -> " +
+          "aggregate(slice(ns, 2, i - 1), element_at(ns, 1), " +
+          "(a, c) -> (c + 3 * a) div 4))"))
+      .select(
+        col("event_type"),
+        size(col("ns")).cast("long").as("n_days"),
+        expr("element_at(lv, size(lv))").as("ewma_level"),
+        expr("CASE WHEN size(ns) < 2 THEN 0L ELSE aggregate(sequence(2, size(ns)), 0L, " +
+          "(a, i) -> a + abs(element_at(ns, i) - element_at(lv, i - 1))) END").as("abs_err"),
+        expr("CASE WHEN size(ns) < 2 THEN 0L ELSE aggregate(slice(ns, 2, size(ns) - 1), 0L, " +
+          "(a, c) -> a + c) END").as("vol"))
+      .withColumn("err_pml",
+        when(col("vol") === 0L, lit(0L)).otherwise(expr("abs_err * 1000 div vol")))
+      .orderBy("event_type")
+  }
+
+  private val qEventsEwmaSql =
+    """WITH dc AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, list(n ORDER BY day) AS ns FROM dc GROUP BY 1),
+      |s AS (
+      |  SELECT event_type, ns,
+      |    list_transform(generate_series(1, len(ns)),
+      |      i -> list_reduce(ns[1:i], (a, c) -> (c + 3 * a) // 4)) AS lv
+      |  FROM l),
+      |f AS (
+      |  SELECT event_type,
+      |    CAST(len(ns) AS BIGINT) AS n_days,
+      |    CAST(lv[len(ns)] AS BIGINT) AS ewma_level,
+      |    CAST(COALESCE(list_sum(list_transform(generate_series(2, len(ns)),
+      |      i -> abs(ns[i] - lv[i - 1]))), 0) AS BIGINT) AS abs_err,
+      |    CAST(COALESCE(list_sum(ns[2:len(ns)]), 0) AS BIGINT) AS vol
+      |  FROM s)
+      |SELECT event_type, n_days, ewma_level, abs_err, vol,
+      |  CASE WHEN vol = 0 THEN 0 ELSE abs_err * 1000 // vol END AS err_pml
+      |FROM f ORDER BY event_type""".stripMargin
 
   /** Semantic dedup clusters: connected components
     * ([[dedup.Components.minLabel]]) over the LSH-blocked
@@ -6744,6 +6828,63 @@ object SparkEntry {
     * decides salting/threshold strategy for the downstream joins. Edge
     * fanout is bounded by order size; both groupBys combine map-side.
     */
+  /** Common-neighbor link prediction over the shared co-purchase edge
+    * artifact: candidate pairs = non-edges sharing ≥1 neighbor, scored
+    * by neighbor Jaccard cn·1000 div (deg_u + deg_v − cn); top 20 by
+    * (score, u, v) total order. The wedge join pivots only through
+    * common nodes with degree ≤ 64 (the standard super-hub cap that
+    * bounds wedge fan-out at Σ_w min(deg_w, 64)² instead of the hub
+    * square — the same reason Schank orientation exists; the cap is a
+    * DETERMINISTIC part of the score definition, identical both
+    * engines). Global top-k via TakeOrdered, never a full sort.
+    */
+  private def qGraphLinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir) // shared build-once artifact
+    val bidir = e.select(col("a").as("u"), col("b").as("w"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("w")))
+    val deg = bidir.groupBy("u").agg(count(lit(1)).as("deg"))
+    val wdeg = deg.select(col("u").as("w"), col("deg").as("wdeg"))
+    val nb = bidir.join(wdeg, "w").where(col("wdeg") <= 64L)
+      .select("u", "w")
+    val cn = nb.as("x").join(nb.as("y"), "w")
+      .where(col("x.u") < col("y.u"))
+      .groupBy(col("x.u").as("u"), col("y.u").as("v"))
+      .agg(count(lit(1)).as("cn"))
+    val cand = cn.join(e,
+        cn("u") === e("a") && cn("v") === e("b"), "left_anti")
+    cand
+      .join(deg.select(col("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jaccard_pml", expr("cn * 1000 div (du + dv - cn)"))
+      .select("u", "v", "cn", "du", "dv", "jaccard_pml")
+      .orderBy(desc("jaccard_pml"), col("u"), col("v"))
+      .limit(20)
+  }
+
+  private val qGraphLinkPredictSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |bidir AS (SELECT a AS u, b AS w FROM e UNION ALL SELECT b, a FROM e),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM bidir GROUP BY 1),
+      |nb AS (
+      |  SELECT bidir.u, bidir.w FROM bidir
+      |  JOIN deg wd ON wd.u = bidir.w WHERE wd.deg <= 64),
+      |cn AS (
+      |  SELECT x.u AS u, y.u AS v, CAST(COUNT(*) AS BIGINT) AS cn
+      |  FROM nb x JOIN nb y ON x.w = y.w AND x.u < y.u
+      |  GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT cn.* FROM cn
+      |  LEFT JOIN e ON cn.u = e.a AND cn.v = e.b
+      |  WHERE e.a IS NULL)
+      |SELECT cand.u, cand.v, cn, dx.deg AS du, dy.deg AS dv,
+      |  cn * 1000 // (dx.deg + dy.deg - cn) AS jaccard_pml
+      |FROM cand JOIN deg dx ON dx.u = cand.u JOIN deg dy ON dy.u = cand.v
+      |ORDER BY jaccard_pml DESC, cand.u, cand.v LIMIT 20""".stripMargin
+
   private def qGraphDegreeDist(s: SparkSession, dir: String): DataFrame = {
     val edges = copurchaseEdges(s, dir) // shared build-once artifact
     val deg = edges.select(col("a").as("node"))
@@ -9620,6 +9761,9 @@ object SparkEntry {
     "vec_pca_var" -> (vecPcaVar _),
     "pipe_pack_boundaries" -> (pipePackBoundaries _),
     "samp_soft_dedup" -> (sampSoftDedup _),
+    "q_kanon_audit" -> (qKanonAudit _),
+    "q_events_ewma" -> (qEventsEwma _),
+    "q_graph_link_predict" -> (qGraphLinkPredict _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -9921,6 +10065,9 @@ object SparkEntry {
     "vec_pca_var" -> vecPcaVarSql,
     "pipe_pack_boundaries" -> pipePackBoundariesSql,
     "samp_soft_dedup" -> sampSoftDedupSql,
+    "q_kanon_audit" -> qKanonAuditSql,
+    "q_events_ewma" -> qEventsEwmaSql,
+    "q_graph_link_predict" -> qGraphLinkPredictSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -5179,3 +5179,70 @@ class SoftDedupSpec extends AnyFunSuite {
     }
   }
 }
+
+class KanonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cells partition customers and the flag is exactly n < k") {
+    val out = SparkEntry.queries("q_kanon_audit")(spark, dir).collect()
+    assert(out.map(_.getLong(3)).sum === Tables.customer(spark, dir).count())
+    out.foreach(r => assert(r.getBoolean(4) === (r.getLong(3) < 10L)))
+    // quasi-id cells are unique
+    val keys = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(keys.distinct.length === keys.length)
+  }
+}
+
+class EwmaSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("levels replay the integer recursion; error matches a hand fold") {
+    val dayNs = 86400L * 1000000000L
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq
+      }
+    val out = SparkEntry.queries("q_events_ewma")(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSet === counts.keySet)
+    out.foreach { r =>
+      val ns = counts(r.getString(0))
+      assert(r.getLong(1) === ns.length.toLong)
+      val levels = ns.indices.map(i =>
+        ns.take(i + 1).reduceLeft((a, c) => (c + 3 * a) / 4))
+      assert(r.getLong(2) === levels.last)
+      val err = (1 until ns.length).map(i => math.abs(ns(i) - levels(i - 1))).sum
+      assert(r.getLong(3) === err)
+      val vol = ns.drop(1).sum
+      assert(r.getLong(4) === vol)
+      assert(r.getLong(5) === (if (vol == 0) 0L else err * 1000L / vol))
+    }
+  }
+}
+
+class LinkPredictSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("predictions are non-edges with consistent Jaccard, ranked") {
+    val out = SparkEntry.queries("q_graph_link_predict")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val e = SparkEntry.copurchaseEdges(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    out.foreach { r =>
+      val (u, v, cn, du, dv) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(u < v)
+      assert(!e.contains((u, v)), s"($u,$v) is an existing edge")
+      assert(cn >= 1L && cn <= math.min(du, dv))
+      assert(r.getLong(5) === cn * 1000L / (du + dv - cn))
+    }
+    // ranked non-increasing
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(5) >= b.getLong(5))
+      case _ =>
+    }
+  }
+}
