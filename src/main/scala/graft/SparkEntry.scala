@@ -4802,6 +4802,26 @@ object SparkEntry {
     * table riding inside codegen as an array literal; strictly
     * map-side, integer micro-unit exact.
     */
+  /** Feature-hashed doc embeddings ([[text.FeatureHash.embed]],
+    * Weinberger et al. 2009): dictionary-free sparse integer vectors —
+    * token t adds sign(bit6(h)) to dim h mod 64 with the SAME xxhash64
+    * kernel the quality model uses; the text→vector bridge whose whole
+    * reason to exist at scale is that the vocabulary never
+    * materializes. Sparse (doc_id, dim, val) grain, one explode + one
+    * map-side-combined groupBy.
+    */
+  private def textFeatureHash(s: SparkSession, dir: String): DataFrame =
+    text.FeatureHash.embed(Tables.documents(s, dir)).orderBy("doc_id", "dim")
+
+  private val textFeatureHashSql =
+    s"""WITH ${oracle.DuckHash.docWordsCte},
+       |tok AS (
+       |  SELECT d0.doc_id, ${oracle.DuckHash.wordBucketSql} AS dim,
+       |    ${oracle.DuckHash.wordSignSql} AS sgn
+       |  FROM d0, UNNEST(d0.w) AS u(wd))
+       |SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sgn) AS BIGINT) AS val
+       |FROM tok GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+
   private def textQualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
@@ -9764,6 +9784,7 @@ object SparkEntry {
     "q_kanon_audit" -> (qKanonAudit _),
     "q_events_ewma" -> (qEventsEwma _),
     "q_graph_link_predict" -> (qGraphLinkPredict _),
+    "text_feature_hash" -> (textFeatureHash _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10068,6 +10089,7 @@ object SparkEntry {
     "q_kanon_audit" -> qKanonAuditSql,
     "q_events_ewma" -> qEventsEwmaSql,
     "q_graph_link_predict" -> qGraphLinkPredictSql,
+    "text_feature_hash" -> textFeatureHashSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -402,11 +402,21 @@ object DuckHash {
     * the quality-model fit AND score oracles both hash with this.
     */
   lazy val wordBucketSql: String = {
-    val wh = "list_transform([length(wd)], L -> " +
+    s"CAST(($wordHashExprSql) % 64 AS INT)"
+  }
+
+  /** xxhash64 of the canonical word bound as `wd` (UBIGINT). */
+  private lazy val wordHashExprSql: String =
+    "list_transform([length(wd)], L -> " +
       "list_transform([list_transform(range(1, L + 1), ci -> CAST(unicode(wd[ci]) AS UBIGINT))], cs -> " +
       wordXxh64Sql + ")[1])[1]"
-    s"CAST(($wh) % 64 AS INT)"
-  }
+
+  /** ±1 sign from bit 6 of the word xxhash64 — the sign hash of
+    * feature hashing (Weinberger et al. 2009), one bit above
+    * [[wordBucketSql]]'s low-6 bucket so the two are independent.
+    */
+  lazy val wordSignSql: String =
+    s"CASE WHEN (($wordHashExprSql) >> 6) & 1 = 1 THEN -1 ELSE 1 END"
 
   /** `d0(doc_id, w: varchar[])` — doc_id + canonical words list over
     * `documents`, the shared head of the quality-model oracles.

@@ -5246,3 +5246,29 @@ class LinkPredictSpec extends AnyFunSuite {
     }
   }
 }
+
+class FeatureHashSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("hashed embedding reproduces a hand-computed doc; mass is conserved") {
+    val out = SparkEntry.queries("text_feature_hash")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getLong(1) >= 0L && r.getLong(1) < 64L))
+    // |sum of vals| per doc <= token count; total |val| mass <= corpus tokens
+    val toks = Tables.documents(spark, dir)
+      .agg(sum(graft.text.Text.wordCount(col("text")))).head().getLong(0)
+    assert(out.map(r => math.abs(r.getLong(2))).sum <= toks)
+    // hand-check one synthetic doc through the same public API
+    val one = spark.createDataFrame(Seq((7L, "alpha beta alpha")))
+      .toDF("doc_id", "text")
+    val emb = graft.text.FeatureHash.embed(one).collect()
+    val expected = Seq("alpha", "beta", "alpha").groupBy(identity).map {
+      case (t, occ) =>
+        val h = spark.sql(s"SELECT xxhash64('$t')").head().getLong(0)
+        (h & 63L) -> (if ((h & 64L) == 0L) 1L else -1L) * occ.length
+    }.groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sum }
+    val got = emb.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === expected.filter(_._2 != 0L) ++ expected.filter(_._2 == 0L))
+  }
+}
