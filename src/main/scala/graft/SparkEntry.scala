@@ -3178,6 +3178,66 @@ object SparkEntry {
        |  CAST(list_sum(list_transform(generate_series(1, 64), j -> q.q[j] * k3.vl[j])) AS BIGINT) AS p2_q
        |FROM q, l3, k3 ORDER BY vec_id""".stripMargin
 
+  /** Shared binary-quantization CTE: per vector the packed sign word as
+    * UBIGINT (`ub`) + positive-coordinate count, mirroring
+    * [[ann.Ann.signPack]] bit-exactly (HUGEINT power sum mod 2^64).
+    */
+  private val signPackCtesSql = {
+    val powers = (0 until 64).map(i => BigInt(1) << i).mkString(",")
+    s"""e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id,
+       |    CAST(CAST(list_sum(list_transform(range(64),
+       |      i -> CASE WHEN q[i + 1] > 0 THEN CAST([$powers][i + 1] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
+       |      AS HUGEINT) % 18446744073709551616 AS UBIGINT) AS ub,
+       |    CAST(list_sum(list_transform(q, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
+       |  FROM e)""".stripMargin
+  }
+
+  private val ubToBitsSql =
+    "CAST(CAST(ub AS HUGEINT) - CASE WHEN ub >= 9223372036854775808 " +
+      "THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+
+  /** Binary quantization ([[ann.Ann.signPack]]): 64-d vector → ONE
+    * 64-bit word (256× compression, the tier below PQ's 16×); sign
+    * bits preserve angular locality so Hamming on the words is the
+    * cheap cosine proxy. Map-side only.
+    */
+  private def vecSignPack(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.signPack(Tables.embeddings(s, dir)).orderBy("vec_id")
+
+  private val vecSignPackSql =
+    s"""WITH $signPackCtesSql
+       |SELECT vec_id, $ubToBitsSql AS bits, n_pos
+       |FROM p ORDER BY vec_id""".stripMargin
+
+  /** Hamming ANN over packed sign bits ([[ann.Ann.hammingTopK]]): the
+    * fourth ANN family (binary quantization) — one xor + popcount per
+    * candidate, queries broadcast, corpus never shuffles.
+    */
+  private def annHammingTopk(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.hammingTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private val annHammingTopkSql =
+    s"""WITH $signPackCtesSql,
+       |qs AS (SELECT vec_id AS query_id, ub AS qub FROM p
+       |       WHERE vec_id IN (${annQueryIds.mkString(", ")})),
+       |h AS (
+       |  SELECT qs.query_id, p.vec_id,
+       |    CAST(bit_count(xor(qs.qub, p.ub)) AS BIGINT) AS hamming
+       |  FROM p, qs WHERE p.vec_id <> qs.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, hamming,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY query_id ORDER BY hamming, vec_id) AS BIGINT) AS rnk
+       |  FROM h)
+       |SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   /** PCA variance diagnostic ([[vec.Eigen.explained2]]): the corpus
     * mean of each vector's exact-integer energy share along v1/v2 —
     * the "is 2-D enough?" check read before trusting the
@@ -9785,6 +9845,8 @@ object SparkEntry {
     "q_events_ewma" -> (qEventsEwma _),
     "q_graph_link_predict" -> (qGraphLinkPredict _),
     "text_feature_hash" -> (textFeatureHash _),
+    "vec_sign_pack" -> (vecSignPack _),
+    "ann_hamming_topk" -> (annHammingTopk _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10090,6 +10152,8 @@ object SparkEntry {
     "q_events_ewma" -> qEventsEwmaSql,
     "q_graph_link_predict" -> qGraphLinkPredictSql,
     "text_feature_hash" -> textFeatureHashSql,
+    "vec_sign_pack" -> vecSignPackSql,
+    "ann_hamming_topk" -> annHammingTopkSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

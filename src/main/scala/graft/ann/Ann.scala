@@ -300,6 +300,44 @@ object Ann {
     out
   }
 
+  /** Binary quantization: the 64-d vector collapses to ONE 64-bit word
+    * (bit i = quantized coordinate i positive) — 256× smaller than
+    * float32, the most aggressive compression tier (below PQ's 16×) in
+    * the modern vector-DB stack. Sign bits of zero-mean embeddings
+    * preserve angular locality (the same fact 1-bit SimHash exploits),
+    * so Hamming distance on the packed words is a cheap cosine proxy
+    * for candidate generation, rescored exactly afterwards.
+    */
+  def signPack(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), Vec.quantize(col("embedding")).as("q"))
+      .select(col("vec_id"),
+        expr("aggregate(transform(sequence(0, 63), " +
+          "i -> IF(element_at(q, i + 1) > 0L, shiftleft(1L, i), 0L)), " +
+          "0L, (a, x) -> a | x)").as("bits"),
+        expr("CAST(aggregate(q, 0, (a, x) -> a + IF(x > 0L, 1, 0)) AS BIGINT)")
+          .as("n_pos"))
+
+  /** Hamming-distance top-k over the packed sign bits — the fourth ANN
+    * family (binary quantization) beside brute-force, IVF/LSH cell
+    * probing, PQ codes and graph navigation. One xor + popcount per
+    * candidate (codegen'd integer ops, no arrays touched); queries ride
+    * a broadcast like [[bruteForceTopK]], the corpus never shuffles.
+    */
+  def hammingTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val packed = signPack(embeddings).select(col("vec_id"), col("bits"))
+    val q = packed.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("bits").as("qbits"))
+    val scored = packed.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("CAST(bit_count(qbits ^ bits) AS BIGINT)").as("hamming"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq("hamming" -> false, "vec_id" -> false), k)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+  }
+
   def knnGraph(embeddings: DataFrame, k: Int = 5, p: Int = 8): DataFrame = {
     require(k >= 1, s"knnGraph: need k >= 1, got $k")
     val b = embeddings.select(

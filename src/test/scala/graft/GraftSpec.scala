@@ -1013,7 +1013,12 @@ class PlanAuditSpec extends AnyFunSuite {
                             // broadcast contract as ann_bruteforce_topk
       "vec_margin_eval", // same |queryIds|-row broadcast scoring leg
       "text_model_auc", // 1x1 crossJoin of the AUC fold with class totals
-      "pipe_source_overlap") // sources×sources metadata pair frame
+      "pipe_source_overlap", // sources×sources metadata pair frame
+      "ann_hamming_topk", // same |queryIds|-row broadcast contract as brute force
+      "samp_importance", // 1-row median aggregate broadcast back onto the
+                         // per-doc scores (bounded by construction)
+      "ann_graph_recall") // inherits the brute-force truth leg's tiny
+                          // broadcast, like ann_recall_eval / ann_lsh_recall
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -5270,5 +5275,50 @@ class FeatureHashSpec extends AnyFunSuite {
     }.groupBy(_._1).map { case (d, vs) => d -> vs.map(_._2).sum }
     val got = emb.map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(got === expected.filter(_._2 != 0L) ++ expected.filter(_._2 == 0L))
+  }
+}
+
+class SignPackSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("packed word replays the sign bits of the quantized vector") {
+    val out = SparkEntry.queries("vec_sign_pack")(spark, dir).collect()
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), graft.vec.Vec.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.length === q.size)
+    out.take(25).foreach { r =>
+      val v = q(r.getLong(0))
+      val expected = v.zipWithIndex.foldLeft(0L) {
+        case (acc, (x, i)) => if (x > 0L) acc | (1L << i) else acc
+      }
+      assert(r.getLong(1) === expected)
+      assert(r.getLong(2) === java.lang.Long.bitCount(expected).toLong)
+    }
+  }
+}
+
+class HammingTopkSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("hamming candidates broadly agree with exact cosine truth") {
+    val out = SparkEntry.queries("ann_hamming_topk")(spark, dir).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length === 10)
+      assert(!rows.exists(_.getLong(1) == qid))
+      val sorted = rows.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) <= b.getLong(2))
+        case _ =>
+      }
+      rows.foreach(r => assert(r.getLong(2) >= 0L && r.getLong(2) <= 64L))
+    }
+    // the 1-bit proxy must still find true neighbors: some overlap
+    // with brute-force cosine top-10 across the query set
+    val bf = SparkEntry.queries("ann_bruteforce_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).count(bf.contains) > 0)
   }
 }
