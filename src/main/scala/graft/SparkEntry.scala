@@ -9642,6 +9642,165 @@ object SparkEntry {
       |    END AS BIGINT) AS autocorr_pml
       |FROM mo""".stripMargin
 
+  /** Time-grid densify + forward fill (gap fill): per event type the
+    * hourly value total on a COMPLETE hour grid from the type's first
+    * to last observed hour, missing hours carried forward from the
+    * last observed one (`filled` marks synthesized rows). The grid is
+    * generated from a 2-row-per-type min/max aggregate (workload
+    * metadata — types × corpus hour span, never data-sized), the fill
+    * is one keyed last-non-null window; at 100 TB the grid explode
+    * stays metadata-bounded and the window partitions by type.
+    */
+  private def qEventsGapfill(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val obs = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"(ts_ns div 1000) div $hourUs").as("hour"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("val_c"))
+    val grid = obs.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("val_c"), ignoreNulls = true).over(w).as("val_c_ff"),
+        col("val_c").isNull.as("filled"))
+      .orderBy("event_type", "hour")
+  }
+
+  private val qEventsGapfillSql =
+    s"""WITH obs AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(${centsSql("value")}) AS BIGINT) AS val_c
+       |  FROM events GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT event_type, UNNEST(generate_series(MIN(hour), MAX(hour))) AS hour
+       |  FROM obs GROUP BY event_type),
+       |j AS (
+       |  SELECT grid.event_type, grid.hour, obs.n, obs.val_c
+       |  FROM grid LEFT JOIN obs USING (event_type, hour))
+       |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+       |  COALESCE(n, 0) AS n,
+       |  last_value(val_c IGNORE NULLS) OVER (
+       |    PARTITION BY event_type ORDER BY hour
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_c_ff,
+       |  val_c IS NULL AS filled
+       |FROM j ORDER BY event_type, hour""".stripMargin
+
+  /** Sliding-window rate-limiter audit: per user, how many events a
+    * "≤ 5 events per rolling 60 s" policy would reject, plus the peak
+    * 60 s burst. The in-window count is one keyed RANGE frame over
+    * event-time µs (bounded per user, duplicate timestamps are peers
+    * in both engines), the report one map-side-combined groupBy — the
+    * abuse/bot-throttle shape that audits ingestion quotas before a
+    * crawl lands in the corpus.
+    */
+  private def qEventsRateLimit(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-59999999L, 0L)
+    Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us"))
+      .withColumn("in_win", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("in_win") > 5L, 1L).otherwise(0L)).as("n_rejected"),
+        max("in_win").as("peak_60s"))
+      .withColumn("rej_pml", expr("n_rejected * 1000 div n_events"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsRateLimitSql =
+    """WITH e AS (
+      |  SELECT user_id, COUNT(*) OVER (
+      |    PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 59999999 PRECEDING AND CURRENT ROW) AS in_win
+      |  FROM events)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CASE WHEN in_win > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+      |  CAST(MAX(in_win) AS BIGINT) AS peak_60s,
+      |  CAST(SUM(CASE WHEN in_win > 5 THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS rej_pml
+      |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Time-weighted average value (TWAP) per user: each event's value
+    * holds until the user's next event, the average weights cent
+    * values by µs durations — exact integer products (≤ 1e5 cents ×
+    * ≤ ~1e12 µs, long-safe), one keyed lead + one groupBy. Duration
+    * pairing under duplicate timestamps is pinned by the (µs,
+    * event_id) total order mirrored in both engines.
+    */
+  private def qEventsTwap(s: SparkSession, dir: String): DataFrame = {
+    val byU = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("us"), cents(col("value")).as("v_c"))
+      .withColumn("nxt", lead("us", 1).over(byU))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max("us") - min("us")).as("span_us"),
+        sum(when(col("nxt").isNotNull, col("v_c") * (col("nxt") - col("us")))
+          .otherwise(0L)).as("wsum"))
+      .withColumn("twap_c",
+        when(col("span_us") === 0L, 0L).otherwise(expr("wsum div span_us")))
+      .orderBy("user_id")
+  }
+
+  private val qEventsTwapSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS us, ${centsSql("value")} AS v_c,
+       |    lead(epoch_us(ts), 1) OVER (
+       |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
+       |  FROM events)
+       |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us,
+       |  CAST(SUM(CASE WHEN nxt IS NOT NULL THEN v_c * (nxt - us) ELSE 0 END) AS BIGINT) AS wsum,
+       |  CAST(CASE WHEN MAX(us) = MIN(us) THEN 0
+       |    ELSE SUM(CASE WHEN nxt IS NOT NULL THEN v_c * (nxt - us) ELSE 0 END)
+       |      // (MAX(us) - MIN(us)) END AS BIGINT) AS twap_c
+       |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** 2-D skyline (Pareto frontier) of parts on (retail price, size),
+    * lower-better on both: a part survives iff no other part is ≤ on
+    * both axes with one strict. Computed scale-first: collapse to one
+    * min-size row PER DISTINCT PRICE (map-side-combined groupBy), run
+    * the strictly-cheaper running min over that price-domain aggregate
+    * (bounded by the price domain, never row count), then join
+    * survivors back to emit the frontier parts. Equal (price, size)
+    * pairs are mutually non-dominating and all kept.
+    */
+  private def qSkylineParts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(
+      col("p_partkey").cast("long").as("partkey"),
+      cents(col("p_retailprice")).as("price_c"),
+      col("p_size").cast("long").as("size"))
+    val agg = p.groupBy("price_c").agg(min("size").as("msz"))
+    val w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    val sky = agg.withColumn("min_prev", min("msz").over(w))
+      .where(col("min_prev").isNull || col("min_prev") > col("msz"))
+      .select(col("price_c").as("sky_price"), col("msz"))
+    p.join(sky, col("price_c") === col("sky_price") && col("size") === col("msz"))
+      .select(col("partkey"), col("price_c"), col("size"))
+      .orderBy("price_c", "partkey")
+  }
+
+  private val qSkylinePartsSql =
+    s"""WITH p AS (
+       |  SELECT CAST(p_partkey AS BIGINT) AS partkey,
+       |    ${centsSql("p_retailprice")} AS price_c,
+       |    CAST(p_size AS BIGINT) AS size
+       |  FROM part),
+       |agg AS (SELECT price_c, MIN(size) AS msz FROM p GROUP BY 1),
+       |sky AS (
+       |  SELECT price_c, msz FROM (
+       |    SELECT price_c, msz, MIN(msz) OVER (ORDER BY price_c
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_prev
+       |    FROM agg)
+       |  WHERE min_prev IS NULL OR min_prev > msz)
+       |SELECT p.partkey, p.price_c AS price_c, p.size
+       |FROM p JOIN sky ON p.price_c = sky.price_c AND p.size = sky.msz
+       |ORDER BY p.price_c, partkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -9847,6 +10006,10 @@ object SparkEntry {
     "text_feature_hash" -> (textFeatureHash _),
     "vec_sign_pack" -> (vecSignPack _),
     "ann_hamming_topk" -> (annHammingTopk _),
+    "q_events_gapfill" -> (qEventsGapfill _),
+    "q_events_rate_limit" -> (qEventsRateLimit _),
+    "q_events_twap" -> (qEventsTwap _),
+    "q_skyline_parts" -> (qSkylineParts _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10154,6 +10317,10 @@ object SparkEntry {
     "text_feature_hash" -> textFeatureHashSql,
     "vec_sign_pack" -> vecSignPackSql,
     "ann_hamming_topk" -> annHammingTopkSql,
+    "q_events_gapfill" -> qEventsGapfillSql,
+    "q_events_rate_limit" -> qEventsRateLimitSql,
+    "q_events_twap" -> qEventsTwapSql,
+    "q_skyline_parts" -> qSkylinePartsSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

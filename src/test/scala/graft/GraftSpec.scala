@@ -5322,3 +5322,102 @@ class HammingTopkSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).count(bf.contains) > 0)
   }
 }
+
+class GapfillSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("grid is complete per type, filled rows carry the previous value") {
+    val out = SparkEntry.queries("q_events_gapfill")(spark, dir).collect()
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (_, rows) =>
+      val hours = rows.map(_.getLong(1))
+      // contiguous h0..h1 grid, no holes
+      assert(hours.toSet === (hours.min to hours.max).toSet)
+      // boundary rows are observed, never synthesized
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(!sorted.head.getBoolean(4) && !sorted.last.getBoolean(4))
+      // a filled row repeats the last observed val_c_ff and has n = 0
+      sorted.sliding(2).foreach {
+        case Array(a, b) if b.getBoolean(4) =>
+          assert(b.getLong(2) === 0L)
+          assert(b.getLong(3) === a.getLong(3))
+        case _ =>
+      }
+    }
+    // fill never invents events: per-grid n sums to the corpus count
+    val total = Tables.events(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum === total)
+  }
+}
+
+class RateLimitSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("per-user report replays a brute-force 60s sliding window") {
+    val out = SparkEntry.queries("q_events_rate_limit")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(out.keySet === ev.keySet)
+    ev.take(20).foreach { case (u, rows) =>
+      val ts = rows.map(_._2).sorted
+      val wins = ts.map(t => ts.count(x => x > t - 60000000L && x <= t).toLong)
+      val (n, rej, peak) = out(u)
+      assert(n === ts.length.toLong)
+      assert(rej === wins.count(_ > 5L).toLong)
+      assert(peak === wins.max)
+    }
+  }
+}
+
+class TwapSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("time-weighted average replays the brute-force hold-forward sum") {
+    val out = SparkEntry.queries("q_events_twap")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+        expr("cast(round(value * 100, 0) as long)").as("v_c"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(2), r.getLong(1), r.getLong(3))))
+      .groupBy(_._1)
+    ev.take(20).foreach { case (u, rows) =>
+      val seq = rows.map(_._2).sortBy(t => (t._1, t._2))
+      val wsum = seq.sliding(2).collect {
+        case Array((us0, _, v0), (us1, _, _)) => v0 * (us1 - us0)
+      }.sum
+      val span = seq.last._1 - seq.head._1
+      val (n, spanGot, wsumGot, twap) = out(u)
+      assert(n === seq.length.toLong)
+      assert(spanGot === span)
+      assert(wsumGot === wsum)
+      assert(twap === (if (span == 0L) 0L else wsum / span))
+    }
+  }
+}
+
+class SkylineSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("skyline rows are exactly the non-dominated parts") {
+    val out = SparkEntry.queries("q_skyline_parts")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val all = Tables.part(spark, dir)
+      .select(col("p_partkey").cast("long"),
+        expr("cast(round(p_retailprice * 100, 0) as long)"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def dominated(x: (Long, Long, Long)) = all.exists(o =>
+      o._1 != x._1 && o._2 <= x._2 && o._3 <= x._3 && (o._2 < x._2 || o._3 < x._3))
+    val expected = all.filterNot(dominated).toSet
+    assert(out.toSet === expected)
+    assert(out.nonEmpty)
+  }
+}
