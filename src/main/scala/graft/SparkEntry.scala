@@ -9801,6 +9801,176 @@ object SparkEntry {
        |FROM p JOIN sky ON p.price_c = sky.price_c AND p.size = sky.msz
        |ORDER BY p.price_c, partkey""".stripMargin
 
+  /** Malformed JSON-lines ingestion audit: the second wire format's
+    * error contract, mirroring `src_csv_malformed` on the JSON reader
+    * codepath (schema'd read, PERMISSIVE mode, `_corrupt_record`).
+    * Corruption is planted deterministically from nation (every 4th
+    * row loses its closing brace), so the oracle predicts the clean
+    * population and the corrupt count exactly.
+    */
+  private def srcJsonlMalformed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tmp = TmpDirs.create("badjsonl")
+    val n = Tables.nation(s, dir)
+      .select(col("n_nationkey").cast("long"), col("n_name"), col("n_regionkey").cast("long"))
+    val good = concat(lit("{\"n_nationkey\":"), col("n_nationkey"),
+      lit(",\"n_name\":\""), col("n_name"), lit("\",\"n_regionkey\":"),
+      col("n_regionkey"), lit("}"))
+    val lines = n.select(
+      when(col("n_nationkey") % 4 === 0, regexp_replace(good, "\\}$", ""))
+        .otherwise(good).as("value"))
+    lines.coalesce(1).write.mode("overwrite").text(s"$tmp/feed")
+    val schema = StructType(Seq(
+      StructField("n_nationkey", LongType), StructField("n_name", StringType),
+      StructField("n_regionkey", LongType), StructField("_corrupt_record", StringType)))
+    val read = s.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$tmp/feed")
+      .cache() // one parse backs both the clean rows and the corrupt count
+    read.where(col("_corrupt_record").isNull)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        lit("clean").as("status"))
+      .unionByName(read.where(col("_corrupt_record").isNotNull)
+        .groupBy().agg(count(lit(1)).as("n_nationkey"))
+        .select(col("n_nationkey"), lit("CORRUPT").as("n_name"),
+          lit(-1L).as("n_regionkey"), lit("corrupt_count").as("status")))
+      .orderBy("status", "n_nationkey")
+  }
+
+  private val srcJsonlMalformedSql =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      |  CAST(n_regionkey AS BIGINT) AS n_regionkey, 'clean' AS status
+      |FROM nation WHERE n_nationkey % 4 <> 0
+      |UNION ALL
+      |SELECT CAST(COUNT(*) AS BIGINT), 'CORRUPT', -1, 'corrupt_count'
+      |FROM nation WHERE n_nationkey % 4 = 0
+      |ORDER BY status, n_nationkey""".stripMargin
+
+  /** Decile gains/lift table: customers ranked by lifetime order value
+    * (integer cents), cut into ten equal-population bands by the
+    * (spend desc, custkey) total order — deciles from row_number
+    * arithmetic, never ntile's order-dependent ties. Publishes each
+    * band's revenue share and cumulative share in exact permille and
+    * the lift vs the uniform 100‰ baseline — the "how concentrated is
+    * value" curve curation reads before capping or upsampling a band.
+    * One groupBy to customer grain, one keyed-free window over the
+    * CUSTOMER aggregate, 10-row output.
+    */
+  private def qDecileLift(s: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey").cast("long").as("custkey"))
+      .agg(coalesce(sum(cents(col("o_totalprice"))), lit(0L)).as("rev_c"))
+    val n = spend.count()
+    val tot = spend.agg(sum("rev_c")).head().getLong(0)
+    val w = Window.orderBy(desc("rev_c"), col("custkey"))
+    spend.withColumn("rn", row_number().over(w))
+      .withColumn("decile", expr(s"(rn - 1) * 10 div $n"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("rev_c"))
+      .withColumn("share_pml", expr(s"rev_c * 1000 div $tot"))
+      // lift = revenue share / population share, permille: rev·n·1000/(tot·cnt)
+      .withColumn("lift_pml", expr(s"rev_c * $n * 1000 div $tot div n_customers"))
+      .orderBy("decile")
+  }
+
+  private val qDecileLiftSql =
+    s"""WITH spend AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+       |    CAST(COALESCE(SUM(${centsSql("o_totalprice")}), 0) AS BIGINT) AS rev_c
+       |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |  GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS n, SUM(rev_c) AS tot FROM spend),
+       |r AS (
+       |  SELECT custkey, rev_c,
+       |    row_number() OVER (ORDER BY rev_c DESC, custkey) AS rn
+       |  FROM spend)
+       |SELECT CAST((rn - 1) * 10 // (SELECT n FROM t) AS BIGINT) AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+       |  CAST(SUM(rev_c) * 1000 // (SELECT tot FROM t) AS BIGINT) AS share_pml,
+       |  CAST(SUM(rev_c) * (SELECT n FROM t) * 1000
+       |    // (SELECT tot FROM t) // COUNT(*) AS BIGINT) AS lift_pml
+       |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
+
+  /** Silence-run segmentation over the decoded audio envelope: windows
+    * of 100 samples (NOT the 256-residue cycle, so window phase — and
+    * therefore loudness — genuinely varies), a window is silent iff
+    * its Σ|sample−128| < 64·100, consecutive silent windows collapse
+    * to runs via the islands trick (win − row_number, keyed per doc).
+    * The VAD/silence-trim segmenter on the REAL WAV decode path; the
+    * oracle replays every decoded sample from the integer formula.
+    */
+  private def mmAudioSilence(s: SparkSession, dir: String): DataFrame = {
+    val env = mm.Audio.envelope(s,
+      mm.Audio.audioFrame(s, Tables.documents(s, dir)), win = 100).toDF()
+    val silent = env.where(col("abs_sum") < 6400L)
+      .select(col("doc_id"), col("win").cast("long").as("win"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("win")
+    silent.withColumn("grp", col("win") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp")
+      .agg(min("win").as("start_win"), max("win").as("end_win"),
+        count(lit(1)).as("n_wins"))
+      .select("doc_id", "start_win", "end_win", "n_wins")
+      .orderBy("doc_id", "start_win")
+  }
+
+  private val mmAudioSilenceSql =
+    """WITH d AS (
+      |  SELECT doc_id, 1000 + (doc_id % 5) * 256 + (doc_id % 7) * 3 AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS i FROM d),
+      |env AS (
+      |  SELECT doc_id, i // 100 AS win,
+      |    SUM(abs((doc_id * 31 + i * 17) % 256 - 128)) AS abs_sum
+      |  FROM s GROUP BY 1, 2),
+      |sil AS (
+      |  SELECT doc_id, win,
+      |    win - row_number() OVER (PARTITION BY doc_id ORDER BY win) AS grp
+      |  FROM env WHERE abs_sum < 6400)
+      |SELECT doc_id, CAST(MIN(win) AS BIGINT) AS start_win,
+      |  CAST(MAX(win) AS BIGINT) AS end_win,
+      |  CAST(COUNT(*) AS BIGINT) AS n_wins
+      |FROM sil GROUP BY doc_id, grp
+      |ORDER BY doc_id, start_win""".stripMargin
+
+  /** Repeat-purchase cadence: per customer with ≥ 2 orders, the count,
+    * min/max and interpolated median of day gaps between consecutive
+    * orders (quantile of integers — binary-exact halves both engines).
+    * One keyed lead over (date, orderkey) + one groupBy; the
+    * reorder-cycle feature behind churn/replenishment models.
+    */
+  private def qOrdersGapStats(s: SparkSession, dir: String): DataFrame = {
+    val byC = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    Tables.orders(s, dir)
+      .select(col("o_custkey").cast("long").as("custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+      .withColumn("nxt", lead("day", 1).over(
+        Window.partitionBy("custkey").orderBy("day", "o_orderkey")))
+      .where(col("nxt").isNotNull)
+      .select(col("custkey"), (col("nxt") - col("day")).as("gap"))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_gaps"), min("gap").as("gap_min"),
+        max("gap").as("gap_max"),
+        expr("percentile(gap, 0.5)").as("gap_med"))
+      .orderBy("custkey")
+  }
+
+  private val qOrdersGapStatsSql =
+    """WITH o AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders),
+      |g AS (
+      |  SELECT custkey,
+      |    lead(day, 1) OVER (PARTITION BY custkey ORDER BY day, o_orderkey) - day AS gap
+      |  FROM o)
+      |SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  CAST(MIN(gap) AS BIGINT) AS gap_min, CAST(MAX(gap) AS BIGINT) AS gap_max,
+      |  quantile_cont(gap, 0.5) AS gap_med
+      |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY custkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10010,6 +10180,10 @@ object SparkEntry {
     "q_events_rate_limit" -> (qEventsRateLimit _),
     "q_events_twap" -> (qEventsTwap _),
     "q_skyline_parts" -> (qSkylineParts _),
+    "src_jsonl_malformed" -> (srcJsonlMalformed _),
+    "q_decile_lift" -> (qDecileLift _),
+    "mm_audio_silence" -> (mmAudioSilence _),
+    "q_orders_gap_stats" -> (qOrdersGapStats _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10321,6 +10495,10 @@ object SparkEntry {
     "q_events_rate_limit" -> qEventsRateLimitSql,
     "q_events_twap" -> qEventsTwapSql,
     "q_skyline_parts" -> qSkylinePartsSql,
+    "src_jsonl_malformed" -> srcJsonlMalformedSql,
+    "q_decile_lift" -> qDecileLiftSql,
+    "mm_audio_silence" -> mmAudioSilenceSql,
+    "q_orders_gap_stats" -> qOrdersGapStatsSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -5421,3 +5421,98 @@ class SkylineSpec extends AnyFunSuite {
     assert(out.nonEmpty)
   }
 }
+
+class JsonlMalformedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("PERMISSIVE json read splits clean rows from the corrupt count") {
+    val out = SparkEntry.queries("src_jsonl_malformed")(spark, dir).collect()
+    val n = Tables.nation(spark, dir).count()
+    val planted = Tables.nation(spark, dir)
+      .where(org.apache.spark.sql.functions.expr("n_nationkey % 4 = 0")).count()
+    val clean = out.filter(_.getString(3) == "clean")
+    val corrupt = out.filter(_.getString(3) == "corrupt_count")
+    assert(clean.length.toLong === n - planted)
+    assert(corrupt.length === 1)
+    assert(corrupt.head.getLong(0) === planted)
+    // no planted key leaks into the clean set
+    assert(clean.forall(_.getLong(0) % 4 != 0))
+  }
+}
+
+class DecileLiftSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("gains table: 10 bands, shares sum to ~1000 pml, lift decreasing-ish") {
+    val out = SparkEntry.queries("q_decile_lift")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === (0L to 9L))
+    val nCust = Tables.customer(spark, dir).count()
+    assert(out.map(_.getLong(1)).sum === nCust)
+    val shares = out.map(_.getLong(3))
+    assert(shares.sum <= 1000L && shares.sum > 990L) // floor-truncation slack
+    // revenue is sorted into bands: band revenue is non-increasing
+    val revs = out.map(_.getLong(2))
+    revs.sliding(2).foreach { case Array(a, b) => assert(a >= b); case _ => }
+    // top decile lift is the max and >= uniform 1000 pml
+    assert(out.head.getLong(4) === out.map(_.getLong(4)).max)
+    assert(out.head.getLong(4) >= 1000L)
+  }
+}
+
+class AudioSilenceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("silence runs replay the brute-force envelope threshold islands") {
+    val out = SparkEntry.queries("mm_audio_silence")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = docs.flatMap { d =>
+      val n = mm.Audio.sampleCount(d)
+      val sums = (0 until (n + 99) / 100).map { w =>
+        (w * 100 until math.min(w * 100 + 100, n))
+          .map(i => math.abs(mm.Audio.sampleValue(d, i) - 128).toLong).sum
+      }
+      val silent = sums.zipWithIndex.filter(_._1 < 6400L).map(_._2)
+      // islands over silent window indexes
+      silent.foldLeft(List.empty[(Long, Long, Long)]) {
+        case ((s, e, c) :: t, w) if w == e + 1 => (s, w.toLong, c + 1) :: t
+        case (acc, w) => (w.toLong, w.toLong, 1L) :: acc
+      }.reverse.map { case (s, e, c) => (d, s, e, c) }
+    }
+    assert(out.toSet === expected.toSet)
+    assert(out.nonEmpty)
+    // both silent and loud windows exist (threshold is non-degenerate)
+    val totalWins = docs.map(d => (mm.Audio.sampleCount(d) + 99) / 100).sum
+    assert(out.map(_._4).sum < totalWins)
+  }
+}
+
+class OrdersGapSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("gap stats replay a brute-force per-customer diff") {
+    val out = SparkEntry.queries("q_orders_gap_stats")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val ords = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val multi = ords.filter(_._2.length >= 2)
+    assert(out.keySet === multi.keySet)
+    multi.take(20).foreach { case (c, rows) =>
+      val days = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = days.sliding(2).collect { case Array(a, b) => b - a }.toSeq.sorted
+      val (n, mn, mx, med) = out(c)
+      assert(n === gaps.length.toLong)
+      assert(mn === gaps.min && mx === gaps.max)
+      val h = (gaps.length - 1) * 0.5
+      val lo = gaps(h.toInt).toDouble
+      val hi = gaps(math.ceil(h).toInt).toDouble
+      assert(med === lo + (h - h.toInt) * (hi - lo))
+    }
+  }
+}
