@@ -9870,8 +9870,12 @@ object SparkEntry {
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("rev_c"))
       .withColumn("share_pml", expr(s"rev_c * 1000 div $tot"))
-      // lift = revenue share / population share, permille: rev·n·1000/(tot·cnt)
-      .withColumn("lift_pml", expr(s"rev_c * $n * 1000 div $tot div n_customers"))
+      // lift = band mean per customer vs overall mean, permille — the
+      // two means are truncated BEFORE the ratio (identical quantization
+      // both engines) so no product ever exceeds ~1e12, overflow-safe at
+      // any corpus scale (rev·n·1000 is not: it overflows at sf0.1)
+      .withColumn("lift_pml",
+        expr(s"(rev_c div n_customers) * 1000 div (${tot / n})"))
       .orderBy("decile")
   }
 
@@ -9890,8 +9894,8 @@ object SparkEntry {
        |  CAST(COUNT(*) AS BIGINT) AS n_customers,
        |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
        |  CAST(SUM(rev_c) * 1000 // (SELECT tot FROM t) AS BIGINT) AS share_pml,
-       |  CAST(SUM(rev_c) * (SELECT n FROM t) * 1000
-       |    // (SELECT tot FROM t) // COUNT(*) AS BIGINT) AS lift_pml
+       |  CAST((SUM(rev_c) // COUNT(*)) * 1000
+       |    // ((SELECT tot FROM t) // (SELECT n FROM t)) AS BIGINT) AS lift_pml
        |FROM r GROUP BY 1 ORDER BY decile""".stripMargin
 
   /** Silence-run segmentation over the decoded audio envelope: windows
@@ -9970,6 +9974,114 @@ object SparkEntry {
       |  CAST(MIN(gap) AS BIGINT) AS gap_min, CAST(MAX(gap) AS BIGINT) AS gap_max,
       |  quantile_cont(gap, 0.5) AS gap_med
       |FROM g WHERE gap IS NOT NULL GROUP BY 1 ORDER BY custkey""".stripMargin
+
+  /** Incremental JOIN-view maintenance (two-sided delta algebra): the
+    * (nation, year-month) revenue MV over orders⋈customer is held as
+    * MV_base = O_b⋈C_b, then BOTH sides take inserts and the view
+    * advances by Δ = ΔO⋈C_b ∪ O_b⋈ΔC ∪ ΔO⋈ΔC folded in by
+    * aggregate merge — never re-running the base⋈base join (the whole
+    * point: at 100 TB the maintenance cost is delta-sized joins, ΔC
+    * riding a broadcast against the fact). The oracle is the full
+    * recompute over all rows — incremental ≡ batch, same contract as
+    * `q_incr_agg`.
+    */
+  private def qIncrJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"), cents(col("o_totalprice")).as("rev_c"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+    val c = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").cast("long").as("nation"))
+    // hash-split both sides into base + inserted delta
+    val ob = o.where(col("o_orderkey") % 4 =!= 0)
+    val od = o.where(col("o_orderkey") % 4 === 0)
+    val cb = c.where(col("c_custkey") % 5 =!= 0)
+    val cd = c.where(col("c_custkey") % 5 === 0)
+    def agg(df: DataFrame) = df.groupBy("nation", "ym")
+      .agg(count(lit(1)).as("n"), sum("rev_c").as("rev_c"))
+    val mvBase = agg(ob.join(cb, col("o_custkey") === col("c_custkey")))
+    val delta = agg(
+      od.join(cb, col("o_custkey") === col("c_custkey"))
+        .unionByName(ob.join(broadcast(cd), col("o_custkey") === col("c_custkey")))
+        .unionByName(od.join(broadcast(cd), col("o_custkey") === col("c_custkey"))))
+    mvBase.unionByName(delta)
+      .groupBy("nation", "ym")
+      .agg(sum("n").as("n"), sum("rev_c").as("rev_c"))
+      .orderBy("nation", "ym")
+  }
+
+  private val qIncrJoinSql =
+    s"""SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       |  CAST(EXTRACT(year FROM o_orderdate) * 100
+       |    + EXTRACT(month FROM o_orderdate) AS BIGINT) AS ym,
+       |  CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2 ORDER BY nation, ym""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal stopword-free word runs (islands over word positions,
+    * keyed per doc), scored by Σ over member words of deg(w)·1000 div
+    * freq(w) — degree favors words that travel in long phrases, the
+    * permille quantization keeps the score an exact integer corpus-
+    * wide. Word stats are vocab-bounded aggregates, the top-20 rides
+    * TakeOrdered, never a full sort. The keyphrase/topic-surfacing
+    * primitive for corpus exploration dashboards.
+    */
+  private def textKeywordExtract(s: SparkSession, dir: String): DataFrame = {
+    val stop = text.Text.stopwords.head._2 // the 'en' delimiter set
+    val nw = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(text.Text.words(col("text"))).as(Seq("pos", "word")))
+      .where(!col("word").isInCollection(stop))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val ph = nw.withColumn("grp", col("pos") - row_number().over(byDoc))
+    val pl = ph.groupBy(col("doc_id"), col("grp"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, word))), x -> x.word)").as("ws"))
+    val pw = pl.select(col("doc_id"), col("grp"),
+      size(col("ws")).cast("long").as("plen"), explode(col("ws")).as("word"))
+    val wsc = pw.groupBy("word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .select(col("word"), expr("deg * 1000 div freq").as("wscore"))
+    val psc = pw.join(wsc, "word")
+      .groupBy("doc_id", "grp").agg(sum("wscore").as("score"))
+    pl.join(psc, Seq("doc_id", "grp"))
+      .groupBy(array_join(col("ws"), " ").as("phrase"),
+        size(col("ws")).cast("long").as("n_words"))
+      .agg(max("score").as("score"), count(lit(1)).as("n_occur"))
+      .orderBy(desc("score"), col("phrase"))
+      .limit(20)
+  }
+
+  private val textKeywordExtractSql = {
+    val stopList = text.Text.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |t AS (SELECT doc_id, w, UNNEST(generate_series(1, len(w))) AS pos FROM d),
+       |nw AS (
+       |  SELECT doc_id, pos, w[pos] AS word FROM t
+       |  WHERE w[pos] NOT IN ($stopList)),
+       |ph AS (
+       |  SELECT doc_id, pos, word,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM nw),
+       |pl AS (SELECT doc_id, grp, list(word ORDER BY pos) AS ws FROM ph GROUP BY 1, 2),
+       |pw AS (
+       |  SELECT doc_id, grp, CAST(len(ws) AS BIGINT) AS plen, UNNEST(ws) AS word
+       |  FROM pl),
+       |wsc AS (
+       |  SELECT word, CAST(SUM(plen) * 1000 // COUNT(*) AS BIGINT) AS wscore
+       |  FROM pw GROUP BY 1),
+       |psc AS (
+       |  SELECT pw.doc_id, pw.grp, CAST(SUM(wsc.wscore) AS BIGINT) AS score
+       |  FROM pw JOIN wsc USING (word) GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT array_to_string(pl.ws, ' ') AS phrase,
+       |    CAST(len(pl.ws) AS BIGINT) AS n_words, psc.score
+       |  FROM pl JOIN psc ON pl.doc_id = psc.doc_id AND pl.grp = psc.grp)
+       |SELECT phrase, n_words, CAST(MAX(score) AS BIGINT) AS score,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occur
+       |FROM pp GROUP BY 1, 2
+       |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
+  }
 
   // =================== contract maps ===================
 
@@ -10184,6 +10296,8 @@ object SparkEntry {
     "q_decile_lift" -> (qDecileLift _),
     "mm_audio_silence" -> (mmAudioSilence _),
     "q_orders_gap_stats" -> (qOrdersGapStats _),
+    "q_incr_join" -> (qIncrJoin _),
+    "text_keyword_extract" -> (textKeywordExtract _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10499,6 +10613,8 @@ object SparkEntry {
     "q_decile_lift" -> qDecileLiftSql,
     "mm_audio_silence" -> mmAudioSilenceSql,
     "q_orders_gap_stats" -> qOrdersGapStatsSql,
+    "q_incr_join" -> qIncrJoinSql,
+    "text_keyword_extract" -> textKeywordExtractSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -5516,3 +5516,110 @@ class OrdersGapSpec extends AnyFunSuite {
     }
   }
 }
+
+class IncrJoinSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("delta-maintained join view equals the full recompute") {
+    val out = SparkEntry.queries("q_incr_join")(spark, dir)
+    val full = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(o_totalprice * 100, 0) as long)")).as("rev_c"))
+    assert(out.count() === full.count())
+    assert(out.exceptAll(full).count() === 0L)
+    // both split sides actually contribute (the delta terms are non-empty)
+    val od = Tables.orders(spark, dir).where(col("o_orderkey") % 4 === 0).count()
+    val cd = Tables.customer(spark, dir).where(col("c_custkey") % 5 === 0).count()
+    assert(od > 0 && cd > 0)
+  }
+}
+
+class KeywordExtractSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("RAKE top-20: stopword-free phrases, scores replay the deg/freq fold") {
+    val stop = graft.text.Text.stopwords.head._2.toSet
+    val out = SparkEntry.queries("text_keyword_extract")(spark, dir).collect()
+    assert(out.length === 20)
+    out.foreach { r =>
+      val ws = r.getString(0).split(" ").toSeq
+      assert(ws.length.toLong === r.getLong(1))
+      assert(!ws.exists(stop)) // no delimiter word inside a phrase
+      assert(r.getLong(3) >= 1L)
+    }
+    // scores are in published (desc, phrase) order
+    out.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) > b.getLong(2) ||
+          (a.getLong(2) == b.getLong(2) && a.getString(0) < b.getString(0)))
+      case _ =>
+    }
+    // brute-force the full RAKE fold on the corpus and check the top row
+    val docs = Tables.documents(spark, dir).select("text").collect().map(_.getString(0))
+    val phrases = docs.flatMap { t =>
+      val w = t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim
+      val words = if (w.isEmpty) Array.empty[String] else w.split(" ")
+      val runs = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      words.foreach { x =>
+        if (stop(x)) { if (cur.nonEmpty) runs += cur.reverse; cur = Nil }
+        else cur = x :: cur
+      }
+      if (cur.nonEmpty) runs += cur.reverse
+      runs
+    }
+    val freq = phrases.flatten.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val deg = phrases.flatMap(p => p.map(_ -> p.length.toLong))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val wscore = freq.keys.map(k => k -> deg(k) * 1000L / freq(k)).toMap
+    val scored = phrases.map(p => (p.mkString(" "), p.map(wscore).sum))
+      .groupBy(_._1).map { case (k, v) => (k, v.head._2, v.length.toLong) }
+    val best = scored.toSeq.sortBy { case (ph, sc, _) => (-sc, ph) }.take(20)
+    assert(out.map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq ===
+      best.map { case (ph, sc, n) => (ph, sc, n) })
+  }
+}
+
+class RateLimitStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("ring fold: burst rejects from the 6th event, recovers after the window") {
+    var st = streaming.RateLimitStream.RlState(Nil)
+    // 8 events in the same second: 1..5 accepted, 6..8 rejected
+    (0 until 8).foreach { i =>
+      val (next, (nCap, rej)) = streaming.RateLimitStream.step(st, 1000L * i)
+      st = next
+      assert(rej === (i >= 5), s"event $i")
+      assert(nCap === math.min(i, 5).toLong + 1L)
+    }
+    assert(st.ring.length === 5) // bounded at Limit no matter the burst
+    // 61s later the window is clear
+    val (_, (nCap2, rej2)) = streaming.RateLimitStream.step(st, 61000000L + 7000L)
+    assert(!rej2 && nCap2 === 1L)
+  }
+
+  test("streamed decisions replay the prefix-contract brute force") {
+    val streamed = streaming.RateLimitStream.runToResult(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.size === ev.length)
+    ev.groupBy(_._1).take(25).foreach { case (u, rows) =>
+      val ordered = rows.sortBy(r => (r._3, r._2))
+      ordered.zipWithIndex.foreach { case ((_, id, us), i) =>
+        val priorInWin = ordered.take(i).count(_._3 > us - 60000000L)
+        val (nCap, rej) = streamed((u, id))
+        assert(rej === (priorInWin >= 5))
+        assert(nCap === math.min(priorInWin, 5).toLong + 1L)
+      }
+    }
+  }
+}
