@@ -10083,6 +10083,177 @@ object SparkEntry {
        |ORDER BY score DESC, phrase LIMIT 20""".stripMargin
   }
 
+  /** Image pixel-entropy gate ([[mm.Multimodal.histogram]]): Shannon
+    * entropy of the decoded red-channel 16-bin histogram in the proven
+    * quantized-log integer form (n·qln(n) − Σ c·qln(c), nano-nats ×
+    * count) — the flat/low-information-image filter, the visual twin
+    * of `text_entropy`. Pixels are touched once map-side in the codec
+    * pass; the entropy folds the ≤16-row-per-image histogram grain.
+    */
+  private def mmImageEntropy(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val hist = mm.Multimodal.histogram(s,
+      mm.Multimodal.imageFrame(s, Tables.documents(s, dir))).toDF()
+    hist.groupBy(col("doc_id"), col("width"), col("height"))
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("cnt") * qln(col("cnt"))).as("sc"),
+        sum("cnt").as("n_px"))
+      .select(col("doc_id"), col("width"), col("height"), col("n_bins"),
+        (col("n_px") * qln(col("n_px")) - col("sc")).as("ent_q"), col("n_px"))
+      .withColumn("ent_per_px_q", expr("ent_q div n_px"))
+      .drop("n_px")
+      .orderBy("doc_id")
+  }
+
+  private val mmImageEntropySql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    ((d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256) // 16 AS bin
+      |  FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 13) AS gy(y)
+      |  WHERE gx.x < d.sw AND gy.y < d.sh),
+      |h AS (SELECT doc_id, sw, sh, bin, CAST(COUNT(*) AS BIGINT) AS c
+      |      FROM p GROUP BY 1, 2, 3, 4),
+      |e AS (
+      |  SELECT doc_id, sw, sh,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |    CAST(SUM(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS sc,
+      |    CAST(SUM(c) AS BIGINT) AS n_px
+      |  FROM h GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height, n_bins,
+      |  CAST(n_px * CAST(floor(ln(CAST(n_px AS DOUBLE)) * 1e9) AS BIGINT) - sc AS BIGINT) AS ent_q,
+      |  CAST((n_px * CAST(floor(ln(CAST(n_px AS DOUBLE)) * 1e9) AS BIGINT) - sc) // n_px AS BIGINT) AS ent_per_px_q
+      |FROM e ORDER BY doc_id""".stripMargin
+
+  /** k-core decomposition, 3 peeling rounds at k = 3 over the
+    * undirected nation-trade graph: each round drops nodes of degree
+    * < k and every edge touching them — the dense-subgraph extractor
+    * (community cores, spam rings). The round count is a FIXED
+    * contract (the oracle unrolls exactly 3 peels; the spec asserts
+    * the peel actually reached its fixpoint on this corpus, so the
+    * bound is verified, not assumed); each peel is one degree groupBy
+    * + one semi join, fully distributed, state never leaves the
+    * cluster.
+    */
+  private def qGraphKcore(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val base = nationTradePairs(s, dir)
+      .where(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    var edges = base
+    for (_ <- 1 to 3) {
+      val deg = edges.select(col("a").as("node"))
+        .unionAll(edges.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val keep = deg.where(col("deg") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+    }
+    edges.select(col("a").as("node")).unionAll(edges.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  private val qGraphKcoreSql = {
+    // every CTE MATERIALIZED: DuckDB inlines multiply-referenced CTEs,
+    // and each peel references its predecessor three times — unchecked,
+    // the 4-join base would re-run 3^rounds times (the exact oracle-cost
+    // blowup round 8's gate died of)
+    def peel(r: Int, prev: String): String =
+      s"""deg$r AS MATERIALIZED (
+         |  SELECT node, COUNT(*) AS deg FROM (
+         |    SELECT a AS node FROM $prev UNION ALL SELECT b AS node FROM $prev)
+         |  GROUP BY 1),
+         |keep$r AS MATERIALIZED (SELECT node FROM deg$r WHERE deg >= 3),
+         |e$r AS MATERIALIZED (
+         |  SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT node FROM keep$r) AND b IN (SELECT node FROM keep$r))""".stripMargin
+    s"""WITH e0 AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM (
+       |    SELECT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst
+       |    FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey)
+       |  WHERE src <> dst),
+       |${peel(1, "e0")},
+       |${peel(2, "e1")},
+       |${peel(3, "e2")}
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT a AS node FROM e3 UNION ALL SELECT b AS node FROM e3)
+       |GROUP BY 1 ORDER BY node""".stripMargin
+  }
+
+  /** Snapshot-logged table + time travel ([[sinks.SnapshotLog]]): two
+    * commits (base, append) each sealed by a manifest; the query reads
+    * BOTH versions back — as-of v1 must be blind to v2's append (the
+    * manifest, not directory listing, defines visibility). The oracle
+    * predicts each snapshot's aggregate from the split predicate, so
+    * time travel is hash-checked, not just row-counted.
+    */
+  private def snkSnapshotLog(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("snaplog")
+    val o = Tables.orders(s, dir).select(
+      col("o_orderkey"), cents(col("o_totalprice")).as("rev_c"))
+    sinks.SnapshotLog.commit(o.where(col("o_orderkey") % 3 =!= 0), s"$tmp/t", 1)
+    sinks.SnapshotLog.commit(o.where(col("o_orderkey") % 3 === 0), s"$tmp/t", 2)
+    def snap(v: Int): DataFrame =
+      sinks.SnapshotLog.readAsOf(s, s"$tmp/t", v)
+        .groupBy().agg(count(lit(1)).as("n_rows"), sum("rev_c").as("rev_c"))
+        .select(lit(v.toLong).as("version"), col("n_rows"), col("rev_c"))
+    snap(1).unionByName(snap(2)).orderBy("version")
+  }
+
+  private val snkSnapshotLogSql =
+    s"""SELECT CAST(1 AS BIGINT) AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
+       |FROM orders WHERE o_orderkey % 3 <> 0
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+       |  CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+       |FROM orders
+       |ORDER BY version""".stripMargin
+
+  /** Event-type affinity matrix: exact user-set Jaccard for every type
+    * pair — which behaviors travel together, the audience-overlap
+    * report sketches (`q_kmv_overlap`) estimate, here exact because the
+    * distinct (type, user) grain is bounded by types × users. One
+    * distinct + a types-keyed self-join (types² pair rows = metadata);
+    * permille with truncating division both engines.
+    */
+  private def qEventsTypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val tu = Tables.events(s, dir).select(col("event_type"), col("user_id")).distinct()
+    val totals = tu.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val pairs = tu.as("x").join(tu.as("y"), Seq("user_id"))
+      .where(col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(totals.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(totals.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .withColumn("jaccard_pml", expr("n_both * 1000 div (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_pml")
+      .orderBy("type_a", "type_b")
+  }
+
+  private val qEventsTypeAffinitySql =
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM tu GROUP BY 1),
+      |p AS (
+      |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_both
+      |  FROM tu x JOIN tu y ON x.user_id = y.user_id AND x.event_type < y.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, ta.n AS n_a, tb.n AS n_b, n_both,
+      |  CAST(n_both * 1000 // (ta.n + tb.n - n_both) AS BIGINT) AS jaccard_pml
+      |FROM p JOIN t ta ON ta.event_type = type_a JOIN t tb ON tb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10298,6 +10469,10 @@ object SparkEntry {
     "q_orders_gap_stats" -> (qOrdersGapStats _),
     "q_incr_join" -> (qIncrJoin _),
     "text_keyword_extract" -> (textKeywordExtract _),
+    "mm_image_entropy" -> (mmImageEntropy _),
+    "q_graph_kcore" -> (qGraphKcore _),
+    "snk_snapshot_log" -> (snkSnapshotLog _),
+    "q_events_type_affinity" -> (qEventsTypeAffinity _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10615,6 +10790,10 @@ object SparkEntry {
     "q_orders_gap_stats" -> qOrdersGapStatsSql,
     "q_incr_join" -> qIncrJoinSql,
     "text_keyword_extract" -> textKeywordExtractSql,
+    "mm_image_entropy" -> mmImageEntropySql,
+    "q_graph_kcore" -> qGraphKcoreSql,
+    "snk_snapshot_log" -> snkSnapshotLogSql,
+    "q_events_type_affinity" -> qEventsTypeAffinitySql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

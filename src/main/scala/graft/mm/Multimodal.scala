@@ -359,6 +359,39 @@ object Multimodal {
     }
   }
 
+  case class MediaHistBin(doc_id: Long, width: Int, height: Int, bin: Long, cnt: Long)
+
+  /** Full per-image intensity histogram (decoded red channel, 256/bins
+    * wide buckets) as (doc_id, bin, cnt) rows — ≤ bins rows per image,
+    * the bounded-grain frame downstream integer statistics (entropy,
+    * contrast gates) aggregate WITHOUT re-touching pixels. Decode is
+    * partition-local like every codec pass here; no shuffle.
+    */
+  def histogram(spark: SparkSession, media: Dataset[MediaRow], bins: Int = 16): Dataset[MediaHistBin] = {
+    require(bins >= 2 && 256 % bins == 0, s"histogram: bins must divide 256, got $bins")
+    import spark.implicits._
+    val div = 256 / bins
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val img = decodeImage(m.media)
+        val hist = new Array[Long](bins)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            hist(((img.getRGB(x, y) >> 16) & 0xff) / div) += 1
+            x += 1
+          }
+          y += 1
+        }
+        hist.iterator.zipWithIndex.collect {
+          case (c, b) if c > 0 =>
+            MediaHistBin(m.doc_id, img.getWidth, img.getHeight, b.toLong, c)
+        }
+      }
+    }
+  }
+
   case class MediaDhash(doc_id: Long, h_hi: Long, h_lo: Long)
 
   /** Perceptual difference-hash (dHash) per image: REAL ImageIO decode →

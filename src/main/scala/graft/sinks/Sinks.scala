@@ -227,3 +227,46 @@ object IdempotentAppend {
     }
   }
 }
+
+/** Snapshot-logged table — a minimal transaction-log table format
+  * (the Iceberg/Delta mechanism at its core): every commit writes its
+  * data under an immutable `data/v<N>/` directory plus a manifest
+  * `_manifests/v<N>.json` listing EVERY data directory visible at that
+  * version. Readers never list the table root; they read a manifest
+  * and load exactly its member directories, so writers and readers
+  * never race (the manifest write is the atomic commit point) and any
+  * historical version stays readable forever — time travel is "pick an
+  * older manifest". At 100 TB this is the pattern that makes appends
+  * safe under concurrent readers without a lock: data files are
+  * immutable, commits are one tiny manifest file.
+  */
+object SnapshotLog {
+  private def fs(df: DataFrame, table: String) = {
+    val p = new org.apache.hadoop.fs.Path(table)
+    (p.getFileSystem(df.sparkSession.sessionState.newHadoopConf()), p)
+  }
+
+  /** Commit `df` as version `v`, visible dirs = all prior ones + v. */
+  def commit(df: DataFrame, table: String, v: Int): Unit = {
+    require(v >= 1, s"versions start at 1, got $v")
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$table/data/v$v")
+    val (hfs, _) = fs(df, table)
+    val manifest = (1 to v).map(i => s"data/v$i").mkString("[\"", "\",\"", "\"]")
+    val out = hfs.create(new org.apache.hadoop.fs.Path(s"$table/_manifests/v$v.json"), false)
+    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the table as of version `v` — exactly the dirs its manifest
+    * names, immune to any later commit.
+    */
+  def readAsOf(spark: org.apache.spark.sql.SparkSession, table: String, v: Int): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mp = new org.apache.hadoop.fs.Path(s"$table/_manifests/v$v.json")
+    val hfs = mp.getFileSystem(conf)
+    val in = hfs.open(mp)
+    val raw = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val dirs = raw.stripPrefix("[").stripSuffix("]").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    spark.read.parquet(dirs.map(d => s"$table/$d").toIndexedSeq: _*)
+  }
+}

@@ -5623,3 +5623,105 @@ class RateLimitStreamSpec extends AnyFunSuite {
     }
   }
 }
+
+class ImageEntropySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pixel entropy replays the quantized-log fold from the formula") {
+    def qln(c: Long): Long = math.floor(math.log(c.toDouble) * 1e9).toLong
+    val out = SparkEntry.queries("mm_image_entropy")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir).select("doc_id").collect().map(_.getLong(0))
+    assert(out.length === docs.length)
+    out.take(25).foreach { r =>
+      val d = r.getLong(0)
+      val (w, h) = (mm.Multimodal.srcWidth(d), mm.Multimodal.srcHeight(d))
+      assert(r.getInt(1) === w && r.getInt(2) === h)
+      val hist = new Array[Long](16)
+      for (y <- 0 until h; x <- 0 until w)
+        hist(mm.Multimodal.pixelValue(d, 0, x, y) / 16) += 1
+      val n = w.toLong * h
+      val ent = n * qln(n) - hist.filter(_ > 0).map(c => c * qln(c)).sum
+      assert(r.getLong(3) === hist.count(_ > 0).toLong)
+      assert(r.getLong(4) === ent)
+      assert(r.getLong(5) === ent / n)
+      assert(ent >= 0L)
+    }
+  }
+}
+
+class KcoreSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("3 peeling rounds reach the true 3-core fixpoint on this corpus") {
+    val out = SparkEntry.queries("q_graph_kcore")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force peel to convergence on the collected nation-trade graph
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        org.apache.spark.sql.functions.col("o_custkey") ===
+          org.apache.spark.sql.functions.col("c_custkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        org.apache.spark.sql.functions.col("l_suppkey") ===
+          org.apache.spark.sql.functions.col("s_suppkey"))
+      .selectExpr("cast(c_nationkey as long)", "cast(s_nationkey as long)").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    var changed = true
+    while (changed) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (k, v) => k -> v.length }
+      val keep = deg.filter(_._2 >= 3).keySet
+      val next = edges.filter(e => keep(e._1) && keep(e._2))
+      changed = next != edges
+      edges = next
+    }
+    val expect = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(out === expect)
+    out.values.foreach(d => assert(d >= 3L))
+  }
+}
+
+class SnapshotLogSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("older manifests stay blind to later commits; data dirs immutable") {
+    val t = graft.TmpDirs.create("snapspec") + "/t"
+    sinks.SnapshotLog.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, 1)
+    sinks.SnapshotLog.commit(Seq((3L, "c")).toDF("k", "v"), t, 2)
+    assert(sinks.SnapshotLog.readAsOf(spark, t, 1).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    assert(sinks.SnapshotLog.readAsOf(spark, t, 2).collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L))
+    // a version's data dir is immutable: re-committing v2 must refuse
+    intercept[Exception] {
+      sinks.SnapshotLog.commit(Seq((9L, "x")).toDF("k", "v"), t, 2)
+    }
+    // and the failed retry did not disturb either snapshot
+    assert(sinks.SnapshotLog.readAsOf(spark, t, 2).count() === 3L)
+  }
+}
+
+class TypeAffinitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("pair jaccard replays the exact user-set overlap") {
+    val out = SparkEntry.queries("q_events_type_affinity")(spark, dir).collect()
+    val tu = Tables.events(spark, dir).select("event_type", "user_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sets = tu.groupBy(_._1).map { case (t, v) => t -> v.map(_._2).toSet }
+    val types = sets.keys.toSeq.sorted
+    val expect = for {
+      a <- types; b <- types if a < b
+      inter = (sets(a) & sets(b)).size.toLong if inter > 0
+    } yield (a, b, sets(a).size.toLong, sets(b).size.toLong, inter,
+      inter * 1000L / (sets(a).size + sets(b).size - inter))
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq === expect.toSeq)
+  }
+}
