@@ -10254,6 +10254,154 @@ object SparkEntry {
       |FROM p JOIN t ta ON ta.event_type = type_a JOIN t tb ON tb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** Exact join-cardinality accounting WITHOUT running the join: for a
+    * key-FK equi join, |A⋈B| per group = Σ_k cA(k)·cB(k) over the key
+    * histograms — computed here from one lineitem key groupBy joined to
+    * the key-unique orders side, next to the ACTUAL join count and the
+    * hottest key (the skew flag). At 100 TB this is the pre-shuffle
+    * budget check run before committing to a join strategy; the two
+    * columns being equal is the identity that makes it trustworthy.
+    */
+  private def qJoinSizeEstimate(s: SparkSession, dir: String): DataFrame = {
+    val keyCounts = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c_li"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderstatus"))
+    val predicted = keyCounts.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(sum("c_li").as("predicted_rows"), max("c_li").as("max_key_rows"))
+    val actual = Tables.lineitem(s, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("actual_rows"))
+    predicted.join(actual, "status")
+      .select("status", "predicted_rows", "actual_rows", "max_key_rows")
+      .orderBy("status")
+  }
+
+  private val qJoinSizeEstimateSql =
+    """WITH kc AS (
+      |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS c_li
+      |  FROM lineitem GROUP BY 1),
+      |pred AS (
+      |  SELECT o_orderstatus AS status,
+      |    CAST(SUM(c_li) AS BIGINT) AS predicted_rows,
+      |    CAST(MAX(c_li) AS BIGINT) AS max_key_rows
+      |  FROM kc JOIN orders ON l_orderkey = o_orderkey GROUP BY 1),
+      |act AS (
+      |  SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS actual_rows
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+      |SELECT status, predicted_rows, actual_rows, max_key_rows
+      |FROM pred JOIN act USING (status) ORDER BY status""".stripMargin
+
+  /** Dedup-threshold sensitivity sweep ([[dedup.Dedup
+    * .blockedPairStats]]): for Jaccard thresholds 500‰..900‰, the pair
+    * and affected-doc counts — the tuning curve curation reads to PICK
+    * the dedup threshold from data instead of folklore. Classification
+    * is the integer cross-multiply inter·1000 ≥ t·uni (no float
+    * division anywhere); one pass over the blocked pair frame fans out
+    * to the 5 thresholds by a literal explode.
+    */
+  private def pipeDedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedup.Dedup.blockedPairStats(Tables.documents(s, dir))
+    val fan = pairs.select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+        explode(typedLit(Seq(500L, 600L, 700L, 800L, 900L))).as("thresh_pml"))
+      .where(col("inter") * 1000L >= col("thresh_pml") * col("uni"))
+    val nPairs = fan.groupBy("thresh_pml").agg(count(lit(1)).as("n_pairs"))
+    val nDocs = fan.select(col("thresh_pml"), col("doc_a").as("d"))
+      .unionAll(fan.select(col("thresh_pml"), col("doc_b").as("d")))
+      .distinct()
+      .groupBy("thresh_pml").agg(count(lit(1)).as("n_docs"))
+    // dense 5-row output: thresholds with zero matches still appear
+    s.range(1).select(explode(typedLit(Seq(500L, 600L, 700L, 800L, 900L))).as("thresh_pml"))
+      .join(nPairs, Seq("thresh_pml"), "left")
+      .join(nDocs, Seq("thresh_pml"), "left")
+      .select(col("thresh_pml"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy("thresh_pml")
+  }
+
+  private val pipeDedupThresholdSweepSql = {
+    val wordsSql = s"string_split($canonSql, ' ')"
+    s"""WITH d AS (
+       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
+       |    CASE WHEN length($canonSql) = 0 THEN []
+       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+       |         ELSE list_distinct(list_transform(
+       |            generate_series(1, len($wordsSql) - 2),
+       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |    END AS sh
+       |  FROM documents),
+       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |p AS MATERIALIZED (
+       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
+       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT) AS inter,
+       |    CAST(len(l.sh) + len(r.sh)
+       |      - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT) AS uni
+       |  FROM d2 l JOIN d2 r ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id),
+       |th AS (SELECT UNNEST([500, 600, 700, 800, 900]) AS thresh_pml),
+       |f AS MATERIALIZED (
+       |  SELECT th.thresh_pml, p.doc_a, p.doc_b FROM p, th
+       |  WHERE p.inter * 1000 >= th.thresh_pml * p.uni),
+       |np AS (SELECT thresh_pml, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM f GROUP BY 1),
+       |nd AS (
+       |  SELECT thresh_pml, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+       |    SELECT DISTINCT thresh_pml, d FROM (
+       |      SELECT thresh_pml, doc_a AS d FROM f
+       |      UNION ALL SELECT thresh_pml, doc_b AS d FROM f))
+       |  GROUP BY 1)
+       |SELECT CAST(th.thresh_pml AS BIGINT) AS thresh_pml,
+       |  COALESCE(np.n_pairs, 0) AS n_pairs, COALESCE(nd.n_docs, 0) AS n_docs
+       |FROM th LEFT JOIN np USING (thresh_pml) LEFT JOIN nd USING (thresh_pml)
+       |ORDER BY thresh_pml""".stripMargin
+  }
+
+  /** Keyframe election ([[mm.Multimodal.keyframes]]): frames segment
+    * at scene cuts, each segment's brightest frame (ties → earliest)
+    * becomes the representative the downstream captioner/embedder
+    * pays for — the standard frames-to-budget reduction of video
+    * curation. Oracle replays means from the pixel formula, segments
+    * by a running cut sum, elects per segment in SQL.
+    */
+  private def mmVideoKeyframe(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.keyframes(s, mm.Multimodal.videoFrame(s, Tables.documents(s, dir)))
+      .toDF().orderBy("doc_id", "segment")
+
+  private val mmVideoKeyframeSql =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS k FROM documents),
+      |s AS (
+      |  SELECT doc_id, gi.i AS src FROM d, generate_series(0, 3) AS gi(i)
+      |  WHERE gi.i < k),
+      |f AS (
+      |  SELECT doc_id, src,
+      |    6 + (doc_id + src) % 6 AS fw, 6 + (doc_id + 2 * src) % 6 AS fh FROM s),
+      |p AS (
+      |  SELECT f.doc_id, f.src, f.fw, f.fh,
+      |    (f.doc_id * 31 + f.src * 97 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM f, generate_series(0, 10) AS gx(x), generate_series(0, 10) AS gy(y)
+      |  WHERE gx.x < f.fw AND gy.y < f.fh),
+      |m AS (
+      |  SELECT doc_id, src, CAST(SUM(v) * 1000 // (fw * fh) AS BIGINT) AS mean_m
+      |  FROM p GROUP BY doc_id, src, fw, fh),
+      |sg AS (
+      |  SELECT doc_id, src, mean_m,
+      |    CAST(SUM(CASE WHEN delta > 8000 THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY doc_id ORDER BY src
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS segment
+      |  FROM (
+      |    SELECT doc_id, src, mean_m,
+      |      COALESCE(abs(mean_m - lag(mean_m) OVER (
+      |        PARTITION BY doc_id ORDER BY src)), 0) AS delta
+      |    FROM m)),
+      |r AS (
+      |  SELECT doc_id, segment, src, mean_m,
+      |    CAST(COUNT(*) OVER (PARTITION BY doc_id, segment) AS BIGINT) AS seg_frames,
+      |    row_number() OVER (
+      |      PARTITION BY doc_id, segment ORDER BY mean_m DESC, src) AS rn
+      |  FROM sg)
+      |SELECT doc_id, segment, CAST(src AS INT) AS src, mean_m, seg_frames
+      |FROM r WHERE rn = 1 ORDER BY doc_id, segment""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10473,6 +10621,9 @@ object SparkEntry {
     "q_graph_kcore" -> (qGraphKcore _),
     "snk_snapshot_log" -> (snkSnapshotLog _),
     "q_events_type_affinity" -> (qEventsTypeAffinity _),
+    "q_join_size_estimate" -> (qJoinSizeEstimate _),
+    "pipe_dedup_threshold_sweep" -> (pipeDedupThresholdSweep _),
+    "mm_video_keyframe" -> (mmVideoKeyframe _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10794,6 +10945,9 @@ object SparkEntry {
     "q_graph_kcore" -> qGraphKcoreSql,
     "snk_snapshot_log" -> snkSnapshotLogSql,
     "q_events_type_affinity" -> qEventsTypeAffinitySql,
+    "q_join_size_estimate" -> qJoinSizeEstimateSql,
+    "pipe_dedup_threshold_sweep" -> pipeDedupThresholdSweepSql,
+    "mm_video_keyframe" -> mmVideoKeyframeSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

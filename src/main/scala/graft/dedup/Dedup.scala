@@ -172,6 +172,35 @@ object Dedup {
     * from cache. Result is materialized then intermediates released
     * (caller owns the returned frame's lifecycle).
     */
+  /** Integer pair statistics of the blocked shingle join: (doc_a,
+    * doc_b, inter, uni) for every same-prefix-block pair — the exact
+    * counts behind the Jaccard ratio, for consumers that must classify
+    * against thresholds WITHOUT a float division (cross-multiply
+    * inter·1000 ≥ t·uni stays in integers end to end). Same block
+    * contract and cache discipline as [[blockedNgramJaccard]].
+    */
+  def blockedPairStats(
+      docs: DataFrame,
+      shingleK: Int = 3,
+      prefixN: Int = 3): DataFrame = {
+    val blockedAll = docs
+      .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK, prefixN).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val blocked = blockedAll.where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
+    materializeThenRelease(
+      blocked.as("l")
+        .join(blocked.as("r"), Seq("pfx"))
+        .where(col("l.doc_id") < col("r.doc_id"))
+        .select(
+          col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+        .select(col("doc_a"), col("doc_b"), inter.as("inter"),
+          (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - inter).as("uni")),
+      blockedAll)
+  }
+
   def blockedNgramJaccard(
       docs: DataFrame,
       shingleK: Int = 3,

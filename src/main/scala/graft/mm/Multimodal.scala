@@ -298,6 +298,35 @@ object Multimodal {
     })
   }
 
+  case class Keyframe(doc_id: Long, segment: Long, src: Int, mean_m: Long, seg_frames: Long)
+
+  /** Keyframe selection: frames segment at scene cuts (same milli-gray
+    * delta contract as [[sceneCuts]]), each segment elects its
+    * brightest frame (max mean, tie → earliest) as the representative —
+    * the frame the downstream captioner/embedder actually pays for.
+    * One decode pass per video, all selection in-partition.
+    */
+  def keyframes(spark: SparkSession, media: Dataset[MediaRow], thresholdM: Long = 8000L): Dataset[Keyframe] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val frames = decodeVideo(m.media)
+      val means = frames.map { fb =>
+        val img = decodeImage(fb)
+        pixelSum(img) * 1000L / (img.getWidth.toLong * img.getHeight)
+      }
+      val seg = new Array[Long](means.length)
+      var i = 1
+      while (i < means.length) {
+        seg(i) = seg(i - 1) + (if (math.abs(means(i) - means(i - 1)) > thresholdM) 1L else 0L)
+        i += 1
+      }
+      means.indices.groupBy(seg(_)).toSeq.sortBy(_._1).map { case (sg, idxs) =>
+        val best = idxs.maxBy(j => (means(j), -j))
+        Keyframe(m.doc_id, sg, best, means(best), idxs.length.toLong)
+      }
+    })
+  }
+
   /** Batched feature extraction: decode once, per-channel means —
     * the model-featurizer seam (swap the body for an embedding model).
     */

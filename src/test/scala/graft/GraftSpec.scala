@@ -5725,3 +5725,71 @@ class TypeAffinitySpec extends AnyFunSuite {
       r.getLong(3), r.getLong(4), r.getLong(5))).toSeq === expect.toSeq)
   }
 }
+
+class JoinSizeEstimateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("histogram-product prediction equals the materialized join size") {
+    val out = SparkEntry.queries("q_join_size_estimate")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2)) // predicted == actual, the identity
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= r.getLong(1))
+    }
+  }
+}
+
+class DedupThresholdSweepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("sweep is monotone and replays the 500-pml pair kernel") {
+    val out = SparkEntry.queries("pipe_dedup_threshold_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSeq === Seq(500L, 600L, 700L, 800L, 900L))
+    // tightening the threshold never ADDS pairs or docs
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 >= b._2 && a._3 >= b._3)
+      case _ =>
+    }
+    // 500-pml row = the proven dedup_ngram_jaccard kernel (j >= 0.5)
+    val pairs = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).collect()
+    assert(out.head._2 === pairs.length.toLong)
+    val docs = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.length
+    assert(out.head._3 === docs.toLong)
+  }
+}
+
+class KeyframeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every segment elects its brightest-earliest frame; frames partition") {
+    val out = SparkEntry.queries("mm_video_keyframe")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    val docs = Tables.documents(spark, dir).select("doc_id").collect().map(_.getLong(0))
+    assert(byDoc.keySet === docs.toSet)
+    byDoc.foreach { case (d, segs) =>
+      // segments are 0..n_segs-1 and their sizes sum to the frame count
+      assert(segs.map(_._2).sorted.toSeq === (0L until segs.length.toLong))
+      assert(segs.map(_._5).sum === mm.Multimodal.frameCount(d).toLong)
+    }
+    // replay one doc's election from the pixel formula
+    val d = docs.min
+    val means = (0 until mm.Multimodal.frameCount(d)).map { s =>
+      val (w, h) = (6 + ((d + s) % 6).toInt, 6 + ((d + 2 * s) % 6).toInt)
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield mm.Multimodal.pixelValue(d, s, x, y).toLong).sum
+      sum * 1000L / (w.toLong * h)
+    }
+    val segOf = means.indices.scanLeft(0L) { (acc, i) =>
+      if (i == 0) acc
+      else acc + (if (math.abs(means(i) - means(i - 1)) > 8000L) 1L else 0L)
+    }.tail
+    val expect = means.indices.groupBy(segOf(_)).toSeq.sortBy(_._1).map {
+      case (sg, idxs) =>
+        val best = idxs.maxBy(j => (means(j), -j))
+        (d, sg, best, means(best), idxs.length.toLong)
+    }
+    assert(byDoc(d).sortBy(_._2).toSeq === expect)
+  }
+}
