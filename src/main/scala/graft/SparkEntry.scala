@@ -10402,6 +10402,117 @@ object SparkEntry {
       |SELECT doc_id, segment, CAST(src AS INT) AS src, mean_m, seg_frames
       |FROM r WHERE rn = 1 ORDER BY doc_id, segment""".stripMargin
 
+  /** Matryoshka dimension-budget eval (Kusupati et al. 2022): recall
+    * of cosine top-10 computed on only the first d coordinates
+    * (d ∈ {16, 32, 64}) against the full-64-d truth — the published
+    * curve that decides how many dims the index actually needs to
+    * store (64-d row is the identity check at 1000‰). Each leg is the
+    * proven brute-force broadcast plan on a SLICED embedding; nothing
+    * new shuffles.
+    */
+  private def vecMatryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = ann.Ann.bruteForceTopK(emb, annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val legs = Seq(16, 32, 64).map { d =>
+      val sliced = emb.select(col("vec_id"), slice(col("embedding"), 1, d).as("embedding"))
+      ann.Ann.bruteForceTopK(sliced, annQueryIds, 10)
+        .select(lit(d.toLong).as("dims"), col("query_id"), col("vec_id"),
+          lit(1L).as("hit"))
+    }.reduce(_ unionByName _)
+    truth.crossJoin(s.range(1).select(explode(typedLit(Seq(16L, 32L, 64L))).as("dims")))
+      .join(legs, Seq("dims", "query_id", "vec_id"), "left")
+      .groupBy("dims", "query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pml", expr("n_hits * 1000 div n_truth"))
+      .orderBy("dims", "query_id")
+  }
+
+  private val vecMatryoshkaRecallSql = {
+    // brute-force rank leg on the first `d` coords (d = 64 is the full
+    // proven bruteforceRankSql plan)
+    def leg(d: Int): String =
+      s"""(WITH e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding[1:$d], x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT vec_id, q,
+         |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+         |  FROM e),
+         |s AS (
+         |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+         |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+         |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+         |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+         |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id
+         |  WHERE qs.vec_id IN (${annQueryIds.mkString(", ")})),
+         |r AS (
+         |  SELECT query_id, vec_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |  FROM s)
+         |SELECT CAST($d AS BIGINT) AS dims, query_id, vec_id FROM r WHERE rnk <= 10)""".stripMargin
+    s"""WITH truth AS MATERIALIZED (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |legs AS MATERIALIZED (${leg(16)} UNION ALL ${leg(32)} UNION ALL ${leg(64)}),
+       |t3 AS (
+       |  SELECT d.dims, truth.query_id, truth.vec_id
+       |  FROM truth, (SELECT UNNEST([16, 32, 64]) AS dims) d)
+       |SELECT CAST(t3.dims AS BIGINT) AS dims, t3.query_id AS query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(CASE WHEN legs.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |  CAST(SUM(CASE WHEN legs.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+       |    // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM t3 LEFT JOIN legs
+       |  ON legs.dims = t3.dims AND legs.query_id = t3.query_id AND legs.vec_id = t3.vec_id
+       |GROUP BY 1, 2 ORDER BY dims, query_id""".stripMargin
+  }
+
+  /** Walk-forward time splits (time-series cross-validation): K = 4
+    * contiguous event-day folds — fold i trains on everything BEFORE
+    * its cutoff and tests on the fold's own span, so no fold ever sees
+    * the future (the leakage the random `samp_split` cannot prevent on
+    * temporal data). Cutoffs are exact day quantiles of the bounded
+    * day domain; output is the 4-row fold manifest with train/test
+    * populations — workload metadata, nothing row-sized collected.
+    */
+  private def sampTimeSplit(s: SparkSession, dir: String): DataFrame = {
+    val dayCounts = Tables.events(s, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n")) // bounded by the day domain
+    val bounds = dayCounts.agg(min("day").as("d0"), max("day").as("d1")).head()
+    val (d0, d1) = (bounds.getLong(0), bounds.getLong(1))
+    val span = d1 - d0 + 1
+    // fold i (1..4) tests on days [d0 + (i-1)·span div 4, d0 + i·span div 4)
+    val folds = s.range(1, 5).select(col("id").as("fold"),
+      expr(s"$d0 + (id - 1) * $span div 4").as("test_from"),
+      when(col("id") === 4, lit(d1 + 1))
+        .otherwise(expr(s"$d0 + id * $span div 4")).as("test_until"))
+    folds.crossJoin(dayCounts) // 4 folds × day-domain rows — metadata grid
+      .groupBy("fold", "test_from", "test_until")
+      .agg(sum(when(col("day") < col("test_from"), col("n")).otherwise(0L)).as("n_train"),
+        sum(when(col("day") >= col("test_from") && col("day") < col("test_until"), col("n"))
+          .otherwise(0L)).as("n_test"))
+      .orderBy("fold")
+  }
+
+  private val sampTimeSplitSql =
+    """WITH dc AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1, MAX(day) - MIN(day) + 1 AS span FROM dc),
+      |f AS (
+      |  SELECT i AS fold,
+      |    d0 + (i - 1) * span // 4 AS test_from,
+      |    CASE WHEN i = 4 THEN d1 + 1 ELSE d0 + i * span // 4 END AS test_until
+      |  FROM b, (SELECT UNNEST(generate_series(1, 4)) AS i))
+      |SELECT CAST(fold AS BIGINT) AS fold,
+      |  CAST(test_from AS BIGINT) AS test_from,
+      |  CAST(test_until AS BIGINT) AS test_until,
+      |  CAST(SUM(CASE WHEN day < test_from THEN n ELSE 0 END) AS BIGINT) AS n_train,
+      |  CAST(SUM(CASE WHEN day >= test_from AND day < test_until THEN n ELSE 0 END) AS BIGINT) AS n_test
+      |FROM f, dc GROUP BY 1, 2, 3 ORDER BY fold""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10624,6 +10735,8 @@ object SparkEntry {
     "q_join_size_estimate" -> (qJoinSizeEstimate _),
     "pipe_dedup_threshold_sweep" -> (pipeDedupThresholdSweep _),
     "mm_video_keyframe" -> (mmVideoKeyframe _),
+    "vec_matryoshka_recall" -> (vecMatryoshkaRecall _),
+    "samp_time_split" -> (sampTimeSplit _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -10948,6 +11061,8 @@ object SparkEntry {
     "q_join_size_estimate" -> qJoinSizeEstimateSql,
     "pipe_dedup_threshold_sweep" -> pipeDedupThresholdSweepSql,
     "mm_video_keyframe" -> mmVideoKeyframeSql,
+    "vec_matryoshka_recall" -> vecMatryoshkaRecallSql,
+    "samp_time_split" -> sampTimeSplitSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -1017,8 +1017,12 @@ class PlanAuditSpec extends AnyFunSuite {
       "ann_hamming_topk", // same |queryIds|-row broadcast contract as brute force
       "samp_importance", // 1-row median aggregate broadcast back onto the
                          // per-doc scores (bounded by construction)
-      "ann_graph_recall") // inherits the brute-force truth leg's tiny
+      "ann_graph_recall", // inherits the brute-force truth leg's tiny
                           // broadcast, like ann_recall_eval / ann_lsh_recall
+      "vec_matryoshka_recall", // three brute-force legs + a 3-row dims
+                               // fan on the truth frame, all bounded
+      "samp_time_split") // 4-row fold manifest × day-domain aggregate —
+                         // metadata grid like q_drift_psi
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
@@ -5791,5 +5795,50 @@ class KeyframeSpec extends AnyFunSuite {
         (d, sg, best, means(best), idxs.length.toLong)
     }
     assert(byDoc(d).sortBy(_._2).toSeq === expect)
+  }
+}
+
+class MatryoshkaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dimension-budget curve: 64d is the identity, recall grows with dims") {
+    val out = SparkEntry.queries("vec_matryoshka_recall")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).distinct.sorted.toSeq === Seq(16L, 32L, 64L))
+    out.foreach { case (_, _, nTruth, nHits, pml) =>
+      assert(nTruth === 10L)
+      assert(nHits >= 0L && nHits <= 10L)
+      assert(pml === nHits * 100L)
+    }
+    // full-width legs reproduce the truth exactly
+    out.filter(_._1 == 64L).foreach { case (_, _, _, nHits, _) => assert(nHits === 10L) }
+    // mean recall is non-decreasing in dims (per-query it may wobble)
+    val mean = out.groupBy(_._1).view.mapValues(v => v.map(_._4).sum).toMap
+    assert(mean(16L) <= mean(32L) && mean(32L) <= mean(64L))
+  }
+}
+
+class TimeSplitSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("walk-forward folds: contiguous spans, no future leakage, populations add up") {
+    val out = SparkEntry.queries("samp_time_split")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    // spans tile the day range with no gap or overlap
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 === b._2)
+      case _ =>
+    }
+    val days = Tables.events(spark, dir)
+      .select(expr("ts_ns div 1000 div 86400000000").as("day")).collect()
+      .map(_.getLong(0))
+    out.foreach { case (_, from, until, nTrain, nTest) =>
+      assert(nTrain === days.count(_ < from).toLong)
+      assert(nTest === days.count(d => d >= from && d < until).toLong)
+    }
+    // fold 4's train+test covers every event except its own test span future... = all
+    assert(out.last._4 + out.last._5 === days.length.toLong)
   }
 }
