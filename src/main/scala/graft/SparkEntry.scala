@@ -2754,22 +2754,36 @@ object SparkEntry {
     * both engines).
     */
   private def pipeSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    // source-bitmask rollup: per gram ONE 64-bit membership word
+    // (bit i = source i holds the gram), every pairwise intersection
+    // then reads off the bounded mask-count table — no gram×gram
+    // self-join at all (the former plan's cost center: a gram shared
+    // by S sources cost S² join rows; this is O(grams) + masks×pairs
+    // metadata). Trade documented: mask width caps at 64 sources —
+    // beyond that, shard the source dimension.
+    val wSrc = Window.orderBy("source") // bounded: distinct sources
+    val srcIdx = Tables.documents(s, dir).select("source").distinct()
+      .withColumn("idx", (row_number().over(wSrc) - 1).cast("long"))
     val g = Tables.documents(s, dir)
       .select(col("source"),
         explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("g"))
       .distinct()
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = g.as("a").join(g.as("b"), "g")
-      .where(col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("inter"))
-    val pairs = sizes.as("x")
-      .join(sizes.as("y"), col("x.source") < col("y.source"))
+    val masks = g.join(broadcast(srcIdx), "source")
+      .select(col("g"), expr("shiftleft(1L, cast(idx as int))").as("bit"))
+      .groupBy("g").agg(expr("bit_or(bit)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairs = srcIdx.as("x").join(srcIdx.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
-        col("x.n").as("n_a"), col("y.n").as("n_b"))
-    pairs.join(inter, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        coalesce(col("inter"), lit(0L)).as("inter"))
+        col("x.idx").as("ia"), col("y.idx").as("ib"))
+    val inter = pairs.crossJoin(masks) // pairs × distinct masks — metadata grid
+      .groupBy("src_a", "src_b")
+      .agg(sum(when(expr("(mask >> ia) & 1 = 1 and (mask >> ib) & 1 = 1"),
+        col("cnt")).otherwise(0L)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .withColumn("jaccard_permille", expr("inter * 1000 div uni"))
       .orderBy("src_a", "src_b")
@@ -10513,6 +10527,88 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN day >= test_from AND day < test_until THEN n ELSE 0 END) AS BIGINT) AS n_test
       |FROM f, dc GROUP BY 1, 2, 3 ORDER BY fold""".stripMargin
 
+  /** User growth curve: per day the new users (first-seen that day),
+    * daily actives, and the running cumulative distinct-user count —
+    * computed by the FIRST-SEEN trick (one min-day groupBy at user
+    * grain, then a running sum over the bounded day-domain aggregate),
+    * never a rolling distinct over raw events: at 100 TB cumulative
+    * distincts must fold an aggregate, not re-scan history.
+    */
+  private def qEventsUserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val dau = ev.distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), col("dau"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum("new_users").over(w)) // day-domain window
+      .orderBy("day")
+  }
+
+  private val qEventsUserGrowthSql =
+    """WITH e AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |fs AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM (
+      |    SELECT user_id, MIN(day) AS day FROM e GROUP BY 1)
+      |  GROUP BY 1),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM e GROUP BY 1)
+      |SELECT dau.day AS day, dau.dau, COALESCE(fs.new_users, 0) AS new_users,
+      |  CAST(SUM(COALESCE(fs.new_users, 0)) OVER (ORDER BY dau.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+      |FROM dau LEFT JOIN fs ON dau.day = fs.day
+      |ORDER BY dau.day""".stripMargin
+
+  /** Audio periodicity probe: over the phase-varying 100-sample
+    * envelope sequence, the raw integer autocorrelation score
+    * Σ eᵢ·eᵢ₋L normalized by overlap length for lags 1..4; the argmax
+    * lag is the repetition/tempo proxy (loop detection, synthetic-tone
+    * screening). Envelope lists are ≤ ~15 elements per doc (bounded
+    * metadata), folds are exact integers, decode stays map-side.
+    */
+  private def mmAudioPeriodicity(s: SparkSession, dir: String): DataFrame = {
+    val env = mm.Audio.envelope(s,
+      mm.Audio.audioFrame(s, Tables.documents(s, dir)), win = 100).toDF()
+    env.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("win"), col("abs_sum")))).as("we"))
+      .withColumn("e", expr("transform(we, x -> x.abs_sum)"))
+      .withColumn("scores", expr(
+        """transform(sequence(1, 4), L ->
+          |  CASE WHEN size(e) <= L THEN 0L
+          |  ELSE aggregate(sequence(L, size(e) - 1), 0L,
+          |    (a, i) -> a + element_at(e, i + 1) * element_at(e, i - L + 1))
+          |    div (size(e) - L) END)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("e")).cast("long").as("n_windows"),
+        expr("array_position(scores, array_max(scores))").cast("long").as("best_lag"),
+        expr("array_max(scores)").as("best_score"))
+      .orderBy("doc_id")
+  }
+
+  private val mmAudioPeriodicitySql =
+    """WITH d AS (
+      |  SELECT doc_id, 1000 + (doc_id % 5) * 256 + (doc_id % 7) * 3 AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, UNNEST(generate_series(0, n - 1)) AS i FROM d),
+      |env AS (
+      |  SELECT doc_id, i // 100 AS win,
+      |    CAST(SUM(abs((doc_id * 31 + i * 17) % 256 - 128)) AS BIGINT) AS abs_sum
+      |  FROM s GROUP BY 1, 2),
+      |l AS (SELECT doc_id, list(abs_sum ORDER BY win) AS e FROM env GROUP BY 1),
+      |sc AS (
+      |  SELECT doc_id, e,
+      |    list_transform(generate_series(1, 4), L ->
+      |      CASE WHEN len(e) <= L THEN 0
+      |      ELSE CAST(list_sum(list_transform(generate_series(L, len(e) - 1),
+      |        i -> e[i + 1] * e[i - L + 1])) AS BIGINT) // (len(e) - L) END) AS scores
+      |  FROM l)
+      |SELECT doc_id, CAST(len(e) AS BIGINT) AS n_windows,
+      |  CAST(list_position(scores, list_max(scores)) AS BIGINT) AS best_lag,
+      |  CAST(list_max(scores) AS BIGINT) AS best_score
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10737,6 +10833,8 @@ object SparkEntry {
     "mm_video_keyframe" -> (mmVideoKeyframe _),
     "vec_matryoshka_recall" -> (vecMatryoshkaRecall _),
     "samp_time_split" -> (sampTimeSplit _),
+    "q_events_user_growth" -> (qEventsUserGrowth _),
+    "mm_audio_periodicity" -> (mmAudioPeriodicity _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -11063,6 +11161,8 @@ object SparkEntry {
     "mm_video_keyframe" -> mmVideoKeyframeSql,
     "vec_matryoshka_recall" -> vecMatryoshkaRecallSql,
     "samp_time_split" -> sampTimeSplitSql,
+    "q_events_user_growth" -> qEventsUserGrowthSql,
+    "mm_audio_periodicity" -> mmAudioPeriodicitySql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

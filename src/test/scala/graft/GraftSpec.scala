@@ -5842,3 +5842,51 @@ class TimeSplitSpec extends AnyFunSuite {
     assert(out.last._4 + out.last._5 === days.length.toLong)
   }
 }
+
+class UserGrowthSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("growth curve replays first-seen arithmetic; cum ends at distinct users") {
+    val out = SparkEntry.queries("q_events_user_growth")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val firstSeen = ev.groupBy(_._1).map { case (_, v) => v.map(_._2).min }
+    out.foreach { case (day, dau, newU, _) =>
+      assert(dau === ev.filter(_._2 == day).map(_._1).distinct.length.toLong)
+      assert(newU === firstSeen.count(_ == day).toLong)
+    }
+    assert(out.map(_._3).sum === ev.map(_._1).distinct.length.toLong)
+    assert(out.last._4 === ev.map(_._1).distinct.length.toLong)
+    // cumulative is the prefix sum of new users
+    assert(out.map(_._3).scanLeft(0L)(_ + _).tail.toSeq === out.map(_._4).toSeq)
+  }
+}
+
+class AudioPeriodicitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("autocorrelation argmax replays the envelope fold from the formula") {
+    val out = SparkEntry.queries("mm_audio_periodicity")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir).select("doc_id").collect().map(_.getLong(0))
+    assert(out.length === docs.length)
+    out.take(25).foreach { case (d, nWins, bestLag, bestScore) =>
+      val n = mm.Audio.sampleCount(d)
+      val e = (0 until (n + 99) / 100).map { w =>
+        (w * 100 until math.min(w * 100 + 100, n))
+          .map(i => math.abs(mm.Audio.sampleValue(d, i) - 128).toLong).sum
+      }
+      assert(nWins === e.length.toLong)
+      val scores = (1 to 4).map { lag =>
+        if (e.length <= lag) 0L
+        else (lag until e.length).map(i => e(i) * e(i - lag)).sum / (e.length - lag)
+      }
+      assert(bestScore === scores.max)
+      assert(bestLag === scores.indexOf(scores.max).toLong + 1L)
+    }
+    assert(out.map(_._3).distinct.length > 1) // the probe discriminates
+  }
+}
