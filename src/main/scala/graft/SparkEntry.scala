@@ -10609,6 +10609,74 @@ object SparkEntry {
       |  CAST(list_max(scores) AS BIGINT) AS best_score
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  /** Activity-streak sweep: per user the LONGEST run of consecutive
+    * active days (and how many distinct runs) — the engagement-cadence
+    * feature, computed by the islands trick (day − dense run index)
+    * over the bounded distinct (user, day) grain; all windows keyed by
+    * user, nothing global.
+    */
+  private def qEventsStreaks(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+      .distinct()
+    val byU = Window.partitionBy("user_id").orderBy("day")
+    ud.withColumn("grp", col("day") - row_number().over(byU))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("run_len"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_runs"), max("run_len").as("longest_streak"),
+        sum("run_len").as("active_days"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsStreaksSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |g AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM ud),
+      |r AS (SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+      |      FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_runs,
+      |  CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+      |  CAST(SUM(run_len) AS BIGINT) AS active_days
+      |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** Content-addressable row provenance: every doc gets a deterministic
+    * uid CHAIN — stage k's id = mix64(prev ⊕ stage-version-constant) —
+    * so any row of any derived dataset can name exactly which pipeline
+    * stage lineage produced it and re-runs reproduce identical ids
+    * (the audit/reproducibility primitive; constants bump when a stage
+    * changes semantics). Pure map-side codegen'd [[functions.Mix64Long]]
+    * chains; the oracle replays the mixer bit-for-bit.
+    */
+  private def pipeRowProvenance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def mix(c: Column): Column = column(graft.functions.Mix64Long(expression(c)))
+    val ingestV = 1001L // stage version constants: bump on semantic change
+    val qualityV = 2007L
+    val dedupV = 3005L
+    Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("uid_ingest", mix(expr(s"doc_id ^ $ingestV")))
+      .withColumn("uid_quality", mix(expr(s"uid_ingest ^ $qualityV")))
+      .withColumn("uid_dedup", mix(expr(s"uid_quality ^ $dedupV")))
+      .orderBy("doc_id")
+  }
+
+  private val pipeRowProvenanceSql = {
+    import oracle.DuckHash.mix64SignedSql
+    s"""WITH s1 AS (
+       |  SELECT doc_id, ${mix64SignedSql("xor(doc_id, 1001)")} AS uid_ingest
+       |  FROM documents),
+       |s2 AS (
+       |  SELECT doc_id, uid_ingest,
+       |    ${mix64SignedSql("xor(uid_ingest, 2007)")} AS uid_quality
+       |  FROM s1)
+       |SELECT doc_id, uid_ingest, uid_quality,
+       |  ${mix64SignedSql("xor(uid_quality, 3005)")} AS uid_dedup
+       |FROM s2 ORDER BY doc_id""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10835,6 +10903,8 @@ object SparkEntry {
     "samp_time_split" -> (sampTimeSplit _),
     "q_events_user_growth" -> (qEventsUserGrowth _),
     "mm_audio_periodicity" -> (mmAudioPeriodicity _),
+    "q_events_streaks" -> (qEventsStreaks _),
+    "pipe_row_provenance" -> (pipeRowProvenance _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -11163,6 +11233,8 @@ object SparkEntry {
     "samp_time_split" -> sampTimeSplitSql,
     "q_events_user_growth" -> qEventsUserGrowthSql,
     "mm_audio_periodicity" -> mmAudioPeriodicitySql,
+    "q_events_streaks" -> qEventsStreaksSql,
+    "pipe_row_provenance" -> pipeRowProvenanceSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -114,6 +114,19 @@ object DuckHash {
   def mix64Top32Sql(x: String): String =
     s"CAST(${mix64Sql(s"CAST($x AS UBIGINT)")} >> 32 AS BIGINT)"
 
+  /** Full signed Mix64 of a signed-BIGINT expr: mirrors the Spark
+    * side's raw `Mix64Long(x)` output bit-for-bit (two's-complement
+    * wraparound through UBIGINT arithmetic, re-signed at the end) —
+    * the content-addressable row-id kernel.
+    */
+  def mix64SignedSql(x: String): String = {
+    val u = s"CAST(CAST($x AS HUGEINT) + CASE WHEN $x < 0 " +
+      "THEN 18446744073709551616 ELSE 0 END AS UBIGINT)"
+    val m = mix64Sql(u)
+    s"CAST(CAST($m AS HUGEINT) - CASE WHEN $m >= 9223372036854775808 " +
+      "THEN 18446744073709551616 ELSE 0 END AS BIGINT)"
+  }
+
   /** Top 48 mixed bits (>> 16), as BIGINT in [0, 2^48): mirrors the
     * Spark side's `Mix64Long(x) >>> 16` (epoch-shuffle order hashes,
     * where 32 bits would collide on large corpora).

@@ -5890,3 +5890,53 @@ class AudioPeriodicitySpec extends AnyFunSuite {
     assert(out.map(_._3).distinct.length > 1) // the probe discriminates
   }
 }
+
+class StreaksSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("longest streak replays the brute-force islands per user") {
+    val out = SparkEntry.queries("q_events_streaks")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 1000 div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(out.keySet === ud.keySet)
+    ud.take(30).foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      var lens = List.empty[Long]
+      var cur = 1L
+      days.sliding(2).foreach {
+        case Array(a, b) => if (b == a + 1) cur += 1 else { lens ::= cur; cur = 1 }
+        case _ =>
+      }
+      lens ::= cur
+      val (nRuns, longest, active) = out(u)
+      assert(nRuns === lens.length.toLong)
+      assert(longest === lens.max)
+      assert(active === days.length.toLong)
+    }
+  }
+}
+
+class ProvenanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("uid chain replays SplitMix64 and is collision-free per stage") {
+    val out = SparkEntry.queries("pipe_row_provenance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def mix(x: Long): Long = graft.functions.Mix64(x)
+    out.take(50).foreach { case (d, u1, u2, u3) =>
+      assert(u1 === mix(d ^ 1001L))
+      assert(u2 === mix(u1 ^ 2007L))
+      assert(u3 === mix(u2 ^ 3005L))
+    }
+    // deterministic re-run: identical ids
+    val again = SparkEntry.queries("pipe_row_provenance")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === again.toSeq)
+    // no collisions at any stage on this corpus
+    assert(out.map(_._2).distinct.length === out.length)
+    assert(out.map(_._4).distinct.length === out.length)
+  }
+}
