@@ -11,7 +11,7 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val keys = Seq("q_events_stickiness")
+    val keys = Seq("pipe_source_overlap")
     // warmup (pays codegen + the build-once artifacts)
     keys.foreach { k =>
       SparkEntry.queries(k)(spark, dir).count()

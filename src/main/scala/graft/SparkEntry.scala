@@ -2764,9 +2764,15 @@ object SparkEntry {
     val wSrc = Window.orderBy("source") // bounded: distinct sources
     val srcIdx = Tables.documents(s, dir).select("source").distinct()
       .withColumn("idx", (row_number().over(wSrc) - 1).cast("long"))
+    // grams collapse to 64-bit xxhash BEFORE any shuffle: the distinct
+    // and the per-gram rollup move 8-byte keys, not ~50-byte strings
+    // (the dominant cost at corpus scale; collision odds ~(n²/2⁶⁵) are
+    // negligible and the hash never reaches the output — the oracle
+    // compares the string-exact pair counts)
     val g = Tables.documents(s, dir)
       .select(col("source"),
-        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("g"))
+        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("gs"))
+      .select(col("source"), xxhash64(col("gs")).as("g"))
       .distinct()
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
     val masks = g.join(broadcast(srcIdx), "source")
