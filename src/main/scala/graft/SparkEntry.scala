@@ -10683,6 +10683,204 @@ object SparkEntry {
        |FROM s2 ORDER BY doc_id""".stripMargin
   }
 
+  /** Position-based (U-shaped) multi-touch attribution
+    * ([[ops.Attribution.positional]]): first/last touches take 40%
+    * each, middles split 20% — rolled up per (touch_type, position) so
+    * the U curve is visible in one bounded report. Plan = one
+    * user-keyed interval join + per-conversion rank windows (see the
+    * kernel's scale notes); exact integer cents both engines.
+    */
+  private def qAttributionPosition(s: SparkSession, dir: String): DataFrame =
+    ops.Attribution.positional(
+      Tables.events(s, dir), Seq("click", "view"), "purchase",
+      // 7-day lookback: wide enough that windows hold several touches
+      // (the U-curve's whole point), short enough that per-conversion
+      // fanout stays horizon-bounded
+      lookbackNs = 7L * 86400L * 1000000000L, valueCents = cents(col("value")))
+      .groupBy(col("touch_type"), col("position"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_cents")).as("credited_cents"))
+      .orderBy("touch_type", "position")
+
+  private val qAttributionPositionSql =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) AS touch_ts, event_id AS touch_id,
+      |    event_type AS touch_type
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (
+      |  SELECT user_id, epoch_ns(ts) AS conv_ts, event_id AS conv_id,
+      |    CAST(round(value*100) AS BIGINT) AS conv_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT t.*, c.conv_id, c.conv_cents,
+      |    row_number() OVER (PARTITION BY t.user_id, c.conv_id
+      |      ORDER BY t.touch_ts, t.touch_id) AS rnk,
+      |    count(*) OVER (PARTITION BY t.user_id, c.conv_id) AS n
+      |  FROM t JOIN c ON t.user_id = c.user_id
+      |    AND t.touch_ts >= c.conv_ts - 604800000000000
+      |    AND t.touch_ts <= c.conv_ts),
+      |p AS (
+      |  SELECT touch_type,
+      |    CASE WHEN rnk = 1 THEN 'first'
+      |         WHEN rnk = n THEN 'last' ELSE 'middle' END AS position,
+      |    CASE WHEN n = 1 THEN conv_cents
+      |         WHEN n = 2 AND rnk = 1 THEN conv_cents // 2
+      |         WHEN n = 2 THEN conv_cents - conv_cents // 2
+      |         WHEN rnk = 1 OR rnk = n THEN (conv_cents * 2) // 5
+      |         ELSE (conv_cents - 2 * ((conv_cents * 2) // 5)) // (n - 2)
+      |    END AS credit_cents
+      |  FROM j)
+      |SELECT touch_type, position, CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(sum(credit_cents) AS BIGINT) AS credited_cents
+      |FROM p GROUP BY 1, 2 ORDER BY touch_type, position""".stripMargin
+
+  /** Per-source unigram KL divergence to the corpus LM — the
+    * domain-shift/source-fit signal behind mixture reweighting (the
+    * DoReMi-style "how far is this source from the mixture" read).
+    * KL(p_s‖p_c) = Σ_w (c_sw/N_s)·ln(c_sw·N_c / (N_s·c_w)), carried as
+    * exact integers: each ln is nano-quantized SEPARATELY (overflow-safe
+    * sum-of-logs form — products like c_sw·N_c would overflow int64 at
+    * corpus scale) and weighted by the integer count c_sw, so both
+    * engines fold the identical BIGINTs in any order. Grain is
+    * (source, word) — bounded by sources × vocab, map-side combined
+    * from the token stream; corpus marginals ride a word-keyed join
+    * (skew-free: vocab counts, not positions).
+    */
+  private def textSourceKl(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("word"))
+    val sw = toks.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val nTot = sw.agg(sum("c_sw").as("n_c"))
+    sw.join(wTot, "word").join(srcTot, "source").crossJoin(nTot)
+      .select(col("source"), col("n_s"),
+        (col("c_sw") *
+          (qln(col("c_sw")) + qln(col("n_c")) - qln(col("n_s")) - qln(col("c_w"))))
+          .as("term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), count(lit(1)).as("n_types"),
+        expr("sum(term) div max(n_s)").as("kl_nano"))
+      .orderBy("source")
+  }
+
+  private val textSourceKlSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH toks AS (
+       |  SELECT source, w AS word
+       |  FROM (SELECT source, $wordsListSql AS wl FROM documents), UNNEST(wl) AS u(w)),
+       |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+       |       FROM toks GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+       |wt AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n_c FROM sw),
+       |t AS (
+       |  SELECT sw.source, st.n_s,
+       |    c_sw * (${qln("c_sw")} + ${qln("n_c")} - ${qln("n_s")} - ${qln("c_w")}) AS term
+       |  FROM sw JOIN wt USING (word) JOIN st USING (source), nt)
+       |SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       |  CAST(count(*) AS BIGINT) AS n_types,
+       |  CAST(sum(term) // max(n_s) AS BIGINT) AS kl_nano
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** Vocabulary coverage curve: for each candidate vocab size k, the
+    * permille of all token OCCURRENCES covered by the top-k words
+    * (frequency-ranked, ties broken by word) — the tokenizer-sizing
+    * curve read before fixing a vocab (complements `text_oov_rate`,
+    * which audits ONE fixed vocab, and `text_vocab_growth`, which
+    * varies the corpus instead of the vocab). The ranking/prefix-sum
+    * runs on the VOCAB table — corpus metadata, not corpus rows — the
+    * same bounded-table window contract as the ABC/Pareto keys; ks
+    * past the vocab end clamp to full coverage.
+    */
+  private def textVocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(10L, 20L, 50L, 100L, 200L, 500L)
+    val wc = Tables.documents(s, dir)
+      .select(explode(text.Text.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("c"), col("word"))
+    val ranked = wc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = wc.agg(sum("c").as("n_tot"), count(lit(1)).cast("long").as("n_vocab"))
+    ks.toDF("k").crossJoin(tot)
+      .join(ranked, col("rnk") === least(col("k"), col("n_vocab")))
+      .select(col("k"), col("n_vocab"), col("n_tot"),
+        expr("cum * 1000 div n_tot").as("coverage_pml"))
+      .orderBy("k")
+  }
+
+  private val textVocabCoverageSql =
+    s"""WITH toks AS (
+       |  SELECT w AS word
+       |  FROM (SELECT $wordsListSql AS wl FROM documents), UNNEST(wl) AS u(w)),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+       |r AS (
+       |  SELECT c, CAST(row_number() OVER (ORDER BY c DESC, word) AS BIGINT) AS rnk,
+       |    CAST(sum(c) OVER (ORDER BY c DESC, word
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM wc),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_tot,
+       |               CAST(count(*) AS BIGINT) AS n_vocab FROM wc)
+       |SELECT k, n_vocab, n_tot, cum * 1000 // n_tot AS coverage_pml
+       |FROM (VALUES (10), (20), (50), (100), (200), (500)) ks(k), tot
+       |JOIN r ON r.rnk = least(k, n_vocab)
+       |ORDER BY k""".stripMargin
+
+  /** Churn-risk gate: each repeat customer's CURRENT silence (days
+    * since last order, against the corpus max date) as a permille ratio
+    * of their OWN median reorder gap — silence at 3× your cadence is
+    * churn, whatever your cadence is (the personalized cutoff that a
+    * global recency threshold gets wrong for slow-cycle customers).
+    * Builds on the `q_orders_gap_stats` lead/gap kernel; the median is
+    * the exact lower median of an integer list bounded by
+    * orders-per-customer (Spark sort_array pick ≡ DuckDB
+    * quantile_disc(0.5) for all n); corpus max day is a 1-row
+    * metadata crossJoin.
+    */
+  private def qChurnRisk(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey").cast("long").as("custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000").as("day"))
+    val maxDay = o.agg(max("day").as("corpus_max_day"))
+    val byC = Window.partitionBy("custkey").orderBy("day", "o_orderkey")
+    o.withColumn("nxt", lead("day", 1).over(byC))
+      .groupBy("custkey")
+      .agg(count(lit(1)).as("n_orders"), max("day").as("last_day"),
+        sort_array(collect_list(col("nxt") - col("day"))).as("gaps"))
+      .where(col("n_orders") >= 2)
+      .crossJoin(maxDay)
+      .select(col("custkey"), col("n_orders"), col("last_day"),
+        element_at(col("gaps"), ((size(col("gaps")) + 1) / 2).cast("int")).as("med_gap"),
+        (col("corpus_max_day") - col("last_day")).as("silence_days"))
+      .withColumn("risk_pml",
+        expr("silence_days * 1000 div greatest(med_gap, 1)"))
+      .orderBy("custkey")
+  }
+
+  private val qChurnRiskSql =
+    """WITH o AS (
+      |  SELECT CAST(o_custkey AS BIGINT) AS custkey, o_orderkey,
+      |    epoch_us(o_orderdate) // 86400000000 AS day
+      |  FROM orders),
+      |g AS (
+      |  SELECT custkey, day,
+      |    lead(day, 1) OVER (PARTITION BY custkey ORDER BY day, o_orderkey) - day AS gap
+      |  FROM o),
+      |a AS (
+      |  SELECT custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(max(day) AS BIGINT) AS last_day,
+      |    CAST(quantile_disc(gap, 0.5) AS BIGINT) AS med_gap
+      |  FROM g GROUP BY 1 HAVING count(*) >= 2),
+      |m AS (SELECT CAST(max(day) AS BIGINT) AS corpus_max_day FROM o)
+      |SELECT custkey, n_orders, last_day, med_gap,
+      |  corpus_max_day - last_day AS silence_days,
+      |  (corpus_max_day - last_day) * 1000 // greatest(med_gap, 1) AS risk_pml
+      |FROM a, m ORDER BY custkey""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -10911,6 +11109,10 @@ object SparkEntry {
     "mm_audio_periodicity" -> (mmAudioPeriodicity _),
     "q_events_streaks" -> (qEventsStreaks _),
     "pipe_row_provenance" -> (pipeRowProvenance _),
+    "q_attribution_position" -> (qAttributionPosition _),
+    "text_source_kl" -> (textSourceKl _),
+    "text_vocab_coverage" -> (textVocabCoverage _),
+    "q_churn_risk" -> (qChurnRisk _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -11241,6 +11443,10 @@ object SparkEntry {
     "mm_audio_periodicity" -> mmAudioPeriodicitySql,
     "q_events_streaks" -> qEventsStreaksSql,
     "pipe_row_provenance" -> pipeRowProvenanceSql,
+    "q_attribution_position" -> qAttributionPositionSql,
+    "text_source_kl" -> textSourceKlSql,
+    "text_vocab_coverage" -> textVocabCoverageSql,
+    "q_churn_risk" -> qChurnRiskSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -54,4 +54,64 @@ object Attribution {
       .select(col(userCol), col(tsCol), col("event_type").as("touch_type"),
         coalesce(col("credit_cents"), lit(0L)).as("credit_cents"))
   }
+
+  /** Position-based (U-shaped) attribution: within each conversion's
+    * lookback window the FIRST touch gets 40% of the value, the LAST
+    * touch 40%, and the remaining 20% splits equally across the middle
+    * touches (n=1 → the lone touch takes 100%; n=2 → 50/50). The
+    * industry-standard U curve that linear() deliberately flattens.
+    *
+    * Shape: unlike linear()'s two range windows, positions need each
+    * conversion to SEE its window's touch ORDER, so the plan is ONE
+    * user-keyed interval equi-join (touches⋈conversions on user, range
+    * post-filter) + a per-conversion rank window. Both sides shuffle
+    * once on the user key; per-conversion fanout is bounded by the
+    * lookback horizon, never corpus-wide, and the rank window partitions
+    * by (user, conversion) — already-bounded groups.
+    *
+    * Determinism: integer-cents rules with truncating division — first
+    * = last = (v*2) div 5 for n≥3, middles share v − 2·((v*2) div 5)
+    * by div (n−2); truncation dust stays unattributed (same convention
+    * as linear()). Touch order ties break on event id.
+    */
+  def positional(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      lookbackNs: Long,
+      valueCents: Column,
+      userCol: String = "user_id",
+      tsCol: String = "ts_ns",
+      idCol: String = "event_id"): DataFrame = {
+    require(lookbackNs > 0, "lookback must be positive")
+    val touches = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(idCol).as("touch_id"),
+        col("event_type").as("touch_type"))
+    val convs = events.where(col("event_type") === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"), col(idCol).as("conv_id"),
+        valueCents.as("conv_cents"))
+    val joined = touches.join(convs, Seq(userCol))
+      .where(col("touch_ts") >= col("conv_ts") - lookbackNs &&
+        col("touch_ts") <= col("conv_ts"))
+    val byConv = Window.partitionBy(col(userCol), col("conv_id"))
+    val ordered = byConv.orderBy(col("touch_ts"), col("touch_id"))
+    joined
+      .withColumn("rnk", row_number().over(ordered))
+      .withColumn("n", count(lit(1)).over(byConv))
+      .withColumn("position",
+        when(col("rnk") === 1, lit("first"))
+          .when(col("rnk") === col("n"), lit("last"))
+          .otherwise(lit("middle")))
+      .withColumn("credit_cents",
+        when(col("n") === 1, col("conv_cents"))
+          .when(col("n") === 2,
+            when(col("rnk") === 1, expr("conv_cents div 2"))
+              .otherwise(col("conv_cents") - expr("conv_cents div 2")))
+          .when(col("rnk") === 1 || col("rnk") === col("n"),
+            expr("(conv_cents * 2) div 5"))
+          .otherwise(
+            expr("(conv_cents - 2 * ((conv_cents * 2) div 5)) div (n - 2)")))
+      .select(col(userCol), col("touch_ts"), col("touch_type"),
+        col("position"), col("credit_cents"))
+  }
 }

@@ -5940,3 +5940,126 @@ class ProvenanceSpec extends AnyFunSuite {
     assert(out.map(_._4).distinct.length === out.length)
   }
 }
+
+class PositionAttributionSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("U-shaped credits follow the 40/20/40 integer rules on a planted journey") {
+    import spark.implicits._
+    // one user: 4 touches then a 1000-cent purchase inside the window,
+    // plus a touch OUTSIDE the lookback that must get nothing
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 0L * ns, "click", 0.0),          // outside (lookback 100s)
+      (1L, 500L * ns, "view", 0.0),         // first
+      (1L, 510L * ns, "click", 0.0),        // middle
+      (1L, 520L * ns, "view", 0.0),         // middle
+      (1L, 530L * ns, "click", 0.0),        // last
+      (1L, 550L * ns, "purchase", 10.0))    // 1000 cents
+      .toDF("user_id", "ts_ns", "event_type", "value")
+      .withColumn("event_id", col("ts_ns"))
+    val out = ops.Attribution.positional(
+      ev, Seq("click", "view"), "purchase", lookbackNs = 100L * ns,
+      valueCents = (col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(1), r.getString(3), r.getLong(4)))
+      .sortBy(_._1)
+    // 40% = 400 to first and last, 20% = 200 splits 100/100 across middles
+    assert(out === Array(
+      (500L * ns, "first", 400L), (510L * ns, "middle", 100L),
+      (520L * ns, "middle", 100L), (530L * ns, "last", 400L)))
+  }
+
+  test("n=1 and n=2 degenerate rules conserve the full value") {
+    import spark.implicits._
+    val ns = 1000000000L
+    val ev = Seq(
+      (1L, 10L * ns, "click", 0.0), (1L, 20L * ns, "purchase", 0.07), // 7 cents, n=1
+      (2L, 10L * ns, "view", 0.0), (2L, 15L * ns, "click", 0.0),
+      (2L, 20L * ns, "purchase", 0.07)) // n=2: 3 + 4
+      .toDF("user_id", "ts_ns", "event_type", "value")
+      .withColumn("event_id", col("ts_ns"))
+    val out = ops.Attribution.positional(
+      ev, Seq("click", "view"), "purchase", lookbackNs = 100L * ns,
+      valueCents = (col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(3), r.getLong(4))).toSet
+    assert(out === Set((1L, "first", 7L), (2L, "first", 3L), (2L, "last", 4L)))
+  }
+}
+
+class SourceKlSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("per-source KL replays the quantized-log fold and is never materially negative") {
+    val out = SparkEntry.queries("text_source_kl")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // brute-force from raw token counts
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("w"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val bySrcWord = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val bySrc = toks.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byWord = toks.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nC = toks.length.toLong
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    assert(out.keySet === bySrc.keySet)
+    out.foreach { case (src, (nTokens, nTypes, klNano)) =>
+      assert(nTokens === bySrc(src))
+      val types = bySrcWord.keys.filter(_._1 == src).toSeq
+      assert(nTypes === types.length.toLong)
+      val sum = types.map { k =>
+        val cSw = bySrcWord(k)
+        cSw * (qln(cSw) + qln(nC) - qln(bySrc(src)) - qln(byWord(k._2)))
+      }.sum
+      assert(klNano === sum / bySrc(src))
+      // KL >= 0 up to nano-quantization dust
+      assert(klNano >= -10L)
+    }
+  }
+}
+
+class VocabCoverageSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("coverage curve is monotone in k and saturates at full vocab") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(10L, 20L, 50L, 100L, 200L, 500L))
+    val cov = rows.map(_._4)
+    assert(cov.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    // ks at/past the vocab size clamp to full coverage
+    rows.filter(r => r._1 >= r._2).foreach(r => assert(r._4 === 1000L))
+    assert(cov.forall(c => c >= 0L && c <= 1000L))
+  }
+}
+
+class ChurnRiskSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("silence-to-cadence ratio replays the lower-median brute force") {
+    val out = SparkEntry.queries("q_churn_risk")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long"), col("o_orderkey").cast("long"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val corpusMax = o.map(_._3).max
+    val byCust = o.groupBy(_._1)
+    val repeat = byCust.filter(_._2.length >= 2)
+    assert(out.keySet === repeat.keySet)
+    repeat.take(30).foreach { case (c, rows) =>
+      val days = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val gaps = days.sliding(2).map { case Array(a, b) => b - a }.toSeq.sorted
+      val med = gaps((gaps.length + 1) / 2 - 1)
+      val (nOrders, lastDay, medGap, silence, risk) = out(c)
+      assert(nOrders === rows.length.toLong)
+      assert(lastDay === days.max)
+      assert(medGap === med)
+      assert(silence === corpusMax - days.max)
+      assert(risk === silence * 1000 / math.max(med, 1L))
+    }
+  }
+}
