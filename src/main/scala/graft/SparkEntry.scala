@@ -10733,6 +10733,46 @@ object SparkEntry {
       |  CAST(sum(credit_cents) AS BIGINT) AS credited_cents
       |FROM p GROUP BY 1, 2 ORDER BY touch_type, position""".stripMargin
 
+  /** Time-decay attribution ([[ops.Attribution.timeDecay]]): weight
+    * halves per day of age (integer permille halving, floor 1), rolled
+    * up per (touch_type, age-in-halflives k) so the decay curve itself
+    * is the report. Third attribution flavor beside linear (flat) and
+    * positional (U); same one-shuffle interval-join plan.
+    */
+  private def qAttributionDecay(s: SparkSession, dir: String): DataFrame =
+    ops.Attribution.timeDecay(
+      Tables.events(s, dir), Seq("click", "view"), "purchase",
+      lookbackNs = 7L * 86400L * 1000000000L,
+      halflifeNs = 86400L * 1000000000L, valueCents = cents(col("value")))
+      .groupBy(col("touch_type"), col("k"))
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit_cents")).as("credited_cents"))
+      .orderBy("touch_type", "k")
+
+  private val qAttributionDecaySql =
+    """WITH t AS (
+      |  SELECT user_id, epoch_ns(ts) AS touch_ts, event_id AS touch_id,
+      |    event_type AS touch_type
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |c AS (
+      |  SELECT user_id, epoch_ns(ts) AS conv_ts, event_id AS conv_id,
+      |    CAST(round(value*100) AS BIGINT) AS conv_cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT t.touch_type, c.conv_id, c.conv_cents, t.user_id,
+      |    least((c.conv_ts - t.touch_ts) // 86400000000000, 9) AS k
+      |  FROM t JOIN c ON t.user_id = c.user_id
+      |    AND t.touch_ts >= c.conv_ts - 604800000000000
+      |    AND t.touch_ts <= c.conv_ts),
+      |w AS (
+      |  SELECT *, greatest(1000 // (1 << CAST(k AS INT)), 1) AS w,
+      |    sum(greatest(1000 // (1 << CAST(k AS INT)), 1))
+      |      OVER (PARTITION BY user_id, conv_id) AS sw
+      |  FROM j)
+      |SELECT touch_type, CAST(k AS BIGINT) AS k,
+      |  CAST(count(*) AS BIGINT) AS n_credits,
+      |  CAST(sum((conv_cents * w) // sw) AS BIGINT) AS credited_cents
+      |FROM w GROUP BY 1, 2 ORDER BY touch_type, k""".stripMargin
+
   /** Per-source unigram KL divergence to the corpus LM — the
     * domain-shift/source-fit signal behind mixture reweighting (the
     * DoReMi-style "how far is this source from the mixture" read).
@@ -11110,6 +11150,7 @@ object SparkEntry {
     "q_events_streaks" -> (qEventsStreaks _),
     "pipe_row_provenance" -> (pipeRowProvenance _),
     "q_attribution_position" -> (qAttributionPosition _),
+    "q_attribution_decay" -> (qAttributionDecay _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11444,6 +11485,7 @@ object SparkEntry {
     "q_events_streaks" -> qEventsStreaksSql,
     "pipe_row_provenance" -> pipeRowProvenanceSql,
     "q_attribution_position" -> qAttributionPositionSql,
+    "q_attribution_decay" -> qAttributionDecaySql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,

@@ -114,4 +114,48 @@ object Attribution {
       .select(col(userCol), col("touch_ts"), col("touch_type"),
         col("position"), col("credit_cents"))
   }
+
+  /** Time-decay attribution: a touch's weight halves for every
+    * `halflifeNs` of age at conversion time — recent touches dominate,
+    * stale ones fade, the recency curve between linear()'s flat split
+    * and last-touch's winner-take-all. Weights are EXACT integers:
+    * w = 1000 >> min(age div halflife, 9) (permille halving steps,
+    * floored at 1 so an in-window touch never zeroes out and the
+    * per-conversion weight sum stays positive); each touch's credit is
+    * conv_cents·w div Σw over the conversion's window — truncation dust
+    * unattributed, the house convention.
+    *
+    * Same single user-keyed interval join as positional(); the weight
+    * sum is one more window over the same (user, conversion) partition,
+    * so no extra shuffle.
+    */
+  def timeDecay(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      convType: String,
+      lookbackNs: Long,
+      halflifeNs: Long,
+      valueCents: Column,
+      userCol: String = "user_id",
+      tsCol: String = "ts_ns",
+      idCol: String = "event_id"): DataFrame = {
+    require(lookbackNs > 0 && halflifeNs > 0, "horizons must be positive")
+    val touches = events.where(col("event_type").isin(touchTypes: _*))
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(idCol).as("touch_id"),
+        col("event_type").as("touch_type"))
+    val convs = events.where(col("event_type") === convType)
+      .select(col(userCol), col(tsCol).as("conv_ts"), col(idCol).as("conv_id"),
+        valueCents.as("conv_cents"))
+    val byConv = Window.partitionBy(col(userCol), col("conv_id"))
+    touches.join(convs, Seq(userCol))
+      .where(col("touch_ts") >= col("conv_ts") - lookbackNs &&
+        col("touch_ts") <= col("conv_ts"))
+      .withColumn("k",
+        least(expr(s"(conv_ts - touch_ts) div $halflifeNs"), lit(9L)))
+      .withColumn("w", expr("greatest(1000 div shiftleft(1, cast(k as int)), 1)"))
+      .withColumn("sw", sum("w").over(byConv))
+      .withColumn("credit_cents", expr("(conv_cents * w) div sw"))
+      .select(col(userCol), col("touch_ts"), col("touch_type"), col("k"),
+        col("credit_cents"))
+  }
 }

@@ -6063,3 +6063,61 @@ class ChurnRiskSpec extends AnyFunSuite {
     }
   }
 }
+
+class DecayAttributionSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("halving weights split a planted conversion exactly") {
+    import spark.implicits._
+    val day = 86400000000000L
+    // touches at ages 0, 1, and 3 halflives before a 700-cent purchase:
+    // weights 1000, 500, 125 -> sw 1625 -> credits 430, 215, 53
+    val ev = Seq(
+      (1L, 10L * day, "click", 0.0),
+      (1L, 12L * day, "view", 0.0),
+      (1L, 13L * day, "click", 0.0),
+      (1L, 13L * day, "purchase", 7.0))
+      .toDF("user_id", "ts_ns", "event_type", "value")
+      .withColumn("event_id", col("ts_ns") + when(col("event_type") === "purchase", 1L).otherwise(0L))
+    val out = ops.Attribution.timeDecay(
+      ev, Seq("click", "view"), "purchase",
+      lookbackNs = 7L * day, halflifeNs = day,
+      valueCents = (col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(1) / day, r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out === Array((10L, 3L, 53L), (12L, 1L, 215L), (13L, 0L, 430L)))
+    // dust (700 - 698 = 2 cents) stays unattributed by the house rule
+    assert(out.map(_._3).sum === 698L)
+  }
+
+  test("weight floor keeps every in-window touch credited") {
+    import spark.implicits._
+    val day = 86400000000000L
+    val ev = Seq(
+      (1L, 0L, "click", 0.0),            // age 30 halflives -> k capped 9, w floor 1
+      (1L, 30L * day, "purchase", 10.0))
+      .toDF("user_id", "ts_ns", "event_type", "value")
+      .withColumn("event_id", col("ts_ns"))
+    val out = ops.Attribution.timeDecay(
+      ev, Seq("click", "view"), "purchase",
+      lookbackNs = 40L * day, halflifeNs = day,
+      valueCents = (col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(3), r.getLong(4)))
+    assert(out === Array((9L, 1000L))) // lone touch takes all (w/sw = 1)
+  }
+}
+
+class GrowthStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("streaming first-seen growth equals the batch new-user curve") {
+    val streamed = streaming.GrowthStream.newUsersFromStream(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = SparkEntry.queries("q_events_user_growth")(spark, dir)
+      .where(col("new_users") > 0)
+      .select(col("day"), col("new_users"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(streamed === batch)
+  }
+}
