@@ -1667,10 +1667,13 @@ object SparkEntry {
     * the validated ann_ivf_topk oracle with the fitted centroids.
     */
   /** Shared k-means fit prefix (cen0 → … → sc → assigned): consumed by
-    * the ann_ivf_kmeans probe tail and the samp_prototypes
-    * representative tail — one fit contract, two published views.
+    * the ann_ivf_kmeans probe tail, the samp_prototypes representative
+    * tail, and (with a row predicate) the ann_ivf_delta maintenance
+    * oracle — one fit contract, three published views. `pred` filters
+    * the fit corpus (init rows AND Lloyd rows) so delta scenarios can
+    * fit on the base split only.
     */
-  private val ivfKmeansFitCtes: String = {
+  private def ivfKmeansFitCtesWhere(pred: String): String = {
     def foldDot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
@@ -1682,13 +1685,13 @@ object SparkEntry {
     s"""WITH cen0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings WHERE vec_id < 16),
+       |  FROM embeddings WHERE vec_id < 16 AND ($pred)),
        |cn0 AS (SELECT cell, cvec, sqrt(${foldNorm2("cvec")}) AS cnorm FROM cen0),
        |e AS (
        |  SELECT vec_id, embedding,
        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
        |    ${foldNorm2("embedding")} AS nv
-       |  FROM embeddings),
+       |  FROM embeddings WHERE $pred),
        |en AS (
        |  SELECT vec_id, embedding, q, nv,
        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
@@ -1727,6 +1730,64 @@ object SparkEntry {
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
        |    FROM sc) WHERE rn = 1)""".stripMargin
+  }
+
+  private val ivfKmeansFitCtes: String = ivfKmeansFitCtesWhere("TRUE")
+
+  /** IVF index delta absorption ([[ann.Ann.cellHistogram]]): the index
+    * is fitted on the BASE split only (vec_id%10≠0 — "yesterday's
+    * corpus"), then the incoming delta batch is assigned to the FROZEN
+    * centroids and the per-cell occupancy report (n_base, n_delta,
+    * growth permille) is published — the maintenance read that decides
+    * when cell skew demands a re-fit, the ANN-side twin of the
+    * incremental-dedup LSM story. Assignment is pure map-side against
+    * centroid literals; both histograms are bounded k-row aggregates.
+    */
+  private def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val base = emb.where(col("vec_id") % 10 =!= 0)
+    val delta = emb.where(col("vec_id") % 10 === 0)
+    val cents = ann.KMeans.fit(base, k = 16, iters = 1).toSeq.map(_.toSeq)
+    ann.Ann.cellHistogram(base, cents, "n_base")
+      .join(ann.Ann.cellHistogram(delta, cents, "n_delta"), Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("growth_pml", expr("n_delta * 1000 div greatest(n_base, 1)"))
+      .orderBy("cell")
+  }
+
+  private val annIvfDeltaSql = {
+    def foldDot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    def foldNorm2(a: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""${ivfKmeansFitCtesWhere("vec_id % 10 <> 0")},
+       |nb AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+       |       FROM assigned GROUP BY 1),
+       |ed AS (
+       |  SELECT vec_id, embedding, ${foldNorm2("embedding")} AS nv
+       |  FROM embeddings WHERE vec_id % 10 = 0),
+       |scd AS (
+       |  SELECT ed.vec_id, cen.cell,
+       |    CASE WHEN ed.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("ed.embedding", "cen.cvec")} / (sqrt(ed.nv) * cen.cnorm) END AS score
+       |  FROM ed, cen),
+       |ad AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM scd) WHERE rn = 1),
+       |nd AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_delta FROM ad GROUP BY 1)
+       |SELECT COALESCE(nb.cell, nd.cell) AS cell,
+       |  COALESCE(n_base, 0) AS n_base, COALESCE(n_delta, 0) AS n_delta,
+       |  COALESCE(n_delta, 0) * 1000 // greatest(COALESCE(n_base, 0), 1) AS growth_pml
+       |FROM nb FULL OUTER JOIN nd ON nb.cell = nd.cell
+       |ORDER BY cell""".stripMargin
   }
 
   private val annIvfKmeansSql =
@@ -11151,6 +11212,7 @@ object SparkEntry {
     "pipe_row_provenance" -> (pipeRowProvenance _),
     "q_attribution_position" -> (qAttributionPosition _),
     "q_attribution_decay" -> (qAttributionDecay _),
+    "ann_ivf_delta" -> (annIvfDelta _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11486,6 +11548,7 @@ object SparkEntry {
     "pipe_row_provenance" -> pipeRowProvenanceSql,
     "q_attribution_position" -> qAttributionPositionSql,
     "q_attribution_decay" -> qAttributionDecaySql,
+    "ann_ivf_delta" -> annIvfDeltaSql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,

@@ -363,4 +363,19 @@ object Ann {
     b.unpersist(blocking = false)
     out
   }
+
+  /** Per-cell membership counts of `df` against FIXED centroids — the
+    * index-occupancy read behind IVF maintenance (cell skew, delta
+    * absorption). Pure map-side assignment (centroids are codegen
+    * literals, same plan as the probe path) + one bounded groupBy;
+    * `countName` labels the count column so base/delta histograms can
+    * full-outer-join without renames.
+    */
+  def cellHistogram(
+      df: DataFrame,
+      centroids: Seq[Seq[Double]],
+      countName: String,
+      vecCol: String = "embedding"): DataFrame =
+    df.select(Cells.bestCell(col(vecCol), centroids).cast("long").as("cell"))
+      .groupBy("cell").agg(count(lit(1)).as(countName))
 }

@@ -6121,3 +6121,22 @@ class GrowthStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 }
+
+class IvfDeltaSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("delta absorption conserves both splits and bounds growth") {
+    val rows = SparkEntry.queries("ann_ivf_delta")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val emb = Tables.embeddings(spark, dir)
+    val nBase = emb.where(col("vec_id") % 10 =!= 0).count()
+    val nDelta = emb.where(col("vec_id") % 10 === 0).count()
+    // every vector of each split lands in exactly one cell
+    assert(rows.map(_._2).sum === nBase)
+    assert(rows.map(_._3).sum === nDelta)
+    // cells are the fitted id range and the report replays the ratio
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    rows.foreach(r => assert(r._4 === r._3 * 1000 / math.max(r._2, 1L)))
+  }
+}
