@@ -10794,6 +10794,57 @@ object SparkEntry {
       |  CAST(sum(credit_cents) AS BIGINT) AS credited_cents
       |FROM p GROUP BY 1, 2 ORDER BY touch_type, position""".stripMargin
 
+  /** Live JDBC round-trip as a FIRST-CLASS oracle-gated source: orders
+    * bulk-loads into an in-memory Derby table through the COPY-analog
+    * partition-parallel sink ([[sinks.JdbcBulkSink]], the reference's
+    * `COPY FROM STDIN` re-expression), then comes back through Spark's
+    * PARTITIONED JDBC source (8 bound-split reads on the PK — the
+    * production shape where a dimension lives in an RDBMS and each
+    * executor pulls its own key range). The read is eagerly
+    * localCheckpoint'ed so the scratch database can be dropped before
+    * the result is consumed; oracle = identity on the parquet table,
+    * closing the loop sink→DB→source→values bit-exact.
+    */
+  private def srcJdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val db = "graftrt" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val out =
+      try {
+        sinks.SqlLifecycle.execute(conn, Seq(
+          "CREATE TABLE orders_rt (o_orderkey BIGINT NOT NULL, " +
+            "o_custkey BIGINT, total_cents BIGINT, o_orderstatus VARCHAR(1), " +
+            "CONSTRAINT orders_rt_pk PRIMARY KEY (o_orderkey))"))
+        val df = Tables.orders(s, dir).select(
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          cents(col("o_totalprice")).as("total_cents"),
+          col("o_orderstatus"))
+        sinks.JdbcBulkSink.write(df, url, "orders_rt", numPartitions = 8,
+          mode = org.apache.spark.sql.SaveMode.Append)
+        val b = df.agg(min("o_orderkey"), max("o_orderkey")).head()
+        val back = s.read.jdbc(url, "orders_rt", "o_orderkey",
+          b.getLong(0), b.getLong(1), 8, new java.util.Properties())
+        back.select(
+          col("O_ORDERKEY").as("o_orderkey"), col("O_CUSTKEY").as("o_custkey"),
+          col("TOTAL_CENTS").as("total_cents"), col("O_ORDERSTATUS").as("o_orderstatus"))
+          .localCheckpoint(true) // materialize before the DB is dropped
+          .orderBy("o_orderkey")
+      } finally {
+        conn.close()
+        try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+        catch { case _: java.sql.SQLException => () } // 08006 = dropped OK
+      }
+    out
+  }
+
+  private val srcJdbcRoundtripSql =
+    """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+      |  CAST(o_custkey AS BIGINT) AS o_custkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+      |  o_orderstatus
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Time-decay attribution ([[ops.Attribution.timeDecay]]): weight
     * halves per day of age (integer permille halving, floor 1), rolled
     * up per (touch_type, age-in-halflives k) so the decay curve itself
@@ -11213,6 +11264,7 @@ object SparkEntry {
     "q_attribution_position" -> (qAttributionPosition _),
     "q_attribution_decay" -> (qAttributionDecay _),
     "ann_ivf_delta" -> (annIvfDelta _),
+    "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11549,6 +11601,7 @@ object SparkEntry {
     "q_attribution_position" -> qAttributionPositionSql,
     "q_attribution_decay" -> qAttributionDecaySql,
     "ann_ivf_delta" -> annIvfDeltaSql,
+    "src_jdbc_roundtrip" -> srcJdbcRoundtripSql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,
