@@ -10845,6 +10845,74 @@ object SparkEntry {
       |  o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Held-out unigram-LM surprisal: the LM fits on the TRAIN split only
+    * (doc_id%5≠0) and scores the HELD-OUT split (doc_id%5=0) with add-1
+    * smoothing — the honest eval that the in-corpus surprisal keys
+    * (`text_unigram_surprisal`, fit==score corpus) deliberately skip;
+    * fit/score leakage is the #1 silent bug in perplexity-based
+    * curation. Per-source report: token mass, OOV token count (words
+    * the train split never saw), and avg surprisal in nano-nats —
+    * p(w) = (c_train+1)/(N+V), so an OOV word costs exactly
+    * qln(N+V). All folds exact integers; the heldout→train word join
+    * is vocab-keyed and skew-free.
+    */
+  private def textHeldoutSurprisal(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    // SplitMix64 bucket, NOT doc_id mod: the raw id stripes are
+    // correlated with source assignment in synthetic corpora (mod-5 of
+    // mod-20 ids leaves only 4 sources held out) — the same reason
+    // samp_split hashes
+    val bucket = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id")))),
+      32) % lit(100L)
+    val docs = Tables.documents(s, dir)
+    val trainToks = docs.where(bucket >= 20L)
+      .select(explode(text.Text.words(col("text"))).as("word"))
+    val cw = trainToks.groupBy("word").agg(count(lit(1)).as("c_train"))
+    val nv = cw.agg((sum("c_train") + count(lit(1))).as("n_plus_v")) // N + V
+    val held = docs.where(bucket < 20L)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c_h"))
+      .join(cw, Seq("word"), "left")
+      .crossJoin(nv)
+    held
+      .select(col("source"), col("c_h"),
+        when(col("c_train").isNull, col("c_h")).otherwise(lit(0L)).as("oov"),
+        (col("c_h") * (qln(col("n_plus_v")) - qln(coalesce(col("c_train"), lit(0L)) + 1)))
+          .as("term"))
+      .groupBy("source")
+      .agg(sum("c_h").as("n_tokens"), sum("oov").as("oov_tokens"),
+        expr("sum(term) div sum(c_h)").as("avg_sur_nano"))
+      .orderBy("source")
+  }
+
+  private val textHeldoutSurprisalSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH tr AS (
+       |  SELECT w AS word FROM (
+       |    SELECT $wordsListSql AS wl FROM documents
+       |    WHERE ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} >= 20), UNNEST(wl) AS u(w)),
+       |cw AS (SELECT word, CAST(count(*) AS BIGINT) AS c_train FROM tr GROUP BY 1),
+       |nv AS (SELECT CAST(sum(c_train) + count(*) AS BIGINT) AS n_plus_v FROM cw),
+       |hd AS (
+       |  SELECT source, w AS word FROM (
+       |    SELECT source, $wordsListSql AS wl FROM documents
+       |    WHERE ${oracle.DuckHash.mix64BucketSql("doc_id", 100)} < 20), UNNEST(wl) AS u(w)),
+       |hc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_h FROM hd GROUP BY 1, 2),
+       |t AS (
+       |  SELECT hc.source, hc.c_h,
+       |    CASE WHEN cw.c_train IS NULL THEN hc.c_h ELSE 0 END AS oov,
+       |    hc.c_h * (${qln("n_plus_v")} - ${qln("COALESCE(cw.c_train, 0) + 1")}) AS term
+       |  FROM hc LEFT JOIN cw USING (word), nv)
+       |SELECT source, CAST(sum(c_h) AS BIGINT) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+       |  CAST(sum(term) // sum(c_h) AS BIGINT) AS avg_sur_nano
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** Time-decay attribution ([[ops.Attribution.timeDecay]]): weight
     * halves per day of age (integer permille halving, floor 1), rolled
     * up per (touch_type, age-in-halflives k) so the decay curve itself
@@ -11265,6 +11333,7 @@ object SparkEntry {
     "q_attribution_decay" -> (qAttributionDecay _),
     "ann_ivf_delta" -> (annIvfDelta _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
+    "text_heldout_surprisal" -> (textHeldoutSurprisal _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11602,6 +11671,7 @@ object SparkEntry {
     "q_attribution_decay" -> qAttributionDecaySql,
     "ann_ivf_delta" -> annIvfDeltaSql,
     "src_jdbc_roundtrip" -> srcJdbcRoundtripSql,
+    "text_heldout_surprisal" -> textHeldoutSurprisalSql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,

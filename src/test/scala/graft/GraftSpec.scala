@@ -6140,3 +6140,34 @@ class IvfDeltaSpec extends AnyFunSuite {
     rows.foreach(r => assert(r._4 === r._3 * 1000 / math.max(r._2, 1L)))
   }
 }
+
+class HeldoutSurprisalSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("held-out surprisal conserves token mass and prices OOV at the ceiling") {
+    val rows = SparkEntry.queries("text_heldout_surprisal")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = Tables.documents(spark, dir)
+    def bucket = shiftrightunsigned(
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("doc_id")))),
+      32) % lit(100L)
+    val heldTokens = docs.where(bucket < 20L)
+      .select(explode(text.Text.words(col("text"))))
+      .count()
+    assert(rows.map(_._2).sum === heldTokens)
+    rows.foreach { case (_, n, oov, sur) =>
+      assert(oov >= 0 && oov <= n)
+      assert(sur > 0) // add-1 smoothed probabilities are < 1 on any real corpus
+    }
+    // the per-token ceiling is qln(N+V): avg can never exceed it
+    val trainToks = docs.where(bucket >= 20L)
+      .select(explode(text.Text.words(col("text"))).as("w"))
+    val n = trainToks.count()
+    val v = trainToks.distinct().count()
+    val ceil = math.floor(math.log((n + v).toDouble) * 1e9).toLong
+    rows.foreach { case (_, _, _, sur) => assert(sur <= ceil) }
+  }
+}
