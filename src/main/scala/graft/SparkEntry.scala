@@ -10845,6 +10845,96 @@ object SparkEntry {
       |  o_orderstatus
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** RAG indexing + retrieval END-TO-END over in-engine text embeddings:
+    * documents chunk into 40-word windows ([[text.Chunking]]), every
+    * chunk feature-hash-embeds into the 64-dim sparse integer space
+    * ([[text.FeatureHash.embedKeyed]] — no dictionary, no model), and
+    * three query documents retrieve their top-5 chunks by sparse
+    * cosine — the complete "index your corpus, retrieve for a prompt"
+    * loop with zero external dependencies. Candidates are chunks
+    * sharing ≥1 active dimension with the query (the inner dim-join IS
+    * the inverted index); query vectors are 3×≤64 rows broadcast, so
+    * the chunk-vector corpus never shuffles; scoring is one
+    * (query, chunk) map-side-combined aggregate; top-5 goes through the
+    * bounded-heap TopKPerKey operator. Self-chunks excluded.
+    */
+  private def pipeRagRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val ragQueryIds = Seq(0L, 7L, 13L)
+    val docs = Tables.documents(s, dir)
+    val chunks = text.Chunking.chunkByWords(docs, 40)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    val cvec = text.FeatureHash.embedKeyed(chunks, Seq("doc_id", "chunk_idx"), "chunk_text")
+    val cnorm = cvec.groupBy("doc_id", "chunk_idx")
+      .agg(sum(col("val") * col("val")).as("cnrm"))
+    val qvec = text.FeatureHash.embed(docs.where(col("doc_id").isin(ragQueryIds: _*)))
+      .select(col("doc_id").as("query_doc"), col("dim"), col("val").as("qval"))
+    val qnorm = qvec.groupBy("query_doc").agg(sum(col("qval") * col("qval")).as("qnrm"))
+    val scored = cvec.join(broadcast(qvec), Seq("dim"))
+      .where(col("doc_id") =!= col("query_doc"))
+      .groupBy("query_doc", "doc_id", "chunk_idx")
+      .agg(sum(col("val") * col("qval")).as("dp"))
+      .join(cnorm, Seq("doc_id", "chunk_idx"))
+      .join(broadcast(qnorm), Seq("query_doc"))
+      .select(col("query_doc"), col("doc_id"), col("chunk_idx"),
+        when(col("qnrm") * col("cnrm") === 0, lit(0.0))
+          .otherwise(round(col("dp").cast("double") /
+            sqrt(col("qnrm").cast("double") * col("cnrm").cast("double")), 6))
+          .as("cosine"))
+    val top = plans.TopK.perKey(scored, Seq("query_doc"),
+      Seq("cosine" -> true, "doc_id" -> false, "chunk_idx" -> false), 5)
+    val w = Window.partitionBy("query_doc")
+      .orderBy(col("cosine").desc, col("doc_id"), col("chunk_idx"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .orderBy("query_doc", "rnk")
+  }
+
+  private val pipeRagRetrievalSql = {
+    import oracle.DuckHash.{wordBucketSql, wordSignSql}
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id, ci, w[ci*40+1 : ci*40+40] AS cw
+       |  FROM d, UNNEST(generate_series(0,
+       |    GREATEST(CAST(ceil(len(w) / 40.0) AS BIGINT) - 1, 0))) AS g(ci)
+       |  WHERE len(w[ci*40+1 : ci*40+40]) > 0),
+       |ctok AS (
+       |  SELECT doc_id, ci, $wordBucketSql AS dim, $wordSignSql AS sgn
+       |  FROM ch, UNNEST(ch.cw) AS u(wd)),
+       |cvec AS (
+       |  SELECT doc_id, ci, dim, CAST(SUM(sgn) AS BIGINT) AS val
+       |  FROM ctok GROUP BY 1, 2, 3),
+       |cn AS (SELECT doc_id, ci, CAST(SUM(val*val) AS BIGINT) AS cnrm
+       |       FROM cvec GROUP BY 1, 2),
+       |qtok AS (
+       |  SELECT doc_id, $wordBucketSql AS dim, $wordSignSql AS sgn
+       |  FROM d, UNNEST(d.w) AS u(wd) WHERE doc_id IN (0, 7, 13)),
+       |qvec AS (
+       |  SELECT doc_id AS query_doc, dim, CAST(SUM(sgn) AS BIGINT) AS qval
+       |  FROM qtok GROUP BY 1, 2),
+       |qn AS (SELECT query_doc, CAST(SUM(qval*qval) AS BIGINT) AS qnrm
+       |       FROM qvec GROUP BY 1),
+       |dot AS (
+       |  SELECT q.query_doc, c.doc_id, c.ci,
+       |    CAST(SUM(c.val * q.qval) AS BIGINT) AS dp
+       |  FROM cvec c JOIN qvec q USING (dim)
+       |  WHERE c.doc_id <> q.query_doc
+       |  GROUP BY 1, 2, 3),
+       |sc AS (
+       |  SELECT dot.query_doc, dot.doc_id, CAST(dot.ci AS BIGINT) AS chunk_idx,
+       |    CASE WHEN qn.qnrm * cn.cnrm = 0 THEN 0.0
+       |         ELSE round(CAST(dp AS DOUBLE) /
+       |           sqrt(CAST(qn.qnrm AS DOUBLE) * CAST(cn.cnrm AS DOUBLE)), 6) END AS cosine
+       |  FROM dot
+       |  JOIN qn ON qn.query_doc = dot.query_doc
+       |  JOIN cn ON cn.doc_id = dot.doc_id AND cn.ci = dot.ci),
+       |r AS (
+       |  SELECT query_doc, doc_id, chunk_idx, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_doc
+       |      ORDER BY cosine DESC, doc_id, chunk_idx) AS BIGINT) AS rnk
+       |  FROM sc)
+       |SELECT query_doc, doc_id, chunk_idx, cosine, rnk FROM r WHERE rnk <= 5
+       |ORDER BY query_doc, rnk""".stripMargin
+  }
+
   /** Held-out unigram-LM surprisal: the LM fits on the TRAIN split only
     * (doc_id%5≠0) and scores the HELD-OUT split (doc_id%5=0) with add-1
     * smoothing — the honest eval that the in-corpus surprisal keys
@@ -11334,6 +11424,7 @@ object SparkEntry {
     "ann_ivf_delta" -> (annIvfDelta _),
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "text_heldout_surprisal" -> (textHeldoutSurprisal _),
+    "pipe_rag_retrieval" -> (pipeRagRetrieval _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11672,6 +11763,7 @@ object SparkEntry {
     "ann_ivf_delta" -> annIvfDeltaSql,
     "src_jdbc_roundtrip" -> srcJdbcRoundtripSql,
     "text_heldout_surprisal" -> textHeldoutSurprisalSql,
+    "pipe_rag_retrieval" -> pipeRagRetrievalSql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,

@@ -33,4 +33,19 @@ object FeatureHash {
       .groupBy("doc_id", "dim")
       .agg(sum(col("sgn")).as("val"))
   }
+
+  /** embed() generalized to an arbitrary key tuple — the CHUNK-grain
+    * variant used by the RAG pipeline (key = (doc_id, chunk_idx)).
+    * Same hash kernel, same sparse output contract, grain = keys+dim.
+    */
+  def embedKeyed(rows: DataFrame, keys: Seq[String], textCol: String): DataFrame = {
+    val h = xxhash64(col("t"))
+    rows
+      .select(keys.map(col) :+ explode(Text.words(col(textCol))).as("t"): _*)
+      .select(keys.map(col) :+
+        h.bitwiseAND(lit((Dim - 1).toLong)).as("dim") :+
+        when(h.bitwiseAND(lit(Dim.toLong)) === 0L, 1L).otherwise(-1L).as("sgn"): _*)
+      .groupBy((keys :+ "dim").map(col): _*)
+      .agg(sum(col("sgn")).as("val"))
+  }
 }

@@ -6171,3 +6171,22 @@ class HeldoutSurprisalSpec extends AnyFunSuite {
     rows.foreach { case (_, _, _, sur) => assert(sur <= ceil) }
   }
 }
+
+class RagRetrievalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rag retrieval returns 5 ranked non-self chunks per query with sane cosines") {
+    val rows = SparkEntry.queries("pipe_rag_retrieval")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 7L, 13L))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._5).sorted.toSeq === (1L to 5L))
+      assert(rs.forall(_._2 != q)) // never retrieves its own chunks
+      assert(rs.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001))
+      // ranks follow cosine descending
+      val sorted = rs.sortBy(_._5).map(_._4)
+      assert(sorted.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+}
