@@ -8635,6 +8635,51 @@ object SparkEntry {
        |FROM orders WHERE year(o_orderdate) >= 1998
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** GDPR-style user ERASURE by surgical partition rewrite: the
+    * compliance delete that cuts ACROSS the day-partitioned layout
+    * (unlike `snk_retention_sweep`, whose TTL aligns WITH partitions).
+    * Victim users' rows must vanish everywhere, but only partitions
+    * that actually contain victim rows are rewritten — the day list
+    * comes from one pruned scan, survivors of those days are
+    * materialized (localCheckpoint) before their directories drop, and
+    * untouched days' files stay byte-identical (at 100 TB the erasure
+    * cost is proportional to the victims' day footprint, never a full
+    * rewrite). Oracle = the erased table's per-day profile.
+    */
+  private def snkUserErasure(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("erase")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("ts_ns div 86400000000000").as("day"))
+    sinks.Refresh.overwrite(ev, s"$tmp/events", partitionBy = Seq("day"))
+    val t = s.read.parquet(s"$tmp/events")
+    val victim = col("user_id") % 97 === 0
+    // partition columns round-trip as INT when the values fit — read
+    // numerically, not by static type
+    val days = t.where(victim).select("day").distinct()
+      .collect().map(_.getAs[Number](0).longValue()).toSet // bounded: the day domain
+    val survivors = t
+      .where(col("day").isin(days.toSeq: _*) && !victim)
+      .localCheckpoint(true) // materialize BEFORE the source dirs drop
+    new java.io.File(s"$tmp/events").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day=") &&
+        days.contains(f.getName.stripPrefix("day=").toLong))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    survivors.write.mode("append").partitionBy("day").parquet(s"$tmp/events")
+    s.read.parquet(s"$tmp/events")
+      .groupBy(col("day").cast("long").as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("day")
+  }
+
+  private val snkUserErasureSql =
+    """SELECT epoch_ns(ts) // 86400000000000 AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM events WHERE user_id % 97 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bot/automation detector on inter-event regularity: real users'
     * gaps spread widely around their mean, schedulers' don't. Per
     * user: consecutive-event gaps (µs, lag over ONE user-keyed
@@ -11425,6 +11470,7 @@ object SparkEntry {
     "src_jdbc_roundtrip" -> (srcJdbcRoundtrip _),
     "text_heldout_surprisal" -> (textHeldoutSurprisal _),
     "pipe_rag_retrieval" -> (pipeRagRetrieval _),
+    "snk_user_erasure" -> (snkUserErasure _),
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
@@ -11764,6 +11810,7 @@ object SparkEntry {
     "src_jdbc_roundtrip" -> srcJdbcRoundtripSql,
     "text_heldout_surprisal" -> textHeldoutSurprisalSql,
     "pipe_rag_retrieval" -> pipeRagRetrievalSql,
+    "snk_user_erasure" -> snkUserErasureSql,
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,

@@ -6190,3 +6190,21 @@ class RagRetrievalSpec extends AnyFunSuite {
     }
   }
 }
+
+class UserErasureSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("erasure removes exactly the victim users and conserves everyone else") {
+    val rows = SparkEntry.queries("snk_user_erasure")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+    val expected = ev.where(col("user_id") % 97 =!= 0)
+      .groupBy("day").agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.sortBy(_._1).toSeq === expected.toSeq)
+    // and the victims existed in the first place (the test isn't vacuous)
+    assert(ev.where(col("user_id") % 97 === 0).count() > 0)
+  }
+}
