@@ -68,7 +68,13 @@ object ScaleStress {
       // R8 wave 3-5: (source,word)/word/gram-keyed profiles — the viral
       // segment concentrates one 40-word window's grams, the viral
       // domain concentrates src0's type table; both must stay combinable
-      "text_hapax_ratio", "text_vocab_growth", "text_ngram_novelty")
+      "text_hapax_ratio", "text_vocab_growth", "text_ngram_novelty",
+      // R9 wave: the viral segment floods one chunk window's dims (RAG
+      // dim-join stays broadcast), the viral domain skews the train
+      // split's vocab (heldout/KL/coverage folds stay (source,word)- or
+      // word-keyed and combinable)
+      "pipe_rag_retrieval", "text_heldout_surprisal", "text_source_kl",
+      "text_vocab_coverage")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()

@@ -1515,20 +1515,39 @@ object SparkEntry {
     */
   private val probeIx = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def cachedIndexDir(kind: String, dir: String)(build: String => Unit): String =
-    probeIx.computeIfAbsent(s"$kind|$dir", { _ =>
+  private def cachedIndexDir(kind: String, dir: String)(build: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val key = s"$kind|$dir"
+    def ensure(): String = {
       val h = java.lang.Integer.toHexString(dir.hashCode)
-      val p = java.nio.file.Paths.get(
+      val p = Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_probeix_${kind}_$h")
       val marker = p.resolve("_COMPLETE")
-      if (!java.nio.file.Files.exists(marker)) {
+      if (!Files.exists(marker)) {
         // partial dirs from crashed runs rebuild from scratch
         org.apache.commons.io.FileUtils.deleteQuietly(p.toFile)
         build(p.toString)
-        java.nio.file.Files.createFile(marker)
+        Files.createFile(marker)
       }
       p.toString
-    })
+    }
+    val cached = probeIx.computeIfAbsent(key, _ => ensure())
+    // Re-validate on every hit AND refresh the dir's mtime: a concurrent
+    // JVM's TmpDirs.sweepStale reaps graft_* dirs untouched for 30 min,
+    // and a long bench references indexes built at its start — without
+    // the touch, a live JVM's index can be reaped under it mid-run (r9:
+    // five graph keys died PATH_NOT_FOUND exactly this way).
+    val p = Paths.get(cached)
+    if (!Files.exists(p.resolve("_COMPLETE"))) {
+      probeIx.remove(key)
+      probeIx.computeIfAbsent(key, _ => ensure())
+    } else {
+      try Files.setLastModifiedTime(
+        p, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+      catch { case _: java.io.IOException => () }
+      cached
+    }
+  }
 
   /** Build-once deduplicated co-purchase part edge list `(a, b)` —
     * the shared graph artifact behind `q_graph_khop` /
