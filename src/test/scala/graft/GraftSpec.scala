@@ -1021,8 +1021,13 @@ class PlanAuditSpec extends AnyFunSuite {
                           // broadcast, like ann_recall_eval / ann_lsh_recall
       "vec_matryoshka_recall", // three brute-force legs + a 3-row dims
                                // fan on the truth frame, all bounded
-      "samp_time_split") // 4-row fold manifest × day-domain aggregate —
+      "samp_time_split", // 4-row fold manifest × day-domain aggregate —
                          // metadata grid like q_drift_psi
+      "q_churn_risk", // 1-row corpus-max-day aggregate broadcast back
+      "text_source_kl", // 1-row corpus-total aggregate (N_c) broadcast
+      "text_heldout_surprisal", // 1-row N+V smoothing constant broadcast
+      "text_vocab_coverage") // 6-row k grid × 1-row vocab totals —
+                             // metadata grid like q_drift_psi
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
