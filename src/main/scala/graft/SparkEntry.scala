@@ -1005,29 +1005,14 @@ object SparkEntry {
     dedup.Dedup.blockedNgramJaccard(Tables.documents(s, dir))
       .orderBy("doc_a", "doc_b")
 
-  private val dedupNgramJaccardSql = {
-    // 3-gram shingle list of canon words; <=3 words -> single whole-text shingle
-    val wordsSql = s"string_split($canonSql, ' ')"
-    s"""WITH d AS (
-       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
-       |    CASE WHEN length($canonSql) = 0 THEN []
-       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
-       |         ELSE list_distinct(list_transform(
-       |            generate_series(1, len($wordsSql) - 2),
-       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
-       |    END AS sh
-       |  FROM documents),
-       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-       |p AS (
-       |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
-       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE) /
-       |    CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
-       |      AS jaccard
-       |  FROM d2 l JOIN d2 r
-       |    ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id)
+  private lazy val dedupNgramJaccardSql =
+    // 3-gram shingle list of canon words; <=3 words -> single whole-text
+    // shingle. Shares the materialized block/pair chain with the
+    // clusters/survivors/soft-dedup oracles (lazy: that chain is
+    // declared later in this object; a strict val here would read null).
+    s"""WITH $ngramPairsCtesSql
        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   /** O(n)-output representative mode of the blocked n-gram dedup: one
     * row per doc — rep_id = the prefix-block anchor (min doc_id) when
@@ -1040,17 +1025,18 @@ object SparkEntry {
     dedup.Dedup.ngramAnchorReps(Tables.documents(s, dir)).orderBy("doc_id")
 
   private val dedupNgramRepsSql = {
-    val wordsSql = s"string_split($canonSql, ' ')"
-    s"""WITH d AS (
-       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
-       |    CASE WHEN length($canonSql) = 0 THEN []
-       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+    s"""WITH c0 AS MATERIALIZED (SELECT doc_id, $canonSql AS cn FROM documents),
+       |w0 AS MATERIALIZED (SELECT doc_id, cn, string_split(cn, ' ') AS ws FROM c0),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, array_to_string(ws[1:3], ' ') AS prefix3,
+       |    CASE WHEN length(cn) = 0 THEN []
+       |         WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
        |         ELSE list_distinct(list_transform(
-       |            generate_series(1, len($wordsSql) - 2),
-       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |            generate_series(1, len(ws) - 2),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    END AS sh
-       |  FROM documents),
-       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |  FROM w0),
+       |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(sh) > 0),
        |a AS (SELECT prefix3, MIN(doc_id) AS anchor_id FROM d2 GROUP BY 1),
        |aw AS (SELECT a.prefix3, a.anchor_id, d2.sh AS anchor_sh
        |       FROM a JOIN d2 ON d2.doc_id = a.anchor_id),
@@ -1192,7 +1178,7 @@ object SparkEntry {
     val uniqSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE len(list_distinct(string_split($c, ' '))) END"
     val punctSql = "length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g'))"
     s"""WITH RECURSIVE $ngramPairsCtesSql,
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pq
        |  UNION SELECT doc_b, doc_a FROM pq),
        |reach AS (
@@ -1348,7 +1334,7 @@ object SparkEntry {
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, $dfs,
        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
        |  FROM d),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT doc_id, dl,
        |    ((${parts(0)}) + (${parts(1)})) + (${parts(2)}) AS score
        |  FROM d, st)
@@ -1643,7 +1629,7 @@ object SparkEntry {
        |  SELECT vec_id, embedding, q, nv,
        |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
        |  FROM e),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT en.vec_id, cen.cell,
        |    CASE WHEN en.nv = 0 THEN -2.0
        |         ELSE ${foldDot("en.embedding", "cen.cvec")} / (sqrt(en.nv) * cen.cnorm) END AS score
@@ -1739,7 +1725,7 @@ object SparkEntry {
        |  FROM cpos cp LEFT JOIN upd u ON u.cell = cp.cell AND u.pos = cp.pos
        |  GROUP BY cp.cell),
        |cen AS (SELECT cell, cvec, sqrt(${foldNorm2("cvec")}) AS cnorm FROM cen1),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT en.vec_id, cen.cell,
        |    CASE WHEN en.nv = 0 THEN -2.0
        |         ELSE ${foldDot("en.embedding", "cen.cvec")} / (sqrt(en.nv) * cen.cnorm) END AS score
@@ -2605,7 +2591,7 @@ object SparkEntry {
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, $dfsSql,
        |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
        |  FROM d),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  $perQuery),
        |lq AS (
        |  SELECT query_id, doc_id AS vec_id, lrnk FROM (
@@ -3292,7 +3278,7 @@ object SparkEntry {
        |  SELECT vec_id,
        |    CAST(CAST(list_sum(list_transform(range(64),
        |      i -> CASE WHEN q[i + 1] > 0 THEN CAST([$powers][i + 1] AS HUGEINT) ELSE CAST(0 AS HUGEINT) END))
-       |      AS HUGEINT) % 18446744073709551616 AS UBIGINT) AS ub,
+       |      AS HUGEINT) & 18446744073709551615 AS UBIGINT) AS ub,
        |    CAST(list_sum(list_transform(q, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS BIGINT) AS n_pos
        |  FROM e)""".stripMargin
   }
@@ -3807,8 +3793,8 @@ object SparkEntry {
   }
 
   private val dedupEmbedClustersSql =
-    s"""WITH RECURSIVE pq AS (SELECT vec_a, vec_b FROM ($dedupEmbedCosineSql)),
-       |sym AS (
+    s"""WITH RECURSIVE pq AS MATERIALIZED (SELECT vec_a, vec_b FROM ($dedupEmbedCosineSql)),
+       |sym AS MATERIALIZED (
        |  SELECT vec_a AS src, vec_b AS dst FROM pq
        |  UNION SELECT vec_b, vec_a FROM pq),
        |reach AS (
@@ -4338,7 +4324,7 @@ object SparkEntry {
        |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) d, UNNEST(d.ws) AS t(g)),
        |tf AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS tf FROM wx GROUP BY 1, 2),
        |dfq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT tf.doc_id, tf.g, tf.tf, dfq.df,
        |    CAST(tf.tf AS DOUBLE) / dfq.df AS score
        |  FROM tf JOIN dfq USING (g)),
@@ -4435,33 +4421,38 @@ object SparkEntry {
   /** Shared CTE chain producing `pq` = the prefix-blocked exact-Jaccard
     * candidate pairs (same semantics as dedupNgramJaccardSql).
     */
-  private val ngramPairsCtesSql = {
-    val wordsSql = s"string_split($canonSql, ' ')"
-    s"""d AS (
-       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
-       |    CASE WHEN length($canonSql) = 0 THEN []
-       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+  private val ngramPairsCtesSql =
+    // Every CTE here is MATERIALIZED and the canon/words pass happens
+    // exactly once (`w0`): the consumers reference `d2` twice (self-join)
+    // and recurse over the derived closure, and without the hints DuckDB
+    // re-inlines — and so re-runs — the per-doc regexp + shingle build at
+    // every reference, which dominated the gate's wall-time.
+    s"""c0 AS MATERIALIZED (SELECT doc_id, $canonSql AS cn FROM documents),
+       |w0 AS MATERIALIZED (SELECT doc_id, cn, string_split(cn, ' ') AS ws FROM c0),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, array_to_string(ws[1:3], ' ') AS prefix3,
+       |    CASE WHEN length(cn) = 0 THEN []
+       |         WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
        |         ELSE list_distinct(list_transform(
-       |            generate_series(1, len($wordsSql) - 2),
-       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |            generate_series(1, len(ws) - 2),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    END AS sh
-       |  FROM documents),
-       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
-       |p AS (
+       |  FROM w0),
+       |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(sh) > 0),
+       |p AS MATERIALIZED (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE) /
        |    CAST(len(l.sh) + len(r.sh) - len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE)
        |      AS jaccard
        |  FROM d2 l JOIN d2 r
        |    ON l.prefix3 = r.prefix3 AND l.doc_id < r.doc_id),
-       |pq AS (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5)""".stripMargin
-  }
+       |pq AS MATERIALIZED (SELECT doc_a, doc_b FROM p WHERE jaccard >= 0.5)""".stripMargin
 
   private val dedupClustersSql =
     // candidate pairs, then transitive closure via recursive CTE; min
     // reachable id = cluster id
     s"""WITH RECURSIVE $ngramPairsCtesSql,
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pq
        |  UNION SELECT doc_b, doc_a FROM pq),
        |reach AS (
@@ -4502,7 +4493,7 @@ object SparkEntry {
 
   private val sampSoftDedupSql =
     s"""WITH RECURSIVE $ngramPairsCtesSql,
-       |sym AS (
+       |sym AS MATERIALIZED (
        |  SELECT doc_a AS src, doc_b AS dst FROM pq
        |  UNION SELECT doc_b, doc_a FROM pq),
        |reach AS (
@@ -4512,7 +4503,7 @@ object SparkEntry {
        |cl AS (
        |  SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
        |  FROM reach GROUP BY node),
-       |lab AS (
+       |lab AS MATERIALIZED (
        |  SELECT d0.doc_id, COALESCE(cl.cluster_id, d0.doc_id) AS cluster_id
        |  FROM (SELECT doc_id FROM documents) d0 LEFT JOIN cl USING (doc_id)),
        |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS csize FROM lab GROUP BY 1),
@@ -4994,7 +4985,7 @@ object SparkEntry {
   private lazy val gopherLabelCtes = {
     val c = canonSql
     val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
-    s"""gm AS (
+    s"""gm AS MATERIALIZED (
        |  SELECT doc_id, CAST($wcSql AS BIGINT) AS n_words,
        |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
@@ -5005,7 +4996,7 @@ object SparkEntry {
        |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
        |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM gm, UNNEST(gm.w) AS t(g) GROUP BY doc_id, g)
        |  GROUP BY doc_id),
-       |lab AS (
+       |lab AS MATERIALIZED (
        |  SELECT gm.doc_id,
        |    (n_words >= 5 AND n_words <= 1000
        |     AND (CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END) < 0.6
@@ -5023,19 +5014,19 @@ object SparkEntry {
   private lazy val qualityFitCtes =
     s"""${oracle.DuckHash.docWordsCte},
        |$gopherLabelCtes,
-       |tokb AS (
+       |tokb AS MATERIALIZED (
        |  SELECT d0.doc_id, ${oracle.DuckHash.wordBucketSql} AS b
        |  FROM d0, UNNEST(d0.w) AS u(wd)),
-       |tkl AS (SELECT tokb.doc_id, tokb.b, lab.label FROM tokb JOIN lab USING (doc_id)),
+       |tkl AS MATERIALIZED (SELECT tokb.doc_id, tokb.b, lab.label FROM tokb JOIN lab USING (doc_id)),
        |gk AS (SELECT (SUM(CASE WHEN label THEN 1 ELSE 0 END) * 2000000) // COUNT(*) AS base FROM tkl),
-       |wt AS (
+       |wt AS MATERIALIZED (
        |  SELECT b,
        |    CAST((SUM(CASE WHEN label THEN 1 ELSE 0 END) * 2000000) // COUNT(*) - (SELECT base FROM gk) AS BIGINT) AS wgt
        |  FROM tkl GROUP BY b),
        |scj AS (
        |  SELECT tokb.doc_id, CAST(SUM(wt.wgt) AS BIGINT) AS s
        |  FROM tokb JOIN wt USING (b) GROUP BY tokb.doc_id),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT d0.doc_id, CAST(len(d0.w) AS BIGINT) AS n_toks,
        |    CAST(COALESCE(scj.s, 0) AS BIGINT) AS score_micro
        |  FROM d0 LEFT JOIN scj USING (doc_id))""".stripMargin
@@ -5409,7 +5400,7 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN score_micro <= $t AND NOT label THEN 1 ELSE 0 END) AS BIGINT) AS tn
          |FROM j""".stripMargin
     s"""WITH $qualityFitCtes,
-       |j AS (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+       |j AS MATERIALIZED (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
        |u AS (${thrRow(-5000000)} UNION ALL ${thrRow(0)} UNION ALL ${thrRow(5000000)})
        |SELECT threshold, tp, fp, fn, tn,
        |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000 // (tp + fp) END AS precision_x1000,
@@ -5449,7 +5440,7 @@ object SparkEntry {
          |FROM j""".stripMargin
     val sweep = textAucThresholds.map(thrRow).mkString(" UNION ALL ")
     s"""WITH $qualityFitCtes,
-       |j AS (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
+       |j AS MATERIALIZED (SELECT sc.score_micro, lab.label FROM sc JOIN lab ON sc.doc_id = lab.doc_id),
        |u AS ($sweep),
        |tot AS (SELECT MAX(tp + fn) AS p, MAX(fp + tn) AS n FROM u),
        |pts AS (
@@ -6888,7 +6879,7 @@ object SparkEntry {
       |days AS (SELECT DISTINCT day FROM b),
       |dau AS (
       |  SELECT day, CAST(SUM(bit_count(bits)) AS BIGINT) AS dau FROM b GROUP BY 1),
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT b.day + t.d AS day, b.word, b.bits
       |  FROM b, generate_series(0, 6) AS t(d)),
       |w AS (
@@ -9298,7 +9289,7 @@ object SparkEntry {
       s""" AS b
       |    FROM generate_series(0, 999) AS g(i), nn)
       |  WHERE a <> b),
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT CAST(round(round(CASE WHEN ea.nrm * eb.nrm = 0 THEN 0.0
       |    ELSE CAST(CAST(list_sum(list_transform(list_zip(ea.q, eb.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
       |         / sqrt(CAST(ea.nrm * eb.nrm AS DOUBLE)) END, 6) * 1e6) AS BIGINT) AS c_u6
@@ -10467,17 +10458,18 @@ object SparkEntry {
   }
 
   private val pipeDedupThresholdSweepSql = {
-    val wordsSql = s"string_split($canonSql, ' ')"
-    s"""WITH d AS (
-       |  SELECT doc_id, array_to_string($wordsSql[1:3], ' ') AS prefix3,
-       |    CASE WHEN length($canonSql) = 0 THEN []
-       |         WHEN len($wordsSql) <= 3 THEN [array_to_string($wordsSql, ' ')]
+    s"""WITH c0 AS MATERIALIZED (SELECT doc_id, $canonSql AS cn FROM documents),
+       |w0 AS MATERIALIZED (SELECT doc_id, cn, string_split(cn, ' ') AS ws FROM c0),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, array_to_string(ws[1:3], ' ') AS prefix3,
+       |    CASE WHEN length(cn) = 0 THEN []
+       |         WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')]
        |         ELSE list_distinct(list_transform(
-       |            generate_series(1, len($wordsSql) - 2),
-       |            i -> $wordsSql[i] || ' ' || $wordsSql[i+1] || ' ' || $wordsSql[i+2]))
+       |            generate_series(1, len(ws) - 2),
+       |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    END AS sh
-       |  FROM documents),
-       |d2 AS (SELECT * FROM d WHERE len(sh) > 0),
+       |  FROM w0),
+       |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(sh) > 0),
        |p AS MATERIALIZED (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT) AS inter,
@@ -10728,7 +10720,7 @@ object SparkEntry {
       |    CAST(SUM(abs((doc_id * 31 + i * 17) % 256 - 128)) AS BIGINT) AS abs_sum
       |  FROM s GROUP BY 1, 2),
       |l AS (SELECT doc_id, list(abs_sum ORDER BY win) AS e FROM env GROUP BY 1),
-      |sc AS (
+      |sc AS MATERIALIZED (
       |  SELECT doc_id, e,
       |    list_transform(generate_series(1, 4), L ->
       |      CASE WHEN len(e) <= L THEN 0
@@ -10982,7 +10974,7 @@ object SparkEntry {
        |  FROM cvec c JOIN qvec q USING (dim)
        |  WHERE c.doc_id <> q.query_doc
        |  GROUP BY 1, 2, 3),
-       |sc AS (
+       |sc AS MATERIALIZED (
        |  SELECT dot.query_doc, dot.doc_id, CAST(dot.ci AS BIGINT) AS chunk_idx,
        |    CASE WHEN qn.qnrm * cn.cnrm = 0 THEN 0.0
        |         ELSE round(CAST(dp AS DOUBLE) /

@@ -69,17 +69,25 @@ object DuckHash {
     s"list_transform([$expr], $v -> ${body(v)})[1]"
   }
 
-  /** (x * c) mod 2^64 for a UBIGINT expr and a constant. */
+  /** (x * c) mod 2^64 for a UBIGINT expr and a constant.
+    *
+    * All "mod 2^n" reductions in this file are bit-masks (`& (2^n-1)`),
+    * not `%`: the operands are provably non-negative (UBIGINT casts,
+    * xors of UBIGINTs, positive constants), where mask ≡ mod — and
+    * DuckDB's HUGEINT `%` is a full 128-bit division (~20× the cost of
+    * the multiply it follows), which made the hash-heavy oracle mirrors
+    * dominate the correctness gate's wall-time.
+    */
   private def wrapmul(x: String, c: BigInt): String = {
     val clo = c & 0xFFFFFFFFL
     let(x)(v =>
       s"CAST(((CAST($v & 4294967295 AS HUGEINT) * $c) + " +
-        s"((CAST($v >> 32 AS HUGEINT) * $clo) % 4294967296) * 4294967296) " +
-        s"% 18446744073709551616 AS UBIGINT)")
+        s"((CAST($v >> 32 AS HUGEINT) * $clo) & 4294967295) * 4294967296) " +
+        s"& 18446744073709551615 AS UBIGINT)")
   }
 
   private def addmod(x: String, c: BigInt): String =
-    s"CAST((CAST($x AS HUGEINT) + $c) % 18446744073709551616 AS UBIGINT)"
+    s"CAST((CAST($x AS HUGEINT) + $c) & 18446744073709551615 AS UBIGINT)"
 
   private def xorShr(x: String, n: Int): String =
     let(x)(v => s"xor($v, $v >> $n)")
@@ -89,7 +97,7 @@ object DuckHash {
     */
   private def rotl(x: String, n: Int): String =
     let(x)(v =>
-      s"((($v % CAST(${Two64 >> n} AS UBIGINT)) * CAST(${BigInt(1) << n} AS UBIGINT)) | ($v >> ${64 - n}))")
+      s"((($v & CAST(${(Two64 >> n) - 1} AS UBIGINT)) * CAST(${BigInt(1) << n} AS UBIGINT)) | ($v >> ${64 - n}))")
 
   private def mix64Sql(x: String): String = {
     val z0 = addmod(x, BigInt("11400714819323198485")) // 0x9e3779b97f4a7c15
@@ -140,7 +148,7 @@ object DuckHash {
   private def fnvFold(listExpr: String): String =
     s"list_reduce([CAST($FnvOffset AS UBIGINT)] || ($listExpr), " +
       s"(a, c) -> CAST((CAST(xor(a, c) AS HUGEINT) * $FnvPrime) " +
-      s"% 18446744073709551616 AS UBIGINT))"
+      s"& 18446744073709551615 AS UBIGINT))"
 
   private def signed(x: String): String =
     s"CAST(CAST($x AS HUGEINT) - CASE WHEN $x >= 9223372036854775808 " +
@@ -207,17 +215,21 @@ object DuckHash {
   private def sigCtes(src: String): String = {
     val coefs = (0 until K).map { i =>
       val a = coefA(i)
-      s"{'a': CAST($a AS HUGEINT), 'al': CAST(${a & 0xFFFFFFFFL} AS HUGEINT), 'b': CAST(${coefB(i)} AS HUGEINT)}"
+      s"{'i': $i, 'a': CAST($a AS HUGEINT), 'al': CAST(${a & 0xFFFFFFFFL} AS HUGEINT), 'b': CAST(${coefB(i)} AS HUGEINT)}"
     }.mkString(", ")
     val seeds = bandSeeds.map(s => s"CAST($s AS UBIGINT)").mkString(", ")
     val bh = signed(
       s"list_reduce([([$seeds])[band+1]] || sig[band*8+1 : band*8+8], (a, c) -> ${hashLong("c", "a")})")
-    val perm = "list_min(list_transform(shsp, s -> " + signed(
-      "CAST((s.lo * c.a + ((s.hi * c.al) % 4294967296) * 4294967296 + c.b) " +
-        "% 18446744073709551616 AS UBIGINT)") + "))"
-    val sig = let(
-      "list_transform(shs, h -> {'lo': CAST(h % 4294967296 AS HUGEINT), 'hi': CAST(h // 4294967296 AS HUGEINT)})")(
-      shsp => s"list_transform([$coefs], c -> ${perm.replace("shsp", shsp)})")
+    // Permutation mins are computed ROW-WISE (shingle rows × a 128-row
+    // coefficient relation → vectorized MIN ... GROUP BY), not as nested
+    // list lambdas per doc: DuckDB parallelizes and vectorizes the
+    // row-based shape, where the per-doc lambda form runs interpreted on
+    // one thread (500 rows is below its morsel granularity) and
+    // dominated the whole oracle-gate wall-time. Same values, same
+    // signed-min semantics — only the plan shape changes.
+    val permRow = signed(
+      "CAST((sp.lo * c.c.a + ((sp.hi * c.c.al) & 4294967295) * 4294967296 + c.c.b) " +
+        "& 18446744073709551615 AS UBIGINT)")
     s"""d0 AS MATERIALIZED (SELECT doc_id, $words AS w FROM $src),
        |dw AS MATERIALIZED (
        |  SELECT doc_id, list_transform(w, wd -> $wordHashSql) AS wh
@@ -227,7 +239,14 @@ object DuckHash {
        |    range(0, CASE WHEN len(wh) <= 3 THEN 1 ELSE len(wh) - 2 END),
        |    si -> ${let("LEAST(3, len(wh))")(wd2 => mix64Sql(fnvFold(s"wh[si+1 : si+$wd2]")))}) AS shs
        |  FROM dw),
-       |sg AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM sh),
+       |shp AS MATERIALIZED (
+       |  SELECT doc_id, CAST(h & 4294967295 AS HUGEINT) AS lo, CAST(h >> 32 AS HUGEINT) AS hi
+       |  FROM (SELECT doc_id, unnest(shs) AS h FROM sh)),
+       |pmv AS MATERIALIZED (
+       |  SELECT sp.doc_id, c.c.i AS i, MIN($permRow) AS mn
+       |  FROM shp sp, (SELECT unnest([$coefs]) AS c) c
+       |  GROUP BY sp.doc_id, c.c.i),
+       |sg AS MATERIALIZED (SELECT doc_id, list(mn ORDER BY i) AS sig FROM pmv GROUP BY doc_id),
        |banded AS MATERIALIZED (
        |  SELECT doc_id, band, $bh AS bh
        |  FROM sg, (SELECT unnest(range(16)) AS band)),
@@ -393,7 +412,7 @@ object DuckHash {
     val bits = "CAST(CAST(list_sum(list_transform(range(64), b -> " +
       "CASE WHEN 2 * list_sum(list_transform(whs, h -> CAST((h >> b) & 1 AS BIGINT))) > len(whs) " +
       s"THEN CAST([$powers][b+1] AS HUGEINT) ELSE 0 END)) AS HUGEINT) " +
-      "% 18446744073709551616 AS UBIGINT)"
+      "& 18446744073709551615 AS UBIGINT)"
     s"""WITH d0 AS (SELECT doc_id, $words AS w FROM documents),
        |dw AS MATERIALIZED (
        |  SELECT doc_id, list_transform(w, wd -> $wh) AS whs
@@ -434,7 +453,7 @@ object DuckHash {
   /** `d0(doc_id, w: varchar[])` — doc_id + canonical words list over
     * `documents`, the shared head of the quality-model oracles.
     */
-  val docWordsCte: String = s"d0 AS (SELECT doc_id, $words AS w FROM documents)"
+  val docWordsCte: String = s"d0 AS MATERIALIZED (SELECT doc_id, $words AS w FROM documents)"
 
   /** q_approx_distinct oracle: Spark's HyperLogLogPlusPlus estimator
     * reproduced in SQL. Registers come from the hashLong kernel (seed
