@@ -5190,12 +5190,12 @@ object SparkEntry {
        |    ELSE list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |  END AS sh FROM d0),
-       |tok AS (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
+       |tok AS MATERIALIZED (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
        |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-       |el AS (
+       |el AS MATERIALIZED (
        |  SELECT tok.doc_id, tok.token, df
        |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
-       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
+       |n AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
        |r AS (
        |  SELECT doc_id, token,
        |    row_number() OVER (PARTITION BY doc_id ORDER BY df, token) AS rn
@@ -5203,15 +5203,14 @@ object SparkEntry {
        |p AS (
        |  SELECT r.doc_id, r.token FROM r JOIN n USING (doc_id)
        |  WHERE rn <= n - (700 * n + 999) // 1000 + 1),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM p a JOIN p b USING (token) WHERE a.doc_id < b.doc_id),
-       |i AS (
-       |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS inter
-       |  FROM cand
-       |  JOIN el ta ON ta.doc_id = cand.doc_a
-       |  JOIN el tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
-       |  GROUP BY doc_a, doc_b)
+       |iall AS MATERIALIZED (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM el a JOIN el b USING (token) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |i AS (SELECT iall.* FROM iall JOIN cand USING (doc_a, doc_b))
        |SELECT i.doc_a, i.doc_b, i.inter,
        |  na.n + nb.n - i.inter AS uni,
        |  i.inter * 1000 // (na.n + nb.n - i.inter) AS jacc_x1000
@@ -5617,21 +5616,16 @@ object SparkEntry {
        |    ELSE list_transform(generate_series(1, len(w) - 2),
        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
        |  END AS sh FROM d0),
-       |tok AS (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
+       |tok AS MATERIALIZED (SELECT DISTINCT doc_id, t AS token FROM d, UNNEST(sh) AS u(t)),
        |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY token),
-       |el AS (
+       |el AS MATERIALIZED (
        |  SELECT tok.doc_id, tok.token, df
        |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
-       |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
-       |cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM el a JOIN el b USING (token) WHERE a.doc_id != b.doc_id),
+       |n AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY doc_id),
        |i AS (
-       |  SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS inter
-       |  FROM cand
-       |  JOIN el ta ON ta.doc_id = cand.doc_a
-       |  JOIN el tb ON tb.doc_id = cand.doc_b AND tb.token = ta.token
-       |  GROUP BY doc_a, doc_b)
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS inter
+       |  FROM el a JOIN el b USING (token) WHERE a.doc_id != b.doc_id
+       |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, i.inter, na.n AS n_a, nb.n AS n_b,
        |  i.inter * 1000 // na.n AS cont_x1000
        |FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
@@ -9548,8 +9542,12 @@ object SparkEntry {
   }
 
   private val qEventsMarkovStationarySql = {
+    // every step CTE is MATERIALIZED: x8 references x7 references x6 …,
+    // and DuckDB re-inlines unmaterialized CTEs per reference, so the
+    // unhinted chain re-evaluated the event-window scan a combinatorial
+    // number of times (the gate's slowest key at sf0.1 before the hints)
     val iter = (1 to 8).map { k =>
-      s"""x$k AS (
+      s"""x$k AS MATERIALIZED (
          |  SELECT p.next_type AS event_type,
          |    CAST(SUM(x.v * p.p_u6 // 1000000) AS BIGINT) AS v
          |  FROM x${k - 1} x JOIN p ON p.prev_type = x.event_type
@@ -9559,7 +9557,7 @@ object SparkEntry {
        |  SELECT user_id, event_type,
        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
        |  FROM events),
-       |t AS (
+       |t AS MATERIALIZED (
        |  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM ev WHERE prev_type IS NOT NULL GROUP BY 1, 2),
        |types AS (SELECT DISTINCT prev_type AS ty FROM t UNION SELECT DISTINCT next_type FROM t),
@@ -9569,7 +9567,7 @@ object SparkEntry {
        |  FROM types a CROSS JOIN types b
        |  LEFT JOIN t ON t.prev_type = a.ty AND t.next_type = b.ty),
        |tot AS (SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot FROM grid GROUP BY 1),
-       |p AS (
+       |p AS MATERIALIZED (
        |  SELECT g.prev_type, g.next_type,
        |    CASE WHEN tot.tot = 0 THEN 0
        |         ELSE CAST(g.n * 1000000 // tot.tot AS BIGINT) END AS p_u6
