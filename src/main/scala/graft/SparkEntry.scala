@@ -4891,6 +4891,114 @@ object SparkEntry {
       |WHERE levenshtein(p.probe_name, r.c_name) <= 1
       |ORDER BY p.probe_id, r.c_custkey""".stripMargin
 
+  /** Multi-evidence record linkage ([[ops.Linkage]], the Fellegi–Sunter
+    * shape — where `q_fuzzy_match` is single-field distance matching,
+    * this sums per-field agreement weights and thresholds the total):
+    * every 10th customer is deterministically perturbed (acctbal
+    * shifted by (key div 10) mod 5 − 2 cents; the name reduced to its
+    * noisy last-3-digit fragment) and re-linked against the full
+    * dimension. Candidates block on nationkey + a whole-dollar bucket
+    * of the perturbed balance, the dirty side probing bucket±1 (the
+    * sorted-neighborhood trick — a ±2-cent perturbation can cross one
+    * bucket edge, never two); evidence = balance-within-2¢ (+30),
+    * segment (+5), name fragment (+12); verdict match ≥ 42 / possible
+    * ≥ 30; resolution = windowless max(struct(score, −clean_id)) per
+    * dirty record. No pair forms outside a (nation, bucket) block, so
+    * there is no n² term at any scale.
+    */
+  private def linkageResolved(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select(
+      col("c_custkey"), col("c_nationkey").cast("long").as("nat"),
+      col("c_mktsegment").as("seg"),
+      expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+      substring(col("c_name"), -3, 3).as("last3"))
+    val clean = base.select(col("c_custkey").as("clean_id"), col("nat"),
+      col("seg").as("c_seg"), col("cents").as("c_cents"), col("last3").as("c_last3"),
+      // +100000 keeps the bucket operand non-negative (acctbal can be
+      // negative), where Spark div (trunc) and DuckDB // (floor) agree
+      expr("(cents + 100000) div 100").as("bucket"))
+    val dirty = base.where(col("c_custkey") % 10 === 3)
+      .select(col("c_custkey").as("dirty_id"), col("nat"), col("seg").as("d_seg"),
+        (col("cents") + expr("(c_custkey div 10) % 5") - 2L).as("d_cents"),
+        col("last3").as("d_last3"))
+      .withColumn("bucket", expr("(d_cents + 100000) div 100"))
+    val cand = ops.Linkage.bucketCandidates(dirty, clean, "nat", "bucket")
+    val score = when(abs(col("d_cents") - col("c_cents")) <= 2, 30L).otherwise(0L) +
+      when(col("d_seg") === col("c_seg"), 5L).otherwise(0L) +
+      when(col("d_last3") === col("c_last3"), 12L).otherwise(0L)
+    ops.Linkage.resolve(cand, dirty, "dirty_id", "clean_id", score,
+      matchMin = 42L, possibleMin = 30L)
+  }
+
+  private def qRecordLinkage(s: SparkSession, dir: String): DataFrame =
+    linkageResolved(s, dir).orderBy("dirty_id")
+
+  /** One-row linkage quality report: precision = correct links over
+    * claimed matches, recall = correct links over all dirty records
+    * (correct ⟺ best_id = dirty_id, the planted identity) — the
+    * publish-before-trust gate for any ER pass. Trunc-permille
+    * integers; a single map-side-combined aggregate over the resolved
+    * frame.
+    */
+  private def qLinkageEval(s: SparkSession, dir: String): DataFrame =
+    ops.Linkage.evaluate(linkageResolved(s, dir), "dirty_id")
+
+  private val linkageCtesSql =
+    """base AS MATERIALIZED (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat, c_mktsegment AS seg,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+      |    substr(c_name, length(c_name) - 2, 3) AS last3
+      |  FROM customer),
+      |clean AS MATERIALIZED (
+      |  SELECT c_custkey AS clean_id, nat, seg AS c_seg, cents AS c_cents,
+      |    last3 AS c_last3, (cents + 100000) // 100 AS bucket
+      |  FROM base),
+      |dirty AS MATERIALIZED (
+      |  SELECT c_custkey AS dirty_id, nat, seg AS d_seg,
+      |    cents + (c_custkey // 10) % 5 - 2 AS d_cents, last3 AS d_last3,
+      |    (cents + (c_custkey // 10) % 5 - 2 + 100000) // 100 AS bucket
+      |  FROM base WHERE c_custkey % 10 = 3),
+      |cand AS MATERIALIZED (
+      |  SELECT p.dirty_id, p.d_seg, p.d_cents, p.d_last3,
+      |    c.clean_id, c.c_seg, c.c_cents, c.c_last3
+      |  FROM (SELECT dirty_id, nat, d_seg, d_cents, d_last3, bucket + dd AS bucket
+      |        FROM dirty, (SELECT unnest([-1, 0, 1]) AS dd)) p
+      |  JOIN clean c USING (nat, bucket)),
+      |sc2 AS MATERIALIZED (
+      |  SELECT dirty_id, clean_id,
+      |    CAST(CASE WHEN abs(d_cents - c_cents) <= 2 THEN 30 ELSE 0 END
+      |     + CASE WHEN d_seg = c_seg THEN 5 ELSE 0 END
+      |     + CASE WHEN d_last3 = c_last3 THEN 12 ELSE 0 END AS BIGINT) AS s
+      |  FROM cand),
+      |best AS MATERIALIZED (
+      |  SELECT dirty_id, s AS score, clean_id AS best_id FROM (
+      |    SELECT dirty_id, s, clean_id,
+      |      row_number() OVER (PARTITION BY dirty_id ORDER BY s DESC, clean_id) AS rn
+      |    FROM sc2 WHERE s >= 30) WHERE rn = 1),
+      |res AS MATERIALIZED (
+      |  SELECT d.dirty_id, b.best_id, CAST(COALESCE(b.score, 0) AS BIGINT) AS score,
+      |    CASE WHEN COALESCE(b.score, 0) >= 42 THEN 'match'
+      |         WHEN COALESCE(b.score, 0) >= 30 THEN 'possible'
+      |         ELSE 'unmatched' END AS verdict
+      |  FROM (SELECT DISTINCT dirty_id FROM dirty) d
+      |  LEFT JOIN best b USING (dirty_id))""".stripMargin
+
+  private val qRecordLinkageSql =
+    s"""WITH $linkageCtesSql
+       |SELECT dirty_id, best_id, score, verdict FROM res ORDER BY dirty_id""".stripMargin
+
+  private val qLinkageEvalSql =
+    s"""WITH $linkageCtesSql
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_dirty,
+       |  CAST(SUM(CASE WHEN verdict = 'match' THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |  CAST(SUM(CASE WHEN verdict = 'possible' THEN 1 ELSE 0 END) AS BIGINT) AS n_possible,
+       |  CAST(SUM(CASE WHEN verdict = 'match' AND best_id = dirty_id THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |  CAST(SUM(CASE WHEN verdict = 'match' AND best_id = dirty_id THEN 1 ELSE 0 END) * 1000
+       |    // GREATEST(SUM(CASE WHEN verdict = 'match' THEN 1 ELSE 0 END), 1) AS BIGINT) AS precision_pml,
+       |  CAST(SUM(CASE WHEN verdict = 'match' AND best_id = dirty_id THEN 1 ELSE 0 END) * 1000
+       |    // GREATEST(COUNT(*), 1) AS BIGINT) AS recall_pml
+       |FROM res""".stripMargin
+
   /** Join-key skew diagnostic (ops.Skew): three lineitem join keys
     * audited in ONE scan + ONE shuffle (explode to (key_col, value)
     * pairs, two-phase count, windowless hottest-key argmin).
@@ -11543,6 +11651,8 @@ object SparkEntry {
     "q_events_attribution" -> (qEventsAttribution _),
     "q_events_dedup_window" -> (qEventsDedupWindow _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_record_linkage" -> (qRecordLinkage _),
+    "q_linkage_eval" -> (qLinkageEval _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
@@ -11859,6 +11969,8 @@ object SparkEntry {
     "q_events_attribution" -> qEventsAttributionSql,
     "q_events_dedup_window" -> qEventsDedupWindowSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
+    "q_record_linkage" -> qRecordLinkageSql,
+    "q_linkage_eval" -> qLinkageEvalSql,
     "q_graph_pagerank" -> qGraphPagerankSql,
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,

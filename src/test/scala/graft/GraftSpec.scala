@@ -6213,3 +6213,69 @@ class UserErasureSpec extends AnyFunSuite {
     assert(ev.where(col("user_id") % 97 === 0).count() > 0)
   }
 }
+
+class LinkageSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private def custRow(key: Long, nat: Int, bal: Double, seg: String,
+      nameNum: Long): (Long, String, Int, Double, String) =
+    (key, f"Customer#$nameNum%09d", nat, bal, seg)
+
+  test("record linkage: cross-bucket true match found; score tie resolves to min clean id") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("link")
+    // key 3 perturbs by (3 div 10)%5-2 = -2 cents: 10000 -> 9998, which
+    // crosses the whole-dollar bucket edge — found only via the ±1 probe.
+    // Decoy key 1 shares nat/seg/last3 and sits 1 cent from the dirty
+    // value -> also scores 47; the tie must resolve to the SMALLER clean
+    // id (1), making the planted link incorrect on purpose.
+    // Key 13 (delta -1) has only its true original -> correct match.
+    val rows = Seq(
+      custRow(3L, 1, 100.00, "BUILDING", 3L),
+      custRow(1L, 1, 99.99, "BUILDING", 1003L), // decoy: last3 = "003"
+      custRow(13L, 2, 500.00, "AUTOMOBILE", 13L),
+      custRow(7L, 3, 42.42, "MACHINERY", 7L)) // clean-only bystander
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val res = SparkEntry.queries("q_record_linkage")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(res.keySet === Set(3L, 13L))
+    assert(res(3L) === ((1L, 47L, "match")))  // tie at 47 -> min clean id wins
+    assert(res(13L) === ((13L, 47L, "match")))
+    val ev = SparkEntry.queries("q_linkage_eval")(spark, tmp).collect().head
+    assert((ev.getLong(0), ev.getLong(1), ev.getLong(3)) === ((2L, 2L, 1L)))
+    assert((ev.getLong(4), ev.getLong(5)) === ((500L, 500L))) // precision/recall pml
+  }
+
+  test("resolve emits possible and unmatched verdicts; best pick is windowless") {
+    import spark.implicits._
+    val scored = Seq(
+      (10L, 100L, 35L), // only a mid-evidence candidate -> possible
+      (10L, 101L, 20L), // below possibleMin: never considered
+      (20L, 200L, 47L), (20L, 201L, 47L)) // tie -> min clean id
+      .toDF("dirty_id", "clean_id", "s")
+    val all = Seq(10L, 20L, 30L).toDF("dirty_id") // 30 has no candidates
+    val out = ops.Linkage.resolve(scored, all, "dirty_id", "clean_id",
+        col("s"), matchMin = 42L, possibleMin = 30L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)).map(_.asInstanceOf[Long]), r.getLong(2), r.getString(3)))).toMap
+    assert(out(10L) === ((Some(100L), 35L, "possible")))
+    assert(out(20L) === ((Some(200L), 47L, "match")))
+    assert(out(30L) === ((None, 0L, "unmatched")))
+    // no Window in the resolution plan (hot dirty keys partial-aggregate)
+    val plan = ops.Linkage.resolve(scored, all, "dirty_id", "clean_id",
+      col("s"), 42L, 30L).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowexpressions"), s"resolution uses a Window:\n$plan")
+  }
+
+  test("bucket candidates probe exactly the ±1 neighborhood") {
+    import spark.implicits._
+    val dirty = Seq((1L, 5L, 10L)).toDF("dirty_id", "blk", "bucket")
+    val clean = Seq((100L, 5L, 9L), (101L, 5L, 10L), (102L, 5L, 11L),
+      (103L, 5L, 12L), (104L, 6L, 10L)).toDF("clean_id", "blk", "bucket")
+    val got = ops.Linkage.bucketCandidates(dirty, clean, "blk", "bucket")
+      .select("clean_id").collect().map(_.getLong(0)).toSet
+    assert(got === Set(100L, 101L, 102L)) // not 103 (bucket+2), not 104 (other block)
+  }
+}
