@@ -1381,6 +1381,51 @@ object SparkEntry {
        |ORDER BY source, doc_id""".stripMargin
   }
 
+  /** Water-filling token-budget allocation ([[ops.Sample
+    * .waterfillBudget]]): the per-source cap DERIVED from a global
+    * budget (half the corpus's token mass) — small sources keep
+    * everything, large ones level to the common cap c with
+    * Σ min(avail, c) ≤ B. One corpus pass aggregates availability;
+    * the sorted feasibility walk runs on the bounded source frame
+    * (metadata windows); all-integer, so the oracle replays the walk
+    * exactly. Complements `pipe_token_mix` (fixed weights) and
+    * `pipe_domain_cap` (fixed per-domain count).
+    */
+  private def pipeBudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val avail = Tables.documents(s, dir)
+      .groupBy("source").agg(sum(text.Text.wordCount(col("text"))).as("avail"))
+    ops.Sample.waterfillBudget(avail, "source", "avail", 1L, 2L)
+      .orderBy("source")
+  }
+
+  private val pipeBudgetWaterfillSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT source, CAST($wcSql AS BIGINT) AS toks FROM documents),
+       |av AS MATERIALIZED (SELECT source, CAST(SUM(toks) AS BIGINT) AS avail FROM t GROUP BY 1),
+       |wx AS MATERIALIZED (
+       |  SELECT source, avail,
+       |    CAST(row_number() OVER (ORDER BY avail, source) AS BIGINT) AS idx,
+       |    SUM(avail) OVER (ORDER BY avail, source ROWS UNBOUNDED PRECEDING) AS prefix,
+       |    COUNT(*) OVER () AS n, SUM(avail) OVER () // 2 AS budget
+       |  FROM av),
+       |wb AS MATERIALIZED (
+       |  SELECT *, CASE WHEN avail * (n - idx + 1) + (prefix - avail) <= budget
+       |            THEN 1 ELSE 0 END AS fully
+       |  FROM wx),
+       |wk AS (
+       |  SELECT *, SUM(fully) OVER () AS k,
+       |    SUM(CASE WHEN fully = 1 THEN avail ELSE 0 END) OVER () AS pk
+       |  FROM wb)
+       |SELECT source, avail AS avail_toks,
+       |  CAST(CASE WHEN k = n OR fully = 1 THEN avail
+       |       ELSE LEAST(avail, (budget - pk) // (n - k)) END AS BIGINT) AS alloc_toks,
+       |  (fully = 0 AND k < n) AS capped,
+       |  CAST(CASE WHEN k = n THEN -1 ELSE (budget - pk) // (n - k) END AS BIGINT) AS cap_level
+       |FROM wk ORDER BY source""".stripMargin
+  }
+
   /** DuckDB expression for the sign-LSH bucket of `vecExpr`: the seeded
     * hyperplanes are deterministic doubles, inlined as literals; each dot
     * is an exact left fold (list_reduce with 0.0 prepended) matching
@@ -11652,6 +11697,7 @@ object SparkEntry {
     "q_events_dedup_window" -> (qEventsDedupWindow _),
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_record_linkage" -> (qRecordLinkage _),
+    "pipe_budget_waterfill" -> (pipeBudgetWaterfill _),
     "q_linkage_eval" -> (qLinkageEval _),
     "q_graph_pagerank" -> (qGraphPagerank _),
     "q_pivot_api" -> (qPivotApi _),
@@ -11970,6 +12016,7 @@ object SparkEntry {
     "q_events_dedup_window" -> qEventsDedupWindowSql,
     "q_fuzzy_match" -> qFuzzyMatchSql,
     "q_record_linkage" -> qRecordLinkageSql,
+    "pipe_budget_waterfill" -> pipeBudgetWaterfillSql,
     "q_linkage_eval" -> qLinkageEvalSql,
     "q_graph_pagerank" -> qGraphPagerankSql,
     "q_pivot_api" -> qPivotApiSql,

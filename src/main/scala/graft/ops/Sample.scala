@@ -259,6 +259,55 @@ object Sample {
       scored, Seq("stratum"), Seq("rank" -> false, idCol -> false), n)
   }
 
+  /** Water-filling token-budget allocation across strata: given each
+    * stratum's available token mass and a global budget B (a fixed
+    * numer/denom fraction of the corpus total), find the common cap c
+    * with Σ min(avail_i, c) ≤ B — small sources keep everything, large
+    * ones are levelled to c. This DERIVES the per-source cap from the
+    * budget, where [[tokenMix]] takes fixed weights and [[domainCap]]
+    * a fixed per-domain doc count; it is the "give me N tokens total
+    * with no source dominating" curation primitive.
+    *
+    * Closed form over the SORTED stratum frame (avail asc, key
+    * tiebreak): stratum i is fully taken iff
+    * `avail_i·(n−i+1) + prefix_{i−1} ≤ B` (the standard monotone
+    * feasibility test — passing rows form a prefix), k = count of
+    * passing rows, cap = (B − prefix_k) div (n−k). All-integer
+    * (truncating division under-allocates by < n tokens, never over),
+    * so the oracle mirrors it exactly.
+    *
+    * Scale: one corpus pass aggregates availability; everything after
+    * runs windows over the BOUNDED stratum frame (metadata contract —
+    * strata = sources/domains, not rows). `cap_level` is −1 when the
+    * whole corpus fits (nothing capped).
+    */
+  def waterfillBudget(
+      avail: DataFrame, key: String, availCol: String,
+      budgetNumer: Long, budgetDenom: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(availCol), col(key))
+    val full = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    val staged = avail
+      .withColumn("__idx", row_number().over(w).cast("long"))
+      .withColumn("__prefix", sum(availCol).over(w)) // inclusive running sum
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__budget", expr(s"sum($availCol) over () * $budgetNumer div $budgetDenom"))
+      .withColumn("__fully",
+        col(availCol) * (col("__n") - col("__idx") + 1) +
+          (col("__prefix") - col(availCol)) <= col("__budget"))
+    staged
+      .withColumn("__k", sum(when(col("__fully"), 1L).otherwise(0L)).over(full))
+      .withColumn("__pk", sum(when(col("__fully"), col(availCol)).otherwise(0L)).over(full))
+      .withColumn("cap_level",
+        when(col("__k") === col("__n"), lit(-1L))
+          .otherwise(expr("(__budget - __pk) div (__n - __k)")))
+      .select(col(key), col(availCol).as("avail_toks"),
+        when(col("__k") === col("__n") || col("__fully"), col(availCol))
+          .otherwise(least(col(availCol), col("cap_level"))).as("alloc_toks"),
+        (!col("__fully") && col("__k") < col("__n")).as("capped"),
+        col("cap_level"))
+  }
+
   /** Class-balanced downsampling: every class keeps exactly the minority
     * class's count, members selected by deterministic SplitMix64(id)
     * top-32 rank (uniform within class, repartition-stable) — the

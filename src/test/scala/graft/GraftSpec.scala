@@ -6279,3 +6279,38 @@ class LinkageSpec extends AnyFunSuite {
     assert(got === Set(100L, 101L, 102L)) // not 103 (bucket+2), not 104 (other block)
   }
 }
+
+class WaterfillSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("waterfill: small strata keep all, large levelled; budget respected") {
+    import spark.implicits._
+    // avails [10, 20, 100], B = 130 div 2 = 65: sources a,b fully taken
+    // (10·3=30 ≤ 65; 20·2+10=50 ≤ 65), c fails (100+30 > 65) ->
+    // k=2, cap = (65-30) div 1 = 35, allocs [10, 20, 35]
+    val avail = Seq(("a", 10L), ("b", 20L), ("c", 100L)).toDF("source", "avail")
+    val out = ops.Sample.waterfillBudget(avail, "source", "avail", 1L, 2L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(out("a") === ((10L, 10L, false, 35L)))
+    assert(out("b") === ((20L, 20L, false, 35L)))
+    assert(out("c") === ((100L, 35L, true, 35L)))
+    assert(out.values.map(_._2).sum <= 65L)
+  }
+
+  test("waterfill: nothing fully taken (tight budget) and everything-fits cases") {
+    import spark.implicits._
+    // [10, 10], B = 10: no source passes (10·2 > 10) -> k=0, cap = 5
+    val tight = ops.Sample.waterfillBudget(
+        Seq(("a", 10L), ("b", 10L)).toDF("source", "avail"), "source", "avail", 1L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tight === Map("a" -> 5L, "b" -> 5L))
+    // budget = total (numer=denom): everything fits, cap_level sentinel -1
+    val fits = ops.Sample.waterfillBudget(
+        Seq(("a", 7L), ("b", 3L)).toDF("source", "avail"), "source", "avail", 1L, 1L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(fits("a") === ((7L, false, -1L)))
+    assert(fits("b") === ((3L, false, -1L)))
+  }
+}
