@@ -51,7 +51,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default to the box's cores: the driver pins SPARK_GRAFT_CPUS=32;
+    // an unset local run should measure the same shape, not local[4]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     // Reclaim scratch dirs from earlier/crashed runs BEFORE timing anything:
     // hundreds of stale graft_* dirs were measured to slow whole runs 2-7x.
     TmpDirs.sweepStale()
