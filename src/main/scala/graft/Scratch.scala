@@ -3,7 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
     TmpDirs.sweepStale()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -11,7 +12,9 @@ object Scratch {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val keys = Seq("pipe_source_overlap")
+    val keys =
+      if (args.nonEmpty) args.toSeq
+      else Seq("q_graph_khop")
     // warmup (pays codegen + the build-once artifacts)
     keys.foreach { k =>
       SparkEntry.queries(k)(spark, dir).count()

@@ -3140,6 +3140,61 @@ object SparkEntry {
        |  COALESCE(array_to_string(kept, ' '), '') AS kept_text
        |FROM f ORDER BY doc_id""".stripMargin
 
+  /** Content-defined chunking dedup report ([[text.Chunking.cdcChunks]]):
+    * chunk boundaries wherever xxhash64(word) masks to zero (low 4 bits
+    * → ~16-word chunks), chunks reassembled per document, then a
+    * corpus-wide occurrence count over md5(chunk) — the storage-grade
+    * dedup stat (re-crawled/near-identical pages share every chunk
+    * except the edited one, which fixed windows cannot see). Per-source
+    * report: chunk totals + how much chunk mass is corpus-duplicated.
+    * The dedup join shuffles 32-byte md5 keys, never chunk text.
+    */
+  private def textCdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val ch = text.Chunking.cdcChunks(Tables.documents(s, dir), maskBits = 4)
+    val spread = ch.groupBy("h").agg(count(lit(1)).as("n_occ"))
+    ch.join(spread, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n_words").as("n_chunk_words"),
+        sum(when(col("n_occ") >= 2L, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("n_occ") >= 2L, col("n_words")).otherwise(0L)).as("dup_chunk_words"))
+      .withColumn("dup_pml", expr("dup_chunk_words * 1000 div n_chunk_words"))
+      .orderBy("source")
+  }
+
+  private val textCdcChunksSql =
+    s"""WITH d0 AS MATERIALIZED (
+       |  SELECT doc_id, source, $wordsListSql AS w FROM documents),
+       |p AS MATERIALIZED (
+       |  SELECT doc_id, source, i, w[i] AS wd FROM (
+       |    SELECT doc_id, source, w, UNNEST(generate_series(1, len(w))) AS i
+       |    FROM d0 WHERE len(w) > 0)),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, source, i, wd,
+       |    CASE WHEN ((${oracle.DuckHash.wordXxhSql}) & 15) = 0
+       |      THEN 1 ELSE 0 END AS bf
+       |  FROM p),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, source, i, wd,
+       |    SUM(bf) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+       |  FROM b),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, source, chunk_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    md5(string_agg(wd, ' ' ORDER BY i)) AS h
+       |  FROM c GROUP BY 1, 2, 3),
+       |sp AS MATERIALIZED (SELECT h, COUNT(*) AS n_occ FROM ch GROUP BY 1)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(SUM(n_words) AS BIGINT) AS n_chunk_words,
+       |  CAST(SUM(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       |  CAST(SUM(CASE WHEN n_occ >= 2 THEN n_words ELSE 0 END) AS BIGINT) AS dup_chunk_words,
+       |  CAST(SUM(CASE WHEN n_occ >= 2 THEN n_words ELSE 0 END) * 1000
+       |    // SUM(n_words) AS BIGINT) AS dup_pml
+       |FROM ch JOIN sp USING (h)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   /** Top event-type trigram paths: per-user ordered sequences, adjacent
     * triples via two leads, corpus-wide counts, top 20 with a
     * total-order tie-break. The window partitions by user (bounded per
@@ -7248,31 +7303,12 @@ object SparkEntry {
     */
   private def textBpeMerges(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val toks = "split(trim(BOTH '|' FROM tokstr), '\\\\|\\\\|')"
-    val words = Tables.documents(s, dir)
-      .select(explode(text.Text.words(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(expr("regexp_replace(w, '(.)', '|$1|')").as("tokstr"), col("n"))
-    var cur = words.persist()
-    cur.count()
-    val merges = scala.collection.mutable.ListBuffer[(Long, String, Long)]()
-    for (step <- 1 to 3) {
-      val top = cur
-        .select(col("n"), expr(
-          s"explode(transform(slice($toks, 1, size($toks) - 1), " +
-            s"(t, i) -> struct(t as a, ($toks)[i + 1] as b)))").as("p"))
-        .groupBy("p.a", "p.b").agg(sum("n").as("c"))
-        .orderBy(desc("c"), col("a"), col("b")).limit(1).collect()(0)
-      val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step.toLong, a + b, c))
-      val next = cur.withColumn("tokstr",
-        expr(s"replace(tokstr, '|$a||$b|', '|$a$b|')")).persist()
-      next.count(); cur.unpersist(); cur = next
-    }
-    val vocab = cur.select(explode(expr(toks)).as("t"))
+    val (merges, dict) = text.Bpe.fitMerges(Tables.documents(s, dir), steps = 3)
+    val vocab = dict.select(explode(expr(text.Bpe.toksExpr)).as("t"))
       .agg(countDistinct(col("t"))).head().getLong(0)
-    cur.unpersist()
-    (merges.toSeq :+ ((4L, "<vocab>", vocab)))
+    dict.unpersist()
+    (merges.map { case (st, a, b, c) => (st.toLong, a + b, c) } :+
+      ((4L, "<vocab>", vocab)))
       .toDF("step", "tok", "c").orderBy("step")
   }
 
@@ -7308,6 +7344,82 @@ object SparkEntry {
        |  UNION ALL SELECT 3, t3.a || t3.b, t3.c FROM t3
        |  UNION ALL SELECT 4, '<vocab>', v FROM vocab)
        |ORDER BY step""".stripMargin
+  }
+
+  /** BPE ENCODE — the tokenizer loop's missing half: the 3 merges
+    * learned by [[text.Bpe.fitMerges]] (same fit as `text_bpe_merges`)
+    * applied to every document, per-doc token counts out. The encode
+    * never touches the token stream either: token length per WORD TYPE
+    * comes from the post-merge dictionary, and each document is one
+    * words-explode joined against that broadcast-sized dictionary —
+    * the join key is the word, the payload one bigint. Fertility =
+    * tokens per word in permille (the tokenizer-quality number a
+    * pretraining budget is planned around).
+    */
+  private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (_, dict) = text.Bpe.fitMerges(Tables.documents(s, dir), steps = 3)
+    val tl = dict.select(col("w"),
+      size(expr(text.Bpe.toksExpr)).cast("long").as("tok_len"))
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(text.Text.words(col("text"))).as("w"))
+      .join(tl, "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("tok_len").as("n_bpe_tokens"))
+    val out = Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .withColumn("fertility_pml",
+        expr("n_bpe_tokens * 1000 div greatest(n_words, 1)"))
+      .orderBy("doc_id")
+    dict.unpersist()
+    out
+  }
+
+  private val textBpeEncodeSql = {
+    // the merges fit re-derived with the WORD carried through the
+    // rewrite chain (w0e groups by (w, tokstr); tokstr is a bijection
+    // of w, so pair weights and the learned merges are identical to
+    // text_bpe_merges' chain)
+    def pairs(src: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT p['a'] AS a, p['b'] AS b, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT UNNEST(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> {'a': toks[i], 'b': toks[i + 1]})) AS p, n
+         |    FROM (SELECT string_split(trim(tokstr, '|'), '||') AS toks, n FROM $src))
+         |  GROUP BY 1, 2)""".stripMargin
+    def top(src: String, name: String) =
+      s"$name AS MATERIALIZED (SELECT a, b, c FROM $src ORDER BY c DESC, a, b LIMIT 1)"
+    def rewrite(src: String, t: String, name: String) =
+      s"""$name AS MATERIALIZED (
+         |  SELECT $src.w, replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
+         |    '|' || $t.a || $t.b || '|') AS tokstr, n
+         |  FROM $src, $t)""".stripMargin
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT t AS w, regexp_replace(t, '(.)', '|\\1|', 'g') AS tokstr,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM (SELECT UNNEST($wordsListSql) AS t FROM documents) GROUP BY 1, 2),
+       |${pairs("w0", "p1")}, ${top("p1", "t1")}, ${rewrite("w0", "t1", "w1")},
+       |${pairs("w1", "p2")}, ${top("p2", "t2")}, ${rewrite("w1", "t2", "w2")},
+       |${pairs("w2", "p3")}, ${top("p3", "t3")}, ${rewrite("w2", "t3", "w3")},
+       |tl AS MATERIALIZED (
+       |  SELECT w, CAST(len(string_split(trim(tokstr, '|'), '||')) AS BIGINT) AS tok_len
+       |  FROM w3),
+       |dw AS (
+       |  SELECT doc_id, UNNEST($wordsListSql) AS w FROM documents),
+       |per AS (
+       |  SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(tl.tok_len) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN tl USING (w) GROUP BY 1)
+       |SELECT d.doc_id,
+       |  COALESCE(per.n_words, 0) AS n_words,
+       |  COALESCE(per.n_bpe_tokens, 0) AS n_bpe_tokens,
+       |  COALESCE(per.n_bpe_tokens, 0) * 1000
+       |    // GREATEST(COALESCE(per.n_words, 0), 1) AS fertility_pml
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Conversion-lag distribution: time from each user's FIRST signup to
@@ -9385,6 +9497,65 @@ object SparkEntry {
        |FROM d JOIN f ON d.source = f.source
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Deterministic negative sampling for recommender/contrastive
+    * training: each customer draws 8 pseudo-random part candidates —
+    * SplitMix64(custkey·8+i) top-32 mod |parts| — the parts they HAVE
+    * purchased are anti-joined away, and the first 4 survivors (by
+    * draw index) become the customer's negatives. Reproducible from
+    * data alone: no RNG state, so a re-run (or the SQL oracle) lands
+    * on identical negatives. Scale shape: the candidate frame is
+    * 8 rows per customer built map-side; the anti-join shuffles on
+    * (custkey, partkey) — the same key the purchases aggregate already
+    * produced — and the final rank window partitions by customer
+    * (bounded at 8 rows). No all-pairs anything.
+    */
+  private def sampNegatives(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val purchased = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("cand"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("custkey"), col("cand"))
+      .distinct()
+    // bounded 1-row stats collect: the modulus, inlined as a literal
+    val p = Tables.part(s, dir).agg(max(col("p_partkey").cast("long"))).head().getLong(0)
+    def h(e: Column) =
+      shiftrightunsigned(column(graft.functions.Mix64Long(expression(e))), 32)
+    val cands = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("custkey"))
+      .select(col("custkey"), explode(sequence(lit(0L), lit(7L))).as("i"))
+      .select(col("custkey"), col("i"),
+        (h(col("custkey") * 8L + col("i")) % p + 1L).as("cand"))
+    val byCust = Window.partitionBy("custkey").orderBy("i")
+    cands.join(purchased, Seq("custkey", "cand"), "left_anti")
+      .withColumn("rnk", row_number().over(byCust).cast("long"))
+      .where(col("rnk") <= 4L)
+      .select(col("custkey"), col("rnk"), col("cand").as("neg_partkey"))
+      .orderBy("custkey", "rnk")
+  }
+
+  private val sampNegativesSql =
+    s"""WITH pur AS (
+       |  SELECT DISTINCT CAST(o.o_custkey AS BIGINT) AS custkey,
+       |    CAST(l.l_partkey AS BIGINT) AS cand
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+       |pmax AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS p FROM part),
+       |cnd AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS custkey, i,
+       |    (${oracle.DuckHash.mix64Top32Sql("CAST(c_custkey AS BIGINT) * 8 + i")})
+       |      % (SELECT p FROM pmax) + 1 AS cand
+       |  FROM customer, UNNEST(generate_series(0, 7)) AS u(i)),
+       |neg AS (
+       |  SELECT cnd.custkey, cnd.i, cnd.cand
+       |  FROM cnd LEFT JOIN pur ON pur.custkey = cnd.custkey AND pur.cand = cnd.cand
+       |  WHERE pur.custkey IS NULL),
+       |r AS (
+       |  SELECT custkey, cand AS neg_partkey,
+       |    CAST(row_number() OVER (PARTITION BY custkey ORDER BY i) AS BIGINT) AS rnk
+       |  FROM neg)
+       |SELECT custkey, rnk, CAST(neg_partkey AS BIGINT) AS neg_partkey
+       |FROM r WHERE rnk <= 4 ORDER BY custkey, rnk""".stripMargin
 
   /** Embedding-space anisotropy probe — the collapse diagnostic: the
     * mean cosine of 1000 DETERMINISTICALLY sampled vector pairs
@@ -11585,6 +11756,9 @@ object SparkEntry {
     "text_bigram_surprisal" -> (textBigramSurprisal _),
     "text_dup_spans" -> (textDupSpans _),
     "text_dup_span_removal" -> (textDupSpanRemoval _),
+    "text_cdc_chunks" -> (textCdcChunks _),
+    "text_bpe_encode" -> (textBpeEncode _),
+    "samp_negatives" -> (sampNegatives _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -11928,6 +12102,9 @@ object SparkEntry {
     "text_bigram_surprisal" -> textBigramSurprisalSql,
     "text_dup_spans" -> textDupSpansSql,
     "text_dup_span_removal" -> textDupSpanRemovalSql,
+    "text_cdc_chunks" -> textCdcChunksSql,
+    "text_bpe_encode" -> textBpeEncodeSql,
+    "samp_negatives" -> sampNegativesSql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

@@ -437,6 +437,13 @@ object DuckHash {
     s"CAST(($wordHashExprSql) % 64 AS INT)"
   }
 
+  /** xxhash64 of the canonical word bound as `wd` (UBIGINT) — public
+    * for per-word-hash composition: the CDC chunk-boundary mask
+    * (`text_cdc_chunks`) tests its low bits against zero, bit-exactly
+    * mirroring Spark's `xxhash64(word)` (seed 42).
+    */
+  lazy val wordXxhSql: String = wordHashExprSql
+
   /** xxhash64 of the canonical word bound as `wd` (UBIGINT). */
   private lazy val wordHashExprSql: String =
     "list_transform([length(wd)], L -> " +

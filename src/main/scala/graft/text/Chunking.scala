@@ -80,4 +80,48 @@ object Chunking {
       // numerator non-negative for cross-engine parity.
       .withColumn("pack_id", expr(s"(greatest(cum_tokens, 1) - 1) div $budget"))
   }
+
+  /** Content-defined chunking (Rabin/gear-style CDC, the storage-dedup
+    * primitive): a chunk boundary falls wherever `xxhash64(word)` masks
+    * to zero in its low `maskBits` bits, so boundaries depend ONLY on
+    * local content — insert one sentence into a document and every
+    * other chunk's identity is preserved, which is exactly why CDC
+    * beats fixed windows for dedup of re-crawled/near-identical pages.
+    * Expected chunk length is 2^maskBits words.
+    *
+    * Output: one row per (doc, chunk): `keep` columns + (chunk_id,
+    * n_words, chunk, h) where `h` = md5(chunk) — downstream dedup
+    * should group/join on `h`, never on the chunk text (the
+    * hash-before-shuffle rule: 32 hex bytes of shuffle key instead of
+    * the full chunk payload).
+    *
+    * Scale shape: one posexplode (map-side), one per-document
+    * running-sum window (partition bounded by document length), one
+    * (doc, chunk_id) reassembly groupBy. Nothing corpus-global until
+    * the caller's own dedup join over `h`.
+    */
+  def cdcChunks(
+      docs: DataFrame,
+      maskBits: Int = 4,
+      keep: Seq[String] = Seq("doc_id", "source")): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 20, s"maskBits out of range: $maskBits")
+    val mask = (1L << maskBits) - 1L
+    val pos = docs
+      .select(keep.map(col) :+ posexplode(Text.words(col("text"))): _*)
+      .select(keep.map(col) :+ (col("pos") + 1).cast("long").as("i")
+        :+ col("col").as("wd"): _*)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("i")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    pos
+      .withColumn("bf",
+        when(xxhash64(col("wd")).bitwiseAND(lit(mask)) === 0L, 1L).otherwise(0L))
+      .withColumn("chunk_id", sum(col("bf")).over(byDoc))
+      .groupBy(keep.map(col) :+ col("chunk_id"): _*)
+      .agg(count(lit(1)).as("n_words"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("i"), col("wd")))),
+            s => s.getField("wd")), " ").as("chunk"))
+      .withColumn("h", md5(col("chunk")))
+  }
 }

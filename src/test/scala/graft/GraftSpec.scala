@@ -6314,3 +6314,110 @@ class WaterfillSpec extends AnyFunSuite {
     assert(fits("b") === ((3L, false, -1L)))
   }
 }
+
+class CdcChunksSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text").withColumn("source", lit("s"))
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  test("cdc: chunks reassemble the canon text and word counts reconcile") {
+    val base = (1 to 120).map(i => s"w${i % 37}x$i").mkString(" ")
+    val ch = text.Chunking.cdcChunks(docs(Seq((1L, base))), maskBits = 3)
+    val rows = ch.orderBy("chunk_id").collect()
+    assert(rows.map(_.getAs[Long]("n_words")).sum === 120L)
+    val glued = rows.map(_.getAs[String]("chunk")).mkString(" ")
+    assert(glued === base.toLowerCase)
+  }
+
+  test("cdc: a single mid-document edit preserves every distant chunk id") {
+    val words = (1 to 200).map(i => s"t${i}q${i % 53}")
+    val a = words.mkString(" ")
+    val b = words.updated(100, "zzedited").mkString(" ")
+    val ch = text.Chunking.cdcChunks(docs(Seq((1L, a), (2L, b))), maskBits = 3)
+      .select(col("doc_id"), col("h")).collect()
+    val ha = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val hb = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSet
+    // content-defined boundaries: only the chunk(s) touching the edit
+    // differ; with fixed windows an aligned edit would still pass, but
+    // CDC also survives INSERTIONS, pinned below
+    assert((ha -- hb).size <= 2 && (hb -- ha).size <= 2)
+    assert((ha & hb).size >= ha.size - 2)
+    // insertion shift: doc 3 = doc 1 with one word PREPENDED — fixed
+    // 2^3-word windows would shift every chunk; CDC re-synchronizes
+    val c = ("prefixword" +: words).mkString(" ")
+    val ch3 = text.Chunking.cdcChunks(docs(Seq((1L, a), (3L, c))), maskBits = 3)
+      .select(col("doc_id"), col("h")).collect()
+    val h1 = ch3.filter(_.getLong(0) == 1L).map(_.getString(1)).toSet
+    val h3 = ch3.filter(_.getLong(0) == 3L).map(_.getString(1)).toSet
+    assert((h1 & h3).size >= h1.size - 2)
+  }
+}
+
+class BpeEncodeSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("fitMerges learns the hand-computed merges and stops when dry") {
+    import spark.implicits._
+    // word types: 'aa' (freq 6), 'ab' (freq 3) -> merge 1 = (a,a) w=6,
+    // merge 2 = (a,b) w=3, then no adjacent pair remains anywhere
+    val docs = Seq.fill(3)((1L, "aa ab aa")).zipWithIndex
+      .map { case ((_, t), i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val (merges, dict) = text.Bpe.fitMerges(docs, steps = 3)
+    assert(merges === List((1, "a", "a", 6L), (2, "a", "b", 3L)))
+    val toks = dict.select(col("w"), expr(text.Bpe.toksExpr).as("t")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(toks("aa") === Seq("aa") && toks("ab") === Seq("ab"))
+    dict.unpersist()
+  }
+
+  test("encode: token counts follow the learned merges") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("bpe")
+    // 'the' dominates -> merge 1 = (t,h) 8, merge 2 = (th,e) 8; 'cat'
+    // pairs (c,a) 4 and (a,t) 4 -> merge 3 = (a,t) by tie-break? no:
+    // (a,t)=4 vs (c,a)=4, tie-break a<c picks (a,t)
+    val docs = Seq((1L, "the cat the cat the the"), (2L, "the cat the cat the the"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_bpe_encode")(spark, tmp).collect()
+    // after merges th, the, at: 'the' = 1 token, 'cat' = c|at = 2 tokens
+    // doc: 4x the + 2x cat = 6 words, 4 + 2*2 = 8 tokens
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_words") === 6L)
+      assert(r.getAs[Long]("n_bpe_tokens") === 8L)
+      assert(r.getAs[Long]("fertility_pml") === 1333L)
+    }
+  }
+}
+
+class NegativesSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("negatives never collide with purchases; at most 4 per customer, ranked 1..k") {
+    val neg = SparkEntry.queries("samp_negatives")(spark, dir)
+    val purchased = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("neg_partkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast("long").as("custkey"), col("neg_partkey"))
+      .distinct()
+    assert(neg.join(purchased, Seq("custkey", "neg_partkey")).count() === 0L)
+    val perCust = neg.groupBy("custkey")
+      .agg(count(lit(1)).as("k"), min("rnk").as("lo"), max("rnk").as("hi")).collect()
+    assert(perCust.forall(r => r.getAs[Long]("k") <= 4L))
+    assert(perCust.forall(r =>
+      r.getAs[Long]("lo") === 1L && r.getAs[Long]("hi") === r.getAs[Long]("k")))
+    // deterministic: a re-run lands on identical negatives
+    val again = SparkEntry.queries("samp_negatives")(spark, dir)
+    assert(neg.exceptAll(again).isEmpty && again.exceptAll(neg).isEmpty)
+  }
+}
