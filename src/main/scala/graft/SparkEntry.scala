@@ -4162,6 +4162,63 @@ object SparkEntry {
     * the metrics-anomaly twin of `q_anomaly_mad` that returns WHICH
     * buckets burst, not just the thresholds.
     */
+  /** Seasonality-adjusted daily anomaly: each (event_type, day) count is
+    * judged against the MEDIAN of ITS OWN WEEKDAY for that type — a
+    * naturally-quiet Sunday is never flagged for being quieter than
+    * Wednesday (the failure mode of `q_events_burst`'s season-blind
+    * baseline). Composite group = (type, epoch-day mod 7) through the
+    * same domain-bounded exact median/MAD kernel; output = the flagged
+    * (type, day) cells with their seasonal baseline attached.
+    */
+  private def qEventsSeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", expr("day % 7"))
+      .withColumn("grp", concat_ws("|", col("event_type"), col("dow")))
+    ops.Anomaly.flagOutliers(daily, "grp", "cnt", devX1000 = 1500L)
+      .where(col("is_out"))
+      .select(col("event_type"), col("day"), col("dow"), col("cnt"),
+        col("med"), col("mad"))
+      .orderBy("event_type", "day")
+  }
+
+  private val qEventsSeasonalAnomalySql =
+    """WITH r AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |rr AS (SELECT event_type, day, day % 7 AS dow, cnt FROM r),
+      |mc AS (SELECT event_type, dow, cnt AS hv, CAST(count(*) AS BIGINT) AS c
+      |  FROM rr GROUP BY 1, 2, 3),
+      |mw AS (
+      |  SELECT event_type, dow, hv,
+      |    sum(c) OVER (PARTITION BY event_type, dow ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type, dow) AS n
+      |  FROM mc),
+      |med AS (
+      |  SELECT event_type, dow, CAST(min(hv) AS BIGINT) AS med
+      |  FROM mw WHERE cum * 2 >= n GROUP BY 1, 2),
+      |d AS (
+      |  SELECT rr.event_type, rr.dow, abs(rr.cnt - med.med) AS dv
+      |  FROM rr JOIN med USING (event_type, dow)),
+      |dc AS (SELECT event_type, dow, dv AS hv, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2, 3),
+      |dw2 AS (
+      |  SELECT event_type, dow, hv,
+      |    sum(c) OVER (PARTITION BY event_type, dow ORDER BY hv
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(c) OVER (PARTITION BY event_type, dow) AS n
+      |  FROM dc),
+      |mad AS (
+      |  SELECT event_type, dow, CAST(min(hv) AS BIGINT) AS mad
+      |  FROM dw2 WHERE cum * 2 >= n GROUP BY 1, 2)
+      |SELECT rr.event_type, rr.day, rr.dow, rr.cnt, med.med, mad.mad
+      |FROM rr JOIN med USING (event_type, dow) JOIN mad USING (event_type, dow)
+      |WHERE abs(rr.cnt - med.med) * 1000 > 1500 * greatest(mad.mad, 1)
+      |ORDER BY rr.event_type, rr.day""".stripMargin
+
   private def qEventsBurst(s: SparkSession, dir: String): DataFrame = {
     val perHour = Tables.events(s, dir)
       .select(col("event_type"), expr("ts_ns div 3600000000000").as("hour"))
@@ -8028,6 +8085,118 @@ object SparkEntry {
        |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** MMR diverse rerank (Carbonell & Goldstein 1998): per query, the
+    * brute-force top-20 candidates are greedily reranked to 5 by
+    * maximal marginal relevance — score = 0.7·rel − 0.3·max-sim-to-
+    * already-selected — so near-duplicate hits can't crowd a result
+    * page (the retrieval-side twin of the dedup family). All relevance
+    * and pairwise-candidate cosines are exact-integer µ-units over the
+    * quantized vectors, the weights ride as 7/3 integer multipliers,
+    * and every argmax tie-breaks on vec_id: the greedy is fully
+    * deterministic, so the SQL oracle unrolls the 4 selection steps as
+    * chained CTEs and matches bit-for-bit.
+    *
+    * Scale shape: candidate generation is the proven broadcast-query
+    * corpus scan; everything after operates on |queries|·20 candidate
+    * rows and |queries|·20² pairwise sims — probe-set-bounded driver
+    * metadata (the markov/centroid collect contract), never corpus
+    * data. At 100 TB the corpus cost is the one scan; MMR cost is
+    * unchanged.
+    */
+  private def annMmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val cand = ann.Ann.bruteForceTopK(emb, annQueryIds, 20)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cosine") * 1e6, 0).cast("long").as("rel_u6"))
+    val qv = emb.select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("qv"))
+    val cqv = cand.join(qv, "vec_id").select("query_id", "vec_id", "rel_u6", "qv")
+    val sims = cqv.as("x").join(cqv.as("y"), "query_id")
+      .where(col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("query_id"), col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        round(round(vec.Vec.cosineQ(col("x.qv"), col("y.qv")), 6) * 1e6, 0)
+          .cast("long").as("sim_u6"))
+    // bounded collects: |queries|*20 candidates, |queries|*20*19 sims
+    val cRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val sMap = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getLong(3))).toMap
+    val out = cRows.toSeq.flatMap { case (qid, cs) =>
+      val sel = scala.collection.mutable.ListBuffer[(Long, Long)]() // (vec_id, rel)
+      val first = cs.minBy { case (v, rel) => (-rel, v) }
+      sel += first
+      for (_ <- 2 to 5) {
+        val rem = cs.filterNot(c => sel.exists(_._1 == c._1))
+        if (rem.nonEmpty) {
+          val pick = rem.minBy { case (v, rel) =>
+            val maxsim = sel.map(s => sMap((qid, v, s._1))).max
+            (-(7L * rel - 3L * maxsim), v)
+          }
+          sel += pick
+        }
+      }
+      sel.toList.zipWithIndex.map { case ((v, rel), i) => (qid, (i + 1).toLong, v, rel) }
+    }
+    out.toDF("query_id", "rnk", "vec_id", "rel_u6").orderBy("query_id", "rnk")
+  }
+
+  private val annMmrRerankSql = {
+    val cosPair =
+      """round(CASE WHEN x.nrm * y.nrm = 0 THEN 0.0
+        |  ELSE CAST(CAST(list_sum(list_transform(list_zip(x.q, y.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+        |       / sqrt(CAST(x.nrm * y.nrm AS DOUBLE)) END, 6)""".stripMargin
+    def pick(k: Int) =
+      s"""pick$k AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel_u6, CAST($k AS BIGINT) AS rnk FROM (
+         |    SELECT c.query_id, c.vec_id, c.rel_u6,
+         |      row_number() OVER (PARTITION BY c.query_id
+         |        ORDER BY 7 * c.rel_u6 - 3 * ms.maxsim DESC, c.vec_id) AS rn
+         |    FROM c
+         |    JOIN (SELECT sim.query_id, sim.a, MAX(sim.sim_u6) AS maxsim
+         |          FROM sim JOIN sel${k - 1} s
+         |            ON s.query_id = sim.query_id AND s.vec_id = sim.b
+         |          GROUP BY 1, 2) ms
+         |      ON ms.query_id = c.query_id AND ms.a = c.vec_id
+         |    WHERE NOT EXISTS (SELECT 1 FROM sel${k - 1} s2
+         |      WHERE s2.query_id = c.query_id AND s2.vec_id = c.vec_id))
+         |  WHERE rn = 1),
+         |sel$k AS MATERIALIZED (
+         |  SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)""".stripMargin
+    s"""WITH cand20 AS MATERIALIZED (SELECT * FROM (${bruteforceRankSql(20)})),
+       |c AS MATERIALIZED (
+       |  SELECT query_id, vec_id,
+       |    CAST(round(cosine * 1e6) AS BIGINT) AS rel_u6
+       |  FROM cand20),
+       |e2 AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x2 -> CAST(round(CAST(x2 AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n2 AS MATERIALIZED (
+       |  SELECT vec_id, q,
+       |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+       |  FROM e2),
+       |cv AS MATERIALIZED (
+       |  SELECT c.query_id, c.vec_id, n2.q, n2.nrm
+       |  FROM c JOIN n2 ON n2.vec_id = c.vec_id),
+       |sim AS MATERIALIZED (
+       |  SELECT x.query_id, x.vec_id AS a, y.vec_id AS b,
+       |    CAST(round(($cosPair) * 1e6) AS BIGINT) AS sim_u6
+       |  FROM cv x JOIN cv y
+       |    ON x.query_id = y.query_id AND x.vec_id <> y.vec_id),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, vec_id, rel_u6, CAST(1 AS BIGINT) AS rnk FROM (
+       |    SELECT query_id, vec_id, rel_u6,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY rel_u6 DESC, vec_id) AS rn
+       |    FROM c) WHERE rn = 1),
+       |${pick(2)},
+       |${pick(3)},
+       |${pick(4)},
+       |${pick(5)}
+       |SELECT query_id, rnk, vec_id, rel_u6 FROM sel5
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** Graph-ANN recall vs the brute-force truth leg — completes the
     * per-family eval story (IVF: ann_recall_eval, LSH: ann_lsh_recall,
     * graph: this): per query, how many true top-10 neighbors the
@@ -11759,6 +11928,8 @@ object SparkEntry {
     "text_cdc_chunks" -> (textCdcChunks _),
     "text_bpe_encode" -> (textBpeEncode _),
     "samp_negatives" -> (sampNegatives _),
+    "ann_mmr_rerank" -> (annMmrRerank _),
+    "q_events_seasonal_anomaly" -> (qEventsSeasonalAnomaly _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -12105,6 +12276,8 @@ object SparkEntry {
     "text_cdc_chunks" -> textCdcChunksSql,
     "text_bpe_encode" -> textBpeEncodeSql,
     "samp_negatives" -> sampNegativesSql,
+    "ann_mmr_rerank" -> annMmrRerankSql,
+    "q_events_seasonal_anomaly" -> qEventsSeasonalAnomalySql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

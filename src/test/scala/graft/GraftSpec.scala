@@ -6421,3 +6421,57 @@ class NegativesSpec extends AnyFunSuite {
     assert(neg.exceptAll(again).isEmpty && again.exceptAll(neg).isEmpty)
   }
 }
+
+class MmrRerankSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("mmr: an exact duplicate of the top hit is displaced by a diverse hit") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("mmr")
+    // query 0 = (1, 0, 0); id 10 = top hit a; id 11 = EXACT duplicate
+    // of a (sim 1e6 -> score 7*rel - 3e6); id 12 = diverse c with
+    // rel ~0.60, sim(a, c) ~0.20 -> score ~3.6e6 beats the dup's ~3.3e6
+    val vecs: Seq[(Long, Seq[Float])] = Seq(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(-1f, 0f, 0f), 2L -> Seq(0f, -1f, 0f),
+      3L -> Seq(0f, 0f, -1f), 4L -> Seq(-0.7f, -0.7f, 0f),
+      10L -> Seq(0.9f, 0.436f, 0f),
+      11L -> Seq(0.9f, 0.436f, 0f),
+      12L -> Seq(0.6f, -0.78f, 0.179f))
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(1))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("ann_mmr_rerank")(spark, tmp)
+      .where(col("query_id") === 0L).orderBy("rnk").collect()
+    assert(out(0).getAs[Long]("vec_id") === 10L) // highest relevance first
+    assert(out(1).getAs[Long]("vec_id") === 12L) // diversity beats the dup
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length === out.length)
+  }
+}
+
+class SeasonalAnomalySpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("seasonal: a quiet weekday-profile day is only flagged vs its own weekday") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("seas")
+    // 5 weeks of type-x traffic: dow 6 runs at 5 events/day, other dows
+    // at 100 — except day 27 (dow 6) bursts to 50 and day 10 (dow 3)
+    // collapses to 10. A season-blind gate would flag EVERY dow-6 day.
+    def n(d: Int): Int =
+      if (d == 27) 50 else if (d == 10) 10 else if (d % 7 == 6) 5 else 100
+    val rows = for { d <- 0 until 35; i <- 0 until n(d) }
+      yield ((d * 1000 + i).toLong, (i % 7).toLong, d * 86400000000000L + i * 1000000L)
+    val ev = rows.toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    ev.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_seasonal_anomaly")(spark, tmp).collect()
+    assert(out.map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"))).toSet
+      === Set(("x", 10L), ("x", 27L)))
+    val d27 = out.find(_.getAs[Long]("day") === 27L).get
+    assert(d27.getAs[Long]("med") === 5L) // judged against its own weekday
+  }
+}
