@@ -7341,6 +7341,95 @@ object SparkEntry {
       |  MIN(degree) AS min_deg, MAX(degree) AS max_deg
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007), 3 fixed rounds over the co-purchase graph: every node
+    * adopts its neighborhood's MAJORITY label (tie → smallest label),
+    * starting from self-labels — unlike HashMin components (pure
+    * reachability), majority vote finds densely-linked clusters inside
+    * one connected component. Deterministic by construction (fixed
+    * rounds + total-order tie-break), so the oracle unrolls the three
+    * rounds as chained CTEs. The per-round argmax is a windowless
+    * min(struct(−cnt, lbl)) — map-side combinable, a hub with millions
+    * of neighbors never hot-keys a window. Output: top-20 communities.
+    */
+  private def qGraphLabelprop(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir) // shared build-once artifact
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val labels = graph.LabelProp.communities(bidir, rounds = 3)
+    val rows = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(desc("n_nodes"), col("lbl")).limit(20).collect()
+    labels.unpersist(); bidir.unpersist()
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("community", "n_nodes").orderBy(desc("n_nodes"), col("community"))
+  }
+
+  private val qGraphLabelpropSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT bid.a AS node, l${k - 1}.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bid JOIN l${k - 1} ON bid.b = l${k - 1}.node
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |bid AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM bid),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(lbl AS BIGINT) AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM l3 GROUP BY 1
+       |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin
+  }
+
+  /** Discount elasticity per brand: exact-integer least-squares slope of
+    * order quantity on discount percent-points — "does discounting this
+    * brand actually move volume?" All moments are one map-side-combined
+    * aggregate per brand over a single lineitem scan with the part
+    * dimension broadcast; slope published in milli-units per
+    * percent-point with the zero-variance guard (a brand sold at one
+    * constant discount has no slope, not a 0/0).
+    */
+  private def qDiscountElasticity(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.lineitem(s, dir)
+      .select(col("l_partkey"),
+        expr("cast(round(l_discount * 100) as bigint)").as("x"),
+        expr("cast(round(l_quantity) as bigint)").as("y"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    pts.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        expr("case when n * sxx - sx * sx = 0 then 0L else " +
+          "(n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) end").as("slope_m"))
+      .orderBy("p_brand")
+  }
+
+  private val qDiscountElasticitySql =
+    """WITH pts AS (
+      |  SELECT p.p_brand,
+      |    CAST(round(l.l_discount * 100) AS BIGINT) AS x,
+      |    CAST(round(l.l_quantity) AS BIGINT) AS y
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+      |a AS (
+      |  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+      |  FROM pts GROUP BY 1)
+      |SELECT p_brand, n,
+      |  CASE WHEN n * sxx - sx * sx = 0 THEN 0
+      |    ELSE (n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) END AS slope_m
+      |FROM a ORDER BY p_brand""".stripMargin
+
   /** BPE tokenizer TRAINING loop — three merge iterations of the
     * byte-pair-encoding algorithm (Sennrich et al. 2016), the step
     * `text_bpe_pairs` only counts once: each iteration finds the
@@ -7533,6 +7622,88 @@ object SparkEntry {
       |    CAST(NULL AS BIGINT) AS cum_pml
       |  FROM su WHERE user_id NOT IN (SELECT user_id FROM conv))
       |SELECT * FROM hh UNION ALL SELECT * FROM nv ORDER BY lag_days""".stripMargin
+
+  /** Kaplan-Meier user survival curve — retention with CENSORING done
+    * right: a user still active near corpus end hasn't churned, they're
+    * censored at their observed span (the retention matrices silently
+    * treat them as lost). Churn = no event in the last 7 observed days;
+    * event time t = whole days from first event to last (churn) or to
+    * corpus end (censored). Output per t: at-risk count (suffix sum),
+    * churns d_t, censors c_t, and the KM log-survival carried EXACTLY
+    * as summed qln nano-nats — ln S(t) = Σ_{s≤t, d>0} qln(max(n−d,1)) −
+    * qln(n) (the max(·,1) floors the final all-churned step instead of
+    * −∞). No float product ever folds, so the curve is bit-exact
+    * cross-engine. Both windows run over the bounded day DOMAIN (the
+    * histogram-kernel cardinality contract), per-user reduction is one
+    * min/max aggregate — nothing here grows with event volume.
+    */
+  private def qEventsSurvival(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val horizonNs = 7L * dayNs
+    def qln(x: Column): Column =
+      floor(log(x.cast("double")) * lit(1e9)).cast("long")
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts_ns"))
+    // bounded 1-row stats collect: the observation end, inlined
+    val endNs = ev.agg(max("ts_ns")).head().getLong(0)
+    val per = ev.groupBy("user_id")
+      .agg(min("ts_ns").as("f"), max("ts_ns").as("l"))
+      .select(
+        (lit(endNs) - col("l") > horizonNs).as("churned"),
+        col("f"), col("l"))
+      .select(col("churned"),
+        expr(s"(if(churned, l, ${endNs}L) - f) div $dayNs").as("t"))
+    val tab = per.groupBy("t")
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("c"))
+    val suffix = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val prefix = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tab
+      .withColumn("n_risk", sum(col("d") + col("c")).over(suffix))
+      .withColumn("term",
+        when(col("d") > 0L,
+          qln(greatest(col("n_risk") - col("d"), lit(1L))) - qln(col("n_risk")))
+          .otherwise(lit(0L)))
+      .withColumn("log_surv_q", sum("term").over(prefix))
+      .select(col("t").as("t_day"), col("n_risk"),
+        col("d").as("n_churned"), col("c").as("n_censored"), col("log_surv_q"))
+      .orderBy("t_day")
+  }
+
+  private val qEventsSurvivalSql =
+    """WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+      |e AS (SELECT MAX(ts_ns) AS end_ns FROM ev),
+      |per AS (
+      |  SELECT (SELECT end_ns FROM e) - MAX(ts_ns) > 604800000000000 AS churned,
+      |    MIN(ts_ns) AS f, MAX(ts_ns) AS l
+      |  FROM ev GROUP BY user_id),
+      |pt AS (
+      |  SELECT churned,
+      |    ((CASE WHEN churned THEN l ELSE (SELECT end_ns FROM e) END) - f)
+      |      // 86400000000000 AS t
+      |  FROM per),
+      |tab AS (
+      |  SELECT t,
+      |    CAST(SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(SUM(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM pt GROUP BY 1),
+      |r AS (
+      |  SELECT t, d, c,
+      |    CAST(SUM(d + c) OVER (ORDER BY t DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+      |  FROM tab),
+      |s AS (
+      |  SELECT t, d, c, n_risk,
+      |    CASE WHEN d > 0 THEN
+      |      CAST(floor(ln(CAST(greatest(n_risk - d, 1) AS DOUBLE)) * 1e9) AS BIGINT)
+      |      - CAST(floor(ln(CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+      |    ELSE 0 END AS term
+      |  FROM r)
+      |SELECT t AS t_day, n_risk, d AS n_churned, c AS n_censored,
+      |  CAST(SUM(term) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_surv_q
+      |FROM s ORDER BY t_day""".stripMargin
 
   /** TPC-H Q4-shaped order-priority check: orders placed in one quarter
     * that had AT LEAST ONE lineitem shipped more than 90 days after the
@@ -11930,6 +12101,9 @@ object SparkEntry {
     "samp_negatives" -> (sampNegatives _),
     "ann_mmr_rerank" -> (annMmrRerank _),
     "q_events_seasonal_anomaly" -> (qEventsSeasonalAnomaly _),
+    "q_events_survival" -> (qEventsSurvival _),
+    "q_graph_labelprop" -> (qGraphLabelprop _),
+    "q_discount_elasticity" -> (qDiscountElasticity _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -12278,6 +12452,9 @@ object SparkEntry {
     "samp_negatives" -> sampNegativesSql,
     "ann_mmr_rerank" -> annMmrRerankSql,
     "q_events_seasonal_anomaly" -> qEventsSeasonalAnomalySql,
+    "q_events_survival" -> qEventsSurvivalSql,
+    "q_graph_labelprop" -> qGraphLabelpropSql,
+    "q_discount_elasticity" -> qDiscountElasticitySql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

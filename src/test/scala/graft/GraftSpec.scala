@@ -6475,3 +6475,87 @@ class SeasonalAnomalySpec extends AnyFunSuite {
     assert(d27.getAs[Long]("med") === 5L) // judged against its own weekday
   }
 }
+
+class SurvivalSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("kaplan-meier: hand-planted churn/censor cohort reproduces the exact curve") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("surv")
+    val day = 86400000000000L
+    // corpus end = day 30 (u4's last event). churn horizon 7 days.
+    // u1 churns at t=2, u2 at t=10; u3 (last event day 29.5) and u4
+    // (first day 5, defines the end) are censored at t=30 / t=25
+    val ev = Seq(
+      (1L, 0L), (1L, 2 * day),
+      (2L, 0L), (2L, 10 * day),
+      (3L, 0L), (3L, 29 * day + day / 2),
+      (4L, 5 * day), (4L, 30 * day))
+    val df = ev.zipWithIndex.map { case ((u, ns), i) => (i.toLong, u, ns) }
+      .toDF("event_id", "user_id", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("event_type", lit("x")).withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+    df.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = SparkEntry.queries("q_events_survival")(spark, tmp).collect()
+      .map(r => r.getAs[Long]("t_day") ->
+        ((r.getAs[Long]("n_risk"), r.getAs[Long]("n_churned"),
+          r.getAs[Long]("n_censored"), r.getAs[Long]("log_surv_q")))).toMap
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    assert(out(2L) === ((4L, 1L, 0L, qln(3) - qln(4))))
+    assert(out(10L) === ((3L, 1L, 0L, (qln(3) - qln(4)) + (qln(2) - qln(3)))))
+    assert(out(25L)._1 === 2L && out(25L)._3 === 1L)
+    assert(out(30L)._1 === 1L && out(30L)._3 === 1L)
+    // censoring never moves the survival estimate
+    assert(out(25L)._4 === out(10L)._4 && out(30L)._4 === out(10L)._4)
+  }
+}
+
+class LabelPropSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("barbell graph: majority vote keeps the two triangles apart across the bridge") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("a", "b")
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val labels = graph.LabelProp.communities(bidir, rounds = 3)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    // hand-simulated sync LPA with min tie-break (3 rounds):
+    assert(Set(1L, 2L, 3L).map(got) === Set(1L))
+    assert(Set(4L, 5L, 6L).map(got) === Set(3L))
+    // HashMin components would merge everything to one label; the
+    // bridge must NOT do that here
+    assert(got.values.toSet.size === 2)
+  }
+}
+
+class ElasticitySpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("elasticity slope matches a per-brand recomputation from raw points") {
+    val out = SparkEntry.queries("q_discount_elasticity")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n"), r.getAs[Long]("slope_m")))).toMap
+    val pts = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"),
+        expr("cast(round(l_discount * 100) as bigint)").as("x"),
+        expr("cast(round(l_quantity) as bigint)").as("y"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .select("p_brand", "x", "y").collect()
+      .groupBy(_.getString(0))
+    val brand = pts.keys.min
+    val xs = pts(brand).map(_.getLong(1)); val ys = pts(brand).map(_.getLong(2))
+    val n = xs.length.toLong
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(v => v * v).sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val den = n * sxx - sx * sx
+    val want = if (den == 0) 0L else (n * sxy - sx * sy) * 1000 / den
+    assert(out(brand) === ((n, want)))
+  }
+}
