@@ -74,7 +74,12 @@ object ScaleStress {
       // split's vocab (heldout/KL/coverage folds stay (source,word)- or
       // word-keyed and combinable)
       "pipe_rag_retrieval", "text_heldout_surprisal", "text_source_kl",
-      "text_vocab_coverage")
+      "text_vocab_coverage",
+      // R9 close wave: the viral segment repeats one CDC chunk 10k+
+      // times (dup-mass join stays md5-keyed and combinable); BPE
+      // encode's dictionary fit must stay vocab-bounded as the token
+      // stream grows 10x
+      "text_cdc_chunks", "text_bpe_encode")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()

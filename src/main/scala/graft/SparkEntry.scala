@@ -1121,6 +1121,43 @@ object SparkEntry {
        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
        |ORDER BY user_id""".stripMargin
 
+  /** Conversion-WINDOWED funnel — `q_events_funnel` with the max-gap
+    * contract real funnels carry: each stage must land within 24h of
+    * the previous stage's time, so a reactivation weeks later is a new
+    * journey, not a conversion (the plain funnel silently credits it).
+    * Same chained-filtered-aggregate plan; the bound rides each stage's
+    * join as one more residual predicate.
+    */
+  private def qEventsFunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    ops.Funnel.ordered(
+        Tables.events(s, dir), "user_id", col("event_type"),
+        expr("ts_ns div 1000"), Seq("signup", "view", "purchase"),
+        maxGap = Some(86400000000L)) // 24h in µs
+      .select(
+        col("user_id"), col("t1").as("t1_us"), col("t2").as("t2_us"),
+        col("t3").as("t3_us"), col("stage"))
+      .orderBy("user_id")
+
+  private val qEventsFunnelWindowedSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+       |s1 AS (
+       |  SELECT user_id, MIN(us) AS t1_us FROM e
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |s2 AS (
+       |  SELECT user_id, MIN(us) AS t2_us FROM e JOIN s1 USING (user_id)
+       |  WHERE event_type = 'view' AND us > t1_us
+       |    AND us <= t1_us + 86400000000 GROUP BY 1),
+       |s3 AS (
+       |  SELECT user_id, MIN(us) AS t3_us FROM e JOIN s2 USING (user_id)
+       |  WHERE event_type = 'purchase' AND us > t2_us
+       |    AND us <= t2_us + 86400000000 GROUP BY 1)
+       |SELECT s1.user_id, t1_us, t2_us, t3_us,
+       |  CAST(1 + CASE WHEN t2_us IS NULL THEN 0 ELSE 1 END
+       |         + CASE WHEN t3_us IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+       |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
   /** Salted (skew-resistant) fact-dim join: lineitem × supplier through
     * ops.Salt.joinSkewed — the dim side replicated over 8 salt buckets
     * so a pathological hot supplier key would spread over 8 reducers.
@@ -1839,6 +1876,39 @@ object SparkEntry {
        |FROM nb FULL OUTER JOIN nd ON nb.cell = nd.cell
        |ORDER BY cell""".stripMargin
   }
+
+  /** IVF cluster-quality report ([[ann.Ann.cellQuality]]): per cell,
+    * occupancy + mean cosine cohesion to the owning centroid + mean
+    * margin over the second-best centroid, truncated µ-units — the
+    * k-picker's dashboard next to `ann_recall_eval` (low cohesion →
+    * raise k; low margin → overlapping cells, widen probes). Same
+    * deterministic k=16/1-iter fit as the IVF keys, so the oracle
+    * composes the shared fit CTEs and ranks each vector's k-score
+    * vector the same way.
+    */
+  private def annIvfQuality(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = ann.KMeans.fit(emb, k = 16, iters = 1).toSeq.map(_.toSeq)
+    ann.Ann.cellQuality(emb, cents)
+  }
+
+  private val annIvfQualitySql =
+    s"""$ivfKmeansFitCtes,
+       |rk AS (
+       |  SELECT vec_id, cell, score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |  FROM sc),
+       |own AS (SELECT vec_id, cell, score FROM rk WHERE rn = 1),
+       |snd AS (SELECT vec_id, score AS score2 FROM rk WHERE rn = 2),
+       |per AS (
+       |  SELECT own.cell,
+       |    CAST(trunc(own.score * 1e6) AS BIGINT) AS own_u6,
+       |    CAST(trunc((own.score - snd.score2) * 1e6) AS BIGINT) AS margin_u6
+       |  FROM own JOIN snd USING (vec_id))
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(own_u6) // COUNT(*) AS BIGINT) AS avg_cohesion_u6,
+       |  CAST(SUM(margin_u6) // COUNT(*) AS BIGINT) AS avg_margin_u6
+       |FROM per GROUP BY 1 ORDER BY cell""".stripMargin
 
   private val annIvfKmeansSql =
     s"""$ivfKmeansFitCtes,
@@ -12104,6 +12174,8 @@ object SparkEntry {
     "q_events_survival" -> (qEventsSurvival _),
     "q_graph_labelprop" -> (qGraphLabelprop _),
     "q_discount_elasticity" -> (qDiscountElasticity _),
+    "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
+    "ann_ivf_quality" -> (annIvfQuality _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -12455,6 +12527,8 @@ object SparkEntry {
     "q_events_survival" -> qEventsSurvivalSql,
     "q_graph_labelprop" -> qGraphLabelpropSql,
     "q_discount_elasticity" -> qDiscountElasticitySql,
+    "q_events_funnel_windowed" -> qEventsFunnelWindowedSql,
+    "ann_ivf_quality" -> annIvfQualitySql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

@@ -378,4 +378,35 @@ object Ann {
       vecCol: String = "embedding"): DataFrame =
     df.select(Cells.bestCell(col(vecCol), centroids).cast("long").as("cell"))
       .groupBy("cell").agg(count(lit(1)).as(countName))
+
+  /** Per-cell index-quality report: occupancy, mean cosine COHESION to
+    * the owning centroid, and mean MARGIN over the second-best centroid
+    * (both in truncated µ-units) — the k-picker's read: low cohesion =
+    * cell too broad (raise k), low margin = cells overlap (probes must
+    * widen). One map-side cellScores pass per vector (the corpus never
+    * shuffles raw vectors); own/second fall out of one array sort over
+    * the k-length score vector, then a bounded k-row aggregate.
+    */
+  def cellQuality(
+      df: DataFrame,
+      centroids: Seq[Seq[Double]],
+      vecCol: String = "embedding"): DataFrame = {
+    val scores = Cells.cellScores(col(vecCol), centroids)
+    // (−score, cell) struct sort = score DESC, cell ASC — the same
+    // total order as the oracle's row_number, ties to the lower cell
+    val ranked = sort_array(zip_with(
+      scores,
+      sequence(lit(0L), lit((centroids.size - 1).toLong)),
+      (sc, i) => struct((-sc).as("ns"), i.as("cell"), sc.as("sc"))))
+    df
+      .select(element_at(ranked, 1).as("own"), element_at(ranked, 2).as("snd"))
+      .select(col("own.cell").as("cell"),
+        expr("cast(own.sc * 1e6 as bigint)").as("own_u6"),
+        expr("cast((own.sc - snd.sc) * 1e6 as bigint)").as("margin_u6"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"),
+        expr("sum(own_u6) div count(1)").as("avg_cohesion_u6"),
+        expr("sum(margin_u6) div count(1)").as("avg_margin_u6"))
+      .orderBy("cell")
+  }
 }

@@ -18,21 +18,33 @@ object Funnel {
 
   /** Returns one row per key that reached stage 1:
     * (key, t1..tN nullable, stage = highest stage reached).
+    *
+    * `maxGap` (same unit as `tsCol`) bounds each stage transition: when
+    * set, stage i+1 must land in (t_i, t_i + maxGap] — the "purchase
+    * within 7 days of the view" conversion-window semantics, where a
+    * reactivation months later is a NEW journey, not a conversion. The
+    * bound rides the stage filter as one more residual predicate; plan
+    * shape (chained filtered aggregates, one reused key partitioning,
+    * no windows) is unchanged.
     */
   def ordered(
       events: DataFrame,
       key: String,
       typeCol: Column,
       tsCol: Column,
-      stages: Seq[String]): DataFrame = {
+      stages: Seq[String],
+      maxGap: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val e = events.select(col(key), typeCol.as("__type"), tsCol.as("__ts"))
     val first = e.where(col("__type") === stages.head)
       .groupBy(key).agg(min("__ts").as("t1"))
     val chain = stages.zipWithIndex.tail.scanLeft(first) {
       case (prev, (stage, i)) =>
+        val within = maxGap
+          .map(g => col("__ts") > col(s"t$i") && col("__ts") <= col(s"t$i") + g)
+          .getOrElse(col("__ts") > col(s"t$i"))
         e.where(col("__type") === stage).join(prev.select(key, s"t$i"), key)
-          .where(col("__ts") > col(s"t$i"))
+          .where(within)
           .groupBy(key).agg(min("__ts").as(s"t${i + 1}"))
     }
     val joined = chain.tail.foldLeft(chain.head) {

@@ -1459,6 +1459,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(r(3L) === (2L, Seq(10L, 20L, -1L)))
     assert(!out.queryExecution.executedPlan.toString.contains("Window"))
   }
+
+  test("maxGap bounds each transition; a later event can still convert inside its window") {
+    val events = Seq(
+      // A: view 90 ticks after signup -> outside gap 50, stuck at 1;
+      // the plain funnel would credit it
+      (1L, "signup", 10L), (1L, "view", 100L), (1L, "purchase", 120L),
+      // B: each hop within 50 -> full conversion
+      (2L, "signup", 10L), (2L, "view", 40L), (2L, "purchase", 80L),
+      // C: FIRST view misses the window but purchase lands within 50 of
+      // the view that was reached... no view in window -> stage 1 even
+      // though a purchase exists
+      (3L, "signup", 10L), (3L, "view", 200L), (3L, "purchase", 210L))
+      .toDF("user_id", "event_type", "ts")
+    val out = ops.Funnel.ordered(
+      events, "user_id", $"event_type", $"ts",
+      Seq("signup", "view", "purchase"), maxGap = Some(50L))
+    val r = out.collect().map(x => x.getLong(0) -> x.getLong(x.length - 1)).toMap
+    assert(r === Map(1L -> 1L, 2L -> 3L, 3L -> 1L))
+    val plain = ops.Funnel.ordered(
+      events, "user_id", $"event_type", $"ts", Seq("signup", "view", "purchase"))
+    assert(plain.collect().map(x => x.getLong(0) -> x.getLong(x.length - 1)).toMap
+      === Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
 }
 
 /** Salted join: row-identical to the plain join while the physical join
@@ -6557,5 +6580,32 @@ class ElasticitySpec extends AnyFunSuite {
     val den = n * sxx - sx * sx
     val want = if (den == 0) 0L else (n * sxy - sx * sy) * 1000 / den
     assert(out(brand) === ((n, want)))
+  }
+}
+
+class IvfQualitySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cell quality: totals reconcile, margins non-negative, planted tight cluster is cohesive") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two obvious clusters around orthogonal axes + a bit of jitter;
+    // ids 0/1 seed the two centroids (deterministic lowest-k init), so
+    // id 0 must sit in the x-cluster and id 1 in the y-cluster
+    val vecs: Seq[(Long, Seq[Float])] =
+      Seq(0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f)) ++
+        (2L until 9L).map(i => i -> Seq(1f, 0.01f * (i - 2), 0f)) ++
+        (9L until 16L).map(i => i -> Seq(0.01f * (i - 9), 1f, 0f))
+    val tmp = TmpDirs.create("ivfq")
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(1))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val cents = ann.KMeans.fit(Tables.embeddings(spark, tmp), k = 2, iters = 1)
+      .toSeq.map(_.toSeq)
+    val out = ann.Ann.cellQuality(Tables.embeddings(spark, tmp), cents).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 16L)
+    assert(out.forall(_.getAs[Long]("avg_margin_u6") >= 0L))
+    // both planted clusters are tight: cohesion >  0.99 in µ-units
+    assert(out.forall(_.getAs[Long]("avg_cohesion_u6") > 990000L))
+    assert(out.length === 2)
   }
 }
