@@ -1379,6 +1379,56 @@ object SparkEntry {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }
 
+  /** Proportional source INTERLEAVING by weighted fair queuing — the
+    * training-order artifact the mixing keys stop short of: not which
+    * docs to keep (token_mix / waterfill) or their within-shard order
+    * (epoch_shuffle), but the one global order in which sources
+    * interleave at their mixture rates. Virtual position = hash/weight
+    * (the WFQ finish-time trick): each doc's SplitMix64 top-48 hash is
+    * uniform, dividing by the source weight (temperature-style
+    * sqrt(token share), the proven `samp_temperature` kernel) makes
+    * source s's docs land with density ∝ w_s — NO per-source sequence
+    * numbers, so there is no corpus-sized window anywhere: weights are
+    * one bounded metadata aggregate broadcast back, position is pure
+    * map-side, and the manifest head is one top-k. Published: the
+    * first 100 manifest rows.
+    */
+  private def pipeMixInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), text.Text.wordCount(col("text")).as("toks"))
+    val w = docs.groupBy("source")
+      .agg(sqrt(sum("toks").cast("double")).as("wgt"))
+    val h = shiftrightunsigned(
+      column(graft.functions.Mix64Long(expression(col("doc_id")))), 16)
+    val positioned = docs.join(broadcast(w), "source")
+      .select(col("source"), col("doc_id"),
+        (h.cast("double") * 1000.0 / col("wgt")).cast("long").as("pos_q"))
+    val head = positioned.orderBy("pos_q", "source", "doc_id").limit(100)
+    head
+      .withColumn("rnk",
+        row_number().over(Window.orderBy("pos_q", "source", "doc_id")).cast("long"))
+      .select("rnk", "source", "doc_id", "pos_q")
+      .orderBy("rnk")
+  }
+
+  private val pipeMixInterleaveSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST($wcSql AS BIGINT) AS toks FROM documents),
+       |w AS (SELECT source, sqrt(CAST(SUM(toks) AS DOUBLE)) AS wgt FROM t GROUP BY 1),
+       |p AS (
+       |  SELECT t.source, t.doc_id,
+       |    CAST(trunc(CAST(${oracle.DuckHash.mix64Top48Sql("doc_id")} AS DOUBLE)
+       |      * 1000.0 / w.wgt) AS BIGINT) AS pos_q
+       |  FROM t JOIN w ON t.source = w.source),
+       |h AS (SELECT * FROM p ORDER BY pos_q, source, doc_id LIMIT 100)
+       |SELECT CAST(row_number() OVER (ORDER BY pos_q, source, doc_id) AS BIGINT) AS rnk,
+       |  source, doc_id, pos_q
+       |FROM h ORDER BY rnk""".stripMargin
+  }
+
   /** Token-budget corpus mixing: even-numbered sources get mixture
     * weight 1/40, odd 3/40 (half the corpus total overall); docs admit
     * in doc_id order until each source's token budget is spent. Budgets
@@ -1909,6 +1959,86 @@ object SparkEntry {
        |  CAST(SUM(own_u6) // COUNT(*) AS BIGINT) AS avg_cohesion_u6,
        |  CAST(SUM(margin_u6) // COUNT(*) AS BIGINT) AS avg_margin_u6
        |FROM per GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** Residual-quantization distortion ([[vec.Rq]]): level 1 = the
+    * proven spherical k-means IVF fit; each vector's milli-quantized
+    * RESIDUAL against its centroid is then fitted with a second,
+    * EXACT-INTEGER L2 codebook (truncating-division updates, integer
+    * distances) — RQ compresses what PQ's subspace split can't when
+    * variance concentrates around centroids. Published: per level-2
+    * cell, occupancy + total/mean squared reconstruction error, all
+    * bigint — the compression-quality read next to
+    * `vec_pq_distortion`. The only doubles anywhere are level 1's
+    * (already oracle-proven); everything level-2 is bit-exact integer.
+    */
+  private def vecRqDistortion(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = ann.KMeans.fit(emb, k = 16, iters = 1).toSeq.map(_.toSeq)
+    // milli-quantized centroids: HALF_UP = away-from-zero on both engines
+    val qc: Seq[Seq[Long]] = cents.map(_.map(x =>
+      java.math.BigDecimal.valueOf(x * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()))
+    val residuals = emb
+      .select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"))
+      .join(ann.Ann.assignCells(emb, cents), "vec_id")
+      .select(col("vec_id"),
+        zip_with(col("q"),
+          element_at(typedLit(qc), col("cell").cast("int") + 1),
+          (x, y) => x - y).as("r"))
+    val cb = vec.Rq.fit(residuals, k = 16, iters = 1)
+    vec.Rq.assign(residuals, cb.toSeq.map(_.toSeq))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n"), sum("sq_err").as("total_sq"))
+      .withColumn("avg_sq", expr("total_sq div n"))
+      .orderBy("cell")
+  }
+
+  private val vecRqDistortionSql = {
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    s"""$ivfKmeansFitCtes,
+       |qc AS (
+       |  SELECT cell, list_transform(cvec, x -> CAST(round(x * 1000) AS BIGINT)) AS qcv
+       |  FROM cen),
+       |res AS MATERIALIZED (
+       |  SELECT en.vec_id,
+       |    list_transform(list_zip(en.q, qc.qcv), p -> p[1] - p[2]) AS r
+       |  FROM en JOIN assigned a USING (vec_id) JOIN qc ON qc.cell = a.cell),
+       |cb0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, r AS cvec
+       |  FROM res WHERE vec_id < 16),
+       |rqd0 AS (
+       |  SELECT res.vec_id, cb0.cell, ${dist("res.r", "cb0.cvec")} AS dist
+       |  FROM res, cb0),
+       |rqa0 AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM rqd0) WHERE rn = 1),
+       |ex2 AS (
+       |  SELECT rqa0.cell, unnest(range(len(res.r))) AS pos, unnest(res.r) AS x
+       |  FROM res JOIN rqa0 USING (vec_id)),
+       |upd2 AS (SELECT cell, pos, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM ex2 GROUP BY 1, 2),
+       |cb1 AS MATERIALIZED (
+       |  SELECT cp.cell,
+       |    list(CASE WHEN u.s IS NULL THEN cp.cv ELSE u.s // u.n END ORDER BY cp.pos) AS cvec
+       |  FROM (SELECT cell, unnest(range(len(cvec))) AS pos, unnest(cvec) AS cv FROM cb0) cp
+       |  LEFT JOIN upd2 u ON u.cell = cp.cell AND u.pos = cp.pos
+       |  GROUP BY cp.cell),
+       |rqd1 AS (
+       |  SELECT res.vec_id, cb1.cell, ${dist("res.r", "cb1.cvec")} AS dist
+       |  FROM res, cb1),
+       |rqa1 AS (
+       |  SELECT vec_id, cell, dist FROM (
+       |    SELECT vec_id, cell, dist,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
+       |    FROM rqd1) WHERE rn = 1)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(dist) AS BIGINT) AS total_sq,
+       |  CAST(SUM(dist) // COUNT(*) AS BIGINT) AS avg_sq
+       |FROM rqa1 GROUP BY 1 ORDER BY cell""".stripMargin
+  }
 
   private val annIvfKmeansSql =
     s"""$ivfKmeansFitCtes,
@@ -12176,6 +12306,8 @@ object SparkEntry {
     "q_discount_elasticity" -> (qDiscountElasticity _),
     "q_events_funnel_windowed" -> (qEventsFunnelWindowed _),
     "ann_ivf_quality" -> (annIvfQuality _),
+    "pipe_mix_interleave" -> (pipeMixInterleave _),
+    "vec_rq_distortion" -> (vecRqDistortion _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -12529,6 +12661,8 @@ object SparkEntry {
     "q_discount_elasticity" -> qDiscountElasticitySql,
     "q_events_funnel_windowed" -> qEventsFunnelWindowedSql,
     "ann_ivf_quality" -> annIvfQualitySql,
+    "pipe_mix_interleave" -> pipeMixInterleaveSql,
+    "vec_rq_distortion" -> vecRqDistortionSql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

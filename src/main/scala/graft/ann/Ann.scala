@@ -379,6 +379,17 @@ object Ann {
     df.select(Cells.bestCell(col(vecCol), centroids).cast("long").as("cell"))
       .groupBy("cell").agg(count(lit(1)).as(countName))
 
+  /** `(vec_id, cell)` — per-row best-cell assignment against the
+    * centroid literals (map-side, ties to the lower cell index; the
+    * same total order as the IVF fit oracles' row_number).
+    */
+  def assignCells(
+      df: DataFrame,
+      centroids: Seq[Seq[Double]],
+      vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    df.select(col(idCol), Cells.bestCell(col(vecCol), centroids).cast("long").as("cell"))
+
   /** Per-cell index-quality report: occupancy, mean cosine COHESION to
     * the owning centroid, and mean MARGIN over the second-best centroid
     * (both in truncated µ-units) — the k-picker's read: low cohesion =

@@ -6609,3 +6609,54 @@ class IvfQualitySpec extends AnyFunSuite {
     assert(out.length === 2)
   }
 }
+
+class MixInterleaveSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("wfq interleave: positions follow hash/weight exactly; heavy source leads") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("ilv")
+    // source a: 100 docs x 8 words; source b: 25 docs x 8 words
+    // sqrt-token weights 2:1 -> a should appear ~2x as often in the head
+    val docs = ((0L until 100L).map(i => (i, "a")) ++ (100L until 125L).map(i => (i, "b")))
+      .map { case (id, s) => (id, Seq.fill(8)(s"w$id").mkString(" "), "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_mix_interleave")(spark, tmp).collect()
+    assert(out.length === 100)
+    // exact WFQ position of the first row, from first principles
+    val r0 = out.head
+    val h = graft.functions.Mix64(r0.getAs[Long]("doc_id")) >>> 16
+    val st = if (r0.getAs[String]("source") == "a") 800.0 else 200.0
+    assert(r0.getAs[Long]("pos_q") === (h.toDouble * 1000.0 / math.sqrt(st)).toLong)
+    // proportionality: among the first 45, the heavy source dominates ~2:1
+    val headA = out.take(45).count(_.getAs[String]("source") == "a")
+    assert(headA > 22 && headA < 45, s"headA=$headA")
+    // deterministic: re-run identical
+    val again = SparkEntry.queries("pipe_mix_interleave")(spark, tmp).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
+
+class RqSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("rq: perfect clusters leave zero residual distortion; totals reconcile") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("rq")
+    // 16 distinct unit-ish vectors (ids 0..15 seed BOTH fit levels),
+    // each repeated 3 more times -> every centroid equals its members,
+    // every residual is exactly zero, so RQ distortion must be 0
+    val base = (0 until 16).map(j => Seq.tabulate(8)(d => if (d == j % 8) 1f else 0.125f * j))
+    val vecs = (0L until 64L).map(i => (i, base((i % 16).toInt)))
+    vecs.toDF("vec_id", "embedding").withColumn("label", lit(1))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = SparkEntry.queries("vec_rq_distortion")(spark, tmp).collect()
+    assert(out.map(_.getAs[Long]("n")).sum === 64L)
+    assert(out.map(_.getAs[Long]("total_sq")).sum === 0L)
+    assert(out.forall(_.getAs[Long]("avg_sq") === 0L))
+  }
+}
