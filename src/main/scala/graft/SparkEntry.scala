@@ -2464,11 +2464,16 @@ object SparkEntry {
   private def textGopherQuality(s: SparkSession, dir: String): DataFrame =
     text.Gopher.metrics(Tables.documents(s, dir)).orderBy("doc_id")
 
-  private val textGopherQualitySql = {
+  /** Shared Gopher-gate CTE chain ending in `jk(doc_id, source,
+    * n_words, n_distinct, top_word_n, dup_frac, top_word_frac,
+    * mean_word_len, symbol_ratio, keep)` — composed by the quality key
+    * and the source-LOO valuation.
+    */
+  private val gopherKeepCtes: String = {
     val c = canonSql
     val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
-    s"""WITH m AS (
-       |  SELECT doc_id,
+    s"""m AS (
+       |  SELECT doc_id, source,
        |    CAST($wcSql AS BIGINT) AS n_words,
        |    CAST(len(list_distinct($wordsListSql)) AS BIGINT) AS n_distinct,
        |    CAST(length(replace($c, ' ', '')) AS BIGINT) AS n_word_chars,
@@ -2481,18 +2486,66 @@ object SparkEntry {
        |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM m, UNNEST(m.w) AS t(g) GROUP BY doc_id, g)
        |  GROUP BY doc_id),
        |j AS (
-       |  SELECT m.doc_id, n_words, n_distinct, COALESCE(top_word_n, 0) AS top_word_n,
+       |  SELECT m.doc_id, m.source, n_words, n_distinct, COALESCE(top_word_n, 0) AS top_word_n,
        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_words - n_distinct AS DOUBLE) / n_words END AS dup_frac,
        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(COALESCE(top_word_n, 0) AS DOUBLE) / n_words END AS top_word_frac,
        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_word_chars AS DOUBLE) / n_words END AS mean_word_len,
        |    CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_symbols AS DOUBLE) / n_chars END AS symbol_ratio
-       |  FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id)
-       |SELECT doc_id, n_words, n_distinct, top_word_n, dup_frac, top_word_frac,
-       |  mean_word_len, symbol_ratio,
-       |  (n_words >= 5 AND n_words <= 1000 AND dup_frac < 0.6
-       |   AND top_word_frac < 0.2 AND symbol_ratio < 0.3) AS keep
-       |FROM j ORDER BY doc_id""".stripMargin
+       |  FROM m LEFT JOIN tw ON m.doc_id = tw.doc_id),
+       |jk AS (
+       |  SELECT *,
+       |    (n_words >= 5 AND n_words <= 1000 AND dup_frac < 0.6
+       |     AND top_word_frac < 0.2 AND symbol_ratio < 0.3) AS keep
+       |  FROM j)""".stripMargin
   }
+
+  private val textGopherQualitySql =
+    s"""WITH $gopherKeepCtes
+       |SELECT doc_id, n_words, n_distinct, top_word_n, dup_frac, top_word_frac,
+       |  mean_word_len, symbol_ratio, keep
+       |FROM jk ORDER BY doc_id""".stripMargin
+
+  /** Leave-one-out source valuation: which source DRAGS the corpus —
+    * per source, the corpus Gopher-keep rate WITHOUT that source minus
+    * the rate with it (trunc-permille integers). One gate pass + one
+    * bounded per-source aggregate; the LOO algebra needs only the
+    * per-source (docs, keeps) sums and the corpus totals, so "leave
+    * one out" costs nothing extra at any corpus size — the cheap end
+    * of data-valuation, read next to `pipe_quality_scorecard`.
+    */
+  private def pipeSourceLoo(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perDoc = text.Gopher.metrics(docs)
+      .select(col("doc_id"), col("keep"))
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    val k = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
+    // bounded 1-row totals collect, inlined as literals
+    val tot = k.agg(sum("docs"), sum("keeps")).head()
+    val (td, tk) = (tot.getLong(0), tot.getLong(1))
+    k.select(col("source"), col("docs"), col("keeps"),
+        expr("keeps * 1000 div docs").as("keep_pml"),
+        expr(s"case when ${td}L - docs = 0 then 0L else " +
+          s"((${tk}L - keeps) * 1000 div (${td}L - docs)) - " +
+          s"(${tk}L * 1000 div ${td}L) end").as("loo_delta_pml"))
+      .orderBy("source")
+  }
+
+  private val pipeSourceLooSql =
+    s"""WITH $gopherKeepCtes,
+       |k AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+       |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keeps
+       |  FROM jk GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(docs) AS BIGINT) AS td,
+       |  CAST(SUM(keeps) AS BIGINT) AS tk FROM k)
+       |SELECT source, docs, keeps,
+       |  keeps * 1000 // docs AS keep_pml,
+       |  CASE WHEN td - docs = 0 THEN 0
+       |    ELSE ((tk - keeps) * 1000 // (td - docs)) - (tk * 1000 // td)
+       |  END AS loo_delta_pml
+       |FROM k, tot ORDER BY source""".stripMargin
 
   /** Gopher-style n-gram repetition signals: top-bigram char fraction +
     * duplicated-5-gram occurrence fraction per doc (the repetition family
@@ -6793,6 +6846,61 @@ object SparkEntry {
        |FROM truth LEFT JOIN approx
        |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Rank-biased overlap of the IVF ranking vs the brute-force truth
+    * (Webber et al. 2010, truncated at depth 10, p=0.9) — the
+    * ORDER-sensitive retrieval eval recall@k cannot express: two lists
+    * with the same members score differently when the approximate index
+    * shuffles the top ranks. RBO = Σ_d w_d·|A_d∩B_d| with the geometric
+    * depth weights folded to integer nano-unit literals at PLAN-BUILD
+    * time — the Spark expression and the SQL oracle inline the SAME
+    * literals, so no float is evaluated at runtime on either engine;
+    * the per-match suffix-weight trick (Σ_d≥max(ra,rb) w_d) turns the
+    * double sum into one bounded equi-join + aggregate.
+    */
+  private def annRboEval(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = ann.Ann.bruteForceTopK(emb, annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("ra"))
+    val approx = ann.Ann.ivfTopK(emb, annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), col("rnk").as("rb"))
+    val matched = truth.join(approx, Seq("query_id", "vec_id"))
+      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
+    val per = matched
+      .select(col("query_id"),
+        element_at(typedLit(rboSuffixWeights), col("m").cast("int")).as("w"))
+      .groupBy("query_id").agg(sum("w").as("rbo_q"))
+    truth.select("query_id").distinct()
+      .join(per, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("rbo_q"), lit(0L)).as("rbo_q"))
+      .orderBy("query_id")
+  }
+
+  /** w_d = floor(1e9·(1−p)·p^(d−1)/d) for p=0.9, d=1..10; suffix sums
+    * T_m = Σ_{d=m..10} w_d. Computed ONCE here and inlined identically
+    * into the Spark plan and the SQL oracle.
+    */
+  private val rboSuffixWeights: Seq[Long] = {
+    def w(d: Int): Long = math.floor(1e9 * 0.1 * math.pow(0.9, d - 1) / d).toLong
+    (1 to 10).map(m => (m to 10).map(w).sum)
+  }
+
+  private val annRboEvalSql = {
+    val vals = rboSuffixWeights.zipWithIndex
+      .map { case (t, i) => s"(${i + 1}, CAST($t AS BIGINT))" }.mkString(", ")
+    s"""WITH truth AS (SELECT query_id, vec_id, rnk AS ra FROM (${bruteforceRankSql(10)})),
+       |approx AS (SELECT query_id, vec_id, rnk AS rb FROM ($annIvfSql)),
+       |mt AS (
+       |  SELECT truth.query_id, greatest(ra, rb) AS m
+       |  FROM truth JOIN approx USING (query_id, vec_id)),
+       |tv(m, w) AS (SELECT * FROM (VALUES $vals)),
+       |per AS (
+       |  SELECT mt.query_id, CAST(SUM(tv.w) AS BIGINT) AS rbo_q
+       |  FROM mt JOIN tv ON tv.m = mt.m GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM truth)
+       |SELECT qs.query_id, COALESCE(per.rbo_q, 0) AS rbo_q
+       |FROM qs LEFT JOIN per USING (query_id) ORDER BY query_id""".stripMargin
+  }
 
   // =================== §2.2/§2.3 additions, round 8 ===================
 
@@ -12308,6 +12416,8 @@ object SparkEntry {
     "ann_ivf_quality" -> (annIvfQuality _),
     "pipe_mix_interleave" -> (pipeMixInterleave _),
     "vec_rq_distortion" -> (vecRqDistortion _),
+    "pipe_source_loo" -> (pipeSourceLoo _),
+    "ann_rbo_eval" -> (annRboEval _),
     "q_events_paths" -> (qEventsPaths _),
     "vec_top_eigen" -> (vecTopEigen _),
     "vec_pca_basis" -> (vecPcaBasis _),
@@ -12663,6 +12773,8 @@ object SparkEntry {
     "ann_ivf_quality" -> annIvfQualitySql,
     "pipe_mix_interleave" -> pipeMixInterleaveSql,
     "vec_rq_distortion" -> vecRqDistortionSql,
+    "pipe_source_loo" -> pipeSourceLooSql,
+    "ann_rbo_eval" -> annRboEvalSql,
     "q_events_paths" -> qEventsPathsSql,
     "vec_top_eigen" -> vecTopEigenSql,
     "vec_pca_basis" -> vecPcaBasisSql,

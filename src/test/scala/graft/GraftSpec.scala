@@ -6660,3 +6660,63 @@ class RqSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("avg_sq") === 0L))
   }
 }
+
+class SourceLooSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("loo valuation: a failing source shows the exact +delta, a good one the -delta") {
+    import spark.implicits._
+    val tmp = TmpDirs.create("loo")
+    // 10 docs that pass the Gopher gate (10 distinct words) and 10 that
+    // fail it (3 words < the min-5 rule)
+    val good = (0L until 10L).map(i => (i, (0 until 10).map(j => s"w$i$j").mkString(" "), "good"))
+    val bad = (10L until 20L).map(i => (i, "tiny doc here", "bad"))
+    (good ++ bad).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("pipe_source_loo")(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("keep_pml"), r.getAs[Long]("loo_delta_pml")))).toMap
+    // corpus keep = 10/20 = 500 pml; without bad: 10/10 = 1000 -> +500
+    assert(out("bad") === ((0L, 500L)))
+    assert(out("good") === ((1000L, -500L)))
+  }
+}
+
+class RboSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def w(d: Int): Long = math.floor(1e9 * 0.1 * math.pow(0.9, d - 1) / d).toLong
+  private def tSuffix(m: Int): Long = (m to 10).map(w).sum
+
+  test("suffix-weight identity equals the textbook double sum on hand rankings") {
+    // rankings as vec->rank maps over depth 10
+    val cases: Seq[(Seq[Long], Seq[Long])] = Seq(
+      ((1L to 10L), (1L to 10L)),                      // identical
+      ((1L to 10L), (10L to 1L by -1L)),               // reversed
+      ((1L to 10L), (6L to 15L)),                      // half overlap
+      ((1L to 10L), (11L to 20L)))                     // disjoint
+    for ((a, b) <- cases) {
+      val ra = a.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+      val rb = b.zipWithIndex.map { case (v, i) => v -> (i + 1) }.toMap
+      val textbook = (1 to 10).map { d =>
+        val ad = a.take(d).toSet; val bd = b.take(d).toSet
+        w(d) * (ad & bd).size
+      }.sum
+      val suffix = (a.toSet & b.toSet).toSeq
+        .map(v => tSuffix(math.max(ra(v), rb(v)))).sum
+      assert(textbook === suffix, s"a=$a b=$b")
+    }
+  }
+
+  test("operator emits one bounded row per query on real data") {
+    val out = SparkEntry.queries("ann_rbo_eval")(spark, dir).collect()
+    assert(out.length === 5)
+    val maxRbo = (1 to 10).map(tSuffix).sum
+    assert(out.forall { r =>
+      val v = r.getAs[Long]("rbo_q"); v >= 0L && v <= maxRbo
+    })
+  }
+}
