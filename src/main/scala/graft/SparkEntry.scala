@@ -3801,8 +3801,23 @@ object SparkEntry {
     * the oracle unrolls the three hops with the exact rescoring +
     * top-k fold per round.
     */
+  /** Build-once kNN graph artifact shared by `ann_graph_search` /
+    * `ann_graph_recall` (the same persisted-index lifecycle as PQ/IVF/
+    * co-purchase edges): the bucketed top-5 neighbor list is the
+    * expensive build; searches only load it.
+    */
+  private def knnGraphShared(s: SparkSession, dir: String): DataFrame = {
+    val ix = cachedIndexDir("knng", dir) { p =>
+      val g = ann.Ann.knnGraph(Tables.embeddings(s, dir), k = 5, p = 8)
+      g.write.parquet(p)
+      g.unpersist(blocking = false); ()
+    }
+    s.read.parquet(ix)
+  }
+
   private def annGraphSearch(s: SparkSession, dir: String): DataFrame =
-    ann.Ann.graphSearch(Tables.embeddings(s, dir), annQueryIds, k = 10, hops = 3)
+    ann.Ann.graphSearch(Tables.embeddings(s, dir), annQueryIds, k = 10, hops = 3,
+        graph0 = Some(knnGraphShared(s, dir)))
       .orderBy("query_id", "rnk")
 
   private val annGraphSearchSql = {
@@ -8687,7 +8702,7 @@ object SparkEntry {
     val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
       .select(col("query_id"), col("vec_id"))
     val approx = ann.Ann.graphSearch(Tables.embeddings(s, dir), annQueryIds,
-        k = 10, hops = 3)
+        k = 10, hops = 3, graph0 = Some(knnGraphShared(s, dir)))
       .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "vec_id"), "left")
       .groupBy("query_id")

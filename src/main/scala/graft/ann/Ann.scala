@@ -251,11 +251,15 @@ object Ann {
       k: Int = 10,
       hops: Int = 3,
       nnK: Int = 5,
-      p: Int = 8): DataFrame = {
+      p: Int = 8,
+      graph0: Option[DataFrame] = None): DataFrame = {
     require(k >= 1 && hops >= 1, s"graphSearch: need k, hops >= 1; got $k, $hops")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val graph = knnGraph(embeddings, nnK, p) // persisted by knnGraph; released below
+    // graph0 = a prebuilt (persisted-index) kNN graph: in production the
+    // graph is built once and every search loads it — the build-once
+    // lifecycle PQ/IVF already follow. Absent, build it here.
+    val graph = graph0.getOrElse(knnGraph(embeddings, nnK, p))
     val edges = graph.select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val corpusB = embeddings.select(
       col("vec_id"),
