@@ -6,26 +6,17 @@ import java.nio.file.{Files, Paths}
   * results only depend on the Spark-side query code, so an oracle-SQL-only
   * edit (the common case when tuning the DuckDB mirrors' cost) can be
   * re-checked against the standing dumps in seconds instead of a full
-  * multi-minute Verify pass.
+  * multi-minute Verify pass. Also feeds `tools/check_oracles.py --types`
+  * (the DESCRIBE-based HUGEINT-hygiene sweep) when run standalone.
   */
 object DumpOracles {
-  /** JSON string escape: backslash, quote, and ALL control chars (<0x20). */
-  def q(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
-
-  def json: String =
-    SparkEntry.oracleSql.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-
   def main(args: Array[String]): Unit = {
-    val out = Paths.get(args(0)).resolve("oracle_sql.json")
-    Files.writeString(out, json)
-    println(s"[dump-oracles] wrote ${SparkEntry.oracleSql.size} oracles to $out")
+    val dir = Paths.get(args(0))
+    // 2nd arg: the data dir the standing dump was produced from — feeds
+    // the __SF_DIR__ substitution for filesystem-reading oracles.
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.01")
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("oracle_sql.json"), Verify.oracleJson(None, sfDir))
+    println(s"[dump-oracles] wrote ${SparkEntry.oracleSql.size} oracles to $dir (sfDir=$sfDir)")
   }
 }

@@ -3117,47 +3117,13 @@ object SparkEntry {
     * metadata join. Jaccard in integer permille (truncating division
     * both engines).
     */
-  private def pipeSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    // source-bitmask rollup: per gram ONE 64-bit membership word
-    // (bit i = source i holds the gram), every pairwise intersection
-    // then reads off the bounded mask-count table — no gram×gram
-    // self-join at all (the former plan's cost center: a gram shared
-    // by S sources cost S² join rows; this is O(grams) + masks×pairs
-    // metadata). Trade documented: mask width caps at 64 sources —
-    // beyond that, shard the source dimension.
-    val wSrc = Window.orderBy("source") // bounded: distinct sources
-    val srcIdx = Tables.documents(s, dir).select("source").distinct()
-      .withColumn("idx", (row_number().over(wSrc) - 1).cast("long"))
-    // grams collapse to 64-bit xxhash BEFORE any shuffle: the distinct
-    // and the per-gram rollup move 8-byte keys, not ~50-byte strings
-    // (the dominant cost at corpus scale; collision odds ~(n²/2⁶⁵) are
-    // negligible and the hash never reaches the output — the oracle
-    // compares the string-exact pair counts)
-    val g = Tables.documents(s, dir)
-      .select(col("source"),
-        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("gs"))
-      .select(col("source"), xxhash64(col("gs")).as("g"))
-      .distinct()
-    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
-    val masks = g.join(broadcast(srcIdx), "source")
-      .select(col("g"), expr("shiftleft(1L, cast(idx as int))").as("bit"))
-      .groupBy("g").agg(expr("bit_or(bit)").as("mask"))
-      .groupBy("mask").agg(count(lit(1)).as("cnt"))
-    val pairs = srcIdx.as("x").join(srcIdx.as("y"), col("x.source") < col("y.source"))
-      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
-        col("x.idx").as("ia"), col("y.idx").as("ib"))
-    val inter = pairs.crossJoin(masks) // pairs × distinct masks — metadata grid
-      .groupBy("src_a", "src_b")
-      .agg(sum(when(expr("(mask >> ia) & 1 = 1 and (mask >> ib) & 1 = 1"),
-        col("cnt")).otherwise(0L)).as("inter"))
-    inter
-      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
-      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"))
-      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
-      .withColumn("jaccard_permille", expr("inter * 1000 div uni"))
-      .orderBy("src_a", "src_b")
-  }
+  private def pipeSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    // kernel in pipeline.SourceOverlap: per-gram source-bitmask rollup
+    // sharded into ⌈S/64⌉ mask words (R10 — no source-count cap), grams
+    // pre-hashed to 8-byte keys before any shuffle, intersections read
+    // off the bounded mask-pattern count table. The hash never reaches
+    // the output; the oracle compares the string-exact pair counts.
+    pipeline.SourceOverlap.matrix(Tables.documents(s, dir), n = 8)
 
   private val pipeSourceOverlapSql =
     s"""WITH d AS (SELECT source, $wordsListSql AS w FROM documents),
@@ -7375,7 +7341,7 @@ object SparkEntry {
        |    CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS rev_c
        |  FROM orders GROUP BY 1)
        |SELECT CAST(mon AS INT) AS mon, n_orders, rev_c,
-       |  rev_c * 12000 // (SUM(rev_c) OVER ()) AS index_pml
+       |  CAST(rev_c * 12000 // (SUM(rev_c) OVER ()) AS BIGINT) AS index_pml
        |FROM per ORDER BY mon""".stripMargin
 
   /** Per-user behavioral path entropy: Shannon entropy of each user's
@@ -7792,11 +7758,15 @@ object SparkEntry {
          |  GROUP BY 1, 2)""".stripMargin
     def top(src: String, name: String) =
       s"$name AS (SELECT a, b, c FROM $src ORDER BY c DESC, a, b LIMIT 1)"
+    // LEFT JOIN ON TRUE, not a cross join: on a corpus that dries before
+    // 3 merges (the fitMerges stop guard) the top-pair CTE is EMPTY, and
+    // a cross join would erase w1..w3 while Spark still returns the
+    // earlier merges — COALESCE passes tokstr through unchanged instead.
     def rewrite(src: String, t: String, name: String) =
       s"""$name AS (
-         |  SELECT replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
-         |    '|' || $t.a || $t.b || '|') AS tokstr, n
-         |  FROM $src, $t)""".stripMargin
+         |  SELECT COALESCE(replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
+         |    '|' || $t.a || $t.b || '|'), $src.tokstr) AS tokstr, n
+         |  FROM $src LEFT JOIN $t ON TRUE)""".stripMargin
     s"""WITH w0 AS (
        |  SELECT regexp_replace(t, '(.)', '|\\1|', 'g') AS tokstr,
        |    CAST(COUNT(*) AS BIGINT) AS n
@@ -7827,8 +7797,12 @@ object SparkEntry {
     */
   private def textBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val (_, dict) = text.Bpe.fitMerges(Tables.documents(s, dir), steps = 3)
+    // Materialize the word-type → token-length dictionary (vocab-bounded)
+    // BEFORE releasing the fit's cache: the returned plan must not have to
+    // recompute the 3-round merge-rewrite chain at action time.
     val tl = dict.select(col("w"),
       size(expr(text.Bpe.toksExpr)).cast("long").as("tok_len"))
+      .localCheckpoint(true)
     val perDoc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(text.Text.words(col("text"))).as("w"))
       .join(tl, "w")
@@ -7861,11 +7835,14 @@ object SparkEntry {
          |  GROUP BY 1, 2)""".stripMargin
     def top(src: String, name: String) =
       s"$name AS MATERIALIZED (SELECT a, b, c FROM $src ORDER BY c DESC, a, b LIMIT 1)"
+    // dry-corpus-safe like text_bpe_merges' rewrite: LEFT JOIN + COALESCE
+    // so an empty top-pair CTE passes tokstr through instead of emptying
+    // the whole dictionary chain.
     def rewrite(src: String, t: String, name: String) =
       s"""$name AS MATERIALIZED (
-         |  SELECT $src.w, replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
-         |    '|' || $t.a || $t.b || '|') AS tokstr, n
-         |  FROM $src, $t)""".stripMargin
+         |  SELECT $src.w, COALESCE(replace($src.tokstr, '|' || $t.a || '||' || $t.b || '|',
+         |    '|' || $t.a || $t.b || '|'), $src.tokstr) AS tokstr, n
+         |  FROM $src LEFT JOIN $t ON TRUE)""".stripMargin
     s"""WITH w0 AS MATERIALIZED (
        |  SELECT t AS w, regexp_replace(t, '(.)', '|\\1|', 'g') AS tokstr,
        |    CAST(COUNT(*) AS BIGINT) AS n
@@ -8134,10 +8111,13 @@ object SparkEntry {
     * the cluster with no driver-side listing bottleneck beyond the
     * catalog listing itself; the head/tail fingerprint reads ~16 bytes
     * of real content per file, proving the bytes (not just the
-    * metadata) arrived. Rows-only key: the driver's oracle harness
-    * resolves TABLE names, not filesystem globs, so the DuckDB
-    * read_blob cross-check lives in BinaryFileSpec (which also verifies
-    * every byte fingerprint against direct java.nio reads).
+    * metadata) arrived. Oracle: DuckDB ≥0.10 reads raw bytes via
+    * `read_blob(glob)`; the static SQL carries an `__SF_DIR__` token
+    * that [[Verify.oracleJson]] substitutes with the run's actual data
+    * directory at dump time (the one moment the path is known), so the
+    * same mirror is exact at every scale factor. BinaryFileSpec
+    * additionally verifies every byte fingerprint against direct
+    * java.nio reads.
     */
   private def srcBinaryfileScan(s: SparkSession, dir: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", "*.parquet").load(dir)
@@ -8147,6 +8127,16 @@ object SparkEntry {
         substring(hex(col("content")), 1, 16).as("head8_hex"),
         expr("substring(hex(content), length * 2 - 15, 16)").as("tail8_hex"))
       .orderBy("file_name")
+
+  /** `__SF_DIR__` is replaced with the live data directory by
+    * [[Verify.oracleJson]] — see [[srcBinaryfileScan]]'s doc.
+    */
+  private val srcBinaryfileScanSql =
+    """SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+      |  CAST(size AS BIGINT) AS length,
+      |  substring(hex(content), 1, 16) AS head8_hex,
+      |  substring(hex(content), CAST(size * 2 - 15 AS BIGINT), 16) AS tail8_hex
+      |FROM read_blob('__SF_DIR__/*.parquet') ORDER BY file_name""".stripMargin
 
   /** Gini coefficient of customer revenue concentration — the
     * single-number inequality metric next to the ABC classification:
@@ -10163,7 +10153,8 @@ object SparkEntry {
 
   /** Deterministic negative sampling for recommender/contrastive
     * training: each customer draws 8 pseudo-random part candidates —
-    * SplitMix64(custkey·8+i) top-32 mod |parts| — the parts they HAVE
+    * SplitMix64(custkey·8+i) top-32 mod |parts|, deduped to first draw
+    * when two draws collide on a part — the parts they HAVE
     * purchased are anti-joined away, and the first 4 survivors (by
     * draw index) become the customer's negatives. Reproducible from
     * data alone: no RNG state, so a re-run (or the SQL oracle) lands
@@ -10190,6 +10181,9 @@ object SparkEntry {
       .select(col("custkey"), explode(sequence(lit(0L), lit(7L))).as("i"))
       .select(col("custkey"), col("i"),
         (h(col("custkey") * 8L + col("i")) % p + 1L).as("cand"))
+      // two of the 8 draws can collide mod |parts|; a negatives list must
+      // not repeat a part, so keep each candidate once at its first draw
+      .groupBy("custkey", "cand").agg(min("i").as("i"))
     val byCust = Window.partitionBy("custkey").orderBy("i")
     cands.join(purchased, Seq("custkey", "cand"), "left_anti")
       .withColumn("rnk", row_number().over(byCust).cast("long"))
@@ -10204,11 +10198,14 @@ object SparkEntry {
        |    CAST(l.l_partkey AS BIGINT) AS cand
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
        |pmax AS (SELECT CAST(MAX(p_partkey) AS BIGINT) AS p FROM part),
-       |cnd AS (
+       |cnd0 AS (
        |  SELECT CAST(c_custkey AS BIGINT) AS custkey, i,
        |    (${oracle.DuckHash.mix64Top32Sql("CAST(c_custkey AS BIGINT) * 8 + i")})
        |      % (SELECT p FROM pmax) + 1 AS cand
        |  FROM customer, UNNEST(generate_series(0, 7)) AS u(i)),
+       |cnd AS (
+       |  SELECT custkey, CAST(MIN(i) AS BIGINT) AS i, cand
+       |  FROM cnd0 GROUP BY custkey, cand),
        |neg AS (
        |  SELECT cnd.custkey, cnd.i, cnd.cand
        |  FROM cnd LEFT JOIN pur ON pur.custkey = cnd.custkey AND pur.cand = cnd.cand
@@ -12721,6 +12718,7 @@ object SparkEntry {
     "snk_retention_sweep" -> snkRetentionSweepSql,
     "q_events_bot_score" -> qEventsBotScoreSql,
     "src_schema_evolution" -> srcSchemaEvolutionSql,
+    "src_binaryfile_scan" -> srcBinaryfileScanSql,
     "q_events_peak_concurrency" -> qEventsPeakConcurrencySql,
     "text_code_score" -> textCodeScoreSql,
     "q_unpivot_api" -> qUnpivotApiSql,

@@ -300,7 +300,10 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // materialize while the graph is cached; caller owns out
-    graph.unpersist(blocking = false)
+    // Release only a graph WE built: a caller-supplied graph0 is a shared
+    // persisted-index artifact whose cache lifecycle the caller owns —
+    // unpersisting it here would silently evict it after the first search.
+    if (graph0.isEmpty) graph.unpersist(blocking = false)
     out
   }
 

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text
+
+/** Pairwise source n-gram overlap matrix — the corpus-level redundancy
+  * report that decides which sources to dedup against each other BEFORE
+  * paying a full cross-source near-dup pass.
+  *
+  * Scale design (reference computes nothing like this; the shape is the
+  * classic distinct-shingle Jaccard, e.g. Broder 1997): grams collapse
+  * to 64-bit xxhash keys BEFORE any shuffle (8-byte keys, not ~50-byte
+  * strings); per gram the source memberships roll up into one bitmask
+  * word per 64 sources (bit i%64 of word i/64), so every pairwise
+  * intersection reads off a bounded (mask-pattern → count) table — no
+  * gram×gram self-join, no S² join-row term at all. The source
+  * dimension is SHARDED into ⌈S/64⌉-long mask arrays (R10), so there is
+  * no hard source-count cap; cost is O(grams) + distinct-patterns ×
+  * pairs metadata. Distinct membership patterns are ≤ min(grams, 2^S)
+  * — ≪ grams for real corpora, the documented watch item for
+  * adversarial mixes.
+  */
+object SourceOverlap {
+
+  /** @param docs frame with `source` (string) and `text` columns
+    * @param n    shingle width in words
+    * @return (src_a, src_b, n_a, n_b, inter, uni, jaccard_permille) for
+    *         every unordered source pair, Jaccard in truncating permille
+    */
+  def matrix(docs: DataFrame, n: Int = 8): DataFrame = {
+    val wSrc = Window.orderBy("source") // bounded: distinct sources
+    val srcIdx = docs.select("source").distinct()
+      .withColumn("idx", (row_number().over(wSrc) - 1).cast("long"))
+    val g = docs
+      .select(col("source"),
+        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), n)).as("gs"))
+      .select(col("source"), xxhash64(col("gs")).as("g"))
+      .distinct()
+    val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
+    // bounded 1-value collect: the mask-array width ⌈S/64⌉
+    val nWords = ((srcIdx.count() + 63) / 64).toInt.max(1)
+    val masks = g.join(broadcast(srcIdx), "source")
+      .select(col("g"), expr("idx div 64").as("word"),
+        expr("shiftleft(1L, cast(idx % 64 as int))").as("bit"))
+      .groupBy("g", "word").agg(expr("bit_or(bit)").as("m"))
+      // zero-fill absent words so every gram carries a full-width array
+      .groupBy("g")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("m")))).as("wm"))
+      .select(expr(s"transform(sequence(0, ${nWords - 1}), " +
+        "w -> coalesce(element_at(wm, cast(w as bigint)), 0L))").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+    val pairs = srcIdx.as("x").join(srcIdx.as("y"), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.idx").as("ia"), col("y.idx").as("ib"))
+    val both: Column =
+      expr("(element_at(mask, cast(ia div 64 as int) + 1) >> (ia % 64)) & 1 = 1 " +
+        "and (element_at(mask, cast(ib div 64 as int) + 1) >> (ib % 64)) & 1 = 1")
+    val inter = pairs.crossJoin(masks) // pairs × distinct mask patterns
+      .groupBy("src_a", "src_b")
+      .agg(sum(when(both, col("cnt")).otherwise(0L)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("inter"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard_permille", expr("inter * 1000 div uni"))
+      .orderBy("src_a", "src_b")
+  }
+}

@@ -1019,6 +1019,8 @@ class PlanAuditSpec extends AnyFunSuite {
                          // per-doc scores (bounded by construction)
       "ann_graph_recall", // inherits the brute-force truth leg's tiny
                           // broadcast, like ann_recall_eval / ann_lsh_recall
+      "ann_rbo_eval", // same inherited brute-force truth leg (the RBO
+                      // compare itself is an equi-join on query_id)
       "vec_matryoshka_recall", // three brute-force legs + a 3-row dims
                                // fan on the truth frame, all bounded
       "samp_time_split", // 4-row fold manifest × day-domain aggregate —
@@ -3297,6 +3299,7 @@ class R8DiffSpec extends AnyFunSuite {
     // updates partition into the three non-empty masks; survivors = same
     val upd = rows.filter(_._1._1 == "update").values.sum
     val expectedUpd = keys.count(k => k % 97 != 0 && (k % 13 == 0 || k % 29 == 0))
+    assert(expectedUpd > 0) // the update plant fired — forall below is non-vacuous
     assert(upd === expectedUpd)
     assert(rows((("same"), "")) === n - keys.count(_ % 97 == 0) - expectedUpd)
     // every update row names at least one changed column
@@ -4253,7 +4256,9 @@ class Wave8Spec extends AnyFunSuite {
     assert(out.nonEmpty)
     assert(out.head.getLong(0) === 7L)               // metronome ranks first
     assert(out.head.getLong(3) === 1000L)            // perfectly regular
-    // organic users never reach perfect regularity
+    // organic users never reach perfect regularity — and they exist
+    // (non-vacuous: the report must rank organics below the metronome)
+    assert(out.count(_.getLong(0) != 7L) > 0)
     assert(out.filter(_.getLong(0) != 7L).forall(_.getLong(3) < 1000L))
   }
 
@@ -5096,7 +5101,9 @@ class ImportanceSpec extends AnyFunSuite {
     val out = SparkEntry.queries("samp_importance")(spark, dir).collect()
     val nDocs = Tables.documents(spark, dir).count()
     assert(out.length === nDocs)
-    // target docs are reference-only: scored but never kept
+    // target docs are reference-only: scored but never kept — and the
+    // target set is non-empty, or this asserts nothing
+    assert(out.count(_.getBoolean(1)) > 0)
     assert(out.filter(_.getBoolean(1)).forall(!_.getBoolean(4)))
     val nt = out.filter(r => !r.getBoolean(1))
     val kept = nt.filter(_.getBoolean(4)).map(_.getLong(3))

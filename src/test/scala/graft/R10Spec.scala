@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** R10: the former 64-source hard cap in the source-overlap bitmask
+  * rollup is now sharded mask WORDS (⌈S/64⌉-long arrays) — VERDICT r9
+  * watch item #3 made code. 70 planted sources force two mask words;
+  * the intersection counts must match a string-level brute-force
+  * gram equi-join exactly, including pairs whose indices straddle the
+  * word boundary.
+  */
+class SourceOverlapShardSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("mask sharding is exact at 70 sources (two 64-bit words)") {
+    val base = (1 to 12).map(i => s"base$i").mkString(" ")
+    // sources 2k and 2k+1 are textually identical (Jaccard 1000‰);
+    // every source shares the 5 pure-base 8-grams with everyone else
+    val docs = (0 until 70).map { i =>
+      (f"s$i%03d", s"$base tag${i / 2} tail1 tail2 tail3 tail4 tail5 tail6 tail7")
+    }.toDF("source", "text")
+    val out = pipeline.SourceOverlap.matrix(docs, n = 8)
+      .select("src_a", "src_b", "inter", "jaccard_permille")
+    // brute-force truth at the string level (no hashing, no masks)
+    val g = docs.select(col("source"),
+      explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 8)).as("g"))
+      .distinct()
+    val truth = g.as("a")
+      .join(g.as("b"), col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("ti"))
+    val tm = truth.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // the plant actually fired: overlapping pairs exist on both sides of
+    // the 64-index word boundary (vacuous-assertion lesson, VERDICT #8)
+    assert(tm.nonEmpty && tm.exists { case ((a, b), _) => a < "s064" && b >= "s064" })
+    val rows = out.collect()
+    assert(rows.length === 70 * 69 / 2) // every unordered pair reported
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) === tm.getOrElse(key, 0L), s"inter mismatch at $key")
+    }
+    // identical twins straddle nothing: (s000,s001) and the boundary
+    // pair (s064,s065) both sit in one word; (s063,s064) straddles.
+    val jm = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(jm(("s000", "s001")) === 1000L)
+    assert(jm(("s064", "s065")) === 1000L)
+    assert(jm(("s063", "s064")) < 1000L && jm(("s063", "s064")) > 0L)
+  }
+}

@@ -80,6 +80,54 @@ def check_one(item):
         return name, f"ERROR {name}: {type(e).__name__}: {str(e)[:300]}", False
 
 
+# DuckDB output types the driver's strict value-hash handles identically
+# to Spark's. Anything OUTSIDE this set (HUGEINT from SUM(BIGINT)
+# promotion, DECIMAL from integer division chains, UBIGINT) hashes
+# differently even when values are numerically identical — the exact
+# class of bug that made q_orders_seasonality FAIL the r9 gate.
+ALLOWED_TYPES = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE",
+                 "FLOAT", "VARCHAR", "BOOLEAN", "DATE", "BLOB"}
+
+
+def check_types(sf_dir: str, out_dir: str, only: list) -> int:
+    """--types mode: DESCRIBE every oracle query and assert each output
+    column's DuckDB type is in ALLOWED_TYPES. Catches latent HUGEINT /
+    DECIMAL promotions without needing the Spark-side parquet dumps.
+    Oracles referencing Verify-written temp paths that don't exist yet
+    are reported SKIP (they type-check in the full gate run instead)."""
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracles = {k: v for k, v in oracles.items() if k in only}
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    failures = skips = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").df()
+        except Exception as e:
+            msg = str(e)
+            if "No files found" in msg or "no files found" in msg or "IO Error" in msg:
+                print(f"SKIP {name}: references files not present ({msg[:120]})")
+                skips += 1
+                continue
+            print(f"ERROR {name}: {type(e).__name__}: {msg[:200]}")
+            failures += 1
+            continue
+        bad = [(r["column_name"], r["column_type"]) for _, r in desc.iterrows()
+               if r["column_type"].split("(")[0].upper() not in ALLOWED_TYPES
+               and not r["column_type"].upper().startswith("TIMESTAMP")]
+        if bad:
+            print(f"FAIL {name}: non-hashsafe oracle column types: {bad}")
+            failures += 1
+        else:
+            print(f"OK   {name}")
+    print(f"\n{'TYPES GREEN' if failures == 0 else f'{failures} TYPE FAILURES'} "
+          f"({len(oracles)} oracle keys, {skips} skipped)")
+    return 1 if failures else 0
+
+
 def main(sf_dir: str, out_dir: str, workers: int, only: list) -> int:
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
@@ -139,12 +187,16 @@ def main(sf_dir: str, out_dir: str, workers: int, only: list) -> int:
 if __name__ == "__main__":
     argv = sys.argv[1:]
     workers = max(1, (os.cpu_count() or 4) // 3)
+    types_mode = False
     rest = []
     i = 0
     while i < len(argv):
         if argv[i] == "--workers":
             workers = int(argv[i + 1])
             i += 2
+        elif argv[i] == "--types":
+            types_mode = True
+            i += 1
         else:
             rest.append(argv[i])
             i += 1
@@ -152,4 +204,6 @@ if __name__ == "__main__":
     keys = []
     for k in rest[2:]:
         keys.extend(k.split(","))
+    if types_mode:
+        sys.exit(check_types(sf, out, keys))
     sys.exit(main(sf, out, workers, keys))
