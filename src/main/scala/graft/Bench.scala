@@ -80,7 +80,13 @@ object Bench {
     // machinery, and parquet reader setup are paid before timing; then
     // drop all cached/persisted data so the timed pass recomputes every
     // operator from the raw files (steady-state engine, cold data).
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-only: SPARK_GRAFT_BENCH_KEYS=a,b,c restricts the run for
+    // single-operator iteration; the driver leaves it unset (full suite).
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS").map(_.split(',').toSet)
+    val benched = keyFilter
+      .map(ks => SparkEntry.queries.filter { case (n, _) => ks(n) })
+      .getOrElse(SparkEntry.queries)
+    benched.foreach { case (name, fn) =>
       try fn(spark, sfDir).count() catch {
         case e: Throwable =>
           System.err.println(s"[bench] warmup $name FAILED: ${e.toString.take(300)}")
@@ -93,7 +99,7 @@ object Bench {
     // by 2-7x under environmental noise (stale scratch dirs, GC timing),
     // so the reported per-query number is the median across passes and
     // the per-pass totals are published alongside as the spread record.
-    val queries = SparkEntry.queries
+    val queries = benched
     val names = queries.keys.toSeq
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     // A query that throws is an ERROR, not a time: its elapsed-to-throw is

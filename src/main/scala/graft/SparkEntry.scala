@@ -5729,13 +5729,17 @@ object SparkEntry {
     * aggregate row. All counts exact integers; ratios trunc permille.
     */
   private def dedupMinhashEval(s: SparkSession, dir: String): DataFrame = {
-    val pred = dedup.Dedup.minhashCandidates(Tables.documents(s, dir))
+    // ONE corpus text walk feeds both legs (VERDICT r9 #5): the hashed
+    // shingle sets are derived once and materialized; the LSH leg
+    // minhashes them (bit-identical to the fused text path — R10Spec)
+    // and the truth leg prefix-joins them.
+    val sets = Tables.documents(s, dir).select(
+      col("doc_id"),
+      functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+      .localCheckpoint(true)
+    val pred = dedup.Dedup.minhashCandidatesFromSets(sets)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
-    val truth = dedup.SetSim.prefixJoinSets(
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
-      tX1000 = 700, maxTokenDf = 1000)
+    val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
       .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
     pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
       .agg(

@@ -61,7 +61,34 @@ object Dedup {
       k: Int = 128,
       bands: Int = 16,
       minEstJaccard: Double = 0.5,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatesFromSigs(signatures(docs, k), k, bands, minEstJaccard, maxBucketSize)
+
+  /** [[minhashCandidates]] starting from PRE-HASHED shingle sets
+    * (doc_id, sh: array<long>, e.g. `shingle_block(text).sh`) instead of
+    * raw text. `MinHashSig(sh)` is bit-identical to the fused
+    * `TextShingleMinHash(text)` — same WordWalk/FNV/Mix64 shingle
+    * kernel, and the min over affine permutations is invariant to
+    * ShingleBlock's sort+dedup (spec-asserted in R10Spec) — so callers
+    * that already derived the shingle frame for another leg (the
+    * dedup_minhash_eval truth pass) share ONE corpus text walk.
+    */
+  def minhashCandidatesFromSets(
+      sets: DataFrame,
+      k: Int = 128,
+      bands: Int = 16,
+      minEstJaccard: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashCandidatesFromSigs(
+      sets.select(col("doc_id"), exprs.minhash_sig(col("sh"), k).as("sig")),
+      k, bands, minEstJaccard, maxBucketSize)
+
+  private def minhashCandidatesFromSigs(
+      sigsInput: DataFrame,
+      k: Int,
+      bands: Int,
+      minEstJaccard: Double,
+      maxBucketSize: Int): DataFrame = {
     val rows = k / bands
     // The signature subtree is the expensive part and feeds BOTH sides of
     // the self-join plus the verify re-join; persist it once (at 100 TB:
@@ -69,7 +96,7 @@ object Dedup {
     // Persist BELOW the null filter: filtering the un-cached projection
     // would let Catalyst push `isnotnull(minhash(text))` under the
     // project and evaluate the k-permutation kernel TWICE per row.
-    val sigsAll = signatures(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigsAll = sigsInput.persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = sigsAll.where(col("sig").isNotNull)
     val banded = sigs
       .select(

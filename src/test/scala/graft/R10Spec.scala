@@ -10,6 +10,33 @@ import org.scalatest.funsuite.AnyFunSuite
   * gram equi-join exactly, including pairs whose indices straddle the
   * word boundary.
   */
+/** The shared-shingle-prefix rewrite of dedup_minhash_eval (VERDICT r9
+  * #5) is only sound if `MinHashSig(shingle_block(text).sh)` reproduces
+  * the fused `TextShingleMinHash(text)` signature bit-for-bit: same
+  * WordWalk/FNV/Mix64 shingle kernel, same affine permutations, and the
+  * min is invariant to ShingleBlock's sort+dedup. Asserted over a real
+  * corpus including empty/degenerate texts (both paths must agree on
+  * null too).
+  */
+class MinHashFromSetsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("minhash_sig over shingle_block equals the fused text path bit-for-bit") {
+    val real = Tables.documents(spark, "/root/testdata/sf0.001").select("text")
+    val degenerate = Seq("", "   ", "?!.,", "one", "two words",
+      "Üñïçødé tëxt with Mixed CASE and 123 numbers").toDF("text")
+    val docs = real.unionByName(degenerate)
+    val mismatches = docs.select(
+      functions.exprs.text_minhash_sig(col("text")).as("a"),
+      functions.exprs.minhash_sig(
+        functions.exprs.shingle_block(col("text"), 3).getField("sh")).as("b"))
+      .where(not(col("a") <=> col("b")))
+      .count()
+    assert(mismatches === 0L)
+  }
+}
+
 class SourceOverlapShardSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
