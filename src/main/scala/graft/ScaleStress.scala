@@ -79,7 +79,11 @@ object ScaleStress {
       // times (dup-mass join stays md5-keyed and combinable); BPE
       // encode's dictionary fit must stay vocab-bounded as the token
       // stream grows 10x
-      "text_cdc_chunks", "text_bpe_encode")
+      "text_cdc_chunks", "text_bpe_encode",
+      // R10 (r9-close wave): WFQ interleave — per-source weights stay a
+      // broadcast aggregate, the head stays a TakeOrdered(100), and the
+      // viral domain only changes src0's weight, never the plan shape
+      "pipe_mix_interleave")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -144,7 +148,11 @@ object ScaleStress {
       // their shape with the planted 2%-of-corpus hot user
       "q_events_bitmap_retention", "q_events_lag_features",
       "q_events_conversion_lag", "q_events_path_entropy",
-      "q_events_lateness_audit")
+      "q_events_lateness_audit",
+      // R10 (r9-close wave): Kaplan-Meier — one (user) min/max aggregate
+      // + a day-keyed risk-set fold; the hot user is one row after the
+      // first aggregate
+      "q_events_survival")
     val evResults = evOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -169,6 +177,28 @@ object ScaleStress {
       val rows = tri.count()
       tri.unpersist(blocking = false)
       println(f"[stress] triangles_$tag%-13s nodes=$nodes%7d hub=10000: ${(System.nanoTime() - t0) / 1e9}%6.1fs ($rows rows)")
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    }
+
+    // ---- R10: label propagation + k-core on the same viral-hub graph ----
+    // both are fixed-round edge⋈label / edge⋈degree equi-join loops; the
+    // 10k-degree hub must cost its degree in aggregate rows, never a
+    // window or a driver collect. Expected ~linear in |E| at 10x nodes.
+    Seq(("base", 20000L), ("big", 200000L)).foreach { case (tag, nodes) =>
+      val e = graphEdges(nodes, 10000L)
+      val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+      val t0 = System.nanoTime()
+      val lp = graph.LabelProp.communities(bidir, rounds = 3)
+      val nComm = lp.select("lbl").distinct().count()
+      lp.unpersist(blocking = false)
+      val tLp = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+      val t1 = System.nanoTime()
+      val core = graph.KCore.coreDegrees(e, k = 3, rounds = 3).count()
+      val tCore = (System.nanoTime() - t1) / 1e9
+      bidir.unpersist(blocking = false)
+      println(f"[stress] labelprop/kcore_$tag%-5s nodes=$nodes%7d hub=10000: " +
+        f"labelprop ${tLp}%5.1fs ($nComm communities)  kcore ${tCore}%5.1fs ($core core nodes)")
       spark.catalog.clearCache(); TmpDirs.sweepRecorded()
     }
 
@@ -247,7 +277,12 @@ object ScaleStress {
     // ---- R8 wave 4: embedding-keyed eval/pruning ops at mult× vectors ----
     // all three are one-corpus-scan designs (queries broadcast, k-means
     // assignment map-side) — expected ~linear, never a corpus shuffle
-    val embOps = Seq("samp_prototypes", "vec_hard_negatives", "vec_margin_eval")
+    // + R10 (r9-close wave): IVF cell-quality (k-means fit + one
+    // assignment pass) and residual-quantization distortion (two nested
+    // bounded codebook fits) — both one-corpus-scan, centroids as
+    // driver metadata
+    val embOps = Seq("samp_prototypes", "vec_hard_negatives", "vec_margin_eval",
+      "ann_ivf_quality", "vec_rq_distortion")
     val embResults = embOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -255,8 +290,31 @@ object ScaleStress {
       (op, tb, tg, rb, rg)
     }
 
+    // ---- R10: record linkage at mult× customers ----
+    // copies shift custkey into fresh ranges and nationkey by 25·i, so
+    // blocking keys (nat, cents-bucket) stay copy-disjoint: the planted
+    // dirty↔clean identities scale linearly, with no cross-copy
+    // candidate blowup (duplicating names verbatim would be the
+    // OUTPUT-driven quadratic, not an engine defect)
+    val rawCust = Tables.customer(spark, baseDir)
+    val cMax = rawCust.agg(max("c_custkey")).head.getLong(0) + 1
+    val custPass = rawCust.columns.filterNot(Set("c_custkey", "c_nationkey")).toSeq
+    (0 until mult).map { i =>
+      rawCust.select(
+        (col("c_custkey") + lit(i.toLong * cMax)).as("c_custkey") +:
+          (col("c_nationkey") + lit(i * 25)).as("c_nationkey") +:
+          custPass.map(col): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/customer.parquet")
+    val linkResults = Seq("q_record_linkage", "q_linkage_eval").map { op =>
+      val (tb, rb) = time(op, baseDir)
+      val (tg, rg) = time(op, scratch)
+      println(f"[stress] $op%-22s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
+      (op, tb, tg, rb, rg)
+    }
+
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
-    (results ++ evResults ++ embResults).foreach { case (op, tb, tg, _, _) =>
+    (results ++ evResults ++ embResults ++ linkResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")
     }
     println("[stress] all skew-guard assertions passed")

@@ -14,6 +14,15 @@ import org.apache.spark.sql.types._
   */
 object SparkEntry {
 
+  /** Plan-shape observability (SURVEY §6): iterative operators record
+    * WHICH plan each round ran (e.g. BFS broadcast vs shuffle anti-join,
+    * decided by the runtime visited-count) as JSON fragments here;
+    * [[Verify]] dumps the map as `verify_observability.json` so the
+    * driver artifact shows the decision, not just the result.
+    */
+  val planObservations: scala.collection.concurrent.TrieMap[String, String] =
+    scala.collection.concurrent.TrieMap.empty
+
   // ---- shared helpers (Spark side) ----
   private def cents(c: Column): Column = round(c * 100, 0).cast("long")
   // ---- shared helpers (oracle SQL side) ----
@@ -1993,11 +2002,18 @@ object SparkEntry {
       .orderBy("cell")
   }
 
-  private val vecRqDistortionSql = {
-    def dist(a: String, b: String) =
-      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
-    s"""$ivfKmeansFitCtes,
-       |qc AS (
+  /** Exact integer squared-L2 between two BIGINT lists (oracle side). */
+  private def listL2Sql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+
+  /** Shared RQ-fit oracle chain (appended after [[ivfKmeansFitCtes]]):
+    * milli-quantized centroids → integer residuals → deterministic
+    * lowest-16-id codebook init → one integer Lloyd iteration → final
+    * assignment `rqa1(vec_id, cell, dist)` + codebook `cb1`. Used by the
+    * RQ distortion report and the composite IVF-RQ probe oracle.
+    */
+  private val rqFitCtes: String =
+    s"""qc AS (
        |  SELECT cell, list_transform(cvec, x -> CAST(round(x * 1000) AS BIGINT)) AS qcv
        |  FROM cen),
        |res AS MATERIALIZED (
@@ -2008,7 +2024,7 @@ object SparkEntry {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell, r AS cvec
        |  FROM res WHERE vec_id < 16),
        |rqd0 AS (
-       |  SELECT res.vec_id, cb0.cell, ${dist("res.r", "cb0.cvec")} AS dist
+       |  SELECT res.vec_id, cb0.cell, ${listL2Sql("res.r", "cb0.cvec")} AS dist
        |  FROM res, cb0),
        |rqa0 AS (
        |  SELECT vec_id, cell FROM (
@@ -2027,17 +2043,67 @@ object SparkEntry {
        |  LEFT JOIN upd2 u ON u.cell = cp.cell AND u.pos = cp.pos
        |  GROUP BY cp.cell),
        |rqd1 AS (
-       |  SELECT res.vec_id, cb1.cell, ${dist("res.r", "cb1.cvec")} AS dist
+       |  SELECT res.vec_id, cb1.cell, ${listL2Sql("res.r", "cb1.cvec")} AS dist
        |  FROM res, cb1),
-       |rqa1 AS (
+       |rqa1 AS MATERIALIZED (
        |  SELECT vec_id, cell, dist FROM (
        |    SELECT vec_id, cell, dist,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rn
-       |    FROM rqd1) WHERE rn = 1)
+       |    FROM rqd1) WHERE rn = 1)""".stripMargin
+
+  private val vecRqDistortionSql =
+    s"""$ivfKmeansFitCtes,
+       |$rqFitCtes
        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(dist) AS BIGINT) AS total_sq,
        |  CAST(SUM(dist) // COUNT(*) AS BIGINT) AS avg_sq
        |FROM rqa1 GROUP BY 1 ORDER BY cell""".stripMargin
+
+  /** Composite IVF + residual-quantization top-k ([[ann.IvfRq]]) — the
+    * production index shape (FAISS IVF-PQ/RQ family, Jégou et al.): the
+    * coarse cell partition prunes each query to nProbe=2 cells, the
+    * candidates are scored by exact-integer L2 against their
+    * RECONSTRUCTION (centroid + residual codeword — never the raw
+    * vector), top-10 per query. Both codebooks ride as codegen
+    * literals; the corpus never shuffles; the probe joins the bounded
+    * query×cell frame against the cell-keyed code table. The oracle
+    * composes the proven IVF-fit and RQ-fit chains and replays the
+    * probe; adist is bit-exact integer, so the hash gate pins the whole
+    * index end-to-end.
+    */
+  private def annIvfrqTopk(s: SparkSession, dir: String): DataFrame =
+    ann.IvfRq.topK(Tables.embeddings(s, dir), annQueryIds, k = 10, nProbe = 2)
+
+  private val annIvfrqTopkSql = {
+    val qids = annQueryIds.mkString(", ")
+    s"""$ivfKmeansFitCtes,
+       |$rqFitCtes,
+       |recon AS MATERIALIZED (
+       |  SELECT a.vec_id,
+       |    list_transform(list_zip(qc.qcv, cb1.cvec), p -> p[1] + p[2]) AS v
+       |  FROM assigned a
+       |  JOIN qc ON qc.cell = a.cell
+       |  JOIN rqa1 r1 ON r1.vec_id = a.vec_id
+       |  JOIN cb1 ON cb1.cell = r1.cell),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT vec_id, cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |    FROM sc WHERE vec_id IN ($qids)) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.vec_id, ${listL2Sql("qe.q", "recon.v")} AS adist
+       |  FROM cand c
+       |  JOIN en qe ON qe.vec_id = c.query_id
+       |  JOIN recon ON recon.vec_id = c.vec_id)
+       |SELECT query_id, vec_id, adist, CAST(rnk AS BIGINT) AS rnk FROM (
+       |  SELECT query_id, vec_id, adist,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY adist ASC, vec_id ASC) AS rnk
+       |  FROM scored) WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   private val annIvfKmeansSql =
@@ -8501,8 +8567,14 @@ object SparkEntry {
       .orderBy(desc("deg"), col("a")).limit(1).head().getLong(0)
     // graph.Bfs drops the visited-side broadcast hint once the reach
     // outgrows the broadcast limit — on a 100× graph whose 3-hop reach
-    // is millions of nodes the hard-coded hint would be a driver OOM
-    val visited = graph.Bfs.khop(bidir, seed, hops = 3)
+    // is millions of nodes the hard-coded hint would be a driver OOM.
+    // Each round's (hop, visited, plan shape) is recorded so the verify
+    // artifact shows WHICH plan ran (SURVEY §6 observability).
+    val rounds = scala.collection.mutable.ArrayBuffer[String]()
+    val visited = graph.Bfs.khop(bidir, seed, hops = 3,
+      onRound = (h, n, b) =>
+        rounds += s"""{"hop": $h, "visited": $n, "broadcast": $b}""")
+    planObservations("q_graph_khop") = rounds.mkString("[", ",", "]")
     val out = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
     val rows = out.collect() // bounded: ≤ 4 rows; release the loop caches
     visited.unpersist(); bidir.unpersist()
@@ -11265,20 +11337,7 @@ object SparkEntry {
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    var edges = base
-    for (_ <- 1 to 3) {
-      val deg = edges.select(col("a").as("node"))
-        .unionAll(edges.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg"))
-      val keep = deg.where(col("deg") >= k).select("node")
-      edges = edges
-        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .select("a", "b")
-    }
-    edges.select(col("a").as("node")).unionAll(edges.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("core_deg"))
-      .orderBy("node")
+    graph.KCore.coreDegrees(base, k, rounds = 3).orderBy("node")
   }
 
   private val qGraphKcoreSql = {
@@ -12233,6 +12292,428 @@ object SparkEntry {
       |  (corpus_max_day - last_day) * 1000 // greatest(med_gap, 1) AS risk_pml
       |FROM a, m ORDER BY custkey""".stripMargin
 
+  // =================== R10 wave ===================
+
+  /** Differentially-private histogram release — the privacy-preserving
+    * publication step next to the k-anonymity audit: per order month,
+    * the order count and distinct-customer count each perturbed with
+    * DISCRETE LAPLACE noise (Ghosh–Roughgarden–Sundararajan's geometric
+    * mechanism; both counts are sensitivity-1 under add/remove of one
+    * order row, so each release is ε=0.5-DP with scale b=1/ε=2, up to
+    * the documented ±12 tail truncation of the inverse-CDF table).
+    * The noise is DETERMINISTIC — inverse-CDF sampling of a SplitMix64
+    * uniform keyed by (measure, month) — so a re-run (and the SQL
+    * oracle) reproduces the release bit-for-bit: reproducible-DP is how
+    * a pipeline ships the SAME protected artifact from every retry
+    * instead of burning privacy budget per attempt. Scale shape: one
+    * fact-table groupBy to 12 cells; the noise is 25 integer-literal
+    * threshold compares riding codegen.
+    */
+  private def qDpHistogram(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // P(k) ∝ exp(-|k|/2) on k ∈ [-12, 12]: cumulative CDF thresholds on a
+    // 2^20 grid (computed offline, inlined in both engines). noise =
+    // |{t : t ≤ v}| - 12 for v = top-20 mix64 bits.
+    def top32(e: Column) =
+      shiftrightunsigned(column(graft.functions.Mix64Long(expression(e))), 32)
+    def noise(key: Column): Column = {
+      val v = (top32(key) / 4096L).cast("long")
+      size(filter(typedLit(dpLaplaceCdf), t => t <= v)).cast("long") - 12L
+    }
+    Tables.orders(s, dir)
+      .groupBy(month(col("o_orderdate")).as("mon"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("c"))
+      .select(col("mon"),
+        (col("n") + noise(col("mon").cast("long") * 2L)).as("n_orders_dp"),
+        (col("c") + noise(col("mon").cast("long") * 2L + 1L)).as("n_custs_dp"),
+        lit(500L).as("epsilon_x1000"))
+      .orderBy("mon")
+  }
+
+  private val dpLaplaceCdf: Seq[Long] = Seq(
+    638L, 1689L, 3423L, 6281L, 10994L, 18764L, 31574L, 52694L, 87515L,
+    144926L, 239581L, 395639L, 652937L, 808995L, 903650L, 961061L,
+    995882L, 1017002L, 1029812L, 1037582L, 1042295L, 1045153L, 1046887L,
+    1047938L, 1048576L)
+
+  private val qDpHistogramSql = {
+    val th = dpLaplaceCdf.mkString("[", ", ", "]")
+    def noise(key: String) =
+      s"len(list_filter($th, t -> t <= " +
+        s"${oracle.DuckHash.mix64Top32Sql(key)} // 4096)) - 12"
+    s"""WITH per AS (
+       |  SELECT month(o_orderdate) AS mon, CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1)
+       |SELECT CAST(mon AS INT) AS mon,
+       |  CAST(n + ${noise("CAST(mon AS BIGINT) * 2")} AS BIGINT) AS n_orders_dp,
+       |  CAST(c + ${noise("CAST(mon AS BIGINT) * 2 + 1")} AS BIGINT) AS n_custs_dp,
+       |  CAST(500 AS BIGINT) AS epsilon_x1000
+       |FROM per ORDER BY mon""".stripMargin
+  }
+
+  /** Hedge/multiplicative-weights domain-reweighting step — the
+    * DoReMi-style mixing iteration (Xie et al.; the exp-update replaced
+    * by the rational-base Hedge update of Freund–Schapire so every
+    * weight is EXACT integer arithmetic): sources ranked by unigram KL
+    * divergence to the corpus LM (the `text_source_kl` signal — high
+    * divergence = information the rest of the mix lacks), the top-ranked
+    * sources get boost (11/10)^k with k = max(0, 10 − rank), and the new
+    * mixture is renormalized to permille. Common denominator 10⁹ makes
+    * the update w·11ᵏ·10⁹⁻ᵏ a pure int64 product (weights enter at
+    * permille resolution — a <1‰ source floors to 0, the documented
+    * quantization). One bounded window over the SOURCE table; the corpus
+    * cost is the single KL pass it reuses.
+    */
+  private def pipeHedgeMix(s: SparkSession, dir: String): DataFrame = {
+    val boosts: Seq[Long] = (0 to 9).map(k =>
+      (BigInt(11).pow(k) * BigInt(10).pow(9 - k)).toLong)
+    val kl = textSourceKl(s, dir).select("source", "n_tokens", "kl_nano")
+    val byKl = Window.orderBy(desc("kl_nano"), col("source")) // bounded: sources
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    kl.withColumn("rank", row_number().over(byKl).cast("long"))
+      .withColumn("boost_k", greatest(lit(0L), lit(10L) - col("rank")))
+      .withColumn("tot_tokens", sum("n_tokens").over(all))
+      .withColumn("w_pml", expr("n_tokens * 1000 div tot_tokens"))
+      .withColumn("num",
+        col("w_pml") * element_at(typedLit(boosts), col("boost_k").cast("int") + 1))
+      .withColumn("tot_num", sum("num").over(all))
+      .withColumn("new_w_pml", expr("num * 1000 div tot_num"))
+      .select("source", "w_pml", "boost_k", "new_w_pml")
+      .orderBy("source")
+  }
+
+  private val pipeHedgeMixSql = {
+    val boosts = (0 to 9).map(k =>
+      (BigInt(11).pow(k) * BigInt(10).pow(9 - k)).toLong).mkString("[", ", ", "]")
+    s"""WITH kl AS MATERIALIZED (SELECT source, n_tokens, kl_nano FROM ($textSourceKlSql)),
+       |r AS (
+       |  SELECT source, n_tokens, kl_nano,
+       |    CAST(row_number() OVER (ORDER BY kl_nano DESC, source) AS BIGINT) AS rank
+       |  FROM kl),
+       |b AS (
+       |  SELECT source, GREATEST(0, 10 - rank) AS boost_k,
+       |    CAST(n_tokens * 1000 // (SELECT SUM(n_tokens) FROM kl) AS BIGINT) AS w_pml
+       |  FROM r),
+       |n AS (SELECT source, boost_k, w_pml, w_pml * ($boosts)[CAST(boost_k AS INT) + 1] AS num FROM b)
+       |SELECT source, w_pml, CAST(boost_k AS BIGINT) AS boost_k,
+       |  CAST(num * 1000 // (SUM(num) OVER ()) AS BIGINT) AS new_w_pml
+       |FROM n ORDER BY source""".stripMargin
+  }
+
+  /** Blocklist / bad-words gate — the C4-style dictionary filter every
+    * public pretraining corpus applies before anything statistical: docs
+    * are scanned for a curated term list (single words AND multi-word
+    * phrases, matched at word boundaries on the canonical tokenization,
+    * never substrings), each doc reports its hit count + distinct
+    * matched terms, and `keep` is the verdict downstream stages consume.
+    * Scale shape: words and 2-gram phrases explode map-side and meet the
+    * dictionary as codegen'd IN-list predicates (a production-sized
+    * list rides a broadcast join instead — same plan class); the
+    * per-doc aggregate combines map-side, and clean docs re-enter via
+    * one left join, so the gate costs one corpus pass regardless of
+    * dictionary size.
+    */
+  private def textBlocklistFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val words = docs.select(col("doc_id"),
+      explode(text.Text.words(col("text"))).as("t"))
+      .where(col("t").isInCollection(blockWords))
+    val phrases = docs.select(col("doc_id"),
+      explode(text.Text.shinglesOfWords(text.Text.words(col("text")), 2)).as("t"))
+      .where(col("t").isInCollection(blockPhrases))
+    val hits = words.unionByName(phrases).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("t")).as("n_terms"))
+    docs.select("doc_id").join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_terms"), lit(0L)).as("n_terms"))
+      .withColumn("keep", col("n_hits") === 0L)
+      .orderBy("doc_id")
+  }
+
+  private val blockWords = Seq("slow", "dup")
+  private val blockPhrases = Seq("batch batch")
+
+  private val textBlocklistFilterSql = {
+    val ws = blockWords.map(w => s"'$w'").mkString(", ")
+    val ps = blockPhrases.map(p => s"'$p'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |u AS (
+       |  SELECT doc_id, t FROM d, UNNEST(w) AS x(t) WHERE t IN ($ws)
+       |  UNION ALL
+       |  SELECT doc_id, g AS t FROM (
+       |    SELECT doc_id, UNNEST(${wordGramsSql(2)}) AS g FROM d)
+       |  WHERE g IN ($ps)),
+       |h AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |    CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+       |  FROM u GROUP BY 1)
+       |SELECT d.doc_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |  CAST(COALESCE(n_terms, 0) AS BIGINT) AS n_terms,
+       |  COALESCE(n_hits, 0) = 0 AS keep
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN h USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Cohen's κ for the language-ID heuristic against the labeled truth —
+    * the chance-corrected agreement number a labeling pipeline publishes
+    * NEXT TO raw accuracy (`text_langid_eval`'s confusion matrix): on a
+    * skewed label mix raw agreement flatters a majority-class guesser,
+    * κ does not. Exact integers end-to-end: po·N = Σ diagonal,
+    * pe·N² = Σ_label rowTotal·colTotal, and
+    * κ_pml = 1000·(N·agree − pe_num) div (N² − pe_num). The whole
+    * computation runs on the bounded confusion matrix (labels², corpus
+    * metadata); the corpus cost is the one classify pass.
+    */
+  private def textClassifierKappa(s: SparkSession, dir: String): DataFrame = {
+    val cm = Tables.documents(s, dir)
+      .select(col("lang"), text.Text.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+    val rows = cm.groupBy("lang").agg(sum("n").as("rt"))
+    val cols = cm.groupBy("pred").agg(sum("n").as("ct"))
+    val pe = rows.join(cols, rows("lang") === cols("pred"))
+      .agg(coalesce(sum(col("rt") * col("ct")), lit(0L)).as("pe_num"))
+    val tot = cm.agg(sum("n").as("n_docs"),
+      sum(when(col("lang") === col("pred"), col("n")).otherwise(0L)).as("agree"))
+    tot.crossJoin(pe) // 1x1 bounded aggregates
+      .select(col("n_docs"), col("agree"), col("pe_num"),
+        expr("(n_docs * agree - pe_num) * 1000 div (n_docs * n_docs - pe_num)")
+          .as("kappa_pml"))
+  }
+
+  private val textClassifierKappaSql =
+    s"""WITH c AS (SELECT lang, $paddedSql AS p FROM documents),
+       |pr AS (
+       |  SELECT lang, CASE
+       |    $langidCaseSql
+       |    ELSE 'und' END AS pred
+       |  FROM c),
+       |cm AS (SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n FROM pr GROUP BY 1, 2),
+       |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rt FROM cm GROUP BY 1),
+       |ct AS (SELECT pred, CAST(SUM(n) AS BIGINT) AS ct FROM cm GROUP BY 1),
+       |pe AS (
+       |  SELECT CAST(COALESCE(SUM(rt.rt * ct.ct), 0) AS BIGINT) AS pe_num
+       |  FROM rt JOIN ct ON rt.lang = ct.pred),
+       |t AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN lang = pred THEN n ELSE 0 END) AS BIGINT) AS agree
+       |  FROM cm)
+       |SELECT n_docs, agree, pe_num,
+       |  CAST((n_docs * agree - pe_num) * 1000 // (n_docs * n_docs - pe_num) AS BIGINT)
+       |    AS kappa_pml
+       |FROM t, pe""".stripMargin
+
+  /** Term co-occurrence graph — the text→graph bridge: per document the
+    * 10 most-DISTINCTIVE words (globally rarest by document frequency,
+    * rank window bounded by words-per-doc), pairs within a doc counted,
+    * each pair scored by doc-level PMI (pmi_q = qln(c_ab)+qln(D)−qln(d_a)
+    * −qln(d_b), each log nano-quantized BEFORE combining → exact BIGINT),
+    * top 50 edges published. The rarest-m blocking bounds pair emission
+    * at 45·D rows — linear in the corpus, no vocabulary² term — which is
+    * what makes a concept-graph build survive 100 TB where naive
+    * all-words co-occurrence cannot.
+    */
+  private def textCoocGraph(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.count() // bounded 1-value collect: PMI base rate
+    val dw = docs.select(col("doc_id"),
+      explode(text.Text.words(col("text"))).as("w")).distinct()
+    val dfq = dw.groupBy("w").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("w"))
+    val top = dw.join(dfq, "w")
+      .withColumn("rn", row_number().over(byDoc))
+      .where(col("rn") <= 10).select("doc_id", "w")
+    val pairs = top.as("x").join(top.as("y"), Seq("doc_id"))
+      .where(col("x.w") < col("y.w"))
+      .groupBy(col("x.w").as("w1"), col("y.w").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    pairs
+      .join(dfq.select(col("w").as("w1"), col("df").as("d_a")), "w1")
+      .join(dfq.select(col("w").as("w2"), col("df").as("d_b")), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (qln(col("c_ab")) + qln(lit(nDocs)) - qln(col("d_a")) - qln(col("d_b")))
+          .as("pmi_q"))
+      .orderBy(desc("pmi_q"), col("w1"), col("w2"))
+      .limit(50)
+  }
+
+  private val textCoocGraphSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |dw AS (SELECT DISTINCT doc_id, t AS w FROM d, UNNEST(w) AS x(t)),
+       |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM dw GROUP BY 1),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |top AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT dw.doc_id, dw.w,
+       |      row_number() OVER (PARTITION BY dw.doc_id ORDER BY df, dw.w) AS rn
+       |    FROM dw JOIN dfq USING (w))
+       |  WHERE rn <= 10),
+       |p AS (
+       |  SELECT x.w AS w1, y.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+       |  FROM top x JOIN top y ON x.doc_id = y.doc_id AND x.w < y.w
+       |  GROUP BY 1, 2)
+       |SELECT w1, w2, c_ab,
+       |  CAST(${qln("c_ab")} + ${qln("(SELECT n FROM nd)")}
+       |    - ${qln("da.df")} - ${qln("db.df")} AS BIGINT) AS pmi_q
+       |FROM p JOIN dfq da ON da.w = p.w1 JOIN dfq db ON db.w = p.w2
+       |ORDER BY pmi_q DESC, w1, w2 LIMIT 50""".stripMargin
+  }
+
+  /** Multi-seed reach distribution — the ANF/effective-diameter probe
+    * (Palmer et al.'s approximate neighbourhood function, here exact per
+    * seed): BFS to 3 hops from the 4 highest-degree nodes of the
+    * co-purchase graph, publishing nodes-first-reached per (seed, hop).
+    * Reuses the shared build-once edge artifact and [[graph.Bfs]]'s
+    * conditional-broadcast frontier loop (drops the broadcast hint when
+    * the visited set outgrows it — the stress-proven khop contract), so
+    * each seed costs 3 frontier equi-joins; the 4-seed loop is bounded
+    * workload metadata, not data.
+    */
+  private def qGraphReachDist(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir) // shared build-once artifact
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seeds = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("a")).limit(4)
+      .collect().map(_.getLong(0)) // bounded 4-row collect: the seed set
+    val rounds = scala.collection.mutable.ArrayBuffer[String]()
+    val rows = seeds.toSeq.flatMap { sd =>
+      val v = graph.Bfs.khop(bidir, sd, hops = 3,
+        onRound = (h, n, b) =>
+          rounds += s"""{"seed": $sd, "hop": $h, "visited": $n, "broadcast": $b}""")
+      val r = v.groupBy("hop").agg(count(lit(1)).as("n")).collect()
+        .map(x => (sd, x.getLong(0), x.getLong(1))) // bounded: ≤ 4 rows/seed
+      v.unpersist()
+      r
+    }
+    planObservations("q_graph_reach_dist") = rounds.mkString("[", ",", "]")
+    bidir.unpersist()
+    import s.implicits._
+    rows.toDF("seed", "hop", "n_nodes").orderBy("seed", "hop")
+  }
+
+  private val qGraphReachDistSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |bidir AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |seeds AS (
+      |  SELECT a AS seed FROM (
+      |    SELECT a, COUNT(*) AS deg FROM bidir GROUP BY 1)
+      |  ORDER BY deg DESC, a LIMIT 4),
+      |r AS (
+      |  WITH RECURSIVE walk(seed, node, hop) AS (
+      |    SELECT seed, seed AS node, 0 AS hop FROM seeds
+      |    UNION
+      |    SELECT walk.seed, bidir.b, walk.hop + 1
+      |    FROM walk JOIN bidir ON walk.node = bidir.a
+      |    WHERE walk.hop < 3)
+      |  SELECT seed, node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT CAST(seed AS BIGINT) AS seed, hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Content-addressable AUDIO dedup — exact duplicate detection over
+    * decoded media, the audio sibling of `dedup_exact`/`mm_phash_groups`:
+    * every WAV really decodes through the JDK codec
+    * ([[mm.Audio.fingerprints]]), the md5 of the raw PCM payload (headers
+    * excluded — re-encoded copies of the same audio still match) is the
+    * group key, and each equality class publishes its min-doc_id anchor +
+    * copy count. The planted duplicates ([[mm.Audio.dupAudioFrame]] keys
+    * waveforms by doc_id % 50) make the classes oracle-predictable from
+    * the generator params, so a single corrupted decode would split its
+    * group and fail the hash gate — the codec path itself is verified.
+    * Scale: decode + digest are partition-local; only 32-byte
+    * fingerprints shuffle (the CAS posture object stores use for media).
+    */
+  private def mmAudioMatch(s: SparkSession, dir: String): DataFrame =
+    mm.Audio.fingerprints(s, mm.Audio.dupAudioFrame(s, Tables.documents(s, dir)))
+      .toDF().groupBy("fp")
+      .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_copies"),
+        min("n_samples").cast("long").as("n_samples"))
+      .select("anchor_id", "n_copies", "n_samples")
+      .orderBy("anchor_id")
+
+  private val mmAudioMatchSql =
+    """WITH g AS (
+      |  SELECT doc_id % 50 AS rec, CAST(MIN(doc_id) AS BIGINT) AS anchor_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT anchor_id, n_copies,
+      |  CAST(1000 + (rec % 5) * 256 + (rec % 7) * 3 AS BIGINT) AS n_samples
+      |FROM g ORDER BY anchor_id""".stripMargin
+
+  /** Greedy k-center coreset selection (Gonzalez's farthest-point
+    * traversal — the classic 2-approximation, the shape behind modern
+    * embedding-based data-pruning/coverage selection): seed = lowest
+    * vec_id, then 7 rounds each pick the vector FARTHEST from the
+    * chosen set (exact integer squared-L2 on milli-quantized vectors,
+    * ties to the lower id). The 8 chosen vectors are bounded driver
+    * metadata riding as codegen literals (the KMeans/centroid
+    * contract), so every round is ONE corpus scan with a map-side
+    * min-of-8 fold + a 1-row argmax collect — no pairwise anything, no
+    * corpus shuffle; rounds are the iterative-fit driver loop every
+    * k-center implementation needs. Published: selection order, vec_id,
+    * and the coverage radius (mind) at selection — the radius curve IS
+    * the coreset-size picker.
+    */
+  private def sampCoreset(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"))
+    def l2(cv: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(cv), (x, y) => (x - y) * (x - y)),
+        lit(0L), (a, b) => a + b)
+    val first = emb.orderBy("vec_id").limit(1).head() // bounded 1-row collect
+    var chosen = Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
+    for (_ <- 2 to 8) {
+      val mind = chosen.map { case (_, cv, _) => l2(cv) }.reduce(least(_, _))
+      val pick = emb
+        .where(!col("vec_id").isInCollection(chosen.map(_._1)))
+        .select(col("vec_id"), col("q"), mind.as("mind"))
+        .orderBy(desc("mind"), col("vec_id")).limit(1).head() // 1-row argmax
+      chosen :+= ((pick.getLong(0), pick.getSeq[Long](1).toSeq, pick.getLong(2)))
+    }
+    import s.implicits._
+    chosen.zipWithIndex
+      .map { case ((id, _, d), i) => (i.toLong + 1L, id, d) }
+      .toDF("rnk", "vec_id", "mind")
+      .orderBy("rnk")
+  }
+
+  private val sampCoresetSql = {
+    def dist(a: String, b: String) = listL2Sql(a, b)
+    // round r: d_r = min(d_{r-1}, dist to c_r); c_{r+1} = argmax d_r over
+    // vectors outside the chosen set (ties to the lower vec_id)
+    def round(r: Int): String = {
+      val excl = (1 to r).map(i => s"SELECT vec_id FROM c$i").mkString(" UNION ALL ")
+      val prevD =
+        if (r == 1) s"${dist("qm.q", "c1.q")}"
+        else s"LEAST(d${r - 1}.mind, ${dist(s"d${r - 1}.q", s"c$r.q")})"
+      val src = if (r == 1) "qm, c1" else s"d${r - 1}, c$r"
+      val idq = if (r == 1) "qm.vec_id, qm.q" else s"d${r - 1}.vec_id, d${r - 1}.q"
+      s"""d$r AS MATERIALIZED (
+         |  SELECT $idq, $prevD AS mind FROM $src),
+         |c${r + 1} AS MATERIALIZED (
+         |  SELECT vec_id, q, mind FROM d$r
+         |  WHERE vec_id NOT IN ($excl)
+         |  ORDER BY mind DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    s"""WITH qm AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, q FROM qm ORDER BY vec_id LIMIT 1),
+       |${(1 to 7).map(round).mkString(",\n")}
+       |SELECT CAST(rnk AS BIGINT) AS rnk, vec_id, mind FROM (
+       |  SELECT 1 AS rnk, vec_id, CAST(0 AS BIGINT) AS mind FROM c1
+       |  ${(2 to 8).map(i => s"UNION ALL SELECT $i, vec_id, CAST(mind AS BIGINT) FROM c$i").mkString("\n  ")})
+       |ORDER BY rnk""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12485,6 +12966,15 @@ object SparkEntry {
     "text_source_kl" -> (textSourceKl _),
     "text_vocab_coverage" -> (textVocabCoverage _),
     "q_churn_risk" -> (qChurnRisk _),
+    "q_dp_histogram" -> (qDpHistogram _),
+    "pipe_hedge_mix" -> (pipeHedgeMix _),
+    "text_blocklist_filter" -> (textBlocklistFilter _),
+    "text_classifier_kappa" -> (textClassifierKappa _),
+    "text_cooc_graph" -> (textCoocGraph _),
+    "q_graph_reach_dist" -> (qGraphReachDist _),
+    "mm_audio_match" -> (mmAudioMatch _),
+    "ann_ivfrq_topk" -> (annIvfrqTopk _),
+    "samp_coreset" -> (sampCoreset _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -12843,6 +13333,15 @@ object SparkEntry {
     "text_source_kl" -> textSourceKlSql,
     "text_vocab_coverage" -> textVocabCoverageSql,
     "q_churn_risk" -> qChurnRiskSql,
+    "q_dp_histogram" -> qDpHistogramSql,
+    "pipe_hedge_mix" -> pipeHedgeMixSql,
+    "text_blocklist_filter" -> textBlocklistFilterSql,
+    "text_classifier_kappa" -> textClassifierKappaSql,
+    "text_cooc_graph" -> textCoocGraphSql,
+    "q_graph_reach_dist" -> qGraphReachDistSql,
+    "mm_audio_match" -> mmAudioMatchSql,
+    "ann_ivfrq_topk" -> annIvfrqTopkSql,
+    "samp_coreset" -> sampCoresetSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

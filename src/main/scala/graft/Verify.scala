@@ -114,6 +114,12 @@ object Verify {
         s"\"oracle\": ${SparkEntry.oracleSql.contains(k)}, \"err\": $errV}"
     }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/verify_manifest.json"), manJson)
+    // verify_observability.json: per-key plan-shape records (values are
+    // already JSON arrays — e.g. khop's per-round broadcast/shuffle
+    // decisions) so the artifact shows WHICH plan ran. Always written.
+    val obsJson = SparkEntry.planObservations.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_observability.json"), obsJson)
     spark.stop()
     if (failures.nonEmpty) {
       println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED: ${failures.keys.mkString(", ")}")

@@ -139,4 +139,48 @@ object Audio {
       }
     })
   }
+
+  /** Audio frame with PLANTED duplicates: the waveform is keyed by a
+    * "recording id" `doc_id % groups` instead of the doc itself, so all
+    * docs sharing a recording id carry byte-identical WAVs — the
+    * ground-truth equality classes the content-addressable audio dedup
+    * ([[SparkEntry]] `mm_audio_match`) must recover purely from DECODED
+    * bytes. Same real-codec/no-shuffle posture as [[audioFrame]].
+    */
+  def dupAudioFrame(spark: SparkSession, docs: DataFrame, groups: Int = 50): Dataset[AudioRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        require(id >= 0, s"doc_id must be non-negative (formula/oracle contract), got $id")
+        val rec = id % groups
+        val n = sampleCount(rec)
+        val buf = new Array[Byte](n)
+        var i = 0
+        while (i < n) { buf(i) = sampleValue(rec, i).toByte; i += 1 }
+        AudioRow(id, encodeWav(buf), "audio/wav")
+      })
+  }
+
+  case class FingerprintRow(doc_id: Long, fp: String, n_samples: Int)
+
+  /** Content fingerprint of the DECODED PCM payload: md5 hex over the
+    * raw sample bytes (container metadata excluded — two encodings of
+    * the same audio match; any decode corruption splits its group). One
+    * real WAV decode per row, partition-local; the 32-char fingerprint
+    * is the only thing that ever shuffles.
+    */
+  def fingerprints(spark: SparkSession, audio: Dataset[AudioRow]): Dataset[FingerprintRow] = {
+    import spark.implicits._
+    audio.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { row =>
+        val (fmt, pcm) = decodeWav(row.media)
+        require(fmt.getSampleSizeInBits == 8 && fmt.getChannels == 1,
+          s"expected 8-bit mono PCM, got $fmt")
+        md.reset()
+        val fp = md.digest(pcm).map("%02x".format(_)).mkString
+        FingerprintRow(row.doc_id, fp, pcm.length)
+      }
+    }
+  }
 }

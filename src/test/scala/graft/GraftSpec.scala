@@ -1021,6 +1021,10 @@ class PlanAuditSpec extends AnyFunSuite {
                           // broadcast, like ann_recall_eval / ann_lsh_recall
       "ann_rbo_eval", // same inherited brute-force truth leg (the RBO
                       // compare itself is an equi-join on query_id)
+      "pipe_hedge_mix", // inherits text_source_kl's 1-row corpus-total
+                        // broadcast (the KL signal it reweights from)
+      "text_classifier_kappa", // 1x1 crossJoin of the bounded confusion-
+                               // matrix aggregates (N/agree vs pe_num)
       "vec_matryoshka_recall", // three brute-force legs + a 3-row dims
                                // fan on the truth frame, all bounded
       "samp_time_split", // 4-row fold manifest × day-domain aggregate —
