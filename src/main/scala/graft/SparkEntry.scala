@@ -12310,16 +12310,9 @@ object SparkEntry {
     * threshold compares riding codegen.
     */
   private def qDpHistogram(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    // P(k) ∝ exp(-|k|/2) on k ∈ [-12, 12]: cumulative CDF thresholds on a
-    // 2^20 grid (computed offline, inlined in both engines). noise =
-    // |{t : t ≤ v}| - 12 for v = top-20 mix64 bits.
-    def top32(e: Column) =
-      shiftrightunsigned(column(graft.functions.Mix64Long(expression(e))), 32)
-    def noise(key: Column): Column = {
-      val v = (top32(key) / 4096L).cast("long")
-      size(filter(typedLit(dpLaplaceCdf), t => t <= v)).cast("long") - 12L
-    }
+    // noise kernel shared with the streaming twin (ops.DpNoise): P(k) ∝
+    // exp(-|k|/2) on k ∈ [-12, 12], inverse-CDF over top-20 mix64 bits
+    def noise(key: Column): Column = ops.DpNoise.noise(key)
     Tables.orders(s, dir)
       .groupBy(month(col("o_orderdate")).as("mon"))
       .agg(count(lit(1)).as("n"), countDistinct(col("o_custkey")).as("c"))
@@ -12330,14 +12323,8 @@ object SparkEntry {
       .orderBy("mon")
   }
 
-  private val dpLaplaceCdf: Seq[Long] = Seq(
-    638L, 1689L, 3423L, 6281L, 10994L, 18764L, 31574L, 52694L, 87515L,
-    144926L, 239581L, 395639L, 652937L, 808995L, 903650L, 961061L,
-    995882L, 1017002L, 1029812L, 1037582L, 1042295L, 1045153L, 1046887L,
-    1047938L, 1048576L)
-
   private val qDpHistogramSql = {
-    val th = dpLaplaceCdf.mkString("[", ", ", "]")
+    val th = ops.DpNoise.cdf20.mkString("[", ", ", "]")
     def noise(key: String) =
       s"len(list_filter($th, t -> t <= " +
         s"${oracle.DuckHash.mix64Top32Sql(key)} // 4096)) - 12"

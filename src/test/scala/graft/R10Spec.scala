@@ -179,6 +179,59 @@ class ReachDistSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming DP twin: exact counts maintained by the stream, noise at
+  * the PUBLISH boundary only — noising per micro-batch would compose ε
+  * per batch. Stream release ≡ batch release, and re-publishing re-draws
+  * the identical noise (spends nothing).
+  */
+class DpStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming DP release equals the batch release; republish is free") {
+    val streamed = streaming.DpStream.noisyDailyCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dayNs = 86400000000000L
+    val batch = ops.DpNoise.noise(col("day")) // same kernel, batch plan
+    val expect = Tables.events(spark, dir)
+      .select(expr(s"ts_ns div $dayNs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .select(col("day"), (col("n") + batch).as("n_dp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === expect)
+    assert(streamed.nonEmpty)
+    // republish = identical artifact (the deterministic-noise contract)
+    val again = streaming.DpStream.noisyDailyCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === streamed)
+  }
+}
+
+/** Streaming ANN serving twin: per-micro-batch probes of the persisted
+  * PQ index must equal the one-shot batch probe over the same queries.
+  */
+class AnnServeStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed probes of the persisted index equal the batch probe") {
+    val idx = graft.TmpDirs.create("annserveidx") + "/pq"
+    ann.Pq.Index.build(Tables.embeddings(spark, dir), idx)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val streamed = streaming.AnnServeStream.serve(spark, dir, idx, qids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id").isInCollection(qids))
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    val batch = ann.Pq.Index.topK(spark, idx, qs, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+}
+
 /** The shared-shingle-prefix rewrite of dedup_minhash_eval (VERDICT r9
   * #5) is only sound if `MinHashSig(shingle_block(text).sh)` reproduces
   * the fused `TextShingleMinHash(text)` signature bit-for-bit: same
