@@ -12701,6 +12701,206 @@ object SparkEntry {
        |ORDER BY rnk""".stripMargin
   }
 
+  /** EXACT change-point detection — one binary-segmentation step (the
+    * classic CUSUM-complement; Scott–Knott/binary segmentation family):
+    * per event type, the day split minimizing total within-segment SSE
+    * over the dense daily-count series. Minimizing SSE ≡ maximizing
+    * g(s) = S₁²/n₁ + S₂²/n₂, and the argmax is taken EXACTLY over
+    * rationals: split x loses to y iff y.num·x.den > x.num·y.den
+    * (64-bit products; bounds documented — day-count sums up to ~3·10⁶
+    * per type stay safe, beyond that the decimal(38) upgrade applies).
+    * No float SSE anywhere, so the pick is bit-stable cross-engine.
+    * Scale shape: one fact groupBy to (type, day); the dense grid,
+    * prefix sums, split table, and the pairwise argmax anti-join all
+    * live on bounded types×days metadata.
+    */
+  private def qEventsChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    // dense (type × day) grid — zero-filled gaps count as observations
+    val grid = types.crossJoin(days) // bounded metadata grid (q_drift_psi contract)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("x"), lit(0L)).as("x"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wAll = Window.partitionBy("event_type")
+    val splits = grid
+      .withColumn("s1", sum("x").over(w))
+      .withColumn("n1", row_number().over(w).cast("long"))
+      .withColumn("stot", sum("x").over(wAll))
+      .withColumn("dtot", count(lit(1)).over(wAll))
+      .where(col("n1") < col("dtot"))
+      .select(col("event_type"), col("day").as("split_day"),
+        col("n1"), col("s1"),
+        (col("dtot") - col("n1")).as("n2"), (col("stot") - col("s1")).as("s2"))
+      .withColumn("num", expr("s1*s1*n2 + s2*s2*n1"))
+      .withColumn("den", expr("n1*n2"))
+    // exact rational argmax per type: keep the split no other split beats
+    // (cross-multiplied compare; ties broken toward the earlier day)
+    val beat = col("y.num") * col("x.den") > col("x.num") * col("y.den") ||
+      (col("y.num") * col("x.den") === col("x.num") * col("y.den") &&
+        col("y.split_day") < col("x.split_day"))
+    splits.as("x").join(splits.as("y"),
+        col("x.event_type") === col("y.event_type") && beat, "left_anti")
+      .select(col("x.event_type").as("event_type"), col("x.split_day").as("split_day"),
+        expr("s1 * 1000 div n1").as("mean_left_x1000"),
+        expr("s2 * 1000 div n2").as("mean_right_x1000"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsChangepointSql =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT t.event_type, d.day, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      |  FROM (SELECT DISTINCT event_type FROM daily) t
+      |  CROSS JOIN (SELECT DISTINCT day FROM daily) d
+      |  LEFT JOIN daily ON daily.event_type = t.event_type AND daily.day = d.day),
+      |pre AS (
+      |  SELECT event_type, day,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS s1,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS n1,
+      |    CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT) AS stot,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS dtot
+      |  FROM grid),
+      |sp AS (
+      |  SELECT event_type, day AS split_day, n1, s1,
+      |    dtot - n1 AS n2, stot - s1 AS s2,
+      |    s1*s1*(dtot - n1) + (stot - s1)*(stot - s1)*n1 AS num,
+      |    n1*(dtot - n1) AS den
+      |  FROM pre WHERE n1 < dtot)
+      |SELECT x.event_type, x.split_day,
+      |  CAST(x.s1 * 1000 // x.n1 AS BIGINT) AS mean_left_x1000,
+      |  CAST(x.s2 * 1000 // x.n2 AS BIGINT) AS mean_right_x1000
+      |FROM sp x
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM sp y WHERE y.event_type = x.event_type AND (
+      |    y.num * x.den > x.num * y.den OR
+      |    (y.num * x.den = x.num * y.den AND y.split_day < x.split_day)))
+      |ORDER BY x.event_type""".stripMargin
+
+  /** Blur/sharpness gate — variance-of-Laplacian (Pech-Pacheco et al.,
+    * the classic focus measure), the image-curation filter next to the
+    * entropy gate: every image REALLY decodes (ImageIO), the 4-neighbor
+    * integer Laplacian accumulates per-image (count, ΣL, ΣL²)
+    * in-partition ([[mm.Multimodal.laplacian]]), and the published
+    * variance is the exact integer n·ΣL² − (ΣL)² over n² (truncating).
+    * The synthetic pixel formula makes every interior Laplacian
+    * oracle-predictable, so a single mis-decoded pixel fails the hash
+    * gate. Scale: decode + fold map-side; one row per image shuffles.
+    */
+  private def mmBlurScore(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.laplacian(s,
+      mm.Multimodal.imageFrame(s, Tables.documents(s, dir))).toDF()
+      .withColumn("var_q", expr("(n_int * lap_sq - lap_sum * lap_sum) div (n_int * n_int)"))
+      .select("doc_id", "width", "height", "n_int", "lap_sum", "lap_sq", "var_q")
+      .orderBy("doc_id")
+
+  private val mmBlurScoreSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |l AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    4*((d.doc_id*31 + gx.x*7 + gy.y*13) % 256)
+      |      - ((d.doc_id*31 + (gx.x-1)*7 + gy.y*13) % 256)
+      |      - ((d.doc_id*31 + (gx.x+1)*7 + gy.y*13) % 256)
+      |      - ((d.doc_id*31 + gx.x*7 + (gy.y-1)*13) % 256)
+      |      - ((d.doc_id*31 + gx.x*7 + (gy.y+1)*13) % 256) AS lap
+      |  FROM d, generate_series(1, 14) AS gx(x), generate_series(1, 12) AS gy(y)
+      |  WHERE gx.x < d.sw - 1 AND gy.y < d.sh - 1),
+      |a AS (
+      |  SELECT doc_id, sw, sh, CAST(COUNT(*) AS BIGINT) AS n_int,
+      |    CAST(SUM(lap) AS BIGINT) AS lap_sum, CAST(SUM(lap*lap) AS BIGINT) AS lap_sq
+      |  FROM l GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height,
+      |  n_int, lap_sum, lap_sq,
+      |  CAST((n_int * lap_sq - lap_sum * lap_sum) // (n_int * n_int) AS BIGINT) AS var_q
+      |FROM a ORDER BY doc_id""".stripMargin
+
+  /** IVF-RQ recall evaluation — completes the per-family eval
+    * discipline for the composite index (`ann_recall_eval` = IVF,
+    * `ann_lsh_recall` = LSH, `ann_graph_recall` = graph-ANN): the
+    * IVF-RQ top-10 against brute-force exact cosine truth, recall@10
+    * per query in truncating permille. The published number next to the
+    * other families IS the probe-budget allocation signal.
+    */
+  private def annIvfrqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.IvfRq.topK(Tables.embeddings(s, dir), annQueryIds, k = 10, nProbe = 2)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("query_id")
+  }
+
+  private val annIvfrqRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (SELECT query_id, vec_id, 1 AS hit FROM ($annIvfrqTopkSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Crawl-chunk stitch candidates — the document-boundary overlap
+    * detector: a crawler that splits pages mid-stream leaves doc A's
+    * LAST word-3-gram equal to doc B's FIRST, and those pairs are
+    * stitch/merge candidates no within-doc dedup can see. One map-side
+    * head/tail gram per doc, a df cap on the gram (boilerplate
+    * headers/footers shared by hundreds of docs are not stitch
+    * evidence — the SetSim viral-token rationale), and one equi
+    * self-join; emission is bounded by cap² per gram. At 100 TB the
+    * join keys would pre-hash to 8 bytes; here the gram string IS the
+    * published evidence column, so it rides through.
+    */
+  private def textStitchCandidates(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir).select(col("doc_id"),
+      text.Text.shinglesOfWords(text.Text.words(col("text")), 3).as("gs"))
+      .where(size(col("gs")) > 0)
+      .select(col("doc_id"),
+        element_at(col("gs"), 1).as("head_g"), element_at(col("gs"), -1).as("tail_g"))
+    val dfCap = 100L
+    val df = g.select(col("head_g").as("gram")).unionAll(g.select(col("tail_g").as("gram")))
+      .groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
+    val heads = g.select(col("doc_id").as("doc_b"), col("head_g").as("gram"))
+      .join(df, "gram")
+    val tails = g.select(col("doc_id").as("doc_a"), col("tail_g").as("gram"))
+      .join(df.select("gram"), "gram")
+    tails.join(heads, "gram")
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("gram"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val textStitchCandidatesSql =
+    s"""WITH d AS (SELECT doc_id, $wordsListSql AS w FROM documents),
+       |g AS (
+       |  SELECT doc_id, gs[1] AS head_g, gs[-1] AS tail_g
+       |  FROM (SELECT doc_id, ${wordGramsSql(3)} AS gs FROM d)
+       |  WHERE len(gs) > 0),
+       |dfq AS (
+       |  SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM (
+       |    SELECT head_g AS gram FROM g UNION ALL SELECT tail_g FROM g)
+       |  GROUP BY 1 HAVING COUNT(*) <= 100)
+       |SELECT t.doc_id AS doc_a, h.doc_id AS doc_b, t.tail_g AS gram
+       |FROM g t
+       |JOIN dfq dt ON dt.gram = t.tail_g
+       |JOIN g h ON h.head_g = t.tail_g
+       |JOIN dfq dh ON dh.gram = h.head_g
+       |WHERE t.doc_id <> h.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -12962,6 +13162,10 @@ object SparkEntry {
     "mm_audio_match" -> (mmAudioMatch _),
     "ann_ivfrq_topk" -> (annIvfrqTopk _),
     "samp_coreset" -> (sampCoreset _),
+    "q_events_changepoint" -> (qEventsChangepoint _),
+    "mm_blur_score" -> (mmBlurScore _),
+    "ann_ivfrq_recall" -> (annIvfrqRecall _),
+    "text_stitch_candidates" -> (textStitchCandidates _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -13329,6 +13533,10 @@ object SparkEntry {
     "mm_audio_match" -> mmAudioMatchSql,
     "ann_ivfrq_topk" -> annIvfrqTopkSql,
     "samp_coreset" -> sampCoresetSql,
+    "q_events_changepoint" -> qEventsChangepointSql,
+    "mm_blur_score" -> mmBlurScoreSql,
+    "ann_ivfrq_recall" -> annIvfrqRecallSql,
+    "text_stitch_candidates" -> textStitchCandidatesSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

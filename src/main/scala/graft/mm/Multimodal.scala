@@ -421,6 +421,43 @@ object Multimodal {
     }
   }
 
+  case class MediaLaplacian(doc_id: Long, width: Int, height: Int,
+      n_int: Long, lap_sum: Long, lap_sq: Long)
+
+  /** Integer 4-neighbor Laplacian over the decoded red channel — the
+    * blur/sharpness primitive (variance-of-Laplacian is the classic
+    * focus measure, Pech-Pacheco et al.): for every INTERIOR pixel,
+    * L = 4·p − left − right − up − down, accumulating count, ΣL and ΣL²
+    * per image so the caller derives the exact-integer variance
+    * n·ΣL² − (ΣL)². One REAL ImageIO decode per row, all accumulation
+    * in-partition, integer outputs the oracle replays from the pixel
+    * formula with no codec knowledge.
+    */
+  def laplacian(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaLaplacian] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.media)
+        val (w, h) = (img.getWidth, img.getHeight)
+        def p(x: Int, y: Int): Int = (img.getRGB(x, y) >> 16) & 0xff
+        var n = 0L
+        var s = 0L
+        var s2 = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val l = 4L * p(x, y) - p(x - 1, y) - p(x + 1, y) - p(x, y - 1) - p(x, y + 1)
+            n += 1; s += l; s2 += l * l
+            x += 1
+          }
+          y += 1
+        }
+        MediaLaplacian(m.doc_id, w, h, n, s, s2)
+      }
+    }
+  }
+
   case class MediaDhash(doc_id: Long, h_hi: Long, h_lo: Long)
 
   /** Perceptual difference-hash (dHash) per image: REAL ImageIO decode →

@@ -1025,6 +1025,10 @@ class PlanAuditSpec extends AnyFunSuite {
                         // broadcast (the KL signal it reweights from)
       "text_classifier_kappa", // 1x1 crossJoin of the bounded confusion-
                                // matrix aggregates (N/agree vs pe_num)
+      "q_events_changepoint", // types × day-domain dense metadata grid —
+                              // same bounded contract as q_drift_psi
+      "ann_ivfrq_recall", // inherits the brute-force truth leg's tiny
+                          // broadcast, like the other *_recall evals
       "vec_matryoshka_recall", // three brute-force legs + a 3-row dims
                                // fan on the truth frame, all bounded
       "samp_time_split", // 4-row fold manifest × day-domain aggregate —

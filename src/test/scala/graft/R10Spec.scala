@@ -179,6 +179,132 @@ class ReachDistSpec extends AnyFunSuite {
   }
 }
 
+/** Change-point spec: the exact rational argmax must equal a brute-force
+  * driver-side binary-segmentation over the collected daily counts.
+  */
+class ChangepointSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split day replays brute-force SSE minimization per type") {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val allDays = daily.map(_._2).distinct.sorted
+    val types = daily.map(_._1).distinct
+    val expect = types.flatMap { t =>
+      val m = daily.filter(_._1 == t).map(r => r._2 -> r._3).toMap
+      val xs = allDays.map(d => d -> m.getOrElse(d, 0L))
+      if (xs.length < 2) None
+      else {
+        // brute force with exact BigInt rationals — an independent
+        // arithmetic path from the operator's cross-multiplied longs
+        val cand = (1 until xs.length).map { i =>
+          val (l, r) = xs.splitAt(i)
+          val (s1, n1) = (l.map(_._2).sum, l.size.toLong)
+          val (s2, n2) = (r.map(_._2).sum, r.size.toLong)
+          (xs(i - 1)._1,
+            BigInt(s1) * s1 * n2 + BigInt(s2) * s2 * n1, BigInt(n1) * n2,
+            s1, n1, s2, n2)
+        }
+        val top = cand.reduceLeft { (a, b) =>
+          if (b._2 * a._3 > a._2 * b._3) b
+          else if (b._2 * a._3 == a._2 * b._3 && b._1 < a._1) b
+          else a
+        }
+        Some((t, top._1, top._4 * 1000 / top._5, top._6 * 1000 / top._7))
+      }
+    }.sortBy(_._1)
+    val out = SparkEntry.queries("q_events_changepoint")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out === expect)
+    assert(out.nonEmpty)
+    // the split is informative somewhere: at least one type's means differ
+    assert(out.exists(r => r._3 != r._4))
+  }
+}
+
+class BlurScoreSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("Laplacian sums replay the pixel formula through the real decode") {
+    val out = SparkEntry.queries("mm_blur_score")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out.nonEmpty)
+    def px(id: Long, x: Int, y: Int): Long = (id * 31 + x * 7 + y * 13) % 256
+    out.foreach { case (id, (w, h, n, s, s2, varQ)) =>
+      assert(w === 8 + (id % 9).toInt && h === 8 + ((id / 3) % 7).toInt)
+      var (en, es, es2) = (0L, 0L, 0L)
+      for (y <- 1 until h - 1; x <- 1 until w - 1) {
+        val l = 4 * px(id, x, y) - px(id, x - 1, y) - px(id, x + 1, y) -
+          px(id, x, y - 1) - px(id, x, y + 1)
+        en += 1; es += l; es2 += l * l
+      }
+      assert((n, s, s2) === ((en, es, es2)), s"doc $id")
+      assert(varQ === (en * es2 - es * es) / (en * en))
+    }
+    // the gate separates: scores are not all equal (a blur gate that
+    // cannot rank is useless)
+    assert(out.values.map(_._6).toSet.size > 1)
+  }
+}
+
+class StitchSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("planted split docs stitch; boilerplate-capped grams do not") {
+    // docs 1→2 and 3→4 split mid-stream (tail 3-gram == head 3-gram);
+    // docs 100.. all share one viral boilerplate head/tail gram that the
+    // df cap must suppress
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "delta epsilon zeta eta theta iota"),
+      (3L, "one two three four five six"),
+      (4L, "four five six seven eight nine"),
+      (5L, "totally unrelated content words here now")) ++
+      (100L to 250L).map(i => (i, s"footer legal text unique$i middle footer legal text"))
+    val tmp = graft.TmpDirs.create("stitch")
+    planted.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_stitch_candidates")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L)) && out.contains((3L, 4L)))
+    // the 151-doc boilerplate gram is over the df cap: no pair from it
+    assert(!out.exists { case (a, b) => a >= 100L || b >= 100L })
+    assert(!out.exists { case (a, b) => a == 5L || b == 5L })
+  }
+}
+
+class IvfRqSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("ivf-rq probe: 10 ranked hits per query, self excluded, useful recall") {
+    val out = SparkEntry.queries("ann_ivfrq_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.length === 5)
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length === 10)
+      assert(rows.forall(_._2 != q)) // never retrieves itself
+      val byRank = rows.sortBy(_._4)
+      assert(byRank.map(_._4).toSeq === (1L to 10L))
+      // adist non-decreasing with rank (the index's own order is honest)
+      assert(byRank.map(_._3).sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    }
+    val rec = SparkEntry.queries("ann_ivfrq_recall")(spark, dir).collect()
+      .map(r => r.getLong(3))
+    assert(rec.forall(r => r >= 0L && r <= 1000L))
+    // the composite index must beat the degenerate floor somewhere
+    assert(rec.max > 0L)
+  }
+}
+
 /** Streaming DP twin: exact counts maintained by the stream, noise at
   * the PUBLISH boundary only — noising per micro-batch would compose ε
   * per batch. Stream release ≡ batch release, and re-publishing re-draws
