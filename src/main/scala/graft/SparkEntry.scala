@@ -12901,6 +12901,432 @@ object SparkEntry {
        |WHERE t.doc_id <> h.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** TPC-H Q11-shaped important stock value — the last-but-one missing
+    * TPC-H plan shape (with Q20 below, the surface now covers all 22):
+    * per-part value supplied by ONE nation's suppliers, kept only where
+    * the part's value exceeds a threshold derived from a GLOBAL scalar
+    * subquery — the HAVING-against-global-aggregate shape. No partsupp
+    * table exists in the star schema, so "stock value" is re-expressed
+    * as shipped value (Σ extendedprice in cents) per part. TPC-H scales
+    * Q11's fraction by 1/SF because per-part share shrinks as the part
+    * count grows; the same idea here is data-adaptive with no knob:
+    * keep parts worth more than 2× the MEAN part value
+    * (value_c · n_parts > 2 · total_c, exact integer cross-multiply).
+    * Plan: nation filter broadcasts onto the 100-row supplier dim,
+    * suppliers broadcast onto the fact spine (fact never shuffles
+    * pre-aggregate), the per-part aggregate combines map-side, and both
+    * global scalars ride ONE 1-row broadcast (the allowlisted 1×1
+    * cross-join shape).
+    */
+  private def qStockValue(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_7")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, dir)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(cents(col("l_extendedprice"))).as("value_c"))
+    val totals = perPart.agg(sum("value_c").as("total_c"), count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(totals))
+      .where(col("value_c") * col("n_parts") > lit(2L) * col("total_c"))
+      .select(col("l_partkey"), col("value_c"))
+      .orderBy(desc("value_c"), col("l_partkey"))
+  }
+
+  private val qStockValueSql =
+    s"""WITH sup AS (
+       |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  WHERE n_name = 'NATION_7'),
+       |pp AS (
+       |  SELECT l_partkey, CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS value_c
+       |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1),
+       |t AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c,
+       |  CAST(COUNT(*) AS BIGINT) AS n_parts FROM pp)
+       |SELECT l_partkey, value_c FROM pp, t
+       |WHERE value_c * n_parts > 2 * total_c
+       |ORDER BY value_c DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q20-shaped potential part promotion — the last missing TPC-H
+    * plan shape: suppliers who DOMINATED a name-prefixed part's shipped
+    * quantity inside one ship-year (their share > 50%, Q20's own
+    * fraction), surfaced as the distinct supplier list with nation —
+    * the nested-IN-subqueries + correlated-threshold shape. Without
+    * partsupp, "availqty > ½·shipped" is re-expressed on the fact table
+    * itself: per (part, supplier) year quantity vs per-part year total,
+    * compared by exact integer cross-multiply (2·sq_c > tot_c, cents).
+    * Plan: the prefix filter prunes the 2k-row part dim, which
+    * broadcasts onto the date-pruned fact scan; the two aggregates
+    * share one shuffle key family (partkey prefix), the dominance join
+    * is partkey-equi, and the final semi-join keys on the 100-row
+    * supplier dim.
+    */
+  private def qPromoParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .where(col("p_name").startsWith("small")).select("p_partkey")
+    val l = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), cents(col("l_quantity")).as("qty_c"))
+    val perSupp = l.groupBy("l_partkey", "l_suppkey").agg(sum("qty_c").as("sq_c"))
+    val perPart = l.groupBy("l_partkey").agg(sum("qty_c").as("tot_c"))
+    val dominating = perSupp.join(perPart, "l_partkey")
+      .where(col("sq_c") * 2L > col("tot_c"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(dominating, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val qPromoPartsSql =
+    s"""WITH pr AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+       |l AS (
+       |  SELECT l_partkey, l_suppkey, ${centsSql("l_quantity")} AS qty_c
+       |  FROM lineitem JOIN pr ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+       |ps AS (SELECT l_partkey, l_suppkey, CAST(SUM(qty_c) AS BIGINT) AS sq_c
+       |  FROM l GROUP BY 1, 2),
+       |pp AS (SELECT l_partkey, CAST(SUM(qty_c) AS BIGINT) AS tot_c FROM l GROUP BY 1)
+       |SELECT s_suppkey, s_name, n_name
+       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |WHERE s_suppkey IN (
+       |  SELECT DISTINCT l_suppkey FROM ps JOIN pp USING (l_partkey)
+       |  WHERE sq_c * 2 > tot_c)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Mann-Kendall trend test, EXACT — the nonparametric is-there-a-trend
+    * gate next to the least-squares `q_revenue_trend` (MK is the one
+    * robust to outliers and non-linearity; Mann 1945, Kendall 1975):
+    * per event type over its observed daily counts,
+    * S = Σ_{i<j} sgn(x_j − x_i) plus the tie-corrected variance
+    * published as 18·Var = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) — all exact
+    * int64 (a century of daily data keeps every term < 2⁶³), no float
+    * anywhere, so the verdict is bit-stable cross-engine. Scale shape:
+    * one fact groupBy to (type, day); the pair term is a type-equi
+    * self-join over the BOUNDED per-type day series (T·D²/2 pairs on
+    * metadata, never on raw rows — 10 years daily is ~6.6M pairs per
+    * type); ties come from a second tiny (type, x) groupBy.
+    */
+  private def qTrendMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") && col("b.day") > col("a.day"))
+      .groupBy(col("a.event_type").as("event_type"))
+      .agg(sum(signum(col("b.x") - col("a.x")).cast("long")).as("s_stat"))
+    val nDays = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+    val ties = daily.groupBy("event_type", "x").agg(count(lit(1)).as("t"))
+      .groupBy("event_type")
+      .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+    nDays.join(pairs, "event_type").join(ties, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        expr("n_days * (n_days - 1) * (2 * n_days + 5) - tie_term").as("var_x18"),
+        when(col("s_stat") > 0, "up").when(col("s_stat") < 0, "down")
+          .otherwise("flat").as("trend"))
+      .orderBy("event_type")
+  }
+
+  private val qTrendMannKendallSql =
+    """WITH daily AS MATERIALIZED (
+      |  SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.event_type,
+      |    CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b ON a.event_type = b.event_type AND b.day > a.day
+      |  GROUP BY 1),
+      |nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+      |tt AS (
+      |  SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1)
+      |SELECT nd.event_type, nd.n_days, p.s_stat,
+      |  CAST(nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5) - tt.tie_term AS BIGINT) AS var_x18,
+      |  CASE WHEN p.s_stat > 0 THEN 'up' WHEN p.s_stat < 0 THEN 'down' ELSE 'flat' END AS trend
+      |FROM nd JOIN p USING (event_type) JOIN tt USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  /** Benford first-digit audit — the classic fabricated-numbers /
+    * upstream-corruption screen for financial columns (Newcomb 1881,
+    * Benford 1938): the leading significant digit of every order total
+    * (in cents, so the digit extraction is pure string-of-int — no
+    * float log10 in the hot path on EITHER engine) against the Benford
+    * expectation ⌊1000·log10(1+1/d)⌋, published per digit as observed
+    * count, observed permille, expected permille, and the signed
+    * deviation. The digit spine 1–9 is a literal frame so absent digits
+    * still report (count 0), making the output shape deterministic.
+    * Scale: one map-side digit extraction + one 9-group aggregate; the
+    * global N rides the same 1-row broadcast as every ratio key.
+    */
+  private def qValuesBenford(s: SparkSession, dir: String): DataFrame = {
+    val expPml = Seq(301L, 176L, 124L, 96L, 79L, 66L, 57L, 51L, 45L)
+    val spine = s.createDataFrame(
+      (1 to 9).map(d => (d.toLong, expPml(d - 1)))).toDF("digit", "exp_pml")
+    val per = Tables.orders(s, dir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = per.agg(sum("n").as("total"))
+    broadcast(spine).join(per, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0) * 1000 div total").as("obs_pml"), col("exp_pml"),
+        (expr("coalesce(n, 0) * 1000 div total") - col("exp_pml")).as("dev_pml"))
+      .orderBy("digit")
+  }
+
+  private val qValuesBenfordSql =
+    s"""WITH per AS (
+       |  SELECT CAST(substring(CAST(${centsSql("o_totalprice")} AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY 1),
+       |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM per),
+       |spine(digit, exp_pml) AS (VALUES (1, 301), (2, 176), (3, 124), (4, 96),
+       |  (5, 79), (6, 66), (7, 57), (8, 51), (9, 45))
+       |SELECT CAST(spine.digit AS BIGINT) AS digit,
+       |  CAST(COALESCE(per.n, 0) AS BIGINT) AS n,
+       |  CAST(COALESCE(per.n, 0) * 1000 // t.total AS BIGINT) AS obs_pml,
+       |  CAST(spine.exp_pml AS BIGINT) AS exp_pml,
+       |  CAST(COALESCE(per.n, 0) * 1000 // t.total - spine.exp_pml AS BIGINT) AS dev_pml
+       |FROM spine LEFT JOIN per ON per.digit = spine.digit, t
+       |ORDER BY digit""".stripMargin
+
+  /** Neyman-allocation stratified sampling plan — the survey-statistics
+    * optimal budget split (Neyman 1934): each stratum's share of a
+    * 1000-row sample budget ∝ N_h·S_h (size × within-stratum standard
+    * deviation of n_chars), so variable strata get more of the budget
+    * than uniform ones at equal size. Everything is exact integer:
+    * population variance by the n·Σx²−(Σx)² identity (floor), S_h by
+    * EXACT integer sqrt (float sqrt seed + ±1 correction — the seed is
+    * provably within 1 for v < 2⁵², and the correction makes the
+    * boundary bit-stable cross-engine), and the allocation by
+    * floor-divide plus largest-remainder top-up so Σ alloc == budget
+    * EXACTLY (floors alone under-shoot by up to |strata|−1). Scale: one
+    * map-side-combined groupBy to |strata| rows; every window below
+    * runs on that bounded metadata frame.
+    */
+  private def sampNeyman(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val per = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+      .withColumn("var_q", expr("(n_h * sxx - sx * sx) div (n_h * n_h)"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(var_q as double))) as long)"))
+      .withColumn("sd_q", expr(
+        "case when (s0 + 1) * (s0 + 1) <= var_q then s0 + 1 " +
+          "when s0 * s0 > var_q then s0 - 1 else s0 end"))
+      .withColumn("weight", col("n_h") * col("sd_q"))
+    val full = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val byRem = Window.orderBy(desc("rem"), col("source"))
+    per
+      .withColumn("w_tot", sum("weight").over(full))
+      .withColumn("base", expr(s"weight * $budget div w_tot"))
+      .withColumn("rem", expr(s"weight * $budget % w_tot"))
+      .withColumn("leftover", lit(budget) - sum("base").over(full))
+      .withColumn("rnk", row_number().over(byRem).cast("long"))
+      .select(col("source"), col("n_h"), col("sd_q"), col("weight"),
+        (col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("source")
+  }
+
+  private val sampNeymanSql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY 1),
+      |v AS (
+      |  SELECT source, n_h, CAST((n_h * sxx - sx * sx) // (n_h * n_h) AS BIGINT) AS var_q
+      |  FROM per),
+      |sq AS (
+      |  SELECT source, n_h, var_q,
+      |    CAST(floor(sqrt(CAST(var_q AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM v),
+      |sd AS (
+      |  SELECT source, n_h,
+      |    CASE WHEN (s0 + 1) * (s0 + 1) <= var_q THEN s0 + 1
+      |         WHEN s0 * s0 > var_q THEN s0 - 1 ELSE s0 END AS sd_q
+      |  FROM sq),
+      |w AS (
+      |  SELECT source, n_h, sd_q, CAST(n_h * sd_q AS BIGINT) AS weight,
+      |    CAST(SUM(n_h * sd_q) OVER () AS BIGINT) AS w_tot
+      |  FROM sd),
+      |a AS (
+      |  SELECT source, n_h, sd_q, weight,
+      |    CAST(weight * 1000 // w_tot AS BIGINT) AS base,
+      |    CAST(weight * 1000 % w_tot AS BIGINT) AS rem,
+      |    CAST(1000 - SUM(weight * 1000 // w_tot) OVER () AS BIGINT) AS leftover,
+      |    CAST(row_number() OVER (ORDER BY weight * 1000 % w_tot DESC, source) AS BIGINT) AS rnk
+      |  FROM w)
+      |SELECT source, n_h, sd_q, weight,
+      |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      |FROM a ORDER BY source""".stripMargin
+
+  /** SimHash dedup evaluation — completes the near-dup eval discipline
+    * (`dedup_minhash_eval` scores MinHash-LSH; this scores the
+    * Charikar-simhash Hamming≤3 candidates) against the same exact
+    * blocked n-gram-Jaccard≥0.5 truth the standalone key publishes.
+    * Both legs are the already-proven operators; the eval adds one
+    * full-outer equi-join on the bounded pair frames and a 1-row
+    * confusion fold. Publishing precision AND recall per dedup family
+    * side by side is what lets a 100 TB pipeline pick its candidate
+    * generator from data — simhash's word-frequency sketch and the
+    * n-gram set truth disagree exactly where term REORDERING matters,
+    * and the numbers quantify that.
+    */
+  private def dedupSimhashEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = dedup.Dedup.simhashPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    val truth = dedup.Dedup.blockedNgramJaccard(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000 div greatest(n_pred, 1)").as("precision_x1000"),
+        expr("tp * 1000 div greatest(n_truth, 1)").as("recall_x1000"))
+  }
+
+  private lazy val dedupSimhashEvalSql =
+    s"""WITH sh AS (SELECT doc_a, doc_b FROM (${oracle.DuckHash.simhashSql})),
+       |tr AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+       |f AS (
+       |  SELECT sh.doc_a IS NOT NULL AS p, tr.doc_a IS NOT NULL AS t
+       |  FROM sh FULL OUTER JOIN tr
+       |    ON sh.doc_a = tr.doc_a AND sh.doc_b = tr.doc_b),
+       |a AS (
+       |  SELECT CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM f)
+       |SELECT n_pred, n_truth, tp, fp, fn,
+       |  tp * 1000 // GREATEST(n_pred, 1) AS precision_x1000,
+       |  tp * 1000 // GREATEST(n_truth, 1) AS recall_x1000
+       |FROM a""".stripMargin
+
+  /** Int8-quantization recall eval — completes the eval discipline for
+    * the quantization family the way `ann_ivfrq_recall` completed it
+    * for the index families: `vec_int8_quant` ships the 4×-smaller
+    * vectors, this key publishes what that compression COSTS in
+    * retrieval quality (int8-cosine top-10 vs float-milli truth,
+    * recall@10 in truncating permille). Both legs are one broadcast +
+    * one corpus scan; the eval adds one equi left join on bounded
+    * (query × k) frames.
+    */
+  private def vecInt8Recall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.int8TopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("query_id")
+  }
+
+  private def int8RankSql(k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n0 AS (
+       |  SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nq FROM e),
+       |v8 AS (
+       |  SELECT vec_id, list_transform(q, x -> CASE WHEN nq = 0 THEN 0
+       |    ELSE CAST(round(CAST(x AS DOUBLE) * 127 / sqrt(CAST(nq AS DOUBLE))) AS BIGINT) END) AS v
+       |  FROM n0),
+       |n AS (
+       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nrm FROM v8),
+       |s AS (
+       |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+       |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.v, cs.v), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+       |r AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id FROM r WHERE rnk <= $k""".stripMargin
+
+  private val vecInt8RecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (SELECT query_id, vec_id, 1 AS hit FROM (${int8RankSql(10)}))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Personalized PageRank from the co-purchase hub
+    * ([[graph.PageRank.runPersonalized]], Haveliwala 2002) — the
+    * random-walk twin of `q_graph_khop`: BFS answers "reachable within
+    * h hops of the hub", PPR answers "how much seed-anchored stationary
+    * mass lands on each part" — the relatedness score behind
+    * "customers who bought X also buy" ranking. Seed = the same
+    * max-degree (tie → lower id) hub the khop key probes, computed as
+    * graph metadata (1-row argmax, PageRank `nodes.count()` precedent).
+    * Reuses the shared build-once co-purchase edge artifact; 3 damped
+    * iterations of integer fixed-point; publishes the top-20 by rank
+    * (the seed itself dominates by construction — publishing it keeps
+    * the mass accounting honest).
+    */
+  private def qGraphPpr(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir) // shared build-once artifact
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
+      .persist()
+    val seed = bidir.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("src")).limit(1).head().getLong(0)
+    val ranks = graph.PageRank.runPersonalized(bidir, seed, iters = 3)
+    val out = ranks.orderBy(desc("rank"), col("node")).limit(20)
+      .select(lit(seed).as("seed"), col("node"), col("rank"))
+    val rows = out.collect() // bounded: 20 rows; release the loop caches
+    ranks.unpersist(); bidir.unpersist()
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .toDF("seed", "node", "rank")
+      .orderBy(desc("rank"), col("node"))
+  }
+
+  private val qGraphPprSql = {
+    val edgesCte =
+      """SELECT CAST(a AS BIGINT) AS src, CAST(b AS BIGINT) AS dst FROM (
+        |    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |    e0 AS (
+        |      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |      FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |      WHERE x.l_partkey < y.l_partkey)
+        |    SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0)""".stripMargin
+    val seedCte =
+      """SELECT src AS node FROM (
+        |    SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1)
+        |  ORDER BY deg DESC, src LIMIT 1""".stripMargin
+    s"""WITH ${graph.PageRank.personalizedOracleSql(edgesCte, seedCte, iters = 3)}
+       |SELECT sd.node AS seed, r3.node, r3.rank
+       |FROM r3 CROSS JOIN seed sd
+       |ORDER BY r3.rank DESC, r3.node LIMIT 20""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13166,6 +13592,14 @@ object SparkEntry {
     "mm_blur_score" -> (mmBlurScore _),
     "ann_ivfrq_recall" -> (annIvfrqRecall _),
     "text_stitch_candidates" -> (textStitchCandidates _),
+    "q_stock_value" -> (qStockValue _),
+    "q_promo_parts" -> (qPromoParts _),
+    "q_trend_mann_kendall" -> (qTrendMannKendall _),
+    "q_values_benford" -> (qValuesBenford _),
+    "samp_neyman" -> (sampNeyman _),
+    "dedup_simhash_eval" -> (dedupSimhashEval _),
+    "vec_int8_recall" -> (vecInt8Recall _),
+    "q_graph_ppr" -> (qGraphPpr _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -13537,6 +13971,14 @@ object SparkEntry {
     "mm_blur_score" -> mmBlurScoreSql,
     "ann_ivfrq_recall" -> annIvfrqRecallSql,
     "text_stitch_candidates" -> textStitchCandidatesSql,
+    "q_stock_value" -> qStockValueSql,
+    "q_promo_parts" -> qPromoPartsSql,
+    "q_trend_mann_kendall" -> qTrendMannKendallSql,
+    "q_values_benford" -> qValuesBenfordSql,
+    "samp_neyman" -> sampNeymanSql,
+    "dedup_simhash_eval" -> dedupSimhashEvalSql,
+    "vec_int8_recall" -> vecInt8RecallSql,
+    "q_graph_ppr" -> qGraphPprSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

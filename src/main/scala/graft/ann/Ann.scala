@@ -86,6 +86,25 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Top-k by cosine over the int8-quantized vectors ([[graft.vec.Vec
+    * .int8Normalize]]) — the approximate leg of `vec_int8_recall`: the
+    * 4-bytes→1-byte storage shrink is only worth shipping if its
+    * recall against float truth is measured. Same broadcast/one-scan
+    * contract as [[bruteForceTopK]]; the int8 dot is exact int64 and
+    * the single final division is deterministic cross-engine.
+    */
+  def int8TopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val q8 = embeddings.select(col("vec_id"),
+      graft.vec.Vec.int8Normalize(col("embedding")).as("v8"))
+    val q = q8.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v8").as("qv"))
+    val scored = q8
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(graft.vec.Vec.cosineQ(col("qv"), col("v8")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
     * from the query's own — the near-miss impostors a retrieval/

@@ -65,6 +65,81 @@ object PageRank {
     ranks // persisted; caller owns lifecycle (same contract as Dedup.*)
   }
 
+  /** Personalized PageRank (Haveliwala 2002): identical to [[run]]
+    * except ALL teleport mass returns to one seed node — r0 puts the
+    * whole `scale` at the seed and each iteration's base term
+    * `(15·scale) div 100` lands only there, so ranks measure proximity
+    * TO THE SEED rather than global centrality (the random-walk twin of
+    * k-hop BFS: BFS answers "reachable in h hops", PPR answers "how
+    * much stationary mass lands here"). Same per-iteration cost and
+    * the same integer fixed-point bit-reproducibility contract.
+    */
+  def runPersonalized(
+      edges: DataFrame, seed: Long, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = (15L * scale) / 100L
+    var ranks = nodes
+      .select(col("node"), when(col("node") === seed, scale).otherwise(0L).as("rank"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, base).otherwise(0L) +
+            expr("(85L * coalesce(s, 0L)) div 100L")).as("rank"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outDeg.unpersist(blocking = false)
+    ranks
+  }
+
+  /** DuckDB oracle for [[runPersonalized]]: caller supplies the edge
+    * CTE and a 1-row `seed(node)` CTE body; iterations unroll exactly
+    * like [[oracleSql]] with the base term gated on the seed.
+    */
+  def personalizedOracleSql(
+      edgesCte: String, seedCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val base = (15L * scale) / 100L
+    val iterCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst, CAST(sum(r.rank // d.deg) AS BIGINT) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst),
+         |r$i AS (
+         |  SELECT n.node,
+         |    CAST(CASE WHEN n.node = sd.node THEN $base ELSE 0 END
+         |      + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN seed sd LEFT JOIN c$i c ON n.node = c.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+       |seed AS MATERIALIZED ($seedCte),
+       |r0 AS (
+       |  SELECT n.node, CAST(CASE WHEN n.node = sd.node THEN $scale ELSE 0 END AS BIGINT) AS rank
+       |  FROM nodes n CROSS JOIN seed sd),
+       |$iterCtes""".stripMargin
+  }
+
   /** DuckDB oracle for [[run]]: the same iterations unrolled as chained
     * CTEs over an `edges` CTE the caller supplies (must produce
     * identical distinct (src, dst) BIGINT pairs).

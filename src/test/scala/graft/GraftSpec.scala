@@ -1036,8 +1036,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_churn_risk", // 1-row corpus-max-day aggregate broadcast back
       "text_source_kl", // 1-row corpus-total aggregate (N_c) broadcast
       "text_heldout_surprisal", // 1-row N+V smoothing constant broadcast
-      "text_vocab_coverage") // 6-row k grid × 1-row vocab totals —
+      "text_vocab_coverage", // 6-row k grid × 1-row vocab totals —
                              // metadata grid like q_drift_psi
+      "q_stock_value", // Q11's HAVING-vs-global-scalar: 1-row
+                       // (total, n_parts) aggregate broadcast back
+      "q_values_benford", // 1-row global-N aggregate onto the 9-digit spine
+      "vec_int8_recall") // brute-force truth leg + the same
+                         // |queryIds|-row broadcast int8 scoring leg
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

@@ -424,3 +424,256 @@ class SourceOverlapShardSpec extends AnyFunSuite {
     assert(jm(("s063", "s064")) < 1000L && jm(("s063", "s064")) > 0L)
   }
 }
+
+/** With `q_stock_value` (Q11) and `q_promo_parts` (Q20) the surface now
+  * covers all 22 TPC-H plan shapes. Both specs replay the thresholds
+  * brute-force in driver Scala from raw table collects — independent of
+  * the Spark plans under test — and assert the plants fired (non-empty
+  * qualifying sets on BOTH sides of each threshold).
+  */
+class TpchCompletionSpec extends AnyFunSuite {
+  import TestSpark._
+  // sf0.01: at sf0.001 NATION_7 ships so few distinct parts that no part
+  // clears 2x the mean and the non-vacuity assert (rightly) trips
+  private val dir = "/root/testdata/sf0.01"
+
+  // key columns vary int32/int64 across testdata generations
+  private def kLong(r: org.apache.spark.sql.Row, i: Int): Long =
+    r.get(i).asInstanceOf[Number].longValue
+
+  test("q_stock_value keeps exactly the parts above 2x the mean value") {
+    val nk = Tables.nation(spark, dir).where(col("n_name") === "NATION_7")
+      .collect().map(kLong(_, 0)).toSet
+    val sup = Tables.supplier(spark, dir).collect()
+      .filter(r => nk(kLong(r, 2))).map(kLong(_, 0)).toSet
+    val per = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .filter(r => sup(kLong(r, 1)))
+      .groupBy(kLong(_, 0))
+      .map { case (p, rs) => p -> rs.map(r => math.round(r.getDouble(2) * 100)).sum }
+    val total = per.values.sum
+    val n = per.size.toLong
+    val expect = per.filter { case (_, v) => v * n > 2L * total }
+    val got = SparkEntry.queries("q_stock_value")(spark, dir).collect()
+      .map(r => kLong(r, 0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    // non-vacuous: the threshold separates (some parts pass, some fail)
+    assert(expect.nonEmpty && expect.size < per.size)
+    // ordering: value desc, then partkey
+    val rows = SparkEntry.queries("q_stock_value")(spark, dir).collect()
+      .map(r => (r.getLong(1), kLong(r, 0)))
+    assert(rows.sortBy { case (v, p) => (-v, p) }.toSeq === rows.toSeq)
+  }
+
+  test("q_promo_parts finds exactly the >50%-dominance suppliers") {
+    val pr = Tables.part(spark, dir).collect()
+      .filter(_.getString(1).startsWith("small")).map(kLong(_, 0)).toSet
+    // epoch-micros window bounds; robust to Timestamp vs LocalDateTime rows
+    def micros(v: Any): Long = v match {
+      case t: java.sql.Timestamp => t.getTime * 1000L
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+          d.getNano / 1000L
+      case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+    val lo = java.time.Instant.parse("1997-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val hi = java.time.Instant.parse("1998-01-01T00:00:00Z").getEpochSecond * 1000000L
+    val l = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .filter { r =>
+        val ts = micros(r.get(3))
+        pr(kLong(r, 0)) && ts >= lo && ts < hi
+      }
+      .map(r => (kLong(r, 0), kLong(r, 1), math.round(r.getDouble(2) * 100)))
+    val perPart = l.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._3).sum }
+    val dominating = l.groupBy(t => (t._1, t._2))
+      .collect { case ((p, s), rs) if rs.map(_._3).sum * 2 > perPart(p) => s }
+      .toSet
+    val got = SparkEntry.queries("q_promo_parts")(spark, dir).collect()
+    assert(got.map(kLong(_, 0)).toSet === dominating)
+    assert(got.map(kLong(_, 0)).toSeq === got.map(kLong(_, 0)).toSeq.sorted)
+    // non-vacuous: dominance separates the supplier population
+    val nSup = Tables.supplier(spark, dir).count()
+    assert(dominating.nonEmpty && dominating.size < nSup)
+  }
+}
+
+/** Wave-B statistical gates: each replayed independently in driver Scala
+  * (BigInt where the formula allows it) from raw collects.
+  */
+class StatGatesSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_trend_mann_kendall matches a BigInt pairwise replay") {
+    val dayNs = 86400000000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val got = SparkEntry.queries("q_trend_mann_kendall")(spark, dir).collect()
+    assert(got.map(_.getString(0)).toSet === byType.keySet)
+    got.foreach { r =>
+      val series = byType(r.getString(0)).sortBy(_._2).map(_._3)
+      val n = series.length.toLong
+      var sS = BigInt(0)
+      for (i <- series.indices; j <- (i + 1) until series.length)
+        sS += series(j).compare(series(i)).sign
+      val tie = series.groupBy(identity).values
+        .map(g => { val t = BigInt(g.length); t * (t - 1) * (2 * t + 5) }).sum
+      val varX18 = BigInt(n) * (n - 1) * (2 * n + 5) - tie
+      assert(r.getLong(1) === n, s"${r.getString(0)} n_days")
+      assert(BigInt(r.getLong(2)) === sS, s"${r.getString(0)} s_stat")
+      assert(BigInt(r.getLong(3)) === varX18, s"${r.getString(0)} var")
+      val dirn = if (sS > 0) "up" else if (sS < 0) "down" else "flat"
+      assert(r.getString(4) === dirn)
+    }
+    // non-vacuous: at least one type trends (|S| large enough to matter)
+    assert(got.exists(_.getString(4) != "flat"))
+  }
+
+  test("q_values_benford replays the digit histogram and Benford constants") {
+    val digits = Tables.orders(spark, dir).select("o_totalprice").collect()
+      .map(r => math.round(r.getDouble(0) * 100).toString.head.asDigit.toLong)
+    val hist = digits.groupBy(identity).map { case (d, a) => d -> a.length.toLong }
+    val total = digits.length.toLong
+    val exp = Map(1L -> 301L, 2L -> 176L, 3L -> 124L, 4L -> 96L, 5L -> 79L,
+      6L -> 66L, 7L -> 57L, 8L -> 51L, 9L -> 45L)
+    // the constants really are floor(1000*log10(1+1/d))
+    exp.foreach { case (d, e) =>
+      assert(math.floor(1000 * math.log10(1 + 1.0 / d)).toLong === e)
+    }
+    val got = SparkEntry.queries("q_values_benford")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === (1L to 9L))
+    got.foreach { r =>
+      val d = r.getLong(0)
+      val n = hist.getOrElse(d, 0L)
+      assert(r.getLong(1) === n, s"digit $d count")
+      assert(r.getLong(2) === n * 1000 / total)
+      assert(r.getLong(3) === exp(d))
+      assert(r.getLong(4) === n * 1000 / total - exp(d))
+    }
+  }
+
+  test("samp_neyman allocates exactly the budget by N_h * S_h") {
+    val rows = SparkEntry.queries("samp_neyman")(spark, dir).collect()
+    assert(rows.map(_.getLong(4)).sum === 1000L, "allocation must sum to the budget exactly")
+    // replay: integer population variance + exact isqrt per stratum
+    val per = Tables.documents(spark, dir).select("source", "n_chars").collect()
+      .groupBy(_.getString(0)).map { case (src, rs) =>
+        val xs = rs.map(_.getLong(1))
+        val n = xs.length.toLong
+        val sx = xs.sum
+        val sxx = xs.map(x => x * x).sum
+        val v = (n * sxx - sx * sx) / (n * n)
+        val sd = BigInt(v).bigInteger.sqrt().longValueExact()
+        src -> (n, sd, n * sd)
+      }
+    rows.foreach { r =>
+      val (n, sd, w) = per(r.getString(0))
+      assert(r.getLong(1) === n); assert(r.getLong(2) === sd, s"${r.getString(0)} isqrt")
+      assert(r.getLong(3) === w)
+    }
+    // Neyman ordering: floor shares respected within +/- 1 (largest remainder)
+    val wTot = per.values.map(_._3).sum
+    rows.foreach { r =>
+      val base = per(r.getString(0))._3 * 1000L / wTot
+      assert(r.getLong(4) === base || r.getLong(4) === base + 1)
+    }
+    // non-vacuous: strata differ (some get more than a proportional-by-N share)
+    assert(rows.map(_.getLong(2)).distinct.length > 1 || rows.length == 1)
+  }
+}
+
+/** Wave-C eval keys: confusion-fold consistency, an int8 recall replay,
+  * and a full driver-Scala personalized-PageRank replay.
+  */
+class WaveCSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_simhash_eval folds are consistent with the standalone keys") {
+    val r = SparkEntry.queries("dedup_simhash_eval")(spark, dir).head()
+    val (nPred, nTruth, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp === nPred && tp + fn === nTruth)
+    assert(nPred === SparkEntry.queries("dedup_simhash")(spark, dir).count())
+    assert(nTruth === SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count())
+    assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000)
+    assert(r.getLong(6) >= 0 && r.getLong(6) <= 1000)
+    // non-vacuous: both legs produce pairs on this corpus
+    assert(nPred > 0 && nTruth > 0)
+  }
+
+  test("vec_int8_recall replays against a driver-Scala int8 top-10") {
+    val embs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    def q(v: Array[Float]): Array[Long] = v.map(x => math.round(x.toDouble * 1000))
+    def int8(v: Array[Float]): Array[Long] = {
+      val qq = q(v)
+      val n = qq.map(x => x * x).sum
+      if (n == 0L) qq.map(_ => 0L)
+      else qq.map(x => math.round(x.toDouble * 127.0 / math.sqrt(n.toDouble)))
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val n2 = a.map(x => x * x).sum * b.map(x => x * x).sum
+      if (n2 == 0L) 0.0
+      else BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+        math.sqrt(n2.toDouble)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qm = embs.map { case (id, v) => id -> q(v) }.toMap
+    val im = embs.map { case (id, v) => id -> int8(v) }.toMap
+    def top10(scores: Seq[(Long, Double)]): Set[Long] =
+      scores.sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val got = SparkEntry.queries("vec_int8_recall")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    got.foreach { r =>
+      val qid = r.getLong(0)
+      val truth = top10(embs.collect { case (id, _) if id != qid => id -> cos(qm(qid), qm(id)) })
+      val approx = top10(embs.collect { case (id, _) if id != qid => id -> cos(im(qid), im(id)) })
+      val hits = (truth & approx).size.toLong
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(2) === hits, s"query $qid hits")
+      assert(r.getLong(3) === hits * 1000 / 10)
+    }
+    // non-vacuous: int8 at 64 dims must retain most of the neighborhood
+    assert(got.map(_.getLong(3)).sum >= 2500L)
+  }
+
+  test("q_graph_ppr replays 3 integer PPR iterations from raw lineitem") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)).distinct
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).distinct.sorted
+      var i = 0
+      while (i < ps.length) {
+        var j = i + 1
+        while (j < ps.length) { und += ((ps(i), ps(j))); j += 1 }
+        i += 1
+      }
+    }
+    val edges = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val nodes = edges.map(_._1).toSet
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val seed = deg.toSeq.sortBy { case (n, d) => (-d, n) }.head._1
+    val scale = 1000000000000L
+    var rank = nodes.map(n => n -> (if (n == seed) scale else 0L)).toMap
+    for (_ <- 1 to 3) {
+      val contrib = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (s0, d0) => contrib(d0) += rank(s0) / deg(s0) }
+      rank = nodes.map(n =>
+        n -> ((if (n == seed) scale * 15L / 100L else 0L) + 85L * contrib(n) / 100L)).toMap
+    }
+    val want = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(20)
+    val got = SparkEntry.queries("q_graph_ppr")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === want)
+    val seeds = SparkEntry.queries("q_graph_ppr")(spark, dir).collect().map(_.getLong(0)).distinct
+    assert(seeds.toSeq === Seq(seed))
+    // the seed must top its own personalized ranking
+    assert(got.head._1 === seed)
+  }
+}
