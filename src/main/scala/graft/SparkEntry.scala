@@ -13327,6 +13327,121 @@ object SparkEntry {
        |ORDER BY r3.rank DESC, r3.node LIMIT 20""".stripMargin
   }
 
+  /** PQ recall eval — the LAST index family without a recall number
+    * (IVF/LSH/graph/IVF-RQ/int8 all publish one): ADC product-quantized
+    * top-10 vs brute-force exact cosine truth, recall@10 in truncating
+    * permille per query. Same composition cost as its siblings: both
+    * legs are proven operators, the eval adds one equi left join on
+    * bounded (query × k) frames. With this the probe-budget allocation
+    * table is complete across every index AND compression the engine
+    * ships.
+    */
+  private def annPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Pq.adcTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("query_id")
+  }
+
+  private val annPqRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (SELECT query_id, vec_id, 1 AS hit FROM ($annPqSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Horvitz–Thompson reconstruction eval over the recency sample — the
+    * estimator that makes weighted sampling USEFUL: `samp_recency`
+    * keeps events with known probability keep_pml/1000, and HT
+    * reweights every kept row by the inverse (1/p) so corpus totals
+    * are recoverable from the sample alone (Horvitz & Thompson 1952).
+    * Published per age-week: true count & cents total beside the HT
+    * estimates (count ×1000; per-row weights are exact truncating
+    * integers, so sums are order-independent and cross-engine
+    * bit-stable) plus the signed permille error — the number that
+    * tells a pipeline whether its sampling rate can support the
+    * reporting it feeds. One fact pass; everything after is the
+    * bounded per-week frame.
+    */
+  private def sampHtEstimate(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400000000000L
+    val ev = Tables.events(s, dir)
+    val maxNs = ev.agg(max("ts_ns")).head().getLong(0) // 1-value bounded collect
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("event_id"))))
+    ev.select(col("event_id"), cents(col("value")).as("value_c"),
+        expr(s"($maxNs - ts_ns) div $dayNs").as("age_days"))
+      .withColumn("keep_pml", greatest(lit(100L), lit(1000L) - col("age_days") * 10L))
+      .withColumn("kept",
+        (shiftrightunsigned(h, 32) % 1000L < col("keep_pml")).cast("long"))
+      .groupBy(expr("age_days div 7").as("age_week"))
+      .agg(count(lit(1)).as("n_total"), sum("kept").as("n_kept"),
+        sum(expr("kept * (1000000 div keep_pml)")).as("ht_count_x1000"),
+        sum("value_c").as("true_value_c"),
+        sum(expr("kept * (value_c * 1000 div keep_pml)")).as("ht_value_cx1000"))
+      .withColumn("count_err_pml",
+        expr("(ht_count_x1000 - n_total * 1000) * 1000 div (n_total * 1000)"))
+      .orderBy("age_week")
+  }
+
+  private val sampHtEstimateSql =
+    s"""WITH mx AS (SELECT MAX(epoch_ns(ts)) AS max_ns FROM events),
+       |e AS (
+       |  SELECT (mx.max_ns - epoch_ns(ts)) // 86400000000000 AS age_days,
+       |    ${centsSql("value")} AS value_c,
+       |    ${oracle.DuckHash.mix64BucketSql("event_id", 1000)} AS h_pml
+       |  FROM events, mx),
+       |k AS (
+       |  SELECT age_days // 7 AS age_week, value_c,
+       |    GREATEST(100, 1000 - age_days * 10) AS keep_pml,
+       |    CASE WHEN h_pml < GREATEST(100, 1000 - age_days * 10)
+       |         THEN 1 ELSE 0 END AS kept
+       |  FROM e),
+       |a AS (
+       |  SELECT age_week, CAST(COUNT(*) AS BIGINT) AS n_total,
+       |    CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |    CAST(SUM(kept * (1000000 // keep_pml)) AS BIGINT) AS ht_count_x1000,
+       |    CAST(SUM(value_c) AS BIGINT) AS true_value_c,
+       |    CAST(SUM(kept * (value_c * 1000 // keep_pml)) AS BIGINT) AS ht_value_cx1000
+       |  FROM k GROUP BY 1)
+       |SELECT age_week, n_total, n_kept, ht_count_x1000, true_value_c, ht_value_cx1000,
+       |  CAST((ht_count_x1000 - n_total * 1000) * 1000 // (n_total * 1000) AS BIGINT) AS count_err_pml
+       |FROM a ORDER BY age_week""".stripMargin
+
+  /** Small-files compaction round-trip ([[sinks.Compaction]]) — the
+    * OPTIMIZE pass: the key plants the pathology (a 64-way
+    * over-partitioned write, the streaming micro-batch residue shape),
+    * compacts it to ⌈real on-disk bytes / target⌉ files, and publishes
+    * the read-back — oracle-checked against the base table, so the
+    * rewrite is proven LOSSLESS, not just smaller. CompactionSpec
+    * asserts the mechanism (file counts collapse); at 100 TB this runs
+    * per partition as the retention sweep's sibling maintenance job.
+    */
+  private def snkCompact(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("cmp")
+    Tables.documents(s, dir).select("doc_id", "source", "n_chars", "text")
+      .repartition(64).write.parquet(s"$tmp/small")
+    sinks.Compaction.compact(s, s"$tmp/small", s"$tmp/big", targetBytes = 32L * 1024 * 1024)
+    s.read.parquet(s"$tmp/big")
+      .select(col("doc_id"), col("source"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val snkCompactSql =
+    """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13600,6 +13715,9 @@ object SparkEntry {
     "dedup_simhash_eval" -> (dedupSimhashEval _),
     "vec_int8_recall" -> (vecInt8Recall _),
     "q_graph_ppr" -> (qGraphPpr _),
+    "ann_pq_recall" -> (annPqRecall _),
+    "samp_ht_estimate" -> (sampHtEstimate _),
+    "snk_compact" -> (snkCompact _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -13979,6 +14097,9 @@ object SparkEntry {
     "dedup_simhash_eval" -> dedupSimhashEvalSql,
     "vec_int8_recall" -> vecInt8RecallSql,
     "q_graph_ppr" -> qGraphPprSql,
+    "ann_pq_recall" -> annPqRecallSql,
+    "samp_ht_estimate" -> sampHtEstimateSql,
+    "snk_compact" -> snkCompactSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

@@ -83,6 +83,50 @@ object SizedSink {
   }
 }
 
+/** Small-files compaction — the OPTIMIZE pass every long-lived table
+  * needs: streaming micro-batches and over-parallel writers leave
+  * directories of tiny parquet files whose per-file open/footer cost
+  * dominates scans at scale. `compact` rewrites a directory into
+  * ⌈actual on-disk bytes / targetBytes⌉ files — sized from the REAL
+  * file lengths (the compaction case knows them exactly; no plan
+  * estimate needed) — leaving content bit-identical.
+  */
+object Compaction {
+
+  /** Bytes of the parquet data files under `path` via the Hadoop FS
+    * (driver-side listing of one directory — the same listing any scan
+    * pays; no data is read).
+    */
+  def dataBytes(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  /** Count of parquet data files under `path` (spec/observability). */
+  def dataFileCount(spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Rewrite `src` into `dst` with files of ~`targetBytes`; returns the
+    * file count written. One read + one round-robin repartition — no
+    * ordering is promised (compaction preserves CONTENT, the clustered/
+    * z-order writers own layout).
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      src: String, dst: String, targetBytes: Long): Int = {
+    require(targetBytes > 0)
+    val n = math.max(1, math.ceil(dataBytes(spark, src).toDouble / targetBytes).toInt)
+    spark.read.parquet(src).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(dst)
+    n
+  }
+}
+
 /** Clustered layout writes: range-partition by the cluster key and sort
   * within partitions before writing parquet. Files then hold disjoint,
   * internally-sorted key ranges, so parquet row-group min/max statistics

@@ -1041,8 +1041,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_stock_value", // Q11's HAVING-vs-global-scalar: 1-row
                        // (total, n_parts) aggregate broadcast back
       "q_values_benford", // 1-row global-N aggregate onto the 9-digit spine
-      "vec_int8_recall") // brute-force truth leg + the same
+      "vec_int8_recall", // brute-force truth leg + the same
                          // |queryIds|-row broadcast int8 scoring leg
+      "ann_pq_recall") // inherits the brute-force truth leg's tiny
+                       // broadcast, like the other *_recall evals
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

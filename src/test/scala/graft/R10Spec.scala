@@ -677,3 +677,66 @@ class WaveCSpec extends AnyFunSuite {
     assert(got.head._1 === seed)
   }
 }
+
+/** Wave-D: compaction mechanism, HT estimator replay, and the streaming
+  * Benford twin's stream ≡ batch equality.
+  */
+class CompactionSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("compaction collapses the planted small files losslessly") {
+    val tmp = TmpDirs.create("cmpspec")
+    val docs = Tables.documents(spark, dir).select("doc_id", "source", "n_chars", "text")
+    docs.repartition(64).write.parquet(s"$tmp/small")
+    val before = sinks.Compaction.dataFileCount(spark, s"$tmp/small")
+    assert(before === 64) // the pathology actually planted
+    val n = sinks.Compaction.compact(spark, s"$tmp/small", s"$tmp/big", 32L * 1024 * 1024)
+    val after = sinks.Compaction.dataFileCount(spark, s"$tmp/big")
+    assert(after === n && after < before)
+    // lossless: content identical both directions
+    val back = spark.read.parquet(s"$tmp/big")
+    assert(back.count() === docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+    // sized from REAL bytes: n == ceil(on-disk / target)
+    val bytes = sinks.Compaction.dataBytes(spark, s"$tmp/small")
+    assert(n === math.max(1, math.ceil(bytes.toDouble / (32L * 1024 * 1024)).toInt))
+  }
+}
+
+class HtEstimateSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("HT folds are consistent with samp_recency and the weights are exact") {
+    val ht = SparkEntry.queries("samp_ht_estimate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rec = SparkEntry.queries("samp_recency")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(ht.keySet === rec.keySet)
+    ht.foreach { case (wk, r) =>
+      // same sampling decisions as the proven recency key
+      assert((r.getLong(1), r.getLong(2)) === rec(wk), s"week $wk totals/kept")
+      // uniform-p weeks reconstruct exactly: n_kept * (1e6 div p) — weeks
+      // spanning the age knee mix two p values, so only bounds hold there
+      assert(r.getLong(3) >= r.getLong(2) * 1000L, s"week $wk HT below kept mass")
+    }
+    // non-vacuous: estimator error is small where p is high (week 0: p≈1)
+    val w0 = ht(0L)
+    assert(math.abs(w0.getLong(6)) <= 100L, "week-0 HT error above 10%")
+  }
+}
+
+class BenfordStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streamed digit release equals the batch key after the source drains") {
+    val batch = SparkEntry.queries("q_values_benford")(spark, dir).collect()
+      .map(_.toString).toSeq
+    val streamed = streaming.BenfordStream.run(spark, dir).collect()
+      .map(_.toString).toSeq
+    assert(streamed === batch)
+    assert(batch.size === 9)
+  }
+}
