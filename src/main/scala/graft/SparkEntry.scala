@@ -13442,6 +13442,108 @@ object SparkEntry {
     """SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Multi-probe LSH top-10 ([[ann.Ann.lshMultiprobeTopK]], Lv et al.
+    * 2007): the published fix for the recall collapse `ann_lsh_recall`
+    * measures on single-probe sign-LSH — each query also probes the 8
+    * buckets one hyperplane-flip away, still as ONE bucket equi-join
+    * with the 45-row probe set riding a broadcast. The corpus buckets
+    * once; nothing about the scale contract changes, only the probe
+    * fan.
+    */
+  private def annLshMultiprobe(s: SparkSession, dir: String): DataFrame =
+    ann.Ann.lshMultiprobeTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .orderBy("query_id", "rnk")
+
+  private val annLshMultiprobeSql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, q, bucket,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |pr AS (
+       |  SELECT qs.vec_id AS query_id, qs.q, qs.nrm,
+       |    xor(qs.bucket, f.flip) AS bucket
+       |  FROM n qs, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS f(flip)
+       |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+       |s AS (
+       |  SELECT pr.query_id, cs.vec_id AS vec_id,
+       |    round(CASE WHEN pr.nrm * cs.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(pr.q, cs.q), z -> z[1]*z[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(pr.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM pr JOIN n cs ON cs.bucket = pr.bucket AND cs.vec_id <> pr.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
+  /** Multi-probe LSH recall — the eval that PROVES the fix: recall@10
+    * vs brute-force truth for the 9-probe variant, published next to
+    * single-probe `ann_lsh_recall`'s 0–100‰. The pair quantifies what
+    * one extra probe fan buys, which is exactly the number a probe
+    * budget is allocated from.
+    */
+  private def annLshMultiprobeRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.lshMultiprobeTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("query_id")
+  }
+
+  private val annLshMultiprobeRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (SELECT query_id, vec_id, 1 AS hit FROM ($annLshMultiprobeSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Bucketed co-located join, oracle-gated end-to-end — promotes the
+    * write-time co-location story (SURVEY §2.1 row 12c, previously
+    * spec-only) to a first-class key the way `src_jdbc_roundtrip`
+    * promoted the JDBC story: both fact tables bucket-write by the join
+    * key ([[sinks.Bucketed]]), the join reads them back exchange-FREE
+    * (BucketedSpec holds the plan-level proof: zero Exchange below the
+    * final aggregate), and the aggregate is hash-checked against the
+    * raw tables — so the key proves the pre-shuffled layout changes the
+    * PLAN, not the ANSWER. At 100 TB this is the canonical fact-fact
+    * join strategy: pay the shuffle once at ingest, never again.
+    */
+  private def snkBucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    sinks.Bucketed.write(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), cents(col("l_extendedprice")).as("price_c")),
+      "graft_li_bkt", Seq("l_orderkey"), 8)
+    sinks.Bucketed.write(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+      "graft_ord_bkt", Seq("o_orderkey"), 8)
+    s.table("graft_li_bkt")
+      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum("price_c").as("revenue_c"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val snkBucketedJoinSql =
+    s"""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_items,
+       |  CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS revenue_c
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13718,6 +13820,9 @@ object SparkEntry {
     "ann_pq_recall" -> (annPqRecall _),
     "samp_ht_estimate" -> (sampHtEstimate _),
     "snk_compact" -> (snkCompact _),
+    "ann_lsh_multiprobe" -> (annLshMultiprobe _),
+    "ann_lsh_multiprobe_recall" -> (annLshMultiprobeRecall _),
+    "snk_bucketed_join" -> (snkBucketedJoin _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14100,6 +14205,9 @@ object SparkEntry {
     "ann_pq_recall" -> annPqRecallSql,
     "samp_ht_estimate" -> sampHtEstimateSql,
     "snk_compact" -> snkCompactSql,
+    "ann_lsh_multiprobe" -> annLshMultiprobeSql,
+    "ann_lsh_multiprobe_recall" -> annLshMultiprobeRecallSql,
+    "snk_bucketed_join" -> snkBucketedJoinSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

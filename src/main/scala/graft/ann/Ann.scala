@@ -231,6 +231,39 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al. 2007): the query probes its own
+    * bucket PLUS the p buckets at Hamming distance 1 (one hyperplane
+    * sign flipped) — the standard fix for single-probe LSH's recall
+    * collapse (`ann_lsh_recall` measures 0–100‰ here; flipping the
+    * least-confident planes recovers neighbors that straddle a
+    * hyperplane). Candidates stay bucket-equi-joined (the probe set is
+    * query metadata: |queries|·(p+1) rows riding one broadcast), the
+    * corpus is bucketed once and never shuffles, and each corpus vector
+    * can match at most ONE probe bucket per query (the flip targets are
+    * distinct), so no dedup pass is needed.
+    */
+  def lshMultiprobeTopK(
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10, p: Int = 8): DataFrame = {
+    val bucketed = embeddings.select(
+      col("vec_id"),
+      Vec.quantize(col("embedding")).as("cv"),
+      Vec.lshBucket(col("embedding"), p).as("bucket"))
+    val flips = typedLit(0L +: Seq.tabulate(p)(j => 1L << j))
+    val probes = bucketed
+      .where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"),
+        explode(flips).as("flip"), col("bucket").as("qbucket"))
+      .select(col("query_id"), col("qv"), expr("qbucket ^ flip").as("bucket"))
+    val scored = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        round(Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
   /** Approximate k-NN GRAPH: every vector's top-k cosine neighbors
     * among its LSH-bucket mates — the corpus-to-corpus self-join
     * (where lshTopK is queries-to-corpus) that feeds graph-based ANN

@@ -1043,8 +1043,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_values_benford", // 1-row global-N aggregate onto the 9-digit spine
       "vec_int8_recall", // brute-force truth leg + the same
                          // |queryIds|-row broadcast int8 scoring leg
-      "ann_pq_recall") // inherits the brute-force truth leg's tiny
+      "ann_pq_recall", // inherits the brute-force truth leg's tiny
                        // broadcast, like the other *_recall evals
+      "ann_lsh_multiprobe_recall") // same inherited brute-force truth leg
+                                   // (the multiprobe leg is bucket-equi)
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

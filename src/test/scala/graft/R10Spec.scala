@@ -740,3 +740,49 @@ class BenfordStreamSpec extends AnyFunSuite {
     assert(batch.size === 9)
   }
 }
+
+/** Wave-E: multi-probe LSH must dominate single-probe recall per query,
+  * and the bucketed-join KEY (not just the mechanism spec) must plan
+  * its fact-fact join without a shuffle exchange below the aggregate.
+  */
+class WaveESpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("multi-probe recall >= single-probe recall for every query") {
+    val single = SparkEntry.queries("ann_lsh_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val multi = SparkEntry.queries("ann_lsh_multiprobe_recall")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(multi.keySet === single.keySet)
+    multi.foreach { case (q, r) =>
+      assert(r >= single(q), s"query $q: multiprobe $r < singleprobe ${single(q)}")
+    }
+    // non-vacuous: the extra probes actually recover something somewhere
+    assert(multi.values.sum > single.values.sum,
+      "multiprobe recovered nothing over single-probe on this corpus")
+    // and the candidate sets really are supersets (same bucket family)
+    val sc = SparkEntry.queries("ann_lsh_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mcAll = ann.Ann.lshMultiprobeTopK(
+      Tables.embeddings(spark, dir), Seq(0L, 1L, 2L, 3L, 4L), k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sc.subsetOf(mcAll), "flip-0 probe must reproduce the single-probe bucket")
+  }
+
+  test("snk_bucketed_join plans no shuffle below the final aggregate") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("snk_bucketed_join")(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString
+      // exactly the aggregate/sort exchanges survive; the JOIN itself
+      // must read the pre-bucketed layout with no hashpartitioning on
+      // the join keys
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"),
+        s"join shuffled despite bucketing:\n$plan")
+      assert(df.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
