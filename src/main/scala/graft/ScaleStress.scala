@@ -83,7 +83,16 @@ object ScaleStress {
       // R10 (r9-close wave): WFQ interleave — per-source weights stay a
       // broadcast aggregate, the head stays a TakeOrdered(100), and the
       // viral domain only changes src0's weight, never the plan shape
-      "pipe_mix_interleave")
+      "pipe_mix_interleave",
+      // R10 wave: blocklist is one map-side IN-list scan; cooc's
+      // rarest-10 blocking bounds pairs at 45·D; stitch's df cap must
+      // suppress the viral head gram (10k docs share it); Neyman's
+      // windows run on the |strata| frame; blur/audio decode per-doc
+      // map-side; compaction rewrites the 10x bytes it is sized from.
+      // (dedup_simhash_eval is NOT re-stressed: its truth leg is the
+      // documented output-driven dedup_ngram_jaccard row.)
+      "text_blocklist_filter", "text_cooc_graph", "text_stitch_candidates",
+      "samp_neyman", "mm_blur_score", "mm_audio_match", "snk_compact")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -152,7 +161,12 @@ object ScaleStress {
       // R10 (r9-close wave): Kaplan-Meier — one (user) min/max aggregate
       // + a day-keyed risk-set fold; the hot user is one row after the
       // first aggregate
-      "q_events_survival")
+      "q_events_survival",
+      // R10 wave: changepoint/MK run their pair/argmax terms on the
+      // BOUNDED types×days metadata (the 10x corpus has the same day
+      // domain → expected ~flat beyond the fact scan); HT estimate is
+      // one fact pass + the per-week frame
+      "q_events_changepoint", "q_trend_mann_kendall", "samp_ht_estimate")
     val evResults = evOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -313,8 +327,65 @@ object ScaleStress {
       (op, tb, tg, rb, rg)
     }
 
+    // ---- R10 wave: mult× star schema (orders + lineitem copies, dims verbatim) ----
+    // copies shift o_orderkey/l_orderkey into fresh ranges and KEEP
+    // custkey/partkey/suppkey — order groups duplicate as disjoint keys,
+    // so per-part/per-supplier masses scale exactly ×mult and the
+    // adaptive thresholds (q_stock_value's 2×-mean, q_promo_parts' 50%
+    // dominance) must select EXACTLY the base key sets — asserted below.
+    val rawOrd = Tables.orders(spark, baseDir)
+    val rawLi = Tables.lineitem(spark, baseDir)
+    val oMax = rawOrd.agg(max("o_orderkey")).head.getLong(0) + 1
+    val ordPass = rawOrd.columns.filterNot(_ == "o_orderkey").toSeq
+    (0 until mult).map { i =>
+      rawOrd.select((col("o_orderkey") + lit(i.toLong * oMax)).as("o_orderkey") +:
+        ordPass.map(col): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/orders.parquet")
+    val liPass = rawLi.columns.filterNot(_ == "l_orderkey").toSeq
+    (0 until mult).map { i =>
+      rawLi.select((col("l_orderkey") + lit(i.toLong * oMax)).as("l_orderkey") +:
+        liPass.map(col): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$scratch/lineitem.parquet")
+    Seq("nation", "supplier", "part", "region").foreach { t =>
+      spark.read.parquet(s"$baseDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$scratch/$t.parquet")
+    }
+    val starOps = Seq(
+      // benford: one digit scan + 9-group fold; dp histogram: 24-cell fold
+      "q_values_benford", "q_dp_histogram",
+      // Q11/Q20: broadcast-chain aggregates with adaptive thresholds
+      "q_stock_value", "q_promo_parts",
+      // PPR: copurchase artifact rebuilt at 10x fact rows (same part set
+      // -> same edges, 10x derivation scan), 3 equi-join iterations
+      "q_graph_ppr",
+      // bucketed join: ingest-time shuffle amortization at 10x facts
+      "snk_bucketed_join")
+    val starResults = starOps.map { op =>
+      val (tb, rb) = time(op, baseDir)
+      val (tg, rg) = time(op, scratch)
+      println(f"[stress] $op%-22s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
+      (op, tb, tg, rb, rg)
+    }
+    // scale-invariance guards: ×mult masses leave the adaptive selections
+    // and the digit distribution IDENTICAL to base
+    val svBase = SparkEntry.queries("q_stock_value")(spark, baseDir).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue).toSet
+    val svBig = SparkEntry.queries("q_stock_value")(spark, scratch).collect()
+      .map(r => r.get(0).asInstanceOf[Number].longValue).toSet
+    require(svBase == svBig, s"Q11 adaptive threshold drifted at ${mult}x: " +
+      s"${(svBase -- svBig).size} lost, ${(svBig -- svBase).size} gained")
+    spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    val bfBase = SparkEntry.queries("q_values_benford")(spark, baseDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val bfBig = SparkEntry.queries("q_values_benford")(spark, scratch).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    require(bfBase == bfBig, s"Benford obs_pml must be copy-invariant: $bfBase vs $bfBig")
+    spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
-    (results ++ evResults ++ embResults ++ linkResults).foreach { case (op, tb, tg, _, _) =>
+    (results ++ evResults ++ embResults ++ linkResults ++ starResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")
     }
     println("[stress] all skew-guard assertions passed")

@@ -12865,11 +12865,22 @@ object SparkEntry {
     * published evidence column, so it rides through.
     */
   private def textStitchCandidates(s: SparkSession, dir: String): DataFrame = {
-    val g = Tables.documents(s, dir).select(col("doc_id"),
-      text.Text.shinglesOfWords(text.Text.words(col("text")), 3).as("gs"))
-      .where(size(col("gs")) > 0)
+    // head/tail grams are O(1) SLICES of the words array — the first
+    // cut derived the full shingle list (O(len) strings per doc, and
+    // three times over: df leg, heads leg, tails leg) just to take its
+    // first and last elements; ScaleStress measured that at 20 s for
+    // sf0.1 where the slice form is map-cheap. Same two grams, same
+    // ≤3-words edge rule as shinglesOfWords (whole text as one gram).
+    // The tiny (doc_id, 2 grams) frame materializes once for all legs.
+    val w = text.Text.words(col("text"))
+    val g = Tables.documents(s, dir).select(col("doc_id"), w.as("w"))
+      .where(size(col("w")) > 0)
       .select(col("doc_id"),
-        element_at(col("gs"), 1).as("head_g"), element_at(col("gs"), -1).as("tail_g"))
+        when(size(col("w")) <= 3, array_join(col("w"), " "))
+          .otherwise(array_join(slice(col("w"), 1, 3), " ")).as("head_g"),
+        when(size(col("w")) <= 3, array_join(col("w"), " "))
+          .otherwise(array_join(expr("slice(w, -3, 3)"), " ")).as("tail_g"))
+      .localCheckpoint(true)
     val dfCap = 100L
     val df = g.select(col("head_g").as("gram")).unionAll(g.select(col("tail_g").as("gram")))
       .groupBy("gram").agg(count(lit(1)).as("df")).where(col("df") <= dfCap)
@@ -13544,6 +13555,134 @@ object SparkEntry {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin
 
+  /** MinHash ESTIMATOR-accuracy eval — the sketch-quality number beside
+    * the candidate-quality numbers (`dedup_minhash_eval` scores WHICH
+    * pairs surface; this scores how well the 128-slot signature
+    * estimates Jaccard ON those pairs): per LSH candidate pair,
+    * |signature-estimated − exact set| Jaccard in permille, folded to
+    * (n_pairs, MAE, max error, signed bias sum). The published MAE is
+    * what justifies trusting `est_jaccard` as a verify-free threshold
+    * at scale — or tells you to pay the exact-verify join. One shared
+    * shingle pass feeds signatures AND exact sets (the minhash_eval
+    * lesson); exact Jaccard is array_intersect on the bounded candidate
+    * pair frame, never a corpus-wide join.
+    */
+  private def dedupMinhashEstimate(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir).select(
+      col("doc_id"),
+      functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+      .localCheckpoint(true)
+    val cand = dedup.Dedup.minhashCandidatesFromSets(sets)
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(round(est_jaccard * 1000) as bigint)").as("est_pml"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("uni",
+        size(col("sha")).cast("long") + size(col("shb")).cast("long") - col("inter"))
+      .withColumn("exact_pml", expr("inter * 1000 div uni"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("est_pml") - col("exact_pml"))).as("sum_abs_err_pml"),
+        max(abs(col("est_pml") - col("exact_pml"))).as("max_abs_err_pml"),
+        sum(col("est_pml") - col("exact_pml")).as("bias_sum_pml"))
+      .select(col("n_pairs"), col("sum_abs_err_pml"),
+        expr("sum_abs_err_pml div n_pairs").as("mae_pml"),
+        col("max_abs_err_pml"), col("bias_sum_pml"))
+  }
+
+  private val dedupMinhashEstimateSql =
+    s"""WITH ${oracle.DuckHash.minhashCtes("documents", 0.5)},
+       |shset AS MATERIALIZED (SELECT doc_id, list_distinct(shs) AS st FROM sh),
+       |ex AS (
+       |  SELECT CAST(round(m.est_jaccard * 1000) AS BIGINT) AS est_pml,
+       |    CAST(len(list_intersect(a.st, b.st)) * 1000 //
+       |      (len(a.st) + len(b.st) - len(list_intersect(a.st, b.st))) AS BIGINT) AS exact_pml
+       |  FROM mh m
+       |  JOIN shset a ON a.doc_id = m.doc_a
+       |  JOIN shset b ON b.doc_id = m.doc_b)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(abs(est_pml - exact_pml)) AS BIGINT) AS sum_abs_err_pml,
+       |  CAST(SUM(abs(est_pml - exact_pml)) // COUNT(*) AS BIGINT) AS mae_pml,
+       |  CAST(MAX(abs(est_pml - exact_pml)) AS BIGINT) AS max_abs_err_pml,
+       |  CAST(SUM(est_pml - exact_pml) AS BIGINT) AS bias_sum_pml
+       |FROM ex""".stripMargin
+
+  /** Newman modularity of the label-propagation communities — the
+    * quality number that makes `q_graph_labelprop` a RESULT instead of
+    * an artifact (Newman & Girvan 2004): Q = Σ_c [e_c/m − (d_c/2m)²]
+    * over the undirected co-purchase graph, published as the exact
+    * integer pair q_num = Σ(4·m·e_c − d_c²), q_den = 4m² plus
+    * truncating permille (bounds: d_c ≤ 2m, so every term ≤ 4m² —
+    * int64-safe to ~10⁹ edges). Cost on top of the proven labelprop
+    * loop: one edge⋈labels equi-join for e_c and one degree⋈labels
+    * aggregate for d_c, both map-side combinable.
+    */
+  private def qGraphModularity(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir).persist() // shared build-once artifact
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val labels = graph.LabelProp.communities(bidir, rounds = 3)
+    val m = e.count() // graph metadata (edge count), not a data collect
+    val eIn = e
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")), "b")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_c"))
+    val deg = bidir.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val dC = labels.join(deg, "node").groupBy("lbl").agg(sum("deg").as("d_c"))
+    val out = dC.join(eIn, Seq("lbl"), "left")
+      .select(coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(expr(s"4 * $m * e_c - d_c * d_c")).as("q_num"))
+      .select(lit(m).as("m_edges"), col("n_communities"), col("q_num"),
+        lit(4L * m * m).as("q_den"),
+        expr(s"q_num * 1000 div ${4L * m * m}").as("q_pml"))
+    val row = out.head() // 1-row fold; release the loop caches
+    labels.unpersist(); bidir.unpersist(); e.unpersist()
+    import s.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4)))
+      .toDF("m_edges", "n_communities", "q_num", "q_den", "q_pml")
+  }
+
+  private val qGraphModularitySql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT bid.a AS node, l${k - 1}.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bid JOIN l${k - 1} ON bid.b = l${k - 1}.node
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |bid AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM bid),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+       |ein AS (
+       |  SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e_c
+       |  FROM e JOIN l3 la ON e.a = la.node JOIN l3 lb ON e.b = lb.node
+       |  WHERE la.lbl = lb.lbl GROUP BY 1),
+       |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM bid GROUP BY 1),
+       |dc AS (
+       |  SELECT l3.lbl, CAST(SUM(deg.deg) AS BIGINT) AS d_c
+       |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1),
+       |f AS (
+       |  SELECT dc.d_c, CAST(COALESCE(ein.e_c, 0) AS BIGINT) AS e_c
+       |  FROM dc LEFT JOIN ein ON dc.lbl = ein.lbl)
+       |SELECT m.m AS m_edges,
+       |  CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(SUM(4 * m.m * e_c - d_c * d_c) AS BIGINT) AS q_num,
+       |  CAST(4 * m.m * m.m AS BIGINT) AS q_den,
+       |  CAST(SUM(4 * m.m * e_c - d_c * d_c) * 1000 // (4 * m.m * m.m) AS BIGINT) AS q_pml
+       |FROM f, m GROUP BY m.m""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13823,6 +13962,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "ann_lsh_multiprobe_recall" -> (annLshMultiprobeRecall _),
     "snk_bucketed_join" -> (snkBucketedJoin _),
+    "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
+    "q_graph_modularity" -> (qGraphModularity _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14208,6 +14349,8 @@ object SparkEntry {
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,
     "ann_lsh_multiprobe_recall" -> annLshMultiprobeRecallSql,
     "snk_bucketed_join" -> snkBucketedJoinSql,
+    "dedup_minhash_estimate" -> dedupMinhashEstimateSql,
+    "q_graph_modularity" -> qGraphModularitySql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

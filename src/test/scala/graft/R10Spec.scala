@@ -786,3 +786,80 @@ class WaveESpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
+
+/** Wave-F: estimator-accuracy eval replays — the minhash-estimate fold
+  * recomputed from string-level sets, and modularity from a full
+  * driver-Scala label-propagation replay.
+  */
+class WaveFSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dedup_minhash_estimate fold replays from string-level shingle sets") {
+    def canonWords(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+    def shingleSet(t: String): Set[String] = {
+      val w = canonWords(t)
+      if (w.isEmpty) Set.empty
+      else if (w.length <= 3) Set(w.mkString(" "))
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = Tables.documents(spark, dir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> shingleSet(r.getString(1))).toMap
+    val cand = SparkEntry.queries("dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1000)))
+    assert(cand.nonEmpty)
+    val folds = cand.map { case (a, b, est) =>
+      val inter = (sets(a) & sets(b)).size.toLong
+      val uni = sets(a).size.toLong + sets(b).size.toLong - inter
+      val exact = inter * 1000 / uni
+      (math.abs(est - exact), est - exact)
+    }
+    val row = SparkEntry.queries("dedup_minhash_estimate")(spark, dir).head()
+    assert(row.getLong(0) === cand.length.toLong)
+    assert(row.getLong(1) === folds.map(_._1).sum)
+    assert(row.getLong(2) === folds.map(_._1).sum / cand.length)
+    assert(row.getLong(3) === folds.map(_._1).max)
+    assert(row.getLong(4) === folds.map(_._2).sum)
+    // the sketch must actually be informative on this corpus
+    assert(row.getLong(2) <= 200L, s"minhash MAE ${row.getLong(2)}permille is useless")
+  }
+
+  test("q_graph_modularity replays labelprop + Newman Q from raw lineitem") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue,
+        r.get(1).asInstanceOf[Number].longValue)).distinct
+    val und = scala.collection.mutable.Set[(Long, Long)]()
+    li.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).distinct.sorted
+      var i = 0
+      while (i < ps.length) {
+        var j = i + 1
+        while (j < ps.length) { und += ((ps(i), ps(j))); j += 1 }
+        i += 1
+      }
+    }
+    val bidir = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = bidir.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    var lbl: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = nodes.map { n =>
+        val counts = adj(n).groupBy(lbl).view.mapValues(_.size.toLong).toMap
+        n -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }.toMap
+    }
+    val m = und.size.toLong
+    val eC = und.toSeq.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy(p => lbl(p._1)).view.mapValues(_.size.toLong).toMap
+    val dC = nodes.groupBy(lbl).view
+      .mapValues(_.toSeq.map(n => adj(n).size.toLong).sum).toMap
+    val qNum = dC.map { case (c, d) => 4L * m * eC.getOrElse(c, 0L) - d * d }.sum
+    val row = SparkEntry.queries("q_graph_modularity")(spark, dir).head()
+    assert(row.getLong(0) === m)
+    assert(row.getLong(1) === dC.size.toLong)
+    assert(row.getLong(2) === qNum)
+    assert(row.getLong(3) === 4L * m * m)
+    assert(row.getLong(4) === qNum * 1000 / (4L * m * m))
+  }
+}
