@@ -1747,7 +1747,7 @@ object SparkEntry {
     * cell assignment, probe selection, and cosine ranks all agree with
     * the Spark plan exactly (same trick as lshBucketSql).
     */
-  private val annIvfSql = {
+  private def annIvfSqlNprobe(nProbe: Int): String = {
     def foldDot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
@@ -1784,7 +1784,7 @@ object SparkEntry {
        |  SELECT vec_id AS query_id, cell FROM (
        |    SELECT vec_id, cell,
        |      row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
-       |    FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= 4),
+       |    FROM sc WHERE vec_id IN (0, 1, 2, 3, 4)) WHERE rn <= $nProbe),
        |corpus AS (SELECT en.vec_id, en.q, en.nrm, a.cell FROM en JOIN assigned a USING (vec_id)),
        |qs AS (SELECT en.vec_id AS query_id, en.q, en.nrm, p.cell
        |       FROM en JOIN probes p ON p.query_id = en.vec_id),
@@ -1801,6 +1801,8 @@ object SparkEntry {
        |SELECT query_id, vec_id, cosine, rnk FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
   }
+
+  private val annIvfSql = annIvfSqlNprobe(4)
 
   /** ann_ivf_kmeans oracle — SQL-expressible as of round 4 by unrolling
     * the k-means fit into chained CTEs: deterministic lowest-16 init,
@@ -13698,6 +13700,108 @@ object SparkEntry {
        |FROM f, m GROUP BY m.m""".stripMargin
   }
 
+  /** Sessionization gap-threshold sweep — the parameter-selection
+    * discipline (`pipe_dedup_threshold_sweep`'s lesson) applied to the
+    * session operator: the 30-minute gap every sessionizer hardcodes is
+    * a CHOICE, and this key publishes the curve that justifies it —
+    * session count and mean length at 5/15/30/60-minute gaps, from ONE
+    * lag pass (the inter-event diff is computed once; each threshold is
+    * a conditional aggregate over the same frame, so the sweep costs
+    * one window + one fold, not four passes). The production gap
+    * (1800 s, `q_events_session`) is one of the sweep points.
+    */
+  private def qEventsSessionSweep(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"))
+    val gapsS = Seq(300L, 900L, 1800L, 3600L)
+    val d = Tables.events(s, dir)
+      .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+      .select(col("prev_ns"), col("ts_ns"))
+    val aggCols = count(lit(1)).as("n_events") +:
+      gapsS.map(g => sum(
+        when(col("prev_ns").isNull ||
+          col("ts_ns") - col("prev_ns") > g * 1000000000L, 1L).otherwise(0L))
+        .as(s"s$g"))
+    val agg = d.agg(aggCols.head, aggCols.tail: _*)
+    val row = agg.head() // 1-row fold over the single lag pass
+    val nEv = row.getLong(0)
+    import s.implicits._
+    gapsS.zipWithIndex.map { case (g, i) =>
+      val ns = row.getLong(i + 1)
+      (g, ns, nEv, nEv * 1000L / ns)
+    }.toDF("gap_s", "n_sessions", "n_events", "mean_len_x1000")
+      .orderBy("gap_s")
+  }
+
+  private val qEventsSessionSweepSql =
+    """WITH d AS (
+      |  SELECT CAST(epoch_ns(ts) AS BIGINT) AS ts_ns,
+      |    lag(CAST(epoch_ns(ts) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY CAST(epoch_ns(ts) AS BIGINT)) AS prev_ns
+      |  FROM events),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 300000000000 THEN 1 ELSE 0 END) AS BIGINT) AS s300,
+      |    CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 900000000000 THEN 1 ELSE 0 END) AS BIGINT) AS s900,
+      |    CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 1800000000000 THEN 1 ELSE 0 END) AS BIGINT) AS s1800,
+      |    CAST(SUM(CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > 3600000000000 THEN 1 ELSE 0 END) AS BIGINT) AS s3600
+      |  FROM d)
+      |SELECT gap_s, n_sessions, n_events,
+      |  CAST(n_events * 1000 // n_sessions AS BIGINT) AS mean_len_x1000
+      |FROM (
+      |  SELECT CAST(300 AS BIGINT) AS gap_s, s300 AS n_sessions, n_events FROM a
+      |  UNION ALL SELECT 900, s900, n_events FROM a
+      |  UNION ALL SELECT 1800, s1800, n_events FROM a
+      |  UNION ALL SELECT 3600, s3600, n_events FROM a)
+      |ORDER BY gap_s""".stripMargin
+
+  /** IVF nProbe→recall sweep — THE probe-budget allocation curve the
+    * per-family recall evals keep pointing at, finally published as one
+    * frame: recall@10 per query at nProbe ∈ {1,2,4,8} of 16 cells. The
+    * cell-score pass is shared across sweep points on the oracle side;
+    * engine-side each point is one broadcast-probe corpus scan (the
+    * proven `ann_ivf_topk` shape) — 4 cheap scans, zero corpus
+    * shuffles. Reading the output: the nProbe where the curve plateaus
+    * is the budget; past it you pay scan for no recall.
+    */
+  private def annIvfNprobeSweep(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val truth = ann.Ann.bruteForceTopK(emb, annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val probes = Seq(1, 2, 4, 8)
+    val legs = probes.map { np =>
+      ann.Ann.ivfTopK(emb, annQueryIds, 10, nCentroids = 16, nProbe = np)
+        .select(lit(np.toLong).as("n_probe"), col("query_id"), col("vec_id"),
+          lit(1L).as("hit"))
+    }.reduce(_ unionByName _)
+    import s.implicits._
+    val spine = probes.map(_.toLong).toDF("n_probe")
+    truth.crossJoin(broadcast(spine))
+      .join(legs, Seq("n_probe", "query_id", "vec_id"), "left")
+      .groupBy("n_probe", "query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("n_probe"), col("query_id"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("n_probe", "query_id")
+  }
+
+  private val annIvfNprobeSweepSql = {
+    // ivfRankSql(np): the ann_ivf_topk oracle with the probe fan as a
+    // parameter (rn <= np) — the shared cell-score CTEs are repeated per
+    // sweep point; DuckDB CSE + the 1k-vector scale keep that cheap
+    def leg(np: Int) =
+      s"""SELECT $np AS n_probe, query_id, vec_id, 1 AS hit
+         |FROM (${annIvfSqlNprobe(np)})""".stripMargin
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (
+       |  ${Seq(1, 2, 4, 8).map(leg).mkString("\n  UNION ALL\n  ")}),
+       |spine AS (SELECT unnest([1, 2, 4, 8]) AS n_probe)
+       |SELECT CAST(spine.n_probe AS BIGINT) AS n_probe, truth.query_id,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth CROSS JOIN spine
+       |LEFT JOIN approx ON approx.n_probe = spine.n_probe
+       |  AND approx.query_id = truth.query_id AND approx.vec_id = truth.vec_id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -13979,6 +14083,8 @@ object SparkEntry {
     "snk_bucketed_join" -> (snkBucketedJoin _),
     "dedup_minhash_estimate" -> (dedupMinhashEstimate _),
     "q_graph_modularity" -> (qGraphModularity _),
+    "q_events_session_sweep" -> (qEventsSessionSweep _),
+    "ann_ivf_nprobe_sweep" -> (annIvfNprobeSweep _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14366,6 +14472,8 @@ object SparkEntry {
     "snk_bucketed_join" -> snkBucketedJoinSql,
     "dedup_minhash_estimate" -> dedupMinhashEstimateSql,
     "q_graph_modularity" -> qGraphModularitySql,
+    "q_events_session_sweep" -> qEventsSessionSweepSql,
+    "ann_ivf_nprobe_sweep" -> annIvfNprobeSweepSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

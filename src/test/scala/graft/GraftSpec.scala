@@ -1045,8 +1045,10 @@ class PlanAuditSpec extends AnyFunSuite {
                          // |queryIds|-row broadcast int8 scoring leg
       "ann_pq_recall", // inherits the brute-force truth leg's tiny
                        // broadcast, like the other *_recall evals
-      "ann_lsh_multiprobe_recall") // same inherited brute-force truth leg
+      "ann_lsh_multiprobe_recall", // same inherited brute-force truth leg
                                    // (the multiprobe leg is bucket-equi)
+      "ann_ivf_nprobe_sweep") // brute-force truth leg + a 4-row nProbe
+                              // spine fan on it — bounded metadata grid
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

@@ -863,3 +863,44 @@ class WaveFSpec extends AnyFunSuite {
     assert(row.getLong(4) === qNum * 1000 / (4L * m * m))
   }
 }
+
+/** Wave-G sweeps: monotonicity + consistency with the production-point
+  * operators they parameterize.
+  */
+class WaveGSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("session sweep is monotone and its 1800s point equals the session key") {
+    val rows = SparkEntry.queries("q_events_session_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(300L, 900L, 1800L, 3600L))
+    // wider gap => fewer (or equal) sessions; events total constant
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 <= a._2, s"sessions must not grow with the gap: $a -> $b")
+      assert(a._3 === b._3)
+    }
+    val prod = rows.find(_._1 == 1800L).get._2
+    val fromKey = SparkEntry.queries("q_events_session")(spark, dir)
+      .agg(sum("n_sessions")).head().getLong(0)
+    assert(prod === fromKey, "sweep's 1800s point must equal q_events_session")
+  }
+
+  test("IVF recall is monotone in nProbe and the nProbe=4 point matches ann_recall_eval") {
+    val rows = SparkEntry.queries("ann_ivf_nprobe_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val probes = Seq(1L, 2L, 4L, 8L)
+    (0L to 4L).foreach { q =>
+      probes.sliding(2).foreach { case Seq(a, b) =>
+        assert(rows((b, q)) >= rows((a, q)),
+          s"query $q: recall must not drop from nProbe $a to $b")
+      }
+    }
+    val standalone = SparkEntry.queries("ann_recall_eval")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (0L to 4L).foreach { q =>
+      assert(rows((4L, q)) === standalone(q),
+        s"query $q: sweep's nProbe=4 point must equal ann_recall_eval")
+    }
+  }
+}
