@@ -13802,6 +13802,170 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** A/B conversion test — the experiment-analysis primitive: users
+    * hash-split into two deterministic arms (Mix64 top bits, the
+    * `samp_split` contract, so assignment is reproducible and
+    * repartition-stable), conversion = the user ever fired `purchase`,
+    * and the published frame is the 2×2 fold: per arm (n_users,
+    * n_converted, rate_pml) plus the Pearson χ² statistic
+    * N·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — computed in DOUBLE in one
+    * fixed expression order (the cosine determinism contract; the
+    * exact-int path would overflow int64 at ~10⁴ users since (ad−bc)²
+    * alone reaches 10¹⁶) and rounded to 3 decimals. One fact scan, one
+    * per-user fold, then arithmetic on a 2-row frame.
+    */
+  private def qEventsAbtest(s: SparkSession, dir: String): DataFrame = {
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("user_id"))))
+    // conversion = a heavy purchaser (>= 14 purchase events, the
+    // scale-invariant per-user median of this corpus) — "ever purchased"
+    // is universal here and a universal outcome makes the 2x2 degenerate
+    val users = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
+        .otherwise(0L).as("conv"))
+      .withColumn("grp", shiftrightunsigned(h, 32) % 2L)
+    val arms = users.groupBy("grp")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val w = arms.select(
+      sum(when(col("grp") === 0L, col("n_conv")).otherwise(0L)).as("a"),
+      sum(when(col("grp") === 0L, col("n_users") - col("n_conv")).otherwise(0L)).as("b"),
+      sum(when(col("grp") === 1L, col("n_conv")).otherwise(0L)).as("c"),
+      sum(when(col("grp") === 1L, col("n_users") - col("n_conv")).otherwise(0L)).as("d"))
+    arms.crossJoin(broadcast(w))
+      .select(col("grp"), col("n_users"), col("n_conv"),
+        expr("n_conv * 1000 div n_users").as("rate_pml"),
+        round(
+          when((col("a") + col("b")) * (col("c") + col("d")) *
+            (col("a") + col("c")) * (col("b") + col("d")) === 0L, lit(0.0))
+            .otherwise(
+              (col("a") + col("b") + col("c") + col("d")).cast("double") *
+                (col("a").cast("double") * col("d").cast("double") -
+                  col("b").cast("double") * col("c").cast("double")) *
+                (col("a").cast("double") * col("d").cast("double") -
+                  col("b").cast("double") * col("c").cast("double")) /
+                ((col("a") + col("b")).cast("double") * (col("c") + col("d")).cast("double") *
+                  (col("a") + col("c")).cast("double") * (col("b") + col("d")).cast("double"))),
+          3).as("chi2"))
+      .orderBy("grp")
+  }
+
+  private val qEventsAbtestSql = {
+    val grp = oracle.DuckHash.mix64BucketSql("user_id", 2)
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |      THEN 1 ELSE 0 END AS BIGINT) AS conv,
+      |    GRPEXPR AS grp
+      |  FROM events GROUP BY user_id),
+      |arms AS (
+      |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_users, CAST(SUM(conv) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY 1),
+      |w AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN grp = 0 THEN n_conv ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN grp = 0 THEN n_users - n_conv ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(SUM(CASE WHEN grp = 1 THEN n_conv ELSE 0 END) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN grp = 1 THEN n_users - n_conv ELSE 0 END) AS BIGINT) AS d
+      |  FROM arms)
+      |SELECT grp, n_users, n_conv,
+      |  CAST(n_conv * 1000 // n_users AS BIGINT) AS rate_pml,
+      |  round(
+      |    CASE WHEN (a + b) * (c + d) * (a + c) * (b + d) = 0 THEN 0.0 ELSE
+      |    CAST(a + b + c + d AS DOUBLE) *
+      |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) *
+      |      (CAST(a AS DOUBLE) * CAST(d AS DOUBLE) - CAST(b AS DOUBLE) * CAST(c AS DOUBLE)) /
+      |      (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE) *
+      |       CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)) END,
+      |    3) AS chi2
+      |FROM arms, w ORDER BY grp""".stripMargin.replace("GRPEXPR", grp)
+  }
+
+  /** Simplified silhouette of the IVF cells (the centroid-based
+    * silhouette, Rousseeuw 1987 §"simplified") — the GEOMETRY quality
+    * number beside `ann_ivf_quality`'s occupancy: per vector,
+    * a = cosine distance to its OWN centroid, b = to the SECOND-best;
+    * s = (b−a)/max(a,b) ∈ [−1,1], quantized per ROW to exact micro
+    * units BEFORE aggregation (a double mean would be summation-order-
+    * dependent across partitions; the integer sum is not). Published
+    * per cell: member count + mean silhouette. Map-side: centroids ride
+    * as codegen literals (the IVF contract), the only shuffle is the
+    * 16-group fold. A cell whose silhouette ≈ 0 is geometric noise —
+    * split it or re-fit; that is the pruning signal this key exists
+    * to publish.
+    */
+  private def vecSilhouette(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents: Seq[Seq[Double]] = emb.where(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .sortBy(_._1).toSeq.map(_._2)
+    val scored = emb.select(col("vec_id"),
+      ann.Ann.cellScores(col("embedding"), cents).as("scores"))
+    // best + second-best by (score desc, index asc) via one sorted pass
+    // over the 16-slot scores array (map-side, no window)
+    val ranked = scored.select(col("vec_id"),
+      array_sort(zip_with(col("scores"), sequence(lit(0), lit(cents.length - 1)),
+        (sc, i) => struct((-sc).as("neg"), i.as("idx")))).as("r"))
+      .select(col("vec_id"),
+        element_at(col("r"), 1).getField("idx").as("cell"),
+        (lit(0.0) - element_at(col("r"), 1).getField("neg")).as("cos_own"),
+        (lit(0.0) - element_at(col("r"), 2).getField("neg")).as("cos_second"))
+    val sil = ranked.select(col("cell"),
+      expr("""cast(round(
+        case when greatest(1.0 - cos_own, 1.0 - cos_second) = 0.0 then 0.0
+             else (cos_own - cos_second) / greatest(1.0 - cos_own, 1.0 - cos_second)
+        end * 1000000) as bigint)""").as("sil_x1e6"))
+    sil.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("sil_x1e6").as("sil_sum"))
+      .select(col("cell").cast("long").as("cell"), col("n_vecs"),
+        expr("sil_sum div n_vecs").as("mean_sil_x1e6"))
+      .orderBy("cell")
+  }
+
+  private val vecSilhouetteSql = {
+    def foldDot(a: String, b: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    def foldNorm2(a: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list_transform($a, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))),
+         |  (x, y) -> x + y)""".stripMargin
+    s"""WITH cen AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
+       |    embedding AS cvec,
+       |    sqrt(${foldNorm2("embedding")}) AS cnorm
+       |  FROM embeddings WHERE vec_id < 16),
+       |e AS (
+       |  SELECT vec_id, embedding, ${foldNorm2("embedding")} AS nv FROM embeddings),
+       |sc AS MATERIALIZED (
+       |  SELECT e.vec_id, cen.cell,
+       |    CASE WHEN e.nv = 0 THEN -2.0
+       |         ELSE ${foldDot("e.embedding", "cen.cvec")} / (sqrt(e.nv) * cen.cnorm) END AS score
+       |  FROM e, cen),
+       |rk AS (
+       |  SELECT vec_id, cell, score,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell ASC) AS rn
+       |  FROM sc),
+       |tw AS (
+       |  SELECT o.vec_id, o.cell, o.score AS cos_own, t.score AS cos_second
+       |  FROM (SELECT * FROM rk WHERE rn = 1) o
+       |  JOIN (SELECT * FROM rk WHERE rn = 2) t USING (vec_id)),
+       |q AS (
+       |  SELECT cell,
+       |    CAST(round(
+       |      CASE WHEN GREATEST(1.0 - cos_own, 1.0 - cos_second) = 0.0 THEN 0.0
+       |           ELSE (cos_own - cos_second) / GREATEST(1.0 - cos_own, 1.0 - cos_second)
+       |      END * 1000000) AS BIGINT) AS sil_x1e6
+       |  FROM tw)
+       |SELECT CAST(cell AS BIGINT) AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(sil_x1e6) // COUNT(*) AS BIGINT) AS mean_sil_x1e6
+       |FROM q GROUP BY 1 ORDER BY cell""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14085,6 +14249,8 @@ object SparkEntry {
     "q_graph_modularity" -> (qGraphModularity _),
     "q_events_session_sweep" -> (qEventsSessionSweep _),
     "ann_ivf_nprobe_sweep" -> (annIvfNprobeSweep _),
+    "q_events_abtest" -> (qEventsAbtest _),
+    "vec_silhouette" -> (vecSilhouette _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14474,6 +14640,8 @@ object SparkEntry {
     "q_graph_modularity" -> qGraphModularitySql,
     "q_events_session_sweep" -> qEventsSessionSweepSql,
     "ann_ivf_nprobe_sweep" -> annIvfNprobeSweepSql,
+    "q_events_abtest" -> qEventsAbtestSql,
+    "vec_silhouette" -> vecSilhouetteSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

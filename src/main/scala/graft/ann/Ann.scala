@@ -52,6 +52,13 @@ private[ann] object Cells {
 
 object Ann {
 
+  /** All-cells cosine scores for one vector against broadcast centroid
+    * literals ([[Cells.cellScores]]) — exposed for cluster-geometry
+    * diagnostics (the silhouette key) that need best AND second-best.
+    */
+  def cellScores(v: Column, centroids: Seq[Seq[Double]]): Column =
+    Cells.cellScores(v, centroids)
+
   /** Reduce scored candidates to top-k per query via the two-phase
     * TopKPerKey operator (map-side partial heaps bound the shuffle at
     * queries x k x partitions rows — NOT the full scored corpus), then

@@ -1047,8 +1047,10 @@ class PlanAuditSpec extends AnyFunSuite {
                        // broadcast, like the other *_recall evals
       "ann_lsh_multiprobe_recall", // same inherited brute-force truth leg
                                    // (the multiprobe leg is bucket-equi)
-      "ann_ivf_nprobe_sweep") // brute-force truth leg + a 4-row nProbe
+      "ann_ivf_nprobe_sweep", // brute-force truth leg + a 4-row nProbe
                               // spine fan on it — bounded metadata grid
+      "q_events_abtest") // 1-row 2x2 contingency fold broadcast onto
+                         // the 2-row arms frame
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

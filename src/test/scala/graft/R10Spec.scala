@@ -904,3 +904,72 @@ class WaveGSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Wave-H: A/B fold + chi-square replay, and the simplified-silhouette
+  * geometry replayed from raw embeddings.
+  */
+class WaveHSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_events_abtest replays the 2x2 fold and chi-square in driver Scala") {
+    val perUser = Tables.events(spark, dir).select("user_id", "event_type").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) =>
+        u -> (if (rs.count(_.getString(1) == "purchase") >= 14) 1L else 0L)
+      }
+    def grp(u: Long): Long = (functions.Mix64(u) >>> 32) % 2
+    val arms = perUser.groupBy { case (u, _) => grp(u) }
+      .map { case (g, m) => g -> (m.size.toLong, m.values.sum) }
+    val a = arms(0L)._2; val b = arms(0L)._1 - arms(0L)._2
+    val c = arms(1L)._2; val d = arms(1L)._1 - arms(1L)._2
+    val den = (a + b).toDouble * (c + d).toDouble * (a + c).toDouble * (b + d).toDouble
+    val num = (a + b + c + d).toDouble *
+      (a.toDouble * d.toDouble - b.toDouble * c.toDouble) *
+      (a.toDouble * d.toDouble - b.toDouble * c.toDouble)
+    val chi2 = if (den == 0.0) 0.0
+      else BigDecimal(num / den).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = SparkEntry.queries("q_events_abtest")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    got.foreach { r =>
+      val (nU, nC) = arms(r.getLong(0))
+      assert(r.getLong(1) === nU && r.getLong(2) === nC)
+      assert(r.getLong(3) === nC * 1000 / nU)
+      assert(r.getDouble(4) === chi2)
+    }
+    // non-vacuous: both outcomes occur in both arms (the 2x2 is full)
+    assert(a > 0 && b > 0 && c > 0 && d > 0, s"degenerate table a=$a b=$b c=$c d=$d")
+  }
+
+  test("vec_silhouette replays best/second-best geometry from raw embeddings") {
+    val embs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val cents = embs.filter(_._1 < 16).map(_._2.map(_.toDouble))
+    def score(v: Array[Float], c: Array[Double]): Double = {
+      var dot = 0.0; var i = 0
+      while (i < c.length) { dot += v(i).toDouble * c(i); i += 1 }
+      val nv = v.map(x => x.toDouble * x.toDouble).sum
+      val nc = math.sqrt(c.map(x => x * x).sum)
+      if (nv == 0.0) -2.0 else dot / (math.sqrt(nv) * nc)
+    }
+    val want = embs.map { case (_, v) =>
+      val ss = cents.map(c => score(v, c)).zipWithIndex
+        .sortBy { case (sc, i) => (-sc, i) }
+      val (own, cell) = ss(0); val (second, _) = ss(1)
+      val denom = math.max(1.0 - own, 1.0 - second)
+      val s = if (denom == 0.0) 0.0 else (own - second) / denom
+      cell.toLong -> math.round(s * 1000000)
+    }
+    val agg = want.groupBy(_._1).map { case (cell, xs) =>
+      cell -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val got = SparkEntry.queries("vec_silhouette")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet === agg.keySet)
+    got.foreach { r =>
+      val (n, sum) = agg(r.getLong(0))
+      assert(r.getLong(1) === n, s"cell ${r.getLong(0)} count")
+      assert(r.getLong(2) === sum / n, s"cell ${r.getLong(0)} mean sil")
+    }
+    // non-vacuous: geometry separates (not all cells identical)
+    assert(got.map(_.getLong(2)).distinct.length > 1)
+  }
+}
