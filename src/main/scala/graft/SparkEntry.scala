@@ -13966,6 +13966,97 @@ object SparkEntry {
        |FROM q GROUP BY 1 ORDER BY cell""".stripMargin
   }
 
+  /** k-NN-distance outlier scoring — the embedding-space data-pruning
+    * signal (kth-nearest-neighbor distance, Ramaswamy et al. 2000):
+    * per vector, the WORST cosine among its ≤5 graph neighbors (from
+    * the shared build-once kNN-graph artifact — zero new corpus work),
+    * quantized to exact micro units; vectors whose LSH bucket held no
+    * mate emit no graph rows and rank as MOST isolated (sentinel below
+    * any cosine — at 100 TB those singleton-bucket vectors are exactly
+    * the ones a curation pass inspects first). Published: the top-20
+    * most isolated. Cost: one aggregate over the persisted graph + one
+    * left join from the id spine.
+    */
+  private def vecKnnOutlier(s: SparkSession, dir: String): DataFrame = {
+    val per = knnGraphShared(s, dir)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_nbrs"),
+        min(expr("cast(round(cosine * 1000000) as bigint)")).as("kth_cos_x1e6"))
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(per, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        coalesce(col("kth_cos_x1e6"), lit(-2000000L)).as("kth_cos_x1e6"))
+      .orderBy(col("kth_cos_x1e6"), col("vec_id")).limit(20)
+  }
+
+  private val vecKnnOutlierSql =
+    s"""WITH $knnGraphCtes,
+       |per AS (
+       |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_nbrs,
+       |    CAST(MIN(CAST(round(cosine * 1000000) AS BIGINT)) AS BIGINT) AS kth_cos_x1e6
+       |  FROM t WHERE rnk <= 5 GROUP BY 1)
+       |SELECT e.vec_id, CAST(COALESCE(per.n_nbrs, 0) AS BIGINT) AS n_nbrs,
+       |  CAST(COALESCE(per.kth_cos_x1e6, -2000000) AS BIGINT) AS kth_cos_x1e6
+       |FROM embeddings e LEFT JOIN per ON e.vec_id = per.vec_id
+       |ORDER BY kth_cos_x1e6, e.vec_id LIMIT 20""".stripMargin
+
+  /** Count-min-sketch heavy-hitter eval — promotes the spec-only CMS
+    * row to an oracle-gated key with its accuracy number attached
+    * (Cormode & Muthukrishnan 2005): a 4×64 deterministic sketch
+    * (bucket_i = Mix64(user_id·4+i) top bits, the `samp_negatives`
+    * multi-draw idiom) counts every event; the top-10 users by exact
+    * count are probed back and published with estimate + overestimate
+    * permille. CMS never underestimates (min over 4 one-sided-biased
+    * rows — spec-asserted), and the published overestimate IS the
+    * sketch-sizing signal: 1500 users into 64 buckets collide, and the
+    * number says by how much. Scale: the sketch build is one
+    * map-side-combined (i, bucket) groupBy to 256 cells; probes join
+    * the bounded top-10×4 frame against those cells.
+    */
+  private def qEventsCmsHeavy(s: SparkSession, dir: String): DataFrame = {
+    def bucket(keyTimes4PlusI: Column): Column = {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(keyTimes4PlusI)))
+      shiftrightunsigned(h, 32) % 64L
+    }
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val cells = ev
+      .select(col("user_id"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("i"), bucket(col("user_id") * 4L + col("i")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .orderBy(desc("exact"), col("user_id")).limit(10)
+    top
+      .select(col("user_id"), col("exact"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("user_id"), col("exact"), col("i"),
+        bucket(col("user_id") * 4L + col("i")).as("b"))
+      .join(cells, Seq("i", "b"))
+      .groupBy("user_id", "exact").agg(min("cnt").as("cms_est"))
+      .select(col("user_id"), col("exact"), col("cms_est"),
+        expr("(cms_est - exact) * 1000 div exact").as("over_pml"))
+      .orderBy(desc("exact"), col("user_id"))
+  }
+
+  private val qEventsCmsHeavySql = {
+    def b(expr0: String) = oracle.DuckHash.mix64BucketSql(expr0, 64)
+    s"""WITH ev AS (SELECT user_id FROM events),
+       |cells AS (
+       |  SELECT i.i, ${b("ev.user_id * 4 + i.i")} AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM ev, unnest([0, 1, 2, 3]) AS i(i)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact
+       |  FROM ev GROUP BY 1 ORDER BY exact DESC, user_id LIMIT 10),
+       |probe AS (
+       |  SELECT t.user_id, t.exact, i.i, ${b("t.user_id * 4 + i.i")} AS b
+       |  FROM top t, unnest([0, 1, 2, 3]) AS i(i))
+       |SELECT p.user_id, p.exact, CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       |  CAST((MIN(c.cnt) - p.exact) * 1000 // p.exact AS BIGINT) AS over_pml
+       |FROM probe p JOIN cells c ON c.i = p.i AND c.b = p.b
+       |GROUP BY 1, 2 ORDER BY exact DESC, user_id""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14251,6 +14342,8 @@ object SparkEntry {
     "ann_ivf_nprobe_sweep" -> (annIvfNprobeSweep _),
     "q_events_abtest" -> (qEventsAbtest _),
     "vec_silhouette" -> (vecSilhouette _),
+    "vec_knn_outlier" -> (vecKnnOutlier _),
+    "q_events_cms_heavy" -> (qEventsCmsHeavy _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14642,6 +14735,8 @@ object SparkEntry {
     "ann_ivf_nprobe_sweep" -> annIvfNprobeSweepSql,
     "q_events_abtest" -> qEventsAbtestSql,
     "vec_silhouette" -> vecSilhouetteSql,
+    "vec_knn_outlier" -> vecKnnOutlierSql,
+    "q_events_cms_heavy" -> qEventsCmsHeavySql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

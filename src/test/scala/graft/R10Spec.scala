@@ -973,3 +973,53 @@ class WaveHSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).distinct.length > 1)
   }
 }
+
+/** Wave-I: CMS one-sided-bias law + outlier sentinel semantics. */
+class WaveISpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("CMS never underestimates and exact counts replay from raw events") {
+    val exact = Tables.events(spark, dir).select("user_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val got = SparkEntry.queries("q_events_cms_heavy")(spark, dir).collect()
+    assert(got.length === math.min(10, exact.size))
+    // top-10 selection matches the exact ranking
+    val wantTop = exact.toSeq.sortBy { case (u, n) => (-n, u) }.take(10)
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === wantTop)
+    got.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"user ${r.getLong(0)}: CMS underestimated")
+      assert(r.getLong(3) === (r.getLong(2) - r.getLong(1)) * 1000 / r.getLong(1))
+    }
+    // replay the sketch itself: 4x64 cells from Mix64, min over rows
+    val cells = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    exact.foreach { case (u, n) =>
+      (0L to 3L).foreach { i =>
+        cells((i, (functions.Mix64(u * 4 + i) >>> 32) % 64)) += n
+      }
+    }
+    got.foreach { r =>
+      val u = r.getLong(0)
+      val est = (0L to 3L).map(i => cells((i, (functions.Mix64(u * 4 + i) >>> 32) % 64))).min
+      assert(r.getLong(2) === est, s"user $u sketch estimate")
+    }
+  }
+
+  test("knn outlier ranks singleton-bucket vectors most isolated") {
+    val got = SparkEntry.queries("vec_knn_outlier")(spark, dir).collect()
+    assert(got.length === 20)
+    // ordering: kth_cos ascending with vec_id tiebreak
+    val keys = got.map(r => (r.getLong(2), r.getLong(0)))
+    assert(keys.sortBy(identity).toSeq === keys.toSeq)
+    // sentinel semantics: any vector with no neighbors carries -2e6 and
+    // sorts before every vector that has neighbors
+    got.filter(_.getLong(1) == 0L).foreach(r => assert(r.getLong(2) === -2000000L))
+    // consistency with the graph key: kth cosine = min neighbor cosine
+    val g = SparkEntry.queries("vec_knn_graph")(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(rs =>
+        rs.map(r => math.round(r.getDouble(2) * 1000000)).min).toMap
+    got.filter(_.getLong(1) > 0L).foreach { r =>
+      assert(r.getLong(2) === g(r.getLong(0)), s"vec ${r.getLong(0)} kth cosine")
+    }
+  }
+}
