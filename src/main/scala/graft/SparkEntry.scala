@@ -14057,6 +14057,92 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY exact DESC, user_id""".stripMargin
   }
 
+  /** Exact MIPS (maximum-inner-product) top-k — the retrieval mode
+    * recommender embeddings need, DISTINCT from cosine: un-normalized
+    * dot products rank popular/high-norm items higher, which is the
+    * point (Shrivastava & Li 2014 study the reduction; at this corpus
+    * scale the exact integer dot IS the baseline the reduction would
+    * be measured against). Same broadcast/one-scan contract as
+    * bruteForceTopK, scores are exact int64 milli-unit dots (no float
+    * fold anywhere), so ranking is bit-stable cross-engine.
+    */
+  private def annMipsTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("cv"))
+    val q = corpus.where(col("vec_id").isInCollection(annQueryIds))
+      .select(col("vec_id").as("query_id"), col("cv").as("qv"))
+    val scored = corpus.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"), vec.Vec.dotQ(col("qv"), col("cv")).as("dot_q"))
+    val top = graft.plans.TopK.perKey(
+      scored, Seq("query_id"), Seq("dot_q" -> true, "vec_id" -> false), 10)
+    val w = Window.partitionBy("query_id").orderBy(desc("dot_q"), col("vec_id"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("vec_id"), col("dot_q"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  private val annMipsTopkSql =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+      |    CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS dot_q
+      |  FROM e qs JOIN e cs ON cs.vec_id <> qs.vec_id
+      |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+      |r AS (
+      |  SELECT query_id, vec_id, dot_q,
+      |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id ASC) AS BIGINT) AS rnk
+      |  FROM s)
+      |SELECT query_id, vec_id, dot_q, rnk FROM r WHERE rnk <= 10
+      |ORDER BY query_id, rnk""".stripMargin
+
+  /** Calendar date-dimension generator — the conformed dimension every
+    * warehouse joins facts against (beside the SCD2 machinery that
+    * versions it): one row per day spanning the fact table's own date
+    * range, with the calendar attributes spelled in ENGINE-NEUTRAL
+    * arithmetic (isodow via weekday+1; month boundaries via date_trunc
+    * / last_day) so both engines agree on every flag. The range scalars
+    * are 1-row fact metadata; the spine itself is generated, not
+    * scanned — at 100 TB this dimension is ~40k rows regardless of
+    * fact volume and broadcasts everywhere.
+    */
+  private def qDateDim(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.orders(s, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+      .head()
+    val (lo, hi) = (r.getDate(0).toString, r.getDate(1).toString)
+    s.range(1).select(explode(expr(
+        s"sequence(DATE'$lo', DATE'$hi', interval 1 day)")).as("d"))
+      .select(col("d"),
+        year(col("d")).cast("long").as("yr"),
+        quarter(col("d")).cast("long").as("qtr"),
+        month(col("d")).cast("long").as("mon"),
+        dayofmonth(col("d")).cast("long").as("dom"),
+        (weekday(col("d")).cast("long") + 1L).as("isodow"),
+        (weekday(col("d")).cast("long") >= 5L).as("is_weekend"),
+        (col("d") === date_trunc("month", col("d")).cast("date")).as("is_month_start"),
+        (col("d") === last_day(col("d"))).as("is_month_end"))
+      .orderBy("d")
+  }
+
+  private val qDateDimSql =
+    """WITH r AS (
+      |  SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+      |  FROM orders),
+      |spine AS (
+      |  SELECT CAST(unnest(generate_series(r.lo, r.hi, INTERVAL 1 DAY)) AS DATE) AS d FROM r)
+      |SELECT d,
+      |  CAST(EXTRACT(year FROM d) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(quarter FROM d) AS BIGINT) AS qtr,
+      |  CAST(EXTRACT(month FROM d) AS BIGINT) AS mon,
+      |  CAST(EXTRACT(day FROM d) AS BIGINT) AS dom,
+      |  CAST(isodow(d) AS BIGINT) AS isodow,
+      |  isodow(d) >= 6 AS is_weekend,
+      |  d = CAST(date_trunc('month', d) AS DATE) AS is_month_start,
+      |  d = last_day(d) AS is_month_end
+      |FROM spine ORDER BY d""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14344,6 +14430,8 @@ object SparkEntry {
     "vec_silhouette" -> (vecSilhouette _),
     "vec_knn_outlier" -> (vecKnnOutlier _),
     "q_events_cms_heavy" -> (qEventsCmsHeavy _),
+    "ann_mips_topk" -> (annMipsTopk _),
+    "q_date_dim" -> (qDateDim _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14737,6 +14825,8 @@ object SparkEntry {
     "vec_silhouette" -> vecSilhouetteSql,
     "vec_knn_outlier" -> vecKnnOutlierSql,
     "q_events_cms_heavy" -> qEventsCmsHeavySql,
+    "ann_mips_topk" -> annMipsTopkSql,
+    "q_date_dim" -> qDateDimSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

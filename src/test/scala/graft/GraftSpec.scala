@@ -1049,8 +1049,10 @@ class PlanAuditSpec extends AnyFunSuite {
                                    // (the multiprobe leg is bucket-equi)
       "ann_ivf_nprobe_sweep", // brute-force truth leg + a 4-row nProbe
                               // spine fan on it — bounded metadata grid
-      "q_events_abtest") // 1-row 2x2 contingency fold broadcast onto
+      "q_events_abtest", // 1-row 2x2 contingency fold broadcast onto
                          // the 2-row arms frame
+      "ann_mips_topk") // same |queryIds|-row broadcast scoring contract
+                       // as ann_bruteforce_topk
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

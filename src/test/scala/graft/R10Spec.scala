@@ -1023,3 +1023,46 @@ class WaveISpec extends AnyFunSuite {
     }
   }
 }
+
+/** Wave-J: MIPS vs cosine ranking divergence + date-dim calendar laws. */
+class WaveJSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("MIPS ranks by exact integer dot, replayed fully in driver Scala") {
+    val embs = Tables.embeddings(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(x => math.round(x.toDouble * 1000)))
+      .toMap
+    val got = SparkEntry.queries("ann_mips_topk")(spark, dir).collect()
+    got.foreach { r =>
+      val want = embs(r.getLong(0)).zip(embs(r.getLong(1))).map { case (a, b) => a * b }.sum
+      assert(r.getLong(2) === want, s"dot for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+    // full replay of each query's ranking
+    (0L to 4L).foreach { q =>
+      val want = embs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, embs(q).zip(v).map { case (a, b) => a * b }.sum) }
+        .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1)
+      val gotIds = got.filter(_.getLong(0) == q).sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      assert(gotIds === want, s"query $q MIPS ranking")
+    }
+  }
+
+  test("date dim spans the fact range with correct calendar flags") {
+    val rows = SparkEntry.queries("q_date_dim")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val days = rows.map(_.getDate(0).toLocalDate)
+    // contiguous daily spine
+    days.sliding(2).foreach { case Array(a, b) => assert(b === a.plusDays(1)) }
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      assert(r.getLong(1) === d.getYear.toLong)
+      assert(r.getLong(3) === d.getMonthValue.toLong)
+      assert(r.getLong(4) === d.getDayOfMonth.toLong)
+      assert(r.getLong(5) === d.getDayOfWeek.getValue.toLong) // ISO Mon=1
+      assert(r.getBoolean(6) === (d.getDayOfWeek.getValue >= 6))
+      assert(r.getBoolean(7) === (d.getDayOfMonth == 1))
+      assert(r.getBoolean(8) === (d.getDayOfMonth == d.lengthOfMonth))
+    }
+  }
+}
