@@ -14143,6 +14143,64 @@ object SparkEntry {
       |  d = last_day(d) AS is_month_end
       |FROM spine ORDER BY d""".stripMargin
 
+  /** Two-sample Kolmogorov–Smirnov test, EXACT — the distribution-drift
+    * test beside the binned PSI (`q_drift_psi` quantizes into 100-char
+    * buckets; KS compares the FULL empirical CDFs, no binning loss):
+    * between the two largest sources, D = max_v |F₁(v) − F₂(v)| over
+    * doc length, computed entirely in integers as
+    * max |c₁(v)·n₂ − c₂(v)·n₁| over the merged value grid with
+    * denominator n₁·n₂ — no float CDF anywhere, so the statistic is
+    * bit-stable. The value grid is bounded by distinct lengths
+    * (metadata, like the zipf fit's bounded global window); everything
+    * before it is map-side-combined (source, length) counting.
+    */
+  private def qKsTest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("source"), col("n_chars").cast("long").as("x"))
+    val top2 = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("source")).limit(2).collect()
+    val (srcA, nA) = (top2(0).getString(0), top2(0).getLong(1))
+    val (srcB, nB) = (top2(1).getString(0), top2(1).getLong(1))
+    val counts = docs.where(col("source").isin(srcA, srcB))
+      .groupBy("x")
+      .agg(sum(when(col("source") === srcA, 1L).otherwise(0L)).as("a"),
+        sum(when(col("source") === srcB, 1L).otherwise(0L)).as("b"))
+    val w = Window.orderBy("x") // bounded: distinct length values (metadata)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("ca", sum("a").over(w))
+      .withColumn("cb", sum("b").over(w))
+      .agg(max(abs(col("ca") * nB - col("cb") * nA)).as("d_num"))
+      .select(lit(srcA).as("src_a"), lit(srcB).as("src_b"),
+        lit(nA).as("n_a"), lit(nB).as("n_b"),
+        col("d_num"), lit(nA * nB).as("d_den"),
+        expr(s"d_num * 1000 div ${nA * nB}").as("d_pml"))
+  }
+
+  private val qKsTestSql =
+    """WITH t2 AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+      |    row_number() OVER (ORDER BY COUNT(*) DESC, source) AS rn
+      |  FROM documents GROUP BY 1),
+      |sa AS (SELECT source, n FROM t2 WHERE rn = 1),
+      |sb AS (SELECT source, n FROM t2 WHERE rn = 2),
+      |c AS (
+      |  SELECT CAST(d.n_chars AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN d.source = sa.source THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN d.source = sb.source THEN 1 ELSE 0 END) AS BIGINT) AS b
+      |  FROM documents d, sa, sb
+      |  WHERE d.source = sa.source OR d.source = sb.source
+      |  GROUP BY 1),
+      |cum AS (
+      |  SELECT x,
+      |    CAST(SUM(a) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+      |    CAST(SUM(b) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+      |  FROM c)
+      |SELECT sa.source AS src_a, sb.source AS src_b, sa.n AS n_a, sb.n AS n_b,
+      |  CAST(MAX(abs(cum.ca * sb.n - cum.cb * sa.n)) AS BIGINT) AS d_num,
+      |  CAST(sa.n * sb.n AS BIGINT) AS d_den,
+      |  CAST(MAX(abs(cum.ca * sb.n - cum.cb * sa.n)) * 1000 // (sa.n * sb.n) AS BIGINT) AS d_pml
+      |FROM cum, sa, sb GROUP BY 1, 2, 3, 4""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14432,6 +14490,7 @@ object SparkEntry {
     "q_events_cms_heavy" -> (qEventsCmsHeavy _),
     "ann_mips_topk" -> (annMipsTopk _),
     "q_date_dim" -> (qDateDim _),
+    "q_ks_test" -> (qKsTest _),
     "q_events_burst" -> (qEventsBurst _),
     "vec_centroid_classify" -> (vecCentroidClassify _),
     "vec_centroid_affinity" -> (vecCentroidAffinity _),
@@ -14827,6 +14886,7 @@ object SparkEntry {
     "q_events_cms_heavy" -> qEventsCmsHeavySql,
     "ann_mips_topk" -> annMipsTopkSql,
     "q_date_dim" -> qDateDimSql,
+    "q_ks_test" -> qKsTestSql,
     "q_events_burst" -> qEventsBurstSql,
     "vec_centroid_classify" -> vecCentroidClassifySql,
     "vec_centroid_affinity" -> vecCentroidAffinitySql,

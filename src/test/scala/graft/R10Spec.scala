@@ -1066,3 +1066,52 @@ class WaveJSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Wave-K: exact KS replay + the streaming CMS twin's cell equality. */
+class WaveKSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q_ks_test replays the exact integer KS statistic in driver Scala") {
+    val docs = Tables.documents(spark, dir).select("source", "n_chars").collect()
+      .map(r => r.getString(0) -> r.get(1).asInstanceOf[Number].longValue)
+    val bySrc = docs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val top2 = bySrc.toSeq.map { case (s, xs) => (s, xs.length.toLong) }
+      .sortBy { case (s, n) => (-n, s) }.take(2)
+    val (sa, na) = top2(0); val (sb, nb) = top2(1)
+    val xa = bySrc(sa).sorted; val xb = bySrc(sb).sorted
+    val grid = (xa ++ xb).distinct.sorted
+    val dNum = grid.map { v =>
+      val ca = xa.count(_ <= v).toLong; val cb = xb.count(_ <= v).toLong
+      math.abs(ca * nb - cb * na)
+    }.max
+    val r = SparkEntry.queries("q_ks_test")(spark, dir).head()
+    assert(r.getString(0) === sa && r.getString(1) === sb)
+    assert(r.getLong(2) === na && r.getLong(3) === nb)
+    assert(r.getLong(4) === dNum)
+    assert(r.getLong(5) === na * nb)
+    assert(r.getLong(6) === dNum * 1000 / (na * nb))
+    // non-vacuous: the two sources genuinely differ somewhere
+    assert(dNum > 0)
+  }
+
+  test("streamed CMS cells equal the batch sketch and probes match the key") {
+    val cells = streaming.CmsStream.cells(spark, dir)
+    val streamed = cells.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // batch replay of the same 4x64 sketch
+    val exact = Tables.events(spark, dir).select("user_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val want = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+    exact.foreach { case (u, n) =>
+      (0L to 3L).foreach { i => want((i, (functions.Mix64(u * 4 + i) >>> 32) % 64)) += n }
+    }
+    assert(streamed === want.toMap)
+    // publish-boundary probes reproduce the batch key's estimates
+    val keyRows = SparkEntry.queries("q_events_cms_heavy")(spark, dir).collect()
+    keyRows.foreach { r =>
+      assert(streaming.CmsStream.estimate(cells, r.getLong(0)) === r.getLong(2),
+        s"user ${r.getLong(0)} streamed estimate")
+    }
+  }
+}
