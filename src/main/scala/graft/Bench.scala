@@ -143,8 +143,18 @@ object Bench {
     val total = median(passTotalSeq)
     val sumOfMedians = medians.map(_._2).sum
     val passTotals = passTotalSeq.mkString("[", ",", "]")
+    // stamp the measured tree (SURVEY §6.0: bench numbers must name the
+    // commit they measured) — read from .git directly, no subprocess
+    val gitHead: String = try {
+      val head = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(".git/HEAD"))).trim
+      if (head.startsWith("ref: "))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(".git/" + head.drop(5)))).trim.take(12)
+      else head.take(12)
+    } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors}"""
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
