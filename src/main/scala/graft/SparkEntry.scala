@@ -12947,10 +12947,15 @@ object SparkEntry {
     * cross-join shape).
     */
   private def qStockValue(s: SparkSession, dir: String): DataFrame = {
-    val sup = Tables.supplier(s, dir)
-      .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_7")),
-        col("s_nationkey") === col("n_nationkey"))
-      .select("s_suppkey")
+    // anchor nation = the TOP SUPPLYING nation (most suppliers, tie ->
+    // name) instead of Q11's hardcoded GERMANY: a fixed name is vacuous
+    // at scale factors where that nation happens to hold no suppliers
+    // (sf0.001 gave NATION_7 zero). 1-row argmax = dimension metadata.
+    val bySup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+    val topNation = bySup.groupBy("n_name").agg(count(lit(1)).as("c"))
+      .orderBy(desc("c"), col("n_name")).limit(1).head().getString(0)
+    val sup = bySup.where(col("n_name") === topNation).select("s_suppkey")
     val perPart = Tables.lineitem(s, dir)
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
@@ -12963,9 +12968,13 @@ object SparkEntry {
   }
 
   private val qStockValueSql =
-    s"""WITH sup AS (
+    s"""WITH sc AS (
+       |  SELECT n_name, COUNT(*) AS c FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       |  GROUP BY 1),
+       |topn AS (SELECT n_name FROM sc ORDER BY c DESC, n_name LIMIT 1),
+       |sup AS (
        |  SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
-       |  WHERE n_name = 'NATION_7'),
+       |  JOIN topn USING (n_name)),
        |pp AS (
        |  SELECT l_partkey, CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS value_c
        |  FROM lineitem JOIN sup ON l_suppkey = s_suppkey GROUP BY 1),

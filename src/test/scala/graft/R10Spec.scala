@@ -442,7 +442,15 @@ class TpchCompletionSpec extends AnyFunSuite {
     r.get(i).asInstanceOf[Number].longValue
 
   test("q_stock_value keeps exactly the parts above 2x the mean value") {
-    val nk = Tables.nation(spark, dir).where(col("n_name") === "NATION_7")
+    // replay the top-supplying-nation anchor
+    val nations = Tables.nation(spark, dir).collect()
+      .map(r => kLong(r, 0) -> r.getString(1)).toMap
+    val supByNation = Tables.supplier(spark, dir).collect()
+      .groupBy(r => nations(kLong(r, 2)))
+    val topNation = supByNation.toSeq
+      .map { case (n, rs) => (n, rs.length) }
+      .sortBy { case (n, c) => (-c, n) }.head._1
+    val nk = Tables.nation(spark, dir).where(col("n_name") === topNation)
       .collect().map(kLong(_, 0)).toSet
     val sup = Tables.supplier(spark, dir).collect()
       .filter(r => nk(kLong(r, 2))).map(kLong(_, 0)).toSet
