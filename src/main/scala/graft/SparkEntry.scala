@@ -12584,15 +12584,16 @@ object SparkEntry {
       .orderBy(desc("deg"), col("a")).limit(4)
       .collect().map(_.getLong(0)) // bounded 4-row collect: the seed set
     val rounds = scala.collection.mutable.ArrayBuffer[String]()
-    val rows = seeds.toSeq.flatMap { sd =>
-      val v = graph.Bfs.khop(bidir, sd, hops = 3,
-        onRound = (h, n, b) =>
-          rounds += s"""{"seed": $sd, "hop": $h, "visited": $n, "broadcast": $b}""")
-      val r = v.groupBy("hop").agg(count(lit(1)).as("n")).collect()
-        .map(x => (sd, x.getLong(0), x.getLong(1))) // bounded: ≤ 4 rows/seed
-      v.unpersist()
-      r
-    }
+    // all 4 seeds share ONE frontier loop (Bfs.khopMulti): 3 joins total
+    // instead of 12 — this key was the #1 bench entry (12.9 s) as four
+    // sequential khop loops
+    val v = graph.Bfs.khopMulti(bidir, seeds.toSeq, hops = 3,
+      onRound = (h, n, b) =>
+        rounds += s"""{"hop": $h, "visited_all_seeds": $n, "broadcast": $b}""")
+    val rows = v.groupBy("seed", "hop").agg(count(lit(1)).as("n")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))) // bounded: ≤ 16 rows
+      .toSeq
+    v.unpersist()
     planObservations("q_graph_reach_dist") = rounds.mkString("[", ",", "]")
     bidir.unpersist()
     import s.implicits._

@@ -29,6 +29,39 @@ object Bfs {
     * Lets the scale harness assert the fallback actually disengaged the
     * broadcast on a planted high-reach graph.
     */
+  /** Multi-seed [[khop]]: ALL seeds advance in ONE frontier frame keyed
+    * (seed, node), so s seeds × h hops cost h joins instead of s·h —
+    * the ANF/reach-distribution shape (`q_graph_reach_dist` measured
+    * 12.9 s as 4 sequential loops; one shared loop more than halves it).
+    * Same broadcast-fallback contract, with the observer reporting the
+    * combined visited count per round.
+    */
+  def khopMulti(bidir: DataFrame, seeds: Seq[Long], hops: Int,
+      broadcastLimit: Long = 4000000L,
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
+    require(seeds.nonEmpty, "at least one seed")
+    val s = bidir.sparkSession
+    import s.implicits._
+    var visited = seeds.toDF("seed")
+      .select(col("seed"), col("seed").as("node"), lit(0L).as("hop")).persist()
+    var visitedCount = visited.count()
+    for (h <- 1 to hops) {
+      val frontier = visited.where(col("hop") === (h - 1).toLong).select("seed", "node")
+      val useBroadcast = visitedCount <= broadcastLimit
+      onRound(h, visitedCount, useBroadcast)
+      val anti = if (useBroadcast) F.broadcast(visited.select("seed", "node")) else visited.select("seed", "node")
+      val reached = frontier.join(bidir, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(anti, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(h.toLong).as("hop"))
+      val next = visited.unionByName(reached).persist()
+      visitedCount = next.count()
+      visited.unpersist()
+      visited = next
+    }
+    visited
+  }
+
   def khop(bidir: DataFrame, seed: Long, hops: Int,
       broadcastLimit: Long = 4000000L,
       onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {

@@ -1123,3 +1123,34 @@ class WaveKSpec extends AnyFunSuite {
     }
   }
 }
+
+/** Multi-seed BFS must be pointwise identical to per-seed BFS — the
+  * equivalence that justified collapsing reach-dist's 4 loops into 1.
+  */
+class KhopMultiSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("khopMulti(seeds) equals the union of khop(seed) runs") {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
+    val e = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+      .where(col("x.l_partkey") < col("y.l_partkey"))
+      .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b")).distinct()
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seeds = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("a")).limit(3).collect().map(_.getLong(0)).toSeq
+    val multi = graph.Bfs.khopMulti(bidir, seeds, hops = 3)
+    val got = multi.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    multi.unpersist()
+    val want = seeds.flatMap { sd =>
+      val v = graph.Bfs.khop(bidir, sd, hops = 3)
+      val rows = v.collect().map(r => (sd, r.getLong(0)) -> r.getLong(1))
+      v.unpersist()
+      rows
+    }.toMap
+    bidir.unpersist()
+    assert(got === want)
+    // non-vacuous: the seeds genuinely reach beyond themselves
+    assert(want.count(_._2 > 0) > seeds.length)
+  }
+}
