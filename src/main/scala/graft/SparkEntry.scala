@@ -2076,6 +2076,23 @@ object SparkEntry {
   private def annIvfrqTopk(s: SparkSession, dir: String): DataFrame =
     ann.IvfRq.topK(Tables.embeddings(s, dir), annQueryIds, k = 10, nProbe = 2)
 
+  /** Probe-only IVF-RQ — the production steady state the fit+probe key
+    * above can't show: the composite index (coarse centroids + residual
+    * codebook + per-vector code pair) is persisted once via
+    * [[ann.IvfRq.Index.build]] under the `cachedIndexDir` lifecycle, and
+    * each call pays only two bounded codebook loads + one scan of the
+    * 16×-compressed code table. Output-identical to `ann_ivfrq_topk`
+    * (deterministic fits), so the same oracle pins it — what changes is
+    * the COST, which the bench records as the amortized serving number.
+    */
+  private def annIvfrqProbe(s: SparkSession, dir: String): DataFrame = {
+    val ix = cachedIndexDir("ivfrq", dir) { p =>
+      ann.IvfRq.Index.build(Tables.embeddings(s, dir), p)
+    }
+    ann.IvfRq.Index.probe(s, ix, Tables.embeddings(s, dir), annQueryIds,
+      k = 10, nProbe = 2)
+  }
+
   private val annIvfrqTopkSql = {
     val qids = annQueryIds.mkString(", ")
     s"""$ivfKmeansFitCtes,
@@ -4897,7 +4914,9 @@ object SparkEntry {
        |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    END AS sh
        |  FROM w0),
-       |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(sh) > 0),
+       |d2 AS MATERIALIZED (
+       |  SELECT * FROM d WHERE len(sh) > 0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY prefix3) <= 1000),
        |p AS MATERIALIZED (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS DOUBLE) /
@@ -11531,7 +11550,9 @@ object SparkEntry {
        |            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
        |    END AS sh
        |  FROM w0),
-       |d2 AS MATERIALIZED (SELECT * FROM d WHERE len(sh) > 0),
+       |d2 AS MATERIALIZED (
+       |  SELECT * FROM d WHERE len(sh) > 0
+       |  QUALIFY COUNT(*) OVER (PARTITION BY prefix3) <= 1000),
        |p AS MATERIALIZED (
        |  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b,
        |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT) AS inter,
@@ -12667,26 +12688,33 @@ object SparkEntry {
     * the coreset-size picker.
     */
   private def sampCoreset(s: SparkSession, dir: String): DataFrame = {
+    // persist the quantized projection ONCE across the 8 greedy rounds —
+    // the loop is inherently sequential (each argmax feeds the next
+    // round's min-distance literal), but without the persist every round
+    // re-reads parquet and re-quantizes
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"))
-    def l2(cv: Seq[Long]): Column =
-      aggregate(zip_with(col("q"), typedLit(cv), (x, y) => (x - y) * (x - y)),
-        lit(0L), (a, b) => a + b)
-    val first = emb.orderBy("vec_id").limit(1).head() // bounded 1-row collect
-    var chosen = Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
-    for (_ <- 2 to 8) {
-      val mind = chosen.map { case (_, cv, _) => l2(cv) }.reduce(least(_, _))
-      val pick = emb
-        .where(!col("vec_id").isInCollection(chosen.map(_._1)))
-        .select(col("vec_id"), col("q"), mind.as("mind"))
-        .orderBy(desc("mind"), col("vec_id")).limit(1).head() // 1-row argmax
-      chosen :+= ((pick.getLong(0), pick.getSeq[Long](1).toSeq, pick.getLong(2)))
-    }
-    import s.implicits._
-    chosen.zipWithIndex
-      .map { case ((id, _, d), i) => (i.toLong + 1L, id, d) }
-      .toDF("rnk", "vec_id", "mind")
-      .orderBy("rnk")
+      .persist()
+    try {
+      def l2(cv: Seq[Long]): Column =
+        aggregate(zip_with(col("q"), typedLit(cv), (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, b) => a + b)
+      val first = emb.orderBy("vec_id").limit(1).head() // bounded 1-row collect
+      var chosen = Vector((first.getLong(0), first.getSeq[Long](1).toSeq, 0L))
+      for (_ <- 2 to 8) {
+        val mind = chosen.map { case (_, cv, _) => l2(cv) }.reduce(least(_, _))
+        val pick = emb
+          .where(!col("vec_id").isInCollection(chosen.map(_._1)))
+          .select(col("vec_id"), col("q"), mind.as("mind"))
+          .orderBy(desc("mind"), col("vec_id")).limit(1).head() // 1-row argmax
+        chosen :+= ((pick.getLong(0), pick.getSeq[Long](1).toSeq, pick.getLong(2)))
+      }
+      import s.implicits._
+      chosen.zipWithIndex
+        .map { case ((id, _, d), i) => (i.toLong + 1L, id, d) }
+        .toDF("rnk", "vec_id", "mind")
+        .orderBy("rnk")
+    } finally emb.unpersist(blocking = false)
   }
 
   private val sampCoresetSql = {
@@ -13156,7 +13184,12 @@ object SparkEntry {
       .select(col("source"), col("n_chars").cast("long").as("x"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_h"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
-      .withColumn("var_q", expr("(n_h * sxx - sx * sx) div (n_h * n_h)"))
+      // the n·Σx²−(Σx)² identity squares a per-stratum SUM — wide decimal on
+      // both engines (HUGEINT in the oracle) so sx ≳ 3e9 can't wrap int64
+      .withColumn("var_q", expr(
+        "cast((cast(n_h as decimal(20,0)) * cast(sxx as decimal(20,0)) - " +
+          "cast(sx as decimal(20,0)) * cast(sx as decimal(20,0))) div " +
+          "(cast(n_h as decimal(20,0)) * cast(n_h as decimal(20,0))) as bigint)"))
       .withColumn("s0", expr("cast(floor(sqrt(cast(var_q as double))) as long)"))
       .withColumn("sd_q", expr(
         "case when (s0 + 1) * (s0 + 1) <= var_q then s0 + 1 " +
@@ -13182,7 +13215,9 @@ object SparkEntry {
       |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxx
       |  FROM documents GROUP BY 1),
       |v AS (
-      |  SELECT source, n_h, CAST((n_h * sxx - sx * sx) // (n_h * n_h) AS BIGINT) AS var_q
+      |  SELECT source, n_h,
+      |    CAST((CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      // (CAST(n_h AS HUGEINT) * n_h) AS BIGINT) AS var_q
       |  FROM per),
       |sq AS (
       |  SELECT source, n_h, var_q,
@@ -13736,8 +13771,10 @@ object SparkEntry {
     val nEv = row.getLong(0)
     import s.implicits._
     gapsS.zipWithIndex.map { case (g, i) =>
-      val ns = row.getLong(i + 1)
-      (g, ns, nEv, nEv * 1000L / ns)
+      // empty events table: SUM over zero rows is NULL and ns=0 would
+      // divide by zero — publish zero rows instead of throwing
+      val ns = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+      (g, ns, nEv, nEv * 1000L / math.max(ns, 1L))
     }.toDF("gap_s", "n_sessions", "n_events", "mean_len_x1000")
       .orderBy("gap_s")
   }
@@ -14471,6 +14508,7 @@ object SparkEntry {
     "q_graph_reach_dist" -> (qGraphReachDist _),
     "mm_audio_match" -> (mmAudioMatch _),
     "ann_ivfrq_topk" -> (annIvfrqTopk _),
+    "ann_ivfrq_probe" -> (annIvfrqProbe _),
     "samp_coreset" -> (sampCoreset _),
     "q_events_changepoint" -> (qEventsChangepoint _),
     "mm_blur_score" -> (mmBlurScore _),
@@ -14867,6 +14905,7 @@ object SparkEntry {
     "q_graph_reach_dist" -> qGraphReachDistSql,
     "mm_audio_match" -> mmAudioMatchSql,
     "ann_ivfrq_topk" -> annIvfrqTopkSql,
+    "ann_ivfrq_probe" -> annIvfrqTopkSql,
     "samp_coreset" -> sampCoresetSql,
     "q_events_changepoint" -> qEventsChangepointSql,
     "mm_blur_score" -> mmBlurScoreSql,

@@ -42,8 +42,19 @@ object IvfRq {
       kCells: Int = 16,
       kCodes: Int = 16): DataFrame = {
     val cents = KMeans.fit(emb, kCells, iters = 1).toSeq.map(_.toSeq)
-    val qc = milliQuant(cents)
-    val qcLit = typedLit(qc)
+    val (codes, cb) = encode(emb, cents, kCodes)
+    probeCodes(emb, codes, cents, cb, queryIds, k, nProbe)
+  }
+
+  /** Encode the corpus against fitted coarse centroids: fit the residual
+    * codebook and return the `(vec_id, cell, rq_cell)` code table plus the
+    * codebook — the compressed representation a persisted [[Index]] stores.
+    */
+  private def encode(
+      emb: DataFrame,
+      cents: Seq[Seq[Double]],
+      kCodes: Int): (DataFrame, Seq[Seq[Long]]) = {
+    val qcLit = typedLit(milliQuant(cents))
     val assigned = Ann.assignCells(emb, cents)
     val q = emb.select(col("vec_id"), Vec.quantize(col("embedding")).as("q"))
     val residuals = q.join(assigned, "vec_id")
@@ -51,14 +62,32 @@ object IvfRq {
         zip_with(col("q"), element_at(qcLit, col("cell").cast("int") + 1),
           (x, y) => x - y).as("r"))
     val cb = Rq.fit(residuals, kCodes, iters = 1).toSeq.map(_.toSeq)
-    val cbLit = typedLit(cb)
     val rq = Rq.assign(residuals, cb).select(col("vec_id"), col("cell").as("rq_cell"))
+    (assigned.join(rq, "vec_id").select("vec_id", "cell", "rq_cell"), cb)
+  }
+
+  /** The probe path shared by [[topK]] (in-flight fit) and [[Index.probe]]
+    * (persisted code table): candidates from each query's top-nProbe cells
+    * are scored by exact-integer L2 against the reconstruction
+    * (centroid + residual codeword, both bounded literals). The corpus'
+    * code table never shuffles — probes (queries × nProbe rows) broadcast
+    * onto its cell key.
+    */
+  private[ann] def probeCodes(
+      emb: DataFrame,
+      codes: DataFrame,
+      cents: Seq[Seq[Double]],
+      cb: Seq[Seq[Long]],
+      queryIds: Seq[Long],
+      k: Int,
+      nProbe: Int): DataFrame = {
+    val qcLit = typedLit(milliQuant(cents))
+    val cbLit = typedLit(cb)
     // reconstruction = coarse centroid + residual codeword (both literals)
-    val recon = assigned.join(rq, "vec_id")
-      .select(col("vec_id"),
-        zip_with(element_at(qcLit, col("cell").cast("int") + 1),
-          element_at(cbLit, col("rq_cell").cast("int") + 1),
-          (x, y) => x + y).as("v"))
+    val recon = codes.select(col("vec_id"), col("cell"),
+      zip_with(element_at(qcLit, col("cell").cast("int") + 1),
+        element_at(cbLit, col("rq_cell").cast("int") + 1),
+        (x, y) => x + y).as("v"))
     // probe: top-nProbe cells per query by the SAME cosine cell scores
     // the assignment uses (ties to the lower cell)
     val probes = emb.where(col("vec_id").isInCollection(queryIds))
@@ -68,12 +97,12 @@ object IvfRq {
         Window.partitionBy("query_id").orderBy(desc("score"), col("cell"))))
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("cell").cast("long").as("cell"))
-    val cand = probes.join(assigned, "cell")
+    val cand = probes.join(recon, "cell")
       .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "vec_id")
-    val qv = q.where(col("vec_id").isInCollection(queryIds))
-      .select(col("vec_id").as("query_id"), col("q").as("qv"))
-    val scored = cand.join(qv, "query_id").join(recon, "vec_id")
+      .select("query_id", "vec_id", "v")
+    val qv = emb.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), Vec.quantize(col("embedding")).as("qv"))
+    val scored = cand.join(qv, "query_id")
       .select(col("query_id"), col("vec_id"),
         aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
           lit(0L), (a, b) => a + b).as("adist"))
@@ -82,5 +111,55 @@ object IvfRq {
       .where(col("rnk") <= k)
       .select("query_id", "vec_id", "adist", "rnk")
       .orderBy("query_id", "rnk")
+  }
+
+  /** Persisted IVF-RQ index — the production lifecycle the fit+probe
+    * [[topK]] can't demonstrate: fit + encode ONCE (corpus compresses to
+    * two small ints per vector + two bounded codebooks), then every probe
+    * loads the codebooks (bounded collects) and scans only the code
+    * table — no k-means, no residual fit, no raw-vector reread. Same
+    * build-once pattern as [[IvfIndex]] / [[Pq.Index]].
+    */
+  object Index {
+
+    def build(
+        emb: DataFrame,
+        path: String,
+        kCells: Int = 16,
+        kCodes: Int = 16): Unit = {
+      val spark = emb.sparkSession
+      import spark.implicits._
+      val cents = KMeans.fit(emb, kCells, iters = 1).toSeq.map(_.toSeq)
+      cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      val (codes, cb) = encode(emb, cents, kCodes)
+      cb.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("code", "codeword")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    }
+
+    def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Double]] =
+      spark.read.parquet(s"$path/centroids").orderBy("cell")
+        .collect().map(_.getSeq[Double](1).toSeq).toSeq
+
+    def loadCodebook(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Long]] =
+      spark.read.parquet(s"$path/codebook").orderBy("code")
+        .collect().map(_.getSeq[Long](1).toSeq).toSeq
+
+    /** Probe-only top-k against a built index: output-identical to
+      * [[topK]] at the same parameters (the fits are deterministic), but
+      * the per-call work is just codebook loads + one code-table scan.
+      */
+    def probe(
+        spark: org.apache.spark.sql.SparkSession,
+        path: String,
+        emb: DataFrame,
+        queryIds: Seq[Long],
+        k: Int = 10,
+        nProbe: Int = 2): DataFrame =
+      probeCodes(emb, spark.read.parquet(s"$path/codes"),
+        loadCentroids(spark, path), loadCodebook(spark, path), queryIds, k, nProbe)
   }
 }

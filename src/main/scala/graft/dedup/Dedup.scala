@@ -4,6 +4,7 @@ import graft.functions.exprs
 import graft.text.Text
 import graft.vec.Vec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -209,12 +210,13 @@ object Dedup {
   def blockedPairStats(
       docs: DataFrame,
       shingleK: Int = 3,
-      prefixN: Int = 3): DataFrame = {
+      prefixN: Int = 3,
+      maxBlockSize: Int = 1000): DataFrame = {
     val blockedAll = docs
       .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK, prefixN).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val blocked = blockedAll.where(col("b").isNotNull)
-      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val blocked = capBlocks(blockedAll.where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh")), maxBlockSize)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")
     materializeThenRelease(
       blocked.as("l")
@@ -228,16 +230,30 @@ object Dedup {
       blockedAll)
   }
 
+  /** Skew guard shared by the blocked-pair modes: a prefix block holding
+    * more than `maxBlockSize` docs is boilerplate (pair output grows as
+    * block²; a 10k-copy block would emit ~50M pairs) — drop the whole
+    * block, mirroring the LSH `maxBucketSize` contract. One count window
+    * over the already-shuffled block key; no extra exchange.
+    */
+  private def capBlocks(blocked: DataFrame, maxBlockSize: Int): DataFrame =
+    blocked
+      .withColumn("block_n",
+        count(lit(1)).over(Window.partitionBy(col("pfx"))))
+      .where(col("block_n") <= maxBlockSize)
+      .drop("block_n")
+
   def blockedNgramJaccard(
       docs: DataFrame,
       shingleK: Int = 3,
       prefixN: Int = 3,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBlockSize: Int = 1000): DataFrame = {
     val blockedAll = docs
       .select(col("doc_id"), exprs.shingle_block(col("text"), shingleK, prefixN).as("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val blocked = blockedAll.where(col("b").isNotNull)
-      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh"))
+    val blocked = capBlocks(blockedAll.where(col("b").isNotNull)
+      .select(col("doc_id"), col("b.pfx").as("pfx"), col("b.sh").as("sh")), maxBlockSize)
     val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     materializeThenRelease(
       blocked.as("l")

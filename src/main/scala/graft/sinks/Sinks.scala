@@ -100,8 +100,16 @@ object Compaction {
   def dataBytes(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // Recurse: a partitioned layout keeps its .parquet files one level
+    // down — a top-level-only listing would size the rewrite at 0 bytes
+    // and silently collapse everything to one file.
+    val it = fs.listFiles(p, /*recursive=*/ true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) total += st.getLen
+    }
+    total
   }
 
   /** Count of parquet data files under `path` (spec/observability). */
@@ -120,7 +128,9 @@ object Compaction {
       spark: org.apache.spark.sql.SparkSession,
       src: String, dst: String, targetBytes: Long): Int = {
     require(targetBytes > 0)
-    val n = math.max(1, math.ceil(dataBytes(spark, src).toDouble / targetBytes).toInt)
+    val bytes = dataBytes(spark, src)
+    require(bytes > 0, s"compact: no parquet data files found under $src")
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     spark.read.parquet(src).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(dst)
     n

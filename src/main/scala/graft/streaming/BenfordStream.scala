@@ -43,7 +43,10 @@ object BenfordStream {
   def publish(spark: SparkSession, counts: DataFrame): DataFrame = {
     val spine = spark.createDataFrame(
       (1 to 9).map(d => (d.toLong, expPml(d - 1)))).toDF("digit", "exp_pml")
-    val total = counts.agg(sum("n").as("total")).head().getLong(0)
+    // Empty/undrained stream: sum over zero rows is NULL and total=0 would
+    // divide by zero — publish an all-zero frame instead of crashing.
+    val total = math.max(1L,
+      counts.agg(coalesce(sum("n"), lit(0L)).as("total")).head().getLong(0))
     broadcast(spine).join(counts, Seq("digit"), "left")
       .select(col("digit"), coalesce(col("n"), lit(0L)).as("n"),
         expr(s"coalesce(n, 0) * 1000 div $total").as("obs_pml"), col("exp_pml"),
