@@ -5861,6 +5861,78 @@ object SparkEntry {
        |  tp * 1000 // GREATEST(n_truth, 1) AS recall_x1000
        |FROM a""".stripMargin
 
+  /** MinHash (bands, rows) S-curve sweep ([[dedup.Dedup
+    * .bandingSweepCandidates]]) — the dedup parameter-selection
+    * discipline beside `ann_ivf_nprobe_sweep` / `q_events_session_sweep`:
+    * ONE 128-slot signature pass is banded at 8×16 / 16×8 / 32×4 and each
+    * operating point publishes its candidate volume (the verify cost),
+    * est≥0.5 survivors, and precision/recall against the SAME exact
+    * set-similarity≥0.7 truth `dedup_minhash_eval` scores the default
+    * banding with — so the three rows ARE the S-curve a 100 TB corpus
+    * picks its banding from: more bands = higher recall, quadratic-ish
+    * candidate growth. Band seeds per config are Spark-XXH64 hashInt
+    * literals mirrored exactly by the oracle (DuckHash.bandingSweepCtes).
+    * n_truth is a 1-row scalar (graph-metadata `count()` precedent).
+    */
+  private def dedupBandingSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val cand = dedup.Dedup.bandingSweepCandidates(docs)
+    val truth = dedup.SetSim.prefixJoinSets(
+      docs.select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
+      tX1000 = 700, maxTokenDf = 1000)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val nTruth = truth.count() // bounded 1-row scalar
+    val agg = cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy("bands")
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("est_jaccard") >= 0.5, 1L).otherwise(0L)).as("n_est_pairs"),
+        sum(when(col("est_jaccard") >= 0.5 && col("t").isNotNull, 1L).otherwise(0L)).as("tp"))
+    // dense 3-row output: a banding with zero candidates still appears
+    s.range(1).select(explode(typedLit(Seq(8L, 16L, 32L))).as("bands"))
+      .join(agg, Seq("bands"), "left")
+      .select(col("bands"),
+        expr("128 div bands").as("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_est_pairs"), lit(0L)).as("n_est_pairs"),
+        lit(nTruth).as("n_truth"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_x1000", expr("tp * 1000 div greatest(n_est_pairs, 1)"))
+      .withColumn("recall_x1000", expr("tp * 1000 div greatest(n_truth, 1)"))
+      .orderBy("bands")
+  }
+
+  private val dedupBandingSweepSql =
+    // both chains nest in their own parenthesized WITH (the
+    // dedupMinhashEvalSql composition trick): top-level CTE names from
+    // one chain must not capture same-named CTEs inside the other
+    s"""WITH sw AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    WITH ${oracle.DuckHash.bandingSweepCtes("documents", Seq(8, 16, 32))}
+       |    SELECT bands, doc_a, doc_b, est_jaccard FROM sweep)),
+       |tr AS MATERIALIZED (SELECT doc_a, doc_b FROM ($dedupSetsimPrefixSql)),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+       |per AS (
+       |  SELECT e.bands,
+       |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       |    CAST(SUM(CASE WHEN e.est_jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_est_pairs,
+       |    CAST(SUM(CASE WHEN e.est_jaccard >= 0.5 AND tr.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM sw e LEFT JOIN tr ON e.doc_a = tr.doc_a AND e.doc_b = tr.doc_b
+       |  GROUP BY 1),
+       |cfg AS (SELECT UNNEST([8, 16, 32]) AS bands)
+       |SELECT CAST(cfg.bands AS BIGINT) AS bands,
+       |  CAST(128 // cfg.bands AS BIGINT) AS rows_per_band,
+       |  COALESCE(per.n_candidates, 0) AS n_candidates,
+       |  COALESCE(per.n_est_pairs, 0) AS n_est_pairs,
+       |  nt.n_truth,
+       |  COALESCE(per.tp, 0) AS tp,
+       |  COALESCE(per.tp, 0) * 1000 // GREATEST(COALESCE(per.n_est_pairs, 0), 1) AS precision_x1000,
+       |  COALESCE(per.tp, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_x1000
+       |FROM cfg LEFT JOIN per ON per.bands = cfg.bands, nt
+       |ORDER BY bands""".stripMargin
+
   /** Degree-ordered triangle counting (graph.Triangles) on the strong-
     * trade-link nation graph: the PageRank derivation, made undirected
     * and sparsified to pairs with strictly above-mean lineitem count —
@@ -14315,6 +14387,7 @@ object SparkEntry {
     "dedup_setsim_prefix" -> (dedupSetsimPrefix _),
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_eval" -> (dedupMinhashEval _),
+    "dedup_banding_sweep" -> (dedupBandingSweep _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_transitions" -> (qEventsTransitions _),
     "text_model_eval" -> (textModelEval _),
@@ -14712,6 +14785,7 @@ object SparkEntry {
     "dedup_setsim_prefix" -> dedupSetsimPrefixSql,
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_eval" -> dedupMinhashEvalSql,
+    "dedup_banding_sweep" -> dedupBandingSweepSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_transitions" -> qEventsTransitionsSql,
     "text_model_eval" -> textModelEvalSql,

@@ -161,6 +161,65 @@ object Dedup {
       sigsAll)
   }
 
+  /** Candidate pairs at several (bands, rows = k/bands) LSH operating
+    * points from ONE shared signature pass — the S-curve sweep that
+    * picks the banding from data (collision probability at estimated
+    * Jaccard s is 1-(1-s^rows)^bands; more bands = higher recall AND
+    * more candidates to verify, and this frame quantifies both sides on
+    * the actual corpus). Output: (bands, doc_a, doc_b, est_jaccard) for
+    * every capped band-collision candidate of every config, UNFILTERED
+    * by est so consumers count candidates and est-survivors separately.
+    * The expensive k-permutation signature kernel runs once; each config
+    * adds only its banding explode + bucket-capped self-join (the
+    * per-config plan of [[minhashCandidates]], sharing the cached
+    * signatures). Caller owns the returned persisted frame.
+    */
+  def bandingSweepCandidates(
+      docs: DataFrame,
+      configs: Seq[Int] = Seq(8, 16, 32),
+      k: Int = 128,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(configs.forall(b => k % b == 0), s"each band count must divide $k")
+    val sigsAll = signatures(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigsAll.where(col("sig").isNotNull)
+    val perConfig = configs.map { bands =>
+      val rows = k / bands
+      val banded = sigs
+        .select(
+          col("doc_id"),
+          explode(
+            transform(
+              sequence(lit(0), lit(bands - 1)),
+              j => struct(j.as("band"), xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))).as("bh"))))
+            .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+      val bounded = banded
+        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
+        .where(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+      bounded.as("l")
+        .join(bounded.as("r"), Seq("band", "bh"))
+        .where(col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+        .select(lit(bands.toLong).as("bands"), col("doc_a"), col("doc_b"))
+    }
+    val sketches = sigs.select(
+      col("doc_id"),
+      transform(col("sig"), x => (x.bitwiseAND(lit(0xffffL)) - lit(32768L)).cast("short")).as("sk"))
+    val est = perConfig.reduce(_ unionByName _)
+      .join(sketches.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), "doc_a")
+      .join(sketches.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
+      .withColumn(
+        "est_jaccard",
+        aggregate(
+          zip_with(col("sk_a"), col("sk_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0),
+          (acc, v) => acc + v).cast("double") / k)
+      .select("bands", "doc_a", "doc_b", "est_jaccard")
+    materializeThenRelease(est, sigsAll)
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 3
     * guaranteed found by 4x16-bit banding).
     */

@@ -375,6 +375,48 @@ object DuckHash {
     s"""WITH ${minhashCtes("documents", 0.5)}
        |SELECT doc_a, doc_b, est_jaccard FROM mh ORDER BY doc_a, doc_b""".stripMargin
 
+  /** CTE chain for the (bands, rows) S-curve sweep: ONE signature pass
+    * (`sg`/`sk` from sigCtes), then per band count b in `configs` a
+    * banded/capped/pairs/est chain at rows = 128/b — the band seeds are
+    * Spark-XXH64 hashInt values precomputed per band index, exactly as
+    * the fixed-16 `banded` CTE does. Ends in relation
+    * `sweep`(bands, doc_a, doc_b, est_jaccard) holding ALL capped
+    * band-collision candidates (unfiltered by est) of every config.
+    */
+  def bandingSweepCtes(src: String, configs: Seq[Int]): String = {
+    require(configs.forall(b => K % b == 0), s"each band count must divide $K")
+    val perConfig = configs.map { bands =>
+      val rows = K / bands
+      val seeds = (0 until bands).map(b => s"CAST(${xxhInt(b, Seed)} AS UBIGINT)").mkString(", ")
+      val bh = signed(
+        s"list_reduce([([$seeds])[band+1]] || sig[band*$rows+1 : band*$rows+$rows], " +
+          s"(a, c) -> ${hashLong("c", "a")})")
+      s"""bnd$bands AS MATERIALIZED (
+         |  SELECT doc_id, band, $bh AS bh
+         |  FROM sg, (SELECT unnest(range($bands)) AS band)),
+         |cap$bands AS MATERIALIZED (
+         |  SELECT doc_id, band, bh FROM (
+         |    SELECT doc_id, band, bh, count(*) OVER (PARTITION BY band, bh) AS n FROM bnd$bands)
+         |  WHERE n <= 1000),
+         |prs$bands AS MATERIALIZED (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM cap$bands l JOIN cap$bands r USING (band, bh)
+         |  WHERE l.doc_id < r.doc_id)""".stripMargin
+    }
+    val union = configs
+      .map(b => s"SELECT $b AS bands, doc_a, doc_b FROM prs$b")
+      .mkString("\n  UNION ALL ")
+    s"""${sigCtes(src)},
+       |${perConfig.mkString(",\n")},
+       |sweep AS MATERIALIZED (
+       |  SELECT u.bands, u.doc_a, u.doc_b,
+       |    CAST(list_sum(list_transform(range(1, 129),
+       |      i -> CASE WHEN a.sk[i] = b.sk[i] THEN 1 ELSE 0 END)) AS DOUBLE) / 128 AS est_jaccard
+       |  FROM ($union) u
+       |  JOIN sk a ON a.doc_id = u.doc_a
+       |  JOIN sk b ON b.doc_id = u.doc_b)""".stripMargin
+  }
+
   /** Spark xxhash64(word, 42) for ASCII words < 32 bytes (UBIGINT result).
     * Bound vars: cs = char-code list, L = word length.
     */

@@ -70,6 +70,27 @@ class BlockCapSpec extends AnyFunSuite {
   }
 }
 
+class BandingSweepSpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  test("the 16-band operating point reproduces dedup_minhash, and the curve is monotone") {
+    val rows = SparkEntry.queries("dedup_banding_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(7)))).toMap
+    assert(rows.keySet === Set(8L, 16L, 32L))
+    // the (16, 8) point IS the default banding: its est>=0.5 survivors
+    // must equal the standalone dedup_minhash key's pair count
+    val mh = SparkEntry.queries("dedup_minhash")(spark, dir).count()
+    assert(rows(16L)._2 === mh)
+    // S-curve shape: more bands never loses candidates or recall
+    assert(rows(8L)._1 <= rows(16L)._1 && rows(16L)._1 <= rows(32L)._1)
+    assert(rows(8L)._4 <= rows(16L)._4 && rows(16L)._4 <= rows(32L)._4)
+    // true positives never exceed est survivors
+    rows.values.foreach { case (_, est, tp, _) => assert(tp <= est) }
+  }
+}
+
 class EmptyInputGuardSpec extends AnyFunSuite {
   import TestSpark._
 
