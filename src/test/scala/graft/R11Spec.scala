@@ -117,3 +117,146 @@ class EmptyInputGuardSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
   }
 }
+
+/** TPC-H authority replays (r10 verdict task #7): every oracle in the
+  * registry is a builder-authored DuckDB mirror, so the TPC-H keys'
+  * one residual correctness risk is same-author-both-sides. These
+  * replays break the loop with a THIRD computation path that shares
+  * nothing with either side: raw parquet rows collected and folded in
+  * plain Scala (HashMap + arithmetic — no Spark aggregation, no SQL),
+  * asserted equal to five TPC-H-shaped keys' outputs at sf0.001.
+  */
+class TpchReplaySpec extends AnyFunSuite {
+  import TestSpark._
+  private val dir = "/root/testdata/sf0.001"
+
+  // Spark's round(x, 0) on DoubleType: BigDecimal.valueOf (canonical
+  // Double.toString rep) + HALF_UP — replicated literally
+  private def rnd(x: Double): Long =
+    java.math.BigDecimal.valueOf(x).setScale(0, java.math.RoundingMode.HALF_UP).longValue
+  private def cents(x: Double): Long = rnd(x * 100)
+
+  private def ldt(v: Any): java.time.LocalDateTime = v match {
+    case t: java.sql.Timestamp => t.toLocalDateTime
+    case d: java.time.LocalDateTime => d
+    case other => sys.error(s"unexpected temporal value: $other")
+  }
+  private def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+  private def dv(v: Any): Double = v.asInstanceOf[Number].doubleValue
+  private def t(s: String) = java.time.LocalDateTime.parse(s + "T00:00:00")
+
+  private lazy val li = Tables.lineitem(spark, dir).select(
+    "l_orderkey", "l_partkey", "l_returnflag", "l_linestatus", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_shipdate").collect()
+
+  test("Q1 shape (q1_agg) replays from raw rows") {
+    val cut = t("1998-09-02")
+    val acc = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long, Long, Long, Long)]
+    li.foreach { r =>
+      if (!ldt(r.get(8)).isAfter(cut)) {
+        val k = (r.getString(2), r.getString(3))
+        val (ep, di, tx) = (dv(r.get(5)), dv(r.get(6)), dv(r.get(7)))
+        val prev = acc.getOrElse(k, (0L, 0L, 0L, 0L, 0L))
+        acc(k) = (prev._1 + lv(r.get(4)), prev._2 + cents(ep),
+          prev._3 + rnd(ep * (1.0 - di) * 100),
+          prev._4 + rnd(ep * (1.0 - di) * (1.0 + tx) * 100), prev._5 + 1)
+      }
+    }
+    val out = SparkEntry.queries("q1_agg")(spark, dir).collect()
+    assert(out.length === acc.size && out.nonEmpty)
+    out.foreach { r =>
+      val (qty, base, disc, charge, n) = acc((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === qty && r.getLong(3) === base)
+      assert(r.getLong(4) === disc && r.getLong(5) === charge)
+      assert(math.abs(r.getDouble(6) - qty.toDouble / n) < 1e-9)
+      assert(r.getLong(7) === n)
+    }
+  }
+
+  test("Q6 shape (q_forecast_revenue) replays from raw rows") {
+    var rev = 0L; var n = 0L
+    li.foreach { r =>
+      val sd = ldt(r.get(8))
+      val dc = cents(dv(r.get(6)))
+      if (!sd.isBefore(t("1996-01-01")) && sd.isBefore(t("1997-01-01")) &&
+        dc >= 5 && dc <= 7 && dv(r.get(4)) < 24) {
+        rev += cents(dv(r.get(5))) * dc; n += 1
+      }
+    }
+    val out = SparkEntry.queries("q_forecast_revenue")(spark, dir).head()
+    assert(n > 0)
+    assert(out.getLong(0) === rev && out.getLong(1) === n)
+  }
+
+  test("Q3 shape (q_shipping_priority) replays from raw rows") {
+    val cut = t("1997-06-01")
+    val building = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+      .collect().filter(_.getString(1) == "BUILDING").map(r => lv(r.get(0))).toSet
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority").collect()
+      .filter(r => ldt(r.get(2)).isBefore(cut) && building(lv(r.get(1))))
+      .map(r => lv(r.get(0)) -> ((ldt(r.get(2)).toLocalDate.toString, r.getString(3))))
+      .toMap
+    val acc = scala.collection.mutable.Map.empty[(Long, String, String), Long]
+    li.foreach { r =>
+      if (ldt(r.get(8)).isAfter(cut)) {
+        ord.get(lv(r.get(0))).foreach { case (d, pri) =>
+          val k = (lv(r.get(0)), d, pri)
+          acc(k) = acc.getOrElse(k, 0L) +
+            cents(dv(r.get(5))) * (100L - cents(dv(r.get(6))))
+        }
+      }
+    }
+    val expect = acc.toSeq.sortBy { case ((ok, _, _), rev) => (-rev, ok) }.take(10)
+    val out = SparkEntry.queries("q_shipping_priority")(spark, dir).collect()
+    assert(out.length === expect.length && out.nonEmpty)
+    out.zip(expect).foreach { case (r, ((ok, d, pri), rev)) =>
+      assert(lv(r.get(0)) === ok && r.getString(1) === d)
+      assert(r.getString(2) === pri && r.getLong(3) === rev)
+    }
+  }
+
+  test("Q12 shape (q_priority_class) replays from raw rows") {
+    val pri = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .collect().map(r => lv(r.get(0)) -> r.getString(1)).toMap
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    li.foreach { r =>
+      val sd = ldt(r.get(8))
+      if (!sd.isBefore(t("1996-01-01")) && sd.isBefore(t("1997-01-01"))) {
+        val high = Set("1-URGENT", "2-HIGH")(pri(lv(r.get(0))))
+        val prev = acc.getOrElse(r.getString(3), (0L, 0L))
+        acc(r.getString(3)) =
+          (prev._1 + (if (high) 1L else 0L), prev._2 + (if (high) 0L else 1L))
+      }
+    }
+    val out = SparkEntry.queries("q_priority_class")(spark, dir).collect()
+    assert(out.length === acc.size && out.nonEmpty)
+    out.foreach { r =>
+      val (h, l) = acc(r.getString(0))
+      assert(r.getLong(1) === h && r.getLong(2) === l)
+    }
+  }
+
+  test("Q14 shape (q_promo_share) replays from raw rows") {
+    val ptype = Tables.part(spark, dir).select("p_partkey", "p_type")
+      .collect().map(r => lv(r.get(0)) -> r.getString(1)).toMap
+    val acc = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    li.foreach { r =>
+      ptype.get(lv(r.get(1))).foreach { pt =>
+        val d = ldt(r.get(8)).toLocalDate
+        val mon = f"${d.getYear}%04d-${d.getMonthValue}%02d"
+        val rev = cents(dv(r.get(5))) * (100L - cents(dv(r.get(6))))
+        val prev = acc.getOrElse(mon, (0L, 0L))
+        acc(mon) = (prev._1 + (if (pt == "PROMO") rev else 0L), prev._2 + rev)
+      }
+    }
+    val out = SparkEntry.queries("q_promo_share")(spark, dir).collect()
+    assert(out.length === acc.size && out.nonEmpty)
+    out.foreach { r =>
+      val (promo, total) = acc(r.getString(0))
+      assert(r.getLong(1) === promo && r.getLong(2) === total)
+      assert(r.getLong(3) === promo * 1000 / total)
+    }
+  }
+}
