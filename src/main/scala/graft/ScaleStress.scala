@@ -384,6 +384,28 @@ object ScaleStress {
     require(bfBase == bfBig, s"Benford obs_pml must be copy-invariant: $bfBase vs $bfBig")
     spark.catalog.clearCache(); TmpDirs.sweepRecorded()
 
+    // ---- R11: source-overlap at a 200-source corpus ----
+    // the r10 watch item made a row: the pairs×masks product is sharded
+    // by word pair, so 200 sources (4 mask words, 19,900 pairs) must pay
+    // per-word-pair pattern joins, not 19,900 × full-pattern rows
+    {
+      val docsBase = Tables.documents(spark, baseDir).select("source", "text")
+      val t0 = System.nanoTime()
+      val rowsBase = pipeline.SourceOverlap.matrix(docsBase).count()
+      val tb = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+      val docs200 = Tables.documents(spark, baseDir)
+        .select(concat(lit("s"), lpad((col("doc_id") % 200).cast("string"), 3, "0")).as("source"),
+          col("text"))
+      val t1 = System.nanoTime()
+      val rows200 = pipeline.SourceOverlap.matrix(docs200).count()
+      val tw = (System.nanoTime() - t1) / 1e9
+      require(rows200 == 200L * 199 / 2, s"expected 19900 source pairs, got $rows200")
+      println(f"[stress] source_overlap      base(S~20) ${tb}%6.1fs ($rowsBase%7d rows)  " +
+        f"S=200 ${tw}%6.1fs ($rows200%7d rows)  ratio ${tw / tb}%5.2f")
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+    }
+
     println("[stress] table for SURVEY (op | sf0.1 s | ~sf1 s | ratio at " + mult + "x data):")
     (results ++ evResults ++ embResults ++ linkResults ++ starResults).foreach { case (op, tb, tg, _, _) =>
       println(f"| $op | ${tb}%.1f | ${tg}%.1f | ${tg / tb}%.1f |")

@@ -1891,6 +1891,62 @@ object SparkEntry {
     * incremental-dedup LSM story. Assignment is pure map-side against
     * centroid literals; both histograms are bounded k-row aggregates.
     */
+  /** PQ index delta absorption — completes the delta-maintenance
+    * discipline `ann_ivf_delta` opened, for the quantization family: the
+    * codebook is fitted ONLY on the base corpus (the persisted index),
+    * the delta batch is encoded against it unchanged, and the frame
+    * publishes per-subspace distortion for base vs delta side by side —
+    * drift_pml ≫ 1000 on enough subspaces is the re-fit trigger a
+    * production index maintenance job watches. Delta = every 10th
+    * vector above the init range (the init ids must stay in the base,
+    * the documented KMeans/PQ fit contract). Two map-side distortion
+    * passes against the same codebook literals; |m| rows out.
+    */
+  private def annPqDelta(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val isDelta = col("vec_id") % 10 === 0 && col("vec_id") >= ann.Pq.kCent
+    val cb = ann.Pq.fittedCodebook(emb.where(!isDelta))
+    val base = ann.Pq.distortion(emb.where(!isDelta), cb)
+      .select(col("s"), col("n_vecs").as("n_base"), col("mean_dist_u6").as("base_mean_u6"))
+    val delta = ann.Pq.distortion(emb.where(isDelta), cb)
+      .select(col("s"), col("n_vecs").as("n_delta"), col("mean_dist_u6").as("delta_mean_u6"))
+    base.join(delta, Seq("s"), "full_outer")
+      .select(col("s"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("base_mean_u6"), lit(0L)).as("base_mean_u6"),
+        coalesce(col("delta_mean_u6"), lit(0L)).as("delta_mean_u6"))
+      .withColumn("drift_pml",
+        expr("delta_mean_u6 * 1000 div greatest(base_mean_u6, 1)"))
+      .orderBy("s")
+  }
+
+  private val annPqDeltaSql = {
+    val deltaCond = s"(vec_id % 10 = 0 AND vec_id >= ${ann.Pq.kCent})"
+    s"""${ann.Pq.fitCtesSqlWhere(s"NOT $deltaCond")},
+       |mind AS (SELECT vec_id, s, MIN(dist) AS dmin FROM d GROUP BY 1, 2),
+       |q6 AS (
+       |  SELECT vec_id, CAST(s AS BIGINT) AS s,
+       |    CAST(trunc(dmin * 1000000) AS BIGINT) AS dist_u6,
+       |    $deltaCond AS is_delta
+       |  FROM mind),
+       |b AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_base,
+       |    CAST(SUM(dist_u6) // COUNT(*) AS BIGINT) AS base_mean_u6
+       |  FROM q6 WHERE NOT is_delta GROUP BY 1),
+       |dd AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_delta,
+       |    CAST(SUM(dist_u6) // COUNT(*) AS BIGINT) AS delta_mean_u6
+       |  FROM q6 WHERE is_delta GROUP BY 1)
+       |SELECT COALESCE(b.s, dd.s) AS s,
+       |  COALESCE(b.n_base, 0) AS n_base,
+       |  COALESCE(dd.n_delta, 0) AS n_delta,
+       |  COALESCE(b.base_mean_u6, 0) AS base_mean_u6,
+       |  COALESCE(dd.delta_mean_u6, 0) AS delta_mean_u6,
+       |  COALESCE(dd.delta_mean_u6, 0) * 1000
+       |    // GREATEST(COALESCE(b.base_mean_u6, 0), 1) AS drift_pml
+       |FROM b FULL OUTER JOIN dd ON b.s = dd.s
+       |ORDER BY s""".stripMargin
+  }
+
   private def annIvfDelta(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val base = emb.where(col("vec_id") % 10 =!= 0)
@@ -4196,6 +4252,113 @@ object SparkEntry {
       |  CASE WHEN vol = 0 THEN 0 ELSE abs_err * 1000 // vol END AS err_pml
       |FROM f ORDER BY event_type""".stripMargin
 
+  /** Exact Kendall tau-b decomposition between line quantity and
+    * discount — the RANK-correlation complement of the χ²/Mann-Kendall
+    * battery, and the statistic of choice when both variables are
+    * heavily tied (quantity has ≤50 distinct values, discount ≤11):
+    * the whole computation collapses to the bounded VALUE GRID first
+    * (one map-side-combined groupBy → ≤550 cells), so the "all pairs"
+    * in tau's definition become grid-cell pairs — n_c and n_d are exact
+    * sums of n_a·n_b over strictly-concordant / strictly-discordant
+    * cell pairs (a bounded-metadata non-equi join, the q_drift_psi
+    * contract), and the tie terms n1/n2 are 1-D marginal folds.
+    * Published as exact integers (n, n0, n_c, n_d, ties_x, ties_y,
+    * numer = n_c − n_d); tau_b itself is numer/√((n0−n1)(n0−n2)) — a
+    * client-side scalar whose radicand would wrap int64 at corpus
+    * scale, so the frame ships the factors, not the float.
+    */
+  private def qCorrKendall(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("x"), cents(col("l_discount")).as("y"))
+      .agg(count(lit(1)).as("n"))
+    val cd = g.as("a").join(g.as("b"), col("a.x") < col("b.x"))
+      .agg(
+        sum(when(col("a.y") < col("b.y"), col("a.n") * col("b.n")).otherwise(0L)).as("n_c"),
+        sum(when(col("a.y") > col("b.y"), col("a.n") * col("b.n")).otherwise(0L)).as("n_d"))
+    val tx = g.groupBy("x").agg(sum("n").as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("ties_x"))
+    val ty = g.groupBy("y").agg(sum("n").as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L)).as("ties_y"))
+    val tot = g.agg(sum("n").as("n")).select(col("n"), expr("n * (n - 1) div 2").as("n0"))
+    tot.join(cd).join(tx).join(ty) // 1x1 bounded-aggregate crossJoins
+      .select(col("n"), col("n0"), col("n_c"), col("n_d"),
+        col("ties_x"), col("ties_y"), (col("n_c") - col("n_d")).as("numer"))
+  }
+
+  private val qCorrKendallSql =
+    """WITH g AS MATERIALIZED (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN a.y < b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(SUM(CASE WHEN a.y > b.y THEN a.n * b.n ELSE 0 END) AS BIGINT) AS n_d
+      |  FROM g a JOIN g b ON a.x < b.x),
+      |tx AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS ties_x
+      |  FROM (SELECT SUM(n) AS t FROM g GROUP BY x)),
+      |ty AS (SELECT CAST(COALESCE(SUM(t * (t - 1) // 2), 0) AS BIGINT) AS ties_y
+      |  FROM (SELECT SUM(n) AS t FROM g GROUP BY y)),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n,
+      |  CAST(SUM(n) * (SUM(n) - 1) // 2 AS BIGINT) AS n0 FROM g)
+      |SELECT tot.n, tot.n0, cd.n_c, cd.n_d, tx.ties_x, ty.ties_y,
+      |  CAST(cd.n_c - cd.n_d AS BIGINT) AS numer
+      |FROM tot, cd, tx, ty""".stripMargin
+
+  /** Holt double-exponential smoothing over monthly order revenue —
+    * the trend-aware upgrade of `q_events_ewma`'s level-only recursion
+    * (the other half of the classic forecasting pair): α=β=1/2 integer
+    * recursion over the BOUNDED sorted month series, level and trend
+    * carried as one struct accumulator, fitted_next = level + trend is
+    * the one-step-ahead forecast each month would have issued. Engine
+    * note: Spark folds the recursion with `aggregate` over a struct
+    * state; the oracle replays it as a RECURSIVE CTE over the
+    * row-numbered months — two genuinely different mechanisms forced to
+    * agree on every integer, which is the strongest shape a
+    * builder-authored mirror can take. Scale: one fact scan to ≤ months
+    * rows; the O(M²) prefix refolds run on driver-bounded metadata.
+    */
+  private def qOrdersHolt(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .agg(sort_array(collect_list(struct(col("month"), col("rev")))).as("mr"))
+      .withColumn("rs", expr("transform(mr, p -> p.rev)"))
+      .withColumn("st", expr(
+        "transform(sequence(1, size(rs)), i -> aggregate(slice(rs, 2, i - 1), " +
+          "named_struct('l', element_at(rs, 1), 'b', 0L), " +
+          "(s, c) -> named_struct(" +
+          "'l', (c + s.l + s.b) div 2, " +
+          "'b', ((c + s.l + s.b) div 2 - s.l + s.b) div 2)))"))
+      .select(explode(expr(
+        "transform(sequence(1, size(mr)), i -> named_struct(" +
+          "'month', element_at(mr, i).month, 'rev_cents', element_at(rs, i), " +
+          "'level', element_at(st, i).l, 'trend', element_at(st, i).b))")).as("r"))
+      .select(col("r.month").as("month"), col("r.rev_cents").as("rev_cents"),
+        col("r.level").as("level"), col("r.trend").as("trend"))
+      .withColumn("fitted_next", col("level") + col("trend"))
+      .orderBy("month")
+
+  private val qOrdersHoltSql =
+    """WITH RECURSIVE m AS MATERIALIZED (
+      |  SELECT month, rev,
+      |    CAST(row_number() OVER (ORDER BY month) AS BIGINT) AS rn
+      |  FROM (
+      |    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |      CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |    FROM orders GROUP BY 1)),
+      |holt(rn, l, b) AS (
+      |  SELECT rn, rev, CAST(0 AS BIGINT) FROM m WHERE rn = 1
+      |  UNION ALL
+      |  SELECT m.rn, (m.rev + h.l + h.b) // 2,
+      |    ((m.rev + h.l + h.b) // 2 - h.l + h.b) // 2
+      |  FROM holt h JOIN m ON m.rn = h.rn + 1)
+      |SELECT m.month, m.rev AS rev_cents, holt.l AS level, holt.b AS trend,
+      |  CAST(holt.l + holt.b AS BIGINT) AS fitted_next
+      |FROM m JOIN holt ON m.rn = holt.rn
+      |ORDER BY m.month""".stripMargin
+
   /** Semantic dedup clusters: connected components
     * ([[dedup.Components.minLabel]]) over the LSH-blocked
     * embedding-cosine pair graph — the embedding-space twin of
@@ -5534,6 +5697,39 @@ object SparkEntry {
        |ORDER BY r3.node""".stripMargin
   }
 
+  /** Weighted HITS hubs/authorities ([[graph.Hits]]) on the directed
+    * nation-trade graph — the centrality complement of `q_graph_pagerank`
+    * on the SAME shared build-once artifact: PageRank ranks where flow
+    * settles; HITS separates exporter-of-choice (hub: buys from strong
+    * authorities) from importer-of-choice (authority: sold to by strong
+    * hubs), weighted by lineitem counts. 3 iterations of integer
+    * fixed-point with decimal/HUGEINT-wide normalization products; the
+    * heavy work is the one fact-scan edge derivation (amortized across
+    * the graph family), the iterations run on ≤ nations² metadata.
+    */
+  private def qGraphHits(s: SparkSession, dir: String): DataFrame = {
+    val edges = nationTradePairs(s, dir).where(col("src") =!= col("dst"))
+    graph.Hits.run(edges, iters = 3)
+      .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
+      .select(col("node"), col("n_name"), col("hub"), col("authority"))
+      .orderBy("node")
+  }
+
+  private val qGraphHitsSql = {
+    val edgesCte =
+      """SELECT CAST(c_nationkey AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE CAST(c_nationkey AS BIGINT) <> CAST(s_nationkey AS BIGINT)
+        |  GROUP BY 1, 2""".stripMargin
+    s"""WITH ${graph.Hits.oracleSql(edgesCte, iters = 3)}
+       |SELECT h3.node, n.n_name, h3.h AS hub, a3.authority
+       |FROM h3 JOIN a3 ON h3.node = a3.node JOIN nation n ON h3.node = n.n_nationkey
+       |ORDER BY h3.node""".stripMargin
+  }
+
   /** Hashed linear quality-classifier scoring (text.QualityModel):
     * fastText-style scoring head — tokens hash into a 64-slot weight
     * table riding inside codegen as an array literal; strictly
@@ -5932,6 +6128,63 @@ object SparkEntry {
        |  COALESCE(per.tp, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_x1000
        |FROM cfg LEFT JOIN per ON per.bands = cfg.bands, nt
        |ORDER BY bands""".stripMargin
+
+  /** SimHash Hamming-threshold sweep — the operating curve for the
+    * OTHER near-dup sketch, beside `dedup_banding_sweep`: the 4×16-bit
+    * banding already surfaces every pair at Hamming ≤ 3 in ONE pass
+    * ([[dedup.Dedup.simhashPairs]] carries the distance), so the sweep
+    * is a literal-explode classification of that frame at thresholds
+    * 0..3 — pair volume and precision/recall per threshold against the
+    * SAME blocked exact-Jaccard truth `dedup_simhash_eval` scores the
+    * fixed ≤3 point with. No extra corpus pass, no new shuffle: the
+    * sweep costs one bounded-pair-frame fold.
+    */
+  private def dedupSimhashSweep(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = dedup.Dedup.simhashPairs(docs)
+    val truth = dedup.Dedup.blockedNgramJaccard(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val nTruth = truth.count() // bounded 1-row scalar
+    val agg = pred.join(truth, Seq("doc_a", "doc_b"), "left")
+      .select(col("hamming"), col("t"),
+        explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("max_hamming"))
+      .where(col("hamming") <= col("max_hamming"))
+      .groupBy("max_hamming")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("tp"))
+    // dense 4-row output: thresholds with zero pairs still appear
+    s.range(1).select(explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("max_hamming"))
+      .join(agg, Seq("max_hamming"), "left")
+      .select(col("max_hamming"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        lit(nTruth).as("n_truth"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision_x1000", expr("tp * 1000 div greatest(n_pairs, 1)"))
+      .withColumn("recall_x1000", expr("tp * 1000 div greatest(n_truth, 1)"))
+      .orderBy("max_hamming")
+  }
+
+  private lazy val dedupSimhashSweepSql =
+    s"""WITH sp AS MATERIALIZED (SELECT * FROM (${oracle.DuckHash.simhashSql})),
+       |tr AS MATERIALIZED (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM tr),
+       |th AS (SELECT UNNEST([0, 1, 2, 3]) AS max_hamming),
+       |per AS (
+       |  SELECT th.max_hamming,
+       |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |    CAST(SUM(CASE WHEN tr.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM th JOIN sp ON sp.hamming <= th.max_hamming
+       |  LEFT JOIN tr ON sp.doc_a = tr.doc_a AND sp.doc_b = tr.doc_b
+       |  GROUP BY 1)
+       |SELECT CAST(th.max_hamming AS BIGINT) AS max_hamming,
+       |  COALESCE(per.n_pairs, 0) AS n_pairs,
+       |  nt.n_truth,
+       |  COALESCE(per.tp, 0) AS tp,
+       |  COALESCE(per.tp, 0) * 1000 // GREATEST(COALESCE(per.n_pairs, 0), 1) AS precision_x1000,
+       |  COALESCE(per.tp, 0) * 1000 // GREATEST(nt.n_truth, 1) AS recall_x1000
+       |FROM th LEFT JOIN per ON per.max_hamming = th.max_hamming, nt
+       |ORDER BY max_hamming""".stripMargin
 
   /** Degree-ordered triangle counting (graph.Triangles) on the strong-
     * trade-link nation graph: the PageRank derivation, made undirected
@@ -14388,6 +14641,11 @@ object SparkEntry {
     "dedup_containment" -> (dedupContainment _),
     "dedup_minhash_eval" -> (dedupMinhashEval _),
     "dedup_banding_sweep" -> (dedupBandingSweep _),
+    "dedup_simhash_sweep" -> (dedupSimhashSweep _),
+    "q_graph_hits" -> (qGraphHits _),
+    "q_corr_kendall" -> (qCorrKendall _),
+    "q_orders_holt" -> (qOrdersHolt _),
+    "ann_pq_delta" -> (annPqDelta _),
     "q_graph_triangles" -> (qGraphTriangles _),
     "q_events_transitions" -> (qEventsTransitions _),
     "text_model_eval" -> (textModelEval _),
@@ -14786,6 +15044,11 @@ object SparkEntry {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_minhash_eval" -> dedupMinhashEvalSql,
     "dedup_banding_sweep" -> dedupBandingSweepSql,
+    "dedup_simhash_sweep" -> dedupSimhashSweepSql,
+    "q_graph_hits" -> qGraphHitsSql,
+    "q_corr_kendall" -> qCorrKendallSql,
+    "q_orders_holt" -> qOrdersHoltSql,
+    "ann_pq_delta" -> annPqDeltaSql,
     "q_graph_triangles" -> qGraphTrianglesSql,
     "q_events_transitions" -> qEventsTransitionsSql,
     "text_model_eval" -> textModelEvalSql,

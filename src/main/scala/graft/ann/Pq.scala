@@ -265,23 +265,32 @@ object Pq {
     * ADC top-k tail and the distortion tail — one fit contract, two
     * published views (the ann_ivf_kmeans pattern).
     */
-  def fitCtesSql: String =
+  def fitCtesSql: String = fitCtesSqlWhere("TRUE")
+
+  /** [[fitCtesSql]] with the FIT restricted to rows matching
+    * `baseWhere` (init + assignment + centroid update), while `subn`
+    * and the final distance table `d` still cover every vector — the
+    * delta-absorption oracle shape: codebook fitted on the base corpus,
+    * distances computed for base AND delta against it.
+    */
+  def fitCtesSqlWhere(baseWhere: String): String =
     s"""WITH gs AS (SELECT unnest(range($m)) AS s),
        |cb0 AS (
        |  SELECT gs.s, em.vec_id AS c,
        |    list_transform(range($dsub), j -> CAST(em.embedding[gs.s*$dsub + j + 1] AS DOUBLE)) AS e
-       |  FROM embeddings em, gs WHERE em.vec_id < $kCent),
+       |  FROM embeddings em, gs WHERE em.vec_id < $kCent AND ($baseWhere)),
        |cn0 AS (SELECT s, c, e, sqrt(${foldNorm2("e")}) AS cnorm FROM cb0),
        |sub AS (
        |  SELECT em.vec_id, gs.s,
        |    list_transform(range($dsub), j -> CAST(em.embedding[gs.s*$dsub + j + 1] AS DOUBLE)) AS v
        |  FROM embeddings em, gs),
        |subn AS (SELECT vec_id, s, v, ${foldNorm2("v")} AS nv FROM sub),
+       |subf AS (SELECT * FROM subn WHERE ($baseWhere)),
        |sc0 AS (
        |  SELECT sn.vec_id, sn.s, c0.c,
        |    CASE WHEN sn.nv = 0 THEN -2.0
        |         ELSE ${foldDot("sn.v", "c0.e")} / (sqrt(sn.nv) * c0.cnorm) END AS score
-       |  FROM subn sn JOIN cn0 c0 ON c0.s = sn.s),
+       |  FROM subf sn JOIN cn0 c0 ON c0.s = sn.s),
        |a0 AS (
        |  SELECT vec_id, s, c FROM (
        |    SELECT vec_id, s, c,
@@ -290,7 +299,7 @@ object Pq {
        |ex AS (
        |  SELECT a0.s, a0.c, unnest(range($dsub)) AS pos,
        |    unnest(list_transform(sn.v, x -> CAST(trunc(x * 1000000) AS BIGINT))) AS xq
-       |  FROM subn sn JOIN a0 ON a0.vec_id = sn.vec_id AND a0.s = sn.s),
+       |  FROM subf sn JOIN a0 ON a0.vec_id = sn.vec_id AND a0.s = sn.s),
        |upd AS (SELECT s, c, pos, SUM(xq) AS su, COUNT(*) AS n FROM ex GROUP BY s, c, pos),
        |cpos AS (SELECT s, c, unnest(range($dsub)) AS pos, unnest(e) AS cv FROM cb0),
        |cb1 AS (

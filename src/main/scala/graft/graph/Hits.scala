@@ -1,0 +1,114 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Fixed-iteration weighted HITS (Kleinberg 1999) — hubs-and-authorities
+  * centrality over a directed WEIGHTED edge frame, the complement of
+  * [[PageRank]]: PageRank measures where a random surfer settles, HITS
+  * separates "points at good things" (hub) from "is pointed at by good
+  * hubs" (authority) — on a trade graph, exporter-of-choice vs
+  * importer-of-choice.
+  *
+  * Integer fixed-point throughout (the PageRank contract): scores live
+  * in parts of `scale`; each half-iteration L1-normalizes with a
+  * truncating integral divide so the vector sums back to ~`scale`. The
+  * raw×scale product runs over decimal(38,0) on Spark and HUGEINT in
+  * the oracle — raw sums reach weight·scale·degree, which would wrap
+  * int64 exactly where the engines diverge. Everything is
+  * order-independent integer arithmetic → bit-reproducible and
+  * SQL-mirrorable.
+  *
+  * Scale shape per iteration: two equi-joins of the edge frame with a
+  * node-score frame + two map-side-combined groupBys (|edges| shuffle
+  * rows) + two 1-row total aggregates (graph metadata, the PageRank
+  * `nodes.count()` precedent). Per-iteration persist/unpersist.
+  */
+object Hits {
+
+  /** `edges(src, dst, cnt)` directed weighted edges (distinct pairs).
+    * Returns `(node, hub, authority)` after `iters` iterations.
+    */
+  def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val e = edges.select(col("src"), col("dst"), col("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count() // graph metadata, not a data collect
+    require(n > 0, "empty graph")
+    var hubs = nodes.select(col("node"), lit(scale / n).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var auths: DataFrame = null
+    def normalized(raw: DataFrame, outName: String): DataFrame = {
+      // L1 total as a driver literal (1-row aggregate over <= |nodes| rows)
+      val total = BigInt(raw.agg(sum(expr("cast(raw as decimal(38,0))")).as("t"))
+        .head().getDecimal(0).toBigInteger)
+      require(total > 0, "HITS total must be positive")
+      nodes.join(raw, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(
+            expr(s"cast((cast(raw as decimal(38,0)) * $scale) div " +
+              s"cast('$total' as decimal(38,0)) as bigint)"),
+            lit(0L)).as(outName))
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr("cast(cnt as decimal(20,0)) * h").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val aNext = normalized(aRaw, "authority").persist(StorageLevel.MEMORY_AND_DISK)
+      aNext.count()
+      if (auths != null) auths.unpersist(blocking = false)
+      auths = aNext
+      val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"),
+          expr("cast(cnt as decimal(20,0)) * authority").as("c"))
+        .groupBy("node").agg(sum("c").as("raw"))
+      val hNext = normalized(hRaw, "h").persist(StorageLevel.MEMORY_AND_DISK)
+      hNext.count()
+      hubs.unpersist(blocking = false)
+      hubs = hNext
+    }
+    val out = hubs.withColumnRenamed("h", "hub")
+      .join(auths, Seq("node"))
+      .select("node", "hub", "authority")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    hubs.unpersist(blocking = false)
+    auths.unpersist(blocking = false)
+    out // persisted; caller owns lifecycle (PageRank contract)
+  }
+
+  /** DuckDB oracle for [[run]]: iterations unrolled as chained CTEs over
+    * an `edges(src, dst, cnt)` CTE the caller supplies.
+    */
+  def oracleSql(edgesCte: String, iters: Int, scale: Long = 1000000000000L): String = {
+    def norm(rawRel: String, outRel: String, colName: String) =
+      s"""${rawRel}t AS (SELECT CAST(SUM(CAST(raw AS HUGEINT)) AS HUGEINT) AS t FROM $rawRel),
+         |$outRel AS (
+         |  SELECT n.node,
+         |    CAST(COALESCE(CAST(r.raw AS HUGEINT) * $scale // tt.t, 0) AS BIGINT) AS $colName
+         |  FROM nodes n CROSS JOIN ${rawRel}t tt LEFT JOIN $rawRel r ON n.node = r.node)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""ar$i AS (
+         |  SELECT e.dst AS node, CAST(SUM(CAST(e.cnt AS HUGEINT) * h.h) AS HUGEINT) AS raw
+         |  FROM edges e JOIN h${i - 1} h ON e.src = h.node GROUP BY 1),
+         |${norm(s"ar$i", s"a$i", "authority")},
+         |hr$i AS (
+         |  SELECT e.src AS node, CAST(SUM(CAST(e.cnt AS HUGEINT) * a.authority) AS HUGEINT) AS raw
+         |  FROM edges e JOIN a$i a ON e.dst = a.node GROUP BY 1),
+         |${norm(s"hr$i", s"h$i", "h")}""".stripMargin
+    }.mkString(",\n")
+    s"""edges AS MATERIALIZED ($edgesCte),
+       |nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |h0 AS (
+       |  SELECT node, CAST($scale // (SELECT count(*) FROM nodes) AS BIGINT) AS h FROM nodes),
+       |$iterCtes""".stripMargin
+  }
+}

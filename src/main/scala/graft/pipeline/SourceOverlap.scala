@@ -55,10 +55,26 @@ object SourceOverlap {
     val pairs = srcIdx.as("x").join(srcIdx.as("y"), col("x.source") < col("y.source"))
       .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
         col("x.idx").as("ia"), col("y.idx").as("ib"))
+      .withColumn("wa", expr("ia div 64"))
+      .withColumn("wb", expr("ib div 64"))
+    // Shard the pairs×masks product by WORD PAIR (R11, the r10 watch
+    // item): a source pair only reads the two mask words its bits live
+    // in, so full-width patterns first collapse to per-(wa, wb)
+    // two-word patterns — at S sources that is ⌈S/64⌉² word pairs
+    // (bounded metadata, broadcast) instead of S²/2 pair rows touching
+    // every full pattern, and the two-word pattern tables are far
+    // smaller than the full-width one (patterns that differ only in
+    // other words merge). Each source pair then equi-joins ONLY its
+    // word pair's patterns.
+    val wordPairs = pairs.select("wa", "wb").distinct()
+    val masks2 = masks.crossJoin(broadcast(wordPairs)) // patterns × ⌈S/64⌉² word pairs
+      .select(col("wa"), col("wb"),
+        expr("element_at(mask, cast(wa as int) + 1)").as("ma"),
+        expr("element_at(mask, cast(wb as int) + 1)").as("mb"), col("cnt"))
+      .groupBy("wa", "wb", "ma", "mb").agg(sum("cnt").as("cnt"))
     val both: Column =
-      expr("(element_at(mask, cast(ia div 64 as int) + 1) >> (ia % 64)) & 1 = 1 " +
-        "and (element_at(mask, cast(ib div 64 as int) + 1) >> (ib % 64)) & 1 = 1")
-    val inter = pairs.crossJoin(masks) // pairs × distinct mask patterns
+      expr("(ma >> (ia % 64)) & 1 = 1 and (mb >> (ib % 64)) & 1 = 1")
+    val inter = pairs.join(masks2, Seq("wa", "wb"))
       .groupBy("src_a", "src_b")
       .agg(sum(when(both, col("cnt")).otherwise(0L)).as("inter"))
     inter

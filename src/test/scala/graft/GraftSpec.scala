@@ -1051,8 +1051,11 @@ class PlanAuditSpec extends AnyFunSuite {
                               // spine fan on it — bounded metadata grid
       "q_events_abtest", // 1-row 2x2 contingency fold broadcast onto
                          // the 2-row arms frame
-      "ann_mips_topk") // same |queryIds|-row broadcast scoring contract
+      "ann_mips_topk", // same |queryIds|-row broadcast scoring contract
                        // as ann_bruteforce_topk
+      "q_corr_kendall") // ≤550-cell value-grid self-join (non-equi on the
+                        // bounded metadata grid) + 1x1 aggregate joins —
+                        // same bounded contract as q_drift_psi
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

@@ -260,3 +260,125 @@ class TpchReplaySpec extends AnyFunSuite {
     }
   }
 }
+
+class HitsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("a planted star separates pure hubs from pure authorities") {
+    import spark.implicits._
+    // 0 points at 1,2,3 — 0 is the only hub, 1-3 the only authorities
+    val edges = Seq((0L, 1L, 5L), (0L, 2L, 5L), (0L, 3L, 5L)).toDF("src", "dst", "cnt")
+    val out = graph.Hits.run(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L)._1 === 1000000000000L && out(0L)._2 === 0L)
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(out(v)._1 === 0L)
+      assert(math.abs(out(v)._2 - 1000000000000L / 3) <= 1)
+    }
+  }
+
+  test("q_graph_hits scores are L1-normalized within truncation slack and reproducible") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_graph_hits")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val scale = 1000000000000L
+    val hubSum = out.map(_.getLong(2)).sum
+    val authSum = out.map(_.getLong(3)).sum
+    // truncating divides lose at most 1 unit per node per normalize
+    assert(hubSum <= scale && hubSum >= scale - out.length)
+    assert(authSum <= scale && authSum >= scale - out.length)
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(3) >= 0))
+    val again = SparkEntry.queries("q_graph_hits")(spark, dir).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
+
+class KendallReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("tau-b terms replay from a brute-force pair scan of raw rows") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, dir).select("l_quantity", "l_discount").collect()
+      .map { r =>
+        val q = r.get(0).asInstanceOf[Number].longValue
+        val d = java.math.BigDecimal.valueOf(r.get(1).asInstanceOf[Number].doubleValue * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+        (q, d)
+      }
+    var c = 0L; var dsc = 0L; var tx = 0L; var ty = 0L
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length) {
+        val (xa, ya) = rows(i); val (xb, yb) = rows(j)
+        if (xa == xb) { tx += 1; if (ya == yb) ty += 1 }
+        else if (ya == yb) ty += 1
+        else if ((xa < xb) == (ya < yb)) c += 1
+        else dsc += 1
+        j += 1
+      }
+      i += 1
+    }
+    val out = SparkEntry.queries("q_corr_kendall")(spark, dir).head()
+    assert(out.getLong(0) === rows.length.toLong)
+    assert(out.getLong(1) === rows.length.toLong * (rows.length - 1) / 2)
+    assert(out.getLong(2) === c && out.getLong(3) === dsc)
+    assert(out.getLong(4) === tx && out.getLong(5) === ty)
+    assert(out.getLong(6) === c - dsc)
+  }
+}
+
+class HoltReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the level/trend recursion replays in driver Scala from monthly sums") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_orders_holt")(spark, dir).collect()
+    assert(out.length > 2)
+    val rs = out.map(_.getLong(1))
+    var l = rs(0); var b = 0L
+    out.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) {
+        val nl = (rs(i) + l + b) / 2
+        b = (nl - l + b) / 2
+        l = nl
+      }
+      assert(r.getLong(2) === l, s"level mismatch at ${r.getString(0)}")
+      assert(r.getLong(3) === b, s"trend mismatch at ${r.getString(0)}")
+      assert(r.getLong(4) === l + b)
+    }
+  }
+}
+
+class SimhashSweepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the <=3 point equals dedup_simhash and pair counts are monotone in the threshold") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("dedup_simhash_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    val sh = SparkEntry.queries("dedup_simhash")(spark, dir).count()
+    assert(out(3L)._1 === sh)
+    assert(out(0L)._1 <= out(1L)._1 && out(1L)._1 <= out(2L)._1 && out(2L)._1 <= out(3L)._1)
+    out.values.foreach { case (n, tp) => assert(tp <= n) }
+  }
+}
+
+class PqDeltaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("base and delta partition the corpus per subspace; drift is finite and reproducible") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("ann_pq_delta")(spark, dir).collect()
+    assert(out.length === 8)
+    val n = Tables.embeddings(spark, dir).count()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === n, s"subspace ${r.getLong(0)} must cover the corpus")
+      assert(r.getLong(2) > 0, "the delta split must be non-empty")
+      assert(r.getLong(5) >= 0)
+    }
+    val again = SparkEntry.queries("ann_pq_delta")(spark, dir).collect()
+    assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
+}
