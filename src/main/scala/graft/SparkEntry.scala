@@ -14573,6 +14573,311 @@ object SparkEntry {
       |  CAST(MAX(abs(cum.ca * sb.n - cum.cb * sa.n)) * 1000 // (sa.n * sb.n) AS BIGINT) AS d_pml
       |FROM cum, sa, sb GROUP BY 1, 2, 3, 4""".stripMargin
 
+  /** Spearman rank correlation between daily order count and daily
+    * revenue — the tie-aware rank complement of `q_corr_kendall` (and
+    * the monotone-association screen run before fitting anything
+    * linear): with ties, Spearman IS Pearson on average ranks, so the
+    * engine carries DOUBLED ranks (rank2 = 2·min_rank + ties − 1) to
+    * keep the .5 tie midpoints exact integers. The day series is
+    * bounded calendar metadata (≤ ~2.4k rows — the zipf/strata bounded-
+    * global-window contract), so the rank windows never touch fact
+    * rows; published as exact integer factors (n, Σxy, Σx², Σy², and
+    * the Pearson numerator/denominators over rank2) — ρ itself is
+    * numer/√(den_x·den_y), a client-side scalar whose radicand would
+    * wrap int64 (the `q_corr_kendall` ships-the-factors contract).
+    * Σrank2 is the closed form n(n+1) on both engines.
+    */
+  private def qSpearmanDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"), sum(cents(col("o_totalprice"))).as("y"))
+    val ranked = daily
+      .withColumn("rx", rank().over(Window.orderBy("x")) * 2
+        + count(lit(1)).over(Window.partitionBy("x")) - 1)
+      .withColumn("ry", rank().over(Window.orderBy("y")) * 2
+        + count(lit(1)).over(Window.partitionBy("y")) - 1)
+    ranked
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"))
+      .select(col("n"), col("sxy"), col("sxx"), col("syy"),
+        (col("n") * col("sxy") - col("n") * (col("n") + 1) * (col("n") * (col("n") + 1))).as("numer"),
+        (col("n") * col("sxx") - col("n") * (col("n") + 1) * (col("n") * (col("n") + 1))).as("den_x"),
+        (col("n") * col("syy") - col("n") * (col("n") + 1) * (col("n") * (col("n") + 1))).as("den_y"))
+  }
+
+  private val qSpearmanDailySql =
+    """WITH d AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (
+      |  SELECT
+      |    CAST(2 * rank() OVER (ORDER BY x) + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+      |    CAST(2 * rank() OVER (ORDER BY y) + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+      |  FROM d),
+      |a AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+      |    CAST(SUM(rx * rx) AS BIGINT) AS sxx, CAST(SUM(ry * ry) AS BIGINT) AS syy
+      |  FROM r)
+      |SELECT n, sxy, sxx, syy,
+      |  CAST(n * sxy - n * (n + 1) * (n * (n + 1)) AS BIGINT) AS numer,
+      |  CAST(n * sxx - n * (n + 1) * (n * (n + 1)) AS BIGINT) AS den_x,
+      |  CAST(n * syy - n * (n + 1) * (n * (n + 1)) AS BIGINT) AS den_y
+      |FROM a""".stripMargin
+
+  /** Mann–Whitney U test between returned ('R') and delivered-clean
+    * ('N') line quantities — the nonparametric two-sample location test
+    * beside `q_ks_test` (KS asks "same distribution?", U asks "does one
+    * group stochastically dominate?"). Quantity has ≤ 50 distinct
+    * values, so the whole rank computation collapses to the bounded
+    * VALUE GRID first (one map-side-combined groupBy; the
+    * `q_corr_kendall` grid contract): rank2(v) = 2·cum_before + t_v + 1
+    * carries the tied average ranks as exact integers, U arrives via
+    * the rank-sum identity U_R = R_R − n_R(n_R+1)/2 (doubled: u2_r =
+    * Σ n_R(v)·rank2(v) − n_R(n_R+1)), and U_N cross-checks through
+    * U_R + U_N = n_R·n_N. tie_cubes = Σ(t³−t) ships the variance
+    * correction factor for the client-side normal approximation.
+    */
+  private def qMannwhitneyU(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .where(col("l_returnflag").isin("R", "N"))
+      .groupBy(col("l_quantity").cast("long").as("v"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("nr"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("nn"))
+    // windows on the ≤50-row value grid, never on fact rows
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val r = g
+      .withColumn("cum_before",
+        coalesce(sum(col("nr") + col("nn")).over(wCum), lit(0L)))
+      .withColumn("rank2", col("cum_before") * 2 + col("nr") + col("nn") + 1)
+    r.agg(
+      sum("nr").as("n_r"), sum("nn").as("n_n"),
+      sum(col("nr") * col("rank2")).as("rsum2_r"),
+      sum(expr("(nr + nn) * (nr + nn) * (nr + nn) - (nr + nn)")).as("tie_cubes"))
+      .select(col("n_r"), col("n_n"),
+        (col("rsum2_r") - col("n_r") * (col("n_r") + 1)).as("u2_r"),
+        (col("n_r") * col("n_n") * 2
+          - (col("rsum2_r") - col("n_r") * (col("n_r") + 1))).as("u2_n"),
+        col("tie_cubes"))
+  }
+
+  private val qMannwhitneyUSql =
+    """WITH g AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1),
+      |r AS (
+      |  SELECT nr, nn,
+      |    2 * COALESCE(SUM(nr + nn) OVER
+      |      (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + nr + nn + 1 AS rank2
+      |  FROM g),
+      |a AS (
+      |  SELECT CAST(SUM(nr) AS BIGINT) AS n_r, CAST(SUM(nn) AS BIGINT) AS n_n,
+      |    CAST(SUM(nr * rank2) AS BIGINT) AS rsum2_r,
+      |    CAST(SUM((nr + nn) * (nr + nn) * (nr + nn) - (nr + nn)) AS BIGINT) AS tie_cubes
+      |  FROM r)
+      |SELECT n_r, n_n,
+      |  CAST(rsum2_r - n_r * (n_r + 1) AS BIGINT) AS u2_r,
+      |  CAST(n_r * n_n * 2 - (rsum2_r - n_r * (n_r + 1)) AS BIGINT) AS u2_n,
+      |  tie_cubes
+      |FROM a""".stripMargin
+
+  /** Wald–Wolfowitz runs test on monthly revenue vs its own median —
+    * the randomness screen for a KPI series (too few runs = regime
+    * persistence/trend, too many = oscillation; the complement of
+    * `q_events_autocorr`'s linear read). Median over the BOUNDED month
+    * series is carried doubled (med2 = sum of the two middle order
+    * statistics) so the above/below signs are exact; equal-to-median
+    * months drop per the classical prescription. The fact scan
+    * collapses to ≤ months rows; the sign/run fold runs on
+    * driver-bounded metadata (the Holt contract). Published: n_months,
+    * n_plus, n_minus, runs, and the expected-runs-under-H0 permille
+    * e_runs_m = 1000 + 2000·n₊·n₋/(n₊+n₋).
+    */
+  private def qOrdersRunsTest(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev"))
+      .agg(sort_array(collect_list(struct(col("month"), col("rev")))).as("mr"))
+      .withColumn("rs", expr("transform(mr, p -> p.rev)"))
+      .withColumn("srt", expr("array_sort(rs)"))
+      .withColumn("med2", expr(
+        "element_at(srt, cast((size(srt) + 1) div 2 as int)) + " +
+          "element_at(srt, cast(size(srt) div 2 + 1 as int))"))
+      .withColumn("signs", expr(
+        "filter(transform(rs, r -> CASE WHEN r * 2 > med2 THEN 1L " +
+          "WHEN r * 2 < med2 THEN -1L ELSE 0L END), s -> s != 0L)"))
+      .select(
+        expr("size(rs)").cast("long").as("n_months"),
+        expr("size(filter(signs, s -> s = 1L))").cast("long").as("n_plus"),
+        expr("size(filter(signs, s -> s = -1L))").cast("long").as("n_minus"),
+        expr("CASE WHEN size(signs) = 0 THEN 0L ELSE 1 + size(filter(" +
+          "sequence(2, greatest(size(signs), 2)), " +
+          "i -> i <= size(signs) AND element_at(signs, i) != element_at(signs, i - 1))) END")
+          .cast("long").as("runs"))
+      .withColumn("e_runs_m",
+        expr("1000 + 2000 * n_plus * n_minus div greatest(n_plus + n_minus, 1)"))
+
+  private val qOrdersRunsTestSql =
+    """WITH m AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT list(rev ORDER BY month) AS rs FROM m),
+      |md AS (
+      |  SELECT rs, list_sort(rs) AS srt,
+      |    list_sort(rs)[(len(rs) + 1) // 2] + list_sort(rs)[len(rs) // 2 + 1] AS med2
+      |  FROM l),
+      |sg AS (
+      |  SELECT rs, list_filter(list_transform(rs,
+      |    r -> CASE WHEN r * 2 > med2 THEN 1 WHEN r * 2 < med2 THEN -1 ELSE 0 END),
+      |    s -> s != 0) AS signs
+      |  FROM md),
+      |a AS (
+      |  SELECT CAST(len(rs) AS BIGINT) AS n_months,
+      |    CAST(len(list_filter(signs, s -> s = 1)) AS BIGINT) AS n_plus,
+      |    CAST(len(list_filter(signs, s -> s = -1)) AS BIGINT) AS n_minus,
+      |    CAST(CASE WHEN len(signs) = 0 THEN 0 ELSE 1 + len(list_filter(
+      |      generate_series(2, len(signs)),
+      |      i -> signs[i] != signs[i - 1])) END AS BIGINT) AS runs
+      |  FROM sg)
+      |SELECT n_months, n_plus, n_minus, runs,
+      |  CAST(1000 + 2000 * n_plus * n_minus // greatest(n_plus + n_minus, 1) AS BIGINT) AS e_runs_m
+      |FROM a""".stripMargin
+
+  /** Cramér's V effect size for the brand×type contingency grid — the
+    * magnitude read beside `q_brand_type_chi2`'s significance read (a
+    * χ² that is "significant" at corpus n can still be a trivially
+    * weak association; V² = χ²/(n·(min(r,c)−1)) is the [0,1] answer).
+    * Same bounded marginal/grid machinery as the χ² key (per-cell
+    * milli-quantization before summation, the cross-engine float
+    * rule); V² ships ppm via one integer division — V itself is the
+    * client-side square root.
+    */
+  private def qCramersV(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+    val obs = p.groupBy("p_brand", "p_type").agg(count(lit(1)).as("o")).persist()
+    obs.count() // materialize: marginals + cells below reuse it
+    val rowTot = obs.groupBy("p_brand").agg(sum("o").as("rt"))
+    val colTot = obs.groupBy("p_type").agg(sum("o").as("ct"))
+    val n = p.count() // bounded 1-row stats collect
+    val cells = obs
+      .join(broadcast(rowTot), Seq("p_brand"))
+      .join(broadcast(colTot), Seq("p_type"))
+      .select(
+        floor({
+          val e = col("rt").cast("double") * col("ct") / n
+          val d = col("o").cast("double") - e
+          d * d / e * 1000
+        }).cast("long").as("term_m"))
+    val dims = obs.agg(
+      countDistinct("p_brand").as("n_brands"),
+      countDistinct("p_type").as("n_types"))
+    cells.agg(sum("term_m").as("chi2_m")).crossJoin(dims)
+      .select(lit(n).as("n"), col("n_brands"), col("n_types"), col("chi2_m"),
+        expr("chi2_m * 1000 div (n * (least(n_brands, n_types) - 1))")
+          .as("v2_ppm"))
+  }
+
+  private val qCramersVSql =
+    """WITH o AS (
+      |  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS o FROM part GROUP BY 1, 2),
+      |rt AS (SELECT p_brand, CAST(SUM(o) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |ct AS (SELECT p_type, CAST(SUM(o) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+      |c AS (
+      |  SELECT CAST(floor(
+      |    (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n) *
+      |    (CAST(o.o AS DOUBLE) - CAST(rt.rt AS DOUBLE) * ct.ct / nn.n)
+      |      / (CAST(rt.rt AS DOUBLE) * ct.ct / nn.n) * 1000) AS BIGINT) AS term_m
+      |  FROM o JOIN rt USING (p_brand) JOIN ct USING (p_type), nn),
+      |d AS (
+      |  SELECT CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands,
+      |    CAST(COUNT(DISTINCT p_type) AS BIGINT) AS n_types
+      |  FROM o)
+      |SELECT nn.n, d.n_brands, d.n_types,
+      |  CAST(SUM(term_m) AS BIGINT) AS chi2_m,
+      |  CAST(SUM(term_m) * 1000 // (nn.n * (least(d.n_brands, d.n_types) - 1)) AS BIGINT) AS v2_ppm
+      |FROM c, nn, d GROUP BY nn.n, d.n_brands, d.n_types""".stripMargin
+
+  /** Per-source Jensen–Shannon divergence to the corpus unigram LM —
+    * the SYMMETRIC, bounded companion of `text_source_kl` (KL is
+    * infinite on disjoint support and asymmetric; JSD ∈ [0, ln 2] is
+    * the mixture-distance curation dashboards actually rank by).
+    * JSD(p_s‖p_c) = ½Σp·ln(2p/(p+m-form)) + ½Σq·ln(2q/(p+q)) — carried
+    * as exact integers in sum-of-logs form: ln(2p/(p+q)) expands to
+    * ln2 + ln(c_sw) + ln(N_c) − ln(c_sw·N_c + c_w·N_s), each log
+    * nano-quantized separately (the KL overflow rule; every ln arg
+    * stays < 2⁵³ so the int64→double conversions are exact on both
+    * engines). Words absent from the source contribute the closed-form
+    * q·ln2 remainder — (N_c − W_s)·qln2 — so the join grain stays
+    * (source, word) present pairs, bounded by sources × vocab.
+    */
+  private def textSourceJsd(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val qln2 = 693147180L // floor(ln(2)·1e9)
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("word"))
+    val sw = toks.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("n_s"))
+    val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val nTot = sw.agg(sum("c_sw").as("n_c"))
+    sw.join(wTot, "word").join(srcTot, "source").crossJoin(nTot)
+      .select(col("source"), col("n_s"), col("n_c"), col("c_w"),
+        (col("c_sw") * (lit(qln2) + qln(col("c_sw")) + qln(col("n_c"))
+          - qln(col("c_sw") * col("n_c") + col("c_w") * col("n_s")))).as("p_term"),
+        (col("c_w") * (lit(qln2) + qln(col("c_w")) + qln(col("n_s"))
+          - qln(col("c_sw") * col("n_c") + col("c_w") * col("n_s")))).as("q_term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), max("n_c").as("n_corpus"),
+        sum("p_term").as("psum"), sum("q_term").as("qsum"),
+        sum("c_w").as("w_s"))
+      .select(col("source"), col("n_tokens"),
+        expr("psum div n_tokens").as("p_nano"),
+        expr(s"(qsum + (n_corpus - w_s) * ${qln2}L) div n_corpus").as("q_nano"),
+        expr(s"(psum div n_tokens + (qsum + (n_corpus - w_s) * ${qln2}L) div n_corpus) div 2")
+          .as("jsd_nano"))
+      .orderBy("source")
+  }
+
+  private val textSourceJsdSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    val qln2 = "693147180"
+    s"""WITH toks AS (
+       |  SELECT source, w AS word
+       |  FROM (SELECT source, $wordsListSql AS wl FROM documents), UNNEST(wl) AS u(w)),
+       |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_sw
+       |       FROM toks GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+       |wt AS (SELECT word, CAST(sum(c_sw) AS BIGINT) AS c_w FROM sw GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c_sw) AS BIGINT) AS n_c FROM sw),
+       |t AS (
+       |  SELECT sw.source, st.n_s, nt.n_c, wt.c_w,
+       |    c_sw * ($qln2 + ${qln("c_sw")} + ${qln("n_c")}
+       |      - ${qln("c_sw * n_c + c_w * n_s")}) AS p_term,
+       |    c_w * ($qln2 + ${qln("c_w")} + ${qln("n_s")}
+       |      - ${qln("c_sw * n_c + c_w * n_s")}) AS q_term
+       |  FROM sw JOIN wt USING (word) JOIN st USING (source), nt),
+       |a AS (
+       |  SELECT source, CAST(max(n_s) AS BIGINT) AS n_tokens,
+       |    CAST(max(n_c) AS BIGINT) AS n_corpus,
+       |    CAST(sum(p_term) AS BIGINT) AS psum,
+       |    CAST(sum(q_term) AS BIGINT) AS qsum,
+       |    CAST(sum(c_w) AS BIGINT) AS w_s
+       |  FROM t GROUP BY source)
+       |SELECT source, n_tokens,
+       |  CAST(psum // n_tokens AS BIGINT) AS p_nano,
+       |  CAST((qsum + (n_corpus - w_s) * $qln2) // n_corpus AS BIGINT) AS q_nano,
+       |  CAST((psum // n_tokens + (qsum + (n_corpus - w_s) * $qln2) // n_corpus) // 2 AS BIGINT) AS jsd_nano
+       |FROM a ORDER BY source""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -14937,7 +15242,12 @@ object SparkEntry {
     "q_pivot_api" -> (qPivotApi _),
     "snk_clustered" -> (snkClustered _),
     "snk_zorder" -> (snkZorder _),
-    "samp_quota" -> (sampQuota _)
+    "samp_quota" -> (sampQuota _),
+    "q_spearman_daily" -> (qSpearmanDaily _),
+    "q_mannwhitney_u" -> (qMannwhitneyU _),
+    "q_orders_runs_test" -> (qOrdersRunsTest _),
+    "q_cramers_v" -> (qCramersV _),
+    "text_source_jsd" -> (textSourceJsd _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -15316,6 +15626,11 @@ object SparkEntry {
     "q_pivot_api" -> qPivotApiSql,
     "snk_clustered" -> snkClusteredSql,
     "snk_zorder" -> snkZorderSql,
-    "samp_quota" -> sampQuotaSql
+    "samp_quota" -> sampQuotaSql,
+    "q_spearman_daily" -> qSpearmanDailySql,
+    "q_mannwhitney_u" -> qMannwhitneyUSql,
+    "q_orders_runs_test" -> qOrdersRunsTestSql,
+    "q_cramers_v" -> qCramersVSql,
+    "text_source_jsd" -> textSourceJsdSql
   )
 }

@@ -382,3 +382,142 @@ class PqDeltaSpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 }
+
+class SpearmanReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("rank2 factors replay from a driver-Scala ranking of the daily series") {
+    val dir = "/root/testdata/sf0.001"
+    val daily = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("y"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // doubled average rank: 2*(#smaller) + (#equal) + 1, computed by scan
+    def rank2(vs: Array[Long]): Map[Long, Long] =
+      vs.distinct.map { v =>
+        v -> (2L * vs.count(_ < v) + vs.count(_ == v) + 1L)
+      }.toMap
+    val rx = rank2(daily.map(_._1)); val ry = rank2(daily.map(_._2))
+    val n = daily.length.toLong
+    val sxy = daily.map { case (x, y) => rx(x) * ry(y) }.sum
+    val sxx = daily.map { case (x, _) => rx(x) * rx(x) }.sum
+    val syy = daily.map { case (_, y) => ry(y) * ry(y) }.sum
+    val out = SparkEntry.queries("q_spearman_daily")(spark, dir).head()
+    assert(out.getLong(0) === n)
+    assert(out.getLong(1) === sxy && out.getLong(2) === sxx && out.getLong(3) === syy)
+    assert(out.getLong(4) === n * sxy - n * (n + 1) * (n * (n + 1)))
+    assert(out.getLong(5) === n * sxx - n * (n + 1) * (n * (n + 1)))
+    assert(out.getLong(6) === n * syy - n * (n + 1) * (n * (n + 1)))
+    // tie-aware identity: doubled ranks must sum to n(n+1) exactly
+    assert(daily.map { case (x, _) => rx(x) }.sum === n * (n + 1))
+  }
+}
+
+class MannWhitneyReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("U replays from a brute-force pair count over raw quantities") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, dir)
+      .where(col("l_returnflag").isin("R", "N"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rs = rows.filter(_._1 == "R").map(_._2)
+    val ns = rows.filter(_._1 == "N").map(_._2)
+    // doubled U_R = 2*#(r>n) + #(r==n) over all cross pairs
+    var u2 = 0L
+    rs.foreach { r => ns.foreach { n =>
+      if (r > n) u2 += 2 else if (r == n) u2 += 1 } }
+    val out = SparkEntry.queries("q_mannwhitney_u")(spark, dir).head()
+    assert(out.getLong(0) === rs.length.toLong && out.getLong(1) === ns.length.toLong)
+    assert(out.getLong(2) === u2)
+    // partition identity: U_R + U_N = n_R * n_N (doubled on both sides)
+    assert(out.getLong(2) + out.getLong(3) === 2L * rs.length * ns.length)
+    val tie = rows.map(_._2).groupBy(identity).values
+      .map(g => g.length.toLong * g.length * g.length - g.length).sum
+    assert(out.getLong(4) === tie)
+  }
+}
+
+class RunsTestReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("runs/median replay from a driver-Scala fold of the monthly series") {
+    val dir = "/root/testdata/sf0.001"
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("m"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long")).as("rev"))
+      .orderBy("m").collect().map(_.getLong(1))
+    val srt = monthly.sorted
+    val med2 = srt((monthly.length + 1) / 2 - 1) + srt(monthly.length / 2)
+    val signs = monthly.map(r => java.lang.Long.signum(r * 2 - med2)).filter(_ != 0)
+    val runs = if (signs.isEmpty) 0
+      else 1 + signs.sliding(2).count(p => p.length == 2 && p(0) != p(1))
+    val out = SparkEntry.queries("q_orders_runs_test")(spark, dir).head()
+    assert(out.getLong(0) === monthly.length.toLong)
+    assert(out.getLong(1) === signs.count(_ > 0).toLong)
+    assert(out.getLong(2) === signs.count(_ < 0).toLong)
+    assert(out.getLong(3) === runs.toLong)
+    val (np, nm) = (signs.count(_ > 0).toLong, signs.count(_ < 0).toLong)
+    assert(out.getLong(4) === 1000L + 2000L * np * nm / math.max(np + nm, 1L))
+  }
+}
+
+class CramersVSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("V^2 is the chi2 key's statistic normalized into [0, 1e6] ppm") {
+    val dir = "/root/testdata/sf0.001"
+    val v = SparkEntry.queries("q_cramers_v")(spark, dir).head()
+    val chi = SparkEntry.queries("q_brand_type_chi2")(spark, dir).head()
+    assert(v.getLong(3) === chi.getLong(1), "chi2_m must match the chi2 key exactly")
+    assert(v.getLong(4) >= 0 && v.getLong(4) <= 1000000L)
+    val n = Tables.part(spark, dir).count()
+    assert(v.getLong(0) === n)
+    assert(v.getLong(4) === v.getLong(3) * 1000 / (n * (math.min(v.getLong(1), v.getLong(2)) - 1)))
+  }
+}
+
+class JsdReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("jsd_nano replays exactly from collected (source, word) counts") {
+    val dir = "/root/testdata/sf0.001"
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val qln2 = 693147180L
+    val sw = Tables.documents(spark, dir)
+      .select(col("source"), explode(text.Text.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val nS = sw.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._3).sum }
+    val cW = sw.groupBy(_._2).map { case (w, g) => w -> g.map(_._3).sum }
+    val nC = sw.map(_._3).sum
+    val expected = sw.groupBy(_._1).map { case (src, g) =>
+      val ns = nS(src)
+      var psum = 0L; var qsum = 0L; var ws = 0L
+      g.foreach { case (_, w, csw) =>
+        val cw = cW(w)
+        val mix = qln(csw * nC + cw * ns)
+        psum += csw * (qln2 + qln(csw) + qln(nC) - mix)
+        qsum += cw * (qln2 + qln(cw) + qln(ns) - mix)
+        ws += cw
+      }
+      // Spark's `div` truncates toward zero — mirror it exactly (all
+      // three numerators are provably >= 0 here: both JSD halves are
+      // KL(.||m) >= 0 and quantization noise stays far below the signal)
+      val pn = psum / ns
+      val qn = (qsum + (nC - ws) * qln2) / nC
+      src -> (ns, pn, qn, (pn + qn) / 2L)
+    }
+    val out = SparkEntry.queries("text_source_jsd")(spark, dir).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (ns, pn, qn, jn) = expected(r.getString(0))
+      assert(r.getLong(1) === ns && r.getLong(2) === pn)
+      assert(r.getLong(3) === qn && r.getLong(4) === jn)
+      // JSD is bounded by ln 2; quantization keeps it within a few nano
+      assert(jn >= -5L && jn <= qln2 + 5L)
+    }
+  }
+}
