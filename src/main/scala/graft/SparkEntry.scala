@@ -14878,6 +14878,333 @@ object SparkEntry {
        |FROM a ORDER BY source""".stripMargin
   }
 
+  /** Exact rolling 7-day MEDIAN of daily event counts per type — the
+    * robust twin of `q_events_rolling_distinct`'s sliding count and the
+    * level estimate `q_anomaly_mad`-style gates difference against
+    * (means chase bursts; the rolling median doesn't). Counts are
+    * DOUBLED before the window so the even-count midpoint stays an
+    * exact integer (the med2/runs-test trick applied to a moving
+    * frame); the RANGE frame closes day gaps per the calendar, not the
+    * row sequence. Windows run on the (type × day) aggregate — bounded
+    * series metadata, never fact rows.
+    */
+  private def qEventsRollingMedian(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("event_type", "day", "n",
+        "CAST(percentile(n * 2, 0.5) OVER (PARTITION BY event_type ORDER BY day " +
+          "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2_7d")
+      .orderBy("event_type", "day")
+  }
+
+  private val qEventsRollingMedianSql =
+    """WITH dc AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, CAST(day AS BIGINT) AS day, n,
+      |  CAST(median(n * 2) OVER (PARTITION BY event_type ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2_7d
+      |FROM dc ORDER BY event_type, day""".stripMargin
+
+  /** Weighted median line price per return flag, weighted by quantity —
+    * the "median unit actually shipped" read (the unweighted median
+    * over-represents single-unit lines; pricing/mix dashboards weight
+    * by volume). Exact by cumulative weights: the fact scan collapses
+    * map-side to the (flag × price) VALUE GRID, the cumulative window
+    * walks that grid per flag (bounded by the price domain, never fact
+    * rows — the Mann–Whitney grid contract), and the weighted median is
+    * the smallest price whose doubled cumulative weight reaches the
+    * flag's total.
+    */
+  private def qWeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"), cents(col("l_extendedprice")).as("v"))
+      .agg(sum(col("l_quantity").cast("long")).as("w"))
+    val wc = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = Window.partitionBy("flag")
+    g.withColumn("cw", sum("w").over(wc))
+      .withColumn("tw", sum("w").over(tot))
+      .withColumn("nv", count(lit(1)).over(tot))
+      .where(col("cw") * 2 >= col("tw"))
+      .groupBy("flag")
+      .agg(min("v").as("wmed_cents"), max("tw").as("total_w"),
+        max("nv").as("n_values"))
+      .orderBy("flag")
+  }
+
+  private val qWeightedMedianSql =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (
+      |  SELECT flag, v, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+      |    SUM(w) OVER (PARTITION BY flag) AS tw,
+      |    COUNT(*) OVER (PARTITION BY flag) AS nv
+      |  FROM g)
+      |SELECT flag, CAST(MIN(v) AS BIGINT) AS wmed_cents,
+      |  CAST(MAX(tw) AS BIGINT) AS total_w, CAST(MAX(nv) AS BIGINT) AS n_values
+      |FROM c WHERE cw * 2 >= tw GROUP BY flag ORDER BY flag""".stripMargin
+
+  /** Embedding near-dup eval — completes the eval discipline for the
+    * EMBEDDING dedup leg the way `dedup_minhash_eval`/
+    * `dedup_simhash_eval` completed it for the lexical sketches: the
+    * sign-LSH-blocked pair stream (`dedup_embed_cosine`'s exact
+    * mechanism) scored against EXACT all-pairs cosine≥0.25 truth on a
+    * bounded 500-vector eval slice (all-pairs is the one thing that
+    * cannot run corpus-wide; the slice is the standard recall-audit
+    * protocol). Candidates verify exactly before thresholding, so
+    * fp = 0 BY CONSTRUCTION and the published number that matters is
+    * recall — what the 8-bit bucketing loses.
+    */
+  private def dedupEmbedEval(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir).where(col("vec_id") < 500)
+    val qz = sub.select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"))
+    val truth = qz.as("l").join(qz.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("vec_a"), col("r.vec_id").as("vec_b"),
+        vec.Vec.cosineQ(col("l.q"), col("r.q")).as("cosine"))
+      .where(col("cosine") >= 0.25)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("t"))
+    val pred = dedup.Dedup.embedCosinePairs(sub, minCosine = 0.25)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("p"))
+    pred.join(truth, Seq("vec_a", "vec_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000 div greatest(n_pred, 1)").as("precision_x1000"),
+        expr("tp * 1000 div greatest(n_truth, 1)").as("recall_x1000"))
+  }
+
+  private val dedupEmbedEvalSql =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q,
+       |    ${lshBucketSql("embedding")} AS bucket
+       |  FROM embeddings WHERE vec_id < 500),
+       |n AS (
+       |  SELECT vec_id, q, bucket,
+       |    CAST(list_sum(list_transform(q, x -> x*x)) AS BIGINT) AS nrm
+       |  FROM e),
+       |cos AS (
+       |  SELECT l.bucket = r.bucket AS p,
+       |    CASE WHEN l.nrm * r.nrm = 0 THEN 0.0
+       |         ELSE CAST(CAST(list_sum(list_transform(list_zip(l.q, r.q), pr -> pr[1]*pr[2])) AS BIGINT) AS DOUBLE)
+       |              / sqrt(CAST(l.nrm * r.nrm AS DOUBLE)) END AS cosine
+       |  FROM n l JOIN n r ON l.vec_id < r.vec_id),
+       |f AS (SELECT p FROM cos WHERE cosine >= 0.25),
+       |a AS (
+       |  SELECT CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(0 AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS fn
+       |  FROM f)
+       |SELECT n_pred, n_truth, tp, fp, fn,
+       |  CAST(tp * 1000 // GREATEST(n_pred, 1) AS BIGINT) AS precision_x1000,
+       |  CAST(tp * 1000 // GREATEST(n_truth, 1) AS BIGINT) AS recall_x1000
+       |FROM a""".stripMargin
+
+  /** SQ8 scalar-quantization recall eval ([[ann.Ann.sqTopK]]) —
+    * completes the compression column of the recall table: int8 scales
+    * by the vector's own norm, PQ/RQ quantize subspaces, SQ8 scales
+    * each DIMENSION by the corpus min/max (the classic FAISS-style SQ
+    * codec at 1 byte/dim). Same eval shape as `vec_int8_recall`:
+    * SQ-cosine top-10 vs float-milli truth, recall@10 in truncating
+    * permille per query; both legs one broadcast + one scan, the eval
+    * adds one equi left join on bounded (query × k) frames.
+    */
+  private def vecSqRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.sqTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_truth"), col("n_hits"),
+        expr("n_hits * 1000 div n_truth").as("recall_pml"))
+      .orderBy("query_id")
+  }
+
+  private def sqRankSql(k: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |dims AS (SELECT len(q) AS d FROM e LIMIT 1),
+       |mm AS (
+       |  SELECT ix.i AS pos, CAST(MIN(q[ix.i]) AS BIGINT) AS mn,
+       |    CAST(GREATEST(MAX(q[ix.i]) - MIN(q[ix.i]), 1) AS BIGINT) AS rg
+       |  FROM e, (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS i) ix
+       |  GROUP BY 1),
+       |ml AS (SELECT list(mn ORDER BY pos) AS mns, list(rg ORDER BY pos) AS rgs FROM mm),
+       |rv AS (
+       |  SELECT vec_id, list_transform(generate_series(1, len(q)),
+       |    i -> mns[i] + ((q[i] - mns[i]) * 255 // rgs[i]) * rgs[i] // 255) AS v
+       |  FROM e, ml),
+       |n AS (
+       |  SELECT vec_id, v, CAST(list_sum(list_transform(v, x -> x*x)) AS BIGINT) AS nrm FROM rv),
+       |s AS (
+       |  SELECT qs.vec_id AS query_id, cs.vec_id AS vec_id,
+       |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.v, cs.v), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM n qs JOIN n cs ON cs.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id IN (0, 1, 2, 3, 4)),
+       |r AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT query_id, vec_id FROM r WHERE rnk <= $k""".stripMargin
+
+  private val vecSqRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS MATERIALIZED (SELECT query_id, vec_id, 1 AS hit FROM (${sqRankSql(10)}))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic systematic sampling — the classic every-k-th design
+    * (k = 20, offset 7) over the md5-of-key order, the third member of
+    * the deterministic-selection family beside rate (`samp_stratified`)
+    * and quota (`samp_quota`) sampling: exact spacing gives the
+    * lowest-variance draw when the hash order is exchangeable, and the
+    * fixed offset makes the draw reproducible row-for-row. Engine note:
+    * the global rank deliberately does NOT use a window (a partitionless
+    * window collapses to one partition) — it's a range-partitioned sort
+    * + per-partition offsets (zipWithIndex), the shape a total-order
+    * rank must take at corpus scale.
+    */
+  private def sampSystematic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id")
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getLong(0), r.getString(1), i + 1L) }
+      .toDF("doc_id", "lang", "rn")
+    ranked.where(col("rn") % 20 === 7).orderBy("rn")
+  }
+
+  private val sampSystematicSql =
+    """WITH r AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+      |    CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+      |  FROM documents)
+      |SELECT doc_id, lang, rn FROM r WHERE rn % 20 = 7 ORDER BY rn""".stripMargin
+
+  /** 3-hop closeness + harmonic centrality of the co-purchase hubs —
+    * the centrality read beside `q_graph_reach_dist`'s pure reach
+    * counts (reach says how MANY nodes are near; closeness says how
+    * NEAR they are on average; harmonic is the disconnected-robust
+    * variant Boldi–Vigna recommend): same 4 highest-degree seeds, same
+    * shared build-once edge artifact, same single multi-seed BFS
+    * frontier ([[graph.Bfs.khopMulti]] — 3 joins total for all seeds).
+    * Distances ∈ {1,2,3} make the harmonic sum exact in milli-units
+    * (1000/1, 1000/2, 1000/3 are fixed integers); closeness ships as
+    * n_reached·1000 div sum_dist — one truncating division.
+    */
+  private def qGraphCloseness(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir) // shared build-once artifact
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seeds = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("a")).limit(4)
+      .collect().map(_.getLong(0)) // bounded 4-row collect: the seed set
+    val v = graph.Bfs.khopMulti(bidir, seeds.toSeq, hops = 3)
+    val rows = v.where(col("hop") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), sum("hop").as("sum_dist"),
+        sum(expr("1000 div hop")).as("harmonic_m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq // bounded: 4 rows
+    v.unpersist(); bidir.unpersist()
+    import s.implicits._
+    rows.toDF("seed", "n_reached", "sum_dist", "harmonic_m")
+      .withColumn("closeness_m", expr("n_reached * 1000 div sum_dist"))
+      .orderBy("seed")
+  }
+
+  private val qGraphClosenessSql =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+      |  WHERE x.l_partkey < y.l_partkey),
+      |bidir AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |seeds AS (
+      |  SELECT a AS seed FROM (
+      |    SELECT a, COUNT(*) AS deg FROM bidir GROUP BY 1)
+      |  ORDER BY deg DESC, a LIMIT 4),
+      |r AS (
+      |  WITH RECURSIVE walk(seed, node, hop) AS (
+      |    SELECT seed, seed AS node, 0 AS hop FROM seeds
+      |    UNION
+      |    SELECT walk.seed, bidir.b, walk.hop + 1
+      |    FROM walk JOIN bidir ON walk.node = bidir.a
+      |    WHERE walk.hop < 3)
+      |  SELECT seed, node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY 1, 2)
+      |SELECT CAST(seed AS BIGINT) AS seed,
+      |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+      |  CAST(SUM(hop) AS BIGINT) AS sum_dist,
+      |  CAST(SUM(1000 // hop) AS BIGINT) AS harmonic_m,
+      |  CAST(COUNT(*) * 1000 // SUM(hop) AS BIGINT) AS closeness_m
+      |FROM r WHERE hop > 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Market-basket 3-itemsets — the next lattice level above
+    * `q_copurchase_pairs` (the Apriori step where candidate triples
+    * come from joining frequent pairs; here the per-order part lists
+    * are small enough to enumerate exactly): distinct parts per order
+    * self-joined twice under p1 < p2 < p3, so each order of size m
+    * emits C(m,3) triples — bounded by the basket size, never the
+    * catalog. Top-20 by support with full id tie-break.
+    */
+  private def qCopurchaseTriples(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("x")
+      .join(li.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .join(li.as("z"), col("x.o") === col("z.o") && col("y.p") < col("z.p"))
+      .groupBy(col("x.p").cast("long").as("p1"), col("y.p").cast("long").as("p2"),
+        col("z.p").cast("long").as("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(desc("n_orders"), col("p1"), col("p2"), col("p3"))
+      .limit(20)
+  }
+
+  // per-order combination enumeration (baskets are tiny, so C(m,3) per
+  // order beats a triple self-join the DuckDB planner can't reorder —
+  // the self-join form took 193 s at sf0.1, this takes ~1 s)
+  private val qCopurchaseTriplesSql =
+    """WITH b AS (
+      |  SELECT l_orderkey AS o,
+      |    list_sort(list_distinct(list(l_partkey))) AS ps
+      |  FROM lineitem GROUP BY 1),
+      |tri AS (
+      |  SELECT u.t AS t
+      |  FROM b, UNNEST(
+      |    flatten(flatten(list_transform(generate_series(1, len(ps) - 2),
+      |      i -> list_transform(generate_series(i + 1, len(ps) - 1),
+      |        j -> list_transform(generate_series(j + 1, len(ps)),
+      |          k -> [ps[i], ps[j], ps[k]])))))) AS u(t))
+      |SELECT CAST(t[1] AS BIGINT) AS p1, CAST(t[2] AS BIGINT) AS p2,
+      |  CAST(t[3] AS BIGINT) AS p3, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM tri GROUP BY 1, 2, 3
+      |ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15247,7 +15574,14 @@ object SparkEntry {
     "q_mannwhitney_u" -> (qMannwhitneyU _),
     "q_orders_runs_test" -> (qOrdersRunsTest _),
     "q_cramers_v" -> (qCramersV _),
-    "text_source_jsd" -> (textSourceJsd _)
+    "text_source_jsd" -> (textSourceJsd _),
+    "q_events_rolling_median" -> (qEventsRollingMedian _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "dedup_embed_eval" -> (dedupEmbedEval _),
+    "vec_sq_recall" -> (vecSqRecall _),
+    "samp_systematic" -> (sampSystematic _),
+    "q_graph_closeness" -> (qGraphCloseness _),
+    "q_copurchase_triples" -> (qCopurchaseTriples _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -15631,6 +15965,13 @@ object SparkEntry {
     "q_mannwhitney_u" -> qMannwhitneyUSql,
     "q_orders_runs_test" -> qOrdersRunsTestSql,
     "q_cramers_v" -> qCramersVSql,
-    "text_source_jsd" -> textSourceJsdSql
+    "text_source_jsd" -> textSourceJsdSql,
+    "q_events_rolling_median" -> qEventsRollingMedianSql,
+    "q_weighted_median" -> qWeightedMedianSql,
+    "dedup_embed_eval" -> dedupEmbedEvalSql,
+    "vec_sq_recall" -> vecSqRecallSql,
+    "samp_systematic" -> sampSystematicSql,
+    "q_graph_closeness" -> qGraphClosenessSql,
+    "q_copurchase_triples" -> qCopurchaseTriplesSql
   )
 }

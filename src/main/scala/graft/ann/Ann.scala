@@ -112,6 +112,41 @@ object Ann {
     rank(scored, k)
   }
 
+  /** Top-k by cosine over per-dimension scalar-quantized (SQ8) vectors
+    * — the third compression the recall table measures (int8 scales by
+    * the vector's own norm; SQ8 scales each DIMENSION by the corpus
+    * min/max, the classic FAISS-style SQ codec). Fit = one posexplode
+    * groupBy to d (min, max) rows collected as bounded metadata (the
+    * KMeans/centroid contract); corpus vectors encode to codes 0..255
+    * and rescore against their RECONSTRUCTED values, symmetric on both
+    * sides, so the stored index is genuinely 1 byte/dim. Encode and
+    * reconstruct are exact integer expressions (code = (x−mn)·255 div
+    * rg, rec = mn + code·rg div 255) riding the scan as codegen
+    * literals; the only shuffle is the TopKPerKey reduction.
+    */
+  def sqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 10): DataFrame = {
+    val qz = embeddings.select(col("vec_id"), Vec.quantize(col("embedding")).as("q"))
+    // bounded d-row fit collect: per-dimension (min, range)
+    val mm = qz.select(posexplode(col("q")).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("pos").collect()
+      .map(r => (r.getLong(1), math.max(r.getLong(2) - r.getLong(1), 1L)))
+    val mnsSql = mm.map(_._1).mkString("array(", "L,", "L)")
+    val rgsSql = mm.map(_._2).mkString("array(", "L,", "L)")
+    val rec = qz.withColumn("v", expr(
+      s"transform(sequence(1, size(q)), i -> element_at($mnsSql, i) + " +
+        s"((element_at(q, i) - element_at($mnsSql, i)) * 255 div element_at($rgsSql, i))" +
+        s" * element_at($rgsSql, i) div 255)"))
+      .select(col("vec_id"), col("v"))
+    val q = rec.where(col("vec_id").isInCollection(queryIds))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = rec
+      .join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(Vec.cosineQ(col("qv"), col("v")), 6).as("cosine"))
+    rank(scored, k)
+  }
+
   /** Hard-negative mining for contrastive training: for each query
     * vector, the top-k most-similar corpus vectors whose LABEL DIFFERS
     * from the query's own — the near-miss impostors a retrieval/

