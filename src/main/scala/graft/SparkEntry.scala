@@ -15205,6 +15205,170 @@ object SparkEntry {
       |FROM tri GROUP BY 1, 2, 3
       |ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20""".stripMargin
 
+  /** Additive Holt–Winters (level + trend + weekly SEASON) over daily
+    * event counts — the seasonal completion of the forecasting pair
+    * (`q_events_ewma` = level, `q_orders_holt` = level+trend; traffic
+    * series are weekly-periodic, so the un-seasonal pair systematically
+    * lags weekends): α=β=γ=1/2 integer recursion, period 7. Init per
+    * the classic prescription: l₇ = mean of the first week (truncating),
+    * b₇ = 0, s_j = x_j − l₇; from day 8 the state carries (l, b, the
+    * last-7 seasonal queue) as ONE struct accumulator folded over the
+    * BOUNDED sorted day series (the Holt contract), and every published
+    * row ships the one-step-ahead forecast its day would have issued
+    * (fitted = l+b+s from the PREVIOUS state). Oracle replays the same
+    * recursion as a RECURSIVE CTE carrying the seasonal LIST in its
+    * state — the strongest two-mechanism shape a builder-authored
+    * mirror can take.
+    */
+  private def qEventsHoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    Tables.events(s, dir)
+      .groupBy(expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("dn"))
+      .withColumn("ds", expr("transform(dn, p -> p.day)"))
+      .withColumn("xs", expr("transform(dn, p -> p.n)"))
+      .withColumn("l7", expr("aggregate(slice(xs, 1, 7), 0L, (a, c) -> a + c) div 7"))
+      .withColumn("s0", expr("transform(slice(xs, 1, 7), x -> x - l7)"))
+      .withColumn("st", expr(
+        """aggregate(slice(xs, 8, greatest(size(xs) - 7, 0)),
+          |  named_struct('l', l7, 'b', 0L, 's', s0,
+          |    'o', cast(array() as array<struct<fitted:bigint,level:bigint,trend:bigint,season:bigint>>)),
+          |  (st, x) -> named_struct(
+          |    'l', (x - element_at(st.s, 1) + st.l + st.b) div 2,
+          |    'b', ((x - element_at(st.s, 1) + st.l + st.b) div 2 - st.l + st.b) div 2,
+          |    's', concat(slice(st.s, 2, 6),
+          |      array((x - ((x - element_at(st.s, 1) + st.l + st.b) div 2) + element_at(st.s, 1)) div 2)),
+          |    'o', concat(st.o, array(named_struct(
+          |      'fitted', st.l + st.b + element_at(st.s, 1),
+          |      'level', (x - element_at(st.s, 1) + st.l + st.b) div 2,
+          |      'trend', ((x - element_at(st.s, 1) + st.l + st.b) div 2 - st.l + st.b) div 2,
+          |      'season', (x - ((x - element_at(st.s, 1) + st.l + st.b) div 2) + element_at(st.s, 1)) div 2)))))""".stripMargin))
+      .select(explode(expr(
+        "CASE WHEN size(xs) < 8 THEN " +
+          "cast(array() as array<struct<day:bigint,n:bigint,fitted:bigint,level:bigint,trend:bigint,season:bigint>>) " +
+          "ELSE transform(sequence(8, size(xs)), i -> named_struct(" +
+          "'day', element_at(ds, i), 'n', element_at(xs, i), " +
+          "'fitted', element_at(st.o, i - 7).fitted, " +
+          "'level', element_at(st.o, i - 7).level, " +
+          "'trend', element_at(st.o, i - 7).trend, " +
+          "'season', element_at(st.o, i - 7).season)) END")).as("r"))
+      .select(col("r.day").as("day"), col("r.n").as("n"),
+        col("r.fitted").as("fitted"), col("r.level").as("level"),
+        col("r.trend").as("trend"), col("r.season").as("season"))
+      .orderBy("day")
+  }
+
+  private val qEventsHoltWintersSql =
+    """WITH dc AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |m AS MATERIALIZED (
+      |  SELECT CAST(day AS BIGINT) AS day, n,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+      |  FROM dc),
+      |init AS (
+      |  SELECT CAST(SUM(n) FILTER (WHERE rn <= 7) // 7 AS BIGINT) AS l7 FROM m),
+      |s0 AS (SELECT list(n - l7 ORDER BY rn) AS s FROM m, init WHERE rn <= 7),
+      |r AS (
+      |  WITH RECURSIVE hw(rn, l, b, s) AS (
+      |    SELECT CAST(7 AS BIGINT), l7, CAST(0 AS BIGINT), s FROM init, s0
+      |    UNION ALL
+      |    SELECT m.rn,
+      |      (m.n - h.s[1] + h.l + h.b) // 2,
+      |      ((m.n - h.s[1] + h.l + h.b) // 2 - h.l + h.b) // 2,
+      |      list_append(h.s[2:7],
+      |        (m.n - (m.n - h.s[1] + h.l + h.b) // 2 + h.s[1]) // 2)
+      |    FROM hw h JOIN m ON m.rn = h.rn + 1)
+      |  SELECT rn, l, b, s FROM hw)
+      |SELECT m.day, m.n,
+      |  CAST(hp.l + hp.b + hp.s[1] AS BIGINT) AS fitted,
+      |  CAST(h.l AS BIGINT) AS level, CAST(h.b AS BIGINT) AS trend,
+      |  CAST(h.s[7] AS BIGINT) AS season
+      |FROM m JOIN r h ON h.rn = m.rn JOIN r hp ON hp.rn = m.rn - 1
+      |WHERE m.rn >= 8 ORDER BY m.day""".stripMargin
+
+  /** Bloom-filter false-positive-rate eval — extends the
+    * sketch-accuracy discipline (`q_approx_distinct` for HLL,
+    * `q_events_cms_heavy` for count-min, `q_quantile_sketch` for
+    * histograms) to the membership sketch every anti-join prefilter
+    * rests on (`q_bloom_join` USES Spark's Bloom; this key measures
+    * what a Bloom of a given geometry COSTS in false positives): an
+    * m=4096-bit, k=4 deterministic Mix64 filter built over the
+    * customers-with-orders key set, probed with the PROVABLY-non-member
+    * customers (anti-join), so every positive is a false positive by
+    * construction. Published beside the observed rate: the textbook
+    * (bits_set/m)^k prediction as exact scaled integers — the
+    * sizing-table row a capacity planner reads. Build and probe are
+    * map-side hashes; the only joins are against the ≤4096-row
+    * occupied-bit set (broadcast by size).
+    */
+  private def qBloomFprEval(s: SparkSession, dir: String): DataFrame = {
+    def bit(c: Column): Column = {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+      shiftrightunsigned(h, 32) % 4096L
+    }
+    val members = Tables.orders(s, dir)
+      .select(col("o_custkey").cast("long").as("k")).distinct()
+    // caller-owned persist: bounded at ≤4096 rows; the session
+    // clearCache discipline reaps it after the frame is consumed
+    val occupied = members
+      .select(col("k"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(bit(col("k") * 4L + col("i")).as("b")).distinct().persist()
+    val nBits = occupied.count() // bounded 1-row-per-bit metadata
+    val probes = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("k"))
+      .join(members, Seq("k"), "left_anti")
+    val perProbe = probes
+      .select(col("k"), explode(sequence(lit(0L), lit(3L))).as("i"))
+      .select(col("k"), bit(col("k") * 4L + col("i")).as("b"))
+      .join(occupied.withColumn("hit", lit(1L)), Seq("b"), "left")
+      .groupBy("k").agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    // coalesce: an all-members corpus leaves zero probes, and sum over
+    // zero rows is NULL — publish a zero row instead (the Benford
+    // empty-drain rule)
+    perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      coalesce(sum(when(col("hits") === 4L, 1L).otherwise(0L)), lit(0L)).as("n_fp"))
+      .crossJoin(members.agg(count(lit(1)).as("n_members")))
+      .select(col("n_members"), lit(nBits).as("n_bits_set"),
+        col("n_probes"), col("n_fp"),
+        expr("n_fp * 1000 div greatest(n_probes, 1)").as("fpr_pml"),
+        lit(nBits * nBits * nBits * nBits * 1000L /
+          (4096L * 4096L * 4096L * 4096L)).as("exp_fpr_pml"))
+  }
+
+  private val qBloomFprEvalSql = {
+    def b(x: String) = oracle.DuckHash.mix64BucketSql(x, 4096)
+    s"""WITH members AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS k FROM orders),
+       |occ AS MATERIALIZED (
+       |  SELECT DISTINCT ${b("members.k * 4 + i.i")} AS b
+       |  FROM members, unnest([0, 1, 2, 3]) AS i(i)),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bits_set FROM occ),
+       |probes AS (
+       |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer
+       |  WHERE CAST(c_custkey AS BIGINT) NOT IN (SELECT k FROM members)),
+       |pb AS (
+       |  SELECT probes.k, ${b("probes.k * 4 + i.i")} AS b
+       |  FROM probes, unnest([0, 1, 2, 3]) AS i(i)),
+       |ph AS (
+       |  SELECT pb.k,
+       |    CAST(SUM(CASE WHEN occ.b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       |  FROM pb LEFT JOIN occ ON occ.b = pb.b GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       |    CAST(COALESCE(SUM(CASE WHEN hits = 4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fp
+       |  FROM ph),
+       |mc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_members FROM members)
+       |SELECT mc.n_members, nb.n_bits_set, a.n_probes, a.n_fp,
+       |  CAST(a.n_fp * 1000 // GREATEST(a.n_probes, 1) AS BIGINT) AS fpr_pml,
+       |  CAST(nb.n_bits_set * nb.n_bits_set * nb.n_bits_set * nb.n_bits_set * 1000
+       |    // (CAST(4096 AS BIGINT) * 4096 * 4096 * 4096) AS BIGINT) AS exp_fpr_pml
+       |FROM mc, nb, a""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15581,7 +15745,9 @@ object SparkEntry {
     "vec_sq_recall" -> (vecSqRecall _),
     "samp_systematic" -> (sampSystematic _),
     "q_graph_closeness" -> (qGraphCloseness _),
-    "q_copurchase_triples" -> (qCopurchaseTriples _)
+    "q_copurchase_triples" -> (qCopurchaseTriples _),
+    "q_events_holt_winters" -> (qEventsHoltWinters _),
+    "q_bloom_fpr_eval" -> (qBloomFprEval _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -15972,6 +16138,8 @@ object SparkEntry {
     "vec_sq_recall" -> vecSqRecallSql,
     "samp_systematic" -> sampSystematicSql,
     "q_graph_closeness" -> qGraphClosenessSql,
-    "q_copurchase_triples" -> qCopurchaseTriplesSql
+    "q_copurchase_triples" -> qCopurchaseTriplesSql,
+    "q_events_holt_winters" -> qEventsHoltWintersSql,
+    "q_bloom_fpr_eval" -> qBloomFprEvalSql
   )
 }

@@ -691,3 +691,66 @@ class TriplesReplaySpec extends AnyFunSuite {
     }
   }
 }
+
+class HoltWintersReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the level/trend/season recursion replays in driver Scala from daily counts") {
+    val dir = "/root/testdata/sf0.001"
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables.events(spark, dir)
+      .groupBy(expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(daily.length >= 8, "the events table must span more than a week")
+    val xs = daily.map(_._2)
+    var l = xs.take(7).sum / 7
+    var b = 0L
+    val sq = scala.collection.mutable.Queue(xs.take(7).map(_ - l): _*)
+    val expected = (7 until xs.length).map { t =>
+      val x = xs(t); val s1 = sq.dequeue()
+      val fitted = l + b + s1
+      val nl = (x - s1 + l + b) / 2
+      val nb = (nl - l + b) / 2
+      val ns = (x - nl + s1) / 2
+      l = nl; b = nb; sq.enqueue(ns)
+      (daily(t)._1, x, fitted, nl, nb, ns)
+    }
+    val out = SparkEntry.queries("q_events_holt_winters")(spark, dir).collect()
+    assert(out.length === expected.length)
+    out.zip(expected).foreach { case (r, (d, x, f, nl, nb, ns)) =>
+      assert(r.getLong(0) === d && r.getLong(1) === x)
+      assert(r.getLong(2) === f, s"fitted at day $d")
+      assert(r.getLong(3) === nl && r.getLong(4) === nb && r.getLong(5) === ns)
+    }
+  }
+}
+
+class BloomFprSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("members never miss (no false negatives) and the published FPR is the exact ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_bloom_fpr_eval")(spark, dir).head()
+    val (nMembers, nBits, nProbes, nFp) =
+      (out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3))
+    assert(nBits > 0 && nBits <= 4096L)
+    assert(nFp >= 0 && nFp <= nProbes)
+    assert(out.getLong(4) === nFp * 1000 / math.max(nProbes, 1L))
+    assert(out.getLong(5) === nBits * nBits * nBits * nBits * 1000L /
+      (4096L * 4096L * 4096L * 4096L))
+    // no-false-negative law, replayed in driver Scala with the same Mix64:
+    // every member key's 4 bits must be in the occupied set
+    val members = Tables.orders(spark, dir)
+      .select(col("o_custkey").cast("long")).distinct().collect().map(_.getLong(0))
+    assert(members.length.toLong === nMembers)
+    val occupied = members.flatMap(k => (0L to 3L).map(i =>
+      (functions.Mix64(k * 4 + i) >>> 32) % 4096L)).toSet
+    assert(occupied.size.toLong === nBits)
+    members.take(100).foreach { k =>
+      (0L to 3L).foreach { i =>
+        assert(occupied.contains((functions.Mix64(k * 4 + i) >>> 32) % 4096L))
+      }
+    }
+  }
+}
