@@ -15369,6 +15369,89 @@ object SparkEntry {
        |FROM mc, nb, a""".stripMargin
   }
 
+  /** Min-max contrast stretch over the decoded raster
+    * ([[mm.Multimodal.contrastStretch]]) — dynamic-range normalization,
+    * the preprocessing every vision feature pull runs before
+    * thresholding (and the image-side sibling of `vec_sq_recall`'s
+    * per-dimension min/max codec): per doc the gray min/max plus the
+    * exact-integer sum and milli-mean of the stretched raster,
+    * stretched(v) = (v−mn)·255 div max(mx−mn,1). One REAL ImageIO
+    * decode per row, two partition-local raster passes; only the
+    * summary row leaves the executor. The oracle replays the whole
+    * pipeline from the planted pixel formula — a corrupted decode
+    * would shift min/max/sum and fail the hash gate.
+    */
+  private def mmContrastStretch(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.contrastStretch(s,
+      mm.Multimodal.imageFrame(s, Tables.documents(s, dir))).toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("px_min"), col("px_max"), col("stretch_sum"),
+        expr("stretch_sum * 1000 div (width * height)").as("stretch_mean_m"))
+      .orderBy("doc_id")
+
+  private val mmContrastStretchSql =
+    """WITH d AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS sw, 8 + (doc_id // 3) % 7 AS sh FROM documents),
+      |p AS (
+      |  SELECT d.doc_id, d.sw, d.sh,
+      |    (d.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256 AS v
+      |  FROM d, generate_series(0, 15) AS gx(x), generate_series(0, 13) AS gy(y)
+      |  WHERE gx.x < d.sw AND gy.y < d.sh),
+      |m AS (SELECT doc_id, sw, sh, MIN(v) AS mn, MAX(v) AS mx FROM p GROUP BY 1, 2, 3),
+      |st AS (
+      |  SELECT p.doc_id, p.sw, p.sh, m.mn, m.mx,
+      |    CAST(SUM((p.v - m.mn) * 255 // GREATEST(m.mx - m.mn, 1)) AS BIGINT) AS stretch_sum
+      |  FROM p JOIN m USING (doc_id) GROUP BY 1, 2, 3, 4, 5)
+      |SELECT doc_id, CAST(sw AS INT) AS width, CAST(sh AS INT) AS height,
+      |  CAST(mn AS BIGINT) AS px_min, CAST(mx AS BIGINT) AS px_max, stretch_sum,
+      |  CAST(stretch_sum * 1000 // (sw * sh) AS BIGINT) AS stretch_mean_m
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  /** Salt-factor sweep for the skew join — the parameter-selection
+    * curve for `q_salted_join` the way `ann_ivf_nprobe_sweep` selects
+    * nProbe (salting flattens the hottest reducer at the cost of
+    * replicating the dim side ×f; this table says how much flattening
+    * each f actually buys ON THIS KEY DISTRIBUTION): for f ∈ {1,4,16},
+    * every fact row gets the deterministic Mix64 salt its shuffle would
+    * use, reducer load = rows per (key, salt), and the published
+    * max_share_ppm is the straggler share a capacity planner reads.
+    * One fact scan; the load grid is bounded by keys × f, metadata
+    * scale.
+    */
+  private def qJoinSkewSaltSweep(s: SparkSession, dir: String): DataFrame = {
+    def top32(c: Column): Column = {
+      val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.Mix64Long(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(c)))
+      shiftrightunsigned(h, 32)
+    }
+    Tables.lineitem(s, dir)
+      .select(col("l_suppkey").cast("long").as("k"),
+        top32(col("l_orderkey").cast("long") * 8L + col("l_linenumber")).as("h"))
+      .select(col("k"), col("h"), explode(typedLit(Seq(1L, 4L, 16L))).as("f"))
+      .groupBy(col("f"), col("k"), (col("h") % col("f")).as("salt"))
+      .agg(count(lit(1)).as("ld"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n_buckets"), max("ld").as("max_load"),
+        sum("ld").as("total_rows"))
+      .select(col("f").as("salt_factor"), col("n_buckets"), col("max_load"),
+        col("total_rows"),
+        expr("max_load * 1000000 div total_rows").as("max_share_ppm"))
+      .orderBy("salt_factor")
+  }
+
+  private val qJoinSkewSaltSweepSql = {
+    val h = oracle.DuckHash.mix64Top32Sql("CAST(l_orderkey AS BIGINT) * 8 + l_linenumber")
+    s"""WITH r AS (
+       |  SELECT CAST(l_suppkey AS BIGINT) AS k, $h AS h FROM lineitem),
+       |x AS (SELECT f.f, r.k, r.h % f.f AS salt FROM r, unnest([1, 4, 16]) AS f(f)),
+       |g AS (SELECT f, k, salt, CAST(COUNT(*) AS BIGINT) AS ld FROM x GROUP BY 1, 2, 3)
+       |SELECT CAST(f AS BIGINT) AS salt_factor, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(MAX(ld) AS BIGINT) AS max_load, CAST(SUM(ld) AS BIGINT) AS total_rows,
+       |  CAST(MAX(ld) * 1000000 // SUM(ld) AS BIGINT) AS max_share_ppm
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15747,7 +15830,9 @@ object SparkEntry {
     "q_graph_closeness" -> (qGraphCloseness _),
     "q_copurchase_triples" -> (qCopurchaseTriples _),
     "q_events_holt_winters" -> (qEventsHoltWinters _),
-    "q_bloom_fpr_eval" -> (qBloomFprEval _)
+    "q_bloom_fpr_eval" -> (qBloomFprEval _),
+    "mm_contrast_stretch" -> (mmContrastStretch _),
+    "q_join_skew_salt_sweep" -> (qJoinSkewSaltSweep _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16140,6 +16225,8 @@ object SparkEntry {
     "q_graph_closeness" -> qGraphClosenessSql,
     "q_copurchase_triples" -> qCopurchaseTriplesSql,
     "q_events_holt_winters" -> qEventsHoltWintersSql,
-    "q_bloom_fpr_eval" -> qBloomFprEvalSql
+    "q_bloom_fpr_eval" -> qBloomFprEvalSql,
+    "mm_contrast_stretch" -> mmContrastStretchSql,
+    "q_join_skew_salt_sweep" -> qJoinSkewSaltSweepSql
   )
 }

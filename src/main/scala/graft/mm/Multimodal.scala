@@ -421,6 +421,52 @@ object Multimodal {
     }
   }
 
+  case class MediaStretch(doc_id: Long, width: Int, height: Int,
+      px_min: Long, px_max: Long, stretch_sum: Long)
+
+  /** Min-max contrast stretch (dynamic-range normalization — the
+    * preprocessing every vision feature extractor runs before
+    * thresholding/feature pulls): per decoded image the gray min/max
+    * and the sum of the STRETCHED raster, stretched(v) =
+    * (v − mn)·255 div max(mx − mn, 1) — exact integers end to end, so
+    * the oracle replays the whole pipeline from the planted pixel
+    * formula. One REAL ImageIO decode per row, two raster passes
+    * (min/max then stretch), all partition-local; only the 6-column
+    * summary row leaves the executor.
+    */
+  def contrastStretch(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaStretch] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = decodeImage(m.media)
+        var mn = 255L; var mx = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val v = (img.getRGB(x, y) & 0xff).toLong
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            x += 1
+          }
+          y += 1
+        }
+        val rg = math.max(mx - mn, 1L)
+        var acc = 0L
+        y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            acc += ((img.getRGB(x, y) & 0xff).toLong - mn) * 255L / rg
+            x += 1
+          }
+          y += 1
+        }
+        MediaStretch(m.doc_id, img.getWidth, img.getHeight, mn, mx, acc)
+      }
+    }
+  }
+
   case class MediaLaplacian(doc_id: Long, width: Int, height: Int,
       n_int: Long, lap_sum: Long, lap_sq: Long)
 

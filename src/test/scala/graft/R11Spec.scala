@@ -754,3 +754,76 @@ class BloomFprSpec extends AnyFunSuite {
     }
   }
 }
+
+class ContrastStretchSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stretch replays from the planted pixel formula and hits the full [0,255] range") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mm_contrast_stretch")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.take(50).foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield mm.Multimodal.pixelValue(id, 0, x, y).toLong
+      val (mn, mx) = (px.min, px.max)
+      val rg = math.max(mx - mn, 1L)
+      assert(r.getLong(3) === mn && r.getLong(4) === mx)
+      val ssum = px.map(v => (v - mn) * 255L / rg).sum
+      assert(r.getLong(5) === ssum)
+      assert(r.getLong(6) === ssum * 1000 / (w * h))
+      // a stretched raster must touch both ends of the range
+      assert(px.map(v => (v - mn) * 255L / rg).min === 0L)
+      if (mx > mn) assert(px.map(v => (v - mn) * 255L / rg).max === 255L)
+    }
+  }
+}
+
+class SaltSweepSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("more salt never worsens the straggler share, and f=1 is the raw key skew") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_join_skew_salt_sweep")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === Seq(1L, 4L, 16L))
+    val total = out.head._4
+    assert(out.forall(_._4 === total), "every factor sees the same fact rows")
+    // f=1: buckets = distinct keys, max_load = the hottest key's rows
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    assert(out.head._2 === perKey.length.toLong)
+    assert(out.head._3 === perKey.max)
+    // salting monotonically flattens (max_load non-increasing in f)
+    assert(out(0)._3 >= out(1)._3 && out(1)._3 >= out(2)._3)
+    // replay f=4 exactly with the same Mix64 salt
+    val rows = Tables.lineitem(spark, dir)
+      .select(col("l_suppkey").cast("long"), col("l_orderkey").cast("long"),
+        col("l_linenumber").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val loads = rows.groupBy { case (k, o, l) =>
+      (k, (functions.Mix64(o * 8 + l) >>> 32) % 4) }.map(_._2.length.toLong)
+    assert(out(1)._2 === loads.size.toLong && out(1)._3 === loads.max)
+  }
+}
+
+class BloomStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streamed bits equal the batch bit set; present keys never miss") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = streaming.BloomStream.occupiedBits(spark, dir)
+    val batch = streaming.BloomStream.batchBits(spark, dir)
+    val sm = streamed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bm = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sm === bm, "complete-mode stream state must equal the batch sketch")
+    assert(sm.size <= 4096, "state is bounded at m rows by construction")
+    // no-false-negative law at the publish boundary
+    val users = Tables.events(spark, dir).select(col("user_id").cast("long"))
+      .distinct().limit(25).collect().map(_.getLong(0))
+    users.foreach { u =>
+      assert(streaming.BloomStream.mightContain(streamed, u), s"user $u must be present")
+    }
+  }
+}
