@@ -92,7 +92,12 @@ object ScaleStress {
       // (dedup_simhash_eval is NOT re-stressed: its truth leg is the
       // documented output-driven dedup_ngram_jaccard row.)
       "text_blocklist_filter", "text_cooc_graph", "text_stitch_candidates",
-      "samp_neyman", "mm_blur_score", "mm_audio_match", "snk_compact")
+      "samp_neyman", "mm_blur_score", "mm_audio_match", "snk_compact",
+      // R11 wave: JSD stays (source,word)-keyed with the same grain as
+      // KL; systematic sampling's total-order rank is a range-partitioned
+      // sort + zipWithIndex (no single-partition window); contrast
+      // stretch is per-doc map-side decode
+      "text_source_jsd", "samp_systematic", "mm_contrast_stretch")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -166,7 +171,16 @@ object ScaleStress {
       // BOUNDED types×days metadata (the 10x corpus has the same day
       // domain → expected ~flat beyond the fact scan); HT estimate is
       // one fact pass + the per-week frame
-      "q_events_changepoint", "q_trend_mann_kendall", "samp_ht_estimate")
+      "q_events_changepoint", "q_trend_mann_kendall", "samp_ht_estimate",
+      // R11 wave: rolling median + Holt-Winters both collapse to the
+      // bounded (type×day)/(day) series before any window/fold — the
+      // 10x corpus has the same day domain → expected ~flat beyond the
+      // fact scan
+      "q_events_rolling_median", "q_events_holt_winters",
+      // R11 wave F: Hill folds user metadata, CUPED is one fact scan to
+      // per-user sums + a 1-row pooled theta — the hot user is one row
+      // after the first aggregate in both
+      "q_users_hill_alpha", "q_events_cuped")
     val evResults = evOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -296,7 +310,11 @@ object ScaleStress {
     // bounded codebook fits) — both one-corpus-scan, centroids as
     // driver metadata
     val embOps = Seq("samp_prototypes", "vec_hard_negatives", "vec_margin_eval",
-      "ann_ivf_quality", "vec_rq_distortion")
+      "ann_ivf_quality", "vec_rq_distortion",
+      // R11 wave: SQ8 fit is one posexplode groupBy + broadcast scoring;
+      // the embed-dedup eval's exact leg is slice-bounded BY CONTRACT
+      // (vec_id < 500), so mult× vectors must not grow its pair count
+      "vec_sq_recall", "dedup_embed_eval")
     val embResults = embOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -361,7 +379,16 @@ object ScaleStress {
       // -> same edges, 10x derivation scan), 3 equi-join iterations
       "q_graph_ppr",
       // bucketed join: ingest-time shuffle amortization at 10x facts
-      "snk_bucketed_join")
+      "snk_bucketed_join",
+      // R11 wave: the stats battery collapses to bounded grids/series
+      // before any window (day series, ≤50-value grid, month list,
+      // price grid), the salt sweep's load grid is keys×f, the Bloom
+      // eval probes mult× customers against a ≤4096-row bit set, the
+      // triples stay per-basket C(m,3), closeness shares reach-dist's
+      // one-frontier BFS
+      "q_spearman_daily", "q_orders_runs_test", "q_mannwhitney_u",
+      "q_weighted_median", "q_copurchase_triples", "q_join_skew_salt_sweep",
+      "q_bloom_fpr_eval", "q_graph_closeness")
     val starResults = starOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)

@@ -15452,6 +15452,171 @@ object SparkEntry {
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Mutual information of the brand×type contingency grid — the
+    * information-theoretic member of the dependence battery
+    * (`q_brand_type_chi2` = significance, `q_cramers_v` = effect size,
+    * MI = shared bits, the feature-selection ranking signal): in counts
+    * form I = Σ c_ij·(ln c_ij + ln n − ln r_i − ln c_j)/n with every ln
+    * nano-quantized separately (the KL rule), plus both marginal
+    * entropies so normalized MI = I/min(H_X, H_Y) ships permille. Same
+    * bounded marginal/grid machinery as the χ² key.
+    */
+  private def qBrandTypeMi(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val p = Tables.part(s, dir)
+    val obs = p.groupBy("p_brand", "p_type").agg(count(lit(1)).as("c")).persist()
+    obs.count() // materialize: marginals + cells below reuse it
+    val rowTot = obs.groupBy("p_brand").agg(sum("c").as("rt"))
+    val colTot = obs.groupBy("p_type").agg(sum("c").as("ct"))
+    val n = p.count() // bounded 1-row stats collect
+    val mi = obs
+      .join(broadcast(rowTot), Seq("p_brand"))
+      .join(broadcast(colTot), Seq("p_type"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("c") * (qln(col("c")) + qln(lit(n)) - qln(col("rt")) - qln(col("ct"))))
+          .as("mi_sum"))
+    val hx = rowTot.agg(
+      sum(col("rt") * (qln(lit(n)) - qln(col("rt")))).as("hx_sum"))
+    val hy = colTot.agg(
+      sum(col("ct") * (qln(lit(n)) - qln(col("ct")))).as("hy_sum"))
+    mi.crossJoin(hx).crossJoin(hy)
+      .select(lit(n).as("n"), col("n_cells"),
+        expr("mi_sum div n").as("mi_nano"),
+        expr("hx_sum div n").as("hx_nano"),
+        expr("hy_sum div n").as("hy_nano"),
+        expr("(mi_sum div n) * 1000 div greatest(least(hx_sum div n, hy_sum div n), 1)")
+          .as("nmi_pml"))
+  }
+
+  private val qBrandTypeMiSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH o AS (
+       |  SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS c FROM part GROUP BY 1, 2),
+       |rt AS (SELECT p_brand, CAST(SUM(c) AS BIGINT) AS rt FROM o GROUP BY 1),
+       |ct AS (SELECT p_type, CAST(SUM(c) AS BIGINT) AS ct FROM o GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM part),
+       |mi AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |    CAST(SUM(c * (${qln("c")} + ${qln("nn.n")} - ${qln("rt.rt")} - ${qln("ct.ct")})) AS BIGINT) AS mi_sum
+       |  FROM o JOIN rt USING (p_brand) JOIN ct USING (p_type), nn),
+       |hx AS (SELECT CAST(SUM(rt * (${qln("nn.n")} - ${qln("rt")})) AS BIGINT) AS hx_sum FROM rt, nn),
+       |hy AS (SELECT CAST(SUM(ct * (${qln("nn.n")} - ${qln("ct")})) AS BIGINT) AS hy_sum FROM ct, nn)
+       |SELECT nn.n, mi.n_cells,
+       |  CAST(mi_sum // nn.n AS BIGINT) AS mi_nano,
+       |  CAST(hx_sum // nn.n AS BIGINT) AS hx_nano,
+       |  CAST(hy_sum // nn.n AS BIGINT) AS hy_nano,
+       |  CAST((mi_sum // nn.n) * 1000 // GREATEST(LEAST(hx_sum // nn.n, hy_sum // nn.n), 1) AS BIGINT) AS nmi_pml
+       |FROM mi, hx, hy, nn""".stripMargin
+  }
+
+  /** Hill estimator of the power-law tail exponent of per-user event
+    * counts — the "is engagement heavy-tailed, and how heavy" read that
+    * decides sampling and capacity strategy (`q_events_fano` asks
+    * bursty-in-time, this asks concentrated-across-users; the Zipf
+    * slope is the word-frequency sibling): α = 1 + n_tail/Σ ln(x/xmin)
+    * at a fixed xmin = 5, every log nano-quantized separately so both
+    * engines fold identical integers. One fact scan to per-user counts;
+    * the tail fold is user-metadata scale.
+    */
+  private def qUsersHillAlpha(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: Column): Column = floor(log(c.cast("double")) * 1e9).cast("long")
+    val counts = Tables.events(s, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    counts.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("x") >= 5L, 1L).otherwise(0L)).as("n_tail"),
+      coalesce(sum(when(col("x") >= 5L, qln(col("x")) - qln(lit(5L)))), lit(0L))
+        .as("denom_nano"))
+      .select(lit(5L).as("xmin"), col("n_users"), col("n_tail"), col("denom_nano"),
+        expr("1000 + n_tail * 1000000000000 div greatest(denom_nano, 1)").as("alpha_milli"))
+  }
+
+  private val qUsersHillAlphaSql = {
+    def qln(x: String): String =
+      s"CAST(floor(ln(CAST(($x) AS DOUBLE)) * 1e9) AS BIGINT)"
+    s"""WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       |    CAST(SUM(CASE WHEN x >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+       |    CAST(COALESCE(SUM(CASE WHEN x >= 5 THEN ${qln("x")} - ${qln("5")} END), 0) AS BIGINT) AS denom_nano
+       |  FROM c)
+       |SELECT CAST(5 AS BIGINT) AS xmin, n_users, n_tail, denom_nano,
+       |  CAST(1000 + n_tail * 1000000000000 // GREATEST(denom_nano, 1) AS BIGINT) AS alpha_milli
+       |FROM a""".stripMargin
+  }
+
+  /** CUPED variance-reduced A/B readout — the industry-standard
+    * upgrade of `q_events_abtest`'s raw comparison (Deng et al. 2013:
+    * regress the experiment metric on a PRE-period covariate and
+    * difference the residuals; same decision, far tighter intervals):
+    * users hash-split into the same two Mix64 arms, metric = post-
+    * period per-user spend (whole units), covariate = pre-period
+    * spend, θ = S_xy/S_xx from exact pooled integer moments, adjusted
+    * mean = post − θ·(pre − pre-mean) folded in fixed truncating-milli
+    * order so both engines agree digit-for-digit. Splits at min-day+15
+    * (1-row corpus metadata); everything else is one fact scan to
+    * per-user sums.
+    */
+  private def qEventsCuped(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("user_id"))))
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"),
+        round(col("value"), 0).cast("long").as("u"))
+    val cut = ev.agg(min("day")).head().getLong(0) + 15L // 1-row metadata
+    val users = ev.groupBy("user_id")
+      .agg(sum(when(col("day") < cut, col("u")).otherwise(0L)).as("pre"),
+        sum(when(col("day") >= cut, col("u")).otherwise(0L)).as("post"))
+      .withColumn("arm", shiftrightunsigned(h, 32) % 2L)
+    val pooled = users.agg(
+      count(lit(1)).as("n_all"), sum("pre").as("sp_all"), sum("post").as("so_all"),
+      sum(col("pre") * col("pre")).as("spp"), sum(col("pre") * col("post")).as("spo"))
+      .select(col("n_all"), col("sp_all"),
+        expr("(n_all * spo - sp_all * so_all) * 1000 div " +
+          "greatest(n_all * spp - sp_all * sp_all, 1)").as("theta_milli"))
+    users.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum("pre").as("sum_pre"),
+        sum("post").as("sum_post"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"), col("sum_pre"), col("sum_post"),
+        col("theta_milli"),
+        expr("sum_post * 1000 div n_users").as("mean_post_milli"),
+        expr("(sum_post * 1000 - theta_milli * sum_pre + " +
+          "n_users * (theta_milli * sp_all div n_all)) div n_users").as("adj_mean_milli"))
+      .orderBy("arm")
+  }
+
+  private val qEventsCupedSql = {
+    val h = oracle.DuckHash.mix64BucketSql("user_id", 2)
+    s"""WITH ev AS (
+       |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+       |    CAST(round(value) AS BIGINT) AS u
+       |  FROM events),
+       |cut AS (SELECT MIN(day) + 15 AS c FROM ev),
+       |users AS (
+       |  SELECT user_id,
+       |    CAST(SUM(CASE WHEN day < cut.c THEN u ELSE 0 END) AS BIGINT) AS pre,
+       |    CAST(SUM(CASE WHEN day >= cut.c THEN u ELSE 0 END) AS BIGINT) AS post,
+       |    $h AS arm
+       |  FROM ev, cut GROUP BY user_id),
+       |pooled AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_all, CAST(SUM(pre) AS BIGINT) AS sp_all,
+       |    CAST((COUNT(*) * SUM(pre * post) - SUM(pre) * SUM(post)) * 1000
+       |      // GREATEST(COUNT(*) * SUM(pre * pre) - SUM(pre) * SUM(pre), 1) AS BIGINT) AS theta_milli
+       |  FROM users)
+       |SELECT CAST(arm AS BIGINT) AS arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+       |  CAST(SUM(pre) AS BIGINT) AS sum_pre, CAST(SUM(post) AS BIGINT) AS sum_post,
+       |  p.theta_milli,
+       |  CAST(SUM(post) * 1000 // COUNT(*) AS BIGINT) AS mean_post_milli,
+       |  CAST((SUM(post) * 1000 - p.theta_milli * SUM(pre) +
+       |    COUNT(*) * (p.theta_milli * p.sp_all // p.n_all)) // COUNT(*) AS BIGINT) AS adj_mean_milli
+       |FROM users, pooled p
+       |GROUP BY arm, p.theta_milli, p.sp_all, p.n_all ORDER BY arm""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -15832,7 +15997,10 @@ object SparkEntry {
     "q_events_holt_winters" -> (qEventsHoltWinters _),
     "q_bloom_fpr_eval" -> (qBloomFprEval _),
     "mm_contrast_stretch" -> (mmContrastStretch _),
-    "q_join_skew_salt_sweep" -> (qJoinSkewSaltSweep _)
+    "q_join_skew_salt_sweep" -> (qJoinSkewSaltSweep _),
+    "q_brand_type_mi" -> (qBrandTypeMi _),
+    "q_users_hill_alpha" -> (qUsersHillAlpha _),
+    "q_events_cuped" -> (qEventsCuped _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16227,6 +16395,9 @@ object SparkEntry {
     "q_events_holt_winters" -> qEventsHoltWintersSql,
     "q_bloom_fpr_eval" -> qBloomFprEvalSql,
     "mm_contrast_stretch" -> mmContrastStretchSql,
-    "q_join_skew_salt_sweep" -> qJoinSkewSaltSweepSql
+    "q_join_skew_salt_sweep" -> qJoinSkewSaltSweepSql,
+    "q_brand_type_mi" -> qBrandTypeMiSql,
+    "q_users_hill_alpha" -> qUsersHillAlphaSql,
+    "q_events_cuped" -> qEventsCupedSql
   )
 }

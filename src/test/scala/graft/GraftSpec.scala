@@ -1062,8 +1062,14 @@ class PlanAuditSpec extends AnyFunSuite {
                          // same contract as text_source_kl
       "dedup_embed_eval", // bounded 500-vector eval-slice self-join (the
                           // exact all-pairs truth leg; slice by contract)
-      "vec_sq_recall") // brute-force truth leg + the same |queryIds|-row
+      "vec_sq_recall", // brute-force truth leg + the same |queryIds|-row
                        // broadcast SQ scoring leg, like vec_int8_recall
+      "q_brand_type_mi", // 1x1 crossJoins of the bounded MI/entropy
+                         // aggregates, same contract as q_cramers_v
+      "q_events_cuped", // 1-row pooled theta aggregate broadcast onto
+                        // the 2-row arms frame, like q_events_abtest
+      "q_bloom_fpr_eval") // 1x1 crossJoin of the probe fold with the
+                          // member-count aggregate, like q_kmv_overlap
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

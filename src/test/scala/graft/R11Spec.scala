@@ -827,3 +827,66 @@ class BloomStreamSpec extends AnyFunSuite {
     }
   }
 }
+
+class MutualInfoSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("MI is non-negative, bounded by both marginal entropies, and replays from counts") {
+    val dir = "/root/testdata/sf0.001"
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val r = SparkEntry.queries("q_brand_type_mi")(spark, dir).head()
+    val (n, mi, hx, hy) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+    // quantization can push the folds a few nano around zero, never more
+    assert(mi >= -5L && mi <= math.min(hx, hy) + 5L)
+    assert(hx > 0 && hy > 0)
+    val cells = Tables.part(spark, dir).groupBy("p_brand", "p_type")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val rt = cells.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val ct = cells.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    val miSum = cells.map { case (b, t, c) =>
+      c * (qln(c) + qln(n) - qln(rt(b)) - qln(ct(t))) }.sum
+    assert(mi === miSum / n)
+    assert(r.getLong(1) === cells.length.toLong)
+    assert(hx === rt.values.map(v => v * (qln(n) - qln(v))).sum / n)
+  }
+}
+
+class HillAlphaSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the tail exponent replays from per-user counts and sits above 1") {
+    val dir = "/root/testdata/sf0.001"
+    def qln(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val counts = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("x")).collect().map(_.getLong(1))
+    val tail = counts.filter(_ >= 5L)
+    val denom = tail.map(x => qln(x) - qln(5L)).sum
+    val r = SparkEntry.queries("q_users_hill_alpha")(spark, dir).head()
+    assert(r.getLong(0) === 5L && r.getLong(1) === counts.length.toLong)
+    assert(r.getLong(2) === tail.length.toLong && r.getLong(3) === denom)
+    assert(r.getLong(4) === 1000L + tail.length * 1000000000000L / math.max(denom, 1L))
+    assert(r.getLong(4) > 1000L, "a Hill alpha at or below 1 is not a valid tail")
+  }
+}
+
+class CupedSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("arms partition users, theta is the pooled regression slope, adjustment preserves the pooled mean direction") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_events_cuped")(spark, dir).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getLong(0)).toSet === Set(0L, 1L))
+    val nUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(out.map(_.getLong(1)).sum === nUsers)
+    // theta identical on both rows (pooled), and the adjusted means stay
+    // finite and near the raw means (the covariate shift is bounded)
+    assert(out.map(_.getLong(4)).distinct.length === 1)
+    out.foreach { r =>
+      assert(math.abs(r.getLong(6) - r.getLong(5)) <=
+        math.abs(r.getLong(4)) * (math.abs(r.getLong(2)) / math.max(r.getLong(1), 1L) + 1000),
+        "adjustment must be a bounded covariate correction")
+    }
+  }
+}
