@@ -97,7 +97,10 @@ object ScaleStress {
       // KL; systematic sampling's total-order rank is a range-partitioned
       // sort + zipWithIndex (no single-partition window); contrast
       // stretch is per-doc map-side decode
-      "text_source_jsd", "samp_systematic", "mm_contrast_stretch")
+      "text_source_jsd", "samp_systematic", "mm_contrast_stretch",
+      // R11 wave G: MoR read = two broadcast anti/semi joins against the
+      // tiny DV; allocation eval runs on the |strata| frame
+      "snk_merge_on_read", "samp_allocation_eval")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -314,7 +317,10 @@ object ScaleStress {
       // R11 wave: SQ8 fit is one posexplode groupBy + broadcast scoring;
       // the embed-dedup eval's exact leg is slice-bounded BY CONTRACT
       // (vec_id < 500), so mult× vectors must not grow its pair count
-      "vec_sq_recall", "dedup_embed_eval")
+      "vec_sq_recall", "dedup_embed_eval",
+      // R11 wave G: three one-iteration fits (bounded k×d collects) +
+      // one assignment scan each — expected ~linear in vectors
+      "vec_kmeans_elbow")
     val embResults = embOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)

@@ -1821,7 +1821,7 @@ object SparkEntry {
     * the fit corpus (init rows AND Lloyd rows) so delta scenarios can
     * fit on the base split only.
     */
-  private def ivfKmeansFitCtesWhere(pred: String): String = {
+  private def ivfKmeansFitCtesWhere(pred: String, k: Int = 16): String = {
     def foldDot(a: String, b: String) =
       s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |  list_transform(list_zip($a, $b), pr -> CAST(pr[1] AS DOUBLE) * CAST(pr[2] AS DOUBLE))),
@@ -1833,7 +1833,7 @@ object SparkEntry {
     s"""WITH cen0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cell,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
-       |  FROM embeddings WHERE vec_id < 16 AND ($pred)),
+       |  FROM embeddings WHERE vec_id < $k AND ($pred)),
        |cn0 AS (SELECT cell, cvec, sqrt(${foldNorm2("cvec")}) AS cnorm FROM cen0),
        |e AS (
        |  SELECT vec_id, embedding,
@@ -15617,6 +15617,191 @@ object SparkEntry {
        |GROUP BY arm, p.theta_milli, p.sp_all, p.n_all ORDER BY arm""".stripMargin
   }
 
+  /** K-means elbow curve — the coarse-quantizer sizing sweep for the
+    * IVF family (nProbe is swept by `ann_ivf_nprobe_sweep`; this sweeps
+    * k itself, the OTHER index-geometry knob): the same deterministic
+    * lowest-ids-init, one-Lloyd-iteration fit as the gated IVF keys at
+    * k ∈ {4, 16, 64}, publishing the spherical inertia Σ(1 − best
+    * cosine) micro-quantized PER ROW (order-independent integer sum;
+    * the score doubles are bit-identical cross-engine by the left-fold
+    * contract). Each leg is one fit (bounded k×d collects) + one
+    * assignment scan; the oracle replays all three fits through the
+    * k-parameterized CTE chain.
+    */
+  private def vecKmeansElbow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val rows = Seq(4, 16, 64).map { k =>
+      val cents = ann.KMeans.fit(emb, k, iters = 1)
+      val best = array_max(ann.Ann.cellScores(col("embedding"), cents.toSeq.map(_.toSeq)))
+      val r = emb.agg(
+        count(lit(1)).as("n"),
+        sum(floor((lit(1.0) - best) * 1e6).cast("long")).as("inertia_u")).head()
+      (k.toLong, r.getLong(0), r.getLong(1))
+    }
+    rows.toDF("k", "n_vectors", "inertia_u")
+      .withColumn("avg_inertia_u", expr("inertia_u div n_vectors"))
+      .orderBy("k")
+  }
+
+  private val vecKmeansElbowSql = {
+    def leg(k: Int) =
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CAST(floor((1.0 - best) * 1e6) AS BIGINT)) AS BIGINT) AS inertia_u
+         |FROM (
+         |  ${ivfKmeansFitCtesWhere("TRUE", k)}
+         |  SELECT vec_id, MAX(score) AS best FROM sc GROUP BY vec_id)""".stripMargin
+    s"""SELECT k, n_vectors, inertia_u,
+       |  CAST(inertia_u // n_vectors AS BIGINT) AS avg_inertia_u
+       |FROM (${leg(4)} UNION ALL ${leg(16)} UNION ALL ${leg(64)})
+       |ORDER BY k""".stripMargin
+  }
+
+  /** Merge-on-read with deletion vectors — the READ-side half of the
+    * lakehouse delete story (`snk_user_erasure` is copy-on-write:
+    * rewrite the partition; MoR instead writes a tiny tombstone file
+    * and every reader anti-joins it — how Iceberg/Delta serve deletes
+    * between compactions): base stays immutable, the deletion vector is
+    * doc_id-only (broadcast by size), and the merged read groups the
+    * LIVE rows per source with the dead count published beside it. The
+    * oracle computes the post-delete state directly from the logical
+    * table — the two paths agree only if the MoR read applies the
+    * tombstones exactly.
+    */
+  private def snkMergeOnRead(s: SparkSession, dir: String): DataFrame = {
+    val tmp = TmpDirs.create("mor")
+    val docs = Tables.documents(s, dir).select(
+      col("doc_id").cast("long").as("doc_id"), col("source"),
+      col("n_chars").cast("long").as("n_chars"))
+    docs.write.parquet(s"$tmp/base")
+    docs.where(col("doc_id") % 7 === 3).select("doc_id").write.parquet(s"$tmp/dv")
+    val base = s.read.parquet(s"$tmp/base")
+    val dv = s.read.parquet(s"$tmp/dv")
+    val dead = base.join(broadcast(dv), Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_dead"))
+    base.join(broadcast(dv), Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_live"), sum("n_chars").as("chars_live"))
+      .join(dead, Seq("source"), "left")
+      .select(col("source"), col("n_live"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"), col("chars_live"))
+      .orderBy("source")
+  }
+
+  private val snkMergeOnReadSql =
+    """SELECT source,
+      |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      |  CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+      |  CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS chars_live
+      |FROM documents GROUP BY source
+      |HAVING SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) > 0
+      |ORDER BY source""".stripMargin
+
+  /** Allocation-efficiency eval: the DESIGN VARIANCE of the stratified
+    * estimator under proportional vs Neyman allocation at the same
+    * budget — the number that justifies `samp_neyman` over the naive
+    * split (Neyman 1934 proves it minimal; this key shows the actual
+    * gain ON THIS CORPUS): per stratum the exact integer variance
+    * identity and both largest-remainder allocations, variance terms
+    * N_h²·S_h²/n_h with truncating division, TOTAL row carrying the
+    * efficiency permille. Everything runs on the |strata| metadata
+    * frame (the samp_neyman contract).
+    */
+  private def sampAllocationEval(s: SparkSession, dir: String): DataFrame = {
+    val budget = 1000L
+    val per = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_h"), sum("x").as("sx"), sum(expr("x * x")).as("sxx"))
+      .withColumn("var_q", expr(
+        "cast((cast(n_h as decimal(20,0)) * cast(sxx as decimal(20,0)) - " +
+          "cast(sx as decimal(20,0)) * cast(sx as decimal(20,0))) div " +
+          "(cast(n_h as decimal(20,0)) * cast(n_h as decimal(20,0))) as bigint)"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(var_q as double))) as long)"))
+      .withColumn("sd_q", expr(
+        "case when (s0 + 1) * (s0 + 1) <= var_q then s0 + 1 " +
+          "when s0 * s0 > var_q then s0 - 1 else s0 end"))
+    val full = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    def alloc(weightCol: String, out: String) = (df: DataFrame) => {
+      val byRem = Window.orderBy(desc(s"rem_$out"), col("source"))
+      df.withColumn(s"wt_$out", sum(weightCol).over(full))
+        .withColumn(s"base_$out", expr(s"$weightCol * $budget div wt_$out"))
+        .withColumn(s"rem_$out", expr(s"$weightCol * $budget % wt_$out"))
+        .withColumn(s"left_$out", lit(budget) - sum(s"base_$out").over(full))
+        .withColumn(s"rnk_$out", row_number().over(byRem).cast("long"))
+        .withColumn(out,
+          col(s"base_$out") + when(col(s"rnk_$out") <= col(s"left_$out"), 1L).otherwise(0L))
+    }
+    val allocated = alloc("wn", "alloc_ney")(
+      alloc("n_h", "alloc_prop")(per.withColumn("wn", col("n_h") * col("sd_q"))))
+      .select(col("source"), col("n_h"), col("var_q"),
+        col("alloc_prop"), col("alloc_ney"),
+        expr("n_h * n_h * var_q div greatest(alloc_prop, 1)").as("var_term_prop"),
+        expr("n_h * n_h * var_q div greatest(alloc_ney, 1)").as("var_term_ney"))
+    val total = allocated.agg(
+      sum("n_h").as("n_h"), sum("var_q").as("var_q"),
+      sum("alloc_prop").as("alloc_prop"), sum("alloc_ney").as("alloc_ney"),
+      sum("var_term_prop").as("var_term_prop"), sum("var_term_ney").as("var_term_ney"))
+      .select(lit("TOTAL").as("source"), col("n_h"), col("var_q"),
+        col("alloc_prop"), col("alloc_ney"), col("var_term_prop"), col("var_term_ney"))
+    allocated.unionByName(total).orderBy("source")
+  }
+
+  private val sampAllocationEvalSql =
+    """WITH per AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sx,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS BIGINT) AS sxx
+      |  FROM documents GROUP BY 1),
+      |v AS (
+      |  SELECT source, n_h,
+      |    CAST((CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+      |      // (CAST(n_h AS HUGEINT) * n_h) AS BIGINT) AS var_q
+      |  FROM per),
+      |sq AS (
+      |  SELECT source, n_h, var_q,
+      |    CAST(floor(sqrt(CAST(var_q AS DOUBLE))) AS BIGINT) AS s0
+      |  FROM v),
+      |sd AS (
+      |  SELECT source, n_h, var_q,
+      |    CASE WHEN (s0 + 1) * (s0 + 1) <= var_q THEN s0 + 1
+      |         WHEN s0 * s0 > var_q THEN s0 - 1 ELSE s0 END AS sd_q
+      |  FROM sq),
+      |w AS (
+      |  SELECT source, n_h, var_q, CAST(n_h * sd_q AS BIGINT) AS wn,
+      |    CAST(SUM(n_h) OVER () AS BIGINT) AS wtp,
+      |    CAST(SUM(n_h * sd_q) OVER () AS BIGINT) AS wtn
+      |  FROM sd),
+      |a AS (
+      |  SELECT source, n_h, var_q,
+      |    CAST(n_h * 1000 // wtp AS BIGINT) AS base_p,
+      |    CAST(n_h * 1000 % wtp AS BIGINT) AS rem_p,
+      |    CAST(1000 - SUM(n_h * 1000 // wtp) OVER () AS BIGINT) AS left_p,
+      |    CAST(row_number() OVER (ORDER BY n_h * 1000 % wtp DESC, source) AS BIGINT) AS rnk_p,
+      |    CAST(wn * 1000 // wtn AS BIGINT) AS base_n,
+      |    CAST(wn * 1000 % wtn AS BIGINT) AS rem_n,
+      |    CAST(1000 - SUM(wn * 1000 // wtn) OVER () AS BIGINT) AS left_n,
+      |    CAST(row_number() OVER (ORDER BY wn * 1000 % wtn DESC, source) AS BIGINT) AS rnk_n
+      |  FROM w),
+      |al AS (
+      |  SELECT source, n_h, var_q,
+      |    CAST(base_p + CASE WHEN rnk_p <= left_p THEN 1 ELSE 0 END AS BIGINT) AS alloc_prop,
+      |    CAST(base_n + CASE WHEN rnk_n <= left_n THEN 1 ELSE 0 END AS BIGINT) AS alloc_ney
+      |  FROM a),
+      |t AS (
+      |  SELECT source, n_h, var_q, alloc_prop, alloc_ney,
+      |    CAST(n_h * n_h * var_q // GREATEST(alloc_prop, 1) AS BIGINT) AS var_term_prop,
+      |    CAST(n_h * n_h * var_q // GREATEST(alloc_ney, 1) AS BIGINT) AS var_term_ney
+      |  FROM al)
+      |SELECT * FROM (
+      |  SELECT source, n_h, var_q, alloc_prop, alloc_ney, var_term_prop, var_term_ney FROM t
+      |  UNION ALL
+      |  SELECT 'TOTAL', CAST(SUM(n_h) AS BIGINT), CAST(SUM(var_q) AS BIGINT),
+      |    CAST(SUM(alloc_prop) AS BIGINT), CAST(SUM(alloc_ney) AS BIGINT),
+      |    CAST(SUM(var_term_prop) AS BIGINT), CAST(SUM(var_term_ney) AS BIGINT)
+      |  FROM t)
+      |ORDER BY source""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16000,7 +16185,10 @@ object SparkEntry {
     "q_join_skew_salt_sweep" -> (qJoinSkewSaltSweep _),
     "q_brand_type_mi" -> (qBrandTypeMi _),
     "q_users_hill_alpha" -> (qUsersHillAlpha _),
-    "q_events_cuped" -> (qEventsCuped _)
+    "q_events_cuped" -> (qEventsCuped _),
+    "vec_kmeans_elbow" -> (vecKmeansElbow _),
+    "snk_merge_on_read" -> (snkMergeOnRead _),
+    "samp_allocation_eval" -> (sampAllocationEval _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16398,6 +16586,9 @@ object SparkEntry {
     "q_join_skew_salt_sweep" -> qJoinSkewSaltSweepSql,
     "q_brand_type_mi" -> qBrandTypeMiSql,
     "q_users_hill_alpha" -> qUsersHillAlphaSql,
-    "q_events_cuped" -> qEventsCupedSql
+    "q_events_cuped" -> qEventsCupedSql,
+    "vec_kmeans_elbow" -> vecKmeansElbowSql,
+    "snk_merge_on_read" -> snkMergeOnReadSql,
+    "samp_allocation_eval" -> sampAllocationEvalSql
   )
 }

@@ -890,3 +890,73 @@ class CupedSpec extends AnyFunSuite {
     }
   }
 }
+
+class KmeansElbowSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("inertia decreases in k and each leg replays from a fresh deterministic fit") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("vec_kmeans_elbow")(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L, 16L, 64L))
+    val n = out.head.getLong(1)
+    assert(out.forall(_.getLong(1) === n), "every leg scans the same corpus")
+    val in = out.map(_.getLong(2))
+    assert(in(0) > in(1) && in(1) > in(2),
+      "a larger codebook must reduce spherical inertia on this corpus")
+    out.foreach(r => assert(r.getLong(3) === r.getLong(2) / r.getLong(1)))
+    // deterministic fits: re-running a leg reproduces the same integer
+    val emb = Tables.embeddings(spark, dir)
+    val cents = ann.KMeans.fit(emb, 4, iters = 1)
+    val best = array_max(ann.Ann.cellScores(col("embedding"), cents.toSeq.map(_.toSeq)))
+    val again = emb.agg(
+      sum(floor((lit(1.0) - best) * 1e6).cast("long"))).head().getLong(0)
+    assert(again === in(0))
+  }
+}
+
+class MergeOnReadSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the MoR read equals the logical post-delete state and tombstones are counted") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("snk_merge_on_read")(spark, dir).collect()
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("source"), col("n_chars").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.groupBy(_._2).map { case (src, g) =>
+      val live = g.filter(_._1 % 7 != 3)
+      src -> (live.length.toLong, g.count(_._1 % 7 == 3).toLong, live.map(_._3).sum)
+    }.filter(_._2._1 > 0)
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val (live, dead, chars) = expected(r.getString(0))
+      assert(r.getLong(1) === live && r.getLong(2) === dead && r.getLong(3) === chars)
+    }
+    // the deletion vector really is tiny relative to the base
+    assert(docs.count(_._1 % 7 == 3) < docs.length / 2)
+  }
+}
+
+class AllocationEvalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("both allocations spend the budget exactly and Neyman never loses to proportional") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("samp_allocation_eval")(spark, dir).collect()
+    val (tot, per) = rows.partition(_.getString(0) == "TOTAL")
+    assert(tot.length === 1)
+    assert(per.map(_.getLong(3)).sum === 1000L, "proportional must spend the budget")
+    assert(per.map(_.getLong(4)).sum === 1000L, "Neyman must spend the budget")
+    assert(tot.head.getLong(3) === 1000L && tot.head.getLong(4) === 1000L)
+    // Neyman is the variance-minimizing allocation (Neyman 1934) — its
+    // total design variance can't exceed proportional's beyond the
+    // integer-rounding slack of the largest-remainder step
+    val (vp, vn) = (tot.head.getLong(5), tot.head.getLong(6))
+    assert(vn <= vp + vp / 20, s"Neyman total variance $vn must not lose to proportional $vp")
+    // per-stratum terms replay: n_h^2 * var_q / alloc
+    per.foreach { r =>
+      assert(r.getLong(5) === r.getLong(1) * r.getLong(1) * r.getLong(2) / math.max(r.getLong(3), 1L))
+      assert(r.getLong(6) === r.getLong(1) * r.getLong(1) * r.getLong(2) / math.max(r.getLong(4), 1L))
+    }
+  }
+}
