@@ -183,7 +183,10 @@ object ScaleStress {
       // R11 wave F: Hill folds user metadata, CUPED is one fact scan to
       // per-user sums + a 1-row pooled theta — the hot user is one row
       // after the first aggregate in both
-      "q_users_hill_alpha", "q_events_cuped")
+      "q_users_hill_alpha", "q_events_cuped",
+      // R11 wave H: reconciliation reads the bounded HW day series +
+      // one type groupBy
+      "q_events_forecast_reconcile")
     val evResults = evOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
@@ -394,7 +397,11 @@ object ScaleStress {
       // one-frontier BFS
       "q_spearman_daily", "q_orders_runs_test", "q_mannwhitney_u",
       "q_weighted_median", "q_copurchase_triples", "q_join_skew_salt_sweep",
-      "q_bloom_fpr_eval", "q_graph_closeness")
+      "q_bloom_fpr_eval", "q_graph_closeness",
+      // R11 wave H: conductance shares the build-once label chain (same
+      // edges at 10x derivation scan); XYZ collapses to the (part,
+      // month) grid
+      "q_graph_conductance", "q_parts_xyz")
     val starResults = starOps.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)

@@ -15802,6 +15802,195 @@ object SparkEntry {
       |  FROM t)
       |ORDER BY source""".stripMargin
 
+  /** Per-community conductance of the label-propagation communities —
+    * the CUT-quality read beside `q_graph_modularity`'s global score
+    * (modularity says the partition beats random; conductance says
+    * WHICH community leaks — φ(C) = cut/min(vol(C), vol(V∖C)), the
+    * Cheeger-style number spam/community audits rank by): reuses the
+    * shared build-once edge artifact and the SAME 3-round label chain,
+    * adds one edge⋈label pass splitting internal vs crossing edges
+    * (a crossing edge charges BOTH its communities), everything else
+    * is label-keyed aggregates on community metadata.
+    */
+  private def qGraphConductance(s: SparkSession, dir: String): DataFrame = {
+    val e = copurchaseEdges(s, dir).persist() // shared build-once artifact
+    val labels = labelpropLabels(s, dir) // shared 3-round labels
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val m = e.count() // graph metadata
+    val tagged = e
+      .join(labels.select(col("node").as("a"), col("lbl").as("la")), "a")
+      .join(labels.select(col("node").as("b"), col("lbl").as("lb")), "b")
+      .persist()
+    val eIn = tagged.where(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+    val cut = tagged.where(col("la") =!= col("lb"))
+      .select(explode(array(col("la"), col("lb"))).as("lbl"))
+      .groupBy("lbl").agg(count(lit(1)).as("cut"))
+    val nNodes = labels.groupBy("lbl").agg(count(lit(1)).as("n_nodes"))
+    val deg = bidir.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    val dC = labels.join(deg, "node").groupBy("lbl").agg(sum("deg").as("d_c"))
+    val out = nNodes.join(dC, "lbl")
+      .join(eIn, Seq("lbl"), "left").join(cut, Seq("lbl"), "left")
+      .select(col("lbl"), col("n_nodes"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("cut"), lit(0L)).as("cut"), col("d_c"))
+      .withColumn("cond_pml",
+        expr(s"cut * 1000 div greatest(least(d_c, ${2L} * $m - d_c), 1)"))
+      .orderBy("lbl")
+    val rows = out.collect() // bounded: |communities| rows
+    tagged.unpersist(); e.unpersist()
+    import s.implicits._
+    rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5))).toSeq
+      .toDF("lbl", "n_nodes", "e_in", "cut", "d_c", "cond_pml")
+      .orderBy("lbl")
+  }
+
+  private val qGraphConductanceSql = {
+    def round(k: Int) =
+      s"""c$k AS (
+         |  SELECT bid.a AS node, l${k - 1}.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM bid JOIN l${k - 1} ON bid.b = l${k - 1}.node
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lbl) AS rn
+         |    FROM c$k) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |  WHERE x.l_partkey < y.l_partkey),
+       |bid AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM bid),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+       |tg AS MATERIALIZED (
+       |  SELECT la.lbl AS la, lb.lbl AS lb
+       |  FROM e JOIN l3 la ON e.a = la.node JOIN l3 lb ON e.b = lb.node),
+       |ein AS (SELECT la AS lbl, CAST(COUNT(*) AS BIGINT) AS e_in
+       |        FROM tg WHERE la = lb GROUP BY 1),
+       |ct AS (
+       |  SELECT lbl, CAST(COUNT(*) AS BIGINT) AS cut FROM (
+       |    SELECT la AS lbl FROM tg WHERE la <> lb
+       |    UNION ALL SELECT lb FROM tg WHERE la <> lb)
+       |  GROUP BY 1),
+       |nn AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l3 GROUP BY 1),
+       |deg AS (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM bid GROUP BY 1),
+       |dc AS (
+       |  SELECT l3.lbl, CAST(SUM(deg.deg) AS BIGINT) AS d_c
+       |  FROM l3 JOIN deg ON l3.node = deg.node GROUP BY 1)
+       |SELECT CAST(nn.lbl AS BIGINT) AS lbl, nn.n_nodes,
+       |  CAST(COALESCE(ein.e_in, 0) AS BIGINT) AS e_in,
+       |  CAST(COALESCE(ct.cut, 0) AS BIGINT) AS cut, dc.d_c,
+       |  CAST(COALESCE(ct.cut, 0) * 1000
+       |    // GREATEST(LEAST(dc.d_c, 2 * m.m - dc.d_c), 1) AS BIGINT) AS cond_pml
+       |FROM nn JOIN dc ON dc.lbl = nn.lbl
+       |LEFT JOIN ein ON ein.lbl = nn.lbl
+       |LEFT JOIN ct ON ct.lbl = nn.lbl, m
+       |ORDER BY lbl""".stripMargin
+  }
+
+  /** Hierarchical forecast reconciliation — the top-down step every
+    * per-segment forecast pipeline ends with (per-type naive forecasts
+    * don't sum to the total's; the reconciled numbers must): the TOTAL
+    * next-day forecast comes from the proven Holt–Winters state
+    * (level + trend + the season that day re-uses, read off
+    * `q_events_holt_winters`'s own published rows), and the integer
+    * forecast splits across event types by historical share with the
+    * largest-remainder top-up, so the allocations sum to the total
+    * EXACTLY — the coherence property that names the operator. The HW
+    * series is bounded day metadata; shares are one fact groupBy.
+    */
+  private def qEventsForecastReconcile(s: SparkSession, dir: String): DataFrame = {
+    val hw = qEventsHoltWinters(s, dir).collect() // bounded: ≤ days rows
+    val last = hw.last
+    // day n−6 carries the seasonal that day n+1 re-uses; looked up by DAY
+    // VALUE (not position) so a gapped series can't silently shift it
+    val seasonAhead = hw.find(_.getLong(0) == last.getLong(0) - 6).get
+    val f = math.max(last.getLong(3) + last.getLong(4) + seasonAhead.getLong(5), 0L)
+    val shares = Tables.events(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("c"))
+    val full = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val byRem = Window.orderBy(desc("rem"), col("event_type"))
+    shares
+      .withColumn("ctot", sum("c").over(full))
+      .withColumn("base", expr(s"c * $f div ctot"))
+      .withColumn("rem", expr(s"c * $f % ctot"))
+      .withColumn("leftover", lit(f) - sum("base").over(full))
+      .withColumn("rnk", row_number().over(byRem).cast("long"))
+      .select(col("event_type"), col("c").as("type_n"),
+        lit(f).as("total_forecast"),
+        (col("base") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L)).as("alloc"))
+      .orderBy("event_type")
+  }
+
+  private val qEventsForecastReconcileSql =
+    s"""WITH hw_rows AS MATERIALIZED (SELECT * FROM ($qEventsHoltWintersSql)),
+       |mx AS (SELECT MAX(day) AS last_day FROM hw_rows),
+       |f0 AS (
+       |  SELECT GREATEST(
+       |    (SELECT level + trend FROM hw_rows, mx WHERE day = mx.last_day) +
+       |    (SELECT season FROM hw_rows, mx WHERE day = mx.last_day - 6), 0) AS f),
+       |sh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT event_type, c, f0.f,
+       |    CAST(SUM(c) OVER () AS BIGINT) AS ctot,
+       |    CAST(c * f0.f // SUM(c) OVER () AS BIGINT) AS base,
+       |    CAST(c * f0.f % SUM(c) OVER () AS BIGINT) AS rem
+       |  FROM sh, f0),
+       |b AS (
+       |  SELECT event_type, c, f, base, rem,
+       |    CAST(f - SUM(base) OVER () AS BIGINT) AS leftover,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, event_type) AS BIGINT) AS rnk
+       |  FROM a)
+       |SELECT event_type, c AS type_n, CAST(f AS BIGINT) AS total_forecast,
+       |  CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM b ORDER BY event_type""".stripMargin
+
+  /** XYZ demand-variability classification — the companion axis to
+    * `q_orders_abc`'s value ranking (ABC says how much a part matters,
+    * XYZ says how PREDICTABLE its demand is; the two-letter cell drives
+    * stocking policy): per part the monthly-demand series collapses to
+    * exact integer moments, cv² = (n·Σq² − S²)/S² ships permille via
+    * one truncating division, and fixed thresholds (X < 250‰,
+    * Y < 1000‰, else Z) classify. One fact scan to the (part, month)
+    * grid; moments per part are metadata-scale.
+    */
+  private def qPartsXyz(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").cast("long").as("p"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_months"), sum("q").as("sum_qty"),
+        sum(expr("q * q")).as("sqq"))
+      .withColumn("cv2_pml", expr(
+        "(n_months * sqq - sum_qty * sum_qty) * 1000 div greatest(sum_qty * sum_qty, 1)"))
+      .withColumn("xyz", expr(
+        "CASE WHEN cv2_pml < 250 THEN 'X' WHEN cv2_pml < 1000 THEN 'Y' ELSE 'Z' END"))
+      .select("p", "n_months", "sum_qty", "cv2_pml", "xyz")
+      .orderBy("p")
+
+  private val qPartsXyzSql =
+    """WITH pm AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS p, strftime(l_shipdate, '%Y-%m') AS month,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem GROUP BY 1, 2),
+      |a AS (
+      |  SELECT p, CAST(COUNT(*) AS BIGINT) AS n_months,
+      |    CAST(SUM(q) AS BIGINT) AS sum_qty, CAST(SUM(q * q) AS BIGINT) AS sqq
+      |  FROM pm GROUP BY 1)
+      |SELECT p, n_months, sum_qty,
+      |  CAST((n_months * sqq - sum_qty * sum_qty) * 1000
+      |    // GREATEST(sum_qty * sum_qty, 1) AS BIGINT) AS cv2_pml,
+      |  CASE WHEN (n_months * sqq - sum_qty * sum_qty) * 1000
+      |    // GREATEST(sum_qty * sum_qty, 1) < 250 THEN 'X'
+      |       WHEN (n_months * sqq - sum_qty * sum_qty) * 1000
+      |    // GREATEST(sum_qty * sum_qty, 1) < 1000 THEN 'Y' ELSE 'Z' END AS xyz
+      |FROM a ORDER BY p""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16188,7 +16377,10 @@ object SparkEntry {
     "q_events_cuped" -> (qEventsCuped _),
     "vec_kmeans_elbow" -> (vecKmeansElbow _),
     "snk_merge_on_read" -> (snkMergeOnRead _),
-    "samp_allocation_eval" -> (sampAllocationEval _)
+    "samp_allocation_eval" -> (sampAllocationEval _),
+    "q_graph_conductance" -> (qGraphConductance _),
+    "q_events_forecast_reconcile" -> (qEventsForecastReconcile _),
+    "q_parts_xyz" -> (qPartsXyz _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16589,6 +16781,9 @@ object SparkEntry {
     "q_events_cuped" -> qEventsCupedSql,
     "vec_kmeans_elbow" -> vecKmeansElbowSql,
     "snk_merge_on_read" -> snkMergeOnReadSql,
-    "samp_allocation_eval" -> sampAllocationEvalSql
+    "samp_allocation_eval" -> sampAllocationEvalSql,
+    "q_graph_conductance" -> qGraphConductanceSql,
+    "q_events_forecast_reconcile" -> qEventsForecastReconcileSql,
+    "q_parts_xyz" -> qPartsXyzSql
   )
 }

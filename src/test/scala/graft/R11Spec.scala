@@ -960,3 +960,65 @@ class AllocationEvalSpec extends AnyFunSuite {
     }
   }
 }
+
+class ConductanceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("volume identity holds and conductance is a [0,1000] cut share") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_graph_conductance")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val mod = SparkEntry.queries("q_graph_modularity")(spark, dir).head()
+    assert(out.length.toLong === mod.getLong(1),
+      "conductance must cover exactly the modularity key's communities")
+    out.foreach { r =>
+      val (eIn, cut, dC, cond) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // vol(C) counts each internal edge twice and each crossing edge once
+      assert(dC === 2 * eIn + cut, s"volume identity failed for lbl ${r.getLong(0)}")
+      assert(cond >= 0 && cond <= 1000)
+      assert(cond === cut * 1000 / math.max(math.min(dC, 2 * mod.getLong(0) - dC), 1L))
+    }
+  }
+}
+
+class ForecastReconcileSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("allocations sum to the Holt-Winters total forecast exactly (coherence)") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_events_forecast_reconcile")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val f = out.head.getLong(2)
+    assert(out.forall(_.getLong(2) === f))
+    assert(out.map(_.getLong(3)).sum === f, "reconciled forecasts must be coherent")
+    // the total really is the HW one-step-ahead: level+trend at the last
+    // day plus the season the next day re-uses
+    val hw = SparkEntry.queries("q_events_holt_winters")(spark, dir).collect()
+    val last = hw.last
+    val sAhead = hw.find(_.getLong(0) == last.getLong(0) - 6).get.getLong(5)
+    assert(f === math.max(last.getLong(3) + last.getLong(4) + sAhead, 0L))
+    // larger share, larger (or equal) allocation
+    val sorted = out.sortBy(_.getLong(1))
+    assert(sorted.map(_.getLong(3)).sliding(2).forall(p => p.length < 2 || p(0) <= p(1) + 1))
+  }
+}
+
+class XyzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("cv2 replays from monthly moments and the class thresholds are honored") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_parts_xyz")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.take(200).foreach { r =>
+      val (n, s2, cv2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cv2 >= 0)
+      val cls = if (cv2 < 250) "X" else if (cv2 < 1000) "Y" else "Z"
+      assert(r.getString(4) === cls)
+      if (n === 1L) assert(cv2 === 0L, "a single-month part has zero variability")
+      assert(s2 > 0)
+    }
+    // all three classes exist on this corpus (the thresholds are not degenerate)
+    assert(out.map(_.getString(4)).distinct.length >= 2)
+  }
+}
