@@ -15991,6 +15991,121 @@ object SparkEntry {
       |    // GREATEST(sum_qty * sum_qty, 1) < 1000 THEN 'Y' ELSE 'Z' END AS xyz
       |FROM a ORDER BY p""".stripMargin
 
+  /** ABC×XYZ planning matrix — the 9-cell artifact inventory policy is
+    * actually read from (`q_orders_abc` ranks value on customers;
+    * `q_parts_xyz` classifies predictability; planners act on the
+    * CROSS: "AX = automate, CZ = make-to-order"): parts ranked by
+    * revenue into cumulative-share ABC bands (windows on the parts
+    * metadata frame, the ABC contract), joined to the proven XYZ
+    * classes, published as per-cell part counts + revenue mass. One
+    * fact scan per axis; the matrix is 9 rows.
+    */
+  private def qPartsAbcXyz(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").cast("long").as("p"))
+      .agg(sum(cents(col("l_extendedprice"))).as("rev"))
+    val full = Window.rowsBetween(Long.MinValue, Long.MaxValue)
+    val byRev = Window.orderBy(desc("rev"), col("p"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val abc = rev
+      .withColumn("tot", sum("rev").over(full))
+      .withColumn("cum", sum("rev").over(byRev))
+      .withColumn("abc", expr(
+        "CASE WHEN cum * 100 <= tot * 80 THEN 'A' " +
+          "WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END"))
+      .select("p", "rev", "abc")
+    abc.join(qPartsXyz(s, dir).select("p", "xyz"), "p")
+      .groupBy("abc", "xyz")
+      .agg(count(lit(1)).as("n_parts"), sum("rev").as("rev_cents"))
+      .orderBy("abc", "xyz")
+  }
+
+  private val qPartsAbcXyzSql =
+    s"""WITH rev AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS p,
+       |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |abc AS (
+       |  SELECT p, rev,
+       |    CASE WHEN SUM(rev) OVER (ORDER BY rev DESC, p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+       |        <= SUM(rev) OVER () * 80 THEN 'A'
+       |      WHEN SUM(rev) OVER (ORDER BY rev DESC, p
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100
+       |        <= SUM(rev) OVER () * 95 THEN 'B' ELSE 'C' END AS abc
+       |  FROM rev),
+       |xyz AS (SELECT p, xyz FROM ($qPartsXyzSql))
+       |SELECT abc.abc, xyz.xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(abc.rev) AS BIGINT) AS rev_cents
+       |FROM abc JOIN xyz USING (p)
+       |GROUP BY 1, 2 ORDER BY abc, xyz""".stripMargin
+
+  /** Forecast-accuracy eval — the eval-discipline row for the
+    * forecasting family (every sketch/index family publishes what its
+    * approximation COSTS; the forecasters get the same treatment):
+    * one-step-ahead total absolute error over the scored days for
+    * Holt–Winters (its own published fitted values), the lag-1 naive,
+    * and the lag-7 seasonal naive — the two standard baselines a
+    * forecaster must beat. All integers from the bounded daily series;
+    * err_pml normalizes by the actual volume so models compare across
+    * corpora.
+    */
+  private def qForecastEval(s: SparkSession, dir: String): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = Tables.events(s, dir)
+      .groupBy(expr(s"ts_ns div $dayNs").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("day").collect().map(r => (r.getLong(0), r.getLong(1))) // bounded: day series
+    val byDay = daily.toMap
+    val hw = qEventsHoltWinters(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) // (day, n, fitted)
+    val scored = hw.map(_._1).toSet
+    def tot(f: Long => Option[Long]): (Long, Long, Long) = {
+      val terms = daily.filter(d => scored.contains(d._1))
+        .flatMap { case (d, x) => f(d).map(p => (x, math.abs(x - p))) }
+      (terms.length.toLong, terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val rows = Seq(
+      ("holt_winters", {
+        val errs = hw.map(h => (h._2, math.abs(h._2 - h._3)))
+        (errs.length.toLong, errs.map(_._1).sum, errs.map(_._2).sum)
+      }),
+      ("naive_lag1", tot(d => byDay.get(d - 1))),
+      ("naive_lag7", tot(d => byDay.get(d - 7))))
+    import s.implicits._
+    rows.map { case (m, (nd, vol, err)) =>
+      (m, nd, vol, err, err * 1000L / math.max(vol, 1L)) }
+      .toDF("model", "n_days", "volume", "abs_err", "err_pml")
+      .orderBy("model")
+  }
+
+  private val qForecastEvalSql =
+    s"""WITH dc AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |lagged AS (
+       |  SELECT day, n,
+       |    lag(n, 1) OVER (ORDER BY day) AS p1,
+       |    lag(n, 7) OVER (ORDER BY day) AS p7,
+       |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
+       |  FROM dc),
+       |hw_rows AS (SELECT day, n, fitted FROM ($qEventsHoltWintersSql)),
+       |legs AS (
+       |  SELECT 'holt_winters' AS model, CAST(COUNT(*) AS BIGINT) AS n_days,
+       |    CAST(SUM(n) AS BIGINT) AS volume, CAST(SUM(abs(n - fitted)) AS BIGINT) AS abs_err
+       |  FROM hw_rows
+       |  UNION ALL
+       |  SELECT 'naive_lag1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+       |    CAST(SUM(abs(n - p1)) AS BIGINT)
+       |  FROM lagged WHERE rn >= 8 AND p1 IS NOT NULL
+       |  UNION ALL
+       |  SELECT 'naive_lag7', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+       |    CAST(SUM(abs(n - p7)) AS BIGINT)
+       |  FROM lagged WHERE rn >= 8 AND p7 IS NOT NULL)
+       |SELECT model, n_days, volume, abs_err,
+       |  CAST(abs_err * 1000 // GREATEST(volume, 1) AS BIGINT) AS err_pml
+       |FROM legs ORDER BY model""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16380,7 +16495,9 @@ object SparkEntry {
     "samp_allocation_eval" -> (sampAllocationEval _),
     "q_graph_conductance" -> (qGraphConductance _),
     "q_events_forecast_reconcile" -> (qEventsForecastReconcile _),
-    "q_parts_xyz" -> (qPartsXyz _)
+    "q_parts_xyz" -> (qPartsXyz _),
+    "q_parts_abc_xyz" -> (qPartsAbcXyz _),
+    "q_forecast_eval" -> (qForecastEval _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16784,6 +16901,8 @@ object SparkEntry {
     "samp_allocation_eval" -> sampAllocationEvalSql,
     "q_graph_conductance" -> qGraphConductanceSql,
     "q_events_forecast_reconcile" -> qEventsForecastReconcileSql,
-    "q_parts_xyz" -> qPartsXyzSql
+    "q_parts_xyz" -> qPartsXyzSql,
+    "q_parts_abc_xyz" -> qPartsAbcXyzSql,
+    "q_forecast_eval" -> qForecastEvalSql
   )
 }

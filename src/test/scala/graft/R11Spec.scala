@@ -1022,3 +1022,42 @@ class XyzSpec extends AnyFunSuite {
     assert(out.map(_.getString(4)).distinct.length >= 2)
   }
 }
+
+class AbcXyzSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("the matrix covers every part once and the A band holds at most the 80% mass prefix") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_parts_abc_xyz")(spark, dir).collect()
+    assert(out.nonEmpty && out.length <= 9)
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(out.map(_.getLong(2)).sum === nParts, "every part lands in exactly one cell")
+    val totRev = out.map(_.getLong(3)).sum
+    val aRev = out.filter(_.getString(0) == "A").map(_.getLong(3)).sum
+    // A is the <=80% cumulative prefix, so its mass can't exceed 80% by
+    // more than one part's revenue; on a sane corpus it lands near 80%
+    assert(aRev <= totRev, "A mass is a prefix of the total")
+    assert(aRev * 100 >= totRev * 50, "the A band must carry the dominant mass")
+    assert(out.map(r => (r.getString(0), r.getString(1))).distinct.length === out.length)
+  }
+}
+
+class ForecastEvalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("all models score the same days and HW error replays from its own fitted values") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("q_forecast_eval")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.keySet === Set("holt_winters", "naive_lag1", "naive_lag7"))
+    val days = out.values.map(_._1).toSet
+    assert(days.size === 1, "every model must score the same day set")
+    assert(out.values.map(_._2).toSet.size === 1, "same volume, comparable err_pml")
+    val hw = SparkEntry.queries("q_events_holt_winters")(spark, dir).collect()
+    val hwErr = hw.map(r => math.abs(r.getLong(1) - r.getLong(2))).sum
+    assert(out("holt_winters")._3 === hwErr)
+    out.values.foreach { case (_, vol, err, pml) =>
+      assert(pml === err * 1000 / math.max(vol, 1L))
+    }
+  }
+}
