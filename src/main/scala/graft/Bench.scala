@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 
 object Bench {
 
+  /** Host-factor calibration (r11 verdict: two consecutive rounds of
+    * >1.5x bench flags were mostly the HOST — the judge's isolated
+    * control rerun measured a 1.34x machine factor between measurement
+    * sessions, not code drift). Eight pinned control keys whose code is
+    * frozen, with their medians from the r11-close committed artifact
+    * (BENCH_FULL.json at 10316f43e66b, sf0.1, this suite's own
+    * median-of-3 protocol). Every bench run emits
+    * `host_factor` = median over controls of (current median / pinned
+    * median); cross-round comparisons divide per-key medians by it
+    * before flagging, so BENCH artifacts separate "host" from "code"
+    * without a judge rerun. Controls are chosen >0.25 s (jitter-proof)
+    * and spread across families (agg, join, dedup, text, pipeline).
+    * PROTOCOL: if a control key's implementation ever changes, repin its
+    * reference median in the same commit.
+    */
+  val controlRefHead = "10316f43e66b"
+  val controlRef: Map[String, Double] = Map(
+    "q1_agg" -> 0.2798,
+    "dedup_exact" -> 0.2863,
+    "dedup_minhash" -> 1.2152,
+    "q_join_shuffle" -> 0.3981,
+    "pipe_corpus_prep" -> 3.2358,
+    "text_bm25_topk" -> 1.1235,
+    "q_window_topn" -> 0.5722,
+    "q_local_volume" -> 0.9524)
+
   /** Run `nPasses` timed passes over `queries`. A query that throws is an
     * ERROR (`Left(message)`), not a time — it must never enter
     * medians/totals downstream. Public so the failure contract is
@@ -182,8 +208,25 @@ object Bench {
         }
       } else head.take(12)
     } catch { case _: Throwable => "unknown" }
+    // host-factor: median control-key ratio vs the pinned r11-close
+    // medians (null when the run's key filter excludes the controls)
+    val medMap = medians.toMap
+    val controlRatios = controlRef.toSeq.sortBy(_._1).flatMap { case (k, ref) =>
+      medMap.get(k).map(m => k -> m / ref)
+    }
+    val hostFactor =
+      if (controlRatios.isEmpty) "null"
+      else median(controlRatios.map(_._2)).toString
+    val controlsJson = controlRatios
+      .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    // cpu model: comparability evidence for cross-round artifacts
+    val cpuModel: String = try {
+      scala.io.Source.fromFile("/proc/cpuinfo").getLines()
+        .collectFirst { case l if l.startsWith("model name") => l.split(":", 2)(1).trim }
+        .getOrElse("unknown")
+    } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors}"""
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"cpu_model":${jstr(cpuModel)}}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
@@ -194,7 +237,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     val failedKeys = erred.map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"per_query_file":"$outFile"}""")
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"per_query_file":"$outFile"}""")
     spark.stop()
     if (erred.nonEmpty) sys.exit(1)
   }

@@ -101,6 +101,11 @@ object ScaleStress {
       // R11 wave G: MoR read = two broadcast anti/semi joins against the
       // tiny DV; allocation eval runs on the |strata| frame
       "snk_merge_on_read", "samp_allocation_eval")
+    // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
+    // document ops (skew-guard assertions and the events/graph legs still
+    // run — they are cheap and the guards must never be skippable)
+    val opFilter = sys.env.get("SPARK_GRAFT_STRESS_OPS").map(_.split(',').toSet)
+    val opsRun = opFilter.map(f => ops.filter(f)).getOrElse(ops)
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
@@ -111,7 +116,7 @@ object ScaleStress {
     }
     // untimed warmup: session init, codegen, parquet reader setup
     time("dedup_exact", baseDir)
-    val results = ops.map { op =>
+    val results = opsRun.map { op =>
       val (tb, rb) = time(op, baseDir)
       val (tg, rg) = time(op, scratch)
       println(f"[stress] $op%-22s base ${tb}%6.1fs ($rb%7d rows)  big ${tg}%6.1fs ($rg%7d rows)  ratio ${tg / tb}%5.2f")
@@ -136,6 +141,15 @@ object ScaleStress {
       s"viral domain must cap at 5 docs, got $viralDomain")
     require(capOut.forall(_.getLong(1) <= 5L), "no domain may exceed the cap")
     spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+
+    if (opFilter.nonEmpty) {
+      // dev iteration stops after the doc ops + skew guards; the full
+      // (unfiltered) run — the one SURVEY §5 tables quote — always
+      // continues through the events/graph legs below
+      println("[stress] SPARK_GRAFT_STRESS_OPS set — skipping events/graph legs (dev run)")
+      spark.stop()
+      return
+    }
 
     // ---- events: ~mult× corpus with a planted hot user ----
     // copies shift event_id/user_id into fresh ranges and nudge ts by i ns;

@@ -12980,9 +12980,17 @@ object SparkEntry {
     * group and fail the hash gate — the codec path itself is verified.
     * Scale: decode + digest are partition-local; only 32-byte
     * fingerprints shuffle (the CAS posture object stores use for media).
+    * R12: the digest is [[mm.Audio.sampledFingerprints]] — 8
+    * evenly-spaced 64-sample windows + the track length instead of the
+    * full PCM, so per-track cost no longer grows with duration (the
+    * full-decode path measured 15.4x at 10x in ScaleStress). Duplicate
+    * groups are unchanged: byte-identical tracks collide on every
+    * window, and the planted classes here are byte-identical by
+    * construction; [[mm.Audio.fingerprints]] remains the certified-exact
+    * verify pass (AudioSampledFpSpec pins both laws).
     */
   private def mmAudioMatch(s: SparkSession, dir: String): DataFrame =
-    mm.Audio.fingerprints(s, mm.Audio.dupAudioFrame(s, Tables.documents(s, dir)))
+    mm.Audio.sampledFingerprints(s, mm.Audio.dupAudioFrame(s, Tables.documents(s, dir)))
       .toDF().groupBy("fp")
       .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_copies"),
         min("n_samples").cast("long").as("n_samples"))
@@ -15630,18 +15638,23 @@ object SparkEntry {
     */
   private def vecKmeansElbow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, dir)
-    val rows = Seq(4, 16, 64).map { k =>
-      val cents = ann.KMeans.fit(emb, k, iters = 1)
-      val best = array_max(ann.Ann.cellScores(col("embedding"), cents.toSeq.map(_.toSeq)))
-      val r = emb.agg(
-        count(lit(1)).as("n"),
-        sum(floor((lit(1.0) - best) * 1e6).cast("long")).as("inertia_u")).head()
-      (k.toLong, r.getLong(0), r.getLong(1))
-    }
-    rows.toDF("k", "n_vectors", "inertia_u")
-      .withColumn("avg_inertia_u", expr("inertia_u div n_vectors"))
-      .orderBy("k")
+    // three fits + three inertia aggregates read the SAME vectors ~9
+    // times without this persist (the samp_coreset lesson, one file up);
+    // with it each leg re-reads executor-local rows instead of parquet
+    val emb = Tables.embeddings(s, dir).persist()
+    try {
+      val rows = Seq(4, 16, 64).map { k =>
+        val cents = ann.KMeans.fit(emb, k, iters = 1)
+        val best = array_max(ann.Ann.cellScores(col("embedding"), cents.toSeq.map(_.toSeq)))
+        val r = emb.agg(
+          count(lit(1)).as("n"),
+          sum(floor((lit(1.0) - best) * 1e6).cast("long")).as("inertia_u")).head()
+        (k.toLong, r.getLong(0), r.getLong(1))
+      }
+      rows.toDF("k", "n_vectors", "inertia_u")
+        .withColumn("avg_inertia_u", expr("inertia_u div n_vectors"))
+        .orderBy("k")
+    } finally emb.unpersist()
   }
 
   private val vecKmeansElbowSql = {
@@ -15905,11 +15918,16 @@ object SparkEntry {
     */
   private def qEventsForecastReconcile(s: SparkSession, dir: String): DataFrame = {
     val hw = qEventsHoltWinters(s, dir).collect() // bounded: ≤ days rows
-    val last = hw.last
     // day n−6 carries the seasonal that day n+1 re-uses; looked up by DAY
-    // VALUE (not position) so a gapped series can't silently shift it
-    val seasonAhead = hw.find(_.getLong(0) == last.getLong(0) - 6).get
-    val f = math.max(last.getLong(3) + last.getLong(4) + seasonAhead.getLong(5), 0L)
+    // VALUE (not position) so a gapped series can't silently shift it.
+    // Both lookups are guarded: a <8-day corpus (empty HW frame) or a gap
+    // at last_day−6 degrades to forecast 0 — the same COALESCE(…, 0) path
+    // the SQL mirror takes — instead of an engine-asymmetric crash.
+    val f = (for {
+      last <- hw.lastOption
+      season <- hw.find(_.getLong(0) == last.getLong(0) - 6)
+    } yield math.max(last.getLong(3) + last.getLong(4) + season.getLong(5), 0L))
+      .getOrElse(0L)
     val shares = Tables.events(s, dir)
       .groupBy("event_type").agg(count(lit(1)).as("c"))
     val full = Window.rowsBetween(Long.MinValue, Long.MaxValue)
@@ -15930,9 +15948,9 @@ object SparkEntry {
     s"""WITH hw_rows AS MATERIALIZED (SELECT * FROM ($qEventsHoltWintersSql)),
        |mx AS (SELECT MAX(day) AS last_day FROM hw_rows),
        |f0 AS (
-       |  SELECT GREATEST(
+       |  SELECT GREATEST(COALESCE(
        |    (SELECT level + trend FROM hw_rows, mx WHERE day = mx.last_day) +
-       |    (SELECT season FROM hw_rows, mx WHERE day = mx.last_day - 6), 0) AS f),
+       |    (SELECT season FROM hw_rows, mx WHERE day = mx.last_day - 6), 0), 0) AS f),
        |sh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
        |a AS (
        |  SELECT event_type, c, f0.f,
@@ -16079,29 +16097,35 @@ object SparkEntry {
       .orderBy("model")
   }
 
+  // naive predictors are looked up by DAY VALUE (self-join on day-1 /
+  // day-7), not row position — on a gapped series a positional lag(n,1)
+  // would silently predict from the wrong day while the Spark leg drops
+  // the day; rn>=8 keeps the HW-scored-days filter. COALESCE mirrors the
+  // Spark leg's (0,0,0) on an empty scored set.
   private val qForecastEvalSql =
     s"""WITH dc AS (
        |  SELECT epoch_ns(ts) // 86400000000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
        |  FROM events GROUP BY 1),
-       |lagged AS (
-       |  SELECT day, n,
-       |    lag(n, 1) OVER (ORDER BY day) AS p1,
-       |    lag(n, 7) OVER (ORDER BY day) AS p7,
+       |m AS (
+       |  SELECT CAST(day AS BIGINT) AS day, n,
        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn
        |  FROM dc),
        |hw_rows AS (SELECT day, n, fitted FROM ($qEventsHoltWintersSql)),
        |legs AS (
        |  SELECT 'holt_winters' AS model, CAST(COUNT(*) AS BIGINT) AS n_days,
-       |    CAST(SUM(n) AS BIGINT) AS volume, CAST(SUM(abs(n - fitted)) AS BIGINT) AS abs_err
+       |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS volume,
+       |    CAST(COALESCE(SUM(abs(n - fitted)), 0) AS BIGINT) AS abs_err
        |  FROM hw_rows
        |  UNION ALL
-       |  SELECT 'naive_lag1', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
-       |    CAST(SUM(abs(n - p1)) AS BIGINT)
-       |  FROM lagged WHERE rn >= 8 AND p1 IS NOT NULL
+       |  SELECT 'naive_lag1', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(m.n), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(abs(m.n - p.n)), 0) AS BIGINT)
+       |  FROM m JOIN m p ON p.day = m.day - 1 WHERE m.rn >= 8
        |  UNION ALL
-       |  SELECT 'naive_lag7', CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
-       |    CAST(SUM(abs(n - p7)) AS BIGINT)
-       |  FROM lagged WHERE rn >= 8 AND p7 IS NOT NULL)
+       |  SELECT 'naive_lag7', CAST(COUNT(*) AS BIGINT),
+       |    CAST(COALESCE(SUM(m.n), 0) AS BIGINT),
+       |    CAST(COALESCE(SUM(abs(m.n - p.n)), 0) AS BIGINT)
+       |  FROM m JOIN m p ON p.day = m.day - 7 WHERE m.rn >= 8)
        |SELECT model, n_days, volume, abs_err,
        |  CAST(abs_err * 1000 // GREATEST(volume, 1) AS BIGINT) AS err_pml
        |FROM legs ORDER BY model""".stripMargin

@@ -303,7 +303,18 @@ object Dedup {
     val oversized = blocked.groupBy("pfx").agg(count(lit(1)).as("block_n"))
       .where(col("block_n") > maxBlockSize)
       .select("pfx")
-    blocked.join(broadcast(oversized), Seq("pfx"), "left_anti")
+    // Boilerplate blocks are rare by construction (each one holds >
+    // maxBlockSize near-identical docs), so the set usually fits in a
+    // literal: collect up to 64 keys and push a pure map-side NOT-isin
+    // filter into the join's own scan — no BroadcastExchange, no join
+    // operator, and the collect job doubles as the cache-fill pass for
+    // the persisted shingle frame. More than 64 oversized blocks (a
+    // pathological corpus) falls back to the unbounded broadcast
+    // anti-join; the driver transfer stays capped either way.
+    val few = oversized.limit(65).collect().map(_.getLong(0))
+    if (few.isEmpty) blocked
+    else if (few.length <= 64) blocked.where(!col("pfx").isin(few: _*))
+    else blocked.join(broadcast(oversized), Seq("pfx"), "left_anti")
   }
 
   def blockedNgramJaccard(

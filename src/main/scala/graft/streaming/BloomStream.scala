@@ -38,13 +38,27 @@ object BloomStream {
         .groupBy("b").agg(count(lit(1)).as("cnt")),
       "bloom_stream_bits", "complete")
 
-  /** Publish-time membership probe against the maintained bits. */
-  def mightContain(bitsDf: DataFrame, key: Long): Boolean = {
-    val occupied = bitsDf.collect().map(_.getLong(0)).toSet
+  /** Snapshot the maintained bits once (bounded at m = 4096 rows) so a
+    * batch of probes pays ONE collect, not one per key.
+    */
+  def snapshotBits(bitsDf: DataFrame): Set[Long] =
+    bitsDf.collect().map(_.getLong(0)).toSet
+
+  /** Membership probe against a snapshotted bit set — pure driver math,
+    * no Spark action per key.
+    */
+  def mightContain(occupied: Set[Long], key: Long): Boolean =
     (0L until hashes).forall { i =>
       occupied.contains((graft.functions.Mix64(key * hashes + i) >>> 32) % bits)
     }
-  }
+
+  /** Publish-time membership probe against the maintained bits. Thin
+    * wrapper for one-off probes; batch callers should [[snapshotBits]]
+    * once and probe the Set — the DataFrame overload pays an O(m)
+    * collect per call.
+    */
+  def mightContain(bitsDf: DataFrame, key: Long): Boolean =
+    mightContain(snapshotBits(bitsDf), key)
 
   /** The batch twin of the streamed state, for equivalence specs. */
   def batchBits(spark: SparkSession, dir: String): DataFrame =

@@ -819,12 +819,16 @@ class BloomStreamSpec extends AnyFunSuite {
     val bm = batch.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sm === bm, "complete-mode stream state must equal the batch sketch")
     assert(sm.size <= 4096, "state is bounded at m rows by construction")
-    // no-false-negative law at the publish boundary
+    // no-false-negative law at the publish boundary: one snapshot
+    // collect serves the whole probe batch
+    val snap = streaming.BloomStream.snapshotBits(streamed)
     val users = Tables.events(spark, dir).select(col("user_id").cast("long"))
       .distinct().limit(25).collect().map(_.getLong(0))
     users.foreach { u =>
-      assert(streaming.BloomStream.mightContain(streamed, u), s"user $u must be present")
+      assert(streaming.BloomStream.mightContain(snap, u), s"user $u must be present")
     }
+    // the DataFrame overload stays a thin wrapper over the same math
+    assert(streaming.BloomStream.mightContain(streamed, users.head))
   }
 }
 

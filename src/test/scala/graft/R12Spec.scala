@@ -1,0 +1,406 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** xxHash64 written directly from the public reference specification
+  * (Yann Collet's XXH64: 4-lane 32-byte stripes, 8/4/1-byte tail steps,
+  * avalanche finalizer) — deliberately sharing NO code with Spark's
+  * XXH64 implementation so it can serve as an independent computation
+  * path for the hash-kernel replays below.
+  */
+object Xxh64Replay {
+  val P1 = 0x9E3779B185EBCA87L
+  val P2 = 0xC2B2AE3D27D4EB4FL
+  val P3 = 0x165667B19E3779F9L
+  val P4 = 0x85EBCA77C2B2AE63L
+  val P5 = 0x27D4EB2F165667C5L
+
+  private def rotl(x: Long, r: Int): Long = java.lang.Long.rotateLeft(x, r)
+  private def round(acc: Long, k: Long): Long = rotl(acc + k * P2, 31) * P1
+  private def merge(acc: Long, v: Long): Long = (acc ^ round(0L, v)) * P1 + P4
+  private def avalanche(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= P2
+    h ^= h >>> 29; h *= P3
+    h ^ (h >>> 32)
+  }
+
+  /** One 8-byte input (how Spark's xxhash64 folds a BIGINT child). */
+  def hashLong(l: Long, seed: Long): Long = {
+    var acc = seed + P5 + 8L
+    acc ^= round(0L, l)
+    acc = rotl(acc, 27) * P1 + P4
+    avalanche(acc)
+  }
+
+  /** One 4-byte input (how Spark's xxhash64 folds an INT child). */
+  def hashInt(i: Int, seed: Long): Long = {
+    var acc = seed + P5 + 4L
+    acc ^= (i & 0xFFFFFFFFL) * P1
+    acc = rotl(acc, 23) * P2 + P3
+    avalanche(acc)
+  }
+
+  /** Arbitrary byte stream (how Spark's xxhash64 folds a STRING child:
+    * its UTF-8 bytes).
+    */
+  def hashBytes(b: Array[Byte], seed: Long): Long = {
+    val len = b.length
+    def readLong(i: Int): Long = {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (b(i + j) & 0xffL); j -= 1 }
+      v
+    }
+    def readInt(i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+        ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    var i = 0
+    var acc =
+      if (len >= 32) {
+        var v1 = seed + P1 + P2; var v2 = seed + P2
+        var v3 = seed; var v4 = seed - P1
+        while (i + 32 <= len) {
+          v1 = round(v1, readLong(i)); v2 = round(v2, readLong(i + 8))
+          v3 = round(v3, readLong(i + 16)); v4 = round(v4, readLong(i + 24))
+          i += 32
+        }
+        var a = rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)
+        a = merge(a, v1); a = merge(a, v2); a = merge(a, v3); merge(a, v4)
+      } else seed + P5
+    acc += len
+    while (i + 8 <= len) {
+      acc ^= round(0L, readLong(i)); acc = rotl(acc, 27) * P1 + P4; i += 8
+    }
+    if (i + 4 <= len) {
+      acc ^= readInt(i) * P1; acc = rotl(acc, 23) * P2 + P3; i += 4
+    }
+    while (i < len) {
+      acc ^= (b(i) & 0xffL) * P5; acc = rotl(acc, 11) * P1; i += 1
+    }
+    avalanche(acc)
+  }
+}
+
+/** Third-path authority replays for the hash-kernel dedup families
+  * (r11 verdict task #4, extending the TpchReplaySpec discipline): the
+  * minhash/simhash/winnowing keys were verified only by DuckDB mirrors
+  * that deliberately REPRODUCE Spark's kernels — same author, both
+  * sides. These tests recompute the FULL published result of
+  * `dedup_minhash`, `dedup_simhash`, and `dedup_winnow` for the whole
+  * sf0.001 corpus (500 docs) in plain driver Scala — string walks,
+  * HashMaps and arithmetic written from the public algorithm specs
+  * (FNV-1a, SplitMix64, XXH64, Charikar SimHash, Schleimer-Wilkerson-
+  * Aiken winnowing) — sharing nothing with either the Catalyst
+  * expressions (whose codegen is a second generated implementation) or
+  * the SQL mirrors, and assert pair-for-pair equality.
+  */
+class HashKernelReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val seed = 42L
+  private val K = 128
+
+  private def mix64(x0: Long): Long = {
+    var z = x0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // WordWalk re-derivation: lowercase fold, [a-z0-9] words, FNV-1a per
+  // word finalized by mix64 (written against the documented contract,
+  // not the expression code path)
+  private def wordHashList(s: String): Vector[Long] = {
+    val out = Vector.newBuilder[Long]
+    var wh = 0xcbf29ce484222325L
+    var inWord = false
+    (s + " ").foreach { c =>
+      val lc: Int =
+        if (c >= 'A' && c <= 'Z') c + 32
+        else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) c.toInt
+        else if (c < 128) -1
+        else {
+          val l = Character.toLowerCase(c.toInt)
+          if ((l >= 'a' && l <= 'z') || (l >= '0' && l <= '9')) l else -1
+        }
+      if (lc >= 0) { wh = (wh ^ lc) * 0x100000001b3L; inWord = true }
+      else if (inWord) { out += mix64(wh); wh = 0xcbf29ce484222325L; inWord = false }
+    }
+    out.result()
+  }
+
+  private def shingleHashes(words: Vector[Long], shingleK: Int): Vector[Long] = {
+    if (words.isEmpty) return Vector.empty
+    val width = math.min(shingleK, words.length)
+    val n = if (words.length <= shingleK) 1 else words.length - shingleK + 1
+    (0 until n).map { i =>
+      var h = 0xcbf29ce484222325L
+      (0 until width).foreach(j => h = (h ^ words(i + j)) * 0x100000001b3L)
+      mix64(h)
+    }.toVector
+  }
+
+  private def minhashSig(text: String): Option[Array[Long]] = {
+    val sh = shingleHashes(wordHashList(text), 3)
+    if (sh.isEmpty) return None
+    val mins = Array.fill(K)(Long.MaxValue)
+    sh.foreach { h =>
+      var i = 0
+      while (i < K) {
+        val v = h * (mix64(seed + 2L * i) | 1L) + mix64(seed + 2L * i + 1L)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    Some(mins)
+  }
+
+  // canonical words via the Text.canon contract (lowercase, [^a-z0-9]+
+  // separators) — the regex pipeline the simhash/winnow keys tokenize with
+  private def canonWords(s: String): Vector[String] = {
+    val c = s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim
+    if (c.isEmpty) Vector.empty else c.split(" ").toVector
+  }
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.documents(spark, dir).select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("the XXH64 replica agrees with Spark's xxhash64 (diagnostic anchor)") {
+    // not a law of the replay — a locator: if a pipeline replay below
+    // fails, this says whether the hash primitive or the pipeline drifted
+    import spark.implicits._
+    val rows = Seq((7L, 3, "spark"), (-19L, 0, ""), (Long.MinValue, -5, "αβ kelvin"))
+      .toDF("l", "i", "s")
+      .select(xxhash64(col("l")), xxhash64(col("i")), xxhash64(col("s")),
+        xxhash64(col("i"), col("l")))
+      .collect()
+    Seq((7L, 3, "spark"), (-19L, 0, ""), (Long.MinValue, -5, "αβ kelvin"))
+      .zip(rows).foreach { case ((l, i, s), r) =>
+        assert(r.getLong(0) === Xxh64Replay.hashLong(l, seed))
+        assert(r.getLong(1) === Xxh64Replay.hashInt(i, seed))
+        assert(r.getLong(2) === Xxh64Replay.hashBytes(
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed))
+        assert(r.getLong(3) === Xxh64Replay.hashLong(l, Xxh64Replay.hashInt(i, seed)))
+      }
+  }
+
+  test("dedup_minhash replays pair-for-pair from raw text in plain Scala") {
+    val sigs = docs.flatMap { case (id, t) => minhashSig(t).map(id -> _) }
+    // banding: bh = xxhash64(band, sig[band*8 .. band*8+8)) with running
+    // seed chaining (int child then each long element)
+    val buckets = scala.collection.mutable.Map.empty[(Int, Long), List[Long]]
+    sigs.foreach { case (id, sig) =>
+      (0 until 16).foreach { b =>
+        var h = Xxh64Replay.hashInt(b, seed)
+        (0 until 8).foreach(j => h = Xxh64Replay.hashLong(sig(b * 8 + j), h))
+        buckets((b, h)) = id :: buckets.getOrElse((b, h), Nil)
+      }
+    }
+    assert(buckets.valuesIterator.map(_.size).max <= 1000,
+      "replay assumes no bucket hits the maxBucketSize cap at sf0.001")
+    val cand = buckets.valuesIterator.flatMap { ids =>
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    val sigOf = sigs.toMap
+    val replayed = cand.flatMap { case (a, b) =>
+      val n = (0 until K).count(i => (sigOf(a)(i) & 0xffffL) == (sigOf(b)(i) & 0xffffL))
+      val est = n.toDouble / K
+      if (est >= 0.5) Some((a, b, est)) else None
+    }
+    val published = SparkEntry.queries("dedup_minhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(published === replayed)
+    assert(replayed.nonEmpty, "corpus must actually exercise the kernel")
+  }
+
+  test("dedup_simhash replays pair-for-pair from raw text in plain Scala") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val sims = docs.flatMap { case (id, t) =>
+      val ws = canonWords(t)
+      if (ws.isEmpty) None
+      else {
+        val votes = new Array[Int](64)
+        ws.foreach { w =>
+          val h = Xxh64Replay.hashBytes(w.getBytes(utf8), seed)
+          (0 until 64).foreach(b => if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1)
+        }
+        var sh = 0L
+        (0 until 64).foreach(b => if (votes(b) > 0) sh |= (1L << b))
+        Some(id -> sh)
+      }
+    }
+    val buckets = scala.collection.mutable.Map.empty[(Int, Long), List[(Long, Long)]]
+    sims.foreach { case (id, sh) =>
+      (0 until 4).foreach { b =>
+        val key = (b, (sh >>> (16 * b)) & 0xffffL)
+        buckets(key) = (id, sh) :: buckets.getOrElse(key, Nil)
+      }
+    }
+    val replayed = buckets.valuesIterator.flatMap { members =>
+      for {
+        (a, sa) <- members; (b, sb) <- members if a < b
+        ham = java.lang.Long.bitCount(sa ^ sb) if ham <= 3
+      } yield (a, b, ham.toLong)
+    }.toSet
+    val published = SparkEntry.queries("dedup_simhash")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).asInstanceOf[Number].longValue)).toSet
+    assert(published === replayed)
+    assert(replayed.nonEmpty, "corpus must actually exercise the kernel")
+  }
+
+  test("dedup_winnow replays pair-for-pair from raw text in plain Scala") {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String = {
+      md.reset()
+      md.digest(s.getBytes(utf8)).map("%02x".format(_)).mkString
+    }
+    val fps = docs.map { case (id, t) =>
+      val ws = canonWords(t)
+      val grams =
+        if (ws.isEmpty) Vector.empty[String]
+        else if (ws.length <= 4) Vector(ws.mkString(" "))
+        else (0 to ws.length - 4).map(i => ws.slice(i, i + 4).mkString(" ")).toVector
+      val hs = grams.map(md5hex)
+      val sel =
+        if (hs.isEmpty) Vector.empty[String]
+        else if (hs.length < 5) Vector(hs.min)
+        else (0 to hs.length - 5).map(i => hs.slice(i, i + 5).min).distinct.toVector
+      id -> sel
+    }
+    val df = scala.collection.mutable.Map.empty[String, Long]
+    fps.foreach { case (_, sel) => sel.foreach(f => df(f) = df.getOrElse(f, 0L) + 1L) }
+    val byFp = scala.collection.mutable.Map.empty[String, List[Long]]
+    fps.foreach { case (id, sel) =>
+      sel.foreach(f => if (df(f) <= 50L) byFp(f) = id :: byFp.getOrElse(f, Nil))
+    }
+    val shared = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byFp.valuesIterator.foreach { ids =>
+      for (a <- ids; b <- ids if a < b)
+        shared((a, b)) = shared.getOrElse((a, b), 0L) + 1L
+    }
+    val replayed = shared.iterator.collect {
+      case ((a, b), n) if n >= 2L => (a, b, n)
+    }.toSet
+    val published = SparkEntry.queries("dedup_winnow")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(published === replayed)
+    assert(replayed.nonEmpty, "corpus must actually exercise the kernel")
+  }
+}
+
+/** Gapped-series forecast discipline (r11 ADVICE): the naive baselines
+  * of `q_forecast_eval` must predict from the count at day VALUE d-1 /
+  * d-7 — dropping days whose predecessor DAY is absent — and
+  * `q_events_forecast_reconcile` must degrade gracefully (forecast 0,
+  * the oracle's COALESCE path) instead of crashing when the HW series
+  * is short or the seasonal day is missing. The driver gate only sees
+  * the dense corpus; these synthetic gapped/short series pin the
+  * behavior the oracle SQL now encodes.
+  */
+class ForecastGapSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writeEvents(days: Seq[Int], tag: String): String = {
+    import spark.implicits._
+    val tmp = TmpDirs.create(tag)
+    val rows = for {
+      d <- days
+      i <- 0 until (3 + d % 5)
+    } yield (d * 31 + i, // event_id
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(d * 86400L + i * 60L)),
+      i % 7, Seq("view", "click", "buy")(i % 3), 1.0 + i, s"""{"k":$i}""")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("q_forecast_eval naive legs lag by day value across gaps") {
+    val days = Seq(0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 13, 14) // holes at 9, 12
+    val dir = writeEvents(days, "fgap")
+    val n = days.map(d => d -> (3L + d % 5)).toMap
+    val sorted = days.sorted
+    val scored = sorted.drop(7) // rn >= 8
+    def leg(lag: Int) = {
+      val terms = scored.filter(d => n.contains(d - lag))
+        .map(d => (n(d), math.abs(n(d) - n(d - lag))))
+      (terms.length.toLong, terms.map(_._1).sum, terms.map(_._2).sum)
+    }
+    val (e1, e7) = (leg(1), leg(7))
+    assert(e1._1 < scored.length.toLong,
+      "the gap must actually drop a lag-1 term or this test proves nothing")
+    val out = SparkEntry.queries("q_forecast_eval")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("naive_lag1") === e1)
+    assert(out("naive_lag7") === e7)
+  }
+
+  test("forecast reconcile degrades to forecast 0 instead of crashing") {
+    // <8 days: the HW frame is empty — hw.last used to throw here
+    val short = writeEvents(Seq(0, 1, 2, 3, 4), "fshort")
+    val a = SparkEntry.queries("q_events_forecast_reconcile")(spark, short).collect()
+    assert(a.nonEmpty && a.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
+    // gapped at last_day-6: the seasonal row is absent — find(...).get
+    // used to throw here
+    val gapped = writeEvents((0 to 14).filterNot(_ == 8), "fseas")
+    val b = SparkEntry.queries("q_events_forecast_reconcile")(spark, gapped).collect()
+    assert(b.nonEmpty && b.forall(r => r.getLong(2) === 0L && r.getLong(3) === 0L))
+  }
+}
+
+/** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
+  * `mm_audio_match` is now O(windows) per track, not O(samples)).
+  */
+class AudioSampledFpSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.mm.Audio
+
+  test("sampled fingerprints recover exactly the full-digest duplicate groups") {
+    val frame = Audio.dupAudioFrame(spark, Tables.documents(spark, dir))
+    val full = Audio.fingerprints(spark, frame).collect()
+      .groupBy(_.fp).values.map(_.map(_.doc_id).sorted.toSeq).toSet
+    val sampled = Audio.sampledFingerprints(spark, frame).collect()
+    val sampledGroups = sampled.groupBy(_.fp).values.map(_.map(_.doc_id).sorted.toSeq).toSet
+    assert(sampledGroups === full,
+      "byte-identical planted groups must partition identically under both digests")
+    // n_samples must come out of the header identically on both paths
+    val nFull = Audio.fingerprints(spark, frame).collect()
+      .map(r => r.doc_id -> r.n_samples).toMap
+    sampled.foreach(r => assert(r.n_samples === nFull(r.doc_id)))
+  }
+
+  test("length is part of the sampled identity; only sampled windows are") {
+    import spark.implicits._
+    val n = Audio.sampleCount(3L)
+    def wav(mut: Int => Option[Byte]): Array[Byte] = {
+      val buf = Array.tabulate(n)(i =>
+        mut(i).getOrElse(Audio.sampleValue(3L, i).toByte))
+      Audio.encodeWav(buf)
+    }
+    val starts = graft.mm.Multimodal.sampleIndices(n, 8)
+    // a byte INSIDE the first sampled window flips the fingerprint
+    val inWin = starts(0)
+    // a byte between window 0's end and window 1's start is NOT sampled
+    val outWin = starts(0) + 100
+    assert(outWin < starts(1), "mutation site must fall between windows")
+    val rows = Seq(
+      Audio.AudioRow(1L, wav(_ => None), "audio/wav"),
+      Audio.AudioRow(2L, wav(i => if (i == inWin) Some(9.toByte) else None), "audio/wav"),
+      Audio.AudioRow(3L, wav(i => if (i == outWin) Some(9.toByte) else None), "audio/wav"))
+    val fp = Audio.sampledFingerprints(spark, spark.createDataset(rows))
+      .collect().map(r => r.doc_id -> r.fp).toMap
+    assert(fp(1L) !== fp(2L), "sampled-window content is part of the identity")
+    assert(fp(1L) === fp(3L), "unsampled bytes are outside the screen identity (documented trade)")
+    // different durations never collide even when every sampled window agrees
+    val frame = Audio.dupAudioFrame(spark, Tables.documents(spark, dir))
+    val byLen = Audio.sampledFingerprints(spark, frame).collect().groupBy(_.n_samples)
+    val fpsAcrossLens = byLen.values.map(_.map(_.fp).toSet).toSeq
+    fpsAcrossLens.combinations(2).foreach { case Seq(x, y) =>
+      assert(x.intersect(y).isEmpty, "tracks of different lengths must never share a fingerprint")
+    }
+  }
+}
