@@ -2607,10 +2607,11 @@ object SparkEntry {
 
   /** Shared Gopher-gate CTE chain ending in `jk(doc_id, source,
     * n_words, n_distinct, top_word_n, dup_frac, top_word_frac,
-    * mean_word_len, symbol_ratio, keep)` — composed by the quality key
-    * and the source-LOO valuation.
+    * mean_word_len, symbol_ratio, keep)` — composed by the quality key,
+    * the source-LOO valuation, and (parameterized by source relation)
+    * the post-strip gate of the HTML pipeline.
     */
-  private val gopherKeepCtes: String = {
+  private def gopherKeepCtesFrom(rel: String): String = {
     val c = canonSql
     val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
     s"""m AS (
@@ -2621,7 +2622,7 @@ object SparkEntry {
        |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_symbols,
        |    CAST(length(text) AS BIGINT) AS n_chars,
        |    $wordsListSql AS w
-       |  FROM documents),
+       |  FROM $rel),
        |tw AS (
        |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_word_n
        |  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM m, UNNEST(m.w) AS t(g) GROUP BY doc_id, g)
@@ -2639,6 +2640,8 @@ object SparkEntry {
        |     AND top_word_frac < 0.2 AND symbol_ratio < 0.3) AS keep
        |  FROM j)""".stripMargin
   }
+
+  private val gopherKeepCtes: String = gopherKeepCtesFrom("documents")
 
   private val textGopherQualitySql =
     s"""WITH $gopherKeepCtes
@@ -16130,6 +16133,184 @@ object SparkEntry {
        |  CAST(abs_err * 1000 // GREATEST(volume, 1) AS BIGINT) AS err_pml
        |FROM legs ORDER BY model""".stripMargin
 
+  /** Deterministic markup plant shared by the HTML-pipeline keys (the
+    * `text_pii_audit` precedent: detection/stripping is exercised
+    * against doc_id-derived ground truth the oracle reproduces with
+    * string concatenation): every doc wraps in a full page skeleton —
+    * head with title + style (every 4th doc also a tracking script),
+    * nav chrome, an h1 + paragraph around the real text, every 5th doc
+    * an encoded-entity span, every 3rd an ad div, and a footer. The
+    * plant is part of the query, not the data.
+    */
+  private def htmlPlant: Column = concat(
+    lit("<html><head><title>doc "), col("doc_id").cast("string"), lit("</title>"),
+    when(col("doc_id") % 4 === 0,
+      concat(lit("<script type=\"text/javascript\">var page="),
+        col("doc_id").cast("string"), lit("; track(page);</script>")))
+      .otherwise(lit("")),
+    lit("<style>.m"), (col("doc_id") % 7).cast("string"),
+    lit("{color:#"), (col("doc_id") % 10).cast("string"), lit("00}</style></head><body>"),
+    lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about</a> menu login</nav>"),
+    lit("<h1>Document "), col("doc_id").cast("string"), lit("</h1><p>"),
+    col("text"),
+    when(col("doc_id") % 5 === 0, lit(" &amp; fish &lt;chips&gt;&nbsp;deal"))
+      .otherwise(lit("")),
+    lit("</p>"),
+    when(col("doc_id") % 3 === 0,
+      lit("<div class=\"ads\">sponsored content buy now limited offer</div>"))
+      .otherwise(lit("")),
+    lit("<footer>copyright 2026 example corp all rights reserved</footer></body></html>"))
+
+  private val htmlPlantSql: String =
+    """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+      |    || CASE WHEN doc_id % 4 = 0
+      |         THEN '<script type="text/javascript">var page=' || CAST(doc_id AS VARCHAR)
+      |           || '; track(page);</script>' ELSE '' END
+      |    || '<style>.m' || CAST(doc_id % 7 AS VARCHAR) || '{color:#'
+      |    || CAST(doc_id % 10 AS VARCHAR) || '00}</style></head><body>'
+      |    || '<nav><a href="/">home</a> <a href="/about">about</a> menu login</nav>'
+      |    || '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      |    || text
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' &amp; fish &lt;chips&gt;&nbsp;deal' ELSE '' END
+      |    || '</p>'
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN '<div class="ads">sponsored content buy now limited offer</div>' ELSE '' END
+      |    || '<footer>copyright 2026 example corp all rights reserved</footer></body></html>'"""
+      // single-line: this fragment embeds inside other stripMargin
+      // templates, where a line starting with '||' would lose a bar to
+      // the OUTER stripMargin and bind as a bitwise-or
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** The DuckDB mirror of [[text.Markup.stripHtml]] applied to column
+    * `raw`: the same chrome-container removals in the same order, tag
+    * strip, entity decode (amp last), whitespace collapse.
+    */
+  private val htmlStripSql: String = {
+    val chrome = text.Markup.ChromeTags.foldLeft("raw") { (acc, t) =>
+      s"regexp_replace($acc, '(?s)<$t[^>]*>.*?</$t>', ' ', 'g')"
+    }
+    val noAds = s"regexp_replace($chrome, '(?s)<div class=\"ads\">.*?</div>', ' ', 'g')"
+    val noTags = s"regexp_replace($noAds, '<[^>]+>', ' ', 'g')"
+    val decoded = text.Markup.Entities.foldLeft(noTags) { case (acc, (e, v)) =>
+      val rep = if (v == "'") "''" else v
+      s"replace($acc, '$e', '$rep')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** HTML/markup stripping — the missing first stage of every web-crawl
+    * corpus (r11 verdict task #1; the text family starts at clean text,
+    * but a crawl document is markup first): the planted page skeleton
+    * ([[htmlPlant]]) is stripped by [[text.Markup.stripHtml]] — chrome
+    * containers (head/script/style/nav/footer/ads) removed WITH content,
+    * tags stripped to spaces, entities decoded after tag strip,
+    * whitespace collapsed — and the key publishes the full stripped text
+    * per doc beside the raw/stripped char counts and the tag/entity
+    * audit counts, so ONE hash mismatch catches a single mis-stripped
+    * byte anywhere in the corpus. All map-side regex chains; the scan
+    * prunes to (doc_id, text).
+    */
+  private def textHtmlStrip(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("raw", htmlPlant)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        text.Markup.tagCount(col("raw")).as("n_tags"),
+        text.Markup.entityCount(col("raw")).as("n_entities"),
+        text.Markup.stripHtml(col("raw")).as("stripped"))
+      .withColumn("n_stripped", length(col("stripped")).cast("long"))
+      .orderBy("doc_id")
+
+  private val textHtmlStripSql =
+    s"""WITH p AS (SELECT doc_id, $htmlPlantSql AS raw FROM documents)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(length(raw) AS BIGINT) AS n_raw,
+       |  CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT) AS n_tags,
+       |  CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|nbsp|#39);')) AS BIGINT) AS n_entities,
+       |  $htmlStripSql AS stripped,
+       |  CAST(length($htmlStripSql) AS BIGINT) AS n_stripped
+       |FROM p ORDER BY doc_id""".stripMargin
+
+  /** Markup-incidence audit — the per-source report published beside
+    * the stripped corpus the way `text_pii_audit` sits beside the
+    * scrubber: per source, docs carrying scripts, total tags/entities
+    * DETECTED (regex counts, not plant-side constants — the operator
+    * does real detection), and the markup overhead in chars-permille
+    * (how much of the crawl bytes were chrome, the capacity number a
+    * crawl-storage planner reads). One map-side pass + one groupBy.
+    */
+  private def textMarkupAudit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("raw", htmlPlant)
+      .select(
+        col("source"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(text.Markup.stripHtml(col("raw"))).cast("long").as("n_stripped"),
+        text.Markup.tagCount(col("raw")).as("n_tags"),
+        text.Markup.entityCount(col("raw")).as("n_entities"),
+        when(instr(col("raw"), "<script") > 0, 1L).otherwise(0L).as("has_script"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("has_script").as("docs_script"),
+        sum("n_tags").as("n_tags"),
+        sum("n_entities").as("n_entities"),
+        ((sum("n_raw") - sum("n_stripped")) * 1000L).as("ovh_num"),
+        sum("n_raw").as("raw_chars"))
+      .select(col("source"), col("n_docs"), col("docs_script"),
+        col("n_tags"), col("n_entities"), col("raw_chars"),
+        expr("ovh_num div raw_chars").as("overhead_pml"))
+      .orderBy("source")
+
+  private val textMarkupAuditSql =
+    s"""WITH p AS (SELECT doc_id, source, $htmlPlantSql AS raw FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    CAST(length(raw) AS BIGINT) AS n_raw,
+       |    CAST(length($htmlStripSql) AS BIGINT) AS n_stripped,
+       |    CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT) AS n_tags,
+       |    CAST(len(regexp_extract_all(raw, '&(amp|lt|gt|quot|nbsp|#39);')) AS BIGINT) AS n_entities,
+       |    CASE WHEN position('<script' IN raw) > 0 THEN 1 ELSE 0 END AS has_script
+       |  FROM p)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(has_script) AS BIGINT) AS docs_script,
+       |  CAST(SUM(n_tags) AS BIGINT) AS n_tags,
+       |  CAST(SUM(n_entities) AS BIGINT) AS n_entities,
+       |  CAST(SUM(n_raw) AS BIGINT) AS raw_chars,
+       |  CAST((SUM(n_raw) - SUM(n_stripped)) * 1000 // SUM(n_raw) AS BIGINT) AS overhead_pml
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Strip → Gopher composition — the verdict's "done" bar for the HTML
+    * stage: the stripped output feeds the EXISTING Gopher gate
+    * ([[text.Gopher.metrics]], the `text_gopher_quality` operator,
+    * unchanged) and the per-source keep rates are oracle-gated through
+    * the same composed SQL. This is the real crawl pipeline head:
+    * raw page → main-content extraction → quality gate.
+    */
+  private def pipeHtmlGopher(s: SparkSession, dir: String): DataFrame = {
+    val stripped = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        text.Markup.stripHtml(htmlPlant).as("text"))
+    text.Gopher.metrics(stripped)
+      .select(col("doc_id"), col("keep"))
+      .join(stripped.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"))
+      .withColumn("keep_pml", expr("keeps * 1000 div docs"))
+      .orderBy("source")
+  }
+
+  private val pipeHtmlGopherSql =
+    s"""WITH p AS (SELECT doc_id, source, $htmlPlantSql AS raw FROM documents),
+       |sd AS MATERIALIZED (SELECT doc_id, source, $htmlStripSql AS text FROM p),
+       |${gopherKeepCtesFrom("sd")}
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keeps,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS keep_pml
+       |FROM jk GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16521,7 +16702,11 @@ object SparkEntry {
     "q_events_forecast_reconcile" -> (qEventsForecastReconcile _),
     "q_parts_xyz" -> (qPartsXyz _),
     "q_parts_abc_xyz" -> (qPartsAbcXyz _),
-    "q_forecast_eval" -> (qForecastEval _)
+    "q_forecast_eval" -> (qForecastEval _),
+    // R12: the HTML/boilerplate-stripping stage
+    "text_html_strip" -> (textHtmlStrip _),
+    "text_markup_audit" -> (textMarkupAudit _),
+    "pipe_html_gopher" -> (pipeHtmlGopher _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -16927,6 +17112,9 @@ object SparkEntry {
     "q_events_forecast_reconcile" -> qEventsForecastReconcileSql,
     "q_parts_xyz" -> qPartsXyzSql,
     "q_parts_abc_xyz" -> qPartsAbcXyzSql,
-    "q_forecast_eval" -> qForecastEvalSql
+    "q_forecast_eval" -> qForecastEvalSql,
+    "text_html_strip" -> textHtmlStripSql,
+    "text_markup_audit" -> textMarkupAuditSql,
+    "pipe_html_gopher" -> pipeHtmlGopherSql
   )
 }

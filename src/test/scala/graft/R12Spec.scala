@@ -352,6 +352,56 @@ class ForecastGapSpec extends AnyFunSuite {
   }
 }
 
+/** Laws of the HTML/boilerplate stripper (r11 verdict task #1 — the
+  * first stage of a web-crawl corpus): chrome containers drop WITH
+  * content, structural tags drop WITHOUT their content, and entities
+  * decode AFTER tag stripping so text that discusses markup survives.
+  */
+class MarkupSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.text.Markup
+
+  private def strip(s: String): String =
+    Seq(s).toDF("raw").select(Markup.stripHtml(col("raw"))).head().getString(0)
+
+  test("chrome containers are removed with their content; structure keeps content") {
+    val page = "<html><head><title>t</title><script>var x=1;</script></head>" +
+      "<body><nav>home about</nav><h1>Title</h1><p>real <b>content</b> here</p>" +
+      "<div class=\"ads\">buy now</div><footer>copyright</footer></body></html>"
+    assert(strip(page) === "Title real content here")
+  }
+
+  test("entities decode after tag strip — markup-discussing text survives") {
+    // a naive decode-first stripper would turn &lt;script&gt; into a tag
+    // and strip it; the pipeline order keeps it as literal text
+    assert(strip("<p>use &lt;script&gt; tags &amp; be careful</p>")
+      === "use <script> tags & be careful")
+    // double-encoded decodes ONE level (amp last), per the HTML spec
+    assert(strip("<p>&amp;lt;</p>") === "&lt;")
+  }
+
+  test("the planted page strips back to exactly the framed document text") {
+    val rows = SparkEntry.queries("text_html_strip")(spark, dir).collect()
+    val texts = Tables.documents(spark, dir).select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length === texts.size)
+    rows.foreach { r =>
+      val (id, stripped) = (r.getLong(0), r.getString(4))
+      val entity = if (id % 5 == 0) " & fish <chips> deal" else ""
+      val expected = (s"Document $id " + texts(id) + entity)
+        .replaceAll("\\s+", " ").trim
+      assert(stripped === expected, s"doc $id mis-stripped")
+      assert(r.getLong(1) > r.getLong(5), "raw must be strictly longer than stripped")
+    }
+  }
+
+  test("stripping a markup-free document is whitespace normalization only") {
+    assert(strip("plain  text   with spacing") === "plain text with spacing")
+    assert(strip("") === "")
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
