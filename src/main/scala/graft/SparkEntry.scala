@@ -16155,6 +16155,18 @@ object SparkEntry {
     col("text"),
     when(col("doc_id") % 5 === 0, lit(" &amp; fish &lt;chips&gt;&nbsp;deal"))
       .otherwise(lit("")),
+    // in-content links: every doc references /doc/((id*7+3) % 1000) —
+    // a FIXED modulus, so small corpora have dangling targets (crawl
+    // reality the link audit measures); every odd doc adds a second
+    // reference in a non-canonical URL form (uppercase path, trailing
+    // slash, tracking query) — the url-normalization fodder
+    lit(" <a href=\"/doc/"), ((col("doc_id") * 7 + 3) % 1000).cast("string"),
+    lit("\">ref "), ((col("doc_id") * 7 + 3) % 1000).cast("string"), lit("</a>"),
+    when(col("doc_id") % 2 === 1,
+      concat(lit(" <a href=\"/DOC/"), ((col("doc_id") * 13 + 5) % 1000).cast("string"),
+        lit("/?utm_source=feed\">ref "), ((col("doc_id") * 13 + 5) % 1000).cast("string"),
+        lit("</a>")))
+      .otherwise(lit("")),
     lit("</p>"),
     when(col("doc_id") % 3 === 0,
       lit("<div class=\"ads\">sponsored content buy now limited offer</div>"))
@@ -16172,6 +16184,12 @@ object SparkEntry {
       |    || '<h1>Document ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
       |    || text
       |    || CASE WHEN doc_id % 5 = 0 THEN ' &amp; fish &lt;chips&gt;&nbsp;deal' ELSE '' END
+      |    || ' <a href="/doc/' || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR)
+      |    || '">ref ' || CAST((doc_id * 7 + 3) % 1000 AS VARCHAR) || '</a>'
+      |    || CASE WHEN doc_id % 2 = 1
+      |         THEN ' <a href="/DOC/' || CAST((doc_id * 13 + 5) % 1000 AS VARCHAR)
+      |           || '/?utm_source=feed">ref ' || CAST((doc_id * 13 + 5) % 1000 AS VARCHAR) || '</a>'
+      |         ELSE '' END
       |    || '</p>'
       |    || CASE WHEN doc_id % 3 = 0
       |         THEN '<div class="ads">sponsored content buy now limited offer</div>' ELSE '' END
@@ -16310,6 +16328,146 @@ object SparkEntry {
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS keeps,
        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS keep_pml
        |FROM jk GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared content-link CTE chain for the crawl keys: hrefs extracted
+    * from the planted pages by real regex-group extraction, content
+    * links recognized case-insensitively, numeric targets parsed —
+    * ending in `cl(doc_id, source, href, t)`.
+    */
+  private val crawlLinkCtes: String =
+    s"""p AS (SELECT doc_id, source, $htmlPlantSql AS raw FROM documents),
+       |h AS (
+       |  SELECT doc_id, source, UNNEST(regexp_extract_all(raw, 'href="([^"]*)"', 1)) AS href
+       |  FROM p),
+       |cl AS (
+       |  -- TRY_CAST: the optimizer may hoist this projection above the
+       |  -- LIKE filter, where digit-free chrome hrefs extract ''
+       |  SELECT doc_id, source, href,
+       |    TRY_CAST(regexp_extract(href, '([0-9]+)', 1) AS BIGINT) AS t
+       |  FROM h WHERE lower(href) LIKE '/doc/%')""".stripMargin
+
+  /** Link extraction audit — the crawl-frontier stage that follows
+    * stripping (a crawler discovers pages through hrefs; the audit
+    * reports what the frontier would ingest): hrefs pulled from the
+    * planted pages by regex-GROUP extraction, content links (`/doc/N`,
+    * case-insensitive — the plant emits uppercase variants) separated
+    * from chrome links, numeric targets parsed, and per source the
+    * frame publishes link volume, distinct targets, and DANGLING
+    * targets (ids outside the corpus — the fixed-modulus plant
+    * guarantees some at small sf, exactly like a real frontier).
+    * Map-side extraction; one groupBy + one broadcast-sized anti-join
+    * against the corpus id set for the dangling count.
+    */
+  private def qCrawlLinks(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val hrefs = docs.withColumn("raw", htmlPlant)
+      .select(col("doc_id"), col("source"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+    val content = hrefs
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("t", regexp_extract(col("href"), "([0-9]+)", 1).cast("long"))
+    val total = hrefs.groupBy("source").agg(count(lit(1)).as("n_links"))
+    val cAgg = content.groupBy("source").agg(count(lit(1)).as("n_content_links"))
+    val tgt = content.select("source", "t").distinct()
+    val ids = docs.select(col("doc_id").cast("long").as("t"))
+    val nt = tgt.groupBy("source").agg(count(lit(1)).as("n_targets"))
+    val dang = tgt.join(ids, Seq("t"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_dangling"))
+    total.join(cAgg, "source").join(nt, "source")
+      .join(dang, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dangling"))
+      .orderBy("source")
+  }
+
+  private val qCrawlLinksSql =
+    s"""WITH $crawlLinkCtes,
+       |tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_links
+       |  FROM h GROUP BY 1),
+       |ca AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_content_links
+       |  FROM cl GROUP BY 1),
+       |tg AS (SELECT DISTINCT source, t FROM cl),
+       |nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_targets FROM tg GROUP BY 1),
+       |dg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dangling
+       |  FROM tg WHERE t NOT IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+       |  GROUP BY 1)
+       |SELECT tot.source, n_links, n_content_links, n_targets,
+       |  CAST(COALESCE(n_dangling, 0) AS BIGINT) AS n_dangling
+       |FROM tot JOIN ca USING (source) JOIN nt USING (source)
+       |LEFT JOIN dg USING (source)
+       |ORDER BY source""".stripMargin
+
+  /** Crawl-graph PageRank — the markup → link extraction → centrality
+    * composition (CommonCrawl-style pipelines rank pages/domains by
+    * link centrality as a quality prior): content links with RESOLVING
+    * targets become the doc→doc edge frame (distinct, self-loops
+    * dropped), and the proven integer fixed-point [[graph.PageRank]]
+    * runs 3 damped iterations over it. Top 20 by rank — the head a
+    * crawl prioritizer actually consumes.
+    */
+  private def qCrawlPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val ids = docs.select(col("doc_id").cast("long").as("t"))
+    val edges = docs.withColumn("raw", htmlPlant)
+      .select(col("doc_id").cast("long").as("src"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("dst", regexp_extract(col("href"), "([0-9]+)", 1).cast("long"))
+      .join(ids.withColumnRenamed("t", "dst"), Seq("dst"), "left_semi")
+      .where(col("src") =!= col("dst"))
+      .select("src", "dst").distinct()
+    graph.PageRank.run(edges, iters = 3)
+      .orderBy(desc("rank"), col("node")).limit(20)
+  }
+
+  private val qCrawlPagerankSql = {
+    val edgesCte =
+      s"""WITH $crawlLinkCtes
+         |SELECT DISTINCT CAST(doc_id AS BIGINT) AS src, t AS dst
+         |FROM cl
+         |WHERE t IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+         |  AND CAST(doc_id AS BIGINT) <> t""".stripMargin
+    s"""WITH ${graph.PageRank.oracleSql(s"($edgesCte)", iters = 3)}
+       |SELECT node, rank FROM r3
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
+  /** URL canonicalization dedup — the frontier-dedup stage a crawler
+    * runs BEFORE fetching (the same page arrives as `/doc/5`,
+    * `/DOC/5/`, and `/doc/5?utm_source=feed`; fetching all three
+    * triples the crawl): canonical form = lowercase, query string
+    * dropped, trailing slash trimmed (root `/` preserved), then the
+    * URL table groups by canonical with raw-variant and occurrence
+    * counts — exactly the `dedup_exact` posture applied to the URL
+    * space. Map-side normalization; one groupBy.
+    */
+  private def dedupUrlCanon(s: SparkSession, dir: String): DataFrame = {
+    val hrefs = Tables.documents(s, dir).withColumn("raw", htmlPlant)
+      .select(explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+    val canon0 = rtrim(substring_index(lower(col("href")), "?", 1), "/")
+    hrefs
+      .withColumn("canon", when(canon0 === "", lit("/")).otherwise(canon0))
+      .groupBy("canon")
+      .agg(countDistinct(col("href")).as("n_raw_forms"),
+        count(lit(1)).as("n_occurrences"))
+      .orderBy("canon")
+  }
+
+  private val dedupUrlCanonSql =
+    s"""WITH p AS (SELECT doc_id, $htmlPlantSql AS raw FROM documents),
+       |h AS (
+       |  SELECT UNNEST(regexp_extract_all(raw, 'href="([^"]*)"', 1)) AS href
+       |  FROM p),
+       |c AS (
+       |  SELECT href,
+       |    CASE WHEN rtrim(split_part(lower(href), '?', 1), '/') = '' THEN '/'
+       |         ELSE rtrim(split_part(lower(href), '?', 1), '/') END AS canon
+       |  FROM h)
+       |SELECT canon, CAST(COUNT(DISTINCT href) AS BIGINT) AS n_raw_forms,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   // =================== contract maps ===================
 
@@ -16706,7 +16864,10 @@ object SparkEntry {
     // R12: the HTML/boilerplate-stripping stage
     "text_html_strip" -> (textHtmlStrip _),
     "text_markup_audit" -> (textMarkupAudit _),
-    "pipe_html_gopher" -> (pipeHtmlGopher _)
+    "pipe_html_gopher" -> (pipeHtmlGopher _),
+    "q_crawl_links" -> (qCrawlLinks _),
+    "q_crawl_pagerank" -> (qCrawlPagerank _),
+    "dedup_url_canon" -> (dedupUrlCanon _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -17115,6 +17276,9 @@ object SparkEntry {
     "q_forecast_eval" -> qForecastEvalSql,
     "text_html_strip" -> textHtmlStripSql,
     "text_markup_audit" -> textMarkupAuditSql,
-    "pipe_html_gopher" -> pipeHtmlGopherSql
+    "pipe_html_gopher" -> pipeHtmlGopherSql,
+    "q_crawl_links" -> qCrawlLinksSql,
+    "q_crawl_pagerank" -> qCrawlPagerankSql,
+    "dedup_url_canon" -> dedupUrlCanonSql
   )
 }

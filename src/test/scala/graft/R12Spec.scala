@@ -389,7 +389,9 @@ class MarkupSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (id, stripped) = (r.getLong(0), r.getString(4))
       val entity = if (id % 5 == 0) " & fish <chips> deal" else ""
-      val expected = (s"Document $id " + texts(id) + entity)
+      val links = s" ref ${(id * 7 + 3) % 1000}" +
+        (if (id % 2 == 1) s" ref ${(id * 13 + 5) % 1000}" else "")
+      val expected = (s"Document $id " + texts(id) + entity + links)
         .replaceAll("\\s+", " ").trim
       assert(stripped === expected, s"doc $id mis-stripped")
       assert(r.getLong(1) > r.getLong(5), "raw must be strictly longer than stripped")
