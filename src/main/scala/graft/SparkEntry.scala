@@ -16469,6 +16469,232 @@ object SparkEntry {
        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hamming-ANN recall eval — completes the per-family eval discipline
+    * (every approximate index publishes what its approximation COSTS:
+    * lsh/multiprobe/ivf/ivfrq/pq/graph/sq/int8/matryoshka all carry
+    * recall rows; the binary-quantization family was the one without):
+    * xor+popcount top-10 over packed sign bits scored against the
+    * brute-force cosine truth, recall@10 as truncating permille per
+    * query. One equi left join + a 5-row aggregate on top of the two
+    * proven operators.
+    */
+  private def annHammingRecall(s: SparkSession, dir: String): DataFrame = {
+    val truth = ann.Ann.bruteForceTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"))
+    val approx = ann.Ann.hammingTopK(Tables.embeddings(s, dir), annQueryIds, 10)
+      .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pml", expr("n_hits * 1000 div n_truth"))
+      .orderBy("query_id")
+  }
+
+  private val annHammingRecallSql =
+    s"""WITH truth AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |approx AS (SELECT query_id, vec_id, 1 AS hit FROM ($annHammingTopkSql))
+       |SELECT truth.query_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) AS BIGINT) AS n_hits,
+       |  CAST(SUM(COALESCE(approx.hit, 0)) * 1000 // COUNT(*) AS BIGINT) AS recall_pml
+       |FROM truth LEFT JOIN approx
+       |  ON truth.query_id = approx.query_id AND truth.vec_id = approx.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Kruskal–Wallis H test — the k-group extension of
+    * `q_mannwhitney_u` (U asks "do TWO groups differ in location?"; KW
+    * asks it for ALL THREE return flags at once, the nonparametric
+    * one-way-ANOVA): the rank computation collapses to the bounded
+    * quantity VALUE GRID (≤50 rows; the U-test contract), tied average
+    * ranks carried doubled as exact integers, per-group doubled rank
+    * sums published beside the tie-corrected statistic. H is
+    * trunc-quantized once per group (rsum2²·1000 // n_g — deterministic
+    * both engines) and h_milli = 3·Σterms // (N(N+1)) − 3000(N+1);
+    * tie_cubes ships the correction factor. One map-side-combined
+    * groupBy; windows only on the grid.
+    */
+  private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_quantity").cast("long").as("v"), col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("c"))
+    val byV = g.groupBy("v").agg(sum("c").as("tv"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = byV
+      .withColumn("cum_before", coalesce(sum("tv").over(wCum), lit(0L)))
+      .withColumn("rank2", col("cum_before") * 2 + col("tv") + 1)
+    val perGroup = g.join(ranked.select("v", "rank2"), "v")
+      .groupBy("flag")
+      .agg(sum("c").as("n_g"), sum(col("c") * col("rank2")).as("rsum2_g"))
+    val totals = byV.agg(
+      sum("tv").as("n_total"),
+      sum(expr("tv * tv * tv - tv")).as("tie_cubes")).head() // 1-row grid metadata
+    val (n, tieCubes) = (totals.getLong(0), totals.getLong(1))
+    // H via the DEVIATION identity H = 3/(N(N+1))·Σ n_g·(r̄2_g−(N+1))²
+    // (doubled ranks; the r̄2 quotient trunc-quantizes identically both
+    // engines). Folded in driver BigInt over the 3-row group metadata —
+    // the squared terms overflow BIGINT at fact-table N, so the oracle
+    // mirrors in HUGEINT.
+    val terms = perGroup.collect().map { r =>
+      val (ng, rs) = (r.getLong(1), r.getLong(2))
+      BigInt(ng) * BigInt(rs / ng - (n + 1)).pow(2)
+    }.sum
+    val hMilli = (BigInt(3000) * terms / (BigInt(n) * BigInt(n + 1))).toLong
+    perGroup
+      .select(col("flag"), col("n_g"), col("rsum2_g"),
+        lit(n).as("n_total"), lit(hMilli).as("h_milli"), lit(tieCubes).as("tie_cubes"))
+      .orderBy("flag")
+  }
+
+  private val qKruskalWallisSql =
+    """WITH g AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS flag,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |bv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS tv FROM g GROUP BY 1),
+      |r AS (
+      |  SELECT v,
+      |    2 * COALESCE(SUM(tv) OVER
+      |      (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + tv + 1 AS rank2
+      |  FROM bv),
+      |pg AS (
+      |  SELECT flag, CAST(SUM(c) AS BIGINT) AS n_g,
+      |    CAST(SUM(c * rank2) AS BIGINT) AS rsum2_g
+      |  FROM g JOIN r USING (v) GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(tv) AS BIGINT) AS n_total,
+      |    CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS tie_cubes
+      |  FROM bv),
+      |tm AS (
+      |  SELECT SUM(CAST(n_g AS HUGEINT)
+      |    * (rsum2_g // n_g - (tot.n_total + 1)) * (rsum2_g // n_g - (tot.n_total + 1))) AS t
+      |  FROM pg, tot)
+      |SELECT flag, n_g, rsum2_g, tot.n_total,
+      |  CAST(3000 * tm.t // (CAST(tot.n_total AS HUGEINT) * (tot.n_total + 1)) AS BIGINT) AS h_milli,
+      |  tot.tie_cubes
+      |FROM pg, tot, tm ORDER BY flag""".stripMargin
+
+  /** One-way ANOVA F — the parametric twin read beside the rank test
+    * (KW survives outliers, F is sharper under normality; an analyst
+    * reads both): same three return-flag groups over quantity, exact
+    * integer moments (n, Σv, Σv² per group), the sum-of-squares
+    * identities SSB = Σ S_g²/n_g − S²/N and SSW = ΣQ − Σ S_g²/n_g
+    * trunc-quantized in millis (S_g²·1000 // n_g once per group), and
+    * F_milli from the df-scaled ratio. ONE map-side-combined fact
+    * groupBy; everything after is 3-row metadata.
+    */
+  private def qAnovaF(s: SparkSession, dir: String): DataFrame = {
+    val perGroup = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("l_quantity").cast("long")).as("s_g"),
+        sum(expr("cast(l_quantity as long) * cast(l_quantity as long)")).as("q_g"))
+    val t = perGroup.agg(
+      count(lit(1)).as("k"), sum("n_g").as("n"), sum("s_g").as("s"),
+      sum("q_g").as("q"), sum(expr("s_g * s_g * 1000 div n_g")).as("terms"))
+      .head() // 3-group metadata
+    val (k, n, sSum, q, terms) =
+      (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4))
+    val ssbM = terms - sSum * sSum * 1000L / n
+    val sswM = q * 1000L - terms
+    // df-scaled ratio in BigInt: ssb·(n−k)·1000 overflows BIGINT at
+    // fact-table n, so the oracle mirrors this product in HUGEINT
+    val fMilli = if (sswM <= 0 || ssbM < 0 || k <= 1 || n <= k) 0L
+      else (BigInt(ssbM) * (n - k) * 1000 / (BigInt(sswM) * (k - 1))).toLong
+    perGroup
+      .select(col("flag"), col("n_g"), col("s_g"), col("q_g"),
+        lit(ssbM).as("ssb_milli"), lit(sswM).as("ssw_milli"),
+        lit(fMilli).as("f_milli"),
+        lit(k - 1).as("df_between"), lit(n - k).as("df_within"))
+      .orderBy("flag")
+  }
+
+  private val qAnovaFSql =
+    """WITH pg AS (
+      |  SELECT l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n_g,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_g,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_g
+      |  FROM lineitem GROUP BY 1),
+      |t AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
+      |    CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(q_g) AS BIGINT) AS q,
+      |    CAST(SUM(s_g * s_g * 1000 // n_g) AS BIGINT) AS terms
+      |  FROM pg),
+      |f AS (
+      |  SELECT k, n,
+      |    CAST(terms - s * s * 1000 // n AS BIGINT) AS ssb_milli,
+      |    CAST(q * 1000 - terms AS BIGINT) AS ssw_milli
+      |  FROM t)
+      |SELECT flag, n_g, s_g, q_g, f.ssb_milli, f.ssw_milli,
+      |  CAST(CASE WHEN f.ssw_milli <= 0 OR f.ssb_milli < 0 OR f.k <= 1 OR f.n <= f.k THEN 0
+      |    ELSE CAST(f.ssb_milli AS HUGEINT) * (f.n - f.k) * 1000
+      |      // (CAST(f.ssw_milli AS HUGEINT) * (f.k - 1)) END AS BIGINT) AS f_milli,
+      |  CAST(f.k - 1 AS BIGINT) AS df_between,
+      |  CAST(f.n - f.k AS BIGINT) AS df_within
+      |FROM pg, f ORDER BY flag""".stripMargin
+
+  /** Winsorized robust mean — the outlier-clamped KPI read (a few
+    * mis-keyed prices shift a plain mean; the p05/p95-clamped mean is
+    * the standard robust alternative, read beside the MAD gate): per
+    * return flag, the exact p05/p95 ORDER STATISTICS come off the
+    * (flag × price) value grid (the `q_weighted_median` window
+    * contract — windows on grids, never fact rows; k = ⌈q·n⌉ via
+    * integer ceiling), values clamp to [lo, hi], and the raw vs
+    * winsorized milli-cent means publish side by side. One fact
+    * groupBy to the grid; everything after is grid-sized.
+    */
+  private def qWinsorizedStats(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        cents(col("l_extendedprice")).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("flag").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("cum", sum("c").over(wCum))
+    val n = g.groupBy("flag").agg(sum("c").as("n"), sum(col("v") * col("c")).as("s_raw"))
+    val bounds = cum.join(n, "flag")
+      .groupBy("flag")
+      .agg(min(when(col("cum") >= expr("(n * 5 + 99) div 100"), col("v"))).as("lo"),
+        min(when(col("cum") >= expr("(n * 95 + 99) div 100"), col("v"))).as("hi"))
+    g.join(bounds, "flag").join(n, "flag")
+      .withColumn("w", greatest(least(col("v"), col("hi")), col("lo")) * col("c"))
+      .groupBy("flag")
+      .agg(first("n").as("n"), first("lo").as("lo"), first("hi").as("hi"),
+        first("s_raw").as("s_raw"), sum("w").as("s_win"))
+      .select(col("flag"), col("n"), col("lo"), col("hi"),
+        expr("s_raw * 1000 div n").as("mean_raw_milli"),
+        expr("s_win * 1000 div n").as("mean_win_milli"))
+      .orderBy("flag")
+  }
+
+  private val qWinsorizedStatsSql =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |cm AS (
+      |  SELECT flag, v, c,
+      |    SUM(c) OVER (PARTITION BY flag ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM g),
+      |nn AS (
+      |  SELECT flag, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(v * c) AS BIGINT) AS s_raw
+      |  FROM g GROUP BY 1),
+      |b AS (
+      |  SELECT cm.flag,
+      |    CAST(MIN(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS BIGINT) AS lo,
+      |    CAST(MIN(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS BIGINT) AS hi
+      |  FROM cm JOIN nn ON cm.flag = nn.flag GROUP BY 1)
+      |SELECT g.flag, nn.n, b.lo, b.hi,
+      |  CAST(nn.s_raw * 1000 // nn.n AS BIGINT) AS mean_raw_milli,
+      |  CAST(SUM(GREATEST(LEAST(v, b.hi), b.lo) * c) * 1000 // nn.n AS BIGINT) AS mean_win_milli
+      |FROM g JOIN b ON g.flag = b.flag JOIN nn ON g.flag = nn.flag
+      |GROUP BY g.flag, nn.n, b.lo, b.hi, nn.s_raw
+      |ORDER BY g.flag""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -16867,7 +17093,11 @@ object SparkEntry {
     "pipe_html_gopher" -> (pipeHtmlGopher _),
     "q_crawl_links" -> (qCrawlLinks _),
     "q_crawl_pagerank" -> (qCrawlPagerank _),
-    "dedup_url_canon" -> (dedupUrlCanon _)
+    "dedup_url_canon" -> (dedupUrlCanon _),
+    "ann_hamming_recall" -> (annHammingRecall _),
+    "q_kruskal_wallis" -> (qKruskalWallis _),
+    "q_anova_f" -> (qAnovaF _),
+    "q_winsorized_stats" -> (qWinsorizedStats _)
   )
 
   /** DuckDB-equivalent SQL per query — as of round 4 EVERY query has an
@@ -17279,6 +17509,10 @@ object SparkEntry {
     "pipe_html_gopher" -> pipeHtmlGopherSql,
     "q_crawl_links" -> qCrawlLinksSql,
     "q_crawl_pagerank" -> qCrawlPagerankSql,
-    "dedup_url_canon" -> dedupUrlCanonSql
+    "dedup_url_canon" -> dedupUrlCanonSql,
+    "ann_hamming_recall" -> annHammingRecallSql,
+    "q_kruskal_wallis" -> qKruskalWallisSql,
+    "q_anova_f" -> qAnovaFSql,
+    "q_winsorized_stats" -> qWinsorizedStatsSql
   )
 }

@@ -404,6 +404,98 @@ class MarkupSpec extends AnyFunSuite {
   }
 }
 
+/** Driver-Scala replays for the R12 statistics keys: Kruskal–Wallis H,
+  * one-way ANOVA F, and the winsorized means recompute from raw rows
+  * with plain HashMaps and BigInt arithmetic.
+  */
+class StatsReplaySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val rows: Seq[(Long, String)] =
+    Tables.lineitem(spark, dir)
+      .select(col("l_quantity").cast("long"), col("l_returnflag"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  test("q_kruskal_wallis replays from raw rows") {
+    val out = SparkEntry.queries("q_kruskal_wallis")(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val n = rows.size.toLong
+    val byV = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rank2 = {
+      var cum = 0L
+      byV.toSeq.sortBy(_._1).map { case (v, tv) =>
+        val r = cum * 2 + tv + 1; cum += tv; v -> r
+      }.toMap
+    }
+    val groups = rows.groupBy(_._2).view.mapValues { g =>
+      (g.size.toLong, g.map(x => rank2(x._1)).sum)
+    }.toMap
+    val terms = groups.values.map { case (ng, rs) =>
+      BigInt(ng) * BigInt(rs / ng - (n + 1)).pow(2)
+    }.sum
+    val h = (BigInt(3000) * terms / (BigInt(n) * BigInt(n + 1))).toLong
+    val ties = byV.values.map(t => t * t * t - t).sum
+    out.foreach { case (flag, (ng, rs, nTot, hM, tc)) =>
+      assert((ng, rs) === groups(flag))
+      assert(nTot === n && hM === h && tc === ties)
+    }
+    assert(h >= 0L)
+  }
+
+  test("q_anova_f replays from raw rows") {
+    val out = SparkEntry.queries("q_anova_f")(spark, dir).collect()
+    val groups = rows.groupBy(_._2).view.mapValues { g =>
+      (g.size.toLong, g.map(_._1).sum, g.map(x => x._1 * x._1).sum)
+    }.toMap
+    val k = groups.size.toLong
+    val n = rows.size.toLong
+    val s = groups.values.map(_._2).sum
+    val q = groups.values.map(_._3).sum
+    val terms = groups.values.map { case (ng, sg, _) => sg * sg * 1000L / ng }.sum
+    val ssb = terms - s * s * 1000L / n
+    val ssw = q * 1000L - terms
+    val f = (BigInt(ssb) * (n - k) * 1000 / (BigInt(ssw) * (k - 1))).toLong
+    out.foreach { r =>
+      val (ng, sg, qg) = groups(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((ng, sg, qg)))
+      assert(r.getLong(4) === ssb && r.getLong(5) === ssw && r.getLong(6) === f)
+      assert(r.getLong(7) === k - 1 && r.getLong(8) === n - k)
+    }
+    assert(ssb >= 0 && ssw > 0)
+  }
+
+  test("q_winsorized_stats clamps at exact order statistics") {
+    val priced = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val out = SparkEntry.queries("q_winsorized_stats")(spark, dir).collect()
+    out.foreach { r =>
+      val flag = r.getString(0)
+      val vs = priced.filter(_._1 == flag).map(_._2).sorted
+      val n = vs.length.toLong
+      val lo = vs(((n * 5 + 99) / 100 - 1).toInt)
+      val hi = vs(((n * 95 + 99) / 100 - 1).toInt)
+      assert(r.getLong(1) === n && r.getLong(2) === lo && r.getLong(3) === hi)
+      val rawMean = vs.sum * 1000L / n
+      val winMean = vs.map(v => math.max(lo, math.min(hi, v))).sum * 1000L / n
+      assert(r.getLong(4) === rawMean && r.getLong(5) === winMean)
+      // clamping can only pull the mean INTO [lo, hi]·1000
+      assert(r.getLong(5) >= lo * 1000L && r.getLong(5) <= hi * 1000L)
+    }
+  }
+
+  test("ann_hamming_recall is a lawful recall frame") {
+    val out = SparkEntry.queries("ann_hamming_recall")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) === 10L, "truth depth is 10")
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= 10L)
+      assert(r.getLong(3) === r.getLong(2) * 1000L / r.getLong(1))
+    }
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
