@@ -16695,6 +16695,249 @@ object SparkEntry {
       |GROUP BY g.flag, nn.n, b.lo, b.hi, nn.s_raw
       |ORDER BY g.flag""".stripMargin
 
+  /** Croston intermittent-demand forecast — the forecaster for the
+    * series the XYZ classification flags as lumpy (`q_parts_xyz` says
+    * WHICH parts are unpredictable; Croston 1972 is the standard method
+    * FOR them: smooth demand SIZE and demand INTERVAL separately, rate
+    * = size/interval — a plain EWMA systematically lags zero-heavy
+    * series): per part the monthly demand events fold in order with
+    * α=1/2 integer recursions (z = (z+d)/2 on event, interval estimate
+    * seeded from the first observed gap), publishing the final state +
+    * the demand rate permille. One fact groupBy to the (part, month)
+    * grid, then per-part BOUNDED month-series folds (the Holt
+    * contract); the oracle replays the recursion as a per-part
+    * recursive CTE.
+    */
+  private def qPartsCroston(s: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").cast("long").as("p"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"))
+      .agg(sum(col("l_quantity").cast("long")).as("d"))
+    pm.groupBy("p")
+      .agg(sort_array(collect_list(struct(col("mi"), col("d")))).as("md"))
+      .where(size(col("md")) >= 3)
+      .withColumn("st", expr(
+        """aggregate(slice(md, 2, size(md) - 1),
+          |  named_struct('z', element_at(md, 1).d, 'iv', CAST(0 AS BIGINT),
+          |    'last', element_at(md, 1).mi, 'k', CAST(1 AS BIGINT)),
+          |  (st, e) -> named_struct(
+          |    'z', (st.z + e.d) div 2,
+          |    'iv', CASE WHEN st.k = 1 THEN e.mi - st.last
+          |               ELSE (st.iv + (e.mi - st.last)) div 2 END,
+          |    'last', e.mi,
+          |    'k', st.k + 1))""".stripMargin))
+      .select(col("p"), size(col("md")).cast("long").as("n_demands"),
+        col("st.z").as("z_final"), col("st.iv").as("iv_final"),
+        expr("st.z * 1000 div greatest(st.iv, 1L)").as("rate_pml"))
+      .orderBy("p")
+  }
+
+  private val qPartsCrostonSql =
+    """WITH pm AS (
+      |  SELECT CAST(l_partkey AS BIGINT) AS p,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS d
+      |  FROM lineitem GROUP BY 1, 2),
+      |o AS MATERIALIZED (
+      |  SELECT p, mi, d,
+      |    CAST(row_number() OVER (PARTITION BY p ORDER BY mi) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY p) AS BIGINT) AS nd
+      |  FROM pm),
+      |f AS MATERIALIZED (SELECT * FROM o WHERE nd >= 3),
+      |r AS (
+      |  WITH RECURSIVE cr(p, rn, z, iv, last) AS (
+      |    SELECT p, rn, d, CAST(0 AS BIGINT), mi FROM f WHERE rn = 1
+      |    UNION ALL
+      |    SELECT f.p, f.rn,
+      |      (cr.z + f.d) // 2,
+      |      CASE WHEN cr.rn = 1 THEN f.mi - cr.last
+      |           ELSE (cr.iv + (f.mi - cr.last)) // 2 END,
+      |      f.mi
+      |    FROM cr JOIN f ON f.p = cr.p AND f.rn = cr.rn + 1)
+      |  SELECT p, rn, z, iv FROM cr)
+      |SELECT f.p, f.nd AS n_demands, r.z AS z_final, r.iv AS iv_final,
+      |  CAST(r.z * 1000 // GREATEST(r.iv, 1) AS BIGINT) AS rate_pml
+      |FROM r JOIN (SELECT DISTINCT p, nd FROM f) f ON r.p = f.p AND r.rn = f.nd
+      |ORDER BY f.p""".stripMargin
+
+  /** Temperature-ANNEALED mixing schedule — the multi-epoch upgrade of
+    * `samp_temperature` (one τ flattens source shares once; real
+    * curricula ANNEAL: early epochs sample proportionally, later epochs
+    * flatten toward balance): per epoch the per-source token budgets at
+    * τ ∈ {1.0, 0.5, 0.25}, with the weight pow(share, τ) computed as
+    * {identity, sqrt, sqrt∘sqrt} — each IEEE-correctly-rounded in both
+    * engines, where a general pow() is not cross-engine bit-stable.
+    * Driver math on the bounded per-source totals; budgets floor to
+    * integers with the exact float-op order the oracle mirrors.
+    */
+  private def pipeMixSchedule(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val totals = Tables.documents(s, dir)
+      .groupBy("source").agg(sum(text.Text.wordCount(col("text"))).as("t"))
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> r.getLong(1)) // bounded: one row per source
+    val grand = totals.map(_._2).sum
+    val rows = Seq((1L, 1.0, (x: Double) => x),
+      (2L, 0.5, (x: Double) => math.sqrt(x)),
+      (3L, 0.25, (x: Double) => math.sqrt(math.sqrt(x)))).flatMap {
+      case (epoch, tau, f) =>
+        val w = totals.map { case (src, t) => src -> f(t.toDouble / grand) }
+        val z = w.map(_._2).foldLeft(0.0)(_ + _)
+        w.map { case (src, wi) =>
+          val budget = math.floor((wi / z) * (0.5 * grand.toDouble)).toLong
+          (epoch, (tau * 1000).toLong, src,
+            totals.find(_._1 == src).get._2, budget)
+        }
+    }
+    rows.toDF("epoch", "tau_pml", "source", "total_toks", "budget_toks")
+      .orderBy("epoch", "source")
+  }
+
+  private val pipeMixScheduleSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    def wCtes(i: Int, wExpr: String) =
+      s"""w$i AS (SELECT source, st, gt, $wExpr AS w FROM tot, g),
+         |z$i AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |  list(w ORDER BY source)), (a, b) -> a + b) AS z FROM w$i)""".stripMargin
+    def leg(i: Int, epoch: Int, tauPml: Int) =
+      s"""SELECT CAST($epoch AS BIGINT) AS epoch, CAST($tauPml AS BIGINT) AS tau_pml,
+         |  source, st AS total_toks,
+         |  CAST(floor((w / z$i.z) * (CAST(0.5 AS DOUBLE) * CAST(gt AS DOUBLE))) AS BIGINT) AS budget_toks
+         |FROM w$i, z$i""".stripMargin
+    s"""WITH t AS (
+       |  SELECT source, doc_id, CAST($wcSql AS BIGINT) AS toks FROM documents),
+       |tot AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS st FROM t GROUP BY 1),
+       |g AS (SELECT CAST(SUM(st) AS BIGINT) AS gt FROM tot),
+       |${wCtes(1, "(CAST(st AS DOUBLE) / gt)")},
+       |${wCtes(2, "sqrt(CAST(st AS DOUBLE) / gt)")},
+       |${wCtes(3, "sqrt(sqrt(CAST(st AS DOUBLE) / gt))")}
+       |${leg(1, 1, 1000)}
+       |UNION ALL
+       |${leg(2, 2, 500)}
+       |UNION ALL
+       |${leg(3, 3, 250)}
+       |ORDER BY epoch, source""".stripMargin
+  }
+
+  /** Curriculum phase plan — data ORDERING for training (easy→hard
+    * curricula present short-word text first; the plan is the artifact
+    * the shard writer consumes): difficulty = mean word length in milli
+    * (exact integer division), phase boundaries = the exact quartile
+    * ORDER STATISTICS off the difficulty value grid (the winsorize/
+    * weighted-median window contract — windows on grids, never fact
+    * rows), docs classify by threshold comparison, and each phase
+    * publishes its doc/token mass and difficulty range. One corpus
+    * pass to the grid + one classify pass.
+    */
+  private def pipeCurriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val wc = text.Text.wordCount(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        wc.as("n_words"),
+        length(replace(text.Text.canon(col("text")), lit(" "), lit(""))).cast("long").as("n_chars"))
+      .where(col("n_words") > 0)
+      .withColumn("diff_m", expr("n_chars * 1000 div n_words"))
+    val g = base.groupBy("diff_m").agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("diff_m").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = g.withColumn("cum", sum("c").over(wCum))
+    val n = base.count()
+    def thr(q: Int) = cum.where(col("cum") >= (n * q + 99) / 100)
+      .agg(min("diff_m")).head().getLong(0) // grid-metadata collect
+    val (t25, t50, t75) = (thr(25), thr(50), thr(75))
+    base
+      .withColumn("phase",
+        lit(1L) + when(col("diff_m") > t25, 1L).otherwise(0L)
+          + when(col("diff_m") > t50, 1L).otherwise(0L)
+          + when(col("diff_m") > t75, 1L).otherwise(0L))
+      .groupBy("phase")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("tokens"),
+        min("diff_m").as("min_diff_m"), max("diff_m").as("max_diff_m"))
+      .orderBy("phase")
+  }
+
+  private val pipeCurriculumOrderSql = {
+    val c = canonSql
+    val wcSql = s"CASE WHEN length($c) = 0 THEN 0 ELSE length($c) - length(replace($c, ' ', '')) + 1 END"
+    s"""WITH b AS (
+       |  SELECT doc_id, CAST($wcSql AS BIGINT) AS n_words,
+       |    CAST(length(replace($c, ' ', '')) AS BIGINT) AS n_chars
+       |  FROM documents),
+       |d AS MATERIALIZED (
+       |  SELECT doc_id, n_words, n_chars * 1000 // n_words AS diff_m
+       |  FROM b WHERE n_words > 0),
+       |g AS (SELECT diff_m, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY 1),
+       |cm AS (
+       |  SELECT diff_m,
+       |    SUM(c) OVER (ORDER BY diff_m
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM g),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+       |th AS (
+       |  SELECT
+       |    MIN(CASE WHEN cum >= (n * 25 + 99) // 100 THEN diff_m END) AS t25,
+       |    MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN diff_m END) AS t50,
+       |    MIN(CASE WHEN cum >= (n * 75 + 99) // 100 THEN diff_m END) AS t75
+       |  FROM cm, nn)
+       |SELECT
+       |  CAST(1 + CASE WHEN diff_m > t25 THEN 1 ELSE 0 END
+       |    + CASE WHEN diff_m > t50 THEN 1 ELSE 0 END
+       |    + CASE WHEN diff_m > t75 THEN 1 ELSE 0 END AS BIGINT) AS phase,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_words) AS BIGINT) AS tokens,
+       |  CAST(MIN(diff_m) AS BIGINT) AS min_diff_m,
+       |  CAST(MAX(diff_m) AS BIGINT) AS max_diff_m
+       |FROM d, th GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Matched-model unit-value price index — the month-over-month
+    * inflation read a retail KPI board carries: per consecutive month
+    * pair, the MATCHED part set (parts shipping in BOTH months — price
+    * change is only meaningful on a constant basket), unit values
+    * Σrev/Σqty in milli-cents, index_pml = uv_m·1000/uv_prev. One fact
+    * scan to the (part, month) grid; the pairing is a grid self-join on
+    * month+1, everything month-keyed metadata after.
+    */
+  private def qPriceIndex(s: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").cast("long").as("p"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long").as("mi"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"),
+        sum(cents(col("l_extendedprice"))).as("rev"))
+    val pair = pm.as("cur")
+      .join(pm.as("prv"),
+        col("cur.p") === col("prv.p") && col("cur.mi") === col("prv.mi") + 1)
+      .groupBy(col("cur.mi").as("mi"))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("cur.qty")).as("qty_m"), sum(col("cur.rev")).as("rev_m"),
+        sum(col("prv.qty")).as("qty_p"), sum(col("prv.rev")).as("rev_p"))
+    pair
+      .withColumn("uv_milli", expr("rev_m * 1000 div qty_m"))
+      .withColumn("uv_prev_milli", expr("rev_p * 1000 div qty_p"))
+      .withColumn("index_pml", expr("(rev_m * 1000 div qty_m) * 1000 div (rev_p * 1000 div qty_p)"))
+      .select("mi", "n_matched", "qty_m", "rev_m", "uv_milli", "uv_prev_milli", "index_pml")
+      .orderBy("mi")
+  }
+
+  private val qPriceIndexSql =
+    s"""WITH pm AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS p,
+       |    CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+       |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+       |    CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS rev
+       |  FROM lineitem GROUP BY 1, 2),
+       |pair AS (
+       |  SELECT cur.mi AS mi, CAST(COUNT(*) AS BIGINT) AS n_matched,
+       |    CAST(SUM(cur.qty) AS BIGINT) AS qty_m, CAST(SUM(cur.rev) AS BIGINT) AS rev_m,
+       |    CAST(SUM(prv.qty) AS BIGINT) AS qty_p, CAST(SUM(prv.rev) AS BIGINT) AS rev_p
+       |  FROM pm cur JOIN pm prv ON cur.p = prv.p AND cur.mi = prv.mi + 1
+       |  GROUP BY 1)
+       |SELECT mi, n_matched, qty_m, rev_m,
+       |  CAST(rev_m * 1000 // qty_m AS BIGINT) AS uv_milli,
+       |  CAST(rev_p * 1000 // qty_p AS BIGINT) AS uv_prev_milli,
+       |  CAST((rev_m * 1000 // qty_m) * 1000 // (rev_p * 1000 // qty_p) AS BIGINT) AS index_pml
+       |FROM pair ORDER BY mi""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17095,6 +17338,10 @@ object SparkEntry {
     "q_crawl_pagerank" -> (qCrawlPagerank _),
     "dedup_url_canon" -> (dedupUrlCanon _),
     "ann_hamming_recall" -> (annHammingRecall _),
+    "q_parts_croston" -> (qPartsCroston _),
+    "pipe_mix_schedule" -> (pipeMixSchedule _),
+    "pipe_curriculum_order" -> (pipeCurriculumOrder _),
+    "q_price_index" -> (qPriceIndex _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -17511,6 +17758,10 @@ object SparkEntry {
     "q_crawl_pagerank" -> qCrawlPagerankSql,
     "dedup_url_canon" -> dedupUrlCanonSql,
     "ann_hamming_recall" -> annHammingRecallSql,
+    "q_parts_croston" -> qPartsCrostonSql,
+    "pipe_mix_schedule" -> pipeMixScheduleSql,
+    "pipe_curriculum_order" -> pipeCurriculumOrderSql,
+    "q_price_index" -> qPriceIndexSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql

@@ -496,6 +496,98 @@ class StatsReplaySpec extends AnyFunSuite {
   }
 }
 
+/** Driver-Scala replays for the R12 forecasting/pipeline wave. */
+class CrostonMixSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("q_parts_croston replays the size/interval recursion from raw rows") {
+    val pm = Tables.lineitem(spark, dir)
+      .select(col("l_partkey").cast("long"),
+        (year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long"),
+        col("l_quantity").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = pm.groupBy(_._1).view.mapValues { rows =>
+      rows.groupBy(_._2).toSeq.map { case (mi, g) => (mi, g.map(_._3).sum) }.sortBy(_._1)
+    }.toMap
+    val out = SparkEntry.queries("q_parts_croston")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val series = byPart(r.getLong(0))
+      assert(series.length >= 3 && r.getLong(1) === series.length.toLong)
+      var z = series.head._2
+      var iv = 0L
+      var last = series.head._1
+      series.drop(1).zipWithIndex.foreach { case ((mi, d), i) =>
+        z = (z + d) / 2
+        iv = if (i == 0) mi - last else (iv + (mi - last)) / 2
+        last = mi
+      }
+      assert(r.getLong(2) === z && r.getLong(3) === iv)
+      assert(r.getLong(4) === z * 1000 / math.max(iv, 1L))
+    }
+  }
+
+  test("pipe_mix_schedule anneals toward balance across epochs") {
+    val out = SparkEntry.queries("pipe_mix_schedule")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(4)))
+    val epochs = out.groupBy(_._1)
+    assert(epochs.keySet === Set(1L, 2L, 3L))
+    // epoch 1 (tau=1) is proportional: budget ≈ total/2 (floor)
+    epochs(1L).foreach { case (_, _, tot, b) =>
+      assert(math.abs(b - tot / 2) <= 1L, "tau=1 must be proportional")
+    }
+    // annealing flattens: the budget SPREAD across sources shrinks
+    def spread(e: Long): Long = {
+      val bs = epochs(e).map(_._4)
+      bs.max - bs.min
+    }
+    assert(spread(1L) >= spread(2L) && spread(2L) >= spread(3L),
+      "lower tau must flatten the budget allocation")
+    // each epoch's budgets respect the half-corpus budget
+    val grand = epochs(1L).map(_._3).sum
+    epochs.values.foreach { rows =>
+      assert(rows.map(_._4).sum <= grand / 2 + rows.size)
+    }
+  }
+
+  test("pipe_curriculum_order phases cover every countable doc with monotone ranges") {
+    val out = SparkEntry.queries("pipe_curriculum_order")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.map(_._1).toSeq === out.map(_._1).toSeq.sorted)
+    val totalDocs = out.map(_._2).sum
+    val withWords = Tables.documents(spark, dir)
+      .where(graft.text.Text.wordCount(col("text")) > 0).count()
+    assert(totalDocs === withWords, "every doc with words lands in exactly one phase")
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._4, "phase difficulty ranges must not interleave")
+      case _ => ()
+    }
+  }
+
+  test("q_price_index replays one month pair from the raw grid") {
+    val out = SparkEntry.queries("q_price_index")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val pm = Tables.lineitem(spark, dir)
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate"))).cast("long"),
+        col("l_partkey").cast("long"), col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val grid = pm.groupBy(x => (x._1, x._2)).view
+      .mapValues(g => (g.map(_._3).sum, g.map(_._4).sum)).toMap
+    val mid = out(out.length / 2)
+    val mi = mid.getLong(0)
+    val matched = grid.keySet.filter(_._1 == mi).map(_._2)
+      .intersect(grid.keySet.filter(_._1 == mi - 1).map(_._2))
+    assert(mid.getLong(1) === matched.size.toLong)
+    val (qm, rm) = matched.toSeq.map(p => grid((mi, p))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    val (qp, rp) = matched.toSeq.map(p => grid((mi - 1, p))).reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(mid.getLong(2) === qm && mid.getLong(3) === rm)
+    assert(mid.getLong(4) === rm * 1000 / qm)
+    assert(mid.getLong(5) === rp * 1000 / qp)
+    assert(mid.getLong(6) === (rm * 1000 / qm) * 1000 / (rp * 1000 / qp))
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
