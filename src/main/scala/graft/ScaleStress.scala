@@ -100,7 +100,14 @@ object ScaleStress {
       "text_source_jsd", "samp_systematic", "mm_contrast_stretch",
       // R11 wave G: MoR read = two broadcast anti/semi joins against the
       // tiny DV; allocation eval runs on the |strata| frame
-      "snk_merge_on_read", "samp_allocation_eval")
+      "snk_merge_on_read", "samp_allocation_eval",
+      // R12 wave: the HTML/crawl family is map-side regex chains + one
+      // groupBy each; crawl pagerank joins the (≤1000-node, fixed-
+      // modulus) link graph 3×; url dedup groups the URL space; mix
+      // schedule/curriculum run on source/grid metadata after one pass
+      "text_html_strip", "text_markup_audit", "pipe_html_gopher",
+      "q_crawl_links", "q_crawl_pagerank", "dedup_url_canon",
+      "pipe_mix_schedule", "pipe_curriculum_order")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops (skew-guard assertions and the events/graph legs still
     // run — they are cheap and the guards must never be skippable)

@@ -16938,6 +16938,201 @@ object SparkEntry {
        |  CAST((rev_m * 1000 // qty_m) * 1000 // (rev_p * 1000 // qty_p) AS BIGINT) AS index_pml
        |FROM pair ORDER BY mi""".stripMargin
 
+  /** Label-FILTERED ANN — the metadata-constrained vector search every
+    * production store serves ("nearest neighbors WHERE label = X"): the
+    * filter applies BEFORE ranking (pre-filtering — the correct
+    * semantics; post-filtering a generic top-k loses recall whenever
+    * the constraint is selective), via a LABEL-equality hash join of
+    * the corpus against the broadcast query set, so the plan is a pure
+    * equi-join + per-query top-5. Published beside each result row:
+    * how many of the UNFILTERED top-10 happen to satisfy the filter —
+    * the post-filter yield that quantifies exactly why pre-filtering
+    * is worth its plumbing (yield < 5 means a post-filter at k=10
+    * would return FEWER than the asked-for 5).
+    */
+  private def annFilteredTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.where(col("vec_id").isInCollection(annQueryIds))
+      .select(col("vec_id").as("query_id"), col("label").cast("long").as("qlabel"),
+        vec.Vec.quantize(col("embedding")).as("qv"))
+    val corpus = emb.select(col("vec_id"), col("label").cast("long").as("clabel"),
+      vec.Vec.quantize(col("embedding")).as("cv"))
+    val scored = corpus
+      .join(broadcast(q), col("clabel") === col("qlabel") && col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("qlabel").as("label"), col("vec_id"),
+        round(vec.Vec.cosineQ(col("qv"), col("cv")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), col("vec_id"))
+    val top5 = scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+    val labels = emb.select(col("vec_id"), col("label").cast("long").as("clabel"))
+    val yield10 = ann.Ann.bruteForceTopK(emb, annQueryIds, 10)
+      .join(labels, "vec_id")
+      .join(broadcast(q.select("query_id", "qlabel")), "query_id")
+      .groupBy("query_id")
+      .agg(sum(when(col("clabel") === col("qlabel"), 1L).otherwise(0L)).as("postfilter_yield10"))
+    top5.join(broadcast(yield10), "query_id")
+      .select("query_id", "label", "vec_id", "cosine", "rnk", "postfilter_yield10")
+      .orderBy("query_id", "rnk")
+  }
+
+  private val annFilteredTopkSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, q,
+       |    CAST(list_sum(list_transform(list_zip(q, q), p -> p[1]*p[2])) AS BIGINT) AS nrm
+       |  FROM e),
+       |s AS (
+       |  SELECT qs.vec_id AS query_id, qs.label AS label, cs.vec_id AS vec_id,
+       |    round(CASE WHEN qs.nrm * cs.nrm = 0 THEN 0.0
+       |      ELSE CAST(CAST(list_sum(list_transform(list_zip(qs.q, cs.q), p -> p[1]*p[2])) AS BIGINT) AS DOUBLE)
+       |           / sqrt(CAST(qs.nrm * cs.nrm AS DOUBLE)) END, 6) AS cosine
+       |  FROM n qs JOIN n cs ON cs.label = qs.label AND cs.vec_id <> qs.vec_id
+       |  WHERE qs.vec_id IN (${annQueryIds.mkString(", ")})),
+       |r AS (
+       |  SELECT query_id, label, vec_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rnk
+       |  FROM s),
+       |bt AS (SELECT query_id, vec_id FROM (${bruteforceRankSql(10)})),
+       |y AS (
+       |  SELECT bt.query_id,
+       |    CAST(SUM(CASE WHEN ce.label = qe.label THEN 1 ELSE 0 END) AS BIGINT) AS postfilter_yield10
+       |  FROM bt JOIN e ce ON bt.vec_id = ce.vec_id
+       |  JOIN e qe ON bt.query_id = qe.vec_id
+       |  GROUP BY 1)
+       |SELECT r.query_id, r.label, r.vec_id, r.cosine, r.rnk, y.postfilter_yield10
+       |FROM r JOIN y ON r.query_id = y.query_id
+       |WHERE r.rnk <= 5
+       |ORDER BY r.query_id, r.rnk""".stripMargin
+
+  /** Event-pattern detection with a NEGATIVE condition — the CEP /
+    * MATCH_RECOGNIZE shape the funnel family can't express (funnels
+    * count ordered stage PRESENCE; real patterns also require the
+    * ABSENCE of an event between stages): a purchase MATCHES when the
+    * same user's most recent prior view is within 30 minutes AND no
+    * error fired between that view and the purchase. Running
+    * last-view/last-error timestamps via KEYED windows (user-
+    * partitioned, (ts, event_id)-ordered — never a global sort), so
+    * the whole operator is one shuffle by user. Per-user match counts
+    * published.
+    */
+  private def qEventsPattern(s: SparkSession, dir: String): DataFrame = {
+    val win = 30L * 60L * 1000000000L
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts_ns"))
+      .withColumn("last_view", max(when(col("event_type") === "view", col("ts_ns"))).over(w))
+      .withColumn("last_error", max(when(col("event_type") === "error", col("ts_ns"))).over(w))
+      .where(col("event_type") === "purchase")
+      .withColumn("matched",
+        when(col("last_view").isNotNull
+          && col("ts_ns") - col("last_view") <= win
+          && (col("last_error").isNull || col("last_error") < col("last_view")), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_purchases"), sum("matched").as("n_matched"))
+      .orderBy("user_id")
+  }
+
+  private val qEventsPatternSql =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, ts_ns,
+      |    MAX(CASE WHEN event_type = 'view' THEN ts_ns END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view,
+      |    MAX(CASE WHEN event_type = 'error' THEN ts_ns END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error
+      |  FROM ev)
+      |SELECT CAST(user_id AS BIGINT) AS user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN last_view IS NOT NULL
+      |    AND ts_ns - last_view <= 1800000000000
+      |    AND (last_error IS NULL OR last_error < last_view)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+      |FROM m WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** A/B power analysis — the experiment-DESIGN readout beside
+    * `q_events_abtest`'s significance test and `q_events_cuped`'s
+    * variance reduction (the test says whether THIS difference is real;
+    * power says what difference the experiment COULD have detected):
+    * same Mix64 arms and heavy-purchaser conversion, minimum detectable
+    * effect at α=0.05/power=0.8 via MDE = 2.8016·√(p̄(1−p̄)(1/n₁+1/n₂))
+    * — the float chain is divisions + one sqrt, every step IEEE-
+    * correctly-rounded so both engines agree bit-for-bit; published in
+    * micro-units beside the observed lift and the powered verdict.
+    * One user-grain aggregate; everything after is 2-row metadata.
+    */
+  private def qAbPower(s: SparkSession, dir: String): DataFrame = {
+    val h = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Mix64Long(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("user_id"))))
+    val arms = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14L, 1L)
+        .otherwise(0L).as("conv"))
+      .withColumn("grp", shiftrightunsigned(h, 32) % 2L)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("conv").as("c"))
+    val w = arms.agg(
+      sum(when(col("grp") === 0L, col("n")).otherwise(0L)).as("n1"),
+      sum(when(col("grp") === 0L, col("c")).otherwise(0L)).as("c1"),
+      sum(when(col("grp") === 1L, col("n")).otherwise(0L)).as("n2"),
+      sum(when(col("grp") === 1L, col("c")).otherwise(0L)).as("c2"))
+    w.select(col("n1"), col("c1"), col("n2"), col("c2"),
+        expr("c1 * 1000 div n1").as("rate1_pml"),
+        expr("c2 * 1000 div n2").as("rate2_pml"),
+        (col("c1").cast("double") / col("n1") - col("c2").cast("double") / col("n2")).as("lift"),
+        ((col("c1") + col("c2")).cast("double") / (col("n1") + col("n2"))).as("pbar"))
+      .select(col("n1"), col("c1"), col("n2"), col("c2"),
+        col("rate1_pml"), col("rate2_pml"),
+        round(col("lift") * 1e6, 0).cast("long").as("lift_u6"),
+        round(lit(2.8016) * sqrt((col("pbar") * (lit(1.0) - col("pbar")))
+          * (lit(1.0) / col("n1") + lit(1.0) / col("n2"))) * 1e6, 0)
+          .cast("long").as("mde_u6"))
+      .withColumn("powered", when(abs(col("lift_u6")) >= col("mde_u6"), 1L).otherwise(0L))
+  }
+
+  private val qAbPowerSql =
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+       |      THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |a AS (
+       |  SELECT ${oracle.DuckHash.mix64BucketSql("user_id", 2)} AS grp,
+       |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS c
+       |  FROM u GROUP BY 1),
+       |w AS (
+       |  SELECT
+       |    CAST(SUM(CASE WHEN grp = 0 THEN n ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(SUM(CASE WHEN grp = 1 THEN n ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS c2
+       |  FROM a),
+       |d AS (
+       |  SELECT n1, c1, n2, c2,
+       |    CAST(c1 * 1000 // n1 AS BIGINT) AS rate1_pml,
+       |    CAST(c2 * 1000 // n2 AS BIGINT) AS rate2_pml,
+       |    CAST(c1 AS DOUBLE) / n1 - CAST(c2 AS DOUBLE) / n2 AS lift,
+       |    CAST(c1 + c2 AS DOUBLE) / (n1 + n2) AS pbar
+       |  FROM w)
+       |SELECT n1, c1, n2, c2, rate1_pml, rate2_pml,
+       |  CAST(round(lift * 1e6) AS BIGINT) AS lift_u6,
+       |  CAST(round(2.8016 * sqrt((pbar * (1.0 - pbar))
+       |    * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT) AS mde_u6,
+       |  CAST(CASE WHEN abs(CAST(round(lift * 1e6) AS BIGINT))
+       |    >= CAST(round(2.8016 * sqrt((pbar * (1.0 - pbar))
+       |      * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS powered
+       |FROM d""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17342,6 +17537,9 @@ object SparkEntry {
     "pipe_mix_schedule" -> (pipeMixSchedule _),
     "pipe_curriculum_order" -> (pipeCurriculumOrder _),
     "q_price_index" -> (qPriceIndex _),
+    "ann_filtered_topk" -> (annFilteredTopk _),
+    "q_events_pattern" -> (qEventsPattern _),
+    "q_ab_power" -> (qAbPower _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -17762,6 +17960,9 @@ object SparkEntry {
     "pipe_mix_schedule" -> pipeMixScheduleSql,
     "pipe_curriculum_order" -> pipeCurriculumOrderSql,
     "q_price_index" -> qPriceIndexSql,
+    "ann_filtered_topk" -> annFilteredTopkSql,
+    "q_events_pattern" -> qEventsPatternSql,
+    "q_ab_power" -> qAbPowerSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql

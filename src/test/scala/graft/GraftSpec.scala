@@ -1068,8 +1068,11 @@ class PlanAuditSpec extends AnyFunSuite {
                          // aggregates, same contract as q_cramers_v
       "q_events_cuped", // 1-row pooled theta aggregate broadcast onto
                         // the 2-row arms frame, like q_events_abtest
-      "q_bloom_fpr_eval") // 1x1 crossJoin of the probe fold with the
+      "q_bloom_fpr_eval", // 1x1 crossJoin of the probe fold with the
                           // member-count aggregate, like q_kmv_overlap
+      "ann_hamming_recall") // inherits BOTH tiny-broadcast legs it
+                            // composes: the brute-force truth and the
+                            // hamming |queryIds|-row scoring contract
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =

@@ -588,6 +588,76 @@ class CrostonMixSpec extends AnyFunSuite {
   }
 }
 
+/** Driver-Scala replays + laws for the R12 filtered-ANN/CEP/power wave. */
+class FilteredCepPowerSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("ann_filtered_topk pre-filters: every result shares the query's label") {
+    val out = SparkEntry.queries("ann_filtered_topk")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id").cast("long"), col("label").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === labels(r.getLong(0)), "published label is the query's")
+      assert(labels(r.getLong(2)) === r.getLong(1), "pre-filter: results share the label")
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= 5L)
+      assert(r.getLong(5) >= 0L && r.getLong(5) <= 10L, "post-filter yield is out of 10")
+    }
+    // the deliverable: on 10 labels, the unfiltered top-10 rarely
+    // yields 5 same-label hits — pre-filtering demonstrably matters
+    val yields = out.groupBy(_.getLong(0)).map(_._2.head.getLong(5))
+    assert(yields.exists(_ < 5L),
+      "at least one query must show a post-filter shortfall on this corpus")
+  }
+
+  test("q_events_pattern replays the negative-condition match from raw rows") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type"), col("ts_ns"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val win = 30L * 60L * 1000000000L
+    val expected = ev.groupBy(_._1).view.mapValues { rows =>
+      val sorted = rows.sortBy(e => (e._4, e._2))
+      var lastView = Option.empty[Long]
+      var lastError = Option.empty[Long]
+      var np = 0L
+      var nm = 0L
+      sorted.foreach { case (_, _, tpe, ts) =>
+        if (tpe == "purchase") {
+          np += 1
+          val ok = lastView.exists(v => ts - v <= win &&
+            lastError.forall(_ < v))
+          if (ok) nm += 1
+        }
+        if (tpe == "view") lastView = Some(ts)
+        if (tpe == "error") lastError = Some(ts)
+      }
+      (np, nm)
+    }.toMap.filter(_._2._1 > 0)
+    val out = SparkEntry.queries("q_events_pattern")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === expected)
+    assert(out.values.exists(_._2 > 0), "corpus must contain real matches")
+    assert(out.exists { case (u, (np, nm)) => nm < np },
+      "corpus must also exercise the negative condition")
+  }
+
+  test("q_ab_power replays the MDE float chain from the arm counts") {
+    val r = SparkEntry.queries("q_ab_power")(spark, dir).head()
+    val (n1, c1, n2, c2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n2 > 0)
+    val lift = c1.toDouble / n1 - c2.toDouble / n2
+    val pbar = (c1 + c2).toDouble / (n1 + n2)
+    val mde = 2.8016 * math.sqrt((pbar * (1.0 - pbar)) * (1.0 / n1 + 1.0 / n2)) * 1e6
+    assert(r.getLong(6) === java.math.BigDecimal.valueOf(lift * 1e6)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    assert(r.getLong(7) === java.math.BigDecimal.valueOf(mde)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue)
+    assert(r.getLong(8) === (if (math.abs(r.getLong(6)) >= r.getLong(7)) 1L else 0L))
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
