@@ -17133,6 +17133,34 @@ object SparkEntry {
        |      * (1.0 / n1 + 1.0 / n2)) * 1e6) AS BIGINT) THEN 1 ELSE 0 END AS BIGINT) AS powered
        |FROM d""".stripMargin
 
+  /** Content-addressable VIDEO dedup — completes the CAS story across
+    * modalities (`dedup_exact` for text, `mm_audio_match` for audio,
+    * this for video): planted duplicate containers (frames keyed
+    * doc_id % 40) grouped by the SAMPLED-frame fingerprint
+    * ([[mm.Multimodal.videoFingerprints]] — container header for the
+    * frame count, up to 4 evenly-spaced frames really ImageIO-decoded,
+    * digest over decoded pixels so re-encodes match and per-video cost
+    * is O(sampled frames) regardless of duration). A single corrupted
+    * frame decode splits its group and fails the hash gate. Only
+    * 32-byte fingerprints shuffle.
+    */
+  private def mmVideoMatch(s: SparkSession, dir: String): DataFrame =
+    mm.Multimodal.videoFingerprints(s,
+        mm.Multimodal.dupVideoFrame(s, Tables.documents(s, dir)))
+      .toDF().groupBy("fp")
+      .agg(min("doc_id").as("anchor_id"), count(lit(1)).as("n_copies"),
+        min("n_frames").cast("long").as("n_frames"))
+      .select("anchor_id", "n_copies", "n_frames")
+      .orderBy("anchor_id")
+
+  private val mmVideoMatchSql =
+    """WITH g AS (
+      |  SELECT doc_id % 40 AS rec, CAST(MIN(doc_id) AS BIGINT) AS anchor_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_copies
+      |  FROM documents GROUP BY 1)
+      |SELECT anchor_id, n_copies, CAST(2 + rec % 3 AS BIGINT) AS n_frames
+      |FROM g ORDER BY anchor_id""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17540,6 +17568,7 @@ object SparkEntry {
     "ann_filtered_topk" -> (annFilteredTopk _),
     "q_events_pattern" -> (qEventsPattern _),
     "q_ab_power" -> (qAbPower _),
+    "mm_video_match" -> (mmVideoMatch _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -17963,6 +17992,7 @@ object SparkEntry {
     "ann_filtered_topk" -> annFilteredTopkSql,
     "q_events_pattern" -> qEventsPatternSql,
     "q_ab_power" -> qAbPowerSql,
+    "mm_video_match" -> mmVideoMatchSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql

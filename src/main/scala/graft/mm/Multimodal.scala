@@ -203,6 +203,81 @@ object Multimodal {
       })
   }
 
+  /** Video media frame with PLANTED duplicates — the video sibling of
+    * [[Audio.dupAudioFrame]]: frames keyed by a "recording id"
+    * `doc_id % groups`, so docs sharing a recording carry byte-identical
+    * containers — ground truth for content-addressable video dedup.
+    * Same fan-out + per-partition encode memoization as the audio
+    * frame (only `groups` distinct videos exist by construction).
+    */
+  def dupVideoFrame(spark: SparkSession, docs: DataFrame, groups: Int = 40): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val cache = new java.util.HashMap[Long, Array[Byte]]()
+        it.map { id =>
+          require(id >= 0, s"doc_id must be non-negative (formula/oracle contract), got $id")
+          val rec = id % groups
+          var v = cache.get(rec)
+          if (v == null) {
+            val frames = (0 until frameCount(rec)).map { f =>
+              val fw = 6 + ((rec + f) % 6L).toInt
+              val fh = 6 + ((rec + 2L * f) % 6L).toInt
+              encodePng(syntheticImage(rec, f, fw, fh))
+            }
+            v = encodeVideo(frames)
+            cache.put(rec, v)
+          }
+          MediaRow(id, v, "video/x-graft-frames")
+        }
+      }
+  }
+
+  case class VideoFp(doc_id: Long, fp: String, n_frames: Int)
+
+  /** Sampled-frame video content fingerprint — the video leg of the CAS
+    * dedup story ([[Audio.sampledFingerprints]] for PCM, this for
+    * frames): the container header yields the frame count WITHOUT
+    * decoding, up to `nSample` evenly-spaced frames REALLY ImageIO-
+    * decode, and the digest runs over (frame count, each sampled
+    * frame's decoded dims + gray raster) — so re-encodes of the same
+    * pixels match and per-video cost is O(sampled frames) regardless of
+    * duration. Byte-identical videos always collide; distinct videos
+    * agreeing on count and every sampled frame's pixels would merge
+    * (the documented screen trade, same as audio).
+    */
+  def videoFingerprints(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      nSample: Int = 4): Dataset[VideoFp] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val frames = decodeVideo(m.media)
+        md.reset()
+        md.update(Array[Byte](
+          (frames.length >> 24).toByte, (frames.length >> 16).toByte,
+          (frames.length >> 8).toByte, frames.length.toByte))
+        sampleIndices(frames.length, nSample).foreach { i =>
+          val img = decodeImage(frames(i))
+          val (w, h) = (img.getWidth, img.getHeight)
+          md.update(Array[Byte](w.toByte, h.toByte))
+          val px = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { px(y * w + x) = (img.getRGB(x, y) & 0xff).toByte; x += 1 }
+            y += 1
+          }
+          md.update(px)
+        }
+        VideoFp(m.doc_id, md.digest().map("%02x".format(_)).mkString, frames.length)
+      }
+    }
+  }
+
   /** Decode metadata extraction: real ImageIO decode per row, one codec
     * scope per partition; emits decoded dims + the (0,0) gray value.
     */

@@ -658,6 +658,88 @@ class FilteredCepPowerSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming CEP twin: the flatMapGroupsWithState pattern matcher must
+  * agree with the batch negative-condition key row-for-row, and its
+  * per-user state is two timestamps regardless of stream length.
+  */
+class PatternStreamSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("streamed pattern matches equal the batch key per user") {
+    val streamed = streaming.EventsStream.runToMemory(
+      spark, streaming.PatternStream.matches(spark, dir).toDF(), "pattern_out", "append")
+    val s = streamed.groupBy("user_id")
+      .agg(count(lit(1)).as("np"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("nm"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val b = SparkEntry.queries("q_events_pattern")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(s === b)
+    assert(s.nonEmpty)
+  }
+
+  test("the fold's state transitions are the batch semantics") {
+    import streaming.PatternStream._
+    val t0 = 1000L * 1000000000L
+    var st = PatState(None, None)
+    // purchase with no prior view: no match
+    val (st1, m1) = step(st, Ev(1, 1, "purchase", t0))
+    assert(m1.exists(!_.matched))
+    // view then purchase inside the window: match
+    val (st2, _) = step(st1, Ev(1, 2, "view", t0 + 1))
+    val (st3, m3) = step(st2, Ev(1, 3, "purchase", t0 + 2))
+    assert(m3.exists(_.matched))
+    // error between view and purchase kills the match
+    val (st4, _) = step(st3, Ev(1, 4, "error", t0 + 3))
+    val (st5, m5) = step(st4, Ev(1, 5, "purchase", t0 + 4))
+    assert(m5.exists(!_.matched))
+    // a NEW view after the error revives it
+    val (st6, _) = step(st5, Ev(1, 6, "view", t0 + 5))
+    val (_, m7) = step(st6, Ev(1, 7, "purchase", t0 + 6))
+    assert(m7.exists(_.matched))
+    // stale view outside 30 min: no match
+    val (_, m8) = step(st6, Ev(1, 8, "purchase", t0 + 5 + WindowNs + 1))
+    assert(m8.exists(!_.matched))
+  }
+}
+
+/** Laws of the sampled-frame video fingerprint (the CAS dedup story's
+  * video leg).
+  */
+class VideoMatchSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.mm.Multimodal
+
+  test("sampled video fingerprints recover exactly the planted duplicate groups") {
+    val frame = Multimodal.dupVideoFrame(spark, Tables.documents(spark, dir))
+    val fps = Multimodal.videoFingerprints(spark, frame).collect()
+    val groups = fps.groupBy(_.fp).values.map(_.map(_.doc_id).sorted.toSeq).toSet
+    val expected = Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).groupBy(_ % 40).values.map(_.sorted.toSeq).toSet
+    assert(groups === expected)
+    fps.foreach(r => assert(r.n_frames === 2 + (r.doc_id % 40 % 3).toInt))
+  }
+
+  test("the fingerprint reads decoded pixels, not container bytes") {
+    import spark.implicits._
+    // same pixels, different PNG byte streams (re-encode) must collide;
+    // one flipped pixel must split
+    val img = Multimodal.syntheticImage(5L, 0, 8, 8)
+    val png1 = Multimodal.encodePng(img)
+    val png2 = Multimodal.encodePng(Multimodal.decodeImage(png1)) // re-encode
+    val imgX = Multimodal.syntheticImage(5L, 0, 8, 8)
+    imgX.setRGB(3, 3, (imgX.getRGB(3, 3) & 0xff) ^ 0x01 | 0xff000000)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodeVideo(Seq(png1)), "v"),
+      Multimodal.MediaRow(2L, Multimodal.encodeVideo(Seq(png2)), "v"),
+      Multimodal.MediaRow(3L, Multimodal.encodeVideo(Seq(Multimodal.encodePng(imgX))), "v"))
+    val fp = Multimodal.videoFingerprints(spark, spark.createDataset(rows))
+      .collect().map(r => r.doc_id -> r.fp).toMap
+    assert(fp(1L) === fp(2L), "re-encoded identical pixels must match")
+    assert(fp(1L) !== fp(3L), "a flipped pixel must split the group")
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
