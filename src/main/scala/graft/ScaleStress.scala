@@ -107,7 +107,10 @@ object ScaleStress {
       // schedule/curriculum run on source/grid metadata after one pass
       "text_html_strip", "text_markup_audit", "pipe_html_gopher",
       "q_crawl_links", "q_crawl_pagerank", "dedup_url_canon",
-      "pipe_mix_schedule", "pipe_curriculum_order")
+      "pipe_mix_schedule", "pipe_curriculum_order",
+      // video CAS = sampled-frame decode per doc (the audio posture);
+      // robots gate = one raw-page substring probe + a groupBy
+      "mm_video_match", "text_robots_gate")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops (skew-guard assertions and the events/graph legs still
     // run — they are cheap and the guards must never be skippable)

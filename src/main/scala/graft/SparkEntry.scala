@@ -16144,6 +16144,11 @@ object SparkEntry {
     */
   private def htmlPlant: Column = concat(
     lit("<html><head><title>doc "), col("doc_id").cast("string"), lit("</title>"),
+    // every 7th page opts out of indexing — the robots-gate ground truth;
+    // the directive lives in <head>, so compliance must read the RAW page
+    // (after stripping it is gone — exactly the real crawl ordering)
+    when(col("doc_id") % 7 === 0, lit("<meta name=\"robots\" content=\"noindex\">"))
+      .otherwise(lit("")),
     when(col("doc_id") % 4 === 0,
       concat(lit("<script type=\"text/javascript\">var page="),
         col("doc_id").cast("string"), lit("; track(page);</script>")))
@@ -16175,6 +16180,8 @@ object SparkEntry {
 
   private val htmlPlantSql: String =
     """'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN '<meta name="robots" content="noindex">' ELSE '' END
       |    || CASE WHEN doc_id % 4 = 0
       |         THEN '<script type="text/javascript">var page=' || CAST(doc_id AS VARCHAR)
       |           || '; track(page);</script>' ELSE '' END
@@ -17161,6 +17168,45 @@ object SparkEntry {
       |SELECT anchor_id, n_copies, CAST(2 + rec % 3 AS BIGINT) AS n_frames
       |FROM g ORDER BY anchor_id""".stripMargin
 
+  /** Robots/noindex compliance gate — the crawl-POLICY stage that runs
+    * FIRST (a `noindex` directive means the page must not enter the
+    * corpus at all; stripping would destroy the directive along with
+    * the rest of the head, so compliance reads the RAW page — exactly
+    * the ordering a real crawler follows): per source, the opt-out
+    * incidence and the doc/token mass the corpus keeps after honoring
+    * it. Detection is a substring probe on the raw page (map-side);
+    * one groupBy.
+    */
+  private def textRobotsGate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("raw", htmlPlant)
+      .select(col("source"),
+        when(instr(col("raw"), "content=\"noindex\"") > 0, 1L).otherwise(0L).as("noindex"),
+        text.Text.wordCount(col("text")).as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("noindex").as("n_noindex"),
+        sum(lit(1L) - col("noindex")).as("kept_docs"),
+        sum("toks").as("total_toks"),
+        sum(when(col("noindex") === 0L, col("toks")).otherwise(0L)).as("kept_toks"))
+      .orderBy("source")
+
+  private val textRobotsGateSql =
+    s"""WITH p AS (
+       |  SELECT source, text, $htmlPlantSql AS raw FROM documents),
+       |r AS (
+       |  SELECT source,
+       |    CASE WHEN position('content="noindex"' IN raw) > 0 THEN 1 ELSE 0 END AS noindex,
+       |    CAST(CASE WHEN length($canonSql) = 0 THEN 0
+       |      ELSE length($canonSql) - length(replace($canonSql, ' ', '')) + 1 END AS BIGINT) AS toks
+       |  FROM p)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(noindex) AS BIGINT) AS n_noindex,
+       |  CAST(SUM(1 - noindex) AS BIGINT) AS kept_docs,
+       |  CAST(SUM(toks) AS BIGINT) AS total_toks,
+       |  CAST(SUM(CASE WHEN noindex = 0 THEN toks ELSE 0 END) AS BIGINT) AS kept_toks
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17569,6 +17615,7 @@ object SparkEntry {
     "q_events_pattern" -> (qEventsPattern _),
     "q_ab_power" -> (qAbPower _),
     "mm_video_match" -> (mmVideoMatch _),
+    "text_robots_gate" -> (textRobotsGate _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -17993,6 +18040,7 @@ object SparkEntry {
     "q_events_pattern" -> qEventsPatternSql,
     "q_ab_power" -> qAbPowerSql,
     "mm_video_match" -> mmVideoMatchSql,
+    "text_robots_gate" -> textRobotsGateSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql
