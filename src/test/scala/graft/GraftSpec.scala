@@ -1070,9 +1070,13 @@ class PlanAuditSpec extends AnyFunSuite {
                         // the 2-row arms frame, like q_events_abtest
       "q_bloom_fpr_eval", // 1x1 crossJoin of the probe fold with the
                           // member-count aggregate, like q_kmv_overlap
-      "ann_hamming_recall") // inherits BOTH tiny-broadcast legs it
+      "ann_hamming_recall", // inherits BOTH tiny-broadcast legs it
                             // composes: the brute-force truth and the
                             // hamming |queryIds|-row scoring contract
+      "ann_filtered_topk") // its OWN search join is label-equi (the
+                           // pre-filter design claim); the BNLJ is the
+                           // inherited brute-force leg of the
+                           // post-filter-yield readout
     val offenders = SparkEntry.queries.keys.flatMap { name =>
       val p = planOf(name)
       val bad =
