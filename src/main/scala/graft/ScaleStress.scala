@@ -110,7 +110,10 @@ object ScaleStress {
       "pipe_mix_schedule", "pipe_curriculum_order",
       // video CAS = sampled-frame decode per doc (the audio posture);
       // robots gate = one raw-page substring probe + a groupBy
-      "mm_video_match", "text_robots_gate")
+      "mm_video_match", "text_robots_gate",
+      // winnow eval composes two proven capped legs; crawl khop BFS
+      // runs on the fixed-modulus ≤1000-node core at any corpus size
+      "dedup_winnow_eval", "q_crawl_khop")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops (skew-guard assertions and the events/graph legs still
     // run — they are cheap and the guards must never be skippable)

@@ -17207,6 +17207,101 @@ object SparkEntry {
        |  CAST(SUM(CASE WHEN noindex = 0 THEN toks ELSE 0 END) AS BIGINT) AS kept_toks
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Winnowing eval — the LAST dedup sketch without an accuracy row
+    * (minhash/simhash/embedding each publish precision/recall vs exact
+    * truth; winnowing's fingerprint density/threshold was unmeasured):
+    * MOSS shared-fingerprint pairs scored against the SAME blocked
+    * exact-Jaccard≥0.5 truth the sibling evals use, full-outer-join
+    * confusion counts, truncating-permille precision/recall. Both legs
+    * are the proven operators; the eval adds one join + a 1-row fold.
+    */
+  private def dedupWinnowEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pred = dedup.Winnow.sharedPairs(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    val truth = dedup.Dedup.blockedNgramJaccard(docs)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    pred.join(truth, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("p"), lit(0L))).as("n_pred"),
+        sum(coalesce(col("t"), lit(0L))).as("n_truth"),
+        sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("n_pred"), col("n_truth"), col("tp"), col("fp"), col("fn"),
+        expr("tp * 1000 div greatest(n_pred, 1)").as("precision_x1000"),
+        expr("tp * 1000 div greatest(n_truth, 1)").as("recall_x1000"))
+  }
+
+  private lazy val dedupWinnowEvalSql =
+    s"""WITH wn AS (SELECT doc_a, doc_b FROM ($dedupWinnowSql)),
+       |tr AS (SELECT doc_a, doc_b FROM ($dedupNgramJaccardSql)),
+       |f AS (
+       |  SELECT wn.doc_a IS NOT NULL AS p, tr.doc_a IS NOT NULL AS t
+       |  FROM wn FULL OUTER JOIN tr
+       |    ON wn.doc_a = tr.doc_a AND wn.doc_b = tr.doc_b),
+       |a AS (
+       |  SELECT CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN p AND t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN p AND NOT t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN NOT p AND t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM f)
+       |SELECT n_pred, n_truth, tp, fp, fn,
+       |  tp * 1000 // GREATEST(n_pred, 1) AS precision_x1000,
+       |  tp * 1000 // GREATEST(n_truth, 1) AS recall_x1000
+       |FROM a""".stripMargin
+
+  /** Crawl-graph k-hop reach — the frontier-DEPTH read beside the
+    * centrality one (`q_crawl_pagerank` ranks pages; this measures how
+    * much of the corpus a crawler starting at the most-linked page
+    * reaches per hop): seed = highest in-degree target (ties to the
+    * lower id), 3 BFS hops over the bidirected resolving-link graph via
+    * the proven one-frontier [[graph.Bfs.khop]]; hop histogram out.
+    */
+  private def qCrawlKhop(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val ids = docs.select(col("doc_id").cast("long").as("t"))
+    val e = docs.withColumn("raw", htmlPlant)
+      .select(col("doc_id").cast("long").as("a"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("b", regexp_extract(col("href"), "([0-9]+)", 1).cast("long"))
+      .join(ids.withColumnRenamed("t", "b"), Seq("b"), "left_semi")
+      .where(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    val seed = e.groupBy("b").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("b")).limit(1).head().getLong(0) // 1-row seed collect
+    val visited = graph.Bfs.khop(bidir, seed, hops = 3)
+    val rows = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: ≤4 rows
+    visited.unpersist(); bidir.unpersist()
+    rows.toDF("hop", "n_nodes").orderBy("hop")
+  }
+
+  private val qCrawlKhopSql =
+    s"""WITH $crawlLinkCtes,
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS a, t AS b FROM cl
+       |  WHERE t IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+       |    AND CAST(doc_id AS BIGINT) <> t),
+       |bidir AS MATERIALIZED (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |seed AS (
+       |  SELECT b AS node FROM (SELECT b, COUNT(*) AS deg FROM e GROUP BY 1)
+       |  ORDER BY deg DESC, b LIMIT 1),
+       |r AS (
+       |  WITH RECURSIVE walk(node, hop) AS (
+       |    SELECT node, 0 FROM seed
+       |    UNION
+       |    SELECT bidir.b, walk.hop + 1
+       |    FROM walk JOIN bidir ON walk.node = bidir.a
+       |    WHERE walk.hop < 3)
+       |  SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM walk GROUP BY 1)
+       |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17616,6 +17711,8 @@ object SparkEntry {
     "q_ab_power" -> (qAbPower _),
     "mm_video_match" -> (mmVideoMatch _),
     "text_robots_gate" -> (textRobotsGate _),
+    "dedup_winnow_eval" -> (dedupWinnowEval _),
+    "q_crawl_khop" -> (qCrawlKhop _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -18041,6 +18138,8 @@ object SparkEntry {
     "q_ab_power" -> qAbPowerSql,
     "mm_video_match" -> mmVideoMatchSql,
     "text_robots_gate" -> textRobotsGateSql,
+    "dedup_winnow_eval" -> dedupWinnowEvalSql,
+    "q_crawl_khop" -> qCrawlKhopSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql

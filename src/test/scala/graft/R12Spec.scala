@@ -740,6 +740,51 @@ class VideoMatchSpec extends AnyFunSuite {
   }
 }
 
+/** Final R12 wave: winnowing eval laws + a plain-Scala BFS replay of
+  * the crawl-graph reach.
+  */
+class WinnowEvalCrawlKhopSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("dedup_winnow_eval confusion counts are lawful and consistent with both legs") {
+    val r = SparkEntry.queries("dedup_winnow_eval")(spark, dir).head()
+    val (nPred, nTruth, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(tp + fp === nPred && tp + fn === nTruth)
+    assert(nPred === SparkEntry.queries("dedup_winnow")(spark, dir).count())
+    assert(nTruth === SparkEntry.queries("dedup_ngram_jaccard")(spark, dir).count())
+    assert(r.getLong(5) === tp * 1000 / math.max(nPred, 1L))
+    assert(r.getLong(6) === tp * 1000 / math.max(nTruth, 1L))
+    assert(nPred > 0 && nTruth > 0, "both legs must fire on this corpus")
+  }
+
+  test("q_crawl_khop replays a plain-Scala BFS over the planted link formula") {
+    val ids = Tables.documents(spark, dir).select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val edges = ids.toSeq.flatMap { id =>
+      val t1 = (id * 7 + 3) % 1000
+      val t2 = (id * 13 + 5) % 1000
+      Seq(id -> t1).filter(e => ids(e._2) && e._1 != e._2) ++
+        (if (id % 2 == 1) Seq(id -> t2).filter(e => ids(e._2) && e._1 != e._2) else Nil)
+    }.toSet
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = edges.toSeq.groupBy(_._2).view.mapValues(_.size).toSeq
+      .maxBy { case (b, d) => (d, -b) }._1
+    var frontier = Set(seed)
+    var seen = Map(seed -> 0L)
+    (1 to 3).foreach { h =>
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(seen.contains)
+      seen ++= frontier.map(_ -> h.toLong)
+    }
+    val expected = seen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val out = SparkEntry.queries("q_crawl_khop")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === expected)
+    assert(out(0L) === 1L, "hop 0 is the seed alone")
+  }
+}
+
 /** Laws of the sampled-window audio fingerprint (r11 verdict task #5:
   * `mm_audio_match` is now O(windows) per track, not O(samples)).
   */
