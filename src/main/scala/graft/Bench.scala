@@ -8,28 +8,93 @@ object Bench {
   /** Host-factor calibration (r11 verdict: two consecutive rounds of
     * >1.5x bench flags were mostly the HOST — the judge's isolated
     * control rerun measured a 1.34x machine factor between measurement
-    * sessions, not code drift). Eight pinned control keys whose code is
-    * frozen, with their medians from the r11-close committed artifact
-    * (BENCH_FULL.json at 10316f43e66b, sf0.1, this suite's own
-    * median-of-3 protocol). Every bench run emits
+    * sessions, not code drift). Ten pinned control keys whose code is
+    * frozen, with their medians from the r13 FRESH-HOST baseline run of
+    * the unchanged r12 tree (BENCH_BASELINE.json at ed314b492529,
+    * sf0.1, this suite's own median-of-3 protocol; repinned per r12
+    * verdict task #8 — the r11 pins were cut on a degraded host, and
+    * this baseline measured 0.88–1.22 against them with host_factor
+    * 1.07, confirming code-flat). Every bench run emits
     * `host_factor` = median over controls of (current median / pinned
     * median); cross-round comparisons divide per-key medians by it
     * before flagging, so BENCH artifacts separate "host" from "code"
     * without a judge rerun. Controls are chosen >0.25 s (jitter-proof)
-    * and spread across families (agg, join, dedup, text, pipeline).
+    * and spread across families (agg, join, dedup, text, pipeline,
+    * decode).
     * PROTOCOL: if a control key's implementation ever changes, repin its
     * reference median in the same commit.
     */
-  val controlRefHead = "10316f43e66b"
+  val controlRefHead = "ed314b492529"
   val controlRef: Map[String, Double] = Map(
-    "q1_agg" -> 0.2798,
-    "dedup_exact" -> 0.2863,
-    "dedup_minhash" -> 1.2152,
-    "q_join_shuffle" -> 0.3981,
-    "pipe_corpus_prep" -> 3.2358,
-    "text_bm25_topk" -> 1.1235,
-    "q_window_topn" -> 0.5722,
-    "q_local_volume" -> 0.9524)
+    "q1_agg" -> 0.3001,
+    "dedup_exact" -> 0.3005,
+    "dedup_minhash" -> 1.4818,
+    "q_join_shuffle" -> 0.4667,
+    "pipe_corpus_prep" -> 3.6468,
+    "text_bm25_topk" -> 1.1998,
+    "q_window_topn" -> 0.5015,
+    "q_local_volume" -> 0.9311,
+    "mm_scene_cuts" -> 0.8116,
+    "mm_phash_groups" -> 0.5725)
+
+  /** R13 (r12 verdict task #2): a SCALAR host factor under-corrects —
+    * the r12 close measured control ratios 1.06–2.76 on one host (map-
+    * side keys degrade ~1.1× under load while shuffle-heavy ones hit
+    * 2–3×), so three keys needed judge reruns to clear phantom flags.
+    * Controls are therefore tagged with a COST FAMILY and a per-family
+    * factor is emitted; regression flagging normalizes each key by ITS
+    * family's factor. Families: `map` (scan/map-side/light-agg),
+    * `shuffle` (wide-exchange dominated), `decode` (JDK codec bound).
+    * Reference medians are pinned from the r13 fresh-host baseline run
+    * of the UNCHANGED r12 tree (BENCH_BASELINE.json, git_head below) —
+    * repinning dedup_minhash/q_join_shuffle off the degraded r11 close
+    * host per r12 verdict task #8. Pins are sf0.1 medians; host factors
+    * are only emitted when the run's sfDir matches (ADVICE r12: a
+    * different-sf run must not conflate data scale with host drift).
+    */
+  val controlRefSfSuffix = "sf0.1"
+  val controlFamily: Map[String, String] = Map(
+    "q1_agg" -> "map",
+    "text_bm25_topk" -> "map",
+    "q_window_topn" -> "map",
+    "q_local_volume" -> "map",
+    "pipe_corpus_prep" -> "map",
+    "dedup_exact" -> "shuffle",
+    "dedup_minhash" -> "shuffle",
+    "q_join_shuffle" -> "shuffle",
+    "mm_scene_cuts" -> "decode",
+    "mm_phash_groups" -> "decode")
+
+  /** Key → cost family for net-of-family normalization. A prefix
+    * heuristic, not a per-key audit: mm_* is decode-bound; the dedup/
+    * ann/vec/pipe/samp families and the join/graph/sink shapes are
+    * built around wide exchanges; the rest of the q_/text_/src_ surface
+    * is scan + map + light-agg. Mis-tagging costs only flag noise —
+    * the flags are triage pointers, not verdicts.
+    */
+  def familyOf(key: String): String =
+    if (key.startsWith("mm_")) "decode"
+    else if (key.startsWith("dedup_") || key.startsWith("ann_") ||
+      key.startsWith("vec_") || key.startsWith("pipe_") ||
+      key.startsWith("samp_") || key.startsWith("q_graph_") ||
+      key.startsWith("q_join") || key.startsWith("snk_")) "shuffle"
+    else "map"
+
+  /** Per-key medians of a previous round's BENCH_FULL.json (our own
+    * format: the `"queries":{...}` object of one JSON line). Minimal
+    * regex extraction — keys are [a-z0-9_]+, values plain doubles — so
+    * Bench stays dependency-free.
+    */
+  def parseBaseline(path: java.nio.file.Path): Map[String, Double] = {
+    val s = new String(java.nio.file.Files.readAllBytes(path))
+    val qStart = s.indexOf("\"queries\":{")
+    if (qStart < 0) Map.empty
+    else {
+      val body = s.substring(qStart + 11, s.indexOf('}', qStart))
+      "\"([a-z0-9_]+)\":([0-9.eE+-]+)".r.findAllMatchIn(body)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
 
   /** Run `nPasses` timed passes over `queries`. A query that throws is an
     * ERROR (`Left(message)`), not a time — it must never enter
@@ -208,17 +273,54 @@ object Bench {
         }
       } else head.take(12)
     } catch { case _: Throwable => "unknown" }
-    // host-factor: median control-key ratio vs the pinned r11-close
-    // medians (null when the run's key filter excludes the controls)
+    // host-factor: control-key ratios vs the pinned fresh-host medians.
+    // Emitted ONLY at the pinned scale (sfDir ends with sf0.1): at any
+    // other sf a ratio conflates data scale with machine drift (ADVICE
+    // r12). Scalar host_factor stays for cross-round continuity; the
+    // per-family factors are what regression flagging divides by.
     val medMap = medians.toMap
-    val controlRatios = controlRef.toSeq.sortBy(_._1).flatMap { case (k, ref) =>
-      medMap.get(k).map(m => k -> m / ref)
-    }
+    val atPinnedSf = sfDir.stripSuffix("/").endsWith(controlRefSfSuffix)
+    val controlRatios =
+      if (!atPinnedSf) Seq.empty
+      else controlRef.toSeq.sortBy(_._1).flatMap { case (k, ref) =>
+        medMap.get(k).map(m => k -> m / ref)
+      }
     val hostFactor =
       if (controlRatios.isEmpty) "null"
       else median(controlRatios.map(_._2)).toString
     val controlsJson = controlRatios
       .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val familyFactors: Map[String, Double] = controlRatios
+      .groupBy { case (k, _) => controlFamily.getOrElse(k, "map") }
+      .map { case (fam, rs) => fam -> median(rs.map(_._2)) }
+    val familyJson = familyFactors.toSeq.sortBy(_._1)
+      .map { case (f, v) => "\"" + f + "\":" + v }.mkString("{", ",", "}")
+    // net-of-family regression flags vs a committed previous-round
+    // baseline (BENCH_BASELINE.json or $SPARK_GRAFT_BENCH_BASELINE):
+    // flag keys >1.5x their baseline median AFTER dividing by the KEY's
+    // family factor, above a 0.5s floor — the §6.0 step-4 comparison,
+    // emitted by the artifact itself so no judge rerun is needed.
+    val baselinePath = sys.env.get("SPARK_GRAFT_BENCH_BASELINE")
+      .map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("BENCH_BASELINE.json")))
+      .filter(p => java.nio.file.Files.exists(p))
+    val baseline = baselinePath.map(parseBaseline).getOrElse(Map.empty)
+    val netRatios: Seq[(String, Double)] =
+      if (baseline.isEmpty || !atPinnedSf) Seq.empty
+      else medians.flatMap { case (k, cur) =>
+        baseline.get(k).flatMap { base =>
+          val fam = familyOf(k)
+          familyFactors.get(fam).collect {
+            case f if f > 0 && base > 0 => k -> (cur / base) / f
+          }
+        }
+      }
+    val netFlags = netRatios
+      .filter { case (k, r) => r > 1.5 && medMap(k) > 0.5 }
+      .sortBy(-_._2)
+    val netFlagsJson = netFlags
+      .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
+    val baselineJson = baselinePath.map(p => jstr(p.toString)).getOrElse("null")
     // cpu model: comparability evidence for cross-round artifacts
     val cpuModel: String = try {
       scala.io.Source.fromFile("/proc/cpuinfo").getLines()
@@ -226,7 +328,7 @@ object Bench {
         .getOrElse("unknown")
     } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"cpu_model":${jstr(cpuModel)}}"""
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"host_factors":$familyJson,"baseline_file":$baselineJson,"net_flags":$netFlagsJson,"cpu_model":${jstr(cpuModel)}}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
@@ -237,7 +339,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     val failedKeys = erred.map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"per_query_file":"$outFile"}""")
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"host_factors":$familyJson,"net_flags":$netFlagsJson,"per_query_file":"$outFile"}""")
     spark.stop()
     if (erred.nonEmpty) sys.exit(1)
   }

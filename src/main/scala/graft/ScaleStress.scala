@@ -113,10 +113,23 @@ object ScaleStress {
       "mm_video_match", "text_robots_gate",
       // winnow eval composes two proven capped legs; crawl khop BFS
       // runs on the fixed-modulus ≤1000-node core at any corpus size
-      "dedup_winnow_eval", "q_crawl_khop")
+      "dedup_winnow_eval", "q_crawl_khop",
+      // R13 wave: setsim_reps is the O(n)-OUTPUT twin of the one
+      // remaining output-driven >3x row (one row per doc, no pair
+      // frame — the key this harness exists to prove); the BPE keys'
+      // fit runs on the vocab²-bounded unit dictionary (same dict at
+      // any corpus size) + one corpus groupBy; nested-strip/robots/
+      // langid-script are map-side chains + bounded groupBys
+      "dedup_setsim_reps", "text_bpe_vocab", "pipe_token_mix_bpe",
+      "text_html_strip_nested", "text_robots_rules", "text_langid_script",
+      // the eval's truth leg IS the pair-complete prefix join, so it
+      // inherits that key's documented output-driven contract at 10x
+      "dedup_setsim_reps_eval")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
-    // document ops (skew-guard assertions and the events/graph legs still
-    // run — they are cheap and the guards must never be skippable)
+    // document ops. The doc-op SKEW GUARDS below still run — those are
+    // never skippable — but the events/graph legs ARE skipped on a
+    // filtered run (see the early return after the guards); only the
+    // full unfiltered run, the one SURVEY §5 quotes, covers them.
     val opFilter = sys.env.get("SPARK_GRAFT_STRESS_OPS").map(_.split(',').toSet)
     val opsRun = opFilter.map(f => ops.filter(f)).getOrElse(ops)
     def time(name: String, dir: String): (Double, Long) = {

@@ -16142,7 +16142,15 @@ object SparkEntry {
     * an encoded-entity span, every 3rd an ad div, and a footer. The
     * plant is part of the query, not the data.
     */
-  private def htmlPlant: Column = concat(
+  private def htmlPlant: Column = concat(htmlPlantParts: _*)
+
+  /** Spec hook: the planted-page column, exposed so
+    * StripChromeNestedSpec can assert regex/stack strip equivalence on
+    * the nesting-free plant.
+    */
+  private[graft] def htmlPlantForSpec: Column = htmlPlant
+
+  private def htmlPlantParts: Seq[Column] = Seq(
     lit("<html><head><title>doc "), col("doc_id").cast("string"), lit("</title>"),
     // every 7th page opts out of indexing — the robots-gate ground truth;
     // the directive lives in <head>, so compliance must read the RAW page
@@ -16211,8 +16219,10 @@ object SparkEntry {
     * strip, entity decode (amp last), whitespace collapse.
     */
   private val htmlStripSql: String = {
+    // \b mirrors Markup.dropChrome's prefix-collision guard (RE2 and
+    // Java regex agree on ASCII \b); \s* tolerates close-tag whitespace
     val chrome = text.Markup.ChromeTags.foldLeft("raw") { (acc, t) =>
-      s"regexp_replace($acc, '(?s)<$t[^>]*>.*?</$t>', ' ', 'g')"
+      s"regexp_replace($acc, '(?s)<$t\\b[^>]*>.*?</$t\\s*>', ' ', 'g')"
     }
     val noAds = s"regexp_replace($chrome, '(?s)<div class=\"ads\">.*?</div>', ' ', 'g')"
     val noTags = s"regexp_replace($noAds, '<[^>]+>', ' ', 'g')"
@@ -16515,11 +16525,14 @@ object SparkEntry {
     * one-way-ANOVA): the rank computation collapses to the bounded
     * quantity VALUE GRID (≤50 rows; the U-test contract), tied average
     * ranks carried doubled as exact integers, per-group doubled rank
-    * sums published beside the tie-corrected statistic. H is
-    * trunc-quantized once per group (rsum2²·1000 // n_g — deterministic
-    * both engines) and h_milli = 3·Σterms // (N(N+1)) − 3000(N+1);
-    * tie_cubes ships the correction factor. One map-side-combined
-    * groupBy; windows only on the grid.
+    * sums published beside the statistic. H comes from the DEVIATION
+    * identity H_milli = 3000·Σ n_g·(r̄2_g − (N+1))² // (N(N+1)) where
+    * r̄2_g = rsum2_g // n_g (ONE trunc quantization per group, the
+    * quotient itself — deterministic both engines). `tie_cubes` ships
+    * the tie-correction INPUT (Σ t³−t) uncorrected — the reader divides
+    * H by 1 − tie_cubes/(N³−N) when they want the corrected statistic;
+    * H itself is published uncorrected. One map-side-combined groupBy;
+    * windows only on the grid.
     */
   private def qKruskalWallis(s: SparkSession, dir: String): DataFrame = {
     val g = Tables.lineitem(s, dir)
@@ -16597,16 +16610,22 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_g"),
         sum(col("l_quantity").cast("long")).as("s_g"),
         sum(expr("cast(l_quantity as long) * cast(l_quantity as long)")).as("q_g"))
-    val t = perGroup.agg(
-      count(lit(1)).as("k"), sum("n_g").as("n"), sum("s_g").as("s"),
-      sum("q_g").as("q"), sum(expr("s_g * s_g * 1000 div n_g")).as("terms"))
-      .head() // 3-group metadata
-    val (k, n, sSum, q, terms) =
-      (t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3), t.getLong(4))
-    val ssbM = terms - sSum * sSum * 1000L / n
-    val sswM = q * 1000L - terms
-    // df-scaled ratio in BigInt: ssb·(n−k)·1000 overflows BIGINT at
-    // fact-table n, so the oracle mirrors this product in HUGEINT
+    // Sum-of-squares inputs folded in driver BigInt over the 3-row group
+    // metadata (the Kruskal-Wallis discipline): s_g²·1000 and S²·1000
+    // overflow BIGINT/Long once total quantity passes ~9.6e7 (lineitem
+    // SF≈0.6) — under ANSI mode that throws, with ANSI off it wraps
+    // while DuckDB raises — so EVERY squared intermediate runs exact,
+    // and the oracle mirrors the products in HUGEINT. The published
+    // ssb/ssw/terms columns stay BIGINT (they are n·mean²-scaled, not
+    // sum²-scaled, and fit Long far past 100 TB).
+    val rows = perGroup.collect() // 3-group metadata
+    val k = rows.length.toLong
+    val n = rows.map(_.getLong(1)).sum
+    val sSum = rows.map(_.getLong(2)).sum
+    val q = rows.map(_.getLong(3)).sum
+    val terms = rows.map(r => BigInt(r.getLong(2)).pow(2) * 1000 / BigInt(r.getLong(1))).sum
+    val ssbM = (terms - BigInt(sSum).pow(2) * 1000 / BigInt(n)).toLong
+    val sswM = (BigInt(q) * 1000 - terms).toLong
     val fMilli = if (sswM <= 0 || ssbM < 0 || k <= 1 || n <= k) 0L
       else (BigInt(ssbM) * (n - k) * 1000 / (BigInt(sswM) * (k - 1))).toLong
     perGroup
@@ -16624,14 +16643,17 @@ object SparkEntry {
       |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS q_g
       |  FROM lineitem GROUP BY 1),
       |t AS (
+      |  -- every squared intermediate in HUGEINT: s_g*s_g*1000 and s*s*1000
+      |  -- overflow BIGINT at fact-table sums (the Spark leg folds the same
+      |  -- terms in driver BigInt)
       |  SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n_g) AS BIGINT) AS n,
       |    CAST(SUM(s_g) AS BIGINT) AS s, CAST(SUM(q_g) AS BIGINT) AS q,
-      |    CAST(SUM(s_g * s_g * 1000 // n_g) AS BIGINT) AS terms
+      |    CAST(SUM(CAST(s_g AS HUGEINT) * s_g * 1000 // n_g) AS BIGINT) AS terms
       |  FROM pg),
       |f AS (
       |  SELECT k, n,
-      |    CAST(terms - s * s * 1000 // n AS BIGINT) AS ssb_milli,
-      |    CAST(q * 1000 - terms AS BIGINT) AS ssw_milli
+      |    CAST(terms - CAST(s AS HUGEINT) * s * 1000 // n AS BIGINT) AS ssb_milli,
+      |    CAST(CAST(q AS HUGEINT) * 1000 - terms AS BIGINT) AS ssw_milli
       |  FROM t)
       |SELECT flag, n_g, s_g, q_g, f.ssb_milli, f.ssw_milli,
       |  CAST(CASE WHEN f.ssw_milli <= 0 OR f.ssb_milli < 0 OR f.k <= 1 OR f.n <= f.k THEN 0
@@ -17302,6 +17324,498 @@ object SparkEntry {
        |SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes
        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // =================== §2.5 round-13 wave ===================
+
+  /** O(n)-output anchor-representative twin of `dedup_setsim_prefix`
+    * ([[dedup.SetSim.anchorReps]]; r12 verdict task #1): the pair-
+    * complete prefix join is quadratic in duplicate-group size — the
+    * planted viral blocks alone emit 244k+ pairs at 10× — while this
+    * emits exactly ONE row per doc with eligible tokens: rep_id = the
+    * min-doc_id anchor of the doc's min-hash block (single-permutation
+    * MinHash anchoring — exact dups always share it, a J-near-dup with
+    * probability ≈ J) when exact df-filtered Jaccard to that anchor
+    * clears 0.7, else the doc itself. Recall-traded (cross-block
+    * near-dups keep themselves), so the certified pair-complete mode
+    * stays alongside. Hash values are mirrored bit-exact by
+    * [[oracle.DuckHash.shingleTokCtes]].
+    */
+  private def dedupSetsimReps(s: SparkSession, dir: String): DataFrame =
+    dedup.SetSim.anchorReps(
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh")),
+      tX1000 = 700, maxTokenDf = 1000)
+      .orderBy("doc_id")
+
+  private val dedupSetsimRepsSql =
+    s"""WITH ${oracle.DuckHash.shingleTokCtes("documents")},
+       |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+       |el AS MATERIALIZED (
+       |  SELECT tok.doc_id, tok.token, df
+       |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
+       |bkd AS MATERIALIZED (
+       |  SELECT doc_id, MIN(token) AS bk FROM el GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1),
+       |anch AS MATERIALIZED (SELECT bk, MIN(doc_id) AS anchor_id FROM bkd GROUP BY 1),
+       |ael AS MATERIALIZED (
+       |  SELECT a.bk, e.token FROM anch a JOIN el e ON e.doc_id = a.anchor_id),
+       |iv AS MATERIALIZED (
+       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM el e JOIN bkd d ON d.doc_id = e.doc_id
+       |  JOIN ael a ON a.bk = d.bk AND a.token = e.token
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT d.doc_id, an.anchor_id, COALESCE(iv.inter, 0) AS inter,
+       |    nn.n + na.n - COALESCE(iv.inter, 0) AS uni
+       |  FROM bkd d
+       |  JOIN anch an ON an.bk = d.bk
+       |  JOIN nn ON nn.doc_id = d.doc_id
+       |  JOIN nn na ON na.doc_id = an.anchor_id
+       |  LEFT JOIN iv ON iv.doc_id = d.doc_id)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN doc_id = anchor_id THEN doc_id
+       |       WHEN inter * 1000 // uni >= 700 THEN anchor_id
+       |       ELSE doc_id END AS BIGINT) AS rep_id,
+       |  CAST(inter * 1000 // uni AS BIGINT) AS jacc_x1000
+       |FROM j ORDER BY doc_id""".stripMargin
+
+  /** Eval row for the O(n)-output reps mode (the per-family eval
+    * discipline — every approximate operator publishes its accuracy
+    * beside itself): predicted pairs = (doc, rep) assignments with
+    * rep ≠ doc; truth = the certified pair-complete prefix join at the
+    * same threshold/df-cap. Precision is 1000 by construction (every
+    * assignment is Jaccard-verified against its anchor) — published
+    * MEASURED anyway; recall is the number the curation pipeline reads
+    * before trading completeness for O(n) emission (single-permutation
+    * anchoring finds a J-near-dup with probability ≈ J, and an
+    * unrelated block anchor shadows true pairs). Doc-level coverage
+    * beside pair recall. Both legs are the proven operators; the eval
+    * adds bounded pair-set joins + one aggregate row.
+    */
+  private def dedupSetsimRepsEval(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir).select(
+      col("doc_id"),
+      functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+    val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
+      .select(col("doc_a"), col("doc_b"))
+    // persisted: the assignment frame feeds four bounded count legs —
+    // caller-owned, reclaimed by the harnesses' clearCache
+    val pred = dedup.SetSim.anchorReps(sets, tX1000 = 700, maxTokenDf = 1000)
+      .where(col("doc_id") =!= col("rep_id"))
+      .select(
+        least(col("doc_id"), col("rep_id")).as("doc_a"),
+        greatest(col("doc_id"), col("rep_id")).as("doc_b"))
+      .persist()
+    val hit = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    val truthDocs = truth.select(col("doc_a").as("d"))
+      .unionByName(truth.select(col("doc_b").as("d"))).distinct()
+    val predDocs = pred.select(col("doc_a").as("d"))
+      .unionByName(pred.select(col("doc_b").as("d"))).distinct()
+    val coveredDocs = truthDocs.join(predDocs, Seq("d"), "left_semi")
+    val counts = Seq(
+      truth.count(), pred.count(), hit.count(), truthDocs.count(), coveredDocs.count())
+    val Seq(nTruth, nPred, nHit, nDocsTruth, nDocsCovered) = counts
+    import s.implicits._
+    Seq((nTruth, nPred, nHit,
+      nHit * 1000L / math.max(nTruth, 1L),
+      if (nPred == 0L) 1000L else nHit * 1000L / nPred,
+      nDocsTruth, nDocsCovered,
+      nDocsCovered * 1000L / math.max(nDocsTruth, 1L)))
+      .toDF("n_truth", "n_pred", "n_hit", "recall_pml", "precision_pml",
+        "n_docs_truth", "n_docs_covered", "doc_recall_pml")
+  }
+
+  private val dedupSetsimRepsEvalSql =
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM ($dedupSetsimPrefixSql)),
+       |pred AS MATERIALIZED (
+       |  SELECT LEAST(doc_id, rep_id) AS doc_a, GREATEST(doc_id, rep_id) AS doc_b
+       |  FROM ($dedupSetsimRepsSql) WHERE doc_id <> rep_id),
+       |hit AS (SELECT pred.* FROM pred SEMI JOIN truth USING (doc_a, doc_b)),
+       |td AS (SELECT DISTINCT d FROM (
+       |  SELECT doc_a AS d FROM truth UNION ALL SELECT doc_b FROM truth)),
+       |pd AS (SELECT DISTINCT d FROM (
+       |  SELECT doc_a AS d FROM pred UNION ALL SELECT doc_b FROM pred)),
+       |cd AS (SELECT td.d FROM td SEMI JOIN pd USING (d)),
+       |c AS (
+       |  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM pred) AS n_pred,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM hit) AS n_hit,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM td) AS n_docs_truth,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM cd) AS n_docs_covered)
+       |SELECT n_truth, n_pred, n_hit,
+       |  CAST(n_hit * 1000 // GREATEST(n_truth, 1) AS BIGINT) AS recall_pml,
+       |  CAST(CASE WHEN n_pred = 0 THEN 1000
+       |       ELSE n_hit * 1000 // n_pred END AS BIGINT) AS precision_pml,
+       |  n_docs_truth, n_docs_covered,
+       |  CAST(n_docs_covered * 1000 // GREATEST(n_docs_truth, 1) AS BIGINT) AS doc_recall_pml
+       |FROM c""".stripMargin
+
+  // ---- real-vocab BPE (r12 verdict task #3) ----
+
+  /** Batched-fit parameters shared by the two BPE keys and their
+    * generated oracles: 96 stages × top-8 symbol-disjoint merges yields
+    * a 300+ merge table (≥256, the verdict bar) on the template-vocab
+    * corpus; capK bounds the collected unit dictionary (vocab²-bounded
+    * by construction — a no-op here, the production top-K guard at
+    * scale).
+    */
+  private val BpeStages = 96
+  private val BpeTopN = 8
+  private val BpeCapK = 65536
+
+  /** ONE corpus pass builds the unit dictionary (non-overlapping word
+    * bigrams, '_' boundary marker — see [[text.Bpe.units]]), capped
+    * top-K by (freq desc, unit); the batched greedy fit then runs on
+    * bounded driver state (the k-means-centroids contract).
+    */
+  private def bpeFit(s: SparkSession, dir: String)
+      : (Seq[text.Bpe.Merge], Seq[(String, String, Long)]) = {
+    val dict = Tables.documents(s, dir)
+      .select(text.Text.words(col("text")).as("ws")) // words materialized ONCE per row
+      .select(explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(BpeCapK)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    text.Bpe.fitMergesBatched(dict, BpeStages, BpeTopN)
+  }
+
+  /** Real-vocab BPE tokenizer FIT: the full learned merge table (300+
+    * merges here — `text_bpe_merges`' 3-step loop demonstrates the
+    * iteration discipline, this key ships a realistic table). The
+    * DuckDB oracle UNROLLS the batched training loop stage by stage
+    * from the raw parquet ([[oracle.DuckBpe]]) — nothing Spark-computed
+    * reaches it.
+    */
+  private def textBpeVocab(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (merges, _) = bpeFit(s, dir)
+    merges.map(m => (m.step.toLong, m.stage.toLong, m.a, m.b, m.weight))
+      .toDF("step", "stage", "a", "b", "weight")
+      .orderBy("step")
+  }
+
+  private val textBpeVocabSql: String =
+    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + "\n" +
+      oracle.DuckBpe.mergesSelect(BpeStages)
+
+  /** Token-budget mixing RE-DENOMINATED in real tokenizer tokens (r12
+    * verdict: every production budget is tokenizer tokens, not
+    * whitespace words): the fitted merge table encodes the corpus —
+    * per-unit token counts come off the fit's final dictionary, per-doc
+    * counts from one explode + broadcast dictionary join — and the
+    * proven greedy admission (`ops.Sample.tokenMix`, the
+    * `pipe_token_mix` weights) runs on the encoded counts. Same
+    * skew-safe two-level prefix sum; only the denomination changes.
+    */
+  private def pipeTokenMixBpe(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, finalDict) = bpeFit(s, dir)
+    val tokCounts = finalDict.map { case (w, ts, _) =>
+      (w, (ts.count(_ == '|') / 2).toLong)
+    }
+    val dictDf = s.createDataFrame(tokCounts).toDF("w", "btoks")
+    val perDoc = docs
+      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
+      .join(broadcast(dictDf), "w")
+      .groupBy("doc_id").agg(sum("btoks").as("btoks"))
+    // persisted: the encoded-count frame feeds the budget collect AND
+    // (twice, via the two-level prefix sum) the admission plan —
+    // caller-owned, reclaimed by the harnesses' clearCache
+    val base = docs.select("source", "doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("btoks"))
+      .persist()
+    val perSrc = base.groupBy("source").agg(sum("btoks").as("t")).collect()
+    val total = perSrc.map(_.getLong(1)).sum
+    val budgets = perSrc.map { r =>
+      val src = r.getString(0)
+      val i = src.stripPrefix("src").toInt
+      src -> total.toDouble * (if (i % 2 == 0) 1.0 / 40 else 3.0 / 40)
+    }.toMap
+    ops.Sample.tokenMix(base, "source", "doc_id", col("btoks"), budgets)
+      .orderBy("source", "doc_id")
+  }
+
+  private val pipeTokenMixBpeSql: String =
+    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
+      oracle.DuckBpe.tokCountsCte(BpeStages) + ",\n" +
+      s"""u AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+1)//2),
+         |    i -> CASE WHEN 2*i <= len(ws) THEN ws[2*i-1] || '_' || ws[2*i] ELSE ws[2*i-1] END)) AS w
+         |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) WHERE len(ws) > 0),
+         |pd0 AS (SELECT u.doc_id, CAST(SUM(tc.btoks) AS BIGINT) AS toks
+         |        FROM u JOIN tc USING (w) GROUP BY 1),
+         |pd AS MATERIALIZED (SELECT d.source, d.doc_id, COALESCE(pd0.toks, 0) AS toks
+         |       FROM documents d LEFT JOIN pd0 USING (doc_id)),
+         |cum AS (
+         |  SELECT source, doc_id, toks,
+         |    CAST(COALESCE(SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM pd)
+         |SELECT source, doc_id, CAST(toks AS BIGINT) AS toks, cum_before FROM cum
+         |WHERE cum_before < (SELECT CAST(SUM(toks) AS DOUBLE) FROM pd) *
+         |  (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+         |        THEN CAST(1 AS DOUBLE) / 40 ELSE CAST(3 AS DOUBLE) / 40 END)
+         |ORDER BY source, doc_id""".stripMargin
+
+  // ---- nesting-correct markup extraction (r12 verdict task #4) ----
+
+  /** Nested-markup plant: the [[htmlPlant]] discipline with the shapes
+    * the regex chain documents as limitations — a div.ads INSIDE a
+    * div.ads (every even doc), a nested same-name aside (every 3rd),
+    * a `<header>` element whose name prefix-collides with the `head`
+    * chrome tag (every doc — its text must SURVIVE), and an encoded
+    * entity span. Leaf container contents are tag-free, so the oracle
+    * reconstructs the stack parser's result innermost-first.
+    */
+  private def htmlPlantNested: Column = concat(
+    lit("<html><head><title>n "), col("doc_id").cast("string"),
+    lit("</title></head><body>"),
+    lit("<header>site banner</header>"),
+    lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+    col("text"),
+    lit(" &lt;nested&gt;</p>"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("<div class=\"ads\">outer promo <div class=\"ads\">inner promo "),
+        (col("doc_id") % 7).cast("string"),
+        lit("</div> outer tail</div>")))
+      .otherwise(lit("<div class=\"ads\">flat promo</div>")),
+    when(col("doc_id") % 3 === 0,
+      lit("<aside>out chrome <aside>in chrome</aside> more chrome</aside>"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      lit("<script>var q=1; track(q);</script>")).otherwise(lit("")),
+    lit("<footer>copyright</footer></body></html>"))
+
+  private val htmlPlantNestedSql: String =
+    """'<html><head><title>n ' || CAST(doc_id AS VARCHAR) || '</title></head><body>'
+      |    || '<header>site banner</header>'
+      |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+      |    || ' &lt;nested&gt;</p>'
+      |    || CASE WHEN doc_id % 2 = 0
+      |         THEN '<div class="ads">outer promo <div class="ads">inner promo '
+      |           || CAST(doc_id % 7 AS VARCHAR) || '</div> outer tail</div>'
+      |         ELSE '<div class="ads">flat promo</div>' END
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN '<aside>out chrome <aside>in chrome</aside> more chrome</aside>' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN '<script>var q=1; track(q);</script>' ELSE '' END
+      |    || '<footer>copyright</footer></body></html>'"""
+      .stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** DuckDB mirror of the strip tail (tag strip -> entity decode ->
+    * whitespace collapse) over an expression `e`.
+    */
+  private def stripTailSql(e: String): String = {
+    val noTags = s"regexp_replace($e, '<[^>]+>', ' ', 'g')"
+    val decoded = text.Markup.Entities.foldLeft(noTags) { case (acc, (ent, v)) =>
+      val rep = if (v == "'") "''" else v
+      s"replace($acc, '$ent', '$rep')"
+    }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  /** Nesting-correct HTML strip: the stack-based depth-counting parser
+    * ([[functions.StripChromeNested]] via [[text.Markup
+    * .stripHtmlNested]]) on pages planted WITH nested same-name
+    * containers — the regex chain's documented failure shape. The
+    * oracle reconstructs the parse innermost-first: leaf containers are
+    * tag-free by plant construction, so removing `[^<]*`-content
+    * containers TWICE equals the depth-2 stack parse, while head/
+    * script/footer stay the proven non-greedy mirrors and `<header>`
+    * must survive both engines' chrome pass (the ADVICE r12
+    * prefix-collision case, now load-bearing).
+    */
+  private def textHtmlStripNested(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("raw", htmlPlantNested)
+      .select(
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        text.Markup.stripHtmlNested(col("raw")).as("stripped"))
+      .withColumn("n_stripped", length(col("stripped")).cast("long"))
+      .orderBy("doc_id")
+
+  private val textHtmlStripNestedSql: String = {
+    val chromeFlat = Seq("head", "script", "footer").foldLeft("raw") { (acc, t) =>
+      s"regexp_replace($acc, '(?s)<$t\\b[^>]*>.*?</$t\\s*>', ' ', 'g')"
+    }
+    val asideInner = (x: String) =>
+      s"regexp_replace($x, '(?s)<aside\\b[^>]*>[^<]*</aside\\s*>', ' ', 'g')"
+    val adsInner = (x: String) =>
+      s"regexp_replace($x, '(?s)<div class=\"ads\">[^<]*</div>', ' ', 'g')"
+    val noChrome = adsInner(adsInner(asideInner(asideInner(chromeFlat))))
+    s"""WITH p AS (SELECT doc_id, $htmlPlantNestedSql AS raw FROM documents),
+       |st AS (SELECT doc_id, length(raw) AS n_raw, ${stripTailSql(noChrome)} AS stripped FROM p)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(n_raw AS BIGINT) AS n_raw,
+       |  stripped,
+       |  CAST(length(stripped) AS BIGINT) AS n_stripped
+       |FROM st ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- robots.txt path-rule gate (r12 verdict task #5) ----
+
+  /** robots.txt path-rule compliance — the crawl-POLICY stage beside
+    * the meta-noindex gate (`text_robots_gate` honors in-page
+    * directives; real crawl policy is per-source robots.txt
+    * allow/disallow path prefixes): a deterministic robots.txt is
+    * planted per SOURCE (the planted-PII precedent), its rules are
+    * REALLY parsed back out of the text (regex group extraction, both
+    * engines), and longest-match semantics apply to every content link
+    * of the crawl frame and every doc's own URL — the planted Allow
+    * extends the Disallow prefix, so Allow wins exactly where both
+    * match (Google's longest-rule tie-break). Map-side rule derivation
+    * + two groupBys; no joins beyond the per-source rule attach.
+    */
+  private def textRobotsRules(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val robots = concat(
+      lit("User-agent: *\nDisallow: /doc/"),
+      expr("cast(substring(source, 4) as int) % 10").cast("string"),
+      lit("\nAllow: /doc/"),
+      expr("cast(substring(source, 4) as int) % 10").cast("string"),
+      expr("(cast(substring(source, 4) as int) div 2) % 10").cast("string"))
+    val withRules = docs.withColumn("robots", robots)
+      .withColumn("dis", regexp_extract(col("robots"), "Disallow: ([^\\n]+)", 1))
+      .withColumn("alw", regexp_extract(col("robots"), "Allow: ([^\\n]+)", 1))
+    val links = withRules
+      .withColumn("raw", htmlPlant)
+      .select(col("source"), col("dis"), col("alw"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("path", regexp_replace(lower(col("href")), "\\?.*$", ""))
+      .withColumn("m_dis", expr("substring(path, 1, length(dis)) = dis"))
+      .withColumn("m_alw", expr("substring(path, 1, length(alw)) = alw"))
+    val linkAgg = links.groupBy("source").agg(
+      count(lit(1)).as("n_links"),
+      sum(when(col("m_dis") && !col("m_alw"), 1L).otherwise(0L)).as("n_links_blocked"),
+      sum(when(col("m_dis") && col("m_alw"), 1L).otherwise(0L)).as("n_allow_override"))
+    val docGate = withRules
+      .withColumn("path", concat(lit("/doc/"), col("doc_id").cast("string")))
+      .withColumn("m_dis", expr("substring(path, 1, length(dis)) = dis"))
+      .withColumn("m_alw", expr("substring(path, 1, length(alw)) = alw"))
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("m_dis") && !col("m_alw"), 1L).otherwise(0L)).as("n_docs_blocked"))
+    docGate.join(linkAgg, "source")
+      .withColumn("block_pml", expr("n_links_blocked * 1000 div n_links"))
+      .orderBy("source")
+  }
+
+  private val textRobotsRulesSql =
+    s"""WITH $crawlLinkCtes,
+       |rl AS (
+       |  SELECT DISTINCT source,
+       |    'User-agent: *' || chr(10) || 'Disallow: /doc/'
+       |      || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR)
+       |      || chr(10) || 'Allow: /doc/'
+       |      || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR)
+       |      || CAST((CAST(substr(source, 4) AS INT) // 2) % 10 AS VARCHAR) AS robots
+       |  FROM documents),
+       |rr AS (
+       |  SELECT source,
+       |    regexp_extract(robots, 'Disallow: ([^\\n]+)', 1) AS dis,
+       |    regexp_extract(robots, 'Allow: ([^\\n]+)', 1) AS alw
+       |  FROM rl),
+       |lk AS (
+       |  SELECT cl.source,
+       |    regexp_replace(lower(cl.href), '\\?.*$$', '') AS path, rr.dis, rr.alw
+       |  FROM cl JOIN rr USING (source)),
+       |la AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_links,
+       |    CAST(SUM(CASE WHEN substr(path, 1, length(dis)) = dis
+       |      AND substr(path, 1, length(alw)) <> alw THEN 1 ELSE 0 END) AS BIGINT) AS n_links_blocked,
+       |    CAST(SUM(CASE WHEN substr(path, 1, length(dis)) = dis
+       |      AND substr(path, 1, length(alw)) = alw THEN 1 ELSE 0 END) AS BIGINT) AS n_allow_override
+       |  FROM lk GROUP BY 1),
+       |dg AS (
+       |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN substr(d.p, 1, length(rr.dis)) = rr.dis
+       |      AND substr(d.p, 1, length(rr.alw)) <> rr.alw THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_blocked
+       |  FROM (SELECT source, '/doc/' || CAST(doc_id AS VARCHAR) AS p FROM documents) d
+       |  JOIN rr USING (source) GROUP BY 1)
+       |SELECT dg.source, n_docs, n_docs_blocked, n_links, n_links_blocked, n_allow_override,
+       |  CAST(n_links_blocked * 1000 // n_links AS BIGINT) AS block_pml
+       |FROM dg JOIN la USING (source) ORDER BY source""".stripMargin
+
+  // ---- unicode-script language ID (r12 verdict task #7) ----
+
+  /** Script samples as \\u escapes (compiler-encoding-proof): Russian
+    * "данные поток запрос таблица", Greek "δεδομένα ροή ερώτημα
+    * πίνακας", Chinese "数据 流 查询 表格".
+    */
+  private val cyrSample =
+    "\u0434\u0430\u043d\u043d\u044b\u0435 \u043f\u043e\u0442\u043e\u043a \u0437\u0430\u043f\u0440\u043e\u0441 \u0442\u0430\u0431\u043b\u0438\u0446\u0430"
+  private val greSample =
+    "\u03b4\u03b5\u03b4\u03bf\u03bc\u03ad\u03bd\u03b1 \u03c1\u03bf\u03ae \u03b5\u03c1\u03ce\u03c4\u03b7\u03bc\u03b1 \u03c0\u03af\u03bd\u03b1\u03ba\u03b1\u03c2"
+  private val hanSample =
+    "\u6570\u636e \u6d41 \u67e5\u8be2 \u8868\u683c"
+
+  /** Unicode-script language ID + confusion matrix — the langid-breadth
+    * row (the stopword heuristic covers Latin-script languages only;
+    * real corpora carry Cyrillic/Greek/CJK). Script text is PLANTED
+    * deterministically (docs ≡1/2/3 mod 11 become pure-script, ≡4 is
+    * CODE-SWITCHED Latin+Cyrillic — classified by script presence, the
+    * dominant-count cascade), truth comes from the plant, and
+    * [[text.Text.langIdScript]] — script-range counts first, stopword
+    * cascade as the Latin fallback — fills the matrix. Everything is
+    * one map-side pass + one groupBy; the `[\\x{...}]` ranges parse
+    * identically in Java regex and RE2.
+    */
+  private def textLangidScript(s: SparkSession, dir: String): DataFrame = {
+    val m = col("doc_id") % 11
+    val planted = when(m === 1, lit(cyrSample))
+      .when(m === 2, lit(greSample))
+      .when(m === 3, lit(hanSample))
+      .when(m === 4, concat(col("text"), lit(" " + cyrSample)))
+      .otherwise(col("text"))
+    val truth = when(m === 1 || m === 4, lit("ru"))
+      .when(m === 2, lit("el"))
+      .when(m === 3, lit("zh"))
+      .otherwise(col("lang"))
+    Tables.documents(s, dir)
+      // langIdScript LET-BINDS its input (and the padded canon) — the
+      // plant CASE is evaluated once per row, not once per probe
+      .select(truth.as("lang_true"), text.Text.langIdScript(planted).as("lang_pred"))
+      .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang_true", "lang_pred")
+  }
+
+  private val textLangidScriptSql = {
+    val cnt = (r: String) => s"len(regexp_extract_all(t, '$r'))"
+    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
+    val gre = cnt("[\\x{0370}-\\x{03FF}]")
+    val han = cnt("[\\x{4E00}-\\x{9FFF}]")
+    s"""WITH pl AS (
+       |  SELECT CASE WHEN doc_id % 11 = 1 THEN '$cyrSample'
+       |    WHEN doc_id % 11 = 2 THEN '$greSample'
+       |    WHEN doc_id % 11 = 3 THEN '$hanSample'
+       |    WHEN doc_id % 11 = 4 THEN text || ' $cyrSample'
+       |    ELSE text END AS t,
+       |  CASE WHEN doc_id % 11 IN (1, 4) THEN 'ru'
+       |    WHEN doc_id % 11 = 2 THEN 'el'
+       |    WHEN doc_id % 11 = 3 THEN 'zh'
+       |    ELSE lang END AS lang_true
+       |  FROM documents),
+       |c AS (
+       |  SELECT lang_true,
+       |    ${paddedSql.replace("text", "t")} AS p,
+       |    $cyr AS n_cyr, $gre AS n_gre, $han AS n_han
+       |  FROM pl),
+       |pr AS (
+       |  SELECT lang_true, CASE
+       |    WHEN n_cyr > 0 AND n_cyr >= greatest(n_gre, n_han) THEN 'ru'
+       |    WHEN n_gre > 0 AND n_gre >= n_han THEN 'el'
+       |    WHEN n_han > 0 THEN 'zh'
+       |    $langidCaseSql
+       |    ELSE 'und' END AS lang_pred
+       |  FROM c)
+       |SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   // =================== contract maps ===================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -17713,6 +18227,14 @@ object SparkEntry {
     "text_robots_gate" -> (textRobotsGate _),
     "dedup_winnow_eval" -> (dedupWinnowEval _),
     "q_crawl_khop" -> (qCrawlKhop _),
+    // round-13 wave
+    "dedup_setsim_reps" -> (dedupSetsimReps _),
+    "dedup_setsim_reps_eval" -> (dedupSetsimRepsEval _),
+    "text_bpe_vocab" -> (textBpeVocab _),
+    "pipe_token_mix_bpe" -> (pipeTokenMixBpe _),
+    "text_html_strip_nested" -> (textHtmlStripNested _),
+    "text_robots_rules" -> (textRobotsRules _),
+    "text_langid_script" -> (textLangidScript _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -18140,6 +18662,14 @@ object SparkEntry {
     "text_robots_gate" -> textRobotsGateSql,
     "dedup_winnow_eval" -> dedupWinnowEvalSql,
     "q_crawl_khop" -> qCrawlKhopSql,
+    // round-13 wave
+    "dedup_setsim_reps" -> dedupSetsimRepsSql,
+    "dedup_setsim_reps_eval" -> dedupSetsimRepsEvalSql,
+    "text_bpe_vocab" -> textBpeVocabSql,
+    "pipe_token_mix_bpe" -> pipeTokenMixBpeSql,
+    "text_html_strip_nested" -> textHtmlStripNestedSql,
+    "text_robots_rules" -> textRobotsRulesSql,
+    "text_langid_script" -> textLangidScriptSql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql

@@ -106,6 +106,69 @@ object SetSim {
     out
   }
 
+  /** O(n)-OUTPUT anchor-representative twin of [[prefixJoinSets]] — the
+    * 100 TB emission contract for boilerplate-heavy corpora (the
+    * `dedup_ngram_reps` trick applied to the set-similarity family): the
+    * all-pairs mode is quadratic in duplicate-group size (a 10k-copy
+    * viral block emits ~50M qualifying pairs; this emits 10k rows).
+    *
+    * Block key = each doc's MINIMUM eligible token hash — single-
+    * permutation MinHash anchoring (Broder's min-wise independence:
+    * two sets share their minimum under a random hash order with
+    * probability exactly their Jaccard). Exact duplicates ALWAYS share
+    * the block; a 0.7-near-dup shares it with probability ≈ 0.7. A
+    * rarest-token key was tried first and rejected: a near-dup's edit
+    * introduces a globally-UNIQUE shingle which becomes its rarest
+    * token, so non-exact dups essentially never shared their anchor's
+    * block (recall ~0 by construction, not by chance).
+    *
+    * Docs sharing their min token form a block; the block's anchor is
+    * its min doc_id; every doc emits exactly one row (doc_id, rep_id,
+    * jacc_x1000) where rep_id = anchor when exact df-filtered Jaccard
+    * to the anchor clears the threshold, else the doc itself. Unlike
+    * the pair-complete mode this is a RECALL-TRADED contract
+    * (probability ≈ J of sharing the block, and an unrelated block
+    * anchor shadows a true near-dup pair) — the certified pair-complete
+    * operator stays available; this is the emission-bounded production
+    * mode, and `dedup_setsim_reps_eval` publishes the measured recall.
+    *
+    * Shapes: one groupBy(token) for df, one doc_id groupBy for per-doc
+    * (min token, filtered set, size) — min and collect_list ride the
+    * same exchange — one groupBy(block) for anchors, one join to attach
+    * the anchor's set, one map-side array_intersect per doc. No
+    * candidate pair frame exists at all. Docs with zero eligible tokens
+    * (all-viral or empty) are excluded, like the pair mode. All-integer
+    * output, bit-exact vs the DuckDB mirror (hashes mirrored by
+    * oracle.DuckHash.shingleTokCtes).
+    */
+  def anchorReps(sets: DataFrame, tX1000: Int, maxTokenDf: Int): DataFrame = {
+    val toks = sets
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("token"))
+    val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
+    val docs = eligible
+      .groupBy("doc_id")
+      .agg(
+        min(col("token")).as("bk"),
+        sort_array(collect_list(col("token"))).as("fsh"),
+        count(lit(1)).as("n"))
+    val anchors = docs.groupBy("bk").agg(min("doc_id").as("anchor_id"))
+    val aSets = anchors.join(
+      docs.select(col("doc_id").as("anchor_id"), col("fsh").as("a_fsh"), col("n").as("a_n")),
+      "anchor_id")
+    docs.join(aSets, "bk")
+      .withColumn("inter", size(array_intersect(col("fsh"), col("a_fsh"))).cast("long"))
+      .withColumn("uni", col("n") + col("a_n") - col("inter"))
+      .withColumn("jacc_x1000", expr("inter * 1000 div uni"))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") === col("anchor_id"), col("doc_id"))
+          .when(col("jacc_x1000") >= tX1000, col("anchor_id"))
+          .otherwise(col("doc_id")).as("rep_id"),
+        col("jacc_x1000"))
+  }
+
   /** Generic tokenizer entry: `tokens` is an array<string> Column over
     * `text` — word unigrams discriminate on natural Zipfian
     * vocabularies; word q-shingles (`Text.shingles`) are the right

@@ -1,0 +1,152 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Stack-based (depth-counting) chrome-container removal — the parser
+  * the regex chain in [[graft.text.Markup.dropChrome]] deliberately is
+  * not: a non-greedy `<div class="ads">.*?</div>` ends a NESTED
+  * same-name container at the inner close tag (the limitation
+  * Markup.scala documents), while real crawl HTML nests divs routinely.
+  * This expression does what a main-content extractor's parser does —
+  * one LINEAR left-to-right pass, a depth counter per open container,
+  * removal from the outer open tag to its MATCHING close.
+  *
+  * Contract (spec-pinned by MarkupSpec; the corpus keys' oracle
+  * reconstructs it innermost-first on the deterministically planted
+  * pages):
+  *  - containers removed WITH content: head/script/style/nav/footer/
+  *    aside (tag-name match, case-insensitive, full-name — `<header>` is
+  *    NOT `<head>`) and any `<div ... class="ads" ...>` (the ad-block
+  *    marker; the attribute is matched as the literal `class="ads"`);
+  *  - nesting: inside a removed NAMED container, open/close tags of the
+  *    SAME name adjust the depth; inside a removed ads-div, ANY
+  *    div open/close adjusts it (an HTML `</div>` closes the innermost
+  *    div regardless of class — so the counter must track all of them);
+  *  - each removed container emits one ' ' (the regex chain's
+  *    replacement, so downstream whitespace collapse sees the same
+  *    shape);
+  *  - a self-closing chrome tag (`<script/>`) has no content: emitted as
+  *    one ' ' without entering removal;
+  *  - an UNTERMINATED container removes to end-of-document (a truncated
+  *    crawl page's tail is chrome, not content);
+  *  - everything outside removal mode is copied VERBATIM (tags
+  *    included — tag stripping is the pipeline's next stage, exactly as
+  *    after dropChrome).
+  *
+  * Scale: per-row O(length) with no allocation beyond the output
+  * builder — embarrassingly parallel map-side work, same shape as the
+  * regex chain it upgrades.
+  */
+case class StripChromeNested(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeGuard.requireType(prettyName, child.dataType, TypeGuard.isString, "string")
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  import StripChromeNested._
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(strip(input.toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, input => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($input);"
+    })
+  override protected def withNewChildInternal(c: Expression): StripChromeNested =
+    copy(child = c)
+  override def prettyName: String = "strip_chrome_nested"
+}
+
+object StripChromeNested {
+  /** Containers removed with their content (graft.text.Markup.ChromeTags
+    * duplicated here to keep the expression self-contained; MarkupSpec
+    * asserts the two stay identical).
+    */
+  val ChromeNames: Set[String] = Set("head", "script", "style", "nav", "footer", "aside")
+  private val AdsMarker = "class=\"ads\""
+
+  private def lowerAscii(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      i += 1
+    }
+    b.toString
+  }
+
+  /** (isClose, lowercased tag name, body) of the tag whose '<' is at
+    * `i` and '>' at `j`; name = the leading letter run after optional
+    * '/'.
+    */
+  private def tagAt(s: String, i: Int, j: Int): (Boolean, String, String) = {
+    var p = i + 1
+    val isClose = p < j && s.charAt(p) == '/'
+    if (isClose) p += 1
+    val n0 = p
+    while (p < j && { val c = s.charAt(p); (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') }) p += 1
+    (isClose, lowerAscii(s.substring(n0, p)), s.substring(i + 1, j))
+  }
+
+  def strip(s: String): String = {
+    val n = s.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    var key: String = null // removal-mode container name; null = copying
+    var depth = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      val tagStart = c == '<' && i + 1 < n && {
+        val c1 = s.charAt(i + 1)
+        (c1 >= 'a' && c1 <= 'z') || (c1 >= 'A' && c1 <= 'Z') || c1 == '/'
+      }
+      if (!tagStart) {
+        // a lone '<' (not followed by a name or '/') is text, not markup —
+        // skipping to the next '>' from it could jump past a real close tag
+        if (key == null) out.append(c)
+        i += 1
+      } else {
+        val j = s.indexOf('>', i + 1)
+        if (j < 0) {
+          // no closing '>' anywhere: not a tag — copy (or drop) the tail
+          if (key == null) out.append(s, i, n)
+          i = n
+        } else {
+          val (isClose, name, body) = tagAt(s, i, j)
+          if (key == null) {
+            val opensChrome = !isClose &&
+              (ChromeNames.contains(name) || (name == "div" && body.contains(AdsMarker)))
+            if (opensChrome) {
+              if (body.endsWith("/")) { out.append(' '); i = j + 1 } // self-closing: no content
+              else { key = name; depth = 1; i = j + 1 }
+            } else {
+              out.append(c) // verbatim: tag stripping is the next stage
+              i += 1
+            }
+          } else {
+            if (name == key) {
+              if (isClose) {
+                depth -= 1
+                if (depth == 0) { out.append(' '); key = null }
+              } else if (!body.endsWith("/")) depth += 1
+            }
+            i = j + 1
+          }
+        }
+      }
+    }
+    if (key != null) out.append(' ') // unterminated container: removed to end
+    out.toString
+  }
+
+  def column(raw: Column): Column =
+    ColumnBridge.column(StripChromeNested(ColumnBridge.expression(raw)))
+}

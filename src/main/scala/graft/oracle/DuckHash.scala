@@ -253,6 +253,29 @@ object DuckHash {
        |sk AS MATERIALIZED (SELECT doc_id, list_transform(sig, v -> v & 65535) AS sk FROM sg)""".stripMargin
   }
 
+  /** Distinct hashed-3-shingle element relation over `src` (doc_id +
+    * text), ending in `tok(doc_id, token)` with token = the SIGNED
+    * shingle hash — bit-exact vs `functions.exprs.shingle_block`'s `sh`
+    * field (same canonical words -> FNV+Mix64 word hashes -> 3-shingle
+    * FNV+Mix64 chain as the minhash mirror; signed so ORDER BY token
+    * matches Spark's LongType ordering, which the setsim anchor-reps
+    * tie-break depends on). Docs with no words contribute nothing,
+    * mirroring shingle_block's null on empty canon.
+    */
+  def shingleTokCtes(src: String): String =
+    s"""d0 AS MATERIALIZED (SELECT doc_id, $words AS w FROM $src),
+       |dw AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(w, wd -> $wordHashSql) AS wh
+       |  FROM d0 WHERE len(w) > 0),
+       |shl AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(
+       |    range(0, CASE WHEN len(wh) <= 3 THEN 1 ELSE len(wh) - 2 END),
+       |    si -> ${let("LEAST(3, len(wh))")(wd2 => mix64Sql(fnvFold(s"wh[si+1 : si+$wd2]")))}) AS shs
+       |  FROM dw),
+       |tok AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${signed("h")} AS token
+       |  FROM (SELECT doc_id, unnest(shs) AS h FROM shl))""".stripMargin
+
   /** dedup_incremental oracle: batch docs (doc_id % 4 = 3) classified
     * against the history (doc_id % 4 <> 3) — `exact` on md5(canonical
     * text) match, else `near` on an LSH band-bucket collision (bucket

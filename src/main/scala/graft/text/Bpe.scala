@@ -40,6 +40,118 @@ object Bpe {
     */
   val toksExpr: String = "split(trim(BOTH '|' FROM tokstr), '\\\\|\\\\|')"
 
+  /** One learned merge of the batched fit: global `step` (1-based across
+    * stages), the stage it was learned in, its rank within the stage's
+    * kept set, the merged pair, and the pair's occurrence-weighted count
+    * at selection time (BEFORE the stage's earlier merges applied).
+    */
+  final case class Merge(step: Int, stage: Int, krn: Int, a: String, b: String, weight: Long)
+
+  /** SentencePiece-style pretokenization UNITS for the real-vocab fit:
+    * the canonical word stream chunks into NON-overlapping adjacent word
+    * pairs joined by the boundary marker '_' (odd tail = single word).
+    * Space is a symbol, so merges can learn multi-word tokens — on a
+    * template-vocabulary corpus (31 distinct words here) word-level BPE
+    * saturates at ~Σ(len−1) ≈ 124 merges, while the unit dictionary is
+    * bounded by vocab² and supports realistic (≥256) merge tables. '_'
+    * cannot collide with content: canonical text is [a-z0-9 ] only.
+    */
+  def units(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    unitsOfWords(Text.words(text))
+
+  /** Unit chunking over an ALREADY-MATERIALIZED words array column.
+    * Callers that explode units over a corpus should project the words
+    * array first and chunk the projected column — referencing
+    * `units(text)` directly re-evaluates the full canon+split chain for
+    * every element_at inside the lambda (measured ~5× per unit,
+    * ~10 s/pass at sf0.1 vs ~1 s with the projection).
+    */
+  def unitsOfWords(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(size(ws) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), ((size(ws) + lit(1)) / lit(2)).cast("int")),
+        i => when(i * 2 <= size(ws),
+          concat(element_at(ws, i * 2 - 1), lit("_"), element_at(ws, i * 2)))
+          .otherwise(element_at(ws, i * 2 - 1))))
+
+  /** Delimiter encoding of a unit's initial character symbols:
+    * "ab_c" -> "|a||b||_||c|" (the same tokstr convention as
+    * [[fitMerges]]; tokens are [a-z0-9_]+ so '|' never occurs inside
+    * one).
+    */
+  def charTokstr(unit: String): String =
+    unit.iterator.map(c => s"|$c|").mkString
+
+  private[text] def toks(tokstr: String): Array[String] = {
+    val t = tokstr.substring(1, tokstr.length - 1)
+    // split on the literal "||" separator; a 1-token string has none
+    t.split("\\|\\|", -1)
+  }
+
+  /** BATCHED greedy BPE training on a driver-local dictionary — the
+    * production-trainer shape (one pair per iteration needs corpus-count
+    * refreshes per merge; real fits take the top-k SYMBOL-DISJOINT pairs
+    * per stage so one counting pass buys k merges). Contract, mirrored
+    * bit-for-bit by the generated DuckDB oracle chain and by the Spark
+    * keys:
+    *  - `dict` is (unit, freq), ALREADY capped/ordered upstream.
+    *  - each stage counts every adjacent token position (occurrence-
+    *    weighted), ranks pairs by (count desc, a, b),
+    *  - keeps the top-`topN` ranked pairs that share NO symbol with any
+    *    higher-ranked pair of the same top-`topN` window (whether or not
+    *    that pair was itself kept — the non-recursive rule both engines
+    *    can evaluate without a sequential scan),
+    *  - applies the kept merges in rank order as plain non-overlapping
+    *    left-to-right string replaces of "|a||b|" -> "|ab|".
+    * Driver state is the dictionary (vocab²-bounded by the unit
+    * construction; production fits cap it top-K — the same bounded-
+    * driver-state contract as the k-means centroids).
+    *
+    * Returns (merges, final dictionary as (unit, tokstr, freq)).
+    */
+  def fitMergesBatched(
+      dict: Seq[(String, Long)],
+      stages: Int,
+      topN: Int): (Seq[Merge], Seq[(String, String, Long)]) = {
+    var cur: Array[(String, String, Long)] =
+      dict.map { case (w, n) => (w, charTokstr(w), n) }.toArray
+    val merges = scala.collection.mutable.ListBuffer[Merge]()
+    var step = 0
+    var dry = false
+    for (stage <- 1 to stages if !dry) {
+      val counts = scala.collection.mutable.HashMap[(String, String), Long]()
+      cur.foreach { case (_, ts, n) =>
+        val tk = toks(ts)
+        var j = 0
+        while (j < tk.length - 1) {
+          val k = (tk(j), tk(j + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          j += 1
+        }
+      }
+      if (counts.isEmpty) dry = true
+      else {
+        val top = counts.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }
+          .take(topN)
+        val kept = top.zipWithIndex.collect {
+          case (((a, b), c), rn)
+              if !top.take(rn).exists { case ((qa, qb), _) =>
+                qa == a || qa == b || qb == a || qb == b } =>
+            (a, b, c)
+        }
+        kept.zipWithIndex.foreach { case ((a, b, c), i) =>
+          step += 1
+          merges += Merge(step, stage, i + 1, a, b, c)
+        }
+        kept.foreach { case (a, b, _) =>
+          cur = cur.map { case (w, ts, n) => (w, ts.replace(s"|$a||$b|", s"|$a$b|"), n) }
+        }
+      }
+    }
+    (merges.toList, cur.toSeq)
+  }
+
   /** The full BPE TRAINING loop (Sennrich et al. 2016): `steps` greedy
     * merge iterations over the word-TYPE dictionary (vocab-bounded,
     * never the token stream). Each iteration finds the highest-weight

@@ -27,9 +27,13 @@ import org.apache.spark.sql.functions._
   *
   * Limitations (documented, not hidden): containers are matched
   * non-greedily, so a NESTED same-name container (a div.ads inside a
-  * div.ads) would end the match at the inner close tag; real extractors
-  * carry a parser for that. `&amp;` decodes LAST so double-encoded
-  * entities (`&amp;lt;`) decode one level only, per the HTML spec.
+  * div.ads) would end the match at the inner close tag; the stack-based
+  * [[stripHtmlNested]] (a linear depth-counting parser,
+  * [[graft.functions.StripChromeNested]]) is the nesting-correct twin —
+  * use it on real crawl HTML. Chrome open tags match with a word
+  * boundary (`<head\b`), so prefix-colliding names (`<header>`) are NOT
+  * chrome. `&amp;` decodes LAST so double-encoded entities (`&amp;lt;`)
+  * decode one level only, per the HTML spec.
   *
   * Scale: per-doc regex chains over the text column — embarrassingly
   * parallel, no state, prunes to exactly (text) at the scan.
@@ -47,24 +51,44 @@ object Markup {
     "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
     "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
 
-  /** Chrome containers + their content removed; tags still present. */
+  /** Chrome containers + their content removed; tags still present.
+    * `\b` after the tag name keeps `<header>`/`<navbar>`-style
+    * prefix-colliding tags out of the match (ADVICE r12: `<head[^>]*>`
+    * also matched `<header ...>` and over-stripped to the next
+    * `</head>`); `</$t\s*>` tolerates close-tag whitespace.
+    */
   def dropChrome(raw: Column): Column = {
     val noBlocks = ChromeTags.foldLeft(raw)((c, t) =>
-      regexp_replace(c, s"(?s)<$t[^>]*>.*?</$t>", " "))
+      regexp_replace(c, s"(?s)<$t\\b[^>]*>.*?</$t\\s*>", " "))
     regexp_replace(noBlocks, AdDivPattern, " ")
   }
 
-  /** Full strip: chrome removal -> tag strip -> entity decode ->
-    * whitespace collapse. Idempotent on markup-free text up to
-    * whitespace normalization.
+  /** Shared tail of the strip pipeline: tag strip -> entity decode ->
+    * whitespace collapse (stages 2-4; stage 1 is one of the two chrome
+    * removers).
     */
-  def stripHtml(raw: Column): Column = {
-    val noTags = regexp_replace(dropChrome(raw), "<[^>]+>", " ")
+  private def stripTail(noChrome: Column): Column = {
+    val noTags = regexp_replace(noChrome, "<[^>]+>", " ")
     val decoded = Entities.foldLeft(noTags) { case (c, (e, v)) =>
       replace(c, lit(e), lit(v))
     }
     trim(regexp_replace(decoded, "\\s+", " "))
   }
+
+  /** Nesting-correct full strip: the stack-based depth-counting chrome
+    * parser ([[graft.functions.StripChromeNested]] — a nested div.ads
+    * removes to its MATCHING close, not the first one) feeding the same
+    * tag-strip/entity/whitespace tail as [[stripHtml]]. Identical to
+    * stripHtml on nesting-free pages; correct where it is not.
+    */
+  def stripHtmlNested(raw: Column): Column =
+    stripTail(graft.functions.StripChromeNested.column(raw))
+
+  /** Full strip: chrome removal -> tag strip -> entity decode ->
+    * whitespace collapse. Idempotent on markup-free text up to
+    * whitespace normalization.
+    */
+  def stripHtml(raw: Column): Column = stripTail(dropChrome(raw))
 
   /** Markup tag occurrences in the raw text (pre-strip audit count). */
   def tagCount(raw: Column): Column =

@@ -101,6 +101,84 @@ object Text {
     }
   }
 
+  /** Unicode-script ranges for the script-first language ID, as
+    * `[\x{hhhh}-\x{hhhh}]` character classes — the ONE range syntax
+    * Java regex and RE2 both parse, so the oracle uses the identical
+    * pattern string. Script → language is a heuristic (Cyrillic → ru,
+    * Greek → el, Han → zh): honest for a coarse corpus router, and the
+    * eval key publishes the confusion matrix rather than hiding it.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "ru" -> "[\\x{0400}-\\x{04FF}]",
+    "el" -> "[\\x{0370}-\\x{03FF}]",
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]")
+
+  /** Per-script character counts, aliased by predicted language. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptRanges.map { case (lang, r) =>
+      lang -> regexp_count(text, lit(r)).cast("long")
+    }
+
+  /** Whole-word occurrence count over an ALREADY-PADDED canonical
+    * column (`' ' || canon || ' '`) — the length-arithmetic probe of
+    * [[wordOcc]] with the padded input factored out, so a 20-probe
+    * cascade binds the canon chain ONCE instead of generating 20 copies
+    * of it (the 64 KB-method ceiling janino enforces).
+    */
+  def occInPadded(padded: Column, word: String): Column = {
+    val needle = " " + word + " "
+    ((length(padded) - length(replace(padded, lit(needle), lit("")))) / lit(needle.length))
+      .cast("long")
+  }
+
+  /** The [[langId]] cascade over a pre-bound padded-canonical column. */
+  private def langIdFromPadded(padded: Column): Column = {
+    val scores = stopwords.map { case (lang, ws) =>
+      lang -> ws.map(w => occInPadded(padded, w)).reduce(_ + _)
+    }
+    scores.indices.foldRight(lit("und")) { case (i, els) =>
+      val (lang, s) = scores(i)
+      val later = scores.drop(i + 1).map(_._2)
+      val cond =
+        if (later.isEmpty) s > lit(0)
+        else s > lit(0) && s >= later.reduce((a, b) => greatest(a, b))
+      when(cond, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Script-first language ID: the dominant script range wins when any
+    * script characters are present (same positive-and->=-later cascade
+    * as [[langId]], declaration order ru/el/zh breaking ties); a
+    * Latin-only document falls through to the stopword heuristic.
+    * Code-switched text classifies by script PRESENCE — a Latin doc
+    * with a Cyrillic tail is 'ru', which is what a contamination
+    * router wants.
+    *
+    * Both the raw text and the padded canon are LET-BOUND via the
+    * single-element-array transform idiom (see [[shingles]]): the
+    * cascade references its input ~28 times, and inlining a planted
+    * CASE or the canon regex chain into every reference blew the
+    * generated method past janino's 64 KB limit — the whole stage fell
+    * back to interpreted (measured 2.9 s vs sub-second at sf0.1). The
+    * script counts run on the RAW text (canon strips non-Latin
+    * characters), the stopword fallback on the bound padded canon.
+    */
+  def langIdScript(text: Column): Column =
+    element_at(transform(array(text), t =>
+      element_at(transform(array(concat(lit(" "), canon(t), lit(" "))), p => {
+        val sc = scriptRanges.map { case (lang, r) =>
+          lang -> regexp_count(t, lit(r)).cast("long")
+        }
+        sc.indices.foldRight(langIdFromPadded(p)) { case (i, els) =>
+          val (lang, c) = sc(i)
+          val later = sc.drop(i + 1).map(_._2)
+          val cond =
+            if (later.isEmpty) c > lit(0L)
+            else c > lit(0L) && c >= later.reduce((a, b) => greatest(a, b))
+          when(cond, lit(lang)).otherwise(els)
+        }
+      }), 1)), 1)
+
   /** Punctuation character count (chars outside [a-zA-Z0-9 ]). */
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("long")
