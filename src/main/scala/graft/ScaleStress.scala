@@ -124,7 +124,10 @@ object ScaleStress {
       "text_html_strip_nested", "text_robots_rules", "text_langid_script",
       // the eval's truth leg IS the pair-complete prefix join, so it
       // inherits that key's documented output-driven contract at 10x
-      "dedup_setsim_reps_eval")
+      "dedup_setsim_reps_eval",
+      // frontier policy = map-side rules + one groupBy; fertility rides
+      // the vocab²-bounded fit + one corpus explode/broadcast-join pass
+      "q_crawl_frontier_policy", "text_bpe_fertility")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops. The doc-op SKEW GUARDS below still run — those are
     // never skippable — but the events/graph legs ARE skipped on a

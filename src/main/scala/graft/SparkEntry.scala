@@ -17740,6 +17740,129 @@ object SparkEntry {
        |  CAST(n_links_blocked * 1000 // n_links AS BIGINT) AS block_pml
        |FROM dg JOIN la USING (source) ORDER BY source""".stripMargin
 
+  /** Policy-compliant crawl frontier — the composition row (the
+    * `pipe_html_gopher` posture): link extraction feeds the robots
+    * path-rule gate, and what survives is the frontier a polite crawler
+    * actually fetches. Per source: extracted content links, the allowed
+    * subset after longest-match rules, distinct allowed targets, and
+    * how many of those are dangling (outside the corpus — the pages the
+    * next crawl round would fetch). Map-side extraction + rule
+    * derivation, one groupBy, one broadcast-sized anti-join for the
+    * dangling count.
+    */
+  private def qCrawlFrontierPolicy(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snum = expr("cast(substring(source, 4) as int)")
+    val links = docs
+      .withColumn("raw", htmlPlant)
+      .withColumn("dis", concat(lit("/doc/"), (snum % 10).cast("string")))
+      .withColumn("alw", concat(lit("/doc/"), (snum % 10).cast("string"),
+        ((snum / 2).cast("int") % 10).cast("string")))
+      .select(col("source"), col("dis"), col("alw"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("path", regexp_replace(lower(col("href")), "\\?.*$", ""))
+      .withColumn("allowed",
+        !(expr("substring(path, 1, length(dis)) = dis") &&
+          !expr("substring(path, 1, length(alw)) = alw")))
+      .withColumn("t", regexp_extract(col("href"), "([0-9]+)", 1).cast("long"))
+    val agg = links.groupBy("source").agg(
+      count(lit(1)).as("n_links"),
+      sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
+    val tgt = links.where(col("allowed")).select("source", "t").distinct()
+    val ids = docs.select(col("doc_id").cast("long").as("t"))
+    val nt = tgt.groupBy("source").agg(count(lit(1)).as("n_targets_allowed"))
+    val dang = tgt.join(ids, Seq("t"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_dangling_allowed"))
+    agg.join(nt, "source").join(dang, Seq("source"), "left")
+      .na.fill(0L, Seq("n_dangling_allowed"))
+      .withColumn("allow_pml", expr("n_allowed * 1000 div n_links"))
+      .orderBy("source")
+  }
+
+  private val qCrawlFrontierPolicySql =
+    s"""WITH $crawlLinkCtes,
+       |rr AS (
+       |  SELECT DISTINCT source,
+       |    '/doc/' || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR) AS dis,
+       |    '/doc/' || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR)
+       |      || CAST((CAST(substr(source, 4) AS INT) // 2) % 10 AS VARCHAR) AS alw
+       |  FROM documents),
+       |lk AS (
+       |  SELECT source, t,
+       |    NOT (substr(path, 1, length(dis)) = dis
+       |         AND substr(path, 1, length(alw)) <> alw) AS allowed
+       |  FROM (
+       |    SELECT cl.source, cl.t,
+       |      regexp_replace(lower(cl.href), '\\?.*$$', '') AS path, rr.dis, rr.alw
+       |    FROM cl JOIN rr USING (source))),
+       |ag AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_links,
+       |    CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+       |  FROM lk GROUP BY 1),
+       |tg AS (SELECT DISTINCT source, t FROM lk WHERE allowed),
+       |nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_targets_allowed FROM tg GROUP BY 1),
+       |dg AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dangling_allowed
+       |  FROM tg WHERE t NOT IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+       |  GROUP BY 1)
+       |SELECT ag.source, n_links, n_allowed, n_targets_allowed,
+       |  CAST(COALESCE(n_dangling_allowed, 0) AS BIGINT) AS n_dangling_allowed,
+       |  CAST(n_allowed * 1000 // n_links AS BIGINT) AS allow_pml
+       |FROM ag JOIN nt USING (source) LEFT JOIN dg USING (source)
+       |ORDER BY source""".stripMargin
+
+  /** Tokenizer fertility under the REAL merge table — the
+    * `pipe_tokenizer_fertility` read re-denominated like the budget key
+    * (that row approximates with a BPE-ish regex; this one encodes with
+    * the fitted 300+-merge vocabulary): per language, corpus words vs
+    * encoded tokens and fertility in tokens-per-1000-words — the number
+    * a multilingual-tokenizer report publishes per language. Rides the
+    * shared fit (bounded driver state) + one explode/broadcast-join
+    * corpus pass.
+    */
+  private def textBpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, finalDict) = bpeFit(s, dir)
+    val tokCounts = finalDict.map { case (w, ts, _) =>
+      (w, (ts.count(_ == '|') / 2).toLong)
+    }
+    val dictDf = s.createDataFrame(tokCounts).toDF("w", "btoks")
+    val perDoc = docs
+      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
+      .join(broadcast(dictDf), "w")
+      .groupBy("doc_id").agg(sum("btoks").as("btoks"))
+    docs.select(col("doc_id"), col("lang"), text.Text.wordCount(col("text")).as("wc"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("btoks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("wc").as("words"), sum("btoks").as("bpe_tokens"))
+      .withColumn("fert_pml", expr("bpe_tokens * 1000 div greatest(words, 1)"))
+      .orderBy("lang")
+  }
+
+  private val textBpeFertilitySql: String =
+    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
+      oracle.DuckBpe.tokCountsCte(BpeStages) + ",\n" +
+      s"""u AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+1)//2),
+         |    i -> CASE WHEN 2*i <= len(ws) THEN ws[2*i-1] || '_' || ws[2*i] ELSE ws[2*i-1] END)) AS w
+         |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) WHERE len(ws) > 0),
+         |pd0 AS (SELECT u.doc_id, CAST(SUM(tc.btoks) AS BIGINT) AS btoks
+         |        FROM u JOIN tc USING (w) GROUP BY 1),
+         |wc AS (
+         |  SELECT doc_id, lang,
+         |    CAST(CASE WHEN length($canonSql) = 0 THEN 0
+         |         ELSE length($canonSql) - length(replace($canonSql, ' ', '')) + 1 END AS BIGINT) AS wc
+         |  FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(wc) AS BIGINT) AS words,
+         |  CAST(SUM(COALESCE(pd0.btoks, 0)) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(COALESCE(pd0.btoks, 0)) * 1000 // GREATEST(SUM(wc), 1) AS BIGINT) AS fert_pml
+         |FROM wc LEFT JOIN pd0 USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- unicode-script language ID (r12 verdict task #7) ----
 
   /** Script samples as \\u escapes (compiler-encoding-proof): Russian
@@ -18235,6 +18358,8 @@ object SparkEntry {
     "text_html_strip_nested" -> (textHtmlStripNested _),
     "text_robots_rules" -> (textRobotsRules _),
     "text_langid_script" -> (textLangidScript _),
+    "q_crawl_frontier_policy" -> (qCrawlFrontierPolicy _),
+    "text_bpe_fertility" -> (textBpeFertility _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
     "q_winsorized_stats" -> (qWinsorizedStats _)
@@ -18670,6 +18795,8 @@ object SparkEntry {
     "text_html_strip_nested" -> textHtmlStripNestedSql,
     "text_robots_rules" -> textRobotsRulesSql,
     "text_langid_script" -> textLangidScriptSql,
+    "q_crawl_frontier_policy" -> qCrawlFrontierPolicySql,
+    "text_bpe_fertility" -> textBpeFertilitySql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,
     "q_winsorized_stats" -> qWinsorizedStatsSql
