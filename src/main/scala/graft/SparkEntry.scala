@@ -17875,6 +17875,12 @@ object SparkEntry {
     "\u03b4\u03b5\u03b4\u03bf\u03bc\u03ad\u03bd\u03b1 \u03c1\u03bf\u03ae \u03b5\u03c1\u03ce\u03c4\u03b7\u03bc\u03b1 \u03c0\u03af\u03bd\u03b1\u03ba\u03b1\u03c2"
   private val hanSample =
     "\u6570\u636e \u6d41 \u67e5\u8be2 \u8868\u683c"
+  private val araSample =
+    "\u0628\u064a\u0627\u0646\u0627\u062a \u062a\u062f\u0641\u0642 \u0627\u0633\u062a\u0639\u0644\u0627\u0645 \u062c\u062f\u0648\u0644"
+  private val devSample =
+    "\u0921\u0947\u091f\u093e \u092a\u094d\u0930\u0935\u093e\u0939 \u092a\u094d\u0930\u0936\u094d\u0928 \u0924\u093e\u0932\u093f\u0915\u093e"
+  private val hangulSample =
+    "\ub370\uc774\ud130 \ud750\ub984 \ucffc\ub9ac \ud14c\uc774\ube14"
 
   /** Unicode-script language ID + confusion matrix — the langid-breadth
     * row (the stopword heuristic covers Latin-script languages only;
@@ -17893,10 +17899,16 @@ object SparkEntry {
       .when(m === 2, lit(greSample))
       .when(m === 3, lit(hanSample))
       .when(m === 4, concat(col("text"), lit(" " + cyrSample)))
+      .when(m === 5, lit(araSample))
+      .when(m === 6, lit(devSample))
+      .when(m === 7, lit(hangulSample))
       .otherwise(col("text"))
     val truth = when(m === 1 || m === 4, lit("ru"))
       .when(m === 2, lit("el"))
       .when(m === 3, lit("zh"))
+      .when(m === 5, lit("ar"))
+      .when(m === 6, lit("hi"))
+      .when(m === 7, lit("ko"))
       .otherwise(col("lang"))
     Tables.documents(s, dir)
       // langIdScript LET-BINDS its input (and the padded canon) — the
@@ -17907,31 +17919,46 @@ object SparkEntry {
   }
 
   private val textLangidScriptSql = {
-    val cnt = (r: String) => s"len(regexp_extract_all(t, '$r'))"
-    val cyr = cnt("[\\x{0400}-\\x{04FF}]")
-    val gre = cnt("[\\x{0370}-\\x{03FF}]")
-    val han = cnt("[\\x{4E00}-\\x{9FFF}]")
+    // the script cascade generated from Text.scriptRanges so SQL and
+    // Spark can never disagree on ranges or order
+    val counts = text.Text.scriptRanges.map { case (lang, r) =>
+      lang -> s"len(regexp_extract_all(t, '$r'))"
+    }
+    val countCols = counts.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS n_$i" }.mkString(", ")
+    val cascade = counts.indices.map { i =>
+      val later = counts.indices.drop(i + 1).map(j => s"n_$j")
+      val cond =
+        if (later.isEmpty) s"n_$i > 0"
+        else if (later.size == 1) s"n_$i > 0 AND n_$i >= ${later.head}"
+        else s"n_$i > 0 AND n_$i >= greatest(${later.mkString(", ")})"
+      s"WHEN $cond THEN '${counts(i)._1}'"
+    }.mkString("\n    ")
     s"""WITH pl AS (
        |  SELECT CASE WHEN doc_id % 11 = 1 THEN '$cyrSample'
        |    WHEN doc_id % 11 = 2 THEN '$greSample'
        |    WHEN doc_id % 11 = 3 THEN '$hanSample'
        |    WHEN doc_id % 11 = 4 THEN text || ' $cyrSample'
+       |    WHEN doc_id % 11 = 5 THEN '$araSample'
+       |    WHEN doc_id % 11 = 6 THEN '$devSample'
+       |    WHEN doc_id % 11 = 7 THEN '$hangulSample'
        |    ELSE text END AS t,
        |  CASE WHEN doc_id % 11 IN (1, 4) THEN 'ru'
        |    WHEN doc_id % 11 = 2 THEN 'el'
        |    WHEN doc_id % 11 = 3 THEN 'zh'
+       |    WHEN doc_id % 11 = 5 THEN 'ar'
+       |    WHEN doc_id % 11 = 6 THEN 'hi'
+       |    WHEN doc_id % 11 = 7 THEN 'ko'
        |    ELSE lang END AS lang_true
        |  FROM documents),
        |c AS (
        |  SELECT lang_true,
        |    ${paddedSql.replace("text", "t")} AS p,
-       |    $cyr AS n_cyr, $gre AS n_gre, $han AS n_han
+       |    $countCols
        |  FROM pl),
        |pr AS (
        |  SELECT lang_true, CASE
-       |    WHEN n_cyr > 0 AND n_cyr >= greatest(n_gre, n_han) THEN 'ru'
-       |    WHEN n_gre > 0 AND n_gre >= n_han THEN 'el'
-       |    WHEN n_han > 0 THEN 'zh'
+       |    $cascade
        |    $langidCaseSql
        |    ELSE 'und' END AS lang_pred
        |  FROM c)

@@ -109,9 +109,12 @@ object Text {
     * eval key publishes the confusion matrix rather than hiding it.
     */
   val scriptRanges: Seq[(String, String)] = Seq(
-    "ru" -> "[\\x{0400}-\\x{04FF}]",
-    "el" -> "[\\x{0370}-\\x{03FF}]",
-    "zh" -> "[\\x{4E00}-\\x{9FFF}]")
+    "ru" -> "[\\x{0400}-\\x{04FF}]", // Cyrillic
+    "el" -> "[\\x{0370}-\\x{03FF}]", // Greek
+    "zh" -> "[\\x{4E00}-\\x{9FFF}]", // CJK Unified Ideographs
+    "ar" -> "[\\x{0600}-\\x{06FF}]", // Arabic
+    "hi" -> "[\\x{0900}-\\x{097F}]", // Devanagari
+    "ko" -> "[\\x{AC00}-\\x{D7AF}]") // Hangul syllables
 
   /** Per-script character counts, aliased by predicted language. */
   def scriptCounts(text: Column): Seq[(String, Column)] =

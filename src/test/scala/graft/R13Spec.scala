@@ -349,15 +349,22 @@ class R13OperatorLawsSpec extends AnyFunSuite {
     val nCyr = ids.count(i => i % 11 == 1 || i % 11 == 4).toLong
     val nGre = ids.count(_ % 11 == 2).toLong
     val nHan = ids.count(_ % 11 == 3).toLong
+    val nAra = ids.count(_ % 11 == 5).toLong
+    val nDev = ids.count(_ % 11 == 6).toLong
+    val nHan2 = ids.count(_ % 11 == 7).toLong
     // script-planted docs sit exactly on the diagonal (code-switched
     // included — classified by script presence)
     assert(m.getOrElse(("ru", "ru"), 0L) === nCyr)
     assert(m.getOrElse(("el", "el"), 0L) === nGre)
     assert(m.getOrElse(("zh", "zh"), 0L) === nHan)
+    assert(m.getOrElse(("ar", "ar"), 0L) === nAra)
+    assert(m.getOrElse(("hi", "hi"), 0L) === nDev)
+    assert(m.getOrElse(("ko", "ko"), 0L) === nHan2)
     // no unplanted doc predicts a script language (Latin text has no
     // script-range chars)
+    val scriptOnly = Set("ru", "el", "ar", "hi", "ko")
     m.keys.foreach { case (t, p) =>
-      if (Set("ru", "el").contains(p)) assert(Set("ru", "el").contains(t))
+      if (scriptOnly.contains(p)) assert(scriptOnly.contains(t))
     }
   }
 }
