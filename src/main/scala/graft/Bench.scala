@@ -73,6 +73,13 @@ object Bench {
     * the flags are triage pointers, not verdicts.
     */
   def familyOf(key: String): String =
+    // a control key's audited tag wins over the prefix heuristic
+    // (ADVICE r13: pipe_corpus_prep is tagged 'map' as a control but the
+    // pipe_* prefix said 'shuffle' — the same key then contributed to one
+    // family's factor while being normalized by the other's)
+    controlFamily.getOrElse(key, familyHeuristic(key))
+
+  private def familyHeuristic(key: String): String =
     if (key.startsWith("mm_")) "decode"
     else if (key.startsWith("dedup_") || key.startsWith("ann_") ||
       key.startsWith("vec_") || key.startsWith("pipe_") ||
@@ -236,6 +243,43 @@ object Bench {
         "\"" + n + "\":" + (xs.max - xs.min)
       }
       .mkString("{", ",", "}")
+    // Isolated-rerun auto-annotation (r13 verdict task #5): a key whose
+    // cross-pass spread exceeds its own median (q_graph_khop r13: 7.7 s
+    // spread on an 8.1 s median) is pass-placement NOISE — shared
+    // build-once artifacts, codegen, and page-cache warmup land on one
+    // pass. Such keys are rerun ALONE (3 timings, same GC hygiene,
+    // uncounted warmup first) and the isolated median is published
+    // beside the in-suite one; net-of-family regression flagging uses
+    // the isolated number, so the judge never re-adjudicates spread
+    // noise. Controls keep their in-suite medians — the host factor
+    // must measure the suite the pins were cut under.
+    val spreadMap = ok.map { n =>
+      val xs = perPass.map(_(n).toOption.get)
+      n -> (xs.max - xs.min)
+    }.toMap
+    val respreadKeys = medians.collect {
+      case (k, m) if m > 0.5 && spreadMap(k) > m => k
+    }
+    val isolatedMedians: Map[String, Double] = respreadKeys.map { k =>
+      val fn = queries(k)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // uncounted warmup
+      spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+      val xs = (1 to 3).map { _ =>
+        System.gc(); Thread.sleep(100)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); TmpDirs.sweepRecorded()
+        dt
+      }
+      k -> median(xs)
+    }.toMap
+    val respreadJson = respreadKeys.map { k =>
+      "\"" + k + "\":{\"median\":" + medians.toMap.apply(k) +
+        ",\"spread\":" + spreadMap(k) +
+        ",\"isolated_median\":" + isolatedMedians(k) + "}"
+    }.mkString("{", ",", "}")
+    val effMedians = medians.map { case (k, v) => k -> isolatedMedians.getOrElse(k, v) }
     // Headline = MEDIAN of the per-pass totals (not sum-of-medians): the
     // median pass is a number that actually occurred, it is robust to one
     // noisy pass, and it is self-consistent with pass_totals by
@@ -305,9 +349,10 @@ object Bench {
       .orElse(Some(java.nio.file.Paths.get("BENCH_BASELINE.json")))
       .filter(p => java.nio.file.Files.exists(p))
     val baseline = baselinePath.map(parseBaseline).getOrElse(Map.empty)
+    val effMap = effMedians.toMap
     val netRatios: Seq[(String, Double)] =
       if (baseline.isEmpty || !atPinnedSf) Seq.empty
-      else medians.flatMap { case (k, cur) =>
+      else effMedians.flatMap { case (k, cur) =>
         baseline.get(k).flatMap { base =>
           val fam = familyOf(k)
           familyFactors.get(fam).collect {
@@ -316,7 +361,7 @@ object Bench {
         }
       }
     val netFlags = netRatios
-      .filter { case (k, r) => r > 1.5 && medMap(k) > 0.5 }
+      .filter { case (k, r) => r > 1.5 && effMap(k) > 0.5 }
       .sortBy(-_._2)
     val netFlagsJson = netFlags
       .map { case (k, r) => "\"" + k + "\":" + r }.mkString("{", ",", "}")
@@ -328,7 +373,7 @@ object Bench {
         .getOrElse("unknown")
     } catch { case _: Throwable => "unknown" }
     val line =
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"host_factors":$familyJson,"baseline_file":$baselineJson,"net_flags":$netFlagsJson,"cpu_model":${jstr(cpuModel)}}"""
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"host_factors":$familyJson,"baseline_file":$baselineJson,"net_flags":$netFlagsJson,"respread":$respreadJson,"cpu_model":${jstr(cpuModel)}}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
     // line has never survived a capture intact): persist the full JSON to a
@@ -339,7 +384,7 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
     val failedKeys = erred.map(jstr).mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"host_factors":$familyJson,"net_flags":$netFlagsJson,"per_query_file":"$outFile"}""")
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"host_factors":$familyJson,"net_flags":$netFlagsJson,"respread":$respreadJson,"per_query_file":"$outFile"}""")
     spark.stop()
     if (erred.nonEmpty) sys.exit(1)
   }
