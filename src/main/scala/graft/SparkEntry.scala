@@ -2435,6 +2435,24 @@ object SparkEntry {
   private val wordsListSql =
     s"CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($canonSql, ' ') END"
 
+  /** DuckDB MULTILINGUAL canon over expression `e` — mirrors
+    * [[text.Text.canonUni]]; the keep-class is spliced from the same
+    * `Text.uniCanonClass` so the engines can never disagree on script
+    * coverage, and `\x{hhhh}` ranges parse identically in Java regex
+    * and RE2 (both engines' `lower` is a no-op on the caseless planted
+    * scripts and ASCII-correct on the Latin corpus).
+    */
+  private def canonUniSqlOn(e: String): String =
+    s"trim(regexp_replace(lower($e), '[^${text.Text.uniCanonClass}]+', ' ', 'g'))"
+
+  /** Multilingual words list over expression `e` (mirrors
+    * [[text.Text.wordsUni]]).
+    */
+  private def wordsListUniSqlOn(e: String): String = {
+    val c = canonUniSqlOn(e)
+    s"CASE WHEN length($c) = 0 THEN CAST([] AS VARCHAR[]) ELSE string_split($c, ' ') END"
+  }
+
   /** DuckDB word k-gram occurrence list over a words column `w`
     * (multiset): mirrors Text.shinglesOfWords — short docs yield one
     * whole-text gram, empty canon none. Shared by the repetition and
@@ -5967,8 +5985,12 @@ object SparkEntry {
       tX1000 = 700, maxTokenDf = 1000)
       .orderBy("doc_a", "doc_b")
 
-  private val dedupSetsimPrefixSql =
-    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM documents),
+  /** The pair-complete prefix-join mirror over any (doc_id, text)
+    * relation `src` — parameterized so the reps eval's TRUTH leg can run
+    * on the same deterministic doc slice as its predicted leg.
+    */
+  private def dedupSetsimPrefixSqlOn(src: String): String =
+    s"""WITH d0 AS (SELECT doc_id, $wordsListSql AS w, text FROM $src),
        |d AS (SELECT doc_id,
        |  CASE WHEN length($canonSql) = 0 THEN CAST([] AS VARCHAR[])
        |    WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
@@ -6002,6 +6024,8 @@ object SparkEntry {
        |FROM i JOIN n na ON na.doc_id = i.doc_a JOIN n nb ON nb.doc_id = i.doc_b
        |WHERE i.inter * 1000 >= 700 * (na.n + nb.n - i.inter)
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val dedupSetsimPrefixSql = dedupSetsimPrefixSqlOn("documents")
 
   /** Dedup-method evaluation: MinHash-LSH candidate pairs (b-bit
     * estimate ≥ 0.5, the recall-oriented candidate gate) scored against
@@ -17327,17 +17351,20 @@ object SparkEntry {
   // =================== §2.5 round-13 wave ===================
 
   /** O(n)-output anchor-representative twin of `dedup_setsim_prefix`
-    * ([[dedup.SetSim.anchorReps]]; r12 verdict task #1): the pair-
-    * complete prefix join is quadratic in duplicate-group size — the
-    * planted viral blocks alone emit 244k+ pairs at 10× — while this
-    * emits exactly ONE row per doc with eligible tokens: rep_id = the
-    * min-doc_id anchor of the doc's min-hash block (single-permutation
-    * MinHash anchoring — exact dups always share it, a J-near-dup with
-    * probability ≈ J) when exact df-filtered Jaccard to that anchor
-    * clears 0.7, else the doc itself. Recall-traded (cross-block
-    * near-dups keep themselves), so the certified pair-complete mode
-    * stays alongside. Hash values are mirrored bit-exact by
-    * [[oracle.DuckHash.shingleTokCtes]].
+    * ([[dedup.SetSim.anchorReps]]; r12 verdict task #1, multi-anchor per
+    * r13 task #1): the pair-complete prefix join is quadratic in
+    * duplicate-group size — the planted viral blocks alone emit 244k+
+    * pairs at 10× — while this emits exactly ONE row per doc with
+    * eligible tokens: rep_id = the best (highest exact df-filtered
+    * Jaccard, ties to lowest id) NON-SELF doc among the doc's ≤k
+    * min-hash block anchors
+    * (k=3 independent Mix64(token XOR seed) permutations — exact dups
+    * always share every block, a J-near-dup shares ≥1 with probability
+    * ≈ 1−(1−J)^k) when that Jaccard clears 0.7, else the doc itself.
+    * Recall-traded (a shadowing lower-id anchor can still win all k
+    * blocks), so the certified pair-complete mode stays alongside. Hash
+    * values are mirrored bit-exact by [[oracle.DuckHash.shingleTokCtes]]
+    * and [[oracle.DuckHash.mix64SignedSql]].
     */
   private def dedupSetsimReps(s: SparkSession, dir: String): DataFrame =
     dedup.SetSim.anchorReps(
@@ -17347,37 +17374,61 @@ object SparkEntry {
       tX1000 = 700, maxTokenDf = 1000)
       .orderBy("doc_id")
 
-  private val dedupSetsimRepsSql =
-    s"""WITH ${oracle.DuckHash.shingleTokCtes("documents")},
+  /** The anchor-reps mirror over any (doc_id, text) relation `src` —
+    * parameterized so the eval key can run BOTH legs on the same
+    * deterministic doc slice. Seeds inlined from
+    * [[dedup.SetSim.AnchorSeeds]]; one bk column + anchor CTE per seed.
+    */
+  private def dedupSetsimRepsSqlOn(src: String): String = {
+    val seeds = dedup.SetSim.AnchorSeeds
+    val bks = seeds.zipWithIndex.map { case (sd, i) =>
+      s"MIN(${oracle.DuckHash.mix64SignedSql(s"xor(token, CAST($sd AS BIGINT))")}) AS bk$i"
+    }.mkString(",\n       ")
+    val anchCtes = seeds.indices.map { i =>
+      s"anch$i AS MATERIALIZED (SELECT bk$i AS bk, MIN(doc_id) AS anchor_id FROM bkd GROUP BY 1)"
+    }.mkString(",\n")
+    val candUnion = seeds.indices.map { i =>
+      s"SELECT d.doc_id, a.anchor_id FROM bkd d JOIN anch$i a ON a.bk = d.bk$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${oracle.DuckHash.shingleTokCtes(src)},
        |dfq AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
        |el AS MATERIALIZED (
-       |  SELECT tok.doc_id, tok.token, df
+       |  SELECT tok.doc_id, tok.token
        |  FROM tok JOIN dfq USING (token) WHERE df <= 1000),
        |bkd AS MATERIALIZED (
-       |  SELECT doc_id, MIN(token) AS bk FROM el GROUP BY 1),
+       |  SELECT doc_id, $bks FROM el GROUP BY doc_id),
        |nn AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM el GROUP BY 1),
-       |anch AS MATERIALIZED (SELECT bk, MIN(doc_id) AS anchor_id FROM bkd GROUP BY 1),
-       |ael AS MATERIALIZED (
-       |  SELECT a.bk, e.token FROM anch a JOIN el e ON e.doc_id = a.anchor_id),
+       |$anchCtes,
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, anchor_id FROM ($candUnion)
+       |  WHERE doc_id <> anchor_id),
        |iv AS MATERIALIZED (
-       |  SELECT e.doc_id, CAST(count(*) AS BIGINT) AS inter
-       |  FROM el e JOIN bkd d ON d.doc_id = e.doc_id
-       |  JOIN ael a ON a.bk = d.bk AND a.token = e.token
-       |  GROUP BY 1),
+       |  SELECT c.doc_id, c.anchor_id, CAST(count(*) AS BIGINT) AS inter
+       |  FROM cand c
+       |  JOIN el e ON e.doc_id = c.doc_id
+       |  JOIN el a ON a.doc_id = c.anchor_id AND a.token = e.token
+       |  GROUP BY 1, 2),
        |j AS (
-       |  SELECT d.doc_id, an.anchor_id, COALESCE(iv.inter, 0) AS inter,
+       |  SELECT c.doc_id, c.anchor_id, COALESCE(iv.inter, 0) AS inter,
        |    nn.n + na.n - COALESCE(iv.inter, 0) AS uni
-       |  FROM bkd d
-       |  JOIN anch an ON an.bk = d.bk
-       |  JOIN nn ON nn.doc_id = d.doc_id
-       |  JOIN nn na ON na.doc_id = an.anchor_id
-       |  LEFT JOIN iv ON iv.doc_id = d.doc_id)
-       |SELECT doc_id,
-       |  CAST(CASE WHEN doc_id = anchor_id THEN doc_id
-       |       WHEN inter * 1000 // uni >= 700 THEN anchor_id
-       |       ELSE doc_id END AS BIGINT) AS rep_id,
-       |  CAST(inter * 1000 // uni AS BIGINT) AS jacc_x1000
-       |FROM j ORDER BY doc_id""".stripMargin
+       |  FROM cand c
+       |  JOIN nn ON nn.doc_id = c.doc_id
+       |  JOIN nn na ON na.doc_id = c.anchor_id
+       |  LEFT JOIN iv ON iv.doc_id = c.doc_id AND iv.anchor_id = c.anchor_id),
+       |b AS (
+       |  SELECT doc_id, anchor_id, inter * 1000 // uni AS jacc_x1000,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY inter * 1000 // uni DESC, anchor_id) AS rn
+       |  FROM j)
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN b.jacc_x1000 >= 700 THEN b.anchor_id
+       |       ELSE d.doc_id END AS BIGINT) AS rep_id,
+       |  CAST(COALESCE(b.jacc_x1000, 1000) AS BIGINT) AS jacc_x1000
+       |FROM bkd d LEFT JOIN (SELECT * FROM b WHERE rn = 1) b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  private val dedupSetsimRepsSql = dedupSetsimRepsSqlOn("documents")
 
   /** Eval row for the O(n)-output reps mode (the per-family eval
     * discipline — every approximate operator publishes its accuracy
@@ -17386,16 +17437,32 @@ object SparkEntry {
     * same threshold/df-cap. Precision is 1000 by construction (every
     * assignment is Jaccard-verified against its anchor) — published
     * MEASURED anyway; recall is the number the curation pipeline reads
-    * before trading completeness for O(n) emission (single-permutation
-    * anchoring finds a J-near-dup with probability ≈ J, and an
-    * unrelated block anchor shadows true pairs). Doc-level coverage
-    * beside pair recall. Both legs are the proven operators; the eval
-    * adds bounded pair-set joins + one aggregate row.
+    * before trading completeness for O(n) emission (k=3 multi-anchor
+    * min-hashing finds a J-near-dup with probability ≈ 1−(1−J)^k, and
+    * an unrelated block anchor can still shadow true pairs). Doc-level
+    * coverage beside pair recall.
+    *
+    * BOTH legs run on a deterministic CAPPED doc slice — the lowest
+    * [[SetsimEvalCap]] doc_ids, the literal `dedup_embed_eval`
+    * 500-lowest-vectors precedent (r13 verdict task #2): the truth leg
+    * is the one pair-complete operator in the engine, so an unbounded
+    * eval inherits a cost that grows 5× per 10× of data; the id cap
+    * makes the eval CONSTANT-cost at any corpus size. A contiguous cap
+    * (not a hash slice) on purpose: truth pairs land uniformly at
+    * random over doc pairs, so a p-fraction HASH slice keeps only p²
+    * of them (measured: a 1/4 slice left n_truth = 2 at sf0.01 — a
+    * meaningless recall sample), while the cap is a no-op at the
+    * driver's sf0.01 gate (500 docs — the full r13-comparable truth
+    * set) and keeps the pair density of the population it retains.
+    * The cap is mirrored in the oracle, and the measured recall is
+    * over the capped corpus's own certified truth.
     */
   private def dedupSetsimRepsEval(s: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(s, dir).select(
-      col("doc_id"),
-      functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+    val sets = Tables.documents(s, dir)
+      .where(col("doc_id") < SetsimEvalCap)
+      .select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
     val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
       .select(col("doc_a"), col("doc_b"))
     // persisted: the assignment frame feeds four bounded count legs —
@@ -17425,12 +17492,24 @@ object SparkEntry {
         "n_docs_truth", "n_docs_covered", "doc_recall_pml")
   }
 
-  private val dedupSetsimRepsEvalSql =
+  /** The eval's doc-id cap: covers the whole corpus at the sf0.01 gate
+    * (500 docs), 2/5 of sf0.1, and a constant 2000-doc benchmark slice
+    * at any production scale.
+    */
+  private val SetsimEvalCap = 2000L
+
+  /** The eval's capped source, as a DuckDB relation (mirrors the Spark
+    * leg's `doc_id < SetsimEvalCap`).
+    */
+  private def setsimEvalSrc: String =
+    s"(SELECT * FROM documents WHERE doc_id < $SetsimEvalCap)"
+
+  private lazy val dedupSetsimRepsEvalSql =
     s"""WITH truth AS MATERIALIZED (
-       |  SELECT doc_a, doc_b FROM ($dedupSetsimPrefixSql)),
+       |  SELECT doc_a, doc_b FROM (${dedupSetsimPrefixSqlOn(setsimEvalSrc)})),
        |pred AS MATERIALIZED (
        |  SELECT LEAST(doc_id, rep_id) AS doc_a, GREATEST(doc_id, rep_id) AS doc_b
-       |  FROM ($dedupSetsimRepsSql) WHERE doc_id <> rep_id),
+       |  FROM (${dedupSetsimRepsSqlOn(setsimEvalSrc)}) WHERE doc_id <> rep_id),
        |hit AS (SELECT pred.* FROM pred SEMI JOIN truth USING (doc_a, doc_b)),
        |td AS (SELECT DISTINCT d FROM (
        |  SELECT doc_a AS d FROM truth UNION ALL SELECT doc_b FROM truth)),
@@ -17468,11 +17547,21 @@ object SparkEntry {
     * bigrams, '_' boundary marker — see [[text.Bpe.units]]), capped
     * top-K by (freq desc, unit); the batched greedy fit then runs on
     * bounded driver state (the k-means-centroids contract).
+    *
+    * The fit corpus is the [[scriptPlant]]ed MULTILINGUAL corpus under
+    * the [[text.Text.wordsUni]] canon (r13 verdict task #3): the unit
+    * alphabet now carries the six planted scripts, so the merge table
+    * learns Cyrillic/Greek/Han/Arabic/Devanagari/Hangul symbols
+    * alongside Latin, and the fertility key reads per-script tokenizer
+    * cost off the same table. Every script symbol is BMP, so the
+    * driver-side char iteration, Spark codepoint `length`, and DuckDB
+    * codepoint semantics all agree, and Java UTF-16 tie-break order ==
+    * UTF-8 byte order (no surrogates).
     */
   private def bpeFit(s: SparkSession, dir: String)
       : (Seq[text.Bpe.Merge], Seq[(String, String, Long)]) = {
     val dict = Tables.documents(s, dir)
-      .select(text.Text.words(col("text")).as("ws")) // words materialized ONCE per row
+      .select(text.Text.wordsUni(scriptPlant).as("ws")) // words materialized ONCE per row
       .select(explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("w")).limit(BpeCapK)
@@ -17480,9 +17569,16 @@ object SparkEntry {
     text.Bpe.fitMergesBatched(dict, BpeStages, BpeTopN)
   }
 
+  /** The fit corpus's words list as a DuckDB expression (plant +
+    * multilingual canon), for the generated oracle chains.
+    */
+  private lazy val bpeWordsListSql: String = wordsListUniSqlOn(scriptPlantSql)
+
   /** Real-vocab BPE tokenizer FIT: the full learned merge table (300+
     * merges here — `text_bpe_merges`' 3-step loop demonstrates the
-    * iteration discipline, this key ships a realistic table). The
+    * iteration discipline, this key ships a realistic table), fitted on
+    * the [[scriptPlant]]ed MULTILINGUAL corpus so the merge rows carry
+    * all six planted scripts beside Latin (r13 verdict task #3). The
     * DuckDB oracle UNROLLS the batched training loop stage by stage
     * from the raw parquet ([[oracle.DuckBpe]]) — nothing Spark-computed
     * reaches it.
@@ -17496,7 +17592,7 @@ object SparkEntry {
   }
 
   private val textBpeVocabSql: String =
-    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + "\n" +
+    "WITH " + oracle.DuckBpe.fitCtes(bpeWordsListSql, BpeStages, BpeTopN, BpeCapK) + "\n" +
       oracle.DuckBpe.mergesSelect(BpeStages)
 
   /** Token-budget mixing RE-DENOMINATED in real tokenizer tokens (r12
@@ -17516,7 +17612,7 @@ object SparkEntry {
     }
     val dictDf = s.createDataFrame(tokCounts).toDF("w", "btoks")
     val perDoc = docs
-      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), text.Text.wordsUni(scriptPlant).as("ws"))
       .select(col("doc_id"), explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
       .join(broadcast(dictDf), "w")
       .groupBy("doc_id").agg(sum("btoks").as("btoks"))
@@ -17539,12 +17635,12 @@ object SparkEntry {
   }
 
   private val pipeTokenMixBpeSql: String =
-    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
+    "WITH " + oracle.DuckBpe.fitCtes(bpeWordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
       oracle.DuckBpe.tokCountsCte(BpeStages) + ",\n" +
       s"""u AS (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+1)//2),
          |    i -> CASE WHEN 2*i <= len(ws) THEN ws[2*i-1] || '_' || ws[2*i] ELSE ws[2*i-1] END)) AS w
-         |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) WHERE len(ws) > 0),
+         |  FROM (SELECT doc_id, $bpeWordsListSql AS ws FROM documents) WHERE len(ws) > 0),
          |pd0 AS (SELECT u.doc_id, CAST(SUM(tc.btoks) AS BIGINT) AS toks
          |        FROM u JOIN tc USING (w) GROUP BY 1),
          |pd AS MATERIALIZED (SELECT d.source, d.doc_id, COALESCE(pd0.toks, 0) AS toks
@@ -17769,7 +17865,11 @@ object SparkEntry {
     val agg = links.groupBy("source").agg(
       count(lit(1)).as("n_links"),
       sum(when(col("allowed"), 1L).otherwise(0L)).as("n_allowed"))
-    val tgt = links.where(col("allowed")).select("source", "t").distinct()
+    // t IS NOT NULL guard (ADVICE r13): a digit-free allowed href would
+    // yield a NULL target that left_anti counts as dangling while the
+    // oracle's NOT IN drops it — filter on BOTH legs before any count
+    val tgt = links.where(col("allowed") && col("t").isNotNull)
+      .select("source", "t").distinct()
     val ids = docs.select(col("doc_id").cast("long").as("t"))
     val nt = tgt.groupBy("source").agg(count(lit(1)).as("n_targets_allowed"))
     val dang = tgt.join(ids, Seq("t"), "left_anti")
@@ -17800,7 +17900,7 @@ object SparkEntry {
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_links,
        |    CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
        |  FROM lk GROUP BY 1),
-       |tg AS (SELECT DISTINCT source, t FROM lk WHERE allowed),
+       |tg AS (SELECT DISTINCT source, t FROM lk WHERE allowed AND t IS NOT NULL),
        |nt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_targets_allowed FROM tg GROUP BY 1),
        |dg AS (
        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_dangling_allowed
@@ -17812,14 +17912,111 @@ object SparkEntry {
        |FROM ag JOIN nt USING (source) LEFT JOIN dg USING (source)
        |ORDER BY source""".stripMargin
 
+  /** Crawl-delay politeness budget (r13 verdict task #4): the frontier
+    * key says WHAT a polite crawler may fetch; this one says HOW FAST.
+    * A `Crawl-delay:` line (1 + src%5 seconds — the per-host rate real
+    * robots.txt files publish) is planted into each source's robots.txt
+    * and REALLY parsed back out (regex group extraction, both engines),
+    * then composed with the policy frontier: the pages a next round
+    * would fetch (dangling allowed targets, the frontier key's number)
+    * against the per-host fetch rate give the drain schedule — fetches
+    * per hour, seconds to drain, hours to drain (ceil) — the
+    * capacity-planning row a crawl scheduler publishes per host.
+    * Map-side parse + one groupBy + the frontier's broadcast-sized
+    * anti-join; all-integer arithmetic.
+    */
+  private def qCrawlPoliteness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val snum = expr("cast(substring(source, 4) as int)")
+    val robots = concat(
+      lit("User-agent: *\nDisallow: /doc/"), (snum % 10).cast("string"),
+      lit("\nAllow: /doc/"), (snum % 10).cast("string"),
+      ((snum / 2).cast("int") % 10).cast("string"),
+      lit("\nCrawl-delay: "), (snum % 5 + 1).cast("string"))
+    val links = docs
+      .withColumn("raw", htmlPlant)
+      .withColumn("robots", robots)
+      .withColumn("dis", regexp_extract(col("robots"), "Disallow: ([^\\n]+)", 1))
+      .withColumn("alw", regexp_extract(col("robots"), "Allow: ([^\\n]+)", 1))
+      .withColumn("delay_s",
+        regexp_extract(col("robots"), "Crawl-delay: ([0-9]+)", 1).cast("long"))
+      .select(col("source"), col("dis"), col("alw"), col("delay_s"),
+        explode(regexp_extract_all(col("raw"), lit("href=\"([^\"]*)\""), lit(1))).as("href"))
+      .where(lower(col("href")).startsWith("/doc/"))
+      .withColumn("path", regexp_replace(lower(col("href")), "\\?.*$", ""))
+      .withColumn("allowed",
+        !(expr("substring(path, 1, length(dis)) = dis") &&
+          !expr("substring(path, 1, length(alw)) = alw")))
+      .withColumn("t", regexp_extract(col("href"), "([0-9]+)", 1).cast("long"))
+    val tgt = links.where(col("allowed") && col("t").isNotNull)
+      .select("source", "t").distinct()
+    val ids = docs.select(col("doc_id").cast("long").as("t"))
+    val frontier = tgt.join(ids, Seq("t"), "left_anti")
+      .groupBy("source").agg(count(lit(1)).as("n_frontier"))
+    val delays = links.groupBy("source").agg(min("delay_s").as("crawl_delay_s"))
+    delays.join(frontier, Seq("source"), "left")
+      .na.fill(0L, Seq("n_frontier"))
+      .withColumn("fetch_per_hour", expr("cast(3600 as bigint) div crawl_delay_s"))
+      .withColumn("drain_s", expr("n_frontier * crawl_delay_s"))
+      .withColumn("hours_to_drain",
+        expr("(n_frontier + fetch_per_hour - 1) div fetch_per_hour"))
+      .orderBy("source")
+  }
+
+  private val qCrawlPolitenessSql =
+    s"""WITH $crawlLinkCtes,
+       |rl AS (
+       |  SELECT DISTINCT source,
+       |    'User-agent: *' || chr(10) || 'Disallow: /doc/'
+       |      || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR)
+       |      || chr(10) || 'Allow: /doc/'
+       |      || CAST(CAST(substr(source, 4) AS INT) % 10 AS VARCHAR)
+       |      || CAST((CAST(substr(source, 4) AS INT) // 2) % 10 AS VARCHAR)
+       |      || chr(10) || 'Crawl-delay: '
+       |      || CAST(CAST(substr(source, 4) AS INT) % 5 + 1 AS VARCHAR) AS robots
+       |  FROM documents),
+       |rr AS (
+       |  SELECT source,
+       |    regexp_extract(robots, 'Disallow: ([^\\n]+)', 1) AS dis,
+       |    regexp_extract(robots, 'Allow: ([^\\n]+)', 1) AS alw,
+       |    CAST(regexp_extract(robots, 'Crawl-delay: ([0-9]+)', 1) AS BIGINT) AS delay_s
+       |  FROM rl),
+       |lk AS (
+       |  SELECT source, t, delay_s,
+       |    NOT (substr(path, 1, length(dis)) = dis
+       |         AND substr(path, 1, length(alw)) <> alw) AS allowed
+       |  FROM (
+       |    SELECT cl.source, cl.t, rr.delay_s,
+       |      regexp_replace(lower(cl.href), '\\?.*$$', '') AS path, rr.dis, rr.alw
+       |    FROM cl JOIN rr USING (source))),
+       |tg AS (SELECT DISTINCT source, t FROM lk WHERE allowed AND t IS NOT NULL),
+       |fr AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_frontier
+       |  FROM tg WHERE t NOT IN (SELECT CAST(doc_id AS BIGINT) FROM documents)
+       |  GROUP BY 1),
+       |dl AS (SELECT source, MIN(delay_s) AS crawl_delay_s FROM lk GROUP BY 1)
+       |SELECT dl.source, CAST(crawl_delay_s AS BIGINT) AS crawl_delay_s,
+       |  CAST(COALESCE(n_frontier, 0) AS BIGINT) AS n_frontier,
+       |  CAST(3600 // crawl_delay_s AS BIGINT) AS fetch_per_hour,
+       |  CAST(COALESCE(n_frontier, 0) * crawl_delay_s AS BIGINT) AS drain_s,
+       |  CAST((COALESCE(n_frontier, 0) + (3600 // crawl_delay_s) - 1)
+       |    // (3600 // crawl_delay_s) AS BIGINT) AS hours_to_drain
+       |FROM dl LEFT JOIN fr USING (source) ORDER BY source""".stripMargin
+
   /** Tokenizer fertility under the REAL merge table — the
     * `pipe_tokenizer_fertility` read re-denominated like the budget key
     * (that row approximates with a BPE-ish regex; this one encodes with
     * the fitted 300+-merge vocabulary): per language, corpus words vs
     * encoded tokens and fertility in tokens-per-1000-words — the number
-    * a multilingual-tokenizer report publishes per language. Rides the
-    * shared fit (bounded driver state) + one explode/broadcast-join
-    * corpus pass.
+    * a multilingual-tokenizer report publishes per language. PER-SCRIPT
+    * rows (r13 verdict task #3): the fit and the encode both run on the
+    * [[scriptPlant]]ed corpus under the multilingual canon, grouped by
+    * the plant's language truth — so the ru/el/zh/ar/hi/ko rows read
+    * the real cost of tokenizing each planted script with a shared
+    * multilingual merge table (Latin-dominated corpus → higher fertility
+    * on the low-resource scripts, exactly the readout a tokenizer
+    * report publishes). Rides the shared fit (bounded driver state) +
+    * one explode/broadcast-join corpus pass.
     */
   private def textBpeFertility(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
@@ -17829,34 +18026,36 @@ object SparkEntry {
     }
     val dictDf = s.createDataFrame(tokCounts).toDF("w", "btoks")
     val perDoc = docs
-      .select(col("doc_id"), text.Text.words(col("text")).as("ws"))
+      .select(col("doc_id"), text.Text.wordsUni(scriptPlant).as("ws"))
       .select(col("doc_id"), explode(text.Bpe.unitsOfWords(col("ws"))).as("w"))
       .join(broadcast(dictDf), "w")
       .groupBy("doc_id").agg(sum("btoks").as("btoks"))
-    docs.select(col("doc_id"), col("lang"), text.Text.wordCount(col("text")).as("wc"))
+    docs.select(col("doc_id"), scriptTruth.as("lang_true"),
+        text.Text.wordCountUni(scriptPlant).as("wc"))
       .join(perDoc, Seq("doc_id"), "left")
       .na.fill(0L, Seq("btoks"))
-      .groupBy("lang")
+      .groupBy("lang_true")
       .agg(count(lit(1)).as("n_docs"), sum("wc").as("words"), sum("btoks").as("bpe_tokens"))
       .withColumn("fert_pml", expr("bpe_tokens * 1000 div greatest(words, 1)"))
-      .orderBy("lang")
+      .orderBy("lang_true")
   }
 
   private val textBpeFertilitySql: String =
-    "WITH " + oracle.DuckBpe.fitCtes(wordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
+    "WITH " + oracle.DuckBpe.fitCtes(bpeWordsListSql, BpeStages, BpeTopN, BpeCapK) + ",\n" +
       oracle.DuckBpe.tokCountsCte(BpeStages) + ",\n" +
       s"""u AS (
          |  SELECT doc_id, unnest(list_transform(generate_series(1, (len(ws)+1)//2),
          |    i -> CASE WHEN 2*i <= len(ws) THEN ws[2*i-1] || '_' || ws[2*i] ELSE ws[2*i-1] END)) AS w
-         |  FROM (SELECT doc_id, $wordsListSql AS ws FROM documents) WHERE len(ws) > 0),
+         |  FROM (SELECT doc_id, $bpeWordsListSql AS ws FROM documents) WHERE len(ws) > 0),
          |pd0 AS (SELECT u.doc_id, CAST(SUM(tc.btoks) AS BIGINT) AS btoks
          |        FROM u JOIN tc USING (w) GROUP BY 1),
          |wc AS (
-         |  SELECT doc_id, lang,
-         |    CAST(CASE WHEN length($canonSql) = 0 THEN 0
-         |         ELSE length($canonSql) - length(replace($canonSql, ' ', '')) + 1 END AS BIGINT) AS wc
+         |  SELECT doc_id, $scriptTruthSql AS lang_true,
+         |    CAST(CASE WHEN length(${canonUniSqlOn(scriptPlantSql)}) = 0 THEN 0
+         |         ELSE length(${canonUniSqlOn(scriptPlantSql)})
+         |           - length(replace(${canonUniSqlOn(scriptPlantSql)}, ' ', '')) + 1 END AS BIGINT) AS wc
          |  FROM documents)
-         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |SELECT lang_true, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(wc) AS BIGINT) AS words,
          |  CAST(SUM(COALESCE(pd0.btoks, 0)) AS BIGINT) AS bpe_tokens,
          |  CAST(SUM(COALESCE(pd0.btoks, 0)) * 1000 // GREATEST(SUM(wc), 1) AS BIGINT) AS fert_pml
@@ -17869,18 +18068,69 @@ object SparkEntry {
     * "данные поток запрос таблица", Greek "δεδομένα ροή ερώτημα
     * πίνακας", Chinese "数据 流 查询 表格".
     */
-  private val cyrSample =
+  private[graft] final val cyrSample =
     "\u0434\u0430\u043d\u043d\u044b\u0435 \u043f\u043e\u0442\u043e\u043a \u0437\u0430\u043f\u0440\u043e\u0441 \u0442\u0430\u0431\u043b\u0438\u0446\u0430"
-  private val greSample =
+  private[graft] final val greSample =
     "\u03b4\u03b5\u03b4\u03bf\u03bc\u03ad\u03bd\u03b1 \u03c1\u03bf\u03ae \u03b5\u03c1\u03ce\u03c4\u03b7\u03bc\u03b1 \u03c0\u03af\u03bd\u03b1\u03ba\u03b1\u03c2"
-  private val hanSample =
+  private[graft] final val hanSample =
     "\u6570\u636e \u6d41 \u67e5\u8be2 \u8868\u683c"
-  private val araSample =
+  private[graft] final val araSample =
     "\u0628\u064a\u0627\u0646\u0627\u062a \u062a\u062f\u0641\u0642 \u0627\u0633\u062a\u0639\u0644\u0627\u0645 \u062c\u062f\u0648\u0644"
-  private val devSample =
+  private[graft] final val devSample =
     "\u0921\u0947\u091f\u093e \u092a\u094d\u0930\u0935\u093e\u0939 \u092a\u094d\u0930\u0936\u094d\u0928 \u0924\u093e\u0932\u093f\u0915\u093e"
-  private val hangulSample =
+  private[graft] final val hangulSample =
     "\ub370\uc774\ud130 \ud750\ub984 \ucffc\ub9ac \ud14c\uc774\ube14"
+
+  /** The script-diversity PLANT shared by the langid eval and the BPE
+    * family (r13 verdict task #3 routes the tokenizer fit through the
+    * same multilingual corpus the router classifies): docs \u22611..7 mod 11
+    * carry the six non-Latin script samples (\u22614 code-switched
+    * Latin+Cyrillic), every other doc keeps its corpus text.
+    */
+  private def scriptPlant: Column = {
+    val m = col("doc_id") % 11
+    when(m === 1, lit(cyrSample))
+      .when(m === 2, lit(greSample))
+      .when(m === 3, lit(hanSample))
+      .when(m === 4, concat(col("text"), lit(" " + cyrSample)))
+      .when(m === 5, lit(araSample))
+      .when(m === 6, lit(devSample))
+      .when(m === 7, lit(hangulSample))
+      .otherwise(col("text"))
+  }
+
+  /** Plant-derived language truth for [[scriptPlant]]. */
+  private def scriptTruth: Column = {
+    val m = col("doc_id") % 11
+    when(m === 1 || m === 4, lit("ru"))
+      .when(m === 2, lit("el"))
+      .when(m === 3, lit("zh"))
+      .when(m === 5, lit("ar"))
+      .when(m === 6, lit("hi"))
+      .when(m === 7, lit("ko"))
+      .otherwise(col("lang"))
+  }
+
+  /** [[scriptPlant]] as a DuckDB expression over `documents` columns. */
+  private lazy val scriptPlantSql: String =
+    s"""CASE WHEN doc_id % 11 = 1 THEN '$cyrSample'
+       |    WHEN doc_id % 11 = 2 THEN '$greSample'
+       |    WHEN doc_id % 11 = 3 THEN '$hanSample'
+       |    WHEN doc_id % 11 = 4 THEN text || ' $cyrSample'
+       |    WHEN doc_id % 11 = 5 THEN '$araSample'
+       |    WHEN doc_id % 11 = 6 THEN '$devSample'
+       |    WHEN doc_id % 11 = 7 THEN '$hangulSample'
+       |    ELSE text END""".stripMargin.linesIterator.map(_.trim).mkString(" ")
+
+  /** [[scriptTruth]] as a DuckDB expression over `documents` columns. */
+  private lazy val scriptTruthSql: String =
+    """CASE WHEN doc_id % 11 IN (1, 4) THEN 'ru'
+      |    WHEN doc_id % 11 = 2 THEN 'el'
+      |    WHEN doc_id % 11 = 3 THEN 'zh'
+      |    WHEN doc_id % 11 = 5 THEN 'ar'
+      |    WHEN doc_id % 11 = 6 THEN 'hi'
+      |    WHEN doc_id % 11 = 7 THEN 'ko'
+      |    ELSE lang END""".stripMargin.linesIterator.map(_.trim).mkString(" ")
 
   /** Unicode-script language ID + confusion matrix — the langid-breadth
     * row (the stopword heuristic covers Latin-script languages only;
@@ -17894,26 +18144,10 @@ object SparkEntry {
     * identically in Java regex and RE2.
     */
   private def textLangidScript(s: SparkSession, dir: String): DataFrame = {
-    val m = col("doc_id") % 11
-    val planted = when(m === 1, lit(cyrSample))
-      .when(m === 2, lit(greSample))
-      .when(m === 3, lit(hanSample))
-      .when(m === 4, concat(col("text"), lit(" " + cyrSample)))
-      .when(m === 5, lit(araSample))
-      .when(m === 6, lit(devSample))
-      .when(m === 7, lit(hangulSample))
-      .otherwise(col("text"))
-    val truth = when(m === 1 || m === 4, lit("ru"))
-      .when(m === 2, lit("el"))
-      .when(m === 3, lit("zh"))
-      .when(m === 5, lit("ar"))
-      .when(m === 6, lit("hi"))
-      .when(m === 7, lit("ko"))
-      .otherwise(col("lang"))
     Tables.documents(s, dir)
       // langIdScript LET-BINDS its input (and the padded canon) — the
       // plant CASE is evaluated once per row, not once per probe
-      .select(truth.as("lang_true"), text.Text.langIdScript(planted).as("lang_pred"))
+      .select(scriptTruth.as("lang_true"), text.Text.langIdScript(scriptPlant).as("lang_pred"))
       .groupBy("lang_true", "lang_pred").agg(count(lit(1)).as("n"))
       .orderBy("lang_true", "lang_pred")
   }
@@ -17935,21 +18169,8 @@ object SparkEntry {
       s"WHEN $cond THEN '${counts(i)._1}'"
     }.mkString("\n    ")
     s"""WITH pl AS (
-       |  SELECT CASE WHEN doc_id % 11 = 1 THEN '$cyrSample'
-       |    WHEN doc_id % 11 = 2 THEN '$greSample'
-       |    WHEN doc_id % 11 = 3 THEN '$hanSample'
-       |    WHEN doc_id % 11 = 4 THEN text || ' $cyrSample'
-       |    WHEN doc_id % 11 = 5 THEN '$araSample'
-       |    WHEN doc_id % 11 = 6 THEN '$devSample'
-       |    WHEN doc_id % 11 = 7 THEN '$hangulSample'
-       |    ELSE text END AS t,
-       |  CASE WHEN doc_id % 11 IN (1, 4) THEN 'ru'
-       |    WHEN doc_id % 11 = 2 THEN 'el'
-       |    WHEN doc_id % 11 = 3 THEN 'zh'
-       |    WHEN doc_id % 11 = 5 THEN 'ar'
-       |    WHEN doc_id % 11 = 6 THEN 'hi'
-       |    WHEN doc_id % 11 = 7 THEN 'ko'
-       |    ELSE lang END AS lang_true
+       |  SELECT $scriptPlantSql AS t,
+       |  $scriptTruthSql AS lang_true
        |  FROM documents),
        |c AS (
        |  SELECT lang_true,
@@ -18386,6 +18607,7 @@ object SparkEntry {
     "text_robots_rules" -> (textRobotsRules _),
     "text_langid_script" -> (textLangidScript _),
     "q_crawl_frontier_policy" -> (qCrawlFrontierPolicy _),
+    "q_crawl_politeness" -> (qCrawlPoliteness _),
     "text_bpe_fertility" -> (textBpeFertility _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
@@ -18823,6 +19045,7 @@ object SparkEntry {
     "text_robots_rules" -> textRobotsRulesSql,
     "text_langid_script" -> textLangidScriptSql,
     "q_crawl_frontier_policy" -> qCrawlFrontierPolicySql,
+    "q_crawl_politeness" -> qCrawlPolitenessSql,
     "text_bpe_fertility" -> textBpeFertilitySql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,

@@ -112,61 +112,112 @@ object SetSim {
     * all-pairs mode is quadratic in duplicate-group size (a 10k-copy
     * viral block emits ~50M qualifying pairs; this emits 10k rows).
     *
-    * Block key = each doc's MINIMUM eligible token hash — single-
-    * permutation MinHash anchoring (Broder's min-wise independence:
-    * two sets share their minimum under a random hash order with
-    * probability exactly their Jaccard). Exact duplicates ALWAYS share
-    * the block; a 0.7-near-dup shares it with probability ≈ 0.7. A
-    * rarest-token key was tried first and rejected: a near-dup's edit
-    * introduces a globally-UNIQUE shingle which becomes its rarest
-    * token, so non-exact dups essentially never shared their anchor's
-    * block (recall ~0 by construction, not by chance).
+    * Block keys = the doc's MINIMUM eligible token under k independent
+    * hash permutations (Mix64 of token XOR seed_i) — MULTI-anchor
+    * min-hash anchoring (Broder's min-wise independence: two sets share
+    * their minimum under one random hash order with probability exactly
+    * their Jaccard; k independent orders lift pair recall to
+    * ≈ 1−(1−J)^k, r13 verdict task #1). Exact duplicates ALWAYS share
+    * every block. A rarest-token key was tried first and rejected: a
+    * near-dup's edit introduces a globally-UNIQUE shingle which becomes
+    * its rarest token, so non-exact dups essentially never shared their
+    * anchor's block (recall ~0 by construction, not by chance).
     *
-    * Docs sharing their min token form a block; the block's anchor is
-    * its min doc_id; every doc emits exactly one row (doc_id, rep_id,
-    * jacc_x1000) where rep_id = anchor when exact df-filtered Jaccard
-    * to the anchor clears the threshold, else the doc itself. Unlike
-    * the pair-complete mode this is a RECALL-TRADED contract
-    * (probability ≈ J of sharing the block, and an unrelated block
-    * anchor shadows a true near-dup pair) — the certified pair-complete
-    * operator stays available; this is the emission-bounded production
-    * mode, and `dedup_setsim_reps_eval` publishes the measured recall.
+    * Each block's anchor is its min doc_id; every doc collects its ≤k
+    * candidate anchors, Jaccard-verifies each NON-SELF candidate, and
+    * emits exactly one row (doc_id, rep_id, jacc_x1000): rep_id = the
+    * best non-self candidate (highest exact df-filtered Jaccard, ties
+    * to lowest anchor_id) when it clears the threshold, else the doc
+    * itself; jacc_x1000 = the Jaccard to that best candidate (1000 for
+    * a doc with no non-self candidate — its rep is itself). Self
+    * candidates MUST be excluded before the best-of window: a doc that
+    * anchors any one of its k blocks would otherwise be its own
+    * candidate at Jaccard 1000 and SHADOW every true near-dup anchor
+    * from the other seeds — exactly inverting the multi-anchor recall
+    * lift (caught by the planted-collapse spec, R13OperatorLawsSpec).
+    * Still a RECALL-TRADED contract (an unrelated lower-id block anchor
+    * can shadow a true near-dup in all k blocks) — the certified
+    * pair-complete operator stays available; this is the
+    * emission-bounded production mode, and `dedup_setsim_reps_eval`
+    * publishes the measured recall.
     *
     * Shapes: one groupBy(token) for df, one doc_id groupBy for per-doc
-    * (min token, filtered set, size) — min and collect_list ride the
-    * same exchange — one groupBy(block) for anchors, one join to attach
-    * the anchor's set, one map-side array_intersect per doc. No
-    * candidate pair frame exists at all. Docs with zero eligible tokens
-    * (all-viral or empty) are excluded, like the pair mode. All-integer
-    * output, bit-exact vs the DuckDB mirror (hashes mirrored by
-    * oracle.DuckHash.shingleTokCtes).
+    * (k block keys, filtered set, size) — all k mins and collect_list
+    * ride the same exchange — k bounded groupBys for anchors, one union
+    * + distinct of ≤k·n candidate rows, two set-attach joins, one
+    * map-side array_intersect per candidate, one ≤k-row-per-doc window
+    * (arrays projected away first). No candidate pair frame exists at
+    * all. Docs with zero eligible tokens (all-viral or empty) are
+    * excluded, like the pair mode. All-integer output, bit-exact vs the
+    * DuckDB mirror (hashes mirrored by oracle.DuckHash.shingleTokCtes +
+    * mix64SignedSql).
     */
-  def anchorReps(sets: DataFrame, tX1000: Int, maxTokenDf: Int): DataFrame = {
+  /** The k independent min-hash permutation seeds of [[anchorReps]]:
+    * anchor key i = min over eligible tokens of Mix64(token XOR seed_i).
+    * Single-permutation anchoring finds a J-near-dup pair with
+    * probability ≈ J (measured 425‰ at sf0.1); k independent anchors
+    * lift that to ≈ 1−(1−J)^k at still-O(k·n) emitted candidate rows
+    * (r13 verdict task #1). Seeds are arbitrary fixed constants —
+    * inlined as literals in the DuckDB mirror, so change them only in
+    * lockstep with the oracle.
+    */
+  val AnchorSeeds: Seq[Long] = Seq(0L, -7046029254386353131L, 7640891576956012809L)
+
+  def anchorReps(
+      sets: DataFrame,
+      tX1000: Int,
+      maxTokenDf: Int,
+      seeds: Seq[Long] = AnchorSeeds): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = sets
       .where(col("sh").isNotNull && size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("token"))
     val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
     val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
-    val docs = eligible
-      .groupBy("doc_id")
-      .agg(
-        min(col("token")).as("bk"),
-        sort_array(collect_list(col("token"))).as("fsh"),
-        count(lit(1)).as("n"))
-    val anchors = docs.groupBy("bk").agg(min("doc_id").as("anchor_id"))
-    val aSets = anchors.join(
-      docs.select(col("doc_id").as("anchor_id"), col("fsh").as("a_fsh"), col("n").as("a_n")),
-      "anchor_id")
-    docs.join(aSets, "bk")
+    def mixed(seed: Long): Column = ColumnBridge.column(
+      graft.functions.Mix64Long(
+        ColumnBridge.expression(col("token").bitwiseXOR(lit(seed)))))
+    // one doc_id exchange carries all k block keys + the filtered set
+    val aggs = seeds.zipWithIndex.map { case (sd, i) => min(mixed(sd)).as(s"bk$i") } ++
+      Seq(sort_array(collect_list(col("token"))).as("fsh"), count(lit(1)).as("n"))
+    val docs = eligible.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds k anchor groupBys + 2 set joins; caller-owned (harness clearCache)
+    // per-seed blocks → NON-SELF candidate (doc, anchor) assignments,
+    // unioned and deduped: ≤ k rows per doc ever exist — no pair frame,
+    // O(k·n). Self assignments are dropped HERE (see the scaladoc: a
+    // self candidate scores Jaccard 1000 and would shadow every true
+    // anchor in the best-of window).
+    val cand = seeds.indices.map { i =>
+      val anchors = docs.groupBy(col(s"bk$i").as("bk")).agg(min("doc_id").as("anchor_id"))
+      docs.select(col("doc_id"), col(s"bk$i").as("bk"))
+        .join(anchors, "bk")
+        .select("doc_id", "anchor_id")
+    }.reduce(_ unionByName _)
+      .where(col("doc_id") =!= col("anchor_id"))
+      .distinct()
+    // exact Jaccard to every candidate anchor; arrays are DROPPED before
+    // the best-of window so the ≤k-row partitions sort keys, not payloads
+    val scored = cand
+      .join(docs.select(col("doc_id"), col("fsh"), col("n")), "doc_id")
+      .join(docs.select(col("doc_id").as("anchor_id"), col("fsh").as("a_fsh"), col("n").as("a_n")),
+        "anchor_id")
       .withColumn("inter", size(array_intersect(col("fsh"), col("a_fsh"))).cast("long"))
       .withColumn("uni", col("n") + col("a_n") - col("inter"))
-      .withColumn("jacc_x1000", expr("inter * 1000 div uni"))
+      .select(col("doc_id"), col("anchor_id"), expr("inter * 1000 div uni").as("jacc_x1000"))
+    val best = Window.partitionBy("doc_id").orderBy(col("jacc_x1000").desc, col("anchor_id"))
+    val bestRows = scored
+      .withColumn("rn", row_number().over(best))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("anchor_id"), col("jacc_x1000"))
+    // every eligible doc emits exactly one row; docs with no non-self
+    // candidate (singleton blocks under every seed) keep themselves
+    docs.select(col("doc_id"))
+      .join(bestRows, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
-        when(col("doc_id") === col("anchor_id"), col("doc_id"))
-          .when(col("jacc_x1000") >= tX1000, col("anchor_id"))
+        when(col("jacc_x1000") >= tX1000, col("anchor_id"))
           .otherwise(col("doc_id")).as("rep_id"),
-        col("jacc_x1000"))
+        coalesce(col("jacc_x1000"), lit(1000L)).as("jacc_x1000"))
   }
 
   /** Generic tokenizer entry: `tokens` is an array<string> Column over

@@ -96,6 +96,38 @@ object StripChromeNested {
     (isClose, lowerAscii(s.substring(n0, p)), s.substring(i + 1, j))
   }
 
+  /** Whether the tag body (everything between '<' and '>') ends in a
+    * self-closing '/' MARKER — as opposed to a '/' that is content of an
+    * unquoted attribute value (`<nav data-u=http://x/>`, where HTML5's
+    * tokenizer keeps the '/' inside the value and the tag is a normal
+    * open tag; ADVICE r13). A tiny attribute-state walk: the final '/'
+    * is a marker only when it lands OUTSIDE any attribute value — i.e.
+    * in name/whitespace position, not right after '=' (there HTML5
+    * starts an unquoted value with it) and not inside a quoted or
+    * unquoted value.
+    */
+  private[functions] def selfClosing(body: String): Boolean = {
+    val last = body.length - 1
+    if (last < 0 || body.charAt(last) != '/') return false
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    var q = 0
+    var state = 0 // 0 = name/attr/whitespace, 1 = just after '=', 2 = quoted value, 3 = unquoted value
+    var quote = '"'
+    while (q < last) {
+      val c = body.charAt(q)
+      state match {
+        case 0 => if (c == '=') state = 1
+        case 1 =>
+          if (c == '"' || c == '\'') { quote = c; state = 2 }
+          else if (!ws(c)) state = 3 // first unquoted value char
+        case 2 => if (c == quote) state = 0
+        case _ => if (ws(c)) state = 0 // unquoted value ends at whitespace
+      }
+      q += 1
+    }
+    state == 0
+  }
+
   def strip(s: String): String = {
     val n = s.length
     val out = new java.lang.StringBuilder(n)
@@ -125,7 +157,7 @@ object StripChromeNested {
             val opensChrome = !isClose &&
               (ChromeNames.contains(name) || (name == "div" && body.contains(AdsMarker)))
             if (opensChrome) {
-              if (body.endsWith("/")) { out.append(' '); i = j + 1 } // self-closing: no content
+              if (selfClosing(body)) { out.append(' '); i = j + 1 } // self-closing: no content
               else { key = name; depth = 1; i = j + 1 }
             } else {
               out.append(c) // verbatim: tag stripping is the next stage
@@ -136,7 +168,7 @@ object StripChromeNested {
               if (isClose) {
                 depth -= 1
                 if (depth == 0) { out.append(' '); key = null }
-              } else if (!body.endsWith("/")) depth += 1
+              } else if (!selfClosing(body)) depth += 1
             }
             i = j + 1
           }

@@ -27,6 +27,42 @@ object Text {
     when(length(c) === 0, array().cast("array<string>")).otherwise(split(c, " "))
   }
 
+  /** Keep-class for the MULTILINGUAL canon: Latin alnum plus the six
+    * planted script ranges, spliced from [[scriptRanges]] so the canon
+    * and the language-ID cascade can never disagree on coverage.
+    * Explicit `\x{hhhh}` ranges (not `\p{L}`) on purpose: they parse
+    * identically in Java regex and RE2 and carry no Unicode-version
+    * dependence — the cross-engine-parity rule this file opens with.
+    * All ranges are BMP, so Java char iteration == codepoint iteration
+    * for every symbol the BPE fit can see.
+    */
+  lazy val uniCanonClass: String = // lazy: scriptRanges declares below
+    "a-z0-9" + scriptRanges.map { case (_, r) => r.drop(1).dropRight(1) }.mkString
+
+  /** Multilingual canon: lowercase, keep [[uniCanonClass]], collapse
+    * runs of everything else to single spaces, trim. `_` is outside the
+    * keep-class, so the BPE boundary marker can never collide with
+    * content (the [[graft.text.Bpe.units]] invariant).
+    */
+  def canonUni(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^" + uniCanonClass + "]+", " "))
+
+  /** Multilingual canonical word array; empty for blank canon. */
+  def wordsUni(text: Column): Column = {
+    val c = canonUni(text)
+    when(length(c) === 0, array().cast("array<string>")).otherwise(split(c, " "))
+  }
+
+  /** Multilingual word count via the same length arithmetic as
+    * [[wordCount]] (codepoint semantics in BOTH engines: Spark `length`
+    * and DuckDB `length` count codepoints, not bytes).
+    */
+  def wordCountUni(text: Column): Column = {
+    val c = canonUni(text)
+    when(length(c) === 0, lit(0L))
+      .otherwise((length(c) - length(replace(c, lit(" "), lit(""))) + 1).cast("long"))
+  }
+
   /** Word count via length arithmetic (exactly reproducible in SQL:
     * no split-semantics edge cases).
     */

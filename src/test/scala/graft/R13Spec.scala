@@ -80,10 +80,27 @@ class StripChromeNestedSpec extends AnyFunSuite {
 class BpeBatchedReplaySpec extends AnyFunSuite {
   import TestSpark._
 
+  // the MULTILINGUAL canon (R14: the fit corpus is the script-planted
+  // corpus): same keep-class string as Text.uniCanonClass — a shared
+  // CONSTANT like HllReplaySpec's estimator tables, not shared logic
   private def canonWords(s: String): Vector[String] = {
     val c = s.toLowerCase(java.util.Locale.ROOT)
-      .replaceAll("[^a-z0-9]+", " ").trim
+      .replaceAll("[^" + text.Text.uniCanonClass + "]+", " ").trim
     if (c.isEmpty) Vector.empty else c.split(" ").toVector
+  }
+
+  /** The script plant replayed in plain Scala (samples are shared
+    * constants from SparkEntry — inputs, not logic).
+    */
+  private def plant(docId: Long, t: String): String = (docId % 11) match {
+    case 1 => SparkEntry.cyrSample
+    case 2 => SparkEntry.greSample
+    case 3 => SparkEntry.hanSample
+    case 4 => t + " " + SparkEntry.cyrSample
+    case 5 => SparkEntry.araSample
+    case 6 => SparkEntry.devSample
+    case 7 => SparkEntry.hangulSample
+    case _ => t
   }
 
   private def units(ws: Vector[String]): Vector[String] =
@@ -120,8 +137,9 @@ class BpeBatchedReplaySpec extends AnyFunSuite {
   }
 
   test("text_bpe_vocab replays merge-for-merge from raw text in plain Scala") {
-    val texts = Tables.documents(spark, dir).select(col("text"))
-      .collect().map(_.getString(0)).toSeq
+    val texts = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("text"))
+      .collect().map(r => plant(r.getLong(0), r.getString(1))).toSeq
     val dict = texts.flatMap(t => units(canonWords(t)))
       .groupBy(identity).map { case (w, g) => (w, g.size.toLong) }.toSeq
       .sortBy { case (w, n) => (-n, w) }.take(65536)
