@@ -9,12 +9,14 @@ object Bench {
     * >1.5x bench flags were mostly the HOST — the judge's isolated
     * control rerun measured a 1.34x machine factor between measurement
     * sessions, not code drift). Ten pinned control keys whose code is
-    * frozen, with their medians from the r13 FRESH-HOST baseline run of
-    * the unchanged r12 tree (BENCH_BASELINE.json at ed314b492529,
-    * sf0.1, this suite's own median-of-3 protocol; repinned per r12
-    * verdict task #8 — the r11 pins were cut on a degraded host, and
-    * this baseline measured 0.88–1.22 against them with host_factor
-    * 1.07, confirming code-flat). Every bench run emits
+    * frozen, with their medians from the r14 FRESH-HOST baseline run of
+    * the unchanged r13 tree (BENCH_BASELINE.json at 9e84845, sf0.1,
+    * this suite's own median-of-3 protocol — the round-open fresh-host
+    * ritual: bench the previous round's HEAD before any code lands, so
+    * the pins and the per-key baseline share one host state; that run
+    * measured host_factor 0.89 against the r13 pins, i.e. this host is
+    * FASTER than the one the old pins were cut on). Every bench run
+    * emits
     * `host_factor` = median over controls of (current median / pinned
     * median); cross-round comparisons divide per-key medians by it
     * before flagging, so BENCH artifacts separate "host" from "code"
@@ -24,18 +26,18 @@ object Bench {
     * PROTOCOL: if a control key's implementation ever changes, repin its
     * reference median in the same commit.
     */
-  val controlRefHead = "ed314b492529"
+  val controlRefHead = "9e84845"
   val controlRef: Map[String, Double] = Map(
-    "q1_agg" -> 0.3001,
-    "dedup_exact" -> 0.3005,
-    "dedup_minhash" -> 1.4818,
-    "q_join_shuffle" -> 0.4667,
-    "pipe_corpus_prep" -> 3.6468,
-    "text_bm25_topk" -> 1.1998,
-    "q_window_topn" -> 0.5015,
-    "q_local_volume" -> 0.9311,
-    "mm_scene_cuts" -> 0.8116,
-    "mm_phash_groups" -> 0.5725)
+    "q1_agg" -> 0.2653,
+    "dedup_exact" -> 0.3095,
+    "dedup_minhash" -> 1.2709,
+    "q_join_shuffle" -> 0.4186,
+    "pipe_corpus_prep" -> 3.1970,
+    "text_bm25_topk" -> 1.0488,
+    "q_window_topn" -> 0.4514,
+    "q_local_volume" -> 0.8063,
+    "mm_scene_cuts" -> 0.7878,
+    "mm_phash_groups" -> 0.5292)
 
   /** R13 (r12 verdict task #2): a SCALAR host factor under-corrects —
     * the r12 close measured control ratios 1.06–2.76 on one host (map-
@@ -45,10 +47,9 @@ object Bench {
     * factor is emitted; regression flagging normalizes each key by ITS
     * family's factor. Families: `map` (scan/map-side/light-agg),
     * `shuffle` (wide-exchange dominated), `decode` (JDK codec bound).
-    * Reference medians are pinned from the r13 fresh-host baseline run
-    * of the UNCHANGED r12 tree (BENCH_BASELINE.json, git_head below) —
-    * repinning dedup_minhash/q_join_shuffle off the degraded r11 close
-    * host per r12 verdict task #8. Pins are sf0.1 medians; host factors
+    * Reference medians are pinned from the r14 fresh-host baseline run
+    * of the UNCHANGED r13 tree (BENCH_BASELINE.json, git_head below).
+    * Pins are sf0.1 medians; host factors
     * are only emitted when the run's sfDir matches (ADVICE r12: a
     * different-sf run must not conflate data scale with host drift).
     */

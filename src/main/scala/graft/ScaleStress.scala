@@ -122,12 +122,15 @@ object ScaleStress {
       // langid-script are map-side chains + bounded groupBys
       "dedup_setsim_reps", "text_bpe_vocab", "pipe_token_mix_bpe",
       "text_html_strip_nested", "text_robots_rules", "text_langid_script",
-      // the eval's truth leg IS the pair-complete prefix join, so it
-      // inherits that key's documented output-driven contract at 10x
+      // R14: the eval's truth leg (the pair-complete prefix join) runs
+      // on the lowest-2000-doc_id cap — constant-cost at any corpus
+      // size (was: inherited the output-driven 5x contract)
       "dedup_setsim_reps_eval",
-      // frontier policy = map-side rules + one groupBy; fertility rides
-      // the vocab²-bounded fit + one corpus explode/broadcast-join pass
-      "q_crawl_frontier_policy", "text_bpe_fertility")
+      // frontier policy/politeness = map-side rules + one groupBy (+ the
+      // broadcast dangling anti-join); fertility rides the
+      // vocab²-bounded fit + one corpus explode/broadcast-join pass
+      "q_crawl_frontier_policy", "text_bpe_fertility",
+      "q_crawl_politeness")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops. The doc-op SKEW GUARDS below still run — those are
     // never skippable — but the events/graph legs ARE skipped on a

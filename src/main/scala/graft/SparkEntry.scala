@@ -17376,11 +17376,14 @@ object SparkEntry {
 
   /** The anchor-reps mirror over any (doc_id, text) relation `src` —
     * parameterized so the eval key can run BOTH legs on the same
-    * deterministic doc slice. Seeds inlined from
-    * [[dedup.SetSim.AnchorSeeds]]; one bk column + anchor CTE per seed.
+    * deterministic doc slice, and by `seeds` so the k-sweep key can
+    * mirror every anchor count. Seeds inlined from
+    * [[dedup.SetSim.AnchorSeeds]] by default; one bk column + anchor
+    * CTE per seed.
     */
-  private def dedupSetsimRepsSqlOn(src: String): String = {
-    val seeds = dedup.SetSim.AnchorSeeds
+  private def dedupSetsimRepsSqlOn(
+      src: String,
+      seeds: Seq[Long] = dedup.SetSim.AnchorSeeds): String = {
     val bks = seeds.zipWithIndex.map { case (sd, i) =>
       s"MIN(${oracle.DuckHash.mix64SignedSql(s"xor(token, CAST($sd AS BIGINT))")}) AS bk$i"
     }.mkString(",\n       ")
@@ -17529,6 +17532,67 @@ object SparkEntry {
        |  n_docs_truth, n_docs_covered,
        |  CAST(n_docs_covered * 1000 // GREATEST(n_docs_truth, 1) AS BIGINT) AS doc_recall_pml
        |FROM c""".stripMargin
+
+  /** Anchor-count parameter sweep for the reps mode (the
+    * parameter-selection-sweep discipline the ANN families follow —
+    * nProbe/banding/salt sweeps): recall and emission volume at
+    * k = 1..3 independent anchors on the same capped slice and
+    * certified truth as the eval, so a pipeline picks k from a measured
+    * recall-vs-cost curve (theory says pair recall ≈ 1−(1−J)^k; this
+    * row is the measured curve including anchor-shadowing, which theory
+    * ignores). One truth leg + one ≤k·n-candidate pred leg per k, all
+    * capped-slice-bounded.
+    */
+  private def dedupSetsimRepsSweep(s: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(s, dir)
+      .where(col("doc_id") < SetsimEvalCap)
+      .select(
+        col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+    val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nTruth = truth.count()
+    val rows = (1 to dedup.SetSim.AnchorSeeds.length).map { k =>
+      val pred = dedup.SetSim.anchorReps(
+        sets, tX1000 = 700, maxTokenDf = 1000,
+        seeds = dedup.SetSim.AnchorSeeds.take(k))
+        .where(col("doc_id") =!= col("rep_id"))
+        .select(
+          least(col("doc_id"), col("rep_id")).as("doc_a"),
+          greatest(col("doc_id"), col("rep_id")).as("doc_b"))
+        .persist()
+      val nPred = pred.count()
+      val nHit = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
+      pred.unpersist()
+      (k.toLong, nTruth, nPred, nHit, nHit * 1000L / math.max(nTruth, 1L))
+    }
+    truth.unpersist()
+    import s.implicits._
+    rows.toDF("k", "n_truth", "n_pred", "n_hit", "recall_pml").orderBy("k")
+  }
+
+  private lazy val dedupSetsimRepsSweepSql = {
+    val perK = (1 to dedup.SetSim.AnchorSeeds.length).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT LEAST(doc_id, rep_id) AS doc_a, GREATEST(doc_id, rep_id) AS doc_b
+         |  FROM (${dedupSetsimRepsSqlOn(setsimEvalSrc, dedup.SetSim.AnchorSeeds.take(k))})
+         |  WHERE doc_id <> rep_id),
+         |h$k AS (SELECT p$k.* FROM p$k SEMI JOIN truth USING (doc_a, doc_b))""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to dedup.SetSim.AnchorSeeds.length).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS k,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM p$k) AS n_pred,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM h$k) AS n_hit,
+         |  CAST((SELECT COUNT(*) FROM h$k) * 1000
+         |    // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_pml""".stripMargin
+    }.mkString(" UNION ALL ")
+    s"""WITH truth AS MATERIALIZED (
+       |  SELECT doc_a, doc_b FROM (${dedupSetsimPrefixSqlOn(setsimEvalSrc)})),
+       |$perK
+       |$sel
+       |ORDER BY k""".stripMargin
+  }
 
   // ---- real-vocab BPE (r12 verdict task #3) ----
 
@@ -18601,6 +18665,7 @@ object SparkEntry {
     // round-13 wave
     "dedup_setsim_reps" -> (dedupSetsimReps _),
     "dedup_setsim_reps_eval" -> (dedupSetsimRepsEval _),
+    "dedup_setsim_reps_sweep" -> (dedupSetsimRepsSweep _),
     "text_bpe_vocab" -> (textBpeVocab _),
     "pipe_token_mix_bpe" -> (pipeTokenMixBpe _),
     "text_html_strip_nested" -> (textHtmlStripNested _),
@@ -19039,6 +19104,7 @@ object SparkEntry {
     // round-13 wave
     "dedup_setsim_reps" -> dedupSetsimRepsSql,
     "dedup_setsim_reps_eval" -> dedupSetsimRepsEvalSql,
+    "dedup_setsim_reps_sweep" -> dedupSetsimRepsSweepSql,
     "text_bpe_vocab" -> textBpeVocabSql,
     "pipe_token_mix_bpe" -> pipeTokenMixBpeSql,
     "text_html_strip_nested" -> textHtmlStripNestedSql,
