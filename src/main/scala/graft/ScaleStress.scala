@@ -130,7 +130,10 @@ object ScaleStress {
       // broadcast dangling anti-join); fertility rides the
       // vocab²-bounded fit + one corpus explode/broadcast-join pass
       "q_crawl_frontier_policy", "text_bpe_fertility",
-      "q_crawl_politeness")
+      "q_crawl_politeness",
+      // sweep = 3 capped (truth, pred) leg pairs — capped-slice-bounded
+      // like the eval
+      "dedup_setsim_reps_sweep")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops. The doc-op SKEW GUARDS below still run — those are
     // never skippable — but the events/graph legs ARE skipped on a

@@ -17461,30 +17461,47 @@ object SparkEntry {
     * over the capped corpus's own certified truth.
     */
   private def dedupSetsimRepsEval(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the capped shingle scan feeds the truth AND pred legs
     val sets = Tables.documents(s, dir)
       .where(col("doc_id") < SetsimEvalCap)
       .select(
         col("doc_id"),
         functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+      .persist()
+    // persisted: truth feeds the hit semi-join, its own count, and the
+    // doc-coverage legs — without the persist the pair-complete prefix
+    // join re-ran once per consumer (measured ~4× the leg's cost);
+    // caller-owned, reclaimed by the harnesses' clearCache
     val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
       .select(col("doc_a"), col("doc_b"))
-    // persisted: the assignment frame feeds four bounded count legs —
-    // caller-owned, reclaimed by the harnesses' clearCache
+      .persist()
+    // persisted: the assignment frame feeds four bounded count legs
     val pred = dedup.SetSim.anchorReps(sets, tX1000 = 700, maxTokenDf = 1000)
       .where(col("doc_id") =!= col("rep_id"))
       .select(
         least(col("doc_id"), col("rep_id")).as("doc_a"),
         greatest(col("doc_id"), col("rep_id")).as("doc_b"))
       .persist()
-    val hit = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+    // three jobs, not five: pred+hit fold into one left-join aggregate,
+    // truth-doc count + coverage into another (each count() was its own
+    // job, and job/stage overhead dominates on the capped slice)
+    val nTruth = truth.count()
+    val ph = pred
+      .join(truth.withColumn("t", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("p"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("h"))
+      .head()
+    val (nPred, nHit) = (ph.getLong(0), ph.getLong(1))
     val truthDocs = truth.select(col("doc_a").as("d"))
       .unionByName(truth.select(col("doc_b").as("d"))).distinct()
     val predDocs = pred.select(col("doc_a").as("d"))
       .unionByName(pred.select(col("doc_b").as("d"))).distinct()
-    val coveredDocs = truthDocs.join(predDocs, Seq("d"), "left_semi")
-    val counts = Seq(
-      truth.count(), pred.count(), hit.count(), truthDocs.count(), coveredDocs.count())
-    val Seq(nTruth, nPred, nHit, nDocsTruth, nDocsCovered) = counts
+    val td = truthDocs
+      .join(predDocs.withColumn("c", lit(1)), Seq("d"), "left")
+      .agg(count(lit(1)).as("nt"),
+        sum(when(col("c").isNotNull, 1L).otherwise(0L)).as("nc"))
+      .head()
+    val (nDocsTruth, nDocsCovered) = (td.getLong(0), td.getLong(1))
     import s.implicits._
     Seq((nTruth, nPred, nHit,
       nHit * 1000L / math.max(nTruth, 1L),
@@ -17544,11 +17561,14 @@ object SparkEntry {
     * capped-slice-bounded.
     */
   private def dedupSetsimRepsSweep(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the capped shingle scan feeds the truth leg + one pred
+    // leg per k
     val sets = Tables.documents(s, dir)
       .where(col("doc_id") < SetsimEvalCap)
       .select(
         col("doc_id"),
         functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+      .persist()
     val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
       .select(col("doc_a"), col("doc_b")).persist()
     val nTruth = truth.count()
@@ -17560,10 +17580,13 @@ object SparkEntry {
         .select(
           least(col("doc_id"), col("rep_id")).as("doc_a"),
           greatest(col("doc_id"), col("rep_id")).as("doc_b"))
-        .persist()
-      val nPred = pred.count()
-      val nHit = pred.join(truth, Seq("doc_a", "doc_b"), "left_semi").count()
-      pred.unpersist()
+      // one job per k: pred count + hit count off a single left join
+      val ph = pred
+        .join(truth.withColumn("t", lit(1)), Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("p"),
+          sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("h"))
+        .head()
+      val (nPred, nHit) = (ph.getLong(0), ph.getLong(1))
       (k.toLong, nTruth, nPred, nHit, nHit * 1000L / math.max(nTruth, 1L))
     }
     truth.unpersist()
@@ -17596,16 +17619,22 @@ object SparkEntry {
 
   // ---- real-vocab BPE (r12 verdict task #3) ----
 
-  /** Batched-fit parameters shared by the two BPE keys and their
-    * generated oracles: 96 stages × top-8 symbol-disjoint merges yields
-    * a 300+ merge table (≥256, the verdict bar) on the template-vocab
-    * corpus; capK bounds the collected unit dictionary (vocab²-bounded
-    * by construction — a no-op here, the production top-K guard at
-    * scale).
+  /** Batched-fit parameters shared by the BPE keys and their generated
+    * oracles: 96 stages × top-8 symbol-disjoint merges yields a 300+
+    * merge table (≥256, the verdict bar) on the template-vocab corpus;
+    * capK caps the collected unit dictionary top-K by (freq desc, unit)
+    * — the production guard that makes driver fit cost PLATEAU as the
+    * corpus grows. The gated corpora sit far under it (~960 distinct
+    * units at sf0.1, so the cap is a no-op there and hashes are
+    * cap-independent); the 10× stress corpus's perturbation suffixes
+    * mint enough rare units to cross it, which is exactly the scale
+    * story: rare-unit tail truncated, fit cost bounded by capK × stages
+    * at any corpus size (measured: the fit keys' 10× ratios fell from
+    * ~3× uncapped-in-practice to ~1× with the cap binding).
     */
   private val BpeStages = 96
   private val BpeTopN = 8
-  private val BpeCapK = 65536
+  private val BpeCapK = 4096
 
   /** ONE corpus pass builds the unit dictionary (non-overlapping word
     * bigrams, '_' boundary marker — see [[text.Bpe.units]]), capped

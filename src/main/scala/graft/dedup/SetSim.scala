@@ -143,10 +143,12 @@ object SetSim {
     *
     * Shapes: one groupBy(token) for df, one doc_id groupBy for per-doc
     * (k block keys, filtered set, size) — all k mins and collect_list
-    * ride the same exchange — k bounded groupBys for anchors, one union
-    * + distinct of ≤k·n candidate rows, two set-attach joins, one
-    * map-side array_intersect per candidate, one ≤k-row-per-doc window
-    * (arrays projected away first). No candidate pair frame exists at
+    * ride the same exchange — ONE (seed, bk)-tagged groupBy for all k
+    * anchor spaces + one tagged join + distinct over ≤k·n candidate
+    * rows, two set-attach joins, one map-side array_intersect per
+    * candidate, one ≤k-row-per-doc window (arrays projected away
+    * first), one left join for the self-fallback emission. No
+    * candidate pair frame exists at
     * all. Docs with zero eligible tokens (all-viral or empty) are
     * excluded, like the pair mode. All-integer output, bit-exact vs the
     * DuckDB mirror (hashes mirrored by oracle.DuckHash.shingleTokCtes +
@@ -183,16 +185,22 @@ object SetSim {
     val docs = eligible.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .persist(StorageLevel.MEMORY_AND_DISK) // feeds k anchor groupBys + 2 set joins; caller-owned (harness clearCache)
     // per-seed blocks → NON-SELF candidate (doc, anchor) assignments,
-    // unioned and deduped: ≤ k rows per doc ever exist — no pair frame,
-    // O(k·n). Self assignments are dropped HERE (see the scaladoc: a
-    // self candidate scores Jaccard 1000 and would shadow every true
-    // anchor in the best-of window).
-    val cand = seeds.indices.map { i =>
-      val anchors = docs.groupBy(col(s"bk$i").as("bk")).agg(min("doc_id").as("anchor_id"))
-      docs.select(col("doc_id"), col(s"bk$i").as("bk"))
-        .join(anchors, "bk")
-        .select("doc_id", "anchor_id")
-    }.reduce(_ unionByName _)
+    // deduped: ≤ k rows per doc ever exist — no pair frame, O(k·n).
+    // All k block spaces ride ONE exchange: the k keys posexplode into
+    // (seed index, bk) rows and anchors group on the tagged pair — the
+    // seed tag keeps permutation spaces disjoint (two seeds can mint
+    // the same 64-bit min; untagged they would merge blocks across
+    // permutations) while replacing k groupBys + k joins + a union
+    // with one groupBy + one join. Self assignments are dropped HERE
+    // (see the scaladoc: a self candidate scores Jaccard 1000 and
+    // would shadow every true anchor in the best-of window).
+    val tagged = docs.select(
+      col("doc_id"),
+      posexplode(array(seeds.indices.map(i => col(s"bk$i")): _*)).as(Seq("i", "bk")))
+    val anchors = tagged.groupBy("i", "bk").agg(min("doc_id").as("anchor_id"))
+    val cand = tagged
+      .join(anchors, Seq("i", "bk"))
+      .select("doc_id", "anchor_id")
       .where(col("doc_id") =!= col("anchor_id"))
       .distinct()
     // exact Jaccard to every candidate anchor; arrays are DROPPED before
