@@ -133,7 +133,10 @@ object ScaleStress {
       "q_crawl_politeness",
       // sweep = 3 capped (truth, pred) leg pairs — capped-slice-bounded
       // like the eval
-      "dedup_setsim_reps_sweep")
+      "dedup_setsim_reps_sweep",
+      // langroute = map-side classify + the proven Gopher passes + one
+      // groupBy
+      "pipe_quality_langroute")
     // dev iteration: SPARK_GRAFT_STRESS_OPS=a,b,c re-stresses only those
     // document ops. The doc-op SKEW GUARDS below still run — those are
     // never skippable — but the events/graph legs ARE skipped on a

@@ -18096,6 +18096,89 @@ object SparkEntry {
        |    // (3600 // crawl_delay_s) AS BIGINT) AS hours_to_drain
        |FROM dl LEFT JOIN fr USING (source) ORDER BY source""".stripMargin
 
+  /** Language-ROUTED quality gating (R14): a multilingual pipeline
+    * cannot run one quality rule over every script — the Gopher gate's
+    * word-level statistics (word counts, top-word fraction, mean word
+    * length) are meaningful only for space-delimited Latin-script text,
+    * while CJK/abjad documents need character-count rules. The router:
+    * the proven script-cascade language ID picks the lane — a
+    * script-classified doc with script characters goes through a
+    * char-count gate (≥4 script chars, ≤2000 chars total), everything
+    * else through the proven Gopher gate — and the per-language
+    * doc/keep/routing report is the readout a multilingual curation
+    * dashboard publishes. One map-side plant+classify pass, the
+    * existing Gopher passes, one groupBy.
+    */
+  private def pipeQualityLangroute(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), scriptPlant.as("text"))
+    val scriptChars = text.Text.scriptCounts(col("text")).map(_._2).reduce(_ + _)
+    val lane = planted.select(
+      col("doc_id"),
+      text.Text.langIdScript(col("text")).as("lang_pred"),
+      scriptChars.as("script_chars"),
+      length(col("text")).cast("long").as("n_chars"))
+    val gop = text.Gopher.metrics(planted)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val scriptLangs = text.Text.scriptRanges.map(_._1)
+    lane.join(gop, Seq("doc_id"), "left")
+      .na.fill(false, Seq("gopher_keep"))
+      .withColumn("route_script",
+        col("lang_pred").isin(scriptLangs: _*) && col("script_chars") > 0L)
+      .withColumn("keep",
+        when(col("route_script"), col("script_chars") >= 4L && col("n_chars") <= 2000L)
+          .otherwise(col("gopher_keep")))
+      .groupBy("lang_pred").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("route_script"), 1L).otherwise(0L)).as("n_script_routed"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_pml", expr("n_keep * 1000 div n_docs"))
+      .orderBy("lang_pred")
+  }
+
+  private lazy val pipeQualityLangrouteSql = {
+    val counts = text.Text.scriptRanges.map { case (lang, r) =>
+      lang -> s"len(regexp_extract_all(text, '$r'))"
+    }
+    val countCols = counts.zipWithIndex
+      .map { case ((_, e), i) => s"$e AS n_$i" }.mkString(", ")
+    val cascade = counts.indices.map { i =>
+      val later = counts.indices.drop(i + 1).map(j => s"n_$j")
+      val cond =
+        if (later.isEmpty) s"n_$i > 0"
+        else if (later.size == 1) s"n_$i > 0 AND n_$i >= ${later.head}"
+        else s"n_$i > 0 AND n_$i >= greatest(${later.mkString(", ")})"
+      s"WHEN $cond THEN '${counts(i)._1}'"
+    }.mkString("\n    ")
+    val scriptSum = counts.indices.map(i => s"n_$i").mkString(" + ")
+    val scriptLangs = text.Text.scriptRanges.map(l => s"'${l._1}'").mkString(", ")
+    s"""WITH pl AS (SELECT doc_id, source, $scriptPlantSql AS text FROM documents),
+       |${gopherKeepCtesFrom("pl")},
+       |sc AS (
+       |  SELECT doc_id, $paddedSql AS p, $countCols,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM pl),
+       |pr AS (
+       |  SELECT doc_id, CASE
+       |    $cascade
+       |    $langidCaseSql
+       |    ELSE 'und' END AS lang_pred,
+       |    CAST($scriptSum AS BIGINT) AS script_chars, n_chars
+       |  FROM sc),
+       |rt AS (
+       |  SELECT pr.doc_id, lang_pred,
+       |    (lang_pred IN ($scriptLangs) AND script_chars > 0) AS route_script,
+       |    CASE WHEN lang_pred IN ($scriptLangs) AND script_chars > 0
+       |         THEN script_chars >= 4 AND n_chars <= 2000
+       |         ELSE COALESCE(jk.keep, FALSE) END AS keep
+       |  FROM pr LEFT JOIN jk ON jk.doc_id = pr.doc_id)
+       |SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN route_script THEN 1 ELSE 0 END) AS BIGINT) AS n_script_routed,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) * 1000 // COUNT(*) AS BIGINT) AS keep_pml
+       |FROM rt GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Tokenizer fertility under the REAL merge table — the
     * `pipe_tokenizer_fertility` read re-denominated like the budget key
     * (that row approximates with a BPE-ish regex; this one encodes with
@@ -18702,6 +18785,7 @@ object SparkEntry {
     "text_langid_script" -> (textLangidScript _),
     "q_crawl_frontier_policy" -> (qCrawlFrontierPolicy _),
     "q_crawl_politeness" -> (qCrawlPoliteness _),
+    "pipe_quality_langroute" -> (pipeQualityLangroute _),
     "text_bpe_fertility" -> (textBpeFertility _),
     "q_kruskal_wallis" -> (qKruskalWallis _),
     "q_anova_f" -> (qAnovaF _),
@@ -19141,6 +19225,7 @@ object SparkEntry {
     "text_langid_script" -> textLangidScriptSql,
     "q_crawl_frontier_policy" -> qCrawlFrontierPolicySql,
     "q_crawl_politeness" -> qCrawlPolitenessSql,
+    "pipe_quality_langroute" -> pipeQualityLangrouteSql,
     "text_bpe_fertility" -> textBpeFertilitySql,
     "q_kruskal_wallis" -> qKruskalWallisSql,
     "q_anova_f" -> qAnovaFSql,

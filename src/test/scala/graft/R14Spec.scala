@@ -209,6 +209,32 @@ class SetsimSweepLawsSpec extends AnyFunSuite {
   }
 }
 
+/** Routing law of the language-routed quality gate
+  * (`pipe_quality_langroute`): the stopword fallback can never produce
+  * a script language (disjoint label sets), so every doc labeled with a
+  * script language came through the script cascade with script chars
+  * present — i.e. script rows are FULLY script-routed and Latin rows
+  * never are.
+  */
+class QualityLangrouteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("script rows fully script-routed; Latin/und rows never") {
+    val scriptLangs = text.Text.scriptRanges.map(_._1).toSet
+    assert(scriptLangs.intersect(text.Text.stopwords.map(_._1).toSet).isEmpty)
+    val rows = SparkEntry.queries("pipe_quality_langroute")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nDocs, nRouted) =>
+      if (scriptLangs.contains(lang)) assert(nRouted === nDocs, s"$lang")
+      else assert(nRouted === 0L, s"$lang")
+    }
+    // both lanes must be exercised by the plant
+    assert(rows.exists(r => scriptLangs.contains(r._1)))
+    assert(rows.exists(r => !scriptLangs.contains(r._1)))
+  }
+}
+
 /** Streaming exactly-once under RESTART-AFTER-FAILURE (r13 verdict task
   * #7): foreachBatch is at-least-once — a crash after the sink commit
   * but before the checkpoint commit replays the batch on restart — and
