@@ -2045,9 +2045,13 @@ object SparkEntry {
     val qc: Seq[Seq[Long]] = cents.map(_.map(x =>
       java.math.BigDecimal.valueOf(x * 1000)
         .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()))
+    // r14 (guide §2.4): cell and quantized vector are map-side
+    // expressions of the same row — one two-step projection replaces the
+    // q ⋈ assignCells vec_id self-join (two corpus exchanges for zero
+    // information); residual values identical
     val residuals = emb
-      .select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"))
-      .join(ann.Ann.assignCells(emb, cents), "vec_id")
+      .select(col("vec_id"), vec.Vec.quantize(col("embedding")).as("q"),
+        ann.Ann.bestCellCol(col("embedding"), cents).as("cell"))
       .select(col("vec_id"),
         zip_with(col("q"),
           element_at(typedLit(qc), col("cell").cast("int") + 1),
@@ -15670,13 +15674,20 @@ object SparkEntry {
     // with it each leg re-reads executor-local rows instead of parquet
     val emb = Tables.embeddings(s, dir).persist()
     try {
-      val rows = Seq(4, 16, 64).map { k =>
-        val cents = ann.KMeans.fit(emb, k, iters = 1)
-        val best = array_max(ann.Ann.cellScores(col("embedding"), cents.toSeq.map(_.toSeq)))
-        val r = emb.agg(
-          count(lit(1)).as("n"),
-          sum(floor((lit(1.0) - best) * 1e6).cast("long")).as("inertia_u")).head()
-        (k.toLong, r.getLong(0), r.getLong(1))
+      // r14: one fused multi-k fit (KMeans.fitMany — 1 init collect +
+      // 1 assignment/update job for all three ks instead of 3+3) and ONE
+      // inertia aggregate computing all three sums in a single cached
+      // scan (was one agg job per k). Same expressions per k, so every
+      // published inertia is bit-identical; 9 jobs → 3.
+      val ks = Seq(4, 16, 64)
+      val cents = ann.KMeans.fitMany(emb, ks, iters = 1)
+      val inertias = ks.map { k =>
+        val best = array_max(ann.Ann.cellScores(col("embedding"), cents(k).toSeq.map(_.toSeq)))
+        sum(floor((lit(1.0) - best) * 1e6).cast("long")).as(s"inertia_$k")
+      }
+      val r = emb.agg(count(lit(1)).as("n"), inertias: _*).head()
+      val rows = ks.zipWithIndex.map { case (k, i) =>
+        (k.toLong, r.getLong(0), r.getLong(i + 1))
       }
       rows.toDF("k", "n_vectors", "inertia_u")
         .withColumn("avg_inertia_u", expr("inertia_u div n_vectors"))
@@ -17572,10 +17583,14 @@ object SparkEntry {
     val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
       .select(col("doc_a"), col("doc_b")).persist()
     val nTruth = truth.count()
+    // r14: ONE anchorDocs aggregate (token walk + df filter + per-doc
+    // block keys) serves all k operating points — bk_i depends only on
+    // seed_i, so repsFromDocs(take-k) over the 3-key frame is
+    // bit-identical to anchorReps(seeds.take(k)) while the old per-k
+    // calls re-ran the whole token pipeline three times.
+    val docsAll = dedup.SetSim.anchorDocs(sets, maxTokenDf = 1000).persist()
     val rows = (1 to dedup.SetSim.AnchorSeeds.length).map { k =>
-      val pred = dedup.SetSim.anchorReps(
-        sets, tX1000 = 700, maxTokenDf = 1000,
-        seeds = dedup.SetSim.AnchorSeeds.take(k))
+      val pred = dedup.SetSim.repsFromDocs(docsAll, tX1000 = 700, k)
         .where(col("doc_id") =!= col("rep_id"))
         .select(
           least(col("doc_id"), col("rep_id")).as("doc_a"),
@@ -17590,6 +17605,7 @@ object SparkEntry {
       (k.toLong, nTruth, nPred, nHit, nHit * 1000L / math.max(nTruth, 1L))
     }
     truth.unpersist()
+    docsAll.unpersist()
     import s.implicits._
     rows.toDF("k", "n_truth", "n_pred", "n_hit", "recall_pml").orderBy("k")
   }

@@ -491,6 +491,14 @@ object Ann {
       idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol), Cells.bestCell(col(vecCol), centroids).cast("long").as("cell"))
 
+  /** The exact cell-assignment COLUMN [[assignCells]] projects — exposed
+    * (r14) so callers that also need other map-side derivations of the
+    * same row (quantized vector, residual) can ride ONE projection
+    * instead of a vec_id self-join against the assignment frame.
+    */
+  def bestCellCol(v: Column, centroids: Seq[Seq[Double]]): Column =
+    Cells.bestCell(v, centroids).cast("long")
+
   /** Per-cell index-quality report: occupancy, mean cosine COHESION to
     * the owning centroid, and mean MARGIN over the second-best centroid
     * (both in truncated µ-units) — the k-picker's read: low cohesion =

@@ -54,16 +54,31 @@ object IvfRq {
       emb: DataFrame,
       cents: Seq[Seq[Double]],
       kCodes: Int): (DataFrame, Seq[Seq[Long]]) = {
+    // r14 (guide §2.4): the cell assignment, the quantized vector, and
+    // the residual are all MAP-SIDE expressions over the same row, so
+    // deriving them in one projection removes the two vec_id self-joins
+    // the old shape paid (q ⋈ assigned to build residuals, then
+    // assigned ⋈ rq to assemble the code table — exchanges of the corpus
+    // for zero information). Same cell expression (Ann.assignCells'
+    // Cells.bestCell cast long), same residual arithmetic, same
+    // Rq.assign argmin — the code table is bit-identical (R14OptSpec
+    // pins the probe output against the oracle-gated keys).
     val qcLit = typedLit(milliQuant(cents))
-    val assigned = Ann.assignCells(emb, cents)
-    val q = emb.select(col("vec_id"), Vec.quantize(col("embedding")).as("q"))
-    val residuals = q.join(assigned, "vec_id")
-      .select(col("vec_id"),
+    // two-step projection binds the cell assignment once per row (the
+    // single-use alias collapses back into one map stage; the twice-used
+    // `cell` does not re-inline)
+    val residuals = emb
+      .select(col("vec_id"), Vec.quantize(col("embedding")).as("q"),
+        Cells.bestCell(col("embedding"), cents).cast("long").as("cell"))
+      .select(col("vec_id"), col("cell"),
         zip_with(col("q"), element_at(qcLit, col("cell").cast("int") + 1),
           (x, y) => x - y).as("r"))
-    val cb = Rq.fit(residuals, kCodes, iters = 1).toSeq.map(_.toSeq)
-    val rq = Rq.assign(residuals, cb).select(col("vec_id"), col("cell").as("rq_cell"))
-    (assigned.join(rq, "vec_id").select("vec_id", "cell", "rq_cell"), cb)
+    val cb = Rq.fit(residuals.select("vec_id", "r"), kCodes, iters = 1).toSeq.map(_.toSeq)
+    val codes = residuals
+      .select(col("vec_id"), col("cell"), Rq.l2Dists(col("r"), cb).as("ds"))
+      .select(col("vec_id"), col("cell"),
+        (array_position(col("ds"), array_min(col("ds"))) - 1).cast("long").as("rq_cell"))
+    (codes, cb)
   }
 
   /** The probe path shared by [[topK]] (in-flight fit) and [[Index.probe]]
@@ -104,8 +119,9 @@ object IvfRq {
       .select(col("vec_id").as("query_id"), Vec.quantize(col("embedding")).as("qv"))
     val scored = cand.join(qv, "query_id")
       .select(col("query_id"), col("vec_id"),
-        aggregate(zip_with(col("qv"), col("v"), (x, y) => (x - y) * (x - y)),
-          lit(0L), (a, b) => a + b).as("adist"))
+        // fused integer L2 (r14): one pass per candidate instead of
+        // aggregate(zip_with(...))'s intermediate array; bit-identical
+        graft.functions.vexprs.sq_dist_q(col("qv"), col("v")).as("adist"))
     val w = Window.partitionBy("query_id").orderBy(col("adist"), col("vec_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .where(col("rnk") <= k)

@@ -64,6 +64,63 @@ object KMeans {
     centroids
   }
 
+  /** Fit SEVERAL cluster counts over the same corpus in one pass per
+    * iteration (r14: `vec_kmeans_elbow` paid one init collect + one
+    * assignment/update job PER k — 3 ks = 6 jobs + 3 corpus scans per
+    * elbow evaluation). One collect of the max(ks) lowest ids seeds every
+    * k's init (identical rows to the per-k collects); each iteration runs
+    * ONE scan in which every k's cosine cell assignment (the same
+    * [[Cells.bestCell]] expression) tags its vector and the
+    * (k, cell, pos) integer-µ partial sums ride a single bounded
+    * aggregate — per-k sums/counts, and therefore the returned centroids,
+    * are bit-identical to sequential [[fit]] calls (R14OptSpec).
+    */
+  def fitMany(
+      embeddings: DataFrame,
+      ks: Seq[Int],
+      iters: Int = 3,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Map[Int, Array[Array[Double]]] = {
+    require(ks.nonEmpty, "need at least one k")
+    val kMax = ks.max
+    val initRows = embeddings
+      .where(col(idCol) < kMax)
+      .orderBy(idCol)
+      .select(idCol, vecCol)
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue(), r.getSeq[Float](1).map(_.toDouble).toArray))
+    var cents: Map[Int, Array[Array[Double]]] = ks.map { k =>
+      val init = initRows.filter(_._1 < k).map(_._2)
+      require(init.nonEmpty, s"need at least one of the $k lowest ids present")
+      k -> init
+    }.toMap
+    for (_ <- 0 until iters) {
+      val tagged = ks.map { k =>
+        struct(lit(k).as("k"),
+          Cells.bestCell(col(vecCol), cents(k).toSeq.map(_.toSeq)).as("cell"))
+      }
+      val partials = embeddings
+        .select(explode(array(tagged: _*)).as("t"), col(vecCol).as("v"))
+        .select(col("t.k").as("k"), col("t.cell").as("cell"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("k", "cell", "pos")
+        .agg(
+          sum(expr("CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect() // bounded: sum(ks) x dims rows
+      val next = cents.map { case (k, c) => k -> c.map(_.clone()) }
+      partials.foreach { r =>
+        val k = r.getInt(0)
+        val c = r.getAs[Number](1).intValue()
+        val p = r.getInt(2)
+        val n = r.getLong(4)
+        if (n > 0) next(k)(c)(p) = r.getLong(3).toDouble / (1e6 * n)
+      }
+      cents = next // empty cells keep their previous centroid
+    }
+    cents
+  }
+
   /** Within-cluster cosine objective (sum of best-cell cosines — HIGHER
     * is better for spherical k-means). Used by specs to assert
     * iterations do not degrade the fit.

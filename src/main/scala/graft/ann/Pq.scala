@@ -50,24 +50,57 @@ object Pq {
     * (amortized over every probe job, like the IVF centroid fit).
     */
   def fittedCodebook(embeddings: DataFrame): Array[Array[Array[Double]]] = {
-    val base = embeddings.select(col("vec_id"), col("embedding")).persist()
-    try {
-      base.count() // materialize before the m dependent fit jobs
-      Array.tabulate(m) { s =>
-        val sub = base.select(col("vec_id"), slice(col("embedding"), s * dsub + 1, dsub).as("embedding"))
-        val cents = KMeans.fit(sub, kCent, iters = 1)
-        // mirror sampledCodebook's guards: KMeans.fit only needs a nonEmpty
-        // init, so a corpus missing the kCent lowest vec_ids — or with
-        // embeddings not of m*dsub dims — must fail HERE with a clear
-        // message, not later as an ArrayIndexOutOfBounds in codes()
-        require(cents.length == kCent,
-          s"subspace $s: fit returned ${cents.length} centroids, need $kCent " +
-            s"(the $kCent lowest vec_ids must be present)")
-        require(cents.forall(_.length == dsub),
-          s"subspace $s: centroid dims != $dsub — embeddings must be ${m * dsub}-dim")
-        cents
-      }
-    } finally { base.unpersist(); () }
+    // r14: the m per-subspace KMeans.fit(iters = 1) calls each paid an
+    // init collect + an assignment/update job over the SAME corpus —
+    // 2m+1 jobs and m full scans. The fused fit runs the identical
+    // lowest-kCent init + one Lloyd step for ALL m subspaces in ONE init
+    // collect + ONE scan: per row, each subspace's cosine cell assignment
+    // (same Cells.bestCell expression over the same slice) tags its
+    // sub-vector, and the (s, cell, pos) integer-µ partial sums — the
+    // bit-reproducible KMeans update contract — ride a single bounded
+    // aggregate. Per-subspace sums/counts are unchanged, so every
+    // centroid (and thus codes/luts/scores) is bit-identical to the
+    // sequential fit (pinned by R14OptSpec; the oracle CTE unroll and
+    // the PqSpec round-trips are unchanged).
+    val initRows = embeddings.where(col("vec_id") < kCent).orderBy("vec_id")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // the sampledCodebook guards, kept verbatim in spirit: a corpus
+    // missing the kCent lowest vec_ids — or with embeddings not of
+    // m*dsub dims — must fail HERE with a clear message, not later as an
+    // ArrayIndexOutOfBounds in codes()
+    require(initRows.length == kCent,
+      s"fit init returned ${initRows.length} centroids, need $kCent " +
+        s"(the $kCent lowest vec_ids must be present)")
+    require(initRows.forall(_.length == m * dsub),
+      s"centroid dims != $dsub — embeddings must be ${m * dsub}-dim")
+    val cb0: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(_.slice(s * dsub, s * dsub + dsub)))
+    val tagged = (0 until m).map { s =>
+      val sub = slice(col("embedding"), s * dsub + 1, dsub)
+      struct(lit(s).as("s"),
+        Cells.bestCell(sub, cb0(s).toSeq.map(_.toSeq)).as("cell"),
+        sub.as("v"))
+    }
+    val partials = embeddings
+      .select(explode(array(tagged: _*)).as("t"))
+      .select(col("t.s").as("s"), col("t.cell").as("cell"),
+        posexplode(col("t.v")).as(Seq("pos", "x")))
+      .groupBy("s", "cell", "pos")
+      .agg(
+        // truncating cast, not round(): the KMeans.fit update contract
+        sum(expr("CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)")).as("sm"),
+        count(lit(1)).as("n"))
+      .collect() // bounded: m x kCent x dsub rows
+    val next = cb0.map(_.map(_.clone()))
+    partials.foreach { r =>
+      val s = r.getInt(0)
+      val c = r.getAs[Number](1).intValue()
+      val p = r.getInt(2)
+      val n = r.getLong(4)
+      if (n > 0) next(s)(c)(p) = r.getLong(3).toDouble / (1e6 * n)
+    }
+    next // empty cells keep their init centroid, like KMeans.fit
   }
 
   /** Deterministic unfit baseline — sub-vectors of the k lowest vec_ids.
@@ -86,19 +119,12 @@ object Pq {
   /** PQ codes of vector column `v`: array<int> of length m;
     * code_s = argmin_c L2²(v_s, codebook(s)(c)), ties to lowest c.
     */
-  def codes(v: Column, cb: Array[Array[Array[Double]]]): Column = {
-    val perS = (0 until m).map { s =>
-      val sub = slice(v, s * dsub + 1, dsub)
-      val dists = array((0 until kCent).map { c =>
-        aggregate(
-          zip_with(sub, typedLit(cb(s)(c).toSeq),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, x) => a + x)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    }
-    array(perS: _*)
-  }
+  def codes(v: Column, cb: Array[Array[Array[Double]]]): Column =
+    // fused one-row kernel (r14): the compositional form built m×kCent
+    // aggregate(zip_with(slice(v), centroid)) sub-distance expressions —
+    // 128 array walks + allocations per row at the default geometry.
+    // Bit-identical L2² folds and first-minimum tie-break (R14OptSpec).
+    graft.functions.vexprs.pq_encode(v, cb.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Per-subspace quantization distortion — the compression-quality
     * monitor (distortion drift means the codebook no longer fits the
@@ -110,19 +136,14 @@ object Pq {
     * one bounded (m rows) aggregate out.
     */
   def distortion(embeddings: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
-    val perS = (0 until m).map { s =>
-      val sub = slice(col("embedding"), s * dsub + 1, dsub)
-      val dists = array((0 until kCent).map { c =>
-        aggregate(
-          zip_with(sub, typedLit(cb(s)(c).toSeq),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, x) => a + x)
-      }: _*)
-      struct(lit(s.toLong).as("s"), (array_min(dists) * 1e6).cast("long").as("dist_u6"))
-    }
+    // fused one-row kernel (r14, see [[codes]]): all m nearest-centroid
+    // L2² minima in one pass, µ-truncated exactly like the compositional
+    // (array_min(dists) * 1e6).cast("long") form it replaces
     embeddings
-      .select(col("vec_id"), explode(array(perS: _*)).as("sd"))
-      .select(col("sd.s").as("s"), col("sd.dist_u6").as("dist_u6"))
+      .select(col("vec_id"),
+        posexplode(graft.functions.vexprs.pq_min_dist_u6(
+          col("embedding"), cb.map(_.map(_.toSeq).toSeq).toSeq)).as(Seq("pos", "dist_u6")))
+      .select(col("pos").cast("long").as("s"), col("dist_u6"))
       .groupBy("s")
       .agg(count(lit(1)).as("n_vecs"),
         expr("sum(dist_u6) div count(1)").as("mean_dist_u6"),
@@ -186,11 +207,10 @@ object Pq {
     require(queryChunk > 0, s"queryChunk must be positive, got $queryChunk")
     val chunkTops = qRows.grouped(queryChunk).map { chunk =>
       val scoreStructs = chunk.map { case (qid, q) =>
-        val lutLit = typedLit(lut(q, cb).toSeq)
-        val sc = aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (code, s) => element_at(lutLit, (s * kCent + code + 1).cast("int"))),
-          lit(0L), (a, x) => a + x)
+        // fused ADC sum (r14): one m-step lookup loop per (row, query)
+        // instead of aggregate(zip_with(codes, sequence, element_at))'s
+        // per-call array builds; identical sums and null contract
+        val sc = graft.functions.vexprs.adc_score(col("codes"), lut(q, cb).toSeq, kCent)
         struct(lit(qid).as("query_id"), sc.as("score_micro"))
       }
       val scored = coded

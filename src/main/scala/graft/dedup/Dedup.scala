@@ -212,10 +212,9 @@ object Dedup {
       .join(sketches.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       .withColumn(
         "est_jaccard",
-        aggregate(
-          zip_with(col("sk_a"), col("sk_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / k)
+        // fused one-pass slot compare (r14): same count, same /k estimate
+        // as the aggregate(zip_with(when)) chain it replaces (R14OptSpec)
+        graft.functions.vexprs.sketch_eq_count(col("sk_a"), col("sk_b")).cast("double") / k)
       .select("bands", "doc_a", "doc_b", "est_jaccard")
     materializeThenRelease(est, sigsAll)
   }

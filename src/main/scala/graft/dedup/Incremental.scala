@@ -174,10 +174,9 @@ object Incremental {
       .join(broadcast(cand.join(sketch(sigs), Seq("doc_id"))), Seq("hist_id"))
       .withColumn(
         "est",
-        aggregate(
-          zip_with(col("sk"), col("sk_h"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / K)
+        // fused one-pass slot compare (r14): same count, same /K estimate
+        // as the aggregate(zip_with(when)) chain it replaces (R14OptSpec)
+        graft.functions.vexprs.sketch_eq_count(col("sk"), col("sk_h")).cast("double") / K)
       .where(col("est") >= minEstJaccard)
       .groupBy("doc_id").agg(min("hist_id").as("near_id"))
 

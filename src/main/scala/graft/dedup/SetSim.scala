@@ -58,7 +58,7 @@ object SetSim {
       tX1000: Int,
       maxTokenDf: Int): DataFrame = {
     // (doc_id, token) element relation; persisted — feeds the df
-    // aggregate, the ranking window, and the filtered-set rebuild.
+    // aggregate and the df-attach join.
     val toks = sets
       .where(col("sh").isNotNull && size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("token"))
@@ -69,16 +69,27 @@ object SetSim {
     // Similarity universe = non-viral tokens only (df-deterministic cap).
     val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
 
-    // Rarest-first rank and filtered set size share ONE doc_id window
-    // shuffle. Ties on df are broken by token value — any fixed order
-    // satisfies the prefix-filter completeness theorem.
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val byDoc = Window.partitionBy("doc_id")
-    val prefix = eligible
-      .withColumn("rn", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .where(col("rn") <= col("n") - expr(s"($tX1000 * n + 999) div 1000") + 1)
-      .select("doc_id", "token")
+    // r14 (guide §2.4): ONE doc_id aggregate replaces the rarity
+    // row_number window + the separate filtered-set groupBy — the old
+    // shape attached df and shuffled the full element relation by doc_id
+    // TWICE (window pass + rebuild pass). `rar` is the per-doc element
+    // list sorted (df, token) — exactly the window's rarest-first order,
+    // ties on df broken by token value (any fixed total order satisfies
+    // the prefix-filter completeness theorem); the prefix is its first
+    // n - ceil(t·n) + 1 entries, and the verify set is the same list
+    // re-sorted by token. Partition size stays bounded by
+    // tokens-per-document, never corpus-shaped. Pair set is bit-identical
+    // (R14OptSpec pins window-vs-slice prefix equality).
+    val docAgg = eligible
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("rar"),
+        count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val prefix = docAgg.select(col("doc_id"),
+      explode(expr(
+        s"transform(slice(rar, 1, cast(n - ($tX1000 * n + 999) div 1000 + 1 as int)), x -> x.token)"))
+        .as("token"))
 
     val cand = prefix.as("l")
       .join(prefix.as("r"), Seq("token"))
@@ -86,11 +97,10 @@ object SetSim {
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    // Filtered sets rebuilt once (sorted for determinism), then exact
-    // |A∩B| via map-side array_intersect on the candidate pairs.
-    val fsets = eligible
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("token"))).as("fsh"), count(lit(1)).as("n"))
+    // Filtered sets read back off the same aggregate (sorted for
+    // determinism), then exact |A∩B| via map-side array_intersect.
+    val fsets = docAgg.select(col("doc_id"),
+      sort_array(expr("transform(rar, x -> x.token)")).as("fsh"), col("n"))
     val verified = cand
       .join(fsets.select(col("doc_id").as("doc_a"), col("fsh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(fsets.select(col("doc_id").as("doc_b"), col("fsh").as("sh_b"), col("n").as("n_b")), "doc_b")
@@ -103,6 +113,7 @@ object SetSim {
     val out = verified.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     toks.unpersist(blocking = false)
+    docAgg.unpersist(blocking = false)
     out
   }
 
@@ -170,6 +181,21 @@ object SetSim {
       tX1000: Int,
       maxTokenDf: Int,
       seeds: Seq[Long] = AnchorSeeds): DataFrame = {
+    val docs = anchorDocs(sets, maxTokenDf, seeds)
+      .persist(StorageLevel.MEMORY_AND_DISK) // feeds k anchor groupBys + 2 set joins; caller-owned (harness clearCache)
+    repsFromDocs(docs, tX1000, seeds.length)
+  }
+
+  /** The per-doc anchor aggregate of [[anchorReps]] — (doc_id, bk0..bk_{k-1},
+    * fsh, n) — exposed separately (r14) so the k-sweep key computes the
+    * token walk + df filter + doc aggregate ONCE for its largest k and
+    * derives every smaller-k operating point from the same cached frame
+    * (bk_i depends only on seed_i, never on k). Caller owns persistence.
+    */
+  def anchorDocs(
+      sets: DataFrame,
+      maxTokenDf: Int,
+      seeds: Seq[Long] = AnchorSeeds): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val toks = sets
       .where(col("sh").isNotNull && size(col("sh")) > 0)
@@ -182,8 +208,15 @@ object SetSim {
     // one doc_id exchange carries all k block keys + the filtered set
     val aggs = seeds.zipWithIndex.map { case (sd, i) => min(mixed(sd)).as(s"bk$i") } ++
       Seq(sort_array(collect_list(col("token"))).as("fsh"), count(lit(1)).as("n"))
-    val docs = eligible.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .persist(StorageLevel.MEMORY_AND_DISK) // feeds k anchor groupBys + 2 set joins; caller-owned (harness clearCache)
+    eligible.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The assignment/verify tail of [[anchorReps]] over a (possibly wider —
+    * extra bk columns are ignored) [[anchorDocs]] frame, using the first
+    * `k` anchor spaces.
+    */
+  def repsFromDocs(docs: DataFrame, tX1000: Int, k: Int): DataFrame = {
+    val seedIdx = 0 until k
     // per-seed blocks → NON-SELF candidate (doc, anchor) assignments,
     // deduped: ≤ k rows per doc ever exist — no pair frame, O(k·n).
     // All k block spaces ride ONE exchange: the k keys posexplode into
@@ -196,7 +229,7 @@ object SetSim {
     // would shadow every true anchor in the best-of window).
     val tagged = docs.select(
       col("doc_id"),
-      posexplode(array(seeds.indices.map(i => col(s"bk$i")): _*)).as(Seq("i", "bk")))
+      posexplode(array(seedIdx.map(i => col(s"bk$i")): _*)).as(Seq("i", "bk")))
     val anchors = tagged.groupBy("i", "bk").agg(min("doc_id").as("anchor_id"))
     val cand = tagged
       .join(anchors, Seq("i", "bk"))
@@ -275,23 +308,32 @@ object SetSim {
     val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
     val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
 
-    val byRarity = Window.partitionBy("doc_id").orderBy(col("df"), col("token"))
-    val byDoc = Window.partitionBy("doc_id")
-    val prefix = eligible
-      .withColumn("rn", row_number().over(byRarity))
-      .withColumn("n", count(lit(1)).over(byDoc))
-      .where(col("rn") <= col("n") - expr(s"($tX1000 * n + 999) div 1000") + 1)
-      .select("doc_id", "token")
+    // r14: same one-doc_id-aggregate restructure as [[prefixJoinSets]] —
+    // the rarity window, the probe-side prefix, the join's full element
+    // relation, and the verify sets all read off ONE cached aggregate
+    // instead of re-joining/re-shuffling `eligible` three times.
+    val docAgg = eligible
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("token")))).as("rar"),
+        count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val prefix = docAgg.select(col("doc_id"),
+      explode(expr(
+        s"transform(slice(rar, 1, cast(n - ($tX1000 * n + 999) div 1000 + 1 as int)), x -> x.token)"))
+        .as("token"))
+
+    val allToks = docAgg.select(col("doc_id"),
+      explode(expr("transform(rar, x -> x.token)")).as("token"))
 
     val cand = prefix.as("l")
-      .join(eligible.select("doc_id", "token").as("r"), Seq("token"))
+      .join(allToks.as("r"), Seq("token"))
       .where(col("l.doc_id") =!= col("r.doc_id"))
       .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
       .distinct()
 
-    val fsets = eligible
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("token"))).as("fsh"), count(lit(1)).as("n"))
+    val fsets = docAgg.select(col("doc_id"),
+      sort_array(expr("transform(rar, x -> x.token)")).as("fsh"), col("n"))
     val verified = cand
       .join(fsets.select(col("doc_id").as("doc_a"), col("fsh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(fsets.select(col("doc_id").as("doc_b"), col("fsh").as("sh_b"), col("n").as("n_b")), "doc_b")
@@ -303,6 +345,7 @@ object SetSim {
     val out = verified.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
     toks.unpersist(blocking = false)
+    docAgg.unpersist(blocking = false)
     out
   }
 }

@@ -50,9 +50,21 @@ object Bfs {
       val useBroadcast = visitedCount <= broadcastLimit
       onRound(h, visitedCount, useBroadcast)
       val anti = if (useBroadcast) F.broadcast(visited.select("seed", "node")) else visited.select("seed", "node")
-      val reached = frontier.join(bidir, col("node") === col("a"))
-        .select(col("seed"), col("b").as("node")).distinct()
-        .join(anti, Seq("seed", "node"), "left_anti")
+      val expanded = frontier.join(bidir, col("node") === col("a"))
+        .select(col("seed"), col("b").as("node"))
+      // r14 (guide §2.3, filter before the exchange): on the broadcast
+      // path the visited anti-join is a MAP-SIDE filter, so running it
+      // BEFORE the distinct drops already-visited expansions before they
+      // are shuffled — in a dense graph the late-hop frontier mostly
+      // re-reaches visited nodes, so this is most of the exchange's
+      // input. On the shuffle fallback the anti-join is itself an
+      // exchange, so the old distinct-first order (shrink the anti's
+      // probe side) stays. Output is identical either way (set
+      // difference and dedup commute) — BfsFallbackSpec pins it.
+      val reached = (if (useBroadcast)
+        expanded.join(anti, Seq("seed", "node"), "left_anti").distinct()
+      else
+        expanded.distinct().join(anti, Seq("seed", "node"), "left_anti"))
         .select(col("seed"), col("node"), lit(h.toLong).as("hop"))
       val next = visited.unionByName(reached).persist()
       visitedCount = next.count()
@@ -73,9 +85,13 @@ object Bfs {
       val useBroadcast = visitedCount <= broadcastLimit
       onRound(h, visitedCount, useBroadcast)
       val anti = if (useBroadcast) F.broadcast(visited) else visited
-      val reached = frontier.join(bidir, col("node") === col("a"))
-        .select(col("b").as("node")).distinct()
-        .join(anti, Seq("node"), "left_anti")
+      val expanded = frontier.join(bidir, col("node") === col("a"))
+        .select(col("b").as("node"))
+      // r14: anti-before-distinct on the broadcast path — see khopMulti
+      val reached = (if (useBroadcast)
+        expanded.join(anti, Seq("node"), "left_anti").distinct()
+      else
+        expanded.distinct().join(anti, Seq("node"), "left_anti"))
         .select(col("node"), lit(h.toLong).as("hop"))
       val next = visited.unionByName(reached).persist()
       visitedCount = next.count()

@@ -55,21 +55,33 @@ object Hits {
               s"cast('$total' as decimal(38,0)) as bigint)"),
             lit(0L)).as(outName))
     }
+    // r14: no per-half-iteration count() materialization jobs — each
+    // normalized() call already runs a driver total aggregate whose
+    // lineage materializes the PREVIOUS half-iteration's persisted frame
+    // as a side effect, so the explicit counts were one redundant job per
+    // half-iteration (the dominant cost on bounded graphs: q_graph_hits'
+    // nation graph is ≤625 edges, so its wall-clock was almost entirely
+    // job overhead). Unpersists now happen one step later, after the
+    // successor total-agg job that consumed the frame. Arithmetic is
+    // untouched — scores stay bit-identical.
     for (_ <- 1 to iters) {
       val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("cast(cnt as decimal(20,0)) * h").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
+      // normalized's total agg materializes the pending previous hub
+      // frame (aRaw reads it); the previous AUTHORITY frame fed only that
+      // hub update, so it is droppable here
       val aNext = normalized(aRaw, "authority").persist(StorageLevel.MEMORY_AND_DISK)
-      aNext.count()
       if (auths != null) auths.unpersist(blocking = false)
       auths = aNext
       val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"),
           expr("cast(cnt as decimal(20,0)) * authority").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
+      // this total agg materializes aNext; the previous hub frame has no
+      // remaining consumer after it
       val hNext = normalized(hRaw, "h").persist(StorageLevel.MEMORY_AND_DISK)
-      hNext.count()
       hubs.unpersist(blocking = false)
       hubs = hNext
     }

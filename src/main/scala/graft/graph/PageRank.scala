@@ -30,8 +30,18 @@ object PageRank {
   def run(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "at least one iteration")
     // materialize the (possibly expensive) edge derivation ONCE — the
-    // iteration re-references it every round, and so do nodes/outDeg
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // iteration re-references it every round, and so do nodes/outDeg.
+    // r14 (guide §2.4, establish the partitioning once): the cached edge
+    // frame is hash-partitioned by dst UP FRONT, so every iteration's
+    // contribution groupBy(dst) — the only per-round |edges|-sized
+    // exchange — reuses the cached layout and shuffles NOTHING once the
+    // rank side broadcasts (rank frames are node-sized; when a 100×
+    // graph's rank frame outgrows the broadcast threshold the join
+    // degrades to the old shuffled shape, no worse than before). One
+    // up-front edge shuffle buys `iters` shuffle-free rounds.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
@@ -78,7 +88,10 @@ object PageRank {
       edges: DataFrame, seed: Long, iters: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(iters >= 1, "at least one iteration")
-    val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
+    // r14: dst-partitioned cached edges — see [[run]]
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()

@@ -34,10 +34,18 @@ object SourceOverlap {
     val wSrc = Window.orderBy("source") // bounded: distinct sources
     val srcIdx = docs.select("source").distinct()
       .withColumn("idx", (row_number().over(wSrc) - 1).cast("long"))
+    // r14 (guide §1.2 step 2): grams hash through the fused one-pass
+    // ShingleBlock kernel (canonical words → FNV/Mix64 n-gram hashes,
+    // already deduped per doc) instead of materializing every gram as a
+    // STRING (words array → per-gram slice + array_join + xxhash64 —
+    // measured as the dominant cost of this key). Same word canon, same
+    // ≤n-words edge rule (whole text as one gram), empty docs drop on
+    // both paths (null struct ≡ empty array under explode). The hash
+    // never reaches the output; counts are identical modulo 64-bit
+    // collisions, and the string-exact DuckDB oracle stays the gate.
     val g = docs
       .select(col("source"),
-        explode(text.Text.shinglesOfWords(text.Text.words(col("text")), n)).as("gs"))
-      .select(col("source"), xxhash64(col("gs")).as("g"))
+        explode(graft.functions.exprs.shingle_block(col("text"), n).getField("sh")).as("g"))
       .distinct()
     val sizes = g.groupBy("source").agg(count(lit(1)).as("n"))
     // bounded 1-value collect: the mask-array width ⌈S/64⌉

@@ -23,13 +23,11 @@ object Rq {
   /** Integer squared-L2 distances of residual column `r` (array<long>)
     * against every codebook row, as an array<long> column.
     */
-  def l2Dists(r: Column, cb: Seq[Seq[Long]]): Column = {
-    val cbLit = typedLit(cb)
-    transform(sequence(lit(0), lit(cb.size - 1)), j =>
-      aggregate(
-        zip_with(r, element_at(cbLit, j + 1), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, v) => acc + v))
-  }
+  def l2Dists(r: Column, cb: Seq[Seq[Long]]): Column =
+    // fused one-pass kernel (r14): the compositional transform/aggregate
+    // form walked the residual k times with an intermediate array per
+    // cell; bit-identical integer sums (R14OptSpec)
+    graft.functions.vexprs.l2_dists_q(r, cb)
 
   /** `(vec_id, r, cell, sq_err)` — nearest codebook row by exact
     * integer L2, ties to the lower cell index (array_position returns

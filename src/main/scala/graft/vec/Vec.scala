@@ -21,16 +21,23 @@ object Vec {
   def quantize(v: Column, scale: Int = 1000): Column =
     transform(v, x => round(x.cast("double") * scale).cast("long"))
 
-  /** Integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Integer dot product of two quantized vectors. Fused one-pass kernel
+    * (r14 optimization: the compositional
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` walked both arrays and
+    * allocated an intermediate product array per call); bit-identical —
+    * exact wraparound 64-bit sums in the same element order, same null
+    * semantics — pinned by R14OptSpec against the compositional form.
+    */
+  def dotQ(a: Column, b: Column): Column = graft.functions.vexprs.dot_q(a, b)
 
-  /** Exact cosine over quantized vectors (deterministic double). */
-  def cosineQ(a: Column, b: Column): Column = {
-    val dot = dotQ(a, b)
-    val n2 = dotQ(a, a) * dotQ(b, b)
-    when(n2 === 0L, lit(0.0)).otherwise(dot.cast("double") / sqrt(n2.cast("double")))
-  }
+  /** Exact cosine over quantized vectors (deterministic double). Fused
+    * one-pass kernel (r14): the compositional form paid three
+    * aggregate(zip_with(...)) dots = five array walks + three intermediate
+    * arrays per PAIR — the hot inner loop of every pairwise truth leg and
+    * broadcast scan. Bit-identical (same integer sums, same single
+    * double division, same null contract), pinned by R14OptSpec.
+    */
+  def cosineQ(a: Column, b: Column): Column = graft.functions.vexprs.cosine_q(a, b)
 
   /** Float-native dot (for in-engine paths with no oracle). */
   def dotF(a: Column, b: Column): Column =
