@@ -71,17 +71,37 @@ object Incremental {
     */
   private def writeSegment(sigsAll: DataFrame, dir: String,
       maxBucketSize: Int, mode: String): Unit = {
-    sigsAll
-      .groupBy("content_key").agg(min("doc_id").as("doc_id"))
-      .write.mode(mode).parquet(s"$dir/keys")
+    // r14 (guide §2.6, overlap independent jobs): the three segment
+    // writes are independent consumers of the SAME persisted signature
+    // frame, so they run as concurrent driver-thread jobs instead of
+    // three sequential actions — the later jobs' tasks back-fill
+    // executors freed by the earlier jobs' tails. The cache is
+    // materialized first so the kernel pass runs once, not raced.
+    // Identical frames land at identical paths; only the wall-clock
+    // changes.
+    sigsAll.count()
     val sigs = sigsAll.where(col("sig").isNotNull)
     val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")
-    bandKeys(sigs)
-      .withColumn("bucket_n", count(lit(1)).over(bucketW))
-      .where(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
-      .write.mode(mode).parquet(s"$dir/bands")
-    sketch(sigs).write.mode(mode).parquet(s"$dir/sketches")
+    val writes: Seq[() => Unit] = Seq(
+      () => sigsAll
+        .groupBy("content_key").agg(min("doc_id").as("doc_id"))
+        .write.mode(mode).parquet(s"$dir/keys"),
+      () => bandKeys(sigs)
+        .withColumn("bucket_n", count(lit(1)).over(bucketW))
+        .where(col("bucket_n") <= maxBucketSize)
+        .drop("bucket_n")
+        .write.mode(mode).parquet(s"$dir/bands"),
+      () => sketch(sigs).write.mode(mode).parquet(s"$dir/sketches"))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writes.map { w =>
+      val t = new Thread(() => try w() catch { case e: Throwable => failures.add(e); () })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    threads.foreach(_.join())
+    // a swallowed write failure would leave a silently partial index
+    if (!failures.isEmpty) throw failures.peek()
   }
 
   /** Build the dedup index from `history` and persist it under `dir`
@@ -212,10 +232,13 @@ object Incremental {
     // localCheckpoint cuts the lineage; the frame is batch-sized.
     val verdicts = scored.localCheckpoint(true)
     scored.unpersist(blocking = false)
-    // absorb from the SAME kernel output — no second signature pass
+    // absorb from the SAME kernel output — no second signature pass.
+    // persisted: writeSegment's three concurrent writes all read it
     val novelSigs = sigsAll.join(
       verdicts.where(col("verdict") === "novel").select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     writeSegment(novelSigs, dir, maxBucketSize, "append")
+    novelSigs.unpersist(blocking = false)
     sigsAll.unpersist(blocking = false)
     verdicts
   }

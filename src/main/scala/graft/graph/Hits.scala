@@ -43,6 +43,11 @@ object Hits {
     var hubs = nodes.select(col("node"), lit(scale / n).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var auths: DataFrame = null
+    // (r14 note: an in-plan 1-row cross-joined total — the oracle's own
+    // shape — was tried to make the whole loop lazy and was REVERTED: the
+    // resulting 6-level cascade of nested cached/broadcast plans stalled
+    // materialization at sf0.1. The driver-literal total stays; the
+    // per-half-iteration count() jobs are gone — see the loop below.)
     def normalized(raw: DataFrame, outName: String): DataFrame = {
       // L1 total as a driver literal (1-row aggregate over <= |nodes| rows)
       val total = BigInt(raw.agg(sum(expr("cast(raw as decimal(38,0))")).as("t"))
@@ -59,9 +64,7 @@ object Hits {
     // normalized() call already runs a driver total aggregate whose
     // lineage materializes the PREVIOUS half-iteration's persisted frame
     // as a side effect, so the explicit counts were one redundant job per
-    // half-iteration (the dominant cost on bounded graphs: q_graph_hits'
-    // nation graph is ≤625 edges, so its wall-clock was almost entirely
-    // job overhead). Unpersists now happen one step later, after the
+    // half-iteration. Unpersists happen one step later, after the
     // successor total-agg job that consumed the frame. Arithmetic is
     // untouched — scores stay bit-identical.
     for (_ <- 1 to iters) {
