@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/driver contract needs the summary JSON as the process's LAST
+// bare stdout line. sbt's default LoggedOutput prefixes every forked-run
+// line with "[info] " and appends a "[success] Total time..." footer, so
+// the r14 driver could not parse ANY bench output (PERF_r14
+// prev/now_bench_ok false). StdoutOutput inherits the forked JVM's stdout
+// verbatim; showSuccess/showTiming silence the footer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -377,16 +377,29 @@ object Bench {
       s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","git_head":"$gitHead","queries":$qs,"sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"query_spread":$spread,"n_queries":${names.length},"n_failed":${erred.length},"errors":$errors,"host_factor":$hostFactor,"host_factor_ref":"$controlRefHead","control_ratios":$controlsJson,"host_factors":$familyJson,"baseline_file":$baselineJson,"net_flags":$netFlagsJson,"respread":$respreadJson,"cpu_model":${jstr(cpuModel)}}"""
     println(line)
     // stdout gets tail-captured and truncated by harnesses (the ~8KB full
-    // line has never survived a capture intact): persist the full JSON to a
-    // file, and ALSO print a short summary line LAST so even a small tail
-    // window ends with one complete, parseable JSON record
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    // line has never survived a capture intact): persist the full JSON to
+    // files, and print the short summary line LAST so even a small tail
+    // window ends with one complete, parseable JSON record. r14 lesson
+    // (VERDICT "what's wrong" 1+2): the per-query file must be PER-RUN —
+    // the driver benches at two core counts and the second run used to
+    // overwrite the first's BENCH_FULL.json — and the summary must land in
+    // a fixed file too, because sbt's log decoration made stdout
+    // unparseable for two rounds (also fixed in build.sbt: StdoutOutput +
+    // showSuccess=false so the summary really is the last bare line).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_c$cpus.json")
+    for (f <- Seq(outFile, "BENCH_FULL.json").distinct)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $f: ${e.getMessage}") }
     val failedKeys = erred.map(jstr).mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"host_factors":$familyJson,"net_flags":$netFlagsJson,"respread":$respreadJson,"per_query_file":"$outFile"}""")
+    val summary =
+      s"""{"metric":"total","metric_version":2,"value":$total,"unit":"sec","sf":"$sfDir","cpus":$cpus,"passes":$nPasses,"pass_totals":$passTotals,"sum_of_medians":$sumOfMedians,"n_queries":${names.length},"n_failed":${erred.length},"failed_keys":$failedKeys,"host_factor":$hostFactor,"host_factors":$familyJson,"net_flags":$netFlagsJson,"respread":$respreadJson,"per_query_file":"$outFile"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write BENCH_SUMMARY.json: ${e.getMessage}") }
     spark.stop()
+    // spark.stop() can emit shutdown warnings on stderr; the summary is
+    // printed after it so the final STDOUT line is this one JSON record
+    println(summary)
+    System.out.flush()
     if (erred.nonEmpty) sys.exit(1)
   }
 }
