@@ -72,8 +72,11 @@ object Pq {
     require(initRows.length == kCent,
       s"fit init returned ${initRows.length} centroids, need $kCent " +
         s"(the $kCent lowest vec_ids must be present)")
-    require(initRows.forall(_.length == m * dsub),
-      s"centroid dims != $dsub — embeddings must be ${m * dsub}-dim")
+    // >= not ==: the pre-r14 slice-based fit accepted wider embeddings
+    // (extra dims beyond m*dsub are ignored by every slice), and
+    // PqEncode/slice still tolerate them — keep that accepted-input set
+    require(initRows.forall(_.length >= m * dsub),
+      s"centroid dims < ${m * dsub} — embeddings must have at least ${m * dsub} dims")
     val cb0: Array[Array[Array[Double]]] =
       Array.tabulate(m)(s => initRows.map(_.slice(s * dsub, s * dsub + dsub)))
     val tagged = (0 until m).map { s =>

@@ -100,8 +100,16 @@ object Incremental {
       t
     }
     threads.foreach(_.join())
-    // a swallowed write failure would leave a silently partial index
-    if (!failures.isEmpty) throw failures.peek()
+    // a swallowed write failure would leave a silently partial index;
+    // sibling failures ride along as suppressed exceptions (ADVICE r14:
+    // only the first was surfaced, multi-write failures were
+    // undiagnosable)
+    if (!failures.isEmpty) {
+      val head = failures.poll()
+      var rest = failures.poll()
+      while (rest != null) { head.addSuppressed(rest); rest = failures.poll() }
+      throw head
+    }
   }
 
   /** Build the dedup index from `history` and persist it under `dir`

@@ -233,7 +233,12 @@ case class PqMinDistU6(child: Expression, codebook: Seq[Seq[Seq[Double]]])
     while (s < m) {
       val cents = cb(s)
       val base = s * dsub
-      var bestD = Double.MaxValue
+      // running min with array_min's ordering (NaN greater than every
+      // double, ADVICE r14): bestD starts NaN and is replaced whenever it
+      // is NaN or acc is strictly smaller — so all-NaN distances yield
+      // NaN (→ 0L under the truncating cast, matching the compositional
+      // (array_min(dists) * 1e6).cast('long')), not a MaxValue sentinel
+      var bestD = Double.NaN
       var c = 0
       while (c < cents.length) {
         val cent = cents(c)
@@ -244,7 +249,7 @@ case class PqMinDistU6(child: Expression, codebook: Seq[Seq[Seq[Double]]])
           acc += d * d
           j += 1
         }
-        if (acc < bestD) bestD = acc
+        if (java.lang.Double.isNaN(bestD) || acc < bestD) bestD = acc
         c += 1
       }
       // (array_min(dists) * 1e6).cast("long") = truncating double→long cast
