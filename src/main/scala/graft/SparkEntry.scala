@@ -5782,7 +5782,18 @@ object SparkEntry {
 
   private def textQualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
+    // r15 (guide §1.2 step 1): ONE shared bucket-count pass feeds fit
+    // AND score — the fit+score pipeline tokenized the corpus twice for
+    // quantities that are both functions of per-(doc, bucket) counts
+    // (exact integer regrouping, QualityModel doc; R15OptSpec pins both
+    // halves). labels release after the eager fit collect; bc stays for
+    // the returned frame (session clearCache discipline, as model_eval).
+    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
+    labels.count()
+    val bc = text.QualityModel.bucketCounts(docs).persist()
+    val w = text.QualityModel.fitWeightsFromBucketCounts(bc, labels)
+    labels.unpersist(blocking = false)
+    text.QualityModel.scoredFromBucketCounts(docs.select("doc_id"), bc, w)
       .orderBy("doc_id")
   }
 
@@ -6325,7 +6336,11 @@ object SparkEntry {
     // plan costs ~10x)
     val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
     labels.count()
-    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
+    // r15: fit and score share one bucket-count pass (see
+    // textQualityModel); exact integer regrouping, hashes unchanged
+    val bc = text.QualityModel.bucketCounts(docs).persist()
+    val scored = text.QualityModel.scoredFromBucketCounts(
+      docs.select("doc_id"), bc, text.QualityModel.fitWeightsFromBucketCounts(bc, labels))
       .select(col("doc_id"), col("score_micro"))
     // training-set evaluation by construction (the fit supervises on the
     // same Gopher label) — stated in QualityModel's doc; thresholds sized
@@ -6365,7 +6380,11 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
     labels.count()
-    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
+    // r15: fit and score share one bucket-count pass (see
+    // textQualityModel); exact integer regrouping, hashes unchanged
+    val bc = text.QualityModel.bucketCounts(docs).persist()
+    val scored = text.QualityModel.scoredFromBucketCounts(
+      docs.select("doc_id"), bc, text.QualityModel.fitWeightsFromBucketCounts(bc, labels))
       .select(col("doc_id"), col("score_micro"))
     text.ModelEval.rocAuc(
       scored.join(labels.withColumnRenamed("keep", "label"), "doc_id"),
@@ -8954,25 +8973,35 @@ object SparkEntry {
     */
   private def qGraphKhop(s: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(s, dir) // shared build-once artifact
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
-    val seed = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
-      .orderBy(desc("deg"), col("a")).limit(1).head().getLong(0)
+    // r15 (guide §2.4, the PageRank dst-partition precedent): caching
+    // bidir hash-partitioned by `b` makes every BFS round's
+    // expanded-frontier distinct exchange-free (Bfs.scala doc) — one
+    // up-front shuffle of the edge list replaces 3 exchanges of the
+    // much larger expanded frames. The seed degree agg reads the same
+    // layout: bidir is symmetric, so per-node counts of `b` equal the
+    // old per-node counts of `a` exactly — same seed, zero exchanges.
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).persist()
+    val seed = bidir.groupBy("b").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("b")).limit(1).head().getLong(0)
     // graph.Bfs drops the visited-side broadcast hint once the reach
     // outgrows the broadcast limit — on a 100× graph whose 3-hop reach
     // is millions of nodes the hard-coded hint would be a driver OOM.
     // Each round's (hop, visited, plan shape) is recorded so the verify
     // artifact shows WHICH plan ran (SURVEY §6 observability).
     val rounds = scala.collection.mutable.ArrayBuffer[String]()
-    val visited = graph.Bfs.khop(bidir, seed, hops = 3,
+    val layers = graph.Bfs.khopLayers(bidir, seed, hops = 3,
       onRound = (h, n, b) =>
         rounds += s"""{"hop": $h, "visited": $n, "broadcast": $b}""")
     planObservations("q_graph_khop") = rounds.mkString("[", ",", "]")
-    val out = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes")).orderBy("hop")
-    val rows = out.collect() // bounded: ≤ 4 rows; release the loop caches
-    visited.unpersist(); bidir.unpersist()
+    // the hop histogram IS the per-layer counts the round barriers
+    // already paid for (layer h holds exactly the hop-h rows; the old
+    // groupBy("hop") re-scanned the visited union for the same numbers)
+    val rows = layers.zipWithIndex
+      .collect { case ((_, n), h) if n > 0 => (h.toLong, n) }
+    layers.foreach(_._1.unpersist(blocking = false)); bidir.unpersist()
     import s.implicits._
-    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq.toDF("hop", "n_nodes")
-      .orderBy("hop")
+    rows.toDF("hop", "n_nodes").orderBy("hop")
   }
 
   private val qGraphKhopSql =
@@ -12956,21 +12985,27 @@ object SparkEntry {
     */
   private def qGraphReachDist(s: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(s, dir) // shared build-once artifact
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
-    val seeds = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
-      .orderBy(desc("deg"), col("a")).limit(4)
+    // r15: dst-partitioned BFS edge cache (see qGraphKhop); the seed
+    // degree agg reads `b` — identical counts on the symmetric frame
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).persist()
+    val seeds = bidir.groupBy("b").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("b")).limit(4)
       .collect().map(_.getLong(0)) // bounded 4-row collect: the seed set
     val rounds = scala.collection.mutable.ArrayBuffer[String]()
     // all 4 seeds share ONE frontier loop (Bfs.khopMulti): 3 joins total
     // instead of 12 — this key was the #1 bench entry (12.9 s) as four
-    // sequential khop loops
-    val v = graph.Bfs.khopMulti(bidir, seeds.toSeq, hops = 3,
+    // sequential khop loops. r15: the layers stay per-hop frames, so the
+    // (seed, hop) histogram is ONE aggregate over the already-cached
+    // layers with no union re-cache (Bfs.khopMultiLayers doc).
+    val layers = graph.Bfs.khopMultiLayers(bidir, seeds.toSeq, hops = 3,
       onRound = (h, n, b) =>
         rounds += s"""{"hop": $h, "visited_all_seeds": $n, "broadcast": $b}""")
+    val v = layers.map(_._1).reduce(_ unionByName _)
     val rows = v.groupBy("seed", "hop").agg(count(lit(1)).as("n")).collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))) // bounded: ≤ 16 rows
       .toSeq
-    v.unpersist()
+    layers.foreach(_._1.unpersist(blocking = false))
     planObservations("q_graph_reach_dist") = rounds.mkString("[", ",", "]")
     bidir.unpersist()
     import s.implicits._
@@ -15159,18 +15194,22 @@ object SparkEntry {
     */
   private def qGraphCloseness(s: SparkSession, dir: String): DataFrame = {
     val e = copurchaseEdges(s, dir) // shared build-once artifact
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
-    val seeds = bidir.groupBy("a").agg(count(lit(1)).as("deg"))
-      .orderBy(desc("deg"), col("a")).limit(4)
+    // r15: dst-partitioned BFS edge cache + layered visited set — see
+    // qGraphReachDist (same seeds, same loop, different read)
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).persist()
+    val seeds = bidir.groupBy("b").agg(count(lit(1)).as("deg"))
+      .orderBy(desc("deg"), col("b")).limit(4)
       .collect().map(_.getLong(0)) // bounded 4-row collect: the seed set
-    val v = graph.Bfs.khopMulti(bidir, seeds.toSeq, hops = 3)
+    val layers = graph.Bfs.khopMultiLayers(bidir, seeds.toSeq, hops = 3)
+    val v = layers.map(_._1).reduce(_ unionByName _)
     val rows = v.where(col("hop") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"), sum("hop").as("sum_dist"),
         sum(expr("1000 div hop")).as("harmonic_m"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSeq // bounded: 4 rows
-    v.unpersist(); bidir.unpersist()
+    layers.foreach(_._1.unpersist(blocking = false)); bidir.unpersist()
     import s.implicits._
     rows.toDF("seed", "n_reached", "sum_dist", "harmonic_m")
       .withColumn("closeness_m", expr("n_reached * 1000 div sum_dist"))
@@ -17328,13 +17367,16 @@ object SparkEntry {
       .join(ids.withColumnRenamed("t", "b"), Seq("b"), "left_semi")
       .where(col("a") =!= col("b"))
       .select("a", "b").distinct()
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b"))).persist()
+    // r15: dst-partitioned BFS edge cache + layer counts as the hop
+    // histogram — see qGraphKhop
+    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b")).persist()
     val seed = e.groupBy("b").agg(count(lit(1)).as("deg"))
       .orderBy(desc("deg"), col("b")).limit(1).head().getLong(0) // 1-row seed collect
-    val visited = graph.Bfs.khop(bidir, seed, hops = 3)
-    val rows = visited.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq // bounded: ≤4 rows
-    visited.unpersist(); bidir.unpersist()
+    val layers = graph.Bfs.khopLayers(bidir, seed, hops = 3)
+    val rows = layers.zipWithIndex
+      .collect { case ((_, n), h) if n > 0 => (h.toLong, n) }
+    layers.foreach(_._1.unpersist(blocking = false)); bidir.unpersist()
     rows.toDF("hop", "n_nodes").orderBy("hop")
   }
 
@@ -17589,19 +17631,26 @@ object SparkEntry {
     // bit-identical to anchorReps(seeds.take(k)) while the old per-k
     // calls re-ran the whole token pipeline three times.
     val docsAll = dedup.SetSim.anchorDocs(sets, maxTokenDf = 1000).persist()
-    val rows = (1 to dedup.SetSim.AnchorSeeds.length).map { k =>
-      val pred = dedup.SetSim.repsFromDocs(docsAll, tX1000 = 700, k)
-        .where(col("doc_id") =!= col("rep_id"))
-        .select(
-          least(col("doc_id"), col("rep_id")).as("doc_a"),
-          greatest(col("doc_id"), col("rep_id")).as("doc_b"))
-      // one job per k: pred count + hit count off a single left join
-      val ph = pred
-        .join(truth.withColumn("t", lit(1)), Seq("doc_a", "doc_b"), "left")
-        .agg(count(lit(1)).as("p"),
-          sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("h"))
-        .head()
-      val (nPred, nHit) = (ph.getLong(0), ph.getLong(1))
+    // r15 (guide §1.2 step 1): ONE aggregate chain serves every k — the
+    // all-k tail (SetSim.repsSweepNonSelf: min-seed-tagged candidates,
+    // one verify join, all k bests in one groupBy) emits each k's
+    // non-self rep rows, and one left join + one groupBy(k) folds the
+    // pred/hit counts the old shape paid one full assignment/verify tail
+    // + one join-aggregate PER k for. Per-k (n_pred, n_hit) are
+    // multiset-identical (R15OptSpec pins the per-k emissions).
+    val kMax = dedup.SetSim.AnchorSeeds.length
+    val pairs = dedup.SetSim.repsSweepNonSelf(docsAll, tX1000 = 700, kMax)
+      .select(col("k"),
+        least(col("doc_id"), col("rep_id")).as("doc_a"),
+        greatest(col("doc_id"), col("rep_id")).as("doc_b"))
+    val byK = pairs
+      .join(truth.withColumn("t", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .groupBy("k")
+      .agg(count(lit(1)).as("p"),
+        sum(when(col("t").isNotNull, 1L).otherwise(0L)).as("h"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = (1 to kMax).map { k =>
+      val (nPred, nHit) = byK.getOrElse(k.toLong, (0L, 0L))
       (k.toLong, nTruth, nPred, nHit, nHit * 1000L / math.max(nTruth, 1L))
     }
     truth.unpersist()

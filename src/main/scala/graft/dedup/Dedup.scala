@@ -182,32 +182,44 @@ object Dedup {
     require(configs.forall(b => k % b == 0), s"each band count must divide $k")
     val sigsAll = signatures(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = sigsAll.where(col("sig").isNotNull)
-    val perConfig = configs.map { bands =>
-      val rows = k / bands
-      val banded = sigs
-        .select(
-          col("doc_id"),
-          explode(
+    // r15 (guide §2.4 / §1.2 step 1): ONE banded frame tagged with the
+    // config's band count replaces the per-config explode→window→
+    // self-join→distinct legs — the r14 shape ran 3 windows (3 full
+    // shuffles of the banded relation), 3 joins and 3 distincts even
+    // though the signature frame was already shared. Tagging `bands`
+    // into the exploded struct and keying every downstream step by
+    // (bands, band, bh) keeps each config's bucket cap, join scope and
+    // pair-dedup EXACTLY per-config (configs never mix: the key carries
+    // the config) while the whole sweep pays one window shuffle, one
+    // self-join and one distinct. Per-config pair sets are bit-identical
+    // to the old per-leg plan (R15OptSpec pins sweep-vs-minhashCandidates
+    // equality per config).
+    val banded = sigs
+      .select(
+        col("doc_id"),
+        explode(
+          flatten(array(configs.map { bands =>
+            val rows = k / bands
             transform(
               sequence(lit(0), lit(bands - 1)),
-              j => struct(j.as("band"), xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))).as("bh"))))
-            .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-      val bounded = banded
-        .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "bh")))
-        .where(col("bucket_n") <= maxBucketSize)
-        .drop("bucket_n")
-      bounded.as("l")
-        .join(bounded.as("r"), Seq("band", "bh"))
-        .where(col("l.doc_id") < col("r.doc_id"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-        .distinct()
-        .select(lit(bands.toLong).as("bands"), col("doc_a"), col("doc_b"))
-    }
+              j => struct(lit(bands.toLong).as("bands"), j.as("band"),
+                xxhash64(j, slice(col("sig"), j * rows + 1, lit(rows))).as("bh")))
+          }: _*)))
+          .as("b"))
+      .select(col("doc_id"), col("b.bands").as("bands"), col("b.band").as("band"), col("b.bh").as("bh"))
+    val bounded = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("bands", "band", "bh")))
+      .where(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val pairs = bounded.as("l")
+      .join(bounded.as("r"), Seq("bands", "band", "bh"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("bands"), col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
     val sketches = sigs.select(
       col("doc_id"),
       transform(col("sig"), x => (x.bitwiseAND(lit(0xffffL)) - lit(32768L)).cast("short")).as("sk"))
-    val est = perConfig.reduce(_ unionByName _)
+    val est = pairs
       .join(sketches.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), "doc_a")
       .join(sketches.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       .withColumn(

@@ -57,6 +57,13 @@ object SetSim {
       sets: DataFrame,
       tX1000: Int,
       maxTokenDf: Int): DataFrame = {
+    // r15 (ADVICE r14): tX1000 > 1000 would make the slice length
+    // n - ceil(t·n) + 1 negative — a runtime 'unexpected value for
+    // length' error where the old row_number window silently returned an
+    // empty prefix. A permille threshold outside [0, 1000] is a caller
+    // bug; fail at entry with a clear message.
+    require(tX1000 >= 0 && tX1000 <= 1000,
+      s"tX1000 must be a permille threshold in [0, 1000], got $tX1000")
     // (doc_id, token) element relation; persisted — feeds the df
     // aggregate and the df-attach join.
     val toks = sets
@@ -261,6 +268,55 @@ object SetSim {
         coalesce(col("jacc_x1000"), lit(1000L)).as("jacc_x1000"))
   }
 
+  /** All-k sweep tail over an [[anchorDocs]] frame (r15, guide §1.2
+    * step 1): for every k in 1..kMax at once, the NON-SELF rows of
+    * `repsFromDocs(docs, tX1000, k)` — i.e. (k, doc_id, rep_id,
+    * jacc_x1000) where doc_id's best anchor under the first k seed
+    * spaces clears the threshold. The r14 sweep ran the whole
+    * assignment/verify tail (groupBy + join + distinct + two set joins +
+    * best-of window + emission join) once per k; every per-k quantity is
+    * derivable from ONE tail over the kMax spaces:
+    *  - candidate set at k = assignments with min seed index < k, so one
+    *    (doc, anchor) aggregate carrying `mi = min(i)` replaces the per-k
+    *    distincts;
+    *  - Jaccard is k-independent — one verify join scores every pair;
+    *  - best-of at k = min over candidates with mi < k of the struct
+    *    (1000 - jacc, anchor_id): struct ordering = the window's
+    *    (jacc desc, anchor asc), and all kMax bests ride one groupBy.
+    * Per-k output multiset is identical to the per-k tails (R15OptSpec).
+    */
+  def repsSweepNonSelf(docs: DataFrame, tX1000: Int, kMax: Int): DataFrame = {
+    val seedIdx = 0 until kMax
+    val tagged = docs.select(
+      col("doc_id"),
+      posexplode(array(seedIdx.map(i => col(s"bk$i")): _*)).as(Seq("i", "bk")))
+    val anchors = tagged.groupBy("i", "bk").agg(min("doc_id").as("anchor_id"))
+    val cand = tagged
+      .join(anchors, Seq("i", "bk"))
+      .where(col("doc_id") =!= col("anchor_id"))
+      .groupBy("doc_id", "anchor_id").agg(min("i").as("mi"))
+    val scored = cand
+      .join(docs.select(col("doc_id"), col("fsh"), col("n")), "doc_id")
+      .join(docs.select(col("doc_id").as("anchor_id"), col("fsh").as("a_fsh"), col("n").as("a_n")),
+        "anchor_id")
+      .withColumn("inter", size(array_intersect(col("fsh"), col("a_fsh"))).cast("long"))
+      .withColumn("uni", col("n") + col("a_n") - col("inter"))
+      .select(col("doc_id"), col("anchor_id"),
+        expr("inter * 1000 div uni").as("jacc_x1000"), col("mi"))
+    val bestAggs = (1 to kMax).map { kk =>
+      min(when(col("mi") < kk,
+        struct((lit(1000L) - col("jacc_x1000")).as("negj"),
+          col("anchor_id"), col("jacc_x1000")))).as(s"b$kk")
+    }
+    val bests = scored.groupBy("doc_id").agg(bestAggs.head, bestAggs.tail: _*)
+    bests.select(
+      col("doc_id"),
+      posexplode(array((1 to kMax).map(kk => col(s"b$kk")): _*)).as(Seq("k0", "b")))
+      .where(col("b").isNotNull && col("b.jacc_x1000") >= tX1000)
+      .select((col("k0") + 1).cast("long").as("k"), col("doc_id"),
+        col("b.anchor_id").as("rep_id"), col("b.jacc_x1000").as("jacc_x1000"))
+  }
+
   /** Generic tokenizer entry: `tokens` is an array<string> Column over
     * `text` — word unigrams discriminate on natural Zipfian
     * vocabularies; word q-shingles (`Text.shingles`) are the right
@@ -300,6 +356,10 @@ object SetSim {
       sets: DataFrame,
       tX1000: Int,
       maxTokenDf: Int): DataFrame = {
+    // see prefixJoinSets: out-of-range permille would break the probe
+    // prefix slice at runtime
+    require(tX1000 >= 0 && tX1000 <= 1000,
+      s"tX1000 must be a permille threshold in [0, 1000], got $tX1000")
     val toks = sets
       .where(col("sh").isNotNull && size(col("sh")) > 0)
       .select(col("doc_id"), explode(col("sh")).as("token"))

@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   * whose reach is millions of nodes, a hard-coded broadcast would be a
   * driver OOM. Driver state per round is the one bounded count (the
   * KMeans/PageRank convergence contract).
+  *
+  * r15 round shape (guide §2.4, the PageRank dst-partition precedent):
+  *  - the visited set lives as PER-HOP LAYER frames, so each round
+  *    persists and counts only the NEW layer instead of re-caching the
+  *    whole growing union (the count is still the per-round driver
+  *    barrier that materializes the round's work — memory-of-r14: only
+  *    remove a barrier when another job's lineage materializes the
+  *    frame, and here nothing else would);
+  *  - the hop-0 count is `seeds.length` — workload metadata the caller
+  *    already holds, not a job;
+  *  - when the caller hands in a `bidir` frame hash-partitioned by `b`
+  *    (see [[khopMulti]] docs), the frontier-edge join broadcasts the
+  *    frontier and STREAMS the partitioned edges, the projection
+  *    aliases `b` to `node`, and the per-round `distinct` on
+  *    (seed, node) is satisfied by the inherited partitioning — zero
+  *    exchanges per broadcast-path round; one up-front edge shuffle
+  *    replaces `hops` exchanges of the (much larger) expanded frontier.
+  *    On the shuffle fallback the joins pay their own exchanges exactly
+  *    as before.
   */
 object Bfs {
 
@@ -39,18 +58,48 @@ object Bfs {
   def khopMulti(bidir: DataFrame, seeds: Seq[Long], hops: Int,
       broadcastLimit: Long = 4000000L,
       onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
+    val layers = khopMultiLayers(bidir, seeds, hops, broadcastLimit, onRound)
+    // single persisted union preserves the pre-r15 caller contract
+    // (returned frame is persisted; caller unpersists): one scan of the
+    // already-cached layers fills it, then the layers release
+    val out = layers.map(_._1).reduce(_ unionByName _).persist()
+    out.count()
+    layers.foreach(_._1.unpersist(blocking = false))
+    out
+  }
+
+  /** [[khopMulti]] returning the per-hop layers instead of one
+    * re-cached union: element h is (layer, rowCount) where the layer
+    * holds exactly the `(seed, node, hop=h)` rows first reached at hop
+    * h, persisted and already materialized, and rowCount is its size
+    * (already paid for by the round barrier — a hop histogram needs no
+    * further job). Callers that consume the visited set ONCE (a single
+    * aggregate) should union the layers lazily and unpersist each —
+    * that skips the union's second cache write entirely.
+    */
+  def khopMultiLayers(bidir: DataFrame, seeds: Seq[Long], hops: Int,
+      broadcastLimit: Long = 4000000L,
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): Seq[(DataFrame, Long)] = {
     require(seeds.nonEmpty, "at least one seed")
     val s = bidir.sparkSession
     import s.implicits._
-    var visited = seeds.toDF("seed")
+    val layer0 = seeds.toDF("seed")
       .select(col("seed"), col("seed").as("node"), lit(0L).as("hop")).persist()
-    var visitedCount = visited.count()
+    // hop-0 visited count = the seed list's length (a local relation);
+    // the pre-r15 shape paid a Spark job to count it
+    var layers = Vector((layer0, seeds.length.toLong))
+    var visitedCount = seeds.length.toLong
     for (h <- 1 to hops) {
-      val frontier = visited.where(col("hop") === (h - 1).toLong).select("seed", "node")
+      val frontier = layers.last._1.select("seed", "node")
+      val visited = layers.map(_._1.select("seed", "node")).reduce(_ unionByName _)
       val useBroadcast = visitedCount <= broadcastLimit
       onRound(h, visitedCount, useBroadcast)
-      val anti = if (useBroadcast) F.broadcast(visited.select("seed", "node")) else visited.select("seed", "node")
-      val expanded = frontier.join(bidir, col("node") === col("a"))
+      val anti = if (useBroadcast) F.broadcast(visited) else visited
+      // broadcast the bounded frontier explicitly so the partitioned
+      // edge side is always the streamed one (plan-shape, not results:
+      // the join output is identical either way)
+      val expanded = (if (useBroadcast) F.broadcast(frontier) else frontier)
+        .join(bidir, col("node") === col("a"))
         .select(col("seed"), col("b").as("node"))
       // r14 (guide §2.3, filter before the exchange): on the broadcast
       // path the visited anti-join is a MAP-SIDE filter, so running it
@@ -66,38 +115,52 @@ object Bfs {
       else
         expanded.distinct().join(anti, Seq("seed", "node"), "left_anti"))
         .select(col("seed"), col("node"), lit(h.toLong).as("hop"))
-      val next = visited.unionByName(reached).persist()
-      visitedCount = next.count()
-      visited.unpersist()
-      visited = next
+        .persist()
+      val cnt = reached.count()
+      visitedCount += cnt
+      layers :+= ((reached, cnt))
     }
-    visited
+    layers
   }
 
   def khop(bidir: DataFrame, seed: Long, hops: Int,
       broadcastLimit: Long = 4000000L,
       onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): DataFrame = {
+    val layers = khopLayers(bidir, seed, hops, broadcastLimit, onRound)
+    val out = layers.map(_._1).reduce(_ unionByName _).persist()
+    out.count()
+    layers.foreach(_._1.unpersist(blocking = false))
+    out
+  }
+
+  /** [[khop]] returning per-hop layers — see [[khopMultiLayers]]. */
+  def khopLayers(bidir: DataFrame, seed: Long, hops: Int,
+      broadcastLimit: Long = 4000000L,
+      onRound: (Int, Long, Boolean) => Unit = (_, _, _) => ()): Seq[(DataFrame, Long)] = {
     val s = bidir.sparkSession
-    var visited = s.range(1).select(lit(seed).as("node"), lit(0L).as("hop")).persist()
-    var visitedCount = visited.count()
+    val layer0 = s.range(1).select(lit(seed).as("node"), lit(0L).as("hop")).persist()
+    var layers = Vector((layer0, 1L))
+    var visitedCount = 1L
     for (h <- 1 to hops) {
-      val frontier = visited.where(col("hop") === (h - 1).toLong).select("node")
+      val frontier = layers.last._1.select("node")
+      val visited = layers.map(_._1.select("node")).reduce(_ unionByName _)
       val useBroadcast = visitedCount <= broadcastLimit
       onRound(h, visitedCount, useBroadcast)
       val anti = if (useBroadcast) F.broadcast(visited) else visited
-      val expanded = frontier.join(bidir, col("node") === col("a"))
+      val expanded = (if (useBroadcast) F.broadcast(frontier) else frontier)
+        .join(bidir, col("node") === col("a"))
         .select(col("b").as("node"))
-      // r14: anti-before-distinct on the broadcast path — see khopMulti
+      // r14: anti-before-distinct on the broadcast path — see khopMultiLayers
       val reached = (if (useBroadcast)
         expanded.join(anti, Seq("node"), "left_anti").distinct()
       else
         expanded.distinct().join(anti, Seq("node"), "left_anti"))
         .select(col("node"), lit(h.toLong).as("hop"))
-      val next = visited.unionByName(reached).persist()
-      visitedCount = next.count()
-      visited.unpersist()
-      visited = next
+        .persist()
+      val cnt = reached.count()
+      visitedCount += cnt
+      layers :+= ((reached, cnt))
     }
-    visited
+    layers
   }
 }
