@@ -5780,20 +5780,18 @@ object SparkEntry {
        |SELECT doc_id, CAST(dim AS BIGINT) AS dim, CAST(SUM(sgn) AS BIGINT) AS val
        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
 
+  // r15 negative result (measured, kept for the record): routing fit AND
+  // score through one persisted per-(doc, bucket) token-count frame —
+  // one tokenize pass instead of two — was TRIED and REVERTED. The saved
+  // map-side tokenize is cheaper than what it buys: the count frame adds
+  // a (doc, bucket) exchange, a per-doc re-aggregate and a doc_id join
+  // to the score leg, and the isolated A/B regressed all three quality
+  // keys (text_model_auc 2.25→3.67 s, text_model_eval 1.43→1.85 s,
+  // text_quality_model 1.25→1.58 s at 32c/sf0.1). The map-side scored()
+  // pass stays the declared shape — zero added shuffle at 100 TB.
   private def textQualityModel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    // r15 (guide §1.2 step 1): ONE shared bucket-count pass feeds fit
-    // AND score — the fit+score pipeline tokenized the corpus twice for
-    // quantities that are both functions of per-(doc, bucket) counts
-    // (exact integer regrouping, QualityModel doc; R15OptSpec pins both
-    // halves). labels release after the eager fit collect; bc stays for
-    // the returned frame (session clearCache discipline, as model_eval).
-    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
-    labels.count()
-    val bc = text.QualityModel.bucketCounts(docs).persist()
-    val w = text.QualityModel.fitWeightsFromBucketCounts(bc, labels)
-    labels.unpersist(blocking = false)
-    text.QualityModel.scoredFromBucketCounts(docs.select("doc_id"), bc, w)
+    text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs))
       .orderBy("doc_id")
   }
 
@@ -6336,11 +6334,7 @@ object SparkEntry {
     // plan costs ~10x)
     val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
     labels.count()
-    // r15: fit and score share one bucket-count pass (see
-    // textQualityModel); exact integer regrouping, hashes unchanged
-    val bc = text.QualityModel.bucketCounts(docs).persist()
-    val scored = text.QualityModel.scoredFromBucketCounts(
-      docs.select("doc_id"), bc, text.QualityModel.fitWeightsFromBucketCounts(bc, labels))
+    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
       .select(col("doc_id"), col("score_micro"))
     // training-set evaluation by construction (the fit supervises on the
     // same Gopher label) — stated in QualityModel's doc; thresholds sized
@@ -6380,11 +6374,7 @@ object SparkEntry {
     val docs = Tables.documents(s, dir)
     val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
     labels.count()
-    // r15: fit and score share one bucket-count pass (see
-    // textQualityModel); exact integer regrouping, hashes unchanged
-    val bc = text.QualityModel.bucketCounts(docs).persist()
-    val scored = text.QualityModel.scoredFromBucketCounts(
-      docs.select("doc_id"), bc, text.QualityModel.fitWeightsFromBucketCounts(bc, labels))
+    val scored = text.QualityModel.scored(docs, text.QualityModel.fitWeightsMicro(docs, labels))
       .select(col("doc_id"), col("score_micro"))
     text.ModelEval.rocAuc(
       scored.join(labels.withColumnRenamed("keep", "label"), "doc_id"),

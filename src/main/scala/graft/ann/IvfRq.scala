@@ -42,57 +42,37 @@ object IvfRq {
       kCells: Int = 16,
       kCodes: Int = 16): DataFrame = {
     val cents = KMeans.fit(emb, kCells, iters = 1).toSeq.map(_.toSeq)
-    // r15 (guide §5 caching / §1.2 step 1): the residual projection
-    // (quantize + coarse assignment + centroid subtract) feeds the RQ
-    // fit's init collect, its Lloyd update AND the probe's
-    // reconstruction — uncached, the in-flight fit+probe paid that
-    // map-heavy corpus pass three times. Persist it, materialize the
-    // probe result, release (the Dedup.materializeThenRelease lifecycle:
-    // the caller owns the returned persisted frame; nothing else is left
-    // in the session cache). Plans/results are bit-identical — caching
-    // changes where the rows come from, not what they are.
-    val residuals = residualFrame(emb, cents)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (codes, cb) = encodeResiduals(residuals, kCodes)
-    val out = probeCodes(emb, codes, cents, cb, queryIds, k, nProbe)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    residuals.unpersist(blocking = false)
-    out
+    val (codes, cb) = encode(emb, cents, kCodes)
+    probeCodes(emb, codes, cents, cb, queryIds, k, nProbe)
   }
 
   /** Encode the corpus against fitted coarse centroids: fit the residual
     * codebook and return the `(vec_id, cell, rq_cell)` code table plus the
     * codebook — the compressed representation a persisted [[Index]] stores.
     */
-  /** The `(vec_id, cell, r)` residual projection — r14 (guide §2.4): the
-    * cell assignment, the quantized vector, and the residual are all
-    * MAP-SIDE expressions over the same row, so deriving them in one
-    * projection removes the two vec_id self-joins the old shape paid
-    * (q ⋈ assigned to build residuals, then assigned ⋈ rq to assemble
-    * the code table — exchanges of the corpus for zero information).
-    * Same cell expression (Ann.assignCells' Cells.bestCell cast long),
-    * same residual arithmetic, same Rq.assign argmin — the code table is
-    * bit-identical (R14OptSpec pins the probe output against the
-    * oracle-gated keys).
-    */
-  private def residualFrame(emb: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+  private def encode(
+      emb: DataFrame,
+      cents: Seq[Seq[Double]],
+      kCodes: Int): (DataFrame, Seq[Seq[Long]]) = {
+    // r14 (guide §2.4): the cell assignment, the quantized vector, and
+    // the residual are all MAP-SIDE expressions over the same row, so
+    // deriving them in one projection removes the two vec_id self-joins
+    // the old shape paid (q ⋈ assigned to build residuals, then
+    // assigned ⋈ rq to assemble the code table — exchanges of the corpus
+    // for zero information). Same cell expression (Ann.assignCells'
+    // Cells.bestCell cast long), same residual arithmetic, same
+    // Rq.assign argmin — the code table is bit-identical (R14OptSpec
+    // pins the probe output against the oracle-gated keys).
     val qcLit = typedLit(milliQuant(cents))
     // two-step projection binds the cell assignment once per row (the
     // single-use alias collapses back into one map stage; the twice-used
     // `cell` does not re-inline)
-    emb
+    val residuals = emb
       .select(col("vec_id"), Vec.quantize(col("embedding")).as("q"),
         Cells.bestCell(col("embedding"), cents).cast("long").as("cell"))
       .select(col("vec_id"), col("cell"),
         zip_with(col("q"), element_at(qcLit, col("cell").cast("int") + 1),
           (x, y) => x - y).as("r"))
-  }
-
-  /** RQ-fit + code table over a (possibly persisted) residual frame. */
-  private def encodeResiduals(
-      residuals: DataFrame,
-      kCodes: Int): (DataFrame, Seq[Seq[Long]]) = {
     val cb = Rq.fit(residuals.select("vec_id", "r"), kCodes, iters = 1).toSeq.map(_.toSeq)
     val codes = residuals
       .select(col("vec_id"), col("cell"), Rq.l2Dists(col("r"), cb).as("ds"))
@@ -100,12 +80,6 @@ object IvfRq {
         (array_position(col("ds"), array_min(col("ds"))) - 1).cast("long").as("rq_cell"))
     (codes, cb)
   }
-
-  private def encode(
-      emb: DataFrame,
-      cents: Seq[Seq[Double]],
-      kCodes: Int): (DataFrame, Seq[Seq[Long]]) =
-    encodeResiduals(residualFrame(emb, cents), kCodes)
 
   /** The probe path shared by [[topK]] (in-flight fit) and [[Index.probe]]
     * (persisted code table): candidates from each query's top-nProbe cells
@@ -175,17 +149,11 @@ object IvfRq {
       cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
         .toDF("cell", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      // r15: same residual-persist as topK — the RQ fit (init + update)
-      // and the code-table write otherwise each recompute the residual
-      // corpus pass
-      val residuals = residualFrame(emb, cents)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val (codes, cb) = encodeResiduals(residuals, kCodes)
+      val (codes, cb) = encode(emb, cents, kCodes)
       cb.zipWithIndex.map { case (c, i) => (i.toLong, c) }
         .toDF("code", "codeword")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
       codes.write.mode("overwrite").parquet(s"$path/codes")
-      residuals.unpersist(blocking = false)
     }
 
     def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Double]] =

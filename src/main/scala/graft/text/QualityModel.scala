@@ -72,21 +72,17 @@ object QualityModel {
     * lets callers that need the labels themselves (e.g. model eval)
     * compute the Gopher pass once and share it.
     */
-  def fitWeightsMicro(docs: DataFrame, labels: DataFrame): Array[Long] =
-    finishFit(docs
+  def fitWeightsMicro(docs: DataFrame, labels: DataFrame): Array[Long] = {
+    val agg = docs
       .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
       .select(col("doc_id"), bucket(col("t")).as("b"))
       .join(labels.select(col("doc_id"), col("keep")), "doc_id")
       .groupBy("b")
       .agg(count(lit(1)).as("tot"), sum(when(col("keep"), 1L).otherwise(0L)).as("k"))
-      .collect())
-
-  /** Weight table from the 64 collected (b, tot, k) rows. BigInt on the
-    * driver side: keep*2e6 overflows Long once a corpus holds ~4.6e12
-    * keep tokens, while the SQL oracle's HUGEINT arithmetic stays exact
-    * — exactness must not depend on corpus size.
-    */
-  private def finishFit(agg: Array[org.apache.spark.sql.Row]): Array[Long] = {
+      .collect()
+    // BigInt on the 64 driver-side rows: keep*2e6 overflows Long once a
+    // corpus holds ~4.6e12 keep tokens, while the SQL oracle's HUGEINT
+    // arithmetic stays exact — exactness must not depend on corpus size
     def rate(k: Long, tot: Long): Long = ((BigInt(k) * 2000000) / BigInt(tot)).toLong
     val tot = agg.map(_.getLong(1)).sum
     val keep = agg.map(_.getLong(2)).sum
@@ -97,52 +93,6 @@ object QualityModel {
       w(b) = rate(r.getLong(2), r.getLong(1)) - base
     }
     w
-  }
-
-  /** Per-(doc, bucket) token counts — ONE tokenize pass serving BOTH
-    * the fit aggregate and per-doc scoring (r15, guide §1.2 step 1: the
-    * fit+score pipelines tokenized the corpus twice; every quantity
-    * both sides need is a function of these counts). Shuffle bytes are
-    * bounded at ≤ [[dim]] rows per doc after map-side partial
-    * aggregation. Callers persist; the session cache discipline reaps.
-    */
-  def bucketCounts(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(Text.words(col("text"))).as("t"))
-      .groupBy(col("doc_id"), bucket(col("t")).as("b"))
-      .agg(count(lit(1)).as("c"))
-
-  /** [[fitWeightsMicro]] over a [[bucketCounts]] frame: per bucket,
-    * sum(c) ≡ the per-token count and every token of a doc carries the
-    * doc's label, so sum(keep·c) ≡ the per-token keep count — the
-    * collected 64 rows are identical (R15OptSpec pins it).
-    */
-  def fitWeightsFromBucketCounts(bc: DataFrame, labels: DataFrame): Array[Long] =
-    finishFit(bc
-      .join(labels.select(col("doc_id"), col("keep")), "doc_id")
-      .groupBy("b")
-      .agg(sum(col("c")).as("tot"), sum(when(col("keep"), col("c")).otherwise(0L)).as("k"))
-      .collect())
-
-  /** [[scored]] over a [[bucketCounts]] frame: n_toks = Σc and
-    * score_micro = Σ c·w[b] — exact integer regrouping of the
-    * per-token fold. `docIds` (one row per doc) restores zero-token
-    * docs the explode dropped, with the same (0, 0, false) row the
-    * map-side fold emits for an empty token array.
-    */
-  def scoredFromBucketCounts(
-      docIds: DataFrame, bc: DataFrame, weights: Array[Long]): DataFrame = {
-    require(weights.length == dim, s"expected $dim weights, got ${weights.length}")
-    val wlit = array(weights.map(lit): _*)
-    val perDoc = bc.groupBy("doc_id").agg(
-      sum(col("c")).as("n_toks"),
-      sum(col("c") * element_at(wlit, (col("b") + lit(1L)).cast("int"))).as("score_micro"))
-    docIds.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("score_micro"), lit(0L)).as("score_micro"))
-      .withColumn("keep", col("score_micro") > 0L)
   }
 
   /** Feature bucket of a token: low bits of xxhash64 (mask keeps the

@@ -133,28 +133,6 @@ class R15OptSpec extends AnyFunSuite {
     assert(rows(1).getSeq[Long](0).head == 0L)
   }
 
-  test("QualityModel bucket-count fit ≡ per-token fit; bucket-count score ≡ map-side score") {
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      // adversarial rider: a doc whose text tokenizes to ZERO tokens —
-      // the explode drops it, the left join must restore (0, 0, false)
-      .unionByName(Seq((999999L, "!!! ...")).toDF("doc_id", "text"))
-    val labels = text.Gopher.metrics(docs).select(col("doc_id"), col("keep")).persist()
-    labels.count()
-    val bc = text.QualityModel.bucketCounts(docs).persist()
-    val wRef = text.QualityModel.fitWeightsMicro(docs, labels)
-    val wGot = text.QualityModel.fitWeightsFromBucketCounts(bc, labels)
-    assert(wGot.toSeq === wRef.toSeq)
-    val ref = text.QualityModel.scored(docs, wRef)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      .sortBy(_._1)
-    val got = text.QualityModel.scoredFromBucketCounts(docs.select("doc_id"), bc, wRef)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      .sortBy(_._1)
-    bc.unpersist(); labels.unpersist()
-    assert(got === ref)
-    assert(got.exists(t => t._1 == 999999L && t._2 == 0L && t._3 == 0L && !t._4))
-  }
-
   test("khopLayers layer counts ≡ khop hop histogram; layered multi ≡ khopMulti union") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey").distinct()
     val e = li.as("x").join(li.as("y"), Seq("l_orderkey"))
