@@ -26,18 +26,26 @@ object Bench {
     * PROTOCOL: if a control key's implementation ever changes, repin its
     * reference median in the same commit.
     */
-  val controlRefHead = "9e84845"
+  // r15 repin (same commit as the minhashCandidatesFromSigs sketch-compare
+  // fuse, which changes two control paths: dedup_minhash, pipe_corpus_prep):
+  // in-suite medians of a full 3-pass sf0.1/32c bench of the fused tree
+  // (/root/r15_mid_BENCH.json tail committed as BENCH_r15_repin.json).
+  // Host-state continuity: at repin time the SAME session measured
+  // host_factor 1.12-1.14 against the r14 fresh-host pins (control ratios
+  // 0.98-1.45, median ~1.15), so these pins are ~15% above fresh-host
+  // values and a later fresh-host run should read control_ratios ≈ 0.87.
+  val controlRefHead = "r15repin-aa0863c+fuse"
   val controlRef: Map[String, Double] = Map(
-    "q1_agg" -> 0.2653,
-    "dedup_exact" -> 0.3095,
-    "dedup_minhash" -> 1.2709,
-    "q_join_shuffle" -> 0.4186,
-    "pipe_corpus_prep" -> 3.1970,
-    "text_bm25_topk" -> 1.0488,
-    "q_window_topn" -> 0.4514,
-    "q_local_volume" -> 0.8063,
-    "mm_scene_cuts" -> 0.7878,
-    "mm_phash_groups" -> 0.5292)
+    "q1_agg" -> 0.3625,
+    "dedup_exact" -> 0.3700,
+    "dedup_minhash" -> 1.2411,
+    "q_join_shuffle" -> 0.4702,
+    "pipe_corpus_prep" -> 3.6007,
+    "text_bm25_topk" -> 1.2283,
+    "q_window_topn" -> 0.6547,
+    "q_local_volume" -> 0.9367,
+    "mm_scene_cuts" -> 0.8542,
+    "mm_phash_groups" -> 0.5781)
 
   /** R13 (r12 verdict task #2): a SCALAR host factor under-corrects —
     * the r12 close measured control ratios 1.06–2.76 on one host (map-

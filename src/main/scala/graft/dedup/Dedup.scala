@@ -152,10 +152,12 @@ object Dedup {
       .join(sketches.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       .withColumn(
         "est_jaccard",
-        aggregate(
-          zip_with(col("sk_a"), col("sk_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0),
-          (acc, v) => acc + v).cast("double") / k)
+        // r15: fused one-pass slot compare — same count, same /k estimate
+        // as the aggregate(zip_with(when)) chain it replaces (R14OptSpec
+        // pins bit-equality). This path was left compositional in r14
+        // only because it feeds two frozen bench controls (dedup_minhash,
+        // pipe_corpus_prep); the r15 repin lands in the same commit.
+        graft.functions.vexprs.sketch_eq_count(col("sk_a"), col("sk_b")).cast("double") / k)
     materializeThenRelease(
       est.where(col("est_jaccard") >= minEstJaccard).select("doc_a", "doc_b", "est_jaccard"),
       sigsAll)
