@@ -4025,6 +4025,11 @@ object SparkEntry {
     * driver-side state is the 1-value order total.
     */
   private def qCopurchaseLift(s: SparkSession, dir: String): DataFrame = {
+    // r15 negative result: persisting the distinct (order, part) relation
+    // for its four consumers was tried and REVERTED (2.1/2.4 → 3.7/3.4 s
+    // isolated at 32c): the self-join's two sides already share one
+    // ReusedExchange, and the cache write plus the InMemoryRelation
+    // blocking AQE under it cost more than the one saved scan.
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey")).distinct()
     val totRow = li.agg(countDistinct("l_orderkey")).head()
     val nOrders = totRow.getLong(0)
@@ -5275,11 +5280,19 @@ object SparkEntry {
     val survivorIds = dedup.Dedup.exact(docs).select(col("doc_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val survivors = docs.join(survivorIds, Seq("doc_id"), "left_semi")
-    val n1 = survivors.count()
+    // r15 (guide §1.2 step 1): the stage counts are derivable from frames
+    // the pipeline already materializes — the old shape re-scanned the
+    // corpus (semi-join, then semi+anti) just to count it. doc_id is the
+    // documents primary key and survivorIds ⊆ doc_ids, so
+    // |survivors| = |survivorIds| (count the cached id frame); every
+    // near-dup loser doc_b is itself a survivor (candidate pairs are
+    // survivor×survivor), so |unique| = n1 − |losers| (count off the
+    // persisted candidate frame). n3 still pays the one real gated scan.
+    val n1 = survivorIds.count()
     val cands = dedup.Dedup.minhashCandidates(survivors, minEstJaccard = 0.8)
     val losers = cands.select(col("doc_b").as("doc_id")).distinct()
     val unique = survivors.join(losers, Seq("doc_id"), "left_anti")
-    val n2 = unique.count()
+    val n2 = n1 - losers.count()
     val n3 = pipeline.CorpusPrep.gateAndAnnotate(unique).count()
     survivorIds.unpersist(blocking = false)
     cands.unpersist(blocking = false)
@@ -5703,7 +5716,11 @@ object SparkEntry {
     val edges = nationTradePairs(s, dir)
       .where(col("src") =!= col("dst"))
       .select("src", "dst")
-    graph.PageRank.run(edges, iters = 3)
+    // r15: the nation graph is ≤ nations² edges at ANY corpus size —
+    // dimension-bounded metadata, so the iteration loop runs on the
+    // driver (PageRank.runLocal, exact same integer fixed-point; the
+    // heavy fact-scan edge derivation stays distributed)
+    graph.PageRank.runLocal(edges, iters = 3)
       .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
       .select(col("node"), col("n_name"), col("rank"))
       .orderBy("node")
@@ -5734,7 +5751,10 @@ object SparkEntry {
     */
   private def qGraphHits(s: SparkSession, dir: String): DataFrame = {
     val edges = nationTradePairs(s, dir).where(col("src") =!= col("dst"))
-    graph.Hits.run(edges, iters = 3)
+    // r15: dimension-bounded graph → driver-local iterations (see
+    // qGraphPagerank; Hits.runLocal mirrors the decimal/HUGEINT
+    // arithmetic in BigInt, R15OptSpec pins runLocal ≡ run)
+    graph.Hits.runLocal(edges, iters = 3)
       .join(broadcast(Tables.nation(s, dir)), col("node") === col("n_nationkey"))
       .select(col("node"), col("n_name"), col("hub"), col("authority"))
       .orderBy("node")
@@ -17504,22 +17524,26 @@ object SparkEntry {
     * over the capped corpus's own certified truth.
     */
   private def dedupSetsimRepsEval(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the capped shingle scan feeds the truth AND pred legs
     val sets = Tables.documents(s, dir)
       .where(col("doc_id") < SetsimEvalCap)
       .select(
         col("doc_id"),
         functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
-      .persist()
+    // r15 (guide §1.2 step 1): ONE doc aggregate serves the truth AND
+    // pred legs — see dedupSetsimRepsSweep; the r14 shape ran the token
+    // explode + df aggregate + doc aggregate once per leg.
+    val docsAll = dedup.SetSim.anchorPrefixDocs(sets, maxTokenDf = 1000).persist()
     // persisted: truth feeds the hit semi-join, its own count, and the
     // doc-coverage legs — without the persist the pair-complete prefix
     // join re-ran once per consumer (measured ~4× the leg's cost);
     // caller-owned, reclaimed by the harnesses' clearCache
-    val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
+    val truth = dedup.SetSim.prefixPairsFromDocs(docsAll, tX1000 = 700)
       .select(col("doc_a"), col("doc_b"))
       .persist()
     // persisted: the assignment frame feeds four bounded count legs
-    val pred = dedup.SetSim.anchorReps(sets, tX1000 = 700, maxTokenDf = 1000)
+    val kAll = dedup.SetSim.AnchorSeeds.length
+    val pred = dedup.SetSim.repsFromDocs(
+        dedup.SetSim.repsFsh(docsAll, kAll), tX1000 = 700, kAll)
       .where(col("doc_id") =!= col("rep_id"))
       .select(
         least(col("doc_id"), col("rep_id")).as("doc_a"),
@@ -17604,23 +17628,21 @@ object SparkEntry {
     * capped-slice-bounded.
     */
   private def dedupSetsimRepsSweep(s: SparkSession, dir: String): DataFrame = {
-    // persisted: the capped shingle scan feeds the truth leg + one pred
-    // leg per k
     val sets = Tables.documents(s, dir)
       .where(col("doc_id") < SetsimEvalCap)
       .select(
         col("doc_id"),
         functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
-      .persist()
-    val truth = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
+    // r15 (guide §1.2 step 1): ONE doc aggregate (token walk + df filter
+    // + per-doc (df, token)-sorted list + all k block keys —
+    // SetSim.anchorPrefixDocs) serves the pair-complete truth leg AND
+    // every anchor operating point; the r14 shape ran the token pipeline
+    // twice (prefixJoinSets + anchorDocs). Legs pinned leg-by-leg
+    // against the independent operators (R15OptSpec).
+    val docsAll = dedup.SetSim.anchorPrefixDocs(sets, maxTokenDf = 1000).persist()
+    val truth = dedup.SetSim.prefixPairsFromDocs(docsAll, tX1000 = 700)
       .select(col("doc_a"), col("doc_b")).persist()
     val nTruth = truth.count()
-    // r14: ONE anchorDocs aggregate (token walk + df filter + per-doc
-    // block keys) serves all k operating points — bk_i depends only on
-    // seed_i, so repsFromDocs(take-k) over the 3-key frame is
-    // bit-identical to anchorReps(seeds.take(k)) while the old per-k
-    // calls re-ran the whole token pipeline three times.
-    val docsAll = dedup.SetSim.anchorDocs(sets, maxTokenDf = 1000).persist()
     // r15 (guide §1.2 step 1): ONE aggregate chain serves every k — the
     // all-k tail (SetSim.repsSweepNonSelf: min-seed-tagged candidates,
     // one verify join, all k bests in one groupBy) emits each k's
@@ -17629,7 +17651,8 @@ object SparkEntry {
     // + one join-aggregate PER k for. Per-k (n_pred, n_hit) are
     // multiset-identical (R15OptSpec pins the per-k emissions).
     val kMax = dedup.SetSim.AnchorSeeds.length
-    val pairs = dedup.SetSim.repsSweepNonSelf(docsAll, tX1000 = 700, kMax)
+    val pairs = dedup.SetSim.repsSweepNonSelf(
+      dedup.SetSim.repsFsh(docsAll, kMax), tX1000 = 700, kMax)
       .select(col("k"),
         least(col("doc_id"), col("rep_id")).as("doc_a"),
         greatest(col("doc_id"), col("rep_id")).as("doc_b"))

@@ -93,6 +93,23 @@ object SetSim {
         count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    val out = prefixPairsFromDocs(docAgg, tX1000).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    toks.unpersist(blocking = false)
+    docAgg.unpersist(blocking = false)
+    out
+  }
+
+  /** The candidate+verify tail of [[prefixJoinSets]] over a (possibly
+    * wider — extra columns are ignored) doc aggregate carrying `rar`
+    * (the per-doc (df, token)-sorted element structs) and `n` — exposed
+    * (r15) so the eval/sweep keys share ONE corpus aggregate between
+    * the pair-complete truth leg and the anchor-reps pred leg (see
+    * [[anchorPrefixDocs]]). Lazy; callers persist/materialize.
+    */
+  def prefixPairsFromDocs(docAgg: DataFrame, tX1000: Int): DataFrame = {
+    require(tX1000 >= 0 && tX1000 <= 1000,
+      s"tX1000 must be a permille threshold in [0, 1000], got $tX1000")
     val prefix = docAgg.select(col("doc_id"),
       explode(expr(
         s"transform(slice(rar, 1, cast(n - ($tX1000 * n + 999) div 1000 + 1 as int)), x -> x.token)"))
@@ -108,7 +125,7 @@ object SetSim {
     // determinism), then exact |A∩B| via map-side array_intersect.
     val fsets = docAgg.select(col("doc_id"),
       sort_array(expr("transform(rar, x -> x.token)")).as("fsh"), col("n"))
-    val verified = cand
+    cand
       .join(fsets.select(col("doc_id").as("doc_a"), col("fsh").as("sh_a"), col("n").as("n_a")), "doc_a")
       .join(fsets.select(col("doc_id").as("doc_b"), col("fsh").as("sh_b"), col("n").as("n_b")), "doc_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
@@ -116,13 +133,47 @@ object SetSim {
       .where(col("inter") * 1000 >= lit(tX1000.toLong) * col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
         expr("inter * 1000 div uni").as("jacc_x1000"))
-
-    val out = verified.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    toks.unpersist(blocking = false)
-    docAgg.unpersist(blocking = false)
-    out
   }
+
+  /** ONE doc aggregate serving BOTH set-similarity legs (r15, guide
+    * §1.2 step 1): the per-doc (df, token)-sorted element list `rar`
+    * ([[prefixPairsFromDocs]]'s input) AND the k anchor block keys
+    * bk0..bk_{k-1} ([[repsFromDocs]]'s input), over the same eligible
+    * (df ≤ maxTokenDf) element relation. The eval and sweep keys ran
+    * the token explode + df aggregate + doc aggregate TWICE — once per
+    * leg — for quantities that ride one exchange. [[repsFsh]] derives
+    * the `fsh` column [[repsFromDocs]] expects map-side from `rar`
+    * (same multiset, same sorted order — R15OptSpec pins both legs
+    * against the independent operators). Caller owns persistence.
+    */
+  def anchorPrefixDocs(
+      sets: DataFrame,
+      maxTokenDf: Int,
+      seeds: Seq[Long] = AnchorSeeds): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val toks = sets
+      .where(col("sh").isNotNull && size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("token"))
+    val dfq = toks.groupBy("token").agg(count(lit(1)).as("df"))
+    val eligible = toks.join(dfq, "token").where(col("df") <= maxTokenDf)
+    def mixed(seed: Long): Column = ColumnBridge.column(
+      graft.functions.Mix64Long(
+        ColumnBridge.expression(col("token").bitwiseXOR(lit(seed)))))
+    val aggs = seeds.zipWithIndex.map { case (sd, i) => min(mixed(sd)).as(s"bk$i") } ++
+      Seq(sort_array(collect_list(struct(col("df"), col("token")))).as("rar"),
+        count(lit(1)).as("n"))
+    eligible.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Projection adapting an [[anchorPrefixDocs]] frame to the
+    * (doc_id, bk*, fsh, n) shape [[repsFromDocs]]/[[repsSweepNonSelf]]
+    * consume: fsh = the token-sorted element array, derived map-side
+    * from `rar`.
+    */
+  def repsFsh(docs: DataFrame, k: Int): DataFrame =
+    docs.select(Seq(col("doc_id")) ++
+      (0 until k).map(i => col(s"bk$i")) ++
+      Seq(sort_array(expr("transform(rar, x -> x.token)")).as("fsh"), col("n")): _*)
 
   /** O(n)-OUTPUT anchor-representative twin of [[prefixJoinSets]] — the
     * 100 TB emission contract for boilerplate-heavy corpora (the

@@ -68,24 +68,27 @@ object Hits {
     // successor total-agg job that consumed the frame. Arithmetic is
     // untouched — scores stay bit-identical.
     for (_ <- 1 to iters) {
+      // r15: localCheckpoint(eager) on each half-iteration's RAW frame —
+      // persist() materializes but leaves the logical plan one join-tower
+      // level deeper per half-iteration, and Catalyst re-analysis of that
+      // tower (6 levels over 3 iterations) dominated the key: 64 jobs
+      // summing to 1.9 s of execution inside a 5.0 s wall (the
+      // Components.minLabel lesson applied here). The checkpoint cuts the
+      // plan to a leaf; the subsequent total agg and join read the
+      // materialized blocks. Arithmetic untouched — scores bit-identical.
       val aRaw = e.join(hubs.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("cast(cnt as decimal(20,0)) * h").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      // normalized's total agg materializes the pending previous hub
-      // frame (aRaw reads it); the previous AUTHORITY frame fed only that
-      // hub update, so it is droppable here
-      val aNext = normalized(aRaw, "authority").persist(StorageLevel.MEMORY_AND_DISK)
-      if (auths != null) auths.unpersist(blocking = false)
+        .localCheckpoint(true)
+      val aNext = normalized(aRaw, "authority")
       auths = aNext
       val hRaw = e.join(auths.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"),
           expr("cast(cnt as decimal(20,0)) * authority").as("c"))
         .groupBy("node").agg(sum("c").as("raw"))
-      // this total agg materializes aNext; the previous hub frame has no
-      // remaining consumer after it
-      val hNext = normalized(hRaw, "h").persist(StorageLevel.MEMORY_AND_DISK)
-      hubs.unpersist(blocking = false)
+        .localCheckpoint(true)
+      val hNext = normalized(hRaw, "h")
       hubs = hNext
     }
     val out = hubs.withColumnRenamed("h", "hub")
@@ -98,6 +101,52 @@ object Hits {
     hubs.unpersist(blocking = false)
     auths.unpersist(blocking = false)
     out // persisted; caller owns lifecycle (PageRank contract)
+  }
+
+  /** [[run]] evaluated on the driver for DIMENSION-BOUNDED graphs
+    * (r15, guide §1.2 step 1 — don't run a cluster loop over metadata):
+    * the nation-trade graph is ≤ nations² ≈ 625 edges at ANY corpus
+    * size, so after the one distributed fact-scan edge derivation the
+    * 3-iteration loop is pure scheduling overhead (measured: 58 jobs
+    * summing 1.9 s of execution inside a 3.5-5 s wall). Collects the
+    * edge frame (hard-bounded — REFUSES above `maxEdges`, this is not
+    * for data-scale graphs) and replays the exact integer fixed-point:
+    * BigInt products/divides mirror the decimal(38,0)/HUGEINT
+    * arithmetic bit-for-bit (all values positive, so BigInt's truncating
+    * divide equals decimal `div`). R15OptSpec pins runLocal ≡ run on the
+    * real graph and on a planted no-in-edge graph.
+    */
+  def runLocal(
+      edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      maxEdges: Int = 1 << 20): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val rows = edges.select(
+        col("src").cast("long"), col("dst").cast("long"), col("cnt").cast("long"))
+      .limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"runLocal is for dimension-bounded graphs: got > $maxEdges edges — use run()")
+    val es = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length
+    require(n > 0, "empty graph")
+    var h: Map[Long, BigInt] = nodes.map(_ -> BigInt(scale / n)).toMap
+    var a: Map[Long, BigInt] = Map.empty
+    val bScale = BigInt(scale)
+    def norm(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val total = raw.values.sum
+      require(total > 0, "HITS total must be positive")
+      nodes.map(nd => nd -> raw.getOrElse(nd, BigInt(0)) * bScale / total).toMap
+    }
+    for (_ <- 1 to iters) {
+      a = norm(es.groupBy(_._2).map { case (d, g) =>
+        d -> g.iterator.map(e => BigInt(e._3) * h(e._1)).sum })
+      h = norm(es.groupBy(_._1).map { case (s2, g) =>
+        s2 -> g.iterator.map(e => BigInt(e._3) * a(e._2)).sum })
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(nd => (nd, h(nd).toLong, a(nd).toLong)).toSeq
+      .toDF("node", "hub", "authority")
   }
 
   /** DuckDB oracle for [[run]]: iterations unrolled as chained CTEs over

@@ -75,6 +75,46 @@ object PageRank {
     ranks // persisted; caller owns lifecycle (same contract as Dedup.*)
   }
 
+  /** [[run]] evaluated on the driver for DIMENSION-BOUNDED graphs (r15
+    * — see [[Hits.runLocal]] for the rationale and the bound contract):
+    * the nation-trade graph is ≤ nations² edges at any corpus size; the
+    * distributed 3-iteration loop there is pure scheduling overhead.
+    * Long arithmetic replicates [[run]] exactly (same widths, same
+    * truncating `div` on positives). REFUSES above `maxEdges` — the
+    * crawl/co-purchase graphs keep the distributed loop. (A
+    * checkpoint-truncated variant of the distributed loop was ALSO
+    * tried for those and reverted: q_graph_ppr 3.8→4.3 s — the
+    * checkpoint loses the cached partitioning and AQE of the persisted
+    * rank frame; the per-round persist+count stays load-bearing.)
+    */
+  def runLocal(
+      edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+      maxEdges: Int = 1 << 20): DataFrame = {
+    require(iters >= 1, "at least one iteration")
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"runLocal is for dimension-bounded graphs: got > $maxEdges edges — use run()")
+    val es = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length
+    require(n > 0, "empty graph")
+    val deg: Map[Long, Long] =
+      es.groupBy(_._1).map { case (k, g) => k -> g.length.toLong }
+    val r0 = scale / n
+    val base = (15L * r0) / 100L
+    var ranks: Map[Long, Long] = nodes.map(_ -> r0).toMap
+    for (_ <- 1 to iters) {
+      val contrib = es.groupBy(_._2).map { case (d, g) =>
+        d -> g.iterator.map(e => ranks(e._1) / deg(e._1)).sum }
+      ranks = nodes.map(nd =>
+        nd -> (base + (85L * contrib.getOrElse(nd, 0L)) / 100L)).toMap
+    }
+    val spark = edges.sparkSession
+    import spark.implicits._
+    nodes.map(nd => (nd, ranks(nd))).toSeq.toDF("node", "rank")
+  }
+
   /** Personalized PageRank (Haveliwala 2002): identical to [[run]]
     * except ALL teleport mass returns to one seed node — r0 puts the
     * whole `scale` at the seed and each iteration's base term

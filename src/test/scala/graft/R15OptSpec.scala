@@ -164,6 +164,81 @@ class R15OptSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("anchorPrefixDocs shared aggregate ≡ independent prefixJoinSets + anchorReps legs") {
+    val sets = cappedDocs
+      .select(col("doc_id"),
+        functions.exprs.shingle_block(col("text"), 3).getField("sh").as("sh"))
+    val kAll = dedup.SetSim.AnchorSeeds.length
+    val docsAll = dedup.SetSim.anchorPrefixDocs(sets, maxTokenDf = 1000)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docsAll.count()
+    // truth leg off the shared frame ≡ the standalone pair-complete op
+    val truthRef = dedup.SetSim.prefixJoinSets(sets, tX1000 = 700, maxTokenDf = 1000)
+    val tWant = truthRef.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+    truthRef.unpersist()
+    val tGot = dedup.SetSim.prefixPairsFromDocs(docsAll, tX1000 = 700).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).sorted.toSeq
+    assert(tGot === tWant)
+    assert(tGot.nonEmpty, "truth leg empty — fixture too small")
+    // pred leg off the shared frame ≡ the standalone anchorReps
+    val predRef = dedup.SetSim.anchorReps(sets, tX1000 = 700, maxTokenDf = 1000)
+    val pWant = predRef.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val pGot = dedup.SetSim.repsFromDocs(
+        dedup.SetSim.repsFsh(docsAll, kAll), tX1000 = 700, kAll).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    docsAll.unpersist()
+    assert(pGot === pWant)
+    assert(pGot.exists(t => t._1 != t._2), "no non-self reps — fixture too small")
+  }
+
+  test("Hits.runLocal / PageRank.runLocal ≡ distributed run, incl. no-in-edge nodes") {
+    // planted directed weighted graph with a source-only node (10), a
+    // sink-only node (40), and a heavy weight that exercises the wide
+    // product path
+    val es = Seq(
+      (10L, 20L, 3L), (20L, 30L, 1000000L), (30L, 20L, 2L),
+      (20L, 40L, 7L), (30L, 40L, 1L))
+    val e = es.toDF("src", "dst", "cnt")
+    val ref = graph.Hits.run(e, iters = 3)
+    val want = ref.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    ref.unpersist()
+    val got = graph.Hits.runLocal(e, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(got === want)
+    val pe = e.select("src", "dst")
+    val pRef = graph.PageRank.run(pe, iters = 3)
+    val pWant = pRef.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    pRef.unpersist()
+    val pGot = graph.PageRank.runLocal(pe, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pGot === pWant)
+    // and on the real (dimension-bounded) nation-trade shape at sf0.001:
+    // distinct customer→supplier nation pairs with lineitem counts
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val su = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val tr = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+    val hRef = graph.Hits.run(tr, iters = 3)
+    val hWant = hRef.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    hRef.unpersist()
+    val hGot = graph.Hits.runLocal(tr, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(hGot === hWant)
+    // the bound refuses data-scale graphs instead of collecting them
+    intercept[IllegalArgumentException] {
+      graph.PageRank.runLocal(pe, iters = 1, maxEdges = 2)
+    }
+  }
+
   test("prefixJoinSets / containJoinSets reject out-of-range permille thresholds (ADVICE r14)") {
     val sets = cappedDocs.select(col("doc_id"),
       array_distinct(text.Text.hashedArray(text.Text.words(col("text")))).as("sh"))
