@@ -410,14 +410,15 @@ object Ann {
     * for candidate generation, rescored exactly afterwards.
     */
   def signPack(embeddings: DataFrame): DataFrame =
+    // r15: fused one-pass kernel — the compositional pair of aggregates
+    // built a 64-element sequence array, probed it with per-index
+    // element_at, and walked the quantized vector twice (R15OptSpec pins
+    // bit-equality incl. null-element and sub-64-dim edges)
     embeddings
-      .select(col("vec_id"), Vec.quantize(col("embedding")).as("q"))
       .select(col("vec_id"),
-        expr("aggregate(transform(sequence(0, 63), " +
-          "i -> IF(element_at(q, i + 1) > 0L, shiftleft(1L, i), 0L)), " +
-          "0L, (a, x) -> a | x)").as("bits"),
-        expr("CAST(aggregate(q, 0, (a, x) -> a + IF(x > 0L, 1, 0)) AS BIGINT)")
-          .as("n_pos"))
+        graft.functions.vexprs.sign_pack(Vec.quantize(col("embedding"))).as("sp"))
+      .select(col("vec_id"),
+        col("sp.bits").as("bits"), col("sp.n_pos").as("n_pos"))
 
   /** Hamming-distance top-k over the packed sign bits — the fourth ANN
     * family (binary quantization) beside brute-force, IVF/LSH cell

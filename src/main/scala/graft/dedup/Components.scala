@@ -35,7 +35,12 @@ object Components {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      // candidate label per node: min over own label and neighbors' labels
+      // candidate label per node: min over own label and neighbors'
+      // labels. (r15 negative result: a pointer-doubling shortcut round
+      // — min with the label's own label — was tried and REVERTED:
+      // near-dup component diameters are already shallow, so the extra
+      // labels⋈labels join per round cost more than the rounds it could
+      // save; dedup_embed_clusters 4.2→7.6 s isolated.)
       val viaNeighbors = sym
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .select(col("src").as("doc_id"), col("cluster_id"))
@@ -44,16 +49,17 @@ object Components {
       // re-analysis of that tower turns quadratic-plus in round count —
       // a deep graph (long cosine chains) stalled PLANNING for minutes
       // while the jobs themselves were milliseconds. The checkpoint cuts
-      // the plan to a leaf, so analysis stays O(1) per round.
+      // the plan to a leaf, so analysis stays O(1) per round. The old
+      // label rides along as `prev` (r15) so the convergence probe is a
+      // scan of the checkpointed blocks, not a second join job.
       val next = labels.select(col("doc_id"), col("cluster_id"))
         .union(viaNeighbors)
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+        .join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "prev"), Seq("doc_id"))
-        .where(col("cluster_id") =!= col("prev"))
-        .count()
+      val changed = next.where(col("cluster_id") =!= col("prev")).count()
       labels.unpersist(blocking = false)
-      labels = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
       converged = changed == 0
       it += 1
     }

@@ -462,6 +462,59 @@ case class SketchEqCount(left: Expression, right: Expression) extends BinaryExpr
 }
 
 /** Column-level API for the fused vector kernels. */
+/** Fused binary sign-pack over a quantized vector (r15): one pass
+  * computing BOTH the 64-bit sign word and the positive count — the
+  * compositional form built a 64-element sequence array, transformed it
+  * with per-index `element_at` probes, and ran two separate aggregates
+  * (three array allocations and two walks per row).
+  *
+  * Bit-exact semantics of
+  * `aggregate(transform(sequence(0,63), i -> IF(q[i+1] > 0, 1L << i, 0L)), 0L, _|_)`
+  * and `aggregate(q, 0, (a,x) -> a + IF(x > 0, 1, 0))`:
+  *  - null input → null; null ELEMENTS contribute no bit and no count
+  *    (the IF's null predicate takes the else branch);
+  *  - bits read the first 64 elements; n_pos counts ALL elements;
+  *  - elements past the array length contribute 0 bits (the legacy
+  *    element_at-out-of-range semantics; embeddings are fixed 64-d so
+  *    the branch is unobservable on real data).
+  */
+case class SignPack(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (TypeGuard.isLongArray(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint> input, got ${child.dataType.catalogString}")
+  override def dataType: DataType = StructType(Seq(
+    StructField("bits", LongType, nullable = false),
+    StructField("n_pos", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val n = q.numElements()
+    var bits = 0L
+    var nPos = 0L
+    var i = 0
+    while (i < n) {
+      if (!q.isNullAt(i) && q.getLong(i) > 0L) {
+        if (i < 64) bits |= 1L << i
+        nPos += 1L
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bits, nPos)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val ref = ctx.addReferenceObj("graftExpr", this)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+  override def prettyName: String = "sign_pack"
+}
+
 object vexprs {
   def cosine_q(a: Column, b: Column): Column =
     ColumnBridge.column(CosineQ(ColumnBridge.expression(a), ColumnBridge.expression(b)))
@@ -479,4 +532,6 @@ object vexprs {
     ColumnBridge.column(L2DistsQ(ColumnBridge.expression(r), cb))
   def sketch_eq_count(a: Column, b: Column): Column =
     ColumnBridge.column(SketchEqCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def sign_pack(q: Column): Column =
+    ColumnBridge.column(SignPack(ColumnBridge.expression(q)))
 }

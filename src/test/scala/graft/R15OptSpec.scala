@@ -164,6 +164,36 @@ class R15OptSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("sign_pack fused kernel ≡ compositional sequence/element_at aggregates") {
+    // real embeddings plus adversarial rows: null elements, negatives,
+    // zeros, and a short (<64-dim) vector
+    val emb = Tables.embeddings(spark, dir).select("vec_id", "embedding")
+      .withColumn("q", vec.Vec.quantize(col("embedding"))).select("vec_id", "q")
+      .unionByName(Seq(
+        (900001L, Seq[java.lang.Long](1L, null, -3L, 0L, 5L)),
+        (900002L, Seq.tabulate[java.lang.Long](70)(i => java.lang.Long.valueOf(if (i % 3 == 0) i + 1 else -1)))
+      ).toDF("vec_id", "q"))
+    val ref = emb.select(col("vec_id"),
+      expr("aggregate(transform(sequence(0, 63), " +
+        "i -> IF(element_at(q, i + 1) > 0L, shiftleft(1L, i), 0L)), " +
+        "0L, (a, x) -> a | x)").as("bits"),
+      expr("CAST(aggregate(q, 0, (a, x) -> a + IF(x > 0L, 1, 0)) AS BIGINT)").as("n_pos"))
+      // the 5-element row would make ANSI element_at(q, 6..64) throw in
+      // the reference; the fused kernel pins the legacy 0-bit semantics
+      .where(size(col("q")) >= 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val gotAll = emb.select(col("vec_id"),
+      graft.functions.vexprs.sign_pack(col("q")).as("sp"))
+      .select(col("vec_id"), col("sp.bits"), col("sp.n_pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got = gotAll.filter(t => t._1 < 900001L || t._1 == 900002L)
+    assert(got === ref)
+    // the short row: bits over present elements only, n_pos counts all
+    val shortRow = gotAll.find(_._1 == 900001L).get
+    assert(shortRow._2 === ((1L << 0) | (1L << 4)))
+    assert(shortRow._3 === 2L)
+  }
+
   test("anchorPrefixDocs shared aggregate ≡ independent prefixJoinSets + anchorReps legs") {
     val sets = cappedDocs
       .select(col("doc_id"),
